@@ -1,0 +1,456 @@
+"""Relational spine: scans, joins, aggregations (SURVEY.md §2.1/2.3/2.4/2.7).
+
+Float parity with the DuckDB oracle is engineered, not hoped for:
+- SUM over doubles is order-dependent → sum DECIMAL(18,2)-cast values
+  (double→decimal rounding is tie-free for this data: money values are
+  2-decimal, discounts are exact 1/100 multiples) and cast the exact
+  decimal total back to DOUBLE.
+- AVG = CAST(sum_dec AS DOUBLE) / count — one IEEE division, bit-identical
+  in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openalex_walden_spark.queries.registry import register
+
+# Spark and DuckDB share these helper fragments verbatim (ANSI SQL).
+_DEC = "CAST({x} AS DECIMAL(18,2))"
+
+
+def dsum(x: str) -> str:
+    return f"CAST(SUM(CAST({x} AS DECIMAL(18,2))) AS DOUBLE)"
+
+
+def davg(x: str) -> str:
+    return f"CAST(SUM(CAST({x} AS DECIMAL(18,2))) AS DOUBLE) / COUNT({x})"
+
+
+# --------------------------------------------------------------------------
+# q1: TPC-H Q1-shaped aggregation battery (A1, A5)
+# --------------------------------------------------------------------------
+_Q1_SQL = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {dsum('l_quantity')}                                 AS sum_qty,
+  {dsum('l_extendedprice')}                            AS sum_base_price,
+  {dsum('l_extendedprice * (1 - l_discount)')}         AS sum_disc_price,
+  {davg('l_quantity')}                                 AS avg_qty,
+  {davg('l_extendedprice')}                            AS avg_price,
+  {davg('l_discount')}                                 AS avg_disc,
+  COUNT(*)                                             AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", oracle=_Q1_SQL, tags=("agg", "scan", "A1"))
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary (TPC-H Q1 shape): scan-filter-aggregate battery.
+
+    Plan check: filter pushes to the parquet scan; partial aggregation
+    (map-side combine) before the single shuffle on the 2-col group key.
+    """
+    return spark.sql(_Q1_SQL)
+
+
+# --------------------------------------------------------------------------
+# q3: join + grouped revenue (J1)
+# --------------------------------------------------------------------------
+_Q3_SQL = f"""
+SELECT
+  o.o_orderkey                                         AS orderkey,
+  CAST(o.o_orderdate AS DATE)                          AS orderdate,
+  o.o_orderpriority                                    AS orderpriority,
+  {dsum('l.l_extendedprice * (1 - l.l_discount)')}     AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1998-03-15'
+  AND CAST(l.l_shipdate  AS DATE) > DATE '1998-03-15'
+GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+"""
+
+
+@register("q3_shipping_priority", oracle=_Q3_SQL, tags=("join", "agg", "J1"))
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-orders-lineitem join with grouped revenue (TPC-H Q3 shape)."""
+    c = spark.table("customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = spark.table("orders").where(F.col("o_orderdate").cast("date") < F.lit("1998-03-15").cast("date"))
+    l = spark.table("lineitem").where(F.col("l_shipdate").cast("date") > F.lit("1998-03-15").cast("date"))
+    dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,2)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(F.sum(dec).cast("double").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q5: star join through region→nation→customer→orders→lineitem→supplier (J1)
+# --------------------------------------------------------------------------
+_Q5_SQL = f"""
+SELECT
+  n.n_name                                             AS nation,
+  {dsum('l.l_extendedprice * (1 - l.l_discount)')}     AS revenue
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+
+@register("q5_local_supplier_volume", oracle=_Q5_SQL, tags=("join", "agg", "broadcast", "J1"))
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way star join; dimension sides explicitly broadcast.
+
+    At 100 TB the fact side (lineitem) never shuffles for these dims:
+    region/nation/customer/supplier are broadcast, so the only exchange is
+    the final small group-by.
+    """
+    r = F.broadcast(spark.table("region").where(F.col("r_name") == "ASIA"))
+    n = F.broadcast(spark.table("nation"))
+    c = F.broadcast(spark.table("customer"))
+    s = F.broadcast(spark.table("supplier"))
+    o = spark.table("orders")
+    l = spark.table("lineitem")
+    dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,2)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == n.n_nationkey))
+        .groupBy(n.n_name.alias("nation"))
+        .agg(F.sum(dec).cast("double").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# anti / semi joins (J3, J4)
+# --------------------------------------------------------------------------
+_ANTI_SQL = """
+SELECT c.c_custkey AS custkey, c.c_name AS name
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE o.o_orderkey IS NULL
+"""
+
+
+@register("join_anti_customers_without_orders", oracle=_ANTI_SQL, tags=("join", "J3"))
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join: customers that never ordered."""
+    c = spark.table("customer")
+    o = spark.table("orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")
+    )
+
+
+_SEMI_SQL = """
+SELECT c.c_custkey AS custkey, c.c_mktsegment AS mktsegment
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+"""
+
+
+@register("join_semi_customers_with_urgent", oracle=_SEMI_SQL, tags=("join", "J4"))
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS shape): customers with ≥1 urgent order."""
+    c = spark.table("customer")
+    o = spark.table("orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# full outer join with coalesced key (J5)
+# --------------------------------------------------------------------------
+_FULL_OUTER_SQL = """
+WITH cust AS (
+  SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+  FROM customer GROUP BY c_nationkey
+),
+supp AS (
+  SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+  FROM supplier GROUP BY s_nationkey
+)
+SELECT
+  COALESCE(c.nationkey, s.nationkey) AS nationkey,
+  COALESCE(c.n_customers, 0)         AS n_customers,
+  COALESCE(s.n_suppliers, 0)         AS n_suppliers
+FROM cust c
+FULL OUTER JOIN supp s ON c.nationkey = s.nationkey
+"""
+
+
+@register("join_full_outer_nation_counts", oracle=_FULL_OUTER_SQL, tags=("join", "J5"))
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates with coalesced keys."""
+    cust = (
+        spark.table("customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    supp = (
+        spark.table("supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return (
+        cust.join(supp, "nationkey", "full_outer")
+        .select(
+            F.col("nationkey"),
+            F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+            F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# null-safe join (J2): IS NOT DISTINCT FROM compound key
+# --------------------------------------------------------------------------
+_NULLSAFE_SQL = """
+WITH c AS (
+  SELECT c_custkey, NULLIF(c_nationkey % 5, 0) AS band FROM customer
+),
+s AS (
+  SELECT s_suppkey, NULLIF(s_nationkey % 5, 0) AS band FROM supplier
+)
+SELECT c.band AS band, COUNT(*) AS n_pairs
+FROM c JOIN s ON c.band IS NOT DISTINCT FROM s.band
+GROUP BY c.band
+"""
+
+
+@register("join_nullsafe_band", oracle=_NULLSAFE_SQL, tags=("join", "J2"))
+def join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=>): NULL keys match each other.
+
+    Mirrors the reference's IS NOT DISTINCT FROM merge keys
+    (CreateLocationsMapped.sql:330-349).
+    """
+    c = spark.table("customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("band")
+    )
+    s = spark.table("supplier").select(
+        "s_suppkey", F.nullif(F.col("s_nationkey") % 5, F.lit(0)).alias("band")
+    )
+    return (
+        c.alias("c")
+        .join(s.alias("s"), F.col("c.band").eqNullSafe(F.col("s.band")))
+        .groupBy(F.col("c.band").alias("band"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# correlated scalar subquery → decorrelated join (J4/§4)
+# --------------------------------------------------------------------------
+_ABOVE_AVG_SQL = """
+WITH stats AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+  FROM orders GROUP BY o_custkey
+)
+SELECT o.o_orderkey AS orderkey, o.o_custkey AS custkey
+FROM orders o JOIN stats t ON o.o_custkey = t.o_custkey
+WHERE o.o_totalprice > t.avg_price
+"""
+
+
+@register("subquery_orders_above_cust_avg", oracle=_ABOVE_AVG_SQL, tags=("join", "window", "J4"))
+def subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above their customer's average price.
+
+    Implemented with a window (single shuffle on custkey, no self-join) —
+    the plan Catalyst would decorrelate the subquery into anyway.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey")
+    o = spark.table("orders").withColumn(
+        "avg_price",
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+         / F.count("*").over(w)),
+    )
+    return o.where(F.col("o_totalprice") > F.col("avg_price")).select(
+        F.col("o_orderkey").alias("orderkey"), F.col("o_custkey").alias("custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# HAVING guard (A9)
+# --------------------------------------------------------------------------
+_HAVING_SQL = """
+SELECT o_custkey AS custkey, COUNT(DISTINCT o_orderpriority) AS n_priorities
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(DISTINCT o_orderpriority) >= 4
+"""
+
+
+@register("agg_having_priority_spread", oracle=_HAVING_SQL, tags=("agg", "A9"))
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING over a distinct count (ambiguity-guard shape,
+    CreateLocationsMapped.sql:950-961)."""
+    return (
+        spark.table("orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.countDistinct("o_orderpriority").alias("n_priorities"))
+        .where(F.col("n_priorities") >= 4)
+    )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS (A10)
+# --------------------------------------------------------------------------
+_GSETS_SQL = """
+SELECT c_mktsegment AS mktsegment, c_nationkey AS nationkey,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
+"""
+
+
+@register("agg_grouping_sets", oracle=_GSETS_SQL, tags=("agg", "A10"))
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS: per-(segment, nation), per-segment, and global totals
+    in one pass (author topic-share shape, CreateAuthors.ipynb cell 4)."""
+    return spark.sql(_GSETS_SQL)
+
+
+# --------------------------------------------------------------------------
+# exact percentiles (A11)
+# --------------------------------------------------------------------------
+_PCTL_SQL = """
+SELECT c_mktsegment AS mktsegment,
+       quantile_cont(c_acctbal, 0.5)  AS p50,
+       quantile_cont(c_acctbal, 0.95) AS p95
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@register("agg_percentiles_by_segment", oracle=_PCTL_SQL, tags=("agg", "A11"))
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per segment.
+
+    Spark `percentile` and DuckDB `quantile_cont` share the type-7
+    definition; for 100 TB switch to percentile_approx (the reference's
+    choice — AuthorshipDailyMetrics.py:482).
+    """
+    return (
+        spark.table("customer")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.expr("percentile(c_acctbal, 0.5)").alias("p50"),
+            F.expr("percentile(c_acctbal, 0.95)").alias("p95"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# min_by / max_by with total tie-break (A4)
+# --------------------------------------------------------------------------
+_MAXBY_SQL = """
+SELECT o_custkey AS custkey,
+       arg_max(o_orderkey, [o_totalprice, CAST(o_orderkey AS DOUBLE)]) AS best_orderkey,
+       arg_min(o_orderkey, [o_totalprice, CAST(o_orderkey AS DOUBLE)]) AS worst_orderkey
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@register("agg_max_by_order", oracle=_MAXBY_SQL, tags=("agg", "A4"))
+def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by with an array ordering key whose trailing element makes
+    the comparison total (determinism contract — SURVEY.md §4)."""
+    key = F.array(F.col("o_totalprice"), F.col("o_orderkey").cast("double"))
+    return (
+        spark.table("orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.expr(
+                "max_by(o_orderkey, array(o_totalprice, cast(o_orderkey as double)))"
+            ).alias("best_orderkey"),
+            F.expr(
+                "min_by(o_orderkey, array(o_totalprice, cast(o_orderkey as double)))"
+            ).alias("worst_orderkey"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# conditional aggregation battery (A5)
+# --------------------------------------------------------------------------
+_CONDAGG_SQL = """
+SELECT o_custkey AS custkey,
+       count_if(o_orderstatus = 'F')                    AS n_finished,
+       count_if(o_orderstatus = 'O')                    AS n_open,
+       count_if(o_orderpriority = '1-URGENT')           AS n_urgent,
+       count_if(o_totalprice > 200000)                  AS n_large,
+       count_if(EXTRACT(year FROM o_orderdate) >= 1998) AS n_recent
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@register("agg_conditional_battery", oracle=_CONDAGG_SQL, tags=("agg", "A5"))
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_if battery (match-strategy counting shape, MatchAuthors cell 9)."""
+    o = spark.table("orders")
+    return o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+        F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_large"),
+        F.count_if(F.year("o_orderdate") >= 1998).alias("n_recent"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sorted collect_list rendered as string (A2 + determinism contract)
+# --------------------------------------------------------------------------
+_COLLECT_SQL = """
+SELECT n_nationkey AS nationkey,
+       string_agg(c_name, ',' ORDER BY c_name) AS customer_names,
+       COUNT(*) AS n_customers
+FROM nation JOIN customer ON c_nationkey = n_nationkey
+GROUP BY n_nationkey
+"""
+
+
+@register("agg_sorted_collect", oracle=_COLLECT_SQL, tags=("agg", "A2"))
+def agg_sorted_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list roll-up with the mandatory deterministic sort
+    (SURVEY.md §4 determinism engineering) rendered as a joined string."""
+    n = F.broadcast(spark.table("nation"))
+    c = spark.table("customer")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_nationkey").alias("nationkey"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("customer_names"),
+            F.count("*").alias("n_customers"),
+        )
+    )

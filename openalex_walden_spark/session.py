@@ -1,0 +1,52 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference runs on Databricks (SURVEY.md §0); this engine runs on stock
+PySpark. Defaults chosen for the 100 TB design point, scaled down by env vars
+for local testing:
+
+- AQE on (coalesce shuffle partitions, skew-join handling) — the reference
+  relies on it implicitly (SURVEY.md §4 "Join strategy").
+- UTC session timezone so timestamp semantics match the DuckDB oracle.
+- Arrow enabled for the pandas-UDF slow path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "openalex-walden-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    On a real cluster, ``master`` comes from spark-submit and
+    ``shuffle_partitions`` should be ~2-3x total cores; locally we default to
+    ``local[$SPARK_GRAFT_CPUS]`` and one shuffle partition per core.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    nshuffle = shuffle_partitions or int(cpus if cpus.isdigit() else 32)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(nshuffle))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
