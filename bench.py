@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs flagship catalog queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized through the no-op sink (``format("noop")``)
+so the measurement covers scan→shuffle→output without driver collect cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Flagship set: one per plan family (scan-agg, shuffle join, broadcast star,
+# window ladder, explode analytics, dedup, LSH near-dup, ANN, streaming-shape).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "subquery_orders_above_cust_avg",
+    "agg_max_by_order",
+    "w1_top_order_per_customer",
+    "w5_running_revenue",
+    "d5_citation_counts",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh_pairs",
+    "ann_cosine_topk",
+    "ev_scd1_latest_state",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("openalex-walden-spark-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from openalex_walden_spark import queries as q
+
+    q.load_all()
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        spec = q.CATALOG.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        spec.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -8,11 +8,13 @@ DuckDB. The registry backs ``__spark_entry__.queries()`` /
 
 from openalex_walden_spark.queries.registry import CATALOG, QuerySpec, register  # noqa: F401
 
+# Module names imported by load_all(); extend as catalog modules land.
+_MODULES = ("relational",)
+
 
 def load_all() -> None:
     """Import every catalog module so registrations run."""
-    from openalex_walden_spark.queries import relational  # noqa: F401
-    from openalex_walden_spark.queries import windows  # noqa: F401
-    from openalex_walden_spark.queries import walden  # noqa: F401
-    from openalex_walden_spark.queries import llmdata  # noqa: F401
-    from openalex_walden_spark.queries import events  # noqa: F401
+    import importlib
+
+    for mod in _MODULES:
+        importlib.import_module(f"openalex_walden_spark.queries.{mod}")

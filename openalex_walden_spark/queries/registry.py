@@ -3,11 +3,11 @@
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from openalex_walden_spark.tables import register_views
+from openalex_walden_spark.tables import TABLES, register_views
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
@@ -19,6 +19,7 @@ class QuerySpec:
     oracle: str | None  # DuckDB SQL; None → driver does rows-only check
     tags: tuple[str, ...] = ()
     doc: str = ""
+    tables: tuple[str, ...] = TABLES
 
 
 CATALOG: dict[str, QuerySpec] = {}
@@ -28,20 +29,29 @@ def register(
     name: str,
     oracle: str | None,
     tags: tuple[str, ...] = (),
+    tables: tuple[str, ...] = TABLES,
     doc: str = "",
 ) -> Callable[[SparkQuery], SparkQuery]:
     """Decorator: register a (spark_fn, oracle_sql) pair under ``name``.
 
-    The wrapped function receives (spark, sf_dir) with all test tables
-    already registered as temp views.
+    ``tables`` lists the test tables the query reads; only those get
+    (re-)registered as temp views before the query body runs, so one
+    unreadable fixture can never break unrelated queries.
     """
 
     def wrap(fn: SparkQuery) -> SparkQuery:
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            register_views(spark, sf_dir)
+            register_views(spark, sf_dir, tables)
             return fn(spark, sf_dir)
 
-        CATALOG[name] = QuerySpec(name=name, spark=run, oracle=oracle, tags=tags, doc=doc or (fn.__doc__ or ""))
+        CATALOG[name] = QuerySpec(
+            name=name,
+            spark=run,
+            oracle=oracle,
+            tags=tags,
+            doc=doc or (fn.__doc__ or ""),
+            tables=tables,
+        )
         return run
 
     return wrap

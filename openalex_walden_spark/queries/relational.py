@@ -24,6 +24,17 @@ def dsum(x: str) -> str:
     return f"CAST(SUM(CAST({x} AS DECIMAL(18,2))) AS DOUBLE)"
 
 
+def dsum4(x: str) -> str:
+    """Decimal sum at scale 4 — for price*(1-discount) products.
+
+    The product of two 2-decimal values is an exact 4-decimal value;
+    rounding it to scale 2 lands exactly on .xx50 ties where Spark
+    (HALF_UP) and DuckDB disagree. Scale 4 has no tie to round, so the
+    cast is exact in both engines and the final DOUBLE is bit-identical.
+    """
+    return f"CAST(SUM(CAST({x} AS DECIMAL(18,4))) AS DOUBLE)"
+
+
 def davg(x: str) -> str:
     return f"CAST(SUM(CAST({x} AS DECIMAL(18,2))) AS DOUBLE) / COUNT({x})"
 
@@ -37,7 +48,7 @@ SELECT
   l_linestatus,
   {dsum('l_quantity')}                                 AS sum_qty,
   {dsum('l_extendedprice')}                            AS sum_base_price,
-  {dsum('l_extendedprice * (1 - l_discount)')}         AS sum_disc_price,
+  {dsum4('l_extendedprice * (1 - l_discount)')}         AS sum_disc_price,
   {davg('l_quantity')}                                 AS avg_qty,
   {davg('l_extendedprice')}                            AS avg_price,
   {davg('l_discount')}                                 AS avg_disc,
@@ -48,7 +59,7 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-@register("q1_pricing_summary", oracle=_Q1_SQL, tags=("agg", "scan", "A1"))
+@register("q1_pricing_summary", oracle=_Q1_SQL, tags=("agg", "scan", "A1"), tables=("lineitem",))
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing summary (TPC-H Q1 shape): scan-filter-aggregate battery.
 
@@ -66,7 +77,7 @@ SELECT
   o.o_orderkey                                         AS orderkey,
   CAST(o.o_orderdate AS DATE)                          AS orderdate,
   o.o_orderpriority                                    AS orderpriority,
-  {dsum('l.l_extendedprice * (1 - l.l_discount)')}     AS revenue
+  {dsum4('l.l_extendedprice * (1 - l.l_discount)')}     AS revenue
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -77,13 +88,13 @@ GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
 """
 
 
-@register("q3_shipping_priority", oracle=_Q3_SQL, tags=("join", "agg", "J1"))
+@register("q3_shipping_priority", oracle=_Q3_SQL, tags=("join", "agg", "J1"), tables=("customer", "orders", "lineitem"))
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer-orders-lineitem join with grouped revenue (TPC-H Q3 shape)."""
     c = spark.table("customer").where(F.col("c_mktsegment") == "BUILDING")
     o = spark.table("orders").where(F.col("o_orderdate").cast("date") < F.lit("1998-03-15").cast("date"))
     l = spark.table("lineitem").where(F.col("l_shipdate").cast("date") > F.lit("1998-03-15").cast("date"))
-    dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,2)")
+    dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -102,7 +113,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q5_SQL = f"""
 SELECT
   n.n_name                                             AS nation,
-  {dsum('l.l_extendedprice * (1 - l.l_discount)')}     AS revenue
+  {dsum4('l.l_extendedprice * (1 - l.l_discount)')}     AS revenue
 FROM region r
 JOIN nation n   ON n.n_regionkey = r.r_regionkey
 JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -114,7 +125,7 @@ GROUP BY n.n_name
 """
 
 
-@register("q5_local_supplier_volume", oracle=_Q5_SQL, tags=("join", "agg", "broadcast", "J1"))
+@register("q5_local_supplier_volume", oracle=_Q5_SQL, tags=("join", "agg", "broadcast", "J1"), tables=("region", "nation", "customer", "supplier", "orders", "lineitem"))
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Six-way star join; dimension sides explicitly broadcast.
 
@@ -128,7 +139,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = F.broadcast(spark.table("supplier"))
     o = spark.table("orders")
     l = spark.table("lineitem")
-    dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,2)")
+    dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -151,7 +162,7 @@ WHERE o.o_orderkey IS NULL
 """
 
 
-@register("join_anti_customers_without_orders", oracle=_ANTI_SQL, tags=("join", "J3"))
+@register("join_anti_customers_without_orders", oracle=_ANTI_SQL, tags=("join", "J3"), tables=("customer", "orders"))
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left anti join: customers that never ordered."""
     c = spark.table("customer")
@@ -171,7 +182,7 @@ WHERE EXISTS (
 """
 
 
-@register("join_semi_customers_with_urgent", oracle=_SEMI_SQL, tags=("join", "J4"))
+@register("join_semi_customers_with_urgent", oracle=_SEMI_SQL, tags=("join", "J4"), tables=("customer", "orders"))
 def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left semi join (EXISTS shape): customers with ≥1 urgent order."""
     c = spark.table("customer")
@@ -202,7 +213,7 @@ FULL OUTER JOIN supp s ON c.nationkey = s.nationkey
 """
 
 
-@register("join_full_outer_nation_counts", oracle=_FULL_OUTER_SQL, tags=("join", "J5"))
+@register("join_full_outer_nation_counts", oracle=_FULL_OUTER_SQL, tags=("join", "J5"), tables=("customer", "supplier"))
 def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full outer join of two aggregates with coalesced keys."""
     cust = (
@@ -241,7 +252,7 @@ GROUP BY c.band
 """
 
 
-@register("join_nullsafe_band", oracle=_NULLSAFE_SQL, tags=("join", "J2"))
+@register("join_nullsafe_band", oracle=_NULLSAFE_SQL, tags=("join", "J2"), tables=("customer", "supplier"))
 def join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equality join (<=>): NULL keys match each other.
 
@@ -277,7 +288,7 @@ WHERE o.o_totalprice > t.avg_price
 """
 
 
-@register("subquery_orders_above_cust_avg", oracle=_ABOVE_AVG_SQL, tags=("join", "window", "J4"))
+@register("subquery_orders_above_cust_avg", oracle=_ABOVE_AVG_SQL, tags=("join", "window", "J4"), tables=("orders",))
 def subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders above their customer's average price.
 
@@ -308,7 +319,7 @@ HAVING COUNT(DISTINCT o_orderpriority) >= 4
 """
 
 
-@register("agg_having_priority_spread", oracle=_HAVING_SQL, tags=("agg", "A9"))
+@register("agg_having_priority_spread", oracle=_HAVING_SQL, tags=("agg", "A9"), tables=("orders",))
 def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY + HAVING over a distinct count (ambiguity-guard shape,
     CreateLocationsMapped.sql:950-961)."""
@@ -332,7 +343,7 @@ GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
 """
 
 
-@register("agg_grouping_sets", oracle=_GSETS_SQL, tags=("agg", "A10"))
+@register("agg_grouping_sets", oracle=_GSETS_SQL, tags=("agg", "A10"), tables=("customer",))
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS: per-(segment, nation), per-segment, and global totals
     in one pass (author topic-share shape, CreateAuthors.ipynb cell 4)."""
@@ -351,7 +362,7 @@ GROUP BY c_mktsegment
 """
 
 
-@register("agg_percentiles_by_segment", oracle=_PCTL_SQL, tags=("agg", "A11"))
+@register("agg_percentiles_by_segment", oracle=_PCTL_SQL, tags=("agg", "A11"), tables=("customer",))
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolated percentiles per segment.
 
@@ -372,16 +383,27 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # min_by / max_by with total tie-break (A4)
 # --------------------------------------------------------------------------
+# DuckDB 1.0 has no list/struct-keyed arg_max, so the oracle totalizes the
+# ordering with row_number windows instead (same semantics as the Spark
+# array-keyed max_by: price first, orderkey as tie-break).
 _MAXBY_SQL = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice ASC, o_orderkey ASC)  AS rmin
+  FROM orders
+)
 SELECT o_custkey AS custkey,
-       arg_max(o_orderkey, [o_totalprice, CAST(o_orderkey AS DOUBLE)]) AS best_orderkey,
-       arg_min(o_orderkey, [o_totalprice, CAST(o_orderkey AS DOUBLE)]) AS worst_orderkey
-FROM orders
+       MAX(CASE WHEN rmax = 1 THEN o_orderkey END) AS best_orderkey,
+       MAX(CASE WHEN rmin = 1 THEN o_orderkey END) AS worst_orderkey
+FROM ranked
 GROUP BY o_custkey
 """
 
 
-@register("agg_max_by_order", oracle=_MAXBY_SQL, tags=("agg", "A4"))
+@register("agg_max_by_order", oracle=_MAXBY_SQL, tags=("agg", "A4"), tables=("orders",))
 def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """max_by/min_by with an array ordering key whose trailing element makes
     the comparison total (determinism contract — SURVEY.md §4)."""
@@ -405,17 +427,17 @@ def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _CONDAGG_SQL = """
 SELECT o_custkey AS custkey,
-       count_if(o_orderstatus = 'F')                    AS n_finished,
-       count_if(o_orderstatus = 'O')                    AS n_open,
-       count_if(o_orderpriority = '1-URGENT')           AS n_urgent,
-       count_if(o_totalprice > 200000)                  AS n_large,
-       count_if(EXTRACT(year FROM o_orderdate) >= 1998) AS n_recent
+       count_if(o_orderstatus = 'F')::BIGINT                    AS n_finished,
+       count_if(o_orderstatus = 'O')::BIGINT                    AS n_open,
+       count_if(o_orderpriority = '1-URGENT')::BIGINT           AS n_urgent,
+       count_if(o_totalprice > 200000)::BIGINT                  AS n_large,
+       count_if(EXTRACT(year FROM o_orderdate) >= 1998)::BIGINT AS n_recent
 FROM orders
 GROUP BY o_custkey
 """
 
 
-@register("agg_conditional_battery", oracle=_CONDAGG_SQL, tags=("agg", "A5"))
+@register("agg_conditional_battery", oracle=_CONDAGG_SQL, tags=("agg", "A5"), tables=("orders",))
 def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count_if battery (match-strategy counting shape, MatchAuthors cell 9)."""
     o = spark.table("orders")
@@ -440,7 +462,7 @@ GROUP BY n_nationkey
 """
 
 
-@register("agg_sorted_collect", oracle=_COLLECT_SQL, tags=("agg", "A2"))
+@register("agg_sorted_collect", oracle=_COLLECT_SQL, tags=("agg", "A2"), tables=("nation", "customer"))
 def agg_sorted_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list roll-up with the mandatory deterministic sort
     (SURVEY.md §4 determinism engineering) rendered as a joined string."""

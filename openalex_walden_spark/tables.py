@@ -4,6 +4,19 @@ The driver provides TPC-H-ish parquet tables (TESTDATA.md):
 region nation customer supplier part orders lineitem events documents
 embeddings. Loading goes through ``spark.read.parquet`` so Catalyst gets
 predicate pushdown + column pruning on the scan for free.
+
+``events.parquet`` needs special handling: its ``ts`` column is physical
+INT64 TIMESTAMP(NANOS), which stock Spark 4.x rejects with
+``PARQUET_TYPE_ILLEGAL``. We read it with
+``spark.sql.legacy.parquet.nanosAsLong=true`` (raw nanos as BIGINT) and
+derive two portable columns:
+
+- ``ts_us``  BIGINT      — microseconds since epoch (floor of nanos/1000;
+  identical to DuckDB's nanos→TIMESTAMP truncation, so oracle queries can
+  compare on ``epoch_us(ts)``).
+- ``ts``     TIMESTAMP   — ``timestamp_micros(ts_us)`` for streaming /
+  window use. Oracle-compared outputs should use ``ts_us`` arithmetic,
+  never raw timestamps, to stay independent of session timezones.
 """
 
 from __future__ import annotations
@@ -11,6 +24,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -28,22 +42,46 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    # The conf is left enabled: it only affects nanosecond-precision parquet
+    # columns (which Spark would otherwise refuse to read at all), and the
+    # lazy DataFrame must still see it at execution time.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+            "ts", F.timestamp_micros(F.col("ts_us"))
+        )
+    else:  # pragma: no cover - future-proof if the fixture changes to micros
+        df = df.withColumn("ts_us", F.unix_micros(F.col("ts")))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _load_events(spark, path)
+    return spark.read.parquet(path)
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register every test table as a temp view named after the table.
+def register_views(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] | None = None,
+) -> dict[str, DataFrame]:
+    """Register the requested test tables as temp views.
 
-    Views are lazily re-registered per sf_dir; callers can mix the DataFrame
-    handles and ``spark.sql`` over the view names.
+    Registration is per-query (callers pass only the tables they read) so a
+    broken/missing fixture can never take down unrelated queries, and no
+    needless scan metadata is touched — the catalog equivalent of partition
+    pruning.
     """
     dfs: dict[str, DataFrame] = {}
-    for name in TABLES:
+    for name in tables if tables is not None else TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         dfs[name] = df
     return dfs
