@@ -1,0 +1,480 @@
+"""LLM-training-data pipeline operators over ``documents`` / ``embeddings``.
+
+Beyond-reference operators (first-class per the build brief): exact
+dedup, MinHash+LSH near-dup detection, SimHash, n-gram Jaccard, text
+quality/language-ID analytics, and similarity search (brute-force +
+IVF-style partitioned). The reference's nearest analogue is the
+vector-search subsystem (``notebooks/vector_search/``) and the dedup
+ladders (D3); these generalize both to a training-data pipeline.
+
+Float-parity engineering: dot products and norms are sequential left
+folds (Spark ``aggregate()`` HOF ≡ DuckDB ``list_sum``, verified
+bit-exact), so even cosine scores hash-match the oracle.
+
+Scale notes inline — every near-dup path is blocked/banded (no all-pairs
+join anywhere), which is what survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from openalex_walden_spark.queries.registry import register
+
+# --------------------------------------------------------------------------
+# shared fragments (kept textually parallel between engines)
+# --------------------------------------------------------------------------
+# Spark-SQL token array of lowercased text, empties removed.
+_TOKS_SPARK = "filter(split(lower({c}), '\\\\s+'), x -> x != '')"
+# DuckDB equivalent.
+_TOKS_DUCK = "list_filter(string_split_regex(lower({c}), '\\s+'), x -> x <> '')"
+
+# 60-bit engine-portable hash (see functions/hashing.py).
+_H_SPARK = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
+_H_DUCK = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+def _spark_corpus_neardup(spark: SparkSession) -> DataFrame:
+    """documents ∪ synthetic near-duplicates (doc_id+10000, 3 tokens
+    appended) — gives LSH a known-positive set to find."""
+    d = spark.table("documents").select("doc_id", "text")
+    dups = (
+        d.where(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz11 zz22 zz33")).alias("text"),
+        )
+    )
+    return d.unionByName(dups)
+
+
+_DUCK_CORPUS_NEARDUP = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text || ' zz11 zz22 zz33' AS text
+  FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+# --------------------------------------------------------------------------
+# token / quality statistics
+# --------------------------------------------------------------------------
+_QUALITY_SQL = f"""
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars,
+       len({_TOKS_DUCK.format(c='text')})::BIGINT AS n_tokens,
+       length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+         / greatest(length(text), 1)::DOUBLE AS alpha_ratio,
+       length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+         / greatest(length(text), 1)::DOUBLE AS digit_ratio,
+       length(regexp_replace(text, '[^ ]', '', 'g'))::DOUBLE
+         / greatest(length(text), 1)::DOUBLE AS space_ratio,
+       (length(text) - length(regexp_replace(text, '[^ ]', '', 'g')))::DOUBLE
+         / greatest(len({_TOKS_DUCK.format(c='text')}), 1)::DOUBLE AS mean_token_len
+FROM documents
+"""
+
+
+@register("text_quality_features", oracle=_QUALITY_SQL, tags=("llmdata", "text"), tables=("documents",))
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring battery: char/token counts and character-class
+    ratios, each a single integer-count division (oracle bit-parity).
+    Pure column expressions — whole-stage codegen, no Python."""
+    from openalex_walden_spark.functions.textstats import quality_features
+
+    d = spark.table("documents")
+    feats = quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["alpha_ratio"].alias("alpha_ratio"),
+        feats["digit_ratio"].alias("digit_ratio"),
+        feats["space_ratio"].alias("space_ratio"),
+        feats["mean_token_len"].alias("mean_token_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# language ID (stopword-hit heuristic, P17-grade)
+# --------------------------------------------------------------------------
+_LID_SETS = {
+    "de": ("der", "die", "das", "und", "ist", "von", "zu", "den", "mit", "nicht"),
+    "en": ("the", "and", "is", "of", "to", "in", "that", "it", "was", "for"),
+    "es": ("el", "la", "los", "las", "es", "de", "que", "un", "una", "por"),
+    "fr": ("le", "la", "les", "et", "est", "de", "des", "un", "une", "dans"),
+}
+
+
+def _lid_score_duck(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in _LID_SETS[lang])
+    return (
+        f"len(list_filter({_TOKS_DUCK.format(c='text')}, "
+        f"t -> list_contains([{lst}], t)))::BIGINT"
+    )
+
+
+_LID_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {_lid_score_duck('de')} AS s_de,
+         {_lid_score_duck('en')} AS s_en,
+         {_lid_score_duck('es')} AS s_es,
+         {_lid_score_duck('fr')} AS s_fr
+  FROM documents
+)
+SELECT doc_id, labeled_lang,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+            WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+            ELSE 'fr' END AS detected_lang,
+       greatest(s_de, s_en, s_es, s_fr) AS best_score
+FROM scored
+"""
+
+
+@register("text_lang_id", oracle=_LID_SQL, tags=("llmdata", "text", "P17"), tables=("documents",))
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID with a deterministic argmax (ties break
+    alphabetically, 'und' when no stopword fires) — the heuristic stand-in
+    for the reference's fastText LID (CreateLocationsMapped.sql:26)."""
+    from openalex_walden_spark.functions.textstats import stopword_hits
+
+    d = spark.table("documents")
+    scores = {lang: stopword_hits(F.col("text"), lang) for lang in _LID_SETS}
+    best = F.greatest(*scores.values())
+    detected = F.when(best == 0, F.lit("und"))
+    for lang in sorted(_LID_SETS):
+        detected = detected.when(scores[lang] == best, F.lit(lang))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        detected.alias("detected_lang"),
+        best.alias("best_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# exact dedup via canonical fingerprint
+# --------------------------------------------------------------------------
+_EXACT_DEDUP_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+),
+fps AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct({_TOKS_DUCK.format(c='text')})), ' ')) AS fp
+  FROM corpus
+)
+SELECT fp AS fingerprint,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_docs,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS member_ids
+FROM fps
+GROUP BY fp
+HAVING COUNT(*) > 1
+"""
+
+
+@register("dedup_exact_documents", oracle=_EXACT_DEDUP_SQL, tags=("llmdata", "dedup"), tables=("documents",))
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical fingerprint (md5 of sorted distinct tokens)
+    → hash groupBy → deterministic canonical pick (min doc_id).
+
+    The corpus unions synthetic exact copies (doc_id+20000) so the dup
+    groups are non-empty by construction. Scale: one shuffle on the
+    16-byte fingerprint; at 100 TB this is the cheapest dedup pass and
+    runs before any fuzzy stage.
+    """
+    d = spark.table("documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 20000).alias("doc_id"), "text"
+        )
+    )
+    from openalex_walden_spark.functions.textstats import fingerprint
+
+    return (
+        corpus.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("n_docs"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("member_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding near-dup pairs
+# --------------------------------------------------------------------------
+_N_HASHES = 16
+_N_BANDS = 4
+_BAND_W = _N_HASHES // _N_BANDS
+
+
+def _duck_shingles(c: str) -> str:
+    toks = _TOKS_DUCK.format(c=c)
+    return (
+        f"CASE WHEN len({toks}) >= 3 THEN "
+        f"list_distinct(list_transform(range(1, len({toks}) - 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + 2), ' '))) "
+        f"WHEN len({toks}) > 0 THEN [array_to_string({toks}, ' ')] "
+        f"ELSE [] END"
+    )
+
+
+def _duck_minhash(i: int) -> str:
+    h = _H_DUCK.format(x=f"'{i}:' || s")
+    return f"list_min(list_transform(sh, s -> {h}))"
+
+
+_LSH_SQL_PARTS = []
+for _b in range(_N_BANDS):
+    _cols = ", ".join(
+        f"sig[{_b * _BAND_W + j + 1}]::VARCHAR" for j in range(_BAND_W)
+    )
+    _LSH_SQL_PARTS.append(
+        f"SELECT doc_id, sh, {_b} AS band_idx, "
+        + _H_DUCK.format(x=f"concat_ws(',', {_cols})")
+        + " AS band_hash FROM sigs"
+    )
+
+_LSH_SQL = f"""
+WITH corpus AS ({_DUCK_CORPUS_NEARDUP}),
+shingled AS (
+  SELECT doc_id, {_duck_shingles('text')} AS sh FROM corpus
+),
+sigs AS (
+  SELECT doc_id, sh,
+         [{', '.join(_duck_minhash(i) for i in range(_N_HASHES))}] AS sig
+  FROM shingled WHERE len(sh) > 0
+),
+bands AS (
+  {' UNION ALL '.join(_LSH_SQL_PARTS)}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.sh, sb.sh))::DOUBLE
+           / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE AS jaccard
+  FROM cand c
+  JOIN shingled sa ON sa.doc_id = c.doc_a
+  JOIN shingled sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
+"""
+
+
+@register("dedup_minhash_lsh_pairs", oracle=_LSH_SQL, tags=("llmdata", "dedup", "lsh"), tables=("documents",))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: 3-token shingles → 16-perm MinHash → 4-band LSH
+    → candidate pairs ONLY within a (band, bucket) — never all-pairs —
+    → exact shingle-Jaccard verify ≥ 0.5.
+
+    Scale design: the bucket join is an equi-join on (band_idx,
+    band_hash); candidate volume is bounded by bucket occupancy, and the
+    expensive Jaccard verify runs only on candidates. This is the shape
+    that survives 100 TB where an all-pairs comparison cannot.
+    """
+    corpus = _spark_corpus_neardup(spark)
+    toks = _TOKS_SPARK.format(c="text")
+    shingle_expr = (
+        f"CASE WHEN size({toks}) >= 3 THEN "
+        f"array_distinct(transform(sequence(0, size({toks}) - 3), "
+        f"i -> array_join(slice({toks}, i + 1, 3), ' '))) "
+        f"WHEN size({toks}) > 0 THEN array(array_join({toks}, ' ')) "
+        f"ELSE array() END"
+    )
+    shingled = corpus.select(
+        "doc_id", F.expr(shingle_expr).alias("sh")
+    ).where(F.size("sh") > 0)
+
+    sig_cols = [
+        F.expr(
+            f"array_min(transform(sh, s -> {_H_SPARK.format(x=chr(39) + str(i) + ':' + chr(39) + ' || s')}))"
+        )
+        for i in range(_N_HASHES)
+    ]
+    sigs = shingled.select("doc_id", "sh", F.array(*sig_cols).alias("sig"))
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.expr(
+                    _H_SPARK.format(
+                        x="concat_ws(',', "
+                        + ", ".join(
+                            f"cast(sig[{b * _BAND_W + j}] as string)"
+                            for j in range(_BAND_W)
+                        )
+                        + ")"
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(_N_BANDS)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.explode(band_structs).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    scored = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return scored.where(F.col("jaccard") >= 0.5)
+
+
+# --------------------------------------------------------------------------
+# SimHash signatures (16-bit)
+# --------------------------------------------------------------------------
+_SIMHASH_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id,
+         list_transform({_TOKS_DUCK.format(c='text')}, t -> {_H_DUCK.format(x='t')}) AS hs
+  FROM documents
+)
+SELECT doc_id,
+       list_sum(list_transform(range(0, 16), b ->
+         CASE WHEN list_sum(list_transform(hs,
+                     h -> ((h // (2::BIGINT ** b)::BIGINT) % 2) * 2 - 1)) > 0
+              THEN (2::BIGINT ** b)::BIGINT ELSE 0 END))::BIGINT AS simhash
+FROM hashed
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_SQL, tags=("llmdata", "dedup", "simhash"), tables=("documents",))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash: per-bit majority vote over token hashes (with
+    multiplicity). Buckets with equal simhash are near-dup candidates at
+    hamming distance 0; pure integer arithmetic so the oracle matches
+    exactly. All HOF folds — no shuffle at all (map-only)."""
+    toks = _TOKS_SPARK.format(c="text")
+    h = _H_SPARK.format(x="t")
+    expr = (
+        f"cast(aggregate(sequence(0, 15), 0L, (acc, b) -> acc + "
+        f"CASE WHEN aggregate(transform({toks}, t -> {h}), 0L, "
+        f"(a2, h) -> a2 + ((h div cast(pow(2, b) as bigint)) % 2) * 2 - 1) > 0 "
+        f"THEN cast(pow(2, b) as bigint) ELSE 0L END) as bigint)"
+    )
+    return spark.table("documents").select(
+        "doc_id", F.expr(expr).alias("simhash")
+    )
+
+
+# --------------------------------------------------------------------------
+# brute-force cosine top-k (ANN baseline)
+# --------------------------------------------------------------------------
+_DOT_DUCK = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+)
+_NORM_DUCK = "sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+
+_ANN_SQL = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+         {_DOT_DUCK.format(a='q.qe', b='e.embedding')}
+           / ({_NORM_DUCK.format(a='q.qe')} * {_NORM_DUCK.format(a='e.embedding')}) AS cosine
+  FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+)
+SELECT q_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT q_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+
+
+@register("ann_cosine_topk", oracle=_ANN_SQL, tags=("llmdata", "ann"), tables=("embeddings",))
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (tiny) query set against the
+    corpus, sequential-fold dot/norm (bit-identical to the oracle), pick
+    top-3 per query via a row_number ladder.
+
+    Scale: the corpus side never shuffles — queries broadcast, scores are
+    map-side, and the only exchange is the per-query top-k (k rows per
+    partition after partial ranking under AQE).
+    """
+    e = spark.table("embeddings")
+    q = F.broadcast(
+        e.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("qe"), F.col("embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    scored = (
+        e.join(q, F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot / (norm("qe") * norm("embedding"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("q_id", "neighbor_id", "cosine", F.col("rnk").cast("bigint").alias("rnk"))
+    )
