@@ -61,6 +61,17 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
 
+    # Warm-up: JVM + parquet footer reads, so q1 doesn't absorb session
+    # start-up cost in its measurement.
+    from openalex_walden_spark.tables import register_views
+
+    register_views(spark, SF_DIR)
+    for t in ("lineitem", "orders", "customer", "documents", "embeddings"):
+        try:
+            spark.table(t).limit(1).write.format("noop").mode("overwrite").save()
+        except Exception:  # pragma: no cover - missing fixture
+            pass
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

@@ -1,0 +1,252 @@
+"""Event-stream analytics (SURVEY.md §2.9 St2/St5 batch-checkable cores,
+plus watermark/window extensions the `events` fixture exists for).
+
+The streaming runtime itself (Structured Streaming file source,
+``Trigger.AvailableNow``, ``foreachBatch`` SCD1) lives in
+``openalex_walden_spark/streaming/`` with its own tests; these catalog
+entries are the *deterministic batch semantics* of each streaming op, so
+the DuckDB oracle can gate them — the same split the reference makes
+(``apply_changes`` sequencing is by-column, not by wall clock —
+``Crossref.py:594-602``).
+
+Timezone-proofing: every time value is ``ts_us`` (µs since epoch BIGINT,
+see tables.py) — raw TIMESTAMPs never cross the oracle boundary. Day and
+hour buckets are integer divisions of ``ts_us``: identical arithmetic in
+both engines, and at 100 TB the bucket expression is codegen'd and
+partition-prunable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from openalex_walden_spark.queries.registry import register
+
+_US_PER_DAY = 86_400_000_000
+_US_PER_HOUR = 3_600_000_000
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+# DuckDB reads the nanos column as TIMESTAMP (µs truncation) — epoch_us
+# matches Spark's `ts div 1000` exactly.
+_TSUS_DUCK = "epoch_us(ts)"
+
+
+# --------------------------------------------------------------------------
+# daily counts (tumbling-day window as integer bucket)
+# --------------------------------------------------------------------------
+_DAILY_SQL = f"""
+SELECT event_type,
+       {_TSUS_DUCK} // {_US_PER_DAY} AS day_bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type, {_TSUS_DUCK} // {_US_PER_DAY}
+"""
+
+
+@register("ev_counts_by_type_day", oracle=_DAILY_SQL, tags=("events", "agg"), tables=("events",))
+def ev_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-day aggregation expressed as an integer day bucket — the
+    batch equivalent of `window(ts, '1 day')` without timezone coupling."""
+    e = spark.table("events")
+    return (
+        e.groupBy(
+            "event_type",
+            (F.col("ts_us") / _US_PER_DAY).cast("bigint").alias("day_bucket"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# hourly tumbling window per type
+# --------------------------------------------------------------------------
+_HOURLY_SQL = f"""
+SELECT {_TSUS_DUCK} // {_US_PER_HOUR} AS hour_bucket,
+       event_type,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY {_TSUS_DUCK} // {_US_PER_HOUR}, event_type
+"""
+
+
+@register("ev_tumbling_hourly", oracle=_HOURLY_SQL, tags=("events", "agg", "window"), tables=("events",))
+def ev_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling counts — the batch core of the Structured-Streaming
+    windowed aggregation exercised in tests/test_streaming.py."""
+    e = spark.table("events")
+    return (
+        e.groupBy(
+            (F.col("ts_us") / _US_PER_HOUR).cast("bigint").alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+# --------------------------------------------------------------------------
+# St2 core: SCD1 latest-state materialization (keyed upsert semantics)
+# --------------------------------------------------------------------------
+_SCD1_SQL = f"""
+SELECT user_id,
+       event_type AS last_type,
+       value      AS last_value,
+       {_TSUS_DUCK} AS last_ts_us
+FROM (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY {_TSUS_DUCK} DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@register("ev_scd1_latest_state", oracle=_SCD1_SQL, tags=("events", "St2", "W1"), tables=("events",))
+def ev_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 keyed-upsert semantics as a batch window-dedup: latest record
+    per key ordered by (sequence, event_id tie-break) — exactly what the
+    reference's `apply_changes(keys=…, sequence_by=…, scd_type=1)`
+    materializes (Crossref.py:594-602). The streaming foreachBatch MERGE
+    (streaming/scd1.py) must converge to this result; the test suite
+    asserts that equivalence."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    return (
+        spark.table("events")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+            F.col("ts_us").alias("last_ts_us"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# sessionization via lag + running flag-sum
+# --------------------------------------------------------------------------
+_SESSION_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, {_TSUS_DUCK} AS ts_us,
+         CASE WHEN {_TSUS_DUCK} - lag({_TSUS_DUCK})
+                OVER (PARTITION BY user_id ORDER BY {_TSUS_DUCK} ASC, event_id ASC)
+              > {_SESSION_GAP_US} OR
+              lag({_TSUS_DUCK}) OVER (PARTITION BY user_id
+                                      ORDER BY {_TSUS_DUCK} ASC, event_id ASC) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, event_id, ts_us,
+         SUM(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts_us ASC, event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events,
+       MAX(ts_us) - MIN(ts_us) AS duration_us
+FROM sessions
+GROUP BY user_id, session_idx
+"""
+
+
+@register("ev_sessionize", oracle=_SESSION_SQL, tags=("events", "session", "W5"), tables=("events",))
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag to flag session
+    starts, running sum to number sessions, then per-session rollup.
+    The batch analogue of `session_window()` — two window passes over one
+    user_id shuffle, reusing the same partitioning (no second exchange)."""
+    order = (F.col("ts_us").asc(), F.col("event_id").asc())
+    w_lag = Window.partitionBy("user_id").orderBy(*order)
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts_us").over(w_lag)
+    flagged = spark.table("events").select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.when(
+            prev.isNull() | ((F.col("ts_us") - prev) > _SESSION_GAP_US), F.lit(1)
+        ).otherwise(F.lit(0)).alias("new_session"),
+    )
+    sessions = flagged.withColumn(
+        "session_idx", F.sum("new_session").over(w_run)
+    )
+    return (
+        sessions.groupBy("user_id", F.col("session_idx").cast("bigint").alias("session_idx"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# St5: expectations / data-quality gate metrics
+# --------------------------------------------------------------------------
+_EXPECT_SQL = """
+SELECT 'value_non_negative' AS expectation,
+       count_if(value IS NOT NULL AND value >= 0)::BIGINT AS n_pass,
+       count_if(value IS NULL OR value < 0)::BIGINT AS n_fail
+FROM events
+UNION ALL
+SELECT 'known_event_type' AS expectation,
+       count_if(event_type IN ('click','view','signup','purchase','error'))::BIGINT AS n_pass,
+       count_if(event_type NOT IN ('click','view','signup','purchase','error')
+                OR event_type IS NULL)::BIGINT AS n_fail
+FROM events
+"""
+
+
+@register("ev_expectations_gate", oracle=_EXPECT_SQL, tags=("events", "St5"), tables=("events",))
+def ev_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations with pass/fail metrics — the engine's
+    `@dlt.expect` analogue (Crossref.py:225). The streaming form
+    (streaming/expectations.py) quarantines failures; this is its
+    metrics contract."""
+    from openalex_walden_spark.streaming.expectations import expectation_metrics
+
+    e = spark.table("events")
+    known = F.col("event_type").isin("click", "view", "signup", "purchase", "error")
+    return expectation_metrics(
+        e,
+        {
+            "value_non_negative": F.col("value").isNotNull() & (F.col("value") >= 0),
+            "known_event_type": known & F.col("event_type").isNotNull(),
+        },
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON path extraction from the props column (§2.8 JSON)
+# --------------------------------------------------------------------------
+_JSON_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("ev_json_extract", oracle=_JSON_SQL, tags=("events", "json"), tables=("events",))
+def ev_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-in-STRING path extraction (`col:json_path` idiom,
+    MatchAuthors.ipynb cell 3 `judge_json:same_person`) via
+    get_json_object, aggregated per type."""
+    e = spark.table("events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+            F.count("*").alias("n"),
+        )
+    )

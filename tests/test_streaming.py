@@ -1,0 +1,149 @@
+"""Streaming plane tests (St1-St5): the stream must converge to the batch
+semantics the oracle-checked catalog queries define."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from openalex_walden_spark.operators.merge import merge_into_state, merge_upsert, read_state
+from openalex_walden_spark.streaming.expectations import split_on_expectations
+from openalex_walden_spark.streaming.scd1 import (
+    file_stream,
+    latest_state,
+    run_scd1_stream,
+    tumbling_window_stream,
+)
+from openalex_walden_spark.tables import load_table
+
+
+@pytest.fixture()
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_merge_upsert_sequencing(spark):
+    """Out-of-order protection: a stale source row must not clobber newer
+    target state (apply_changes sequence_by contract)."""
+    target = spark.createDataFrame([(1, "new", 100), (2, "cur", 50)], "k int, v string, seq int")
+    source = spark.createDataFrame(
+        [(1, "stale", 10), (2, "newer", 60), (3, "fresh", 5)], "k int, v string, seq int"
+    )
+    out = {r["k"]: r["v"] for r in merge_upsert(target, source, ["k"], "seq").collect()}
+    assert out == {1: "new", 2: "newer", 3: "fresh"}
+
+
+def test_merge_upsert_delete_propagation(spark):
+    """St4: a delete-flagged winner removes the key entirely."""
+    target = spark.createDataFrame([(1, "a", 1, False), (2, "b", 1, False)], "k int, v string, seq int, is_delete boolean")
+    source = spark.createDataFrame([(1, "x", 2, True)], "k int, v string, seq int, is_delete boolean")
+    out = merge_upsert(target, source, ["k"], "seq", delete_predicate=F.col("is_delete"))
+    assert {r["k"] for r in out.collect()} == {2}
+
+
+def test_merge_into_state_versioned(spark, tmp_path):
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame([(1, "a", 1), (2, "b", 1)], "k int, v string, seq int")
+    merge_into_state(spark, state, b1, ["k"], "seq")
+    b2 = spark.createDataFrame([(2, "b2", 2), (3, "c", 1)], "k int, v string, seq int")
+    merge_into_state(spark, state, b2, ["k"], "seq")
+    final = {r["k"]: r["v"] for r in read_state(spark, state).collect()}
+    assert final == {1: "a", 2: "b2", 3: "c"}
+
+
+def test_scd1_stream_matches_batch_dedup(spark, sf_dir, events, tmp_path):
+    """St1+St2 end-to-end: stream the events table (json file source,
+    AvailableNow) through foreachBatch SCD1 and compare the final state
+    with the batch window-dedup (the ev_scd1_latest_state semantics)."""
+    src_dir = str(tmp_path / "incoming")
+    # Land the events as 4 json files (4 "arrivals"); ts as ts_us bigint.
+    ev = events.select("event_id", "ts_us", "user_id", "event_type", "value")
+    ev.repartition(4).write.mode("overwrite").json(src_dir)
+
+    stream = file_stream(spark, src_dir, ev.schema, fmt="json")
+    state = str(tmp_path / "state")
+    run_scd1_stream(
+        stream,
+        state_path=state,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        keys=["user_id"],
+        sequence_col="ts_us",
+        tie_breaker="event_id",
+        changelog_path=str(tmp_path / "changelog"),
+    )
+
+    got = {
+        r["user_id"]: (r["ts_us"], r["event_id"])
+        for r in latest_state(spark, state).collect()
+    }
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_us").desc(), F.col("event_id").desc())
+    want = {
+        r["user_id"]: (r["ts_us"], r["event_id"])
+        for r in ev.withColumn("rn", F.row_number().over(w)).where("rn = 1").collect()
+    }
+    assert got == want
+
+    # St3: the change-log captured every row for downstream chaining.
+    changelog = spark.read.parquet(str(tmp_path / "changelog"))
+    assert changelog.count() == ev.count()
+    assert set(changelog.select("_change_type").distinct().toPandas()["_change_type"]) == {"upsert"}
+
+
+def test_expectations_split(spark, events):
+    """St5: pass/quarantine split is exhaustive and disjoint."""
+    ok, bad = split_on_expectations(
+        events,
+        {
+            "value_non_negative": F.col("value") >= 0,
+            "click_only": F.col("event_type") == "click",
+        },
+    )
+    n_ok, n_bad, n = ok.count(), bad.count(), events.count()
+    assert n_ok + n_bad == n
+    assert n_bad > 0  # non-click events exist
+    # Quarantined rows name their violated gates.
+    fails = bad.select(F.explode("_failed_expectations").alias("f")).distinct()
+    assert {r["f"] for r in fails.collect()} <= {"value_non_negative", "click_only"}
+
+
+def test_tumbling_window_stream(spark, events, tmp_path):
+    """Watermarked tumbling windows over a rate-limited file stream equal
+    the batch hourly bucketing."""
+    src_dir = str(tmp_path / "win_src")
+    ev = events.select("event_id", "ts", "event_type")
+    ev.repartition(2).write.mode("overwrite").parquet(src_dir)
+
+    stream = file_stream(spark, src_dir, ev.schema, fmt="parquet")
+    windowed = tumbling_window_stream(
+        stream, "ts", "1 hour", "2 hours", group_cols=("event_type",)
+    )
+    out_dir = str(tmp_path / "win_out")
+    (
+        windowed.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "win_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = spark.read.parquet(out_dir)
+    batch = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+    # Append-mode emits only watermark-closed windows; every emitted row
+    # must match its batch counterpart exactly.
+    joined = got.alias("g").join(
+        batch.alias("b"),
+        (F.col("g.window_start") == F.col("b.window_start"))
+        & (F.col("g.event_type") == F.col("b.event_type")),
+        "left",
+    )
+    assert joined.where(
+        F.col("b.n_events").isNull() | (F.col("g.n_events") != F.col("b.n_events"))
+    ).count() == 0
+    assert got.count() > 0
