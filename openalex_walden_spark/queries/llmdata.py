@@ -199,6 +199,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from openalex_walden_spark.functions.textstats import fingerprint
 
+    corpus = corpus.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
     return (
         corpus.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
         .groupBy("fingerprint")
@@ -235,9 +236,19 @@ def _duck_shingles(c: str) -> str:
     )
 
 
+# Double-hashing permutation family (one md5 per shingle, not one per
+# permutation): m = md5(s); h1/h2 = two disjoint 56-bit halves of m;
+# perm_i(s) = h1 + i*h2  (classic minhash double hashing; max value
+# 15*2^56 + 2^56 = 2^60 — no BIGINT overflow in either engine).
+_DUCK_HASHED = (
+    "list_transform(list_transform(sh, s -> md5(s)), m -> "
+    "{'h1': ('0x' || substr(m, 1, 14))::BIGINT, "
+    "'h2': ('0x' || substr(m, 15, 14))::BIGINT})"
+)
+
+
 def _duck_minhash(i: int) -> str:
-    h = _H_DUCK.format(x=f"'{i}:' || s")
-    return f"list_min(list_transform(sh, s -> {h}))"
+    return f"list_min(list_transform(hs, p -> p.h1 + {i} * p.h2))"
 
 
 _LSH_SQL_PARTS = []
@@ -256,10 +267,14 @@ WITH corpus AS ({_DUCK_CORPUS_NEARDUP}),
 shingled AS (
   SELECT doc_id, {_duck_shingles('text')} AS sh FROM corpus
 ),
+hashed AS (
+  SELECT doc_id, sh, {_DUCK_HASHED} AS hs
+  FROM shingled WHERE len(sh) > 0
+),
 sigs AS (
   SELECT doc_id, sh,
          [{', '.join(_duck_minhash(i) for i in range(_N_HASHES))}] AS sig
-  FROM shingled WHERE len(sh) > 0
+  FROM hashed
 ),
 bands AS (
   {' UNION ALL '.join(_LSH_SQL_PARTS)}
@@ -288,32 +303,58 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     → candidate pairs ONLY within a (band, bucket) — never all-pairs —
     → exact shingle-Jaccard verify ≥ 0.5.
 
-    Scale design: the bucket join is an equi-join on (band_idx,
-    band_hash); candidate volume is bounded by bucket occupancy, and the
-    expensive Jaccard verify runs only on candidates. This is the shape
-    that survives 100 TB where an all-pairs comparison cannot.
+    Implementation is fully relational (shingle ROWS, not arrays):
+    tokens posexplode → lead()-window shingling → distinct shingle rows →
+    one md5 per shingle → 16 codegen'd MIN aggregates for the signature →
+    band-bucket equi-join for candidates → set-similarity join (count of
+    shared shingles) for the exact Jaccard. Arrays/HOFs only tokenize;
+    everything else is joins + hash aggregates that whole-stage codegen
+    vectorizes — and nothing here caches complex types (array-typed cache
+    materialization measured pathologically slow).
+
+    Scale design: candidate volume is bounded by bucket occupancy; the
+    Jaccard verify touches only candidate pairs; every stage shuffles on
+    a key (doc_id / shingle / band) — the shape that survives 100 TB
+    where any all-pairs comparison cannot.
     """
-    corpus = _spark_corpus_neardup(spark)
-    toks = _TOKS_SPARK.format(c="text")
-    shingle_expr = (
-        f"CASE WHEN size({toks}) >= 3 THEN "
-        f"array_distinct(transform(sequence(0, size({toks}) - 3), "
-        f"i -> array_join(slice({toks}, i + 1, 3), ' '))) "
-        f"WHEN size({toks}) > 0 THEN array(array_join({toks}, ' ')) "
-        f"ELSE array() END"
+    corpus = _spark_corpus_neardup(spark).repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
-    shingled = corpus.select(
-        "doc_id", F.expr(shingle_expr).alias("sh")
-    ).where(F.size("sh") > 0)
-
-    sig_cols = [
-        F.expr(
-            f"array_min(transform(sh, s -> {_H_SPARK.format(x=chr(39) + str(i) + ':' + chr(39) + ' || s')}))"
+    toks = corpus.select(
+        "doc_id", F.posexplode(F.expr(_TOKS_SPARK.format(c="text"))).alias("pos", "t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = toks.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.col("t"), F.lead("t", 1).over(w), F.lead("t", 2).over(w)
+        ).alias("s"),
+        F.lead("t", 2).over(w).isNotNull().alias("full"),
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n_toks"),
+    )
+    # Docs with >= 3 tokens contribute complete trigrams; shorter docs
+    # contribute their whole text as the single shingle (the oracle's
+    # CASE fallback — concat_ws skips the NULL leads, so at pos 0 of a
+    # short doc `s` already IS the whole text). One filter, one pass:
+    # a union here would evaluate the explode+window subtree twice.
+    shingle_rows = (
+        tri.where(
+            ((F.col("n_toks") >= 3) & F.col("full"))
+            | ((F.col("n_toks") < 3) & (F.col("pos") == 0))
         )
-        for i in range(_N_HASHES)
-    ]
-    sigs = shingled.select("doc_id", "sh", F.array(*sig_cols).alias("sig"))
+        .select("doc_id", "s")
+        .distinct()
+        .cache()
+    )
 
+    hashed = shingle_rows.select(
+        "doc_id",
+        F.expr("cast(conv(substr(md5(s), 1, 14), 16, 10) as bigint)").alias("h1"),
+        F.expr("cast(conv(substr(md5(s), 15, 14), 16, 10) as bigint)").alias("h2"),
+    )
+    sigs = hashed.groupBy("doc_id").agg(
+        *[F.min(F.col("h1") + i * F.col("h2")).alias(f"sig_{i}") for i in range(_N_HASHES)]
+    )
     band_structs = F.array(
         *[
             F.struct(
@@ -322,7 +363,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _H_SPARK.format(
                         x="concat_ws(',', "
                         + ", ".join(
-                            f"cast(sig[{b * _BAND_W + j}] as string)"
+                            f"cast(sig_{b * _BAND_W + j} as string)"
                             for j in range(_BAND_W)
                         )
                         + ")"
@@ -332,9 +373,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_N_BANDS)
         ]
     )
-    bands = sigs.select(
-        "doc_id", F.explode(band_structs).alias("band")
-    ).select("doc_id", "band.band_idx", "band.band_hash")
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("band")).select(
+        "doc_id", "band.band_idx", "band.band_hash"
+    )
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -348,17 +389,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    scored = (
+
+    # |A ∩ B| as a set-similarity join over shingle rows restricted to
+    # candidates; |A ∪ B| = |A| + |B| - |A ∩ B|.
+    sizes = shingle_rows.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = shingle_rows.select(F.col("doc_id").alias("doc_a"), "s")
+    sb = shingle_rows.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
         cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        .join(sb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    scored = (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
             (
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+                F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0))).cast("double")
             ).alias("jaccard"),
         )
     )
@@ -388,18 +440,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash: per-bit majority vote over token hashes (with
     multiplicity). Buckets with equal simhash are near-dup candidates at
     hamming distance 0; pure integer arithmetic so the oracle matches
-    exactly. All HOF folds — no shuffle at all (map-only)."""
+    exactly.
+
+    Shape: explode tokens → one md5 per token → 16 codegen'd SUM
+    aggregates per doc (nested HOF folds evaluate interpreted and were
+    ~5x slower). One shuffle on doc_id, vectorized the whole way."""
     toks = _TOKS_SPARK.format(c="text")
-    h = _H_SPARK.format(x="t")
-    expr = (
-        f"cast(aggregate(sequence(0, 15), 0L, (acc, b) -> acc + "
-        f"CASE WHEN aggregate(transform({toks}, t -> {h}), 0L, "
-        f"(a2, h) -> a2 + ((h div cast(pow(2, b) as bigint)) % 2) * 2 - 1) > 0 "
-        f"THEN cast(pow(2, b) as bigint) ELSE 0L END) as bigint)"
+    d = spark.table("documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
-    return spark.table("documents").select(
-        "doc_id", F.expr(expr).alias("simhash")
+    tok_rows = d.select("doc_id", F.explode(F.expr(toks)).alias("t"))
+    hashed = tok_rows.select("doc_id", F.expr(_H_SPARK.format(x="t")).alias("h"))
+    bit_aggs = [
+        F.sum(
+            (F.expr(f"(h div cast(pow(2, {b}) as bigint)) % 2") * 2 - 1)
+        ).alias(f"s_{b}")
+        for b in range(16)
+    ]
+    per_doc = hashed.groupBy("doc_id").agg(*bit_aggs)
+    simhash = sum(
+        F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(16)
     )
+    return per_doc.select("doc_id", simhash.cast("bigint").alias("simhash"))
 
 
 # --------------------------------------------------------------------------
