@@ -13,8 +13,10 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Stopwords stripped during title normalization (small, closed class).
-_TITLE_STOPWORDS = ("the", "a", "an", "of", "and", "or", "in", "on", "for", "to", "with")
+# Stopwords stripped during title normalization — aligned with the
+# reference's set (normalize.py:142-179: the|a|an|of|to|in|for|on|by|
+# with|at|from).
+_TITLE_STOPWORDS = ("the", "a", "an", "of", "to", "in", "for", "on", "by", "with", "at", "from")
 
 
 def normalize_doi(col: Column) -> Column:
@@ -31,8 +33,11 @@ def normalize_doi(col: Column) -> Column:
 def normalize_title(col: Column, max_len: int = 500) -> Column:
     """Normalize a title for merge-keying (P3).
 
-    First ``max_len`` chars → lowercase → strip HTML tags → strip diacritics
-    (common latin folds via translate) → drop stopwords → alpha-num only.
+    First ``max_len`` chars → lowercase → strip HTML tags → fold common
+    latin diacritics (translate) → drop stopwords → keep every Unicode
+    letter/digit (the reference keeps isalpha() after NFD — stripping to
+    ASCII would NULL out CJK/Cyrillic/Greek titles and corrupt their
+    merge keys).
     """
     t = F.lower(F.substring(col, 1, max_len))
     t = F.regexp_replace(t, r"<[^>]+>", " ")
@@ -43,7 +48,7 @@ def normalize_title(col: Column, max_len: int = 500) -> Column:
     )
     pattern = r"\b(" + "|".join(_TITLE_STOPWORDS) + r")\b"
     t = F.regexp_replace(t, pattern, " ")
-    t = F.regexp_replace(t, r"[^a-z0-9]+", "")
+    t = F.regexp_replace(t, r"[^\p{L}\p{N}]+", "")
     return F.when(t == "", F.lit(None).cast("string")).otherwise(t)
 
 
@@ -65,9 +70,16 @@ _LICENSE_RULES: list[tuple[str, str]] = [
     ("creativecommons.org/licenses/by-nd", "cc-by-nd"),
     ("creativecommons.org/licenses/by-sa", "cc-by-sa"),
     ("creativecommons.org/licenses/by", "cc-by"),
-    ("mit", "mit"),
     ("apache", "apache-2.0"),
-    ("gpl", "gpl"),
+]
+
+# Short generic names match only on word boundaries: a bare substring
+# 'mit' would hit 'permitted'/'submitted'/'limited' (the reference's
+# space-stripped exact-lookup table avoids this class of false positive
+# — normalize.py:181-223).
+_LICENSE_WORD_RULES: list[tuple[str, str]] = [
+    (r"\bmit\b", "mit"),
+    (r"\b[al]?gplv?[23]?\b", "gpl"),
 ]
 
 
@@ -76,6 +88,8 @@ def normalize_license(col: Column) -> Column:
     c = F.lower(F.trim(col))
     expr = F.lit(None).cast("string")
     # Build the WHEN-chain back to front so earlier rules take precedence.
+    for pattern, slug in reversed(_LICENSE_WORD_RULES):
+        expr = F.when(c.rlike(pattern), F.lit(slug)).otherwise(expr)
     for needle, slug in reversed(_LICENSE_RULES):
         expr = F.when(c.contains(needle), F.lit(slug)).otherwise(expr)
     return expr

@@ -1,0 +1,298 @@
+"""Scalar-transform operators as oracle queries (SURVEY.md §2.2:
+P2 DOI / P3 title / P4 license / P6 inverted index / P7 merge key /
+P13 sanitize / P15 boolean).
+
+Inputs are synthesized deterministically from the test tables (the
+fixtures carry no DOIs/licenses), with the SAME synthesis expression on
+both engines so only the operator under test can differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openalex_walden_spark.functions.normalize import (
+    normalize_boolean,
+    normalize_doi,
+    normalize_license,
+    normalize_title,
+)
+from openalex_walden_spark.queries.registry import register
+
+# --------------------------------------------------------------------------
+# P2: DOI normalization
+# --------------------------------------------------------------------------
+# Synthesized raw DOI: messy case/whitespace + a doi://-ish prefix, NULL
+# pattern for every 5th key.
+_RAW_DOI_DUCK = (
+    "CASE WHEN p_partkey % 5 = 0 THEN 'no doi here' "
+    "ELSE ' HTTPS://DOI.ORG/10.' || (1000 + p_partkey % 9000)::VARCHAR "
+    "|| '/Part. ' || p_partkey::VARCHAR || ' ' END"
+)
+
+_DOI_SQL = f"""
+SELECT p_partkey AS partkey,
+       CASE WHEN doi = '' THEN NULL ELSE doi END AS doi
+FROM (
+  SELECT p_partkey,
+         regexp_extract(regexp_replace(lower(trim({_RAW_DOI_DUCK})), '[\\s\\x00]+', '', 'g'),
+                        '(10\\.[0-9]{{4,9}}/[^\\s]+)', 1) AS doi
+  FROM part
+)
+"""
+
+
+@register("p2_doi_normalize", oracle=_DOI_SQL, tags=("textops", "P2"), tables=("part",))
+def p2_doi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOI normalization (P2): lower/trim/space-strip → regex extract —
+    the reference's exact pipeline (normalize.py:226-231) as one pure
+    column expression."""
+    raw = F.when(F.col("p_partkey") % 5 == 0, F.lit("no doi here")).otherwise(
+        F.concat(
+            F.lit(" HTTPS://DOI.ORG/10."),
+            (F.lit(1000) + F.col("p_partkey") % 9000).cast("string"),
+            F.lit("/Part. "),
+            F.col("p_partkey").cast("string"),
+            F.lit(" "),
+        )
+    )
+    return spark.table("part").select(
+        F.col("p_partkey").alias("partkey"), normalize_doi(raw).alias("doi")
+    )
+
+
+# --------------------------------------------------------------------------
+# P3: title normalization for merge keys
+# --------------------------------------------------------------------------
+_STOP = "the|a|an|of|to|in|for|on|by|with|at|from"
+
+_TITLE_SQL = f"""
+SELECT doc_id,
+       CASE WHEN t = '' THEN NULL ELSE t END AS normalized_title
+FROM (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             translate(
+               regexp_replace(lower(substr(text, 1, 80)), '<[^>]+>', ' ', 'g'),
+               'àáâãäåçèéêëìíîïñòóôõöùúûüýÿšžœæß',
+               'aaaaaaceeeeiiiinooooouuuuyyszoas'),
+             '\\b({_STOP})\\b', ' ', 'g'),
+           '[^\\p{{L}}\\p{{N}}]+', '', 'g') AS t
+  FROM documents
+)
+"""
+
+
+@register("p3_title_normalize", oracle=_TITLE_SQL, tags=("textops", "P3"), tables=("documents",))
+def p3_title(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Title normalization (P3) on the documents table: HTML-strip,
+    diacritic fold, stopword removal, keep all Unicode letters/digits
+    (reference semantics — normalize.py:142-179)."""
+    return spark.table("documents").select(
+        "doc_id",
+        normalize_title(F.col("text"), max_len=80).alias("normalized_title"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P4: license normalization
+# --------------------------------------------------------------------------
+_RAW_LICENSE_DUCK = """
+CASE o_orderkey % 10
+  WHEN 0 THEN 'This work is licensed under CC BY 4.0 (creativecommons.org/licenses/by/4.0)'
+  WHEN 1 THEN 'cc-by-nc-nd'
+  WHEN 2 THEN 'MIT License'
+  WHEN 3 THEN 'submitted version, all rights reserved'
+  WHEN 4 THEN 'Apache License 2.0'
+  WHEN 5 THEN 'Public Domain (CC0)'
+  WHEN 6 THEN 'GPLv3'
+  WHEN 7 THEN 'https://creativecommons.org/licenses/by-nc/2.0'
+  WHEN 8 THEN 'permitted for reuse with attribution'
+  ELSE NULL END
+"""
+
+_LICENSE_SQL = f"""
+SELECT CASE WHEN raw IS NULL THEN '<null>' ELSE raw END AS raw_license,
+       CASE
+         WHEN lower(trim(raw)) LIKE '%cc-by-nc-nd%' THEN 'cc-by-nc-nd'
+         WHEN lower(trim(raw)) LIKE '%cc-by-nc-sa%' THEN 'cc-by-nc-sa'
+         WHEN lower(trim(raw)) LIKE '%cc-by-nc%' THEN 'cc-by-nc'
+         WHEN lower(trim(raw)) LIKE '%cc-by-nd%' THEN 'cc-by-nd'
+         WHEN lower(trim(raw)) LIKE '%cc-by-sa%' THEN 'cc-by-sa'
+         WHEN lower(trim(raw)) LIKE '%cc-by%' THEN 'cc-by'
+         WHEN lower(trim(raw)) LIKE '%cc0%' THEN 'public-domain'
+         WHEN lower(trim(raw)) LIKE '%public domain%' THEN 'public-domain'
+         WHEN lower(trim(raw)) LIKE '%publicdomain%' THEN 'public-domain'
+         WHEN lower(trim(raw)) LIKE '%creativecommons.org/licenses/by-nc-nd%' THEN 'cc-by-nc-nd'
+         WHEN lower(trim(raw)) LIKE '%creativecommons.org/licenses/by-nc-sa%' THEN 'cc-by-nc-sa'
+         WHEN lower(trim(raw)) LIKE '%creativecommons.org/licenses/by-nc%' THEN 'cc-by-nc'
+         WHEN lower(trim(raw)) LIKE '%creativecommons.org/licenses/by-nd%' THEN 'cc-by-nd'
+         WHEN lower(trim(raw)) LIKE '%creativecommons.org/licenses/by-sa%' THEN 'cc-by-sa'
+         WHEN lower(trim(raw)) LIKE '%creativecommons.org/licenses/by%' THEN 'cc-by'
+         WHEN lower(trim(raw)) LIKE '%apache%' THEN 'apache-2.0'
+         WHEN regexp_matches(lower(trim(raw)), '\\bmit\\b') THEN 'mit'
+         WHEN regexp_matches(lower(trim(raw)), '\\b[al]?gplv?[23]?\\b') THEN 'gpl'
+         ELSE NULL END AS license,
+       COUNT(*) AS n
+FROM (SELECT {_RAW_LICENSE_DUCK} AS raw FROM orders)
+GROUP BY raw_license, license
+"""
+
+
+@register("p4_license_normalize", oracle=_LICENSE_SQL, tags=("textops", "P4"), tables=("orders",))
+def p4_license(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License normalization (P4): substring-rule table with word-boundary
+    guards for short generic names ('MIT License' maps, 'permitted'/
+    'submitted' must NOT — the false-positive class the reference's
+    stripped-lookup avoids, normalize.py:181-223)."""
+    raws = [
+        "This work is licensed under CC BY 4.0 (creativecommons.org/licenses/by/4.0)",
+        "cc-by-nc-nd",
+        "MIT License",
+        "submitted version, all rights reserved",
+        "Apache License 2.0",
+        "Public Domain (CC0)",
+        "GPLv3",
+        "https://creativecommons.org/licenses/by-nc/2.0",
+        "permitted for reuse with attribution",
+        None,
+    ]
+    raw = F.lit(None).cast("string")
+    for i, v in enumerate(raws[:-1]):
+        raw = F.when(F.col("o_orderkey") % 10 == i, F.lit(v)).otherwise(raw)
+    return (
+        spark.table("orders")
+        .select(raw.alias("raw"))
+        .select(
+            F.coalesce(F.col("raw"), F.lit("<null>")).alias("raw_license"),
+            normalize_license(F.col("raw")).alias("license"),
+        )
+        .groupBy("raw_license", "license")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# P6: abstract inverted index, exploded to (word, positions) rows
+# --------------------------------------------------------------------------
+_INVIDX_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts
+  FROM documents WHERE doc_id < 50
+),
+pairs AS (
+  SELECT doc_id, u.p.t AS word, u.p.i AS pos
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ts) + 1),
+                                 i -> {'t': ts[i], 'i': i - 1})) AS p
+    FROM toks
+  ) u(doc_id, p)
+)
+SELECT doc_id, word,
+       string_agg(pos::VARCHAR, ',' ORDER BY pos) AS positions
+FROM pairs
+GROUP BY doc_id, word
+"""
+
+
+@register("p6_inverted_index", oracle=_INVIDX_SQL, tags=("textops", "P6"), tables=("documents",))
+def p6_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abstract inverted index (P6): word → ordered position list
+    (transform.py:24-40), exploded to rows so the oracle hash is
+    map-order-independent. posexplode keeps everything JVM-side — the
+    pure-Spark alternative SURVEY.md §2.2 notes."""
+    d = spark.table("documents").where(F.col("doc_id") < 50)
+    toks = F.expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")
+    pairs = d.select("doc_id", F.posexplode(toks).alias("pos", "word"))
+    return (
+        pairs.groupBy("doc_id", "word")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("pos")), lambda x: x.cast("string")),
+                ",",
+            ).alias("positions")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# P7: merge-key construction with fallback cascade
+# --------------------------------------------------------------------------
+_MERGEKEY_SQL = """
+SELECT o_orderkey AS orderkey,
+       COALESCE(
+         CASE WHEN o_orderkey % 3 = 0 THEN '10.1000/' || o_orderkey::VARCHAR END,
+         CASE WHEN o_orderkey % 3 = 1 THEN 'pmid:' || o_orderkey::VARCHAR END,
+         'ta:' || lower(o_orderpriority) || ':' || o_custkey::VARCHAR
+       ) AS merge_key,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'doi'
+            WHEN o_orderkey % 3 = 1 THEN 'pmid'
+            ELSE 'title_author' END AS key_kind
+FROM orders
+"""
+
+
+@register("p7_merge_key", oracle=_MERGEKEY_SQL, tags=("textops", "P7"), tables=("orders",))
+def p7_merge_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-key cascade (P7): doi → pmid → title_author fallback, the
+    identity backbone of D2 (normalize.py:116-139: STRUCT(doi, pmid,
+    arxiv, title_author) with provenance fallbacks)."""
+    k = F.col("o_orderkey")
+    doi = F.when(k % 3 == 0, F.concat(F.lit("10.1000/"), k.cast("string")))
+    pmid = F.when(k % 3 == 1, F.concat(F.lit("pmid:"), k.cast("string")))
+    ta = F.concat(
+        F.lit("ta:"), F.lower("o_orderpriority"), F.lit(":"), F.col("o_custkey").cast("string")
+    )
+    return spark.table("orders").select(
+        k.alias("orderkey"),
+        F.coalesce(doi, pmid, ta).alias("merge_key"),
+        F.when(k % 3 == 0, F.lit("doi"))
+        .when(k % 3 == 1, F.lit("pmid"))
+        .otherwise(F.lit("title_author"))
+        .alias("key_kind"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P13 + P15: serving sanitize + boolean normalization
+# --------------------------------------------------------------------------
+_BOOL_SQL = """
+SELECT raw_flag, flag, COUNT(*) AS n
+FROM (
+  SELECT CASE c_custkey % 8
+           WHEN 0 THEN 'yes' WHEN 1 THEN ' TRUE ' WHEN 2 THEN 'f'
+           WHEN 3 THEN '0'   WHEN 4 THEN 'No'     WHEN 5 THEN 't'
+           WHEN 6 THEN 'maybe' ELSE NULL END AS raw_flag,
+         CASE WHEN lower(trim(CASE c_custkey % 8
+           WHEN 0 THEN 'yes' WHEN 1 THEN ' TRUE ' WHEN 2 THEN 'f'
+           WHEN 3 THEN '0'   WHEN 4 THEN 'No'     WHEN 5 THEN 't'
+           WHEN 6 THEN 'maybe' ELSE NULL END)) IN ('yes','y','t','true','1') THEN TRUE
+           WHEN lower(trim(CASE c_custkey % 8
+           WHEN 0 THEN 'yes' WHEN 1 THEN ' TRUE ' WHEN 2 THEN 'f'
+           WHEN 3 THEN '0'   WHEN 4 THEN 'No'     WHEN 5 THEN 't'
+           WHEN 6 THEN 'maybe' ELSE NULL END)) IN ('no','n','f','false','0') THEN FALSE
+           ELSE NULL END AS flag
+  FROM customer
+)
+GROUP BY raw_flag, flag
+"""
+
+
+@register("p15_boolean_normalize", oracle=_BOOL_SQL, tags=("textops", "P15"), tables=("customer",))
+def p15_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean normalization (P15): yes/no/t/f/true/false/1/0 → BOOLEAN,
+    unknown → NULL (utils/dataframe.py:31-46)."""
+    vals = ["yes", " TRUE ", "f", "0", "No", "t", "maybe", None]
+    raw = F.lit(None).cast("string")
+    for i, v in enumerate(vals[:-1]):
+        raw = F.when(F.col("c_custkey") % 8 == i, F.lit(v)).otherwise(raw)
+    return (
+        spark.table("customer")
+        .select(raw.alias("raw_flag"), normalize_boolean(raw).alias("flag"))
+        .groupBy("raw_flag", "flag")
+        .agg(F.count("*").alias("n"))
+    )
