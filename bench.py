@@ -35,6 +35,8 @@ HEADLINE = [
     "dedup_exact_documents",
     "dedup_minhash_lsh_pairs",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "multimodal_decode",
     "ev_scd1_latest_state",
 ]
 

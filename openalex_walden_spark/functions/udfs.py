@@ -1,0 +1,106 @@
+"""Arrow-vectorized Python surface (SURVEY.md §2.10): pandas UDFs and
+mapInPandas operators.
+
+The engine's policy: Python only where JVM expressions genuinely can't
+express the semantics (name parsing, per-row binary decode, model
+inference) — and then always Arrow-batched, never row-at-a-time
+(reference precedent: ``normalize.py:233-303`` pandas UDFs,
+``topics_inference.ipynb`` mapPartitions with a per-worker model cache).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections.abc import Iterator
+from functools import lru_cache
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# ---------------------------------------------------------------------------
+# P5: author-name keying (reference contract: normalize.py:233-303 —
+# "last;first_initial", latin-folded, honorific-stripped, lru_cached per
+# Python worker because workers are reused across batches)
+# ---------------------------------------------------------------------------
+_FOLD = str.maketrans(
+    "àáâãäåçèéêëìíîïñòóôõöùúûüýÿšžœæß",
+    "aaaaaaceeeeiiiinooooouuuuyyszoas",
+)
+_HONORIFICS = {"dr", "prof", "mr", "mrs", "ms", "sir", "md", "phd", "jr", "sr"}
+_NAME_SPLIT = re.compile(r"[\s,]+")
+
+
+@lru_cache(maxsize=500_000)
+def _author_key_one(name: str | None) -> str | None:
+    if not name:
+        return None
+    parts = [
+        p
+        for p in _NAME_SPLIT.split(name.strip().lower().translate(_FOLD))
+        if p and p.strip(".") not in _HONORIFICS
+    ]
+    parts = [re.sub(r"[^a-z]", "", p) for p in parts]
+    parts = [p for p in parts if p]
+    if not parts:
+        return None
+    family = parts[-1]
+    initial = parts[0][0] if len(parts) > 1 else ""
+    return f"{family};{initial}"
+
+
+@F.pandas_udf(StringType())
+def author_key(names: pd.Series) -> pd.Series:
+    """'Given M. Family' → 'family;g' blocking key (Arrow-batched)."""
+    return names.map(_author_key_one)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal decode (stubbed): binary payload → typed features.
+# The real decode (image/audio libs) is not in this container — the
+# deterministic fake below stands in, but the Spark-side plumbing
+# (schema, Arrow batching, mapInPandas signature) is the real operator.
+# ---------------------------------------------------------------------------
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_md5", StringType()),
+        StructField("fake_width", LongType()),
+        StructField("fake_height", LongType()),
+    ]
+)
+
+
+def fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: 'decode' each binary payload into metadata.
+
+    A real implementation would call PIL/ffmpeg here per Arrow batch with
+    a per-worker decoder cache; the fake derives deterministic pseudo
+    dimensions from the payload hash so the DuckDB oracle can verify the
+    plumbing end-to-end.
+    """
+    for pdf in batches:
+        payloads = pdf["payload"]
+        md5s = payloads.map(lambda b: hashlib.md5(b).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(len).astype("int64"),
+                "content_md5": md5s,
+                "fake_width": md5s.map(lambda h: int(h[:4], 16) % 640).astype("int64"),
+                "fake_height": md5s.map(lambda h: int(h[4:8], 16) % 480).astype("int64"),
+            }
+        )
+
+
+BINARY_DOC_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+)

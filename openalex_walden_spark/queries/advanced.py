@@ -1,0 +1,378 @@
+"""Advanced operators: pandas-UDF surface (P5), multimodal decode
+plumbing, IVF-partitioned ANN, embedding near-dup, histogram/tall-metric
+aggregates (A7/A8), and the serving JSON export shape (S6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from openalex_walden_spark.queries.registry import register
+
+# --------------------------------------------------------------------------
+# P5: author-name keying via pandas UDF + block statistics (J8 feeder)
+# --------------------------------------------------------------------------
+# Names are synthesized from part names: first + last word play given /
+# family. The oracle replicates the UDF's contract in SQL (lowercase,
+# alpha-only, 'family;initial').
+_AUTHOR_SQL = """
+WITH names AS (
+  SELECT p_partkey,
+         list_extract(string_split(p_name, ' '), 1) || ' ' ||
+         list_extract(string_split(p_name, ' '), -1) AS author_name
+  FROM part
+),
+keyed AS (
+  SELECT p_partkey,
+         regexp_replace(lower(list_extract(string_split(author_name, ' '), -1)), '[^a-z]', '', 'g')
+         || ';' ||
+         substr(regexp_replace(lower(list_extract(string_split(author_name, ' '), 1)), '[^a-z]', '', 'g'), 1, 1)
+         AS author_key
+  FROM names
+)
+SELECT author_key, COUNT(*) AS block_size, MIN(p_partkey) AS sample_partkey
+FROM keyed
+GROUP BY author_key
+"""
+
+
+@register("p5_author_key_blocks", oracle=_AUTHOR_SQL, tags=("udf", "P5", "J8"), tables=("part",))
+def p5_author_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Author-name keying (P5) as the engine's first Arrow UDF: parse
+    'Given Family' → 'family;g' blocking key (reference contract,
+    normalize.py:233-303, incl. the per-worker lru_cache), then block
+    statistics — the candidate-generation feeder for J8/D6.
+
+    Plan note: the UDF runs in ArrowEvalPython with worker reuse; at
+    100 TB the 500k-entry cache amortizes hot family names per executor.
+    """
+    from openalex_walden_spark.deploy import ensure_shipped
+    from openalex_walden_spark.functions.udfs import author_key
+
+    ensure_shipped(spark)
+    words = F.split(F.col("p_name"), " ")
+    name = F.concat_ws(" ", F.element_at(words, 1), F.element_at(words, -1))
+    return (
+        spark.table("part")
+        .select("p_partkey", author_key(name).alias("author_key"))
+        .groupBy("author_key")
+        .agg(
+            F.count("*").alias("block_size"),
+            F.min("p_partkey").alias("sample_partkey"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal decode plumbing (mapInPandas over binary payloads)
+# --------------------------------------------------------------------------
+_DECODE_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5,
+       ('0x' || substr(md5(text), 1, 4))::BIGINT % 640 AS fake_width,
+       ('0x' || substr(md5(text), 5, 4))::BIGINT % 480 AS fake_height
+FROM documents
+"""
+
+
+@register("multimodal_decode", oracle=_DECODE_SQL, tags=("udf", "multimodal"), tables=("documents",))
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: treat content as an opaque BINARY
+    payload, 'decode' it per Arrow batch via mapInPandas into typed
+    metadata (n_bytes, hash, dimensions).
+
+    The decode body is a deterministic stand-in (image/audio libs absent
+    here — a real one swaps in PIL/ffmpeg with a per-worker cache); the
+    schema contract, Arrow batch shape, and partition behavior are the
+    real operator, and the oracle verifies them end-to-end.
+    """
+    from openalex_walden_spark.deploy import ensure_shipped
+    from openalex_walden_spark.functions.udfs import DECODED_SCHEMA, fake_decode_batch
+
+    ensure_shipped(spark)
+    payloads = (
+        spark.table("documents")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+    return payloads.mapInPandas(fake_decode_batch, DECODED_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# IVF-style partitioned ANN (centroid route → in-partition top-k)
+# --------------------------------------------------------------------------
+_DOT = (
+    "list_sum(list_transform(range(1, len({b}) + 1), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+)
+_NORM = "sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+
+_IVF_SQL = f"""
+WITH ordered AS (
+  SELECT label, list(embedding ORDER BY vec_id) AS vs FROM embeddings GROUP BY label
+),
+centroids AS (
+  SELECT label,
+         list_transform(range(1, len(vs[1]) + 1),
+           j -> list_sum(list_transform(vs, v -> v[j]::DOUBLE)) / len(vs)::DOUBLE) AS c
+  FROM ordered
+),
+q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 7),
+routed AS (
+  SELECT q_id, qe, label AS best_label
+  FROM (
+    SELECT q.q_id, q.qe, c.label,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {_DOT.format(a='q.qe', b='c.c')}
+                                       / ({_NORM.format(a='q.qe')} * {_NORM.format(a='c.c')}) DESC,
+                                       c.label ASC) AS rc
+    FROM q CROSS JOIN centroids c
+  ) WHERE rc = 1
+),
+scored AS (
+  SELECT r.q_id, r.best_label, e.vec_id AS neighbor_id,
+         {_DOT.format(a='r.qe', b='e.embedding')}
+           / ({_NORM.format(a='r.qe')} * {_NORM.format(a='e.embedding')}) AS cosine
+  FROM routed r JOIN embeddings e
+    ON e.label = r.best_label AND e.vec_id <> r.q_id
+)
+SELECT q_id, best_label, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+
+
+@register("ann_ivf_topk", oracle=_IVF_SQL, tags=("llmdata", "ann", "ivf"), tables=("embeddings",))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: per-label centroids (the label column plays the
+    coarse quantizer's cell id) → route each query to its nearest
+    centroid → exact top-k INSIDE that cell only.
+
+    This is the scale path next to ann_cosine_topk's brute force: the
+    corpus-side scan drops from N to N/cells, centroids broadcast, and
+    the in-cell search is an equi-join on label — no all-pairs anywhere.
+    Centroid sums fold in vec_id order so the oracle matches bit-exactly.
+    """
+    e = spark.table("embeddings")
+    ordered = e.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("vec_id", "embedding"))).alias("vs")
+    )
+    centroid = F.expr(
+        "transform(sequence(1, size(element_at(vs, 1).embedding)), "
+        "j -> aggregate(vs, cast(0.0 as double), "
+        "(acc, v) -> acc + cast(element_at(v.embedding, j) as double)) "
+        "/ cast(size(vs) as double))"
+    )
+    centroids = F.broadcast(ordered.select("label", centroid.alias("c")))
+
+    q = F.broadcast(
+        e.where(F.col("vec_id") % 100 == 7).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+        )
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def norm(a):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    route_cos = dot(F.col("qe"), F.col("c")) / (norm(F.col("qe")) * norm(F.col("c")))
+    wr = Window.partitionBy("q_id").orderBy(F.col("route_cos").desc(), F.col("label").asc())
+    routed = (
+        q.crossJoin(centroids)
+        .withColumn("route_cos", route_cos)
+        .withColumn("rc", F.row_number().over(wr))
+        .where(F.col("rc") == 1)
+        .select("q_id", "qe", F.col("label").alias("best_label"))
+    )
+
+    cos = dot(F.col("qe"), F.col("embedding")) / (
+        norm(F.col("qe")) * norm(F.col("embedding"))
+    )
+    scored = (
+        e.join(F.broadcast(routed), (e.label == routed.best_label) & (e.vec_id != routed.q_id))
+        .select("q_id", "best_label", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .where(F.col("rnk") <= 3)
+        .select("q_id", "best_label", "neighbor_id", "cosine", F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs (label-blocked)
+# --------------------------------------------------------------------------
+_EMB_NEARDUP_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, label, embedding
+  FROM embeddings WHERE vec_id % 25 = 0
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label
+FROM corpus a JOIN corpus b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_DOT.format(a='a.embedding', b='b.embedding')}
+        / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='b.embedding')}) >= 0.999
+"""
+
+
+@register("embedding_neardup_pairs", oracle=_EMB_NEARDUP_SQL, tags=("llmdata", "dedup", "ann"), tables=("embeddings",))
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection, blocked by the cluster label
+    (the IVF cell): candidate pairs exist only within a block — the
+    embedding-space analogue of the LSH bucket join. Synthetic exact
+    copies (vec_id+100000) guarantee known positives."""
+    e = spark.table("embeddings")
+    corpus = e.unionByName(
+        e.where(F.col("vec_id") % 25 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "label", "embedding"
+        )
+    )
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding"), F.col("b.embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    cos = dot / (norm("a.embedding") * norm("b.embedding"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .where(cos >= 0.999)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A7: frequency histogram with derived zero bucket
+# --------------------------------------------------------------------------
+_A7_SQL = """
+WITH counts AS (
+  SELECT p.p_partkey, COALESCE(c.n, 0) AS cited_by_count
+  FROM part p LEFT JOIN (
+    SELECT l_partkey, COUNT(*) AS n FROM lineitem GROUP BY l_partkey
+  ) c ON p.p_partkey = c.l_partkey
+)
+SELECT cited_by_count, COUNT(*) AS n_parts
+FROM counts
+GROUP BY cited_by_count
+"""
+
+
+@register("a7_histogram_zero_bucket", oracle=_A7_SQL, tags=("agg", "A7"), tables=("part", "lineitem"))
+def a7_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Citation-count histogram INCLUDING the zero bucket — the bucket a
+    naive groupBy over edges silently drops (the reference derives it
+    explicitly, CreateWorksEnriched cell 11 `year_count_freq`): left-join
+    the entity universe against edge counts, coalesce to 0, then count."""
+    counts = (
+        spark.table("lineitem").groupBy("l_partkey").agg(F.count("*").alias("n"))
+    )
+    universe = spark.table("part").join(
+        counts, F.col("p_partkey") == F.col("l_partkey"), "left"
+    ).select(F.coalesce(F.col("n"), F.lit(0)).alias("cited_by_count"))
+    return universe.groupBy("cited_by_count").agg(F.count("*").alias("n_parts"))
+
+
+# --------------------------------------------------------------------------
+# A8: tall-metrics snapshot (cache + multi-aggregation)
+# --------------------------------------------------------------------------
+_A8_SQL = """
+SELECT 'orders_by_status' AS metric, o_orderstatus AS dimension,
+       COUNT(*)::DOUBLE AS value
+FROM orders GROUP BY o_orderstatus
+UNION ALL
+SELECT 'orders_by_priority' AS metric, o_orderpriority AS dimension,
+       COUNT(*)::DOUBLE AS value
+FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT 'total_revenue' AS metric, 'all' AS dimension,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+FROM orders
+"""
+
+
+@register("a8_tall_metrics", oracle=_A8_SQL, tags=("agg", "A8"), tables=("orders",))
+def a8_tall_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tall-metrics snapshot (metric, dimension, value): one thin cached
+    projection feeding several aggregations (WorksDailyMetrics.py:60-120
+    shape). The cache means one scan serves all metric families."""
+    thin = spark.table("orders").select(
+        "o_orderstatus", "o_orderpriority", "o_totalprice"
+    ).cache()
+    by_status = thin.groupBy(F.col("o_orderstatus").alias("dimension")).agg(
+        F.count("*").cast("double").alias("value")
+    ).select(F.lit("orders_by_status").alias("metric"), "dimension", "value")
+    by_prio = thin.groupBy(F.col("o_orderpriority").alias("dimension")).agg(
+        F.count("*").cast("double").alias("value")
+    ).select(F.lit("orders_by_priority").alias("metric"), "dimension", "value")
+    total = thin.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("value")
+    ).select(F.lit("total_revenue").alias("metric"), F.lit("all").alias("dimension"), "value")
+    return by_status.unionByName(by_prio).unionByName(total)
+
+
+# --------------------------------------------------------------------------
+# S6: serving JSON export shape
+# --------------------------------------------------------------------------
+_S6_SQL = """
+SELECT c_custkey AS custkey,
+       to_json(struct_pack(custkey := c_custkey, name := c_name,
+                           mktsegment := c_mktsegment))::VARCHAR AS doc
+FROM customer
+"""
+
+
+@register("s6_json_export_shape", oracle=_S6_SQL, tags=("sink", "S6", "json"), tables=("customer",))
+def s6_json_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API-shaped JSON document per row — the serving/export projection
+    (export_works.ipynb cell 3 `to_json(struct(*))`). Field order is the
+    struct declaration order in both engines; the file-writing sink
+    around this shape lives in sinks/json_export.py."""
+    return spark.table("customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.to_json(
+            F.struct(
+                F.col("c_custkey").alias("custkey"),
+                F.col("c_name").alias("name"),
+                F.col("c_mktsegment").alias("mktsegment"),
+            )
+        ).alias("doc"),
+    )

@@ -1,0 +1,149 @@
+"""Unit tests for the column-function library (conform, normalize_*,
+inverted_index, author_key, merge semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from openalex_walden_spark.functions.normalize import (
+    normalize_boolean,
+    normalize_doi,
+    normalize_license,
+    normalize_title,
+)
+from openalex_walden_spark.functions.udfs import _author_key_one
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+@pytest.mark.parametrize(
+    ("raw", "want"),
+    [
+        ("  https://doi.org/10.1234/ABC.def ", "10.1234/abc.def"),
+        ("DOI: 10.99999/x y", "10.99999/xy"),  # internal space stripped first
+        ("no doi", None),
+        ("10.12/too-short-prefix", None),  # needs >= 4 digits
+    ],
+)
+def test_normalize_doi(spark, raw, want):
+    assert _one(spark, normalize_doi(F.lit(raw))) == want
+
+
+@pytest.mark.parametrize(
+    ("raw", "want"),
+    [
+        ("The Quick <b>Brown</b> Fox", "quickbrownfox"),
+        ("Étude de la «Révolution»", "etudedelarevolution"),
+        ("量子力学の基礎", "量子力学の基礎"),  # CJK preserved (ADVICE fix)
+        ("Анализ данных", "анализданных"),  # Cyrillic preserved
+        ("the a an of", None),  # all stopwords → NULL
+    ],
+)
+def test_normalize_title(spark, raw, want):
+    assert _one(spark, normalize_title(F.lit(raw))) == want
+
+
+@pytest.mark.parametrize(
+    ("raw", "want"),
+    [
+        ("MIT License", "mit"),
+        ("permitted for reuse", None),  # no bare-substring 'mit' hit
+        ("submitted version", None),
+        ("GPLv3", "gpl"),
+        ("cc-by-nc-nd 4.0", "cc-by-nc-nd"),
+        ("https://creativecommons.org/licenses/by-sa/4.0", "cc-by-sa"),
+        ("CC0 1.0", "public-domain"),
+        ("all rights reserved", None),
+    ],
+)
+def test_normalize_license(spark, raw, want):
+    assert _one(spark, normalize_license(F.lit(raw))) == want
+
+
+def test_normalize_boolean(spark):
+    vals = ["yes", " TRUE ", "f", "0", "maybe", None]
+    out = [
+        r["b"]
+        for r in spark.createDataFrame([(v,) for v in vals], "v string")
+        .select(normalize_boolean(F.col("v")).alias("b"))
+        .collect()
+    ]
+    assert out == [True, True, False, False, None, None]
+
+
+def test_inverted_index(spark):
+    from openalex_walden_spark.functions.arrays import inverted_index
+
+    row = (
+        spark.createDataFrame([("the cat and the hat",)], "t string")
+        .select(inverted_index(F.col("t")).alias("idx"))
+        .collect()[0]["idx"]
+    )
+    assert row == {"the": [0, 3], "cat": [1], "and": [2], "hat": [4]}
+
+
+def test_priority_pick_skips_empty(spark):
+    from openalex_walden_spark.functions.arrays import priority_pick
+
+    df = spark.sql(
+        "SELECT array(named_struct('value', '', 'priority', 1), "
+        "named_struct('value', 'b', 'priority', 3), "
+        "named_struct('value', 'a', 'priority', 2)) AS vals"
+    )
+    assert df.select(priority_pick(F.col("vals")).alias("v")).collect()[0]["v"] == "a"
+
+
+@pytest.mark.parametrize(
+    ("name", "want"),
+    [
+        ("Ada Lovelace", "lovelace;a"),
+        ("  Dr. Marie S. Curie ", "curie;m"),
+        ("Cäsar Müller", "muller;c"),
+        ("Plato", "plato;"),
+        ("", None),
+        (None, None),
+    ],
+)
+def test_author_key_contract(name, want):
+    assert _author_key_one(name) == want
+
+
+def test_conform_fills_missing_nested(spark):
+    from pyspark.sql.types import (
+        ArrayType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from openalex_walden_spark.conform import conform
+
+    target = StructType(
+        [
+            StructField("id", StringType()),
+            StructField(
+                "authors",
+                ArrayType(
+                    StructType(
+                        [StructField("name", StringType()), StructField("orcid", StringType())]
+                    )
+                ),
+            ),
+        ]
+    )
+    src = spark.createDataFrame(
+        [("w1", [("Ada",)])],
+        StructType(
+            [
+                StructField("id", StringType()),
+                StructField("authors", ArrayType(StructType([StructField("name", StringType())]))),
+            ]
+        ),
+    )
+    out = conform(src, target)
+    assert out.schema == target
+    row = out.collect()[0]
+    assert row["authors"][0]["name"] == "Ada" and row["authors"][0]["orcid"] is None

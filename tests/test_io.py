@@ -1,0 +1,112 @@
+"""Source/sink connector tests (S1/S2/S4/S5/S6/S7 local behaviors)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructType
+
+from openalex_walden_spark.sinks.bulk_index import bulk_index, partition_count_for
+from openalex_walden_spark.sinks.json_export import export_snapshot
+from openalex_walden_spark.sources.files import incremental_scan, read_json, read_xml
+
+
+def test_read_json_schema_pinned_with_rescue(spark, tmp_path):
+    p = str(tmp_path / "in.json")
+    with open(p, "w") as fh:
+        fh.write('{"id": 1, "name": "ok"}\n')
+        fh.write('{"id": "NOT_A_NUMBER", "name": "bad"}\n')
+        fh.write('{"id": 3, "name": "fine"}\n')
+    schema = StructType().add("id", LongType()).add("name", StringType())
+    df = read_json(spark, p, schema)
+    rows = df.collect()
+    assert len(rows) == 3
+    rescued = [r for r in rows if r["_rescued_data"] is not None]
+    assert len(rescued) == 1  # the drifted row is rescued, not dropped
+    assert {r["id"] for r in rows if r["_rescued_data"] is None} == {1, 3}
+
+
+def test_read_xml_rowtag(spark, tmp_path):
+    p = str(tmp_path / "in.xml")
+    with open(p, "w") as fh:
+        fh.write(
+            "<records>"
+            "<rec><id>1</id><title>alpha</title></rec>"
+            "<rec><id>2</id><title>beta</title></rec>"
+            "</records>"
+        )
+    df = read_xml(spark, p, row_tag="rec")
+    got = {(r["id"], r["title"]) for r in df.collect()}
+    assert got == {(1, "alpha"), (2, "beta")}
+
+
+def test_incremental_scan_pushdown(spark, sf_dir):
+    from openalex_walden_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    inc = incremental_scan(orders, "o_orderdate", "1997-01-01")
+    assert 0 < inc.count() < orders.count()
+    plan = inc._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+
+
+def test_export_snapshot_manifest_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a\x00b  c", "X"), (2, "plain", "Y")], "id long, text string, tag string"
+    )
+    out = str(tmp_path / "snap")
+    manifest = export_snapshot(df, out, cols=["id", "text", "tag"], sanitize=["text"], partitions=2)
+    assert manifest["n_files"] == 2
+    assert os.path.exists(os.path.join(out, "manifest.json"))
+    docs = [
+        json.loads(line)
+        for f in glob.glob(os.path.join(out, "part-*"))
+        if not f.endswith(".crc")
+        for line in open(f)
+    ]
+    by_id = {d["id"]: d for d in docs}
+    assert by_id[1]["text"] == "ab c"  # control char stripped, ws collapsed
+    assert by_id[2] == {"id": 2, "text": "plain", "tag": "Y"}
+
+
+def test_bulk_index_delivers_all_docs(spark, tmp_path):
+    df = spark.range(0, 1000).select(
+        F.to_json(F.struct(F.col("id"))).alias("doc")
+    )
+    sink_dir = str(tmp_path / "indexed")
+    os.makedirs(sink_dir, exist_ok=True)
+
+    def transport_factory():
+        import os as _os
+        import uuid as _uuid
+
+        path = _os.path.join(sink_dir, f"conn-{_uuid.uuid4().hex}.jsonl")
+        fh = open(path, "a")
+
+        def send(batch):
+            for doc in batch:
+                fh.write(doc + "\n")
+            fh.flush()
+            return len(batch)
+
+        return send
+
+    bulk_index(df, "doc", transport_factory, batch_size=100, rows_per_partition=250)
+    got = sorted(
+        json.loads(line)["id"]
+        for f in glob.glob(os.path.join(sink_dir, "conn-*.jsonl"))
+        for line in open(f)
+    )
+    assert got == list(range(1000))
+    # partition ladder: 1000 rows / 250 per partition = 4 connections
+    assert len(glob.glob(os.path.join(sink_dir, "conn-*.jsonl"))) == 4
+
+
+def test_partition_count_ladder():
+    assert partition_count_for(0) == 1
+    assert partition_count_for(5_000) == 1
+    assert partition_count_for(2_000_000) == 200
+    assert partition_count_for(10 ** 9) == 8096  # capped
