@@ -19,6 +19,8 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -104,3 +106,49 @@ def fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 BINARY_DOC_SCHEMA = StructType(
     [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
 )
+
+
+# ---------------------------------------------------------------------------
+# S8: model-serving inference (mapInPandas with per-worker model cache)
+# ---------------------------------------------------------------------------
+SCORED_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("score", DoubleType()),
+        StructField("positive", BooleanType()),
+    ]
+)
+
+_MODEL_CACHE: dict[int, list[float]] = {}
+
+
+def _load_model(dim: int) -> list[float]:
+    """Deterministic linear 'checkpoint': loaded once per Python worker
+    (the per-executor model cache pattern — topics_inference.ipynb
+    cell 5); a real model swaps in torch/onnx weights here."""
+    if dim not in _MODEL_CACHE:
+        _MODEL_CACHE[dim] = [
+            ((j * 2654435761) % 1000) / 1000.0 - 0.5 for j in range(dim)
+        ]
+    return _MODEL_CACHE[dim]
+
+
+def model_score_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Score each embedding with the cached linear model.
+
+    The dot product folds sequentially (Python sum) so the score is
+    bit-identical to the oracle's list_sum fold — NOT numpy.dot, whose
+    pairwise/SIMD accumulation would differ in the last ulp.
+    """
+    for pdf in batches:
+        scores = []
+        for emb in pdf["embedding"]:
+            w = _load_model(len(emb))
+            scores.append(sum(float(x) * w[j] for j, x in enumerate(emb)))
+        yield pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "score": pd.Series(scores, dtype="float64"),
+                "positive": [s > 0 for s in scores],
+            }
+        )

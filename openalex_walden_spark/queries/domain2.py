@@ -1,0 +1,553 @@
+"""Second wave of domain/scalar operators: batch MERGE (J9/J10), best-
+record selection via comparator array_sort (D3), OA status (D4),
+uniqueness-gated matching (D6), rule-cascade classification (D7), entity
+aggregates (D11), curation overlay (D12), array-filter battery (P8),
+code mapping (P9), version detect (P10), OAI id extraction (P11), A6
+dropDuplicates, and the model-serving source shape (S8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from openalex_walden_spark.queries.registry import register
+
+# --------------------------------------------------------------------------
+# J9/J10: batch MERGE (SCD1 upsert + delete) through the merge operator
+# --------------------------------------------------------------------------
+_MERGE_SQL = """
+SELECT o_orderkey AS orderkey,
+       CASE WHEN o_orderkey % 10 = 0
+            THEN CAST(CAST(o_totalprice + 10 AS DECIMAL(18,2)) AS DOUBLE)
+            ELSE o_totalprice END AS final_price,
+       CAST(o_orderkey % 10 = 0 AS BOOLEAN) AS was_updated
+FROM orders
+WHERE o_orderkey % 100 <> 0
+"""
+
+
+@register("j9_merge_scd1_batch", oracle=_MERGE_SQL, tags=("merge", "J9", "J10", "St2"), tables=("orders",))
+def j9_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE through operators/merge.merge_upsert: updates
+    (sequence 1) beat the baseline (sequence 0), delete-flagged keys
+    vanish (J10's NOT-MATCHED-BY-SOURCE analogue). The oracle states the
+    post-MERGE table in closed form."""
+    from openalex_walden_spark.operators.merge import merge_upsert
+
+    base = spark.table("orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.lit(0).alias("seq"),
+        F.lit(False).alias("is_delete"),
+        F.lit(False).alias("was_updated"),
+    )
+    updates = (
+        spark.table("orders")
+        .where(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 10).cast("decimal(18,2)").cast("double").alias("price"),
+            F.lit(1).alias("seq"),
+            (F.col("o_orderkey") % 100 == 0).alias("is_delete"),
+            F.lit(True).alias("was_updated"),
+        )
+    )
+    merged = merge_upsert(
+        base, updates, keys=["o_orderkey"], sequence_col="seq",
+        delete_predicate=F.col("is_delete"),
+    )
+    return merged.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("price").alias("final_price"),
+        F.col("was_updated").alias("was_updated"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A6: dropDuplicates where ordering is irrelevant
+# --------------------------------------------------------------------------
+_A6_SQL = """
+SELECT DISTINCT o_custkey AS custkey, o_orderpriority AS priority FROM orders
+"""
+
+
+@register("a6_distinct_pairs", oracle=_A6_SQL, tags=("agg", "A6"), tables=("orders",))
+def a6_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates — legitimate only when no 'which row' choice exists
+    (pure key projection); anything value-carrying uses the W1 ladder."""
+    return spark.table("orders").select(
+        F.col("o_custkey").alias("custkey"), F.col("o_orderpriority").alias("priority")
+    ).dropDuplicates()
+
+
+# --------------------------------------------------------------------------
+# D3: best-record selection via comparator-lambda ARRAY_SORT
+# --------------------------------------------------------------------------
+_D3_SQL = """
+SELECT l_orderkey AS orderkey, l_partkey AS best_partkey,
+       l_returnflag AS best_flag, l_tax AS best_tax
+FROM (
+  SELECT l_orderkey, l_partkey, l_returnflag, l_tax,
+         row_number() OVER (
+           PARTITION BY l_orderkey
+           ORDER BY CASE WHEN l_returnflag = 'N' THEN 0 ELSE 1 END ASC,
+                    l_tax ASC, l_partkey ASC) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
+@register("d3_best_location_pick", oracle=_D3_SQL, tags=("domain", "D3", "A2"), tables=("lineitem",))
+def d3_best_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-location selection (D3) in the reference's signature device:
+    ARRAY_SORT with a comparator lambda over a collected struct array
+    (CreateWorksBase cell 2 `ARRAY_SORT(locations, (x,y) -> CASE ...)`),
+    then element_at(...,1) — quality CASE-ladder first, total tie-break
+    last. The oracle states the same ladder as a window."""
+    collected = (
+        spark.table("lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.collect_list(F.struct("l_partkey", "l_returnflag", "l_tax")).alias("locs"))
+    )
+    best = F.element_at(
+        F.expr(
+            """array_sort(locs, (x, y) -> CASE
+                 WHEN (CASE WHEN x.l_returnflag = 'N' THEN 0 ELSE 1 END)
+                    < (CASE WHEN y.l_returnflag = 'N' THEN 0 ELSE 1 END) THEN -1
+                 WHEN (CASE WHEN x.l_returnflag = 'N' THEN 0 ELSE 1 END)
+                    > (CASE WHEN y.l_returnflag = 'N' THEN 0 ELSE 1 END) THEN 1
+                 WHEN x.l_tax < y.l_tax THEN -1 WHEN x.l_tax > y.l_tax THEN 1
+                 WHEN x.l_partkey < y.l_partkey THEN -1
+                 WHEN x.l_partkey > y.l_partkey THEN 1 ELSE 0 END)"""
+        ),
+        1,
+    )
+    return collected.select(
+        F.col("l_orderkey").alias("orderkey"),
+        best.getField("l_partkey").alias("best_partkey"),
+        best.getField("l_returnflag").alias("best_flag"),
+        best.getField("l_tax").alias("best_tax"),
+    )
+
+
+# --------------------------------------------------------------------------
+# D4: OA status decision tree
+# --------------------------------------------------------------------------
+_D4_SQL = """
+WITH feat AS (
+  SELECT CASE o_orderkey % 3 WHEN 0 THEN 'journal' WHEN 1 THEN 'repository' ELSE 'other' END AS host_type,
+         CASE WHEN o_orderkey % 4 = 0 THEN 'cc-by' END AS license,
+         o_orderkey % 5 = 0 AS in_doaj,
+         o_orderkey % 2 = 0 AS has_apc
+  FROM orders
+)
+SELECT CASE WHEN in_doaj AND NOT has_apc THEN 'diamond'
+            WHEN in_doaj AND has_apc THEN 'gold'
+            WHEN host_type = 'journal' AND license IS NOT NULL THEN 'hybrid'
+            WHEN host_type = 'journal' AND license IS NULL THEN 'bronze'
+            WHEN host_type = 'repository' THEN 'green'
+            ELSE 'closed' END AS oa_status,
+       COUNT(*) AS n
+FROM feat
+GROUP BY oa_status
+"""
+
+
+@register("d4_oa_status", oracle=_D4_SQL, tags=("domain", "D4"), tables=("orders",))
+def d4_oa_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OA-status derivation (D4) over synthesized host/license/DOAJ/APC
+    features — the library decision tree (functions/domain.py:oa_status)
+    against the oracle's closed-form CASE."""
+    from openalex_walden_spark.functions.domain import oa_status
+
+    k = F.col("o_orderkey")
+    feats = spark.table("orders").select(
+        F.when(k % 3 == 0, F.lit("journal"))
+        .when(k % 3 == 1, F.lit("repository"))
+        .otherwise(F.lit("other"))
+        .alias("host_type"),
+        F.when(k % 4 == 0, F.lit("cc-by")).alias("license"),
+        (k % 5 == 0).alias("in_doaj"),
+        (k % 2 == 0).alias("has_apc"),
+    )
+    return (
+        feats.select(
+            oa_status(
+                F.col("host_type"), F.col("license"), F.col("in_doaj"), F.col("has_apc")
+            ).alias("oa_status")
+        )
+        .groupBy("oa_status")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# D6: uniqueness-gated match cascade (AND core)
+# --------------------------------------------------------------------------
+_D6_SQL = """
+WITH cand AS (
+  SELECT c.c_custkey AS custkey, s.s_suppkey AS suppkey,
+         COUNT(*) OVER (PARTITION BY c.c_custkey) AS n_cand
+  FROM customer c JOIN supplier s
+    ON c.c_nationkey = s.s_nationkey
+   AND levenshtein(c.c_name, s.s_name) <= 7
+)
+SELECT custkey, suppkey FROM cand WHERE n_cand = 1
+"""
+
+
+@register("d6_unique_gate_match", oracle=_D6_SQL, tags=("domain", "D6", "J8", "W7"), tables=("customer", "supplier"))
+def d6_unique_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The author-disambiguation core (D6): candidates from a blocked
+    fuzzy join are accepted ONLY when the match is unambiguous — a
+    count-over-partition uniqueness gate (MatchAuthors cell 9: matches
+    survive only where the signal picks exactly one author). Ambiguous
+    blocks fall through to the next cascade tier instead of guessing."""
+    c = spark.table("customer")
+    s = F.broadcast(spark.table("supplier"))
+    cand = c.join(
+        s,
+        (c.c_nationkey == s.s_nationkey)
+        & (F.levenshtein(c.c_name, s.s_name) <= 7),
+    ).select(F.col("c_custkey").alias("custkey"), F.col("s_suppkey").alias("suppkey"))
+    w = Window.partitionBy("custkey")
+    return (
+        cand.withColumn("n_cand", F.count("*").over(w))
+        .where(F.col("n_cand") == 1)
+        .select("custkey", "suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# D7: rule-cascade type classification (rules as data)
+# --------------------------------------------------------------------------
+_D7_SQL = """
+SELECT CASE WHEN upper(p_type) LIKE '%ANODIZED%' THEN 'article'
+            WHEN upper(p_type) LIKE '%BURNISHED%' THEN 'book-chapter'
+            WHEN upper(p_type) LIKE '%PLATED%' THEN 'preprint'
+            WHEN upper(p_type) LIKE '%POLISHED%' THEN 'dataset'
+            WHEN upper(p_type) LIKE '%BRUSHED%' THEN 'report'
+            ELSE 'other' END AS work_type,
+       COUNT(*) AS n
+FROM part
+GROUP BY work_type
+"""
+
+
+@register("d7_type_classification", oracle=_D7_SQL, tags=("domain", "D7"), tables=("part",))
+def d7_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Work-type classification (D7): the rule table lives in
+    functions/domain.py:TYPE_RULES as data and compiles to one CASE
+    chain — the pattern that keeps the reference's ~400-rule cascade
+    (CreateLocationsWithTypes.sql:120-704) testable."""
+    from openalex_walden_spark.functions.domain import classify_type
+
+    return (
+        spark.table("part")
+        .select(classify_type(F.col("p_type")).alias("work_type"))
+        .groupBy("work_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# D11: per-entity aggregates (authors/sources API shape)
+# --------------------------------------------------------------------------
+_D11_SQL = """
+SELECT s_suppkey AS entity_id,
+       COUNT(DISTINCT l_orderkey) AS works_count,
+       COUNT(*) AS cited_by_count,
+       string_agg(DISTINCT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)::VARCHAR, ','
+                  ORDER BY CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)::VARCHAR) AS active_years
+FROM supplier
+JOIN lineitem ON l_suppkey = s_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+GROUP BY s_suppkey
+"""
+
+
+@register("d11_entity_aggregates", oracle=_D11_SQL, tags=("domain", "D11"), tables=("supplier", "lineitem", "orders"))
+def d11_entity_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-API aggregates (D11): explode the works graph per entity →
+    works_count / cited_by_count / active-years series (CreateAuthors
+    cells 2-12 shape). Supplier plays the author; its lineitems are
+    authorship seats."""
+    li = spark.table("lineitem")
+    o = spark.table("orders")
+    s = spark.table("supplier")
+    yr = F.year("o_orderdate").cast("bigint").cast("string")
+    return (
+        s.join(li, li.l_suppkey == s.s_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("s_suppkey").alias("entity_id"))
+        .agg(
+            F.countDistinct("l_orderkey").alias("works_count"),
+            F.count("*").alias("cited_by_count"),
+            F.array_join(F.array_sort(F.collect_set(yr)), ",").alias("active_years"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# D12: curation overlay
+# --------------------------------------------------------------------------
+_D12_SQL = """
+WITH curations AS (
+  SELECT c_custkey AS entity_key, 'CURATED' AS seg_override
+  FROM customer WHERE c_custkey % 50 = 0
+)
+SELECT COALESCE(cu.seg_override, c.c_mktsegment) AS segment,
+       cu.entity_key IS NOT NULL AS curated,
+       COUNT(*) AS n
+FROM customer c LEFT JOIN curations cu ON c.c_custkey = cu.entity_key
+GROUP BY segment, curated
+"""
+
+
+@register("d12_curation_overlay", oracle=_D12_SQL, tags=("domain", "D12"), tables=("customer",))
+def d12_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation overlay (D12): approved human fixes override computed
+    fields at a defined point, with an audit flag (ApplyLocationCurations
+    / `approved_curations` CTE shape). Overlay is a broadcast left join +
+    coalesce — computed values never clobber curated ones."""
+    c = spark.table("customer")
+    curations = F.broadcast(
+        c.where(F.col("c_custkey") % 50 == 0).select(
+            F.col("c_custkey").alias("entity_key"), F.lit("CURATED").alias("seg_override")
+        )
+    )
+    return (
+        c.join(curations, c.c_custkey == curations.entity_key, "left")
+        .select(
+            F.coalesce(F.col("seg_override"), F.col("c_mktsegment")).alias("segment"),
+            F.col("entity_key").isNotNull().alias("curated"),
+        )
+        .groupBy("segment", "curated")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# P8: affiliation-as-author array filter (regex battery)
+# --------------------------------------------------------------------------
+_ORG_PATTERN = r"(?i)\b(universit|institute|department|center|school|inc|ltd)\b"
+
+_P8_SQL = f"""
+WITH works AS (
+  SELECT l_orderkey,
+         list_sort(list(CASE WHEN l_linenumber % 4 = 0
+                             THEN 'University of ' || p_name
+                             ELSE p_name END)) AS authors
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY l_orderkey
+)
+SELECT l_orderkey AS orderkey,
+       len(authors)::BIGINT AS n_raw,
+       len(list_filter(authors, a -> NOT regexp_matches(a, '{_ORG_PATTERN}')))::BIGINT AS n_people
+FROM works
+"""
+
+
+@register("p8_affiliation_filter", oracle=_P8_SQL, tags=("textops", "P8"), tables=("lineitem", "part"))
+def p8_affiliation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Affiliation-as-author cleanup (P8): organizations injected into
+    author arrays are filtered out with a word-boundary regex battery —
+    pure F.filter + rlike, no Python (Crossref.py:91-213's device)."""
+    authors = (
+        spark.table("lineitem")
+        .join(spark.table("part"), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("l_linenumber") % 4 == 0,
+                        F.concat(F.lit("University of "), F.col("p_name")),
+                    ).otherwise(F.col("p_name"))
+                )
+            ).alias("authors")
+        )
+    )
+    people = F.filter(F.col("authors"), lambda a: ~a.rlike(_ORG_PATTERN))
+    return authors.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.size("authors").cast("bigint").alias("n_raw"),
+        F.size(people).cast("bigint").alias("n_people"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P9: language-code mapping via broadcast map
+# --------------------------------------------------------------------------
+_LANG3 = {"eng": "en", "ger": "de", "fre": "fr", "spa": "es", "chi": "zh"}
+
+_P9_SQL = """
+WITH codes AS (
+  SELECT CASE lang WHEN 'en' THEN 'eng' WHEN 'de' THEN 'ger' WHEN 'fr' THEN 'fre'
+                   WHEN 'es' THEN 'spa' WHEN 'zh' THEN 'chi' ELSE 'und' END AS code3
+  FROM documents
+)
+SELECT code3,
+       CASE code3 WHEN 'eng' THEN 'en' WHEN 'ger' THEN 'de' WHEN 'fre' THEN 'fr'
+                  WHEN 'spa' THEN 'es' WHEN 'chi' THEN 'zh' END AS code1,
+       COUNT(*) AS n
+FROM codes
+GROUP BY code3, code1
+"""
+
+
+@register("p9_langcode_map", oracle=_P9_SQL, tags=("textops", "P9"), tables=("documents",))
+def p9_langcode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO 639-2 → 639-1 mapping (P9) as a literal map + element_at — the
+    broadcast-map alternative to the reference's ~185-entry row UDF
+    (PubMed.py:52-105): stays in codegen, no Python worker."""
+    mapping = F.create_map(*[F.lit(x) for kv in _LANG3.items() for x in kv])
+    code3 = (
+        F.when(F.col("lang") == "en", F.lit("eng"))
+        .when(F.col("lang") == "de", F.lit("ger"))
+        .when(F.col("lang") == "fr", F.lit("fre"))
+        .when(F.col("lang") == "es", F.lit("spa"))
+        .when(F.col("lang") == "zh", F.lit("chi"))
+        .otherwise(F.lit("und"))
+    )
+    return (
+        spark.table("documents")
+        .select(code3.alias("code3"))
+        .select("code3", F.element_at(mapping, F.col("code3")).alias("code1"))
+        .groupBy("code3", "code1")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# P10: version detection CASE chain
+# --------------------------------------------------------------------------
+_P10_SQL = """
+WITH ids AS (
+  SELECT CASE o_orderkey % 4
+           WHEN 0 THEN 'arxiv:2401.00001v1'
+           WHEN 1 THEN 'journal/final/10.1/x'
+           WHEN 2 THEN 'repo/accepted-manuscript-123'
+           ELSE 'unknown-id' END AS native_id
+  FROM orders
+)
+SELECT native_id,
+       CASE WHEN native_id LIKE '%v1%' OR native_id LIKE '%arxiv%' THEN 'submittedVersion'
+            WHEN native_id LIKE '%accepted%' THEN 'acceptedVersion'
+            WHEN native_id LIKE '%final%' OR native_id LIKE '%journal%' THEN 'publishedVersion'
+            END AS version,
+       COUNT(*) AS n
+FROM ids
+GROUP BY native_id, version
+"""
+
+
+@register("p10_version_detect", oracle=_P10_SQL, tags=("textops", "P10"), tables=("orders",))
+def p10_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version detection (P10): published/accepted/submitted from id and
+    metadata hints — a CASE chain replacing the reference's row UDF
+    (Repo.py:1365-1425)."""
+    k = F.col("o_orderkey")
+    nid = (
+        F.when(k % 4 == 0, F.lit("arxiv:2401.00001v1"))
+        .when(k % 4 == 1, F.lit("journal/final/10.1/x"))
+        .when(k % 4 == 2, F.lit("repo/accepted-manuscript-123"))
+        .otherwise(F.lit("unknown-id"))
+    )
+    version = (
+        F.when(nid.contains("v1") | nid.contains("arxiv"), F.lit("submittedVersion"))
+        .when(nid.contains("accepted"), F.lit("acceptedVersion"))
+        .when(nid.contains("final") | nid.contains("journal"), F.lit("publishedVersion"))
+    )
+    return (
+        spark.table("orders")
+        .select(nid.alias("native_id"), version.alias("version"))
+        .groupBy("native_id", "version")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# P11: OAI identifier extraction (typed ids from a raw list)
+# --------------------------------------------------------------------------
+_P11_SQL = """
+WITH raw AS (
+  SELECT doc_id,
+         ['oai:repo.example:' || doc_id::VARCHAR,
+          'https://doi.org/10.5555/' || doc_id::VARCHAR,
+          'http://hdl.handle.net/1234/' || doc_id::VARCHAR,
+          'junk-' || doc_id::VARCHAR] AS identifiers
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id,
+       u.i AS raw_id,
+       CASE WHEN u.i LIKE 'oai:%' THEN 'pmh'
+            WHEN regexp_matches(u.i, '10\\.[0-9]{4,9}/') THEN 'doi'
+            WHEN u.i LIKE '%hdl.handle.net%' THEN 'handle'
+            ELSE 'url' END AS id_type
+FROM (SELECT doc_id, unnest(identifiers) AS i FROM raw) u(doc_id, i)
+"""
+
+
+@register("p11_oai_id_extract", oracle=_P11_SQL, tags=("textops", "P11"), tables=("documents",))
+def p11_oai_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OAI dc:identifier typing (P11): a raw identifier list → typed id
+    rows via explode + CASE/regex — higher-order transform replacing the
+    reference's row UDF (Repo.py:1441-1543)."""
+    d = spark.table("documents").where(F.col("doc_id") < 100)
+    ids = F.array(
+        F.concat(F.lit("oai:repo.example:"), F.col("doc_id").cast("string")),
+        F.concat(F.lit("https://doi.org/10.5555/"), F.col("doc_id").cast("string")),
+        F.concat(F.lit("http://hdl.handle.net/1234/"), F.col("doc_id").cast("string")),
+        F.concat(F.lit("junk-"), F.col("doc_id").cast("string")),
+    )
+    rows = d.select("doc_id", F.explode(ids).alias("raw_id"))
+    id_type = (
+        F.when(F.col("raw_id").startswith("oai:"), F.lit("pmh"))
+        .when(F.col("raw_id").rlike(r"10\.\d{4,9}/"), F.lit("doi"))
+        .when(F.col("raw_id").contains("hdl.handle.net"), F.lit("handle"))
+        .otherwise(F.lit("url"))
+    )
+    return rows.select("doc_id", "raw_id", id_type.alias("id_type"))
+
+
+# --------------------------------------------------------------------------
+# S8: model-serving source (queue → mapInPandas inference)
+# --------------------------------------------------------------------------
+_S8_SQL = """
+WITH queue AS (
+  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 256
+)
+SELECT vec_id,
+       list_sum(list_transform(range(1, len(embedding) + 1),
+         j -> embedding[j]::DOUBLE * ((((j - 1) * 2654435761) % 1000) / 1000.0 - 0.5))) AS score,
+       list_sum(list_transform(range(1, len(embedding) + 1),
+         j -> embedding[j]::DOUBLE * ((((j - 1) * 2654435761) % 1000) / 1000.0 - 0.5))) > 0 AS positive
+FROM queue
+"""
+
+
+@register("s8_model_inference", oracle=_S8_SQL, tags=("udf", "S8"), tables=("embeddings",))
+def s8_model_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-serving source shape (S8): drain a bounded inference queue
+    (ORDER BY + LIMIT — topics_inference.ipynb cell 3 `.limit(3840000)`)
+    through mapInPandas with a per-worker model cache (the reference's
+    rdd.mapPartitions modernized, SURVEY.md §2.1).
+
+    The 'model' is a fixed linear scorer (deterministic weights from a
+    Knuth-hash ramp) so the oracle can verify scores bit-exactly — the
+    weights load once per Python worker exactly like a real checkpoint.
+    """
+    from openalex_walden_spark.deploy import ensure_shipped
+    from openalex_walden_spark.functions.udfs import model_score_batch, SCORED_SCHEMA
+
+    ensure_shipped(spark)
+    queue = (
+        spark.table("embeddings")
+        .orderBy("vec_id")
+        .limit(256)
+        .select("vec_id", "embedding")
+    )
+    return queue.mapInPandas(model_score_batch, SCORED_SCHEMA)
