@@ -133,6 +133,44 @@ def _load_model(dim: int) -> list[float]:
     return _MODEL_CACHE[dim]
 
 
+# ---------------------------------------------------------------------------
+# P12: TEI-XML field extraction (real XML parser per Arrow batch)
+# ---------------------------------------------------------------------------
+TEI_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("title", StringType()),
+        StructField("author", StringType()),
+        StructField("abstract_len", LongType()),
+    ]
+)
+
+
+def tei_extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Extract title/author/abstract from TEI-ish XML (PDF.py:92-334's
+    contract) with a real parser — the operator regex cannot be trusted
+    with on real-world TEI, so the engine parses."""
+    import xml.etree.ElementTree as ET
+
+    def extract(xml: str) -> tuple[str | None, str | None, int]:
+        root = ET.fromstring(xml)
+        title = root.findtext(".//title")
+        author = root.findtext(".//persName")
+        abstract = root.findtext(".//abstract") or ""
+        return title, author, len(abstract)
+
+    for pdf in batches:
+        rows = [extract(x) for x in pdf["xml"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "title": [r[0] for r in rows],
+                "author": [r[1] for r in rows],
+                "abstract_len": pd.Series([r[2] for r in rows], dtype="int64"),
+            }
+        )
+
+
 def model_score_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Score each embedding with the cached linear model.
 

@@ -1,0 +1,235 @@
+"""The nested walden data plane end-to-end (SURVEY.md §7.2 M0's
+flagship): two overlapping synthetic "sources" → conform to the nested
+works schema (P1/U1/U3) → merge-key (P7) → provenance-priority field
+fusion (D1) → authorship pick (D10) → one works row per key.
+
+Plus P12: TEI-XML field extraction through a pandas UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openalex_walden_spark.queries.registry import register
+
+# --------------------------------------------------------------------------
+# D0: works build
+# --------------------------------------------------------------------------
+# Work universe = orders. Source "crossref" (priority 1) covers every
+# work: original-case title, doi for key%3<>0, license, up to 3 authors
+# from its lineitems' part names (empty for key%9=0 — forcing D10 to
+# fall back). Source "repo" (priority 2) covers even keys only:
+# UPPERCASE title (same normalized key!), same doi, a version, exactly
+# one author. Fusion must take title/license from crossref, version from
+# repo, and authors from the first source that actually has any.
+# The merge-key title normalization must match textops/P3 exactly.
+_STOP = "the|a|an|of|to|in|for|on|by|with|at|from"
+
+
+def _duck_norm_title(expr: str) -> str:
+    return (
+        f"regexp_replace(regexp_replace(lower({expr}), "
+        f"'\\b({_STOP})\\b', ' ', 'g'), '[^a-z0-9]+', '', 'g')"
+    )
+
+
+_D0_SQL = f"""
+WITH names AS (
+  SELECT l_orderkey, p_name,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_partkey) AS rn
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+),
+first3 AS (
+  SELECT l_orderkey,
+         COUNT(*) AS n_names,
+         MAX(CASE WHEN rn = 1 THEN p_name END) AS name1
+  FROM names WHERE rn <= 3
+  GROUP BY l_orderkey
+),
+works AS (
+  SELECT o.o_orderkey AS k,
+         CASE WHEN o.o_orderkey % 3 <> 0
+              THEN '10.1000/w' || o.o_orderkey::VARCHAR END AS doi,
+         'Study of ' || o.o_orderpriority || ' order ' || o.o_orderkey::VARCHAR AS title,
+         f.n_names, f.name1
+  FROM orders o JOIN first3 f ON f.l_orderkey = o.o_orderkey
+)
+SELECT
+  COALESCE(doi, 'ta:' || {_duck_norm_title('title')}) AS merge_key,
+  (1 + CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_locations,
+  title AS title,
+  'cc-by' AS license,
+  CASE WHEN k % 2 = 0 THEN 'submittedVersion' END AS version,
+  (CASE WHEN k % 9 <> 0 THEN least(n_names, 3)
+        WHEN k % 2 = 0 THEN 1
+        ELSE 0 END)::BIGINT AS n_authors,
+  CASE WHEN k % 9 <> 0 OR k % 2 = 0
+       THEN lower(list_extract(string_split(name1, ' '), -1)) END AS first_author_family
+FROM works
+"""
+
+
+@register("d0_works_build", oracle=_D0_SQL, tags=("nested", "D0", "D1", "D10", "P1", "P7", "U1"), tables=("orders", "lineitem", "part"))
+def d0_works_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The M0 flagship: two sources → conform(WALDEN_WORKS_SCHEMA) →
+    unionByName → merge_key → per-key provenance-priority fusion.
+
+    Every device is the real one: the nested authors array rides through
+    conform() (P1) with typed NULL-fill, the union is schema-aligned by
+    construction (U1/U3), the merge key falls back doi → title_author
+    (P7, with the SAME title normalization as textops/P3 so different-
+    case titles from different sources still merge), and the per-field
+    fold picks the best non-null value by priority (D1) while authors
+    take the first NON-EMPTY array (D10) — fields can come from
+    different sources in one fused row.
+
+    Scale: one shuffle on merge_key; sources conform/union map-side.
+    """
+    from openalex_walden_spark.conform import conform_union
+    from openalex_walden_spark.functions.normalize import normalize_title
+    from openalex_walden_spark.schemas import WALDEN_WORKS_SCHEMA
+
+    li = spark.table("lineitem")
+    part = spark.table("part")
+    orders = spark.table("orders")
+
+    names = (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(F.struct("l_linenumber", "l_partkey", "p_name"))
+                    ),
+                    1,
+                    3,
+                ),
+                lambda s: F.struct(
+                    F.element_at(F.split(s.getField("p_name"), " "), 1).alias("given"),
+                    F.element_at(F.split(s.getField("p_name"), " "), -1).alias("family"),
+                    s.getField("p_name").alias("name"),
+                ),
+            ).alias("authors3")
+        )
+    )
+    base = orders.join(names, F.col("l_orderkey") == F.col("o_orderkey"))
+    k = F.col("o_orderkey")
+    doi = F.when(k % 3 != 0, F.concat(F.lit("10.1000/w"), k.cast("string")))
+    title = F.concat(
+        F.lit("Study of "), F.col("o_orderpriority"), F.lit(" order "), k.cast("string")
+    )
+
+    crossref = base.select(
+        F.lit("crossref").alias("provenance"),
+        F.concat(F.lit("cr-"), k.cast("string")).alias("native_id"),
+        title.alias("title"),
+        doi.alias("_doi"),
+        F.lit("cc-by").alias("license"),
+        F.when(k % 9 != 0, F.col("authors3"))
+        .otherwise(F.expr("array()").cast(base.schema["authors3"].dataType))
+        .alias("authors"),
+    ).withColumn("ids", F.array(F.struct(F.col("_doi").alias("id"), F.lit("doi").alias("namespace"), F.lit(None).cast("string").alias("relationship")))).drop("_doi")
+
+    repo = (
+        base.where(k % 2 == 0)
+        .select(
+            F.lit("repo").alias("provenance"),
+            F.concat(F.lit("oai-"), k.cast("string")).alias("native_id"),
+            F.upper(title).alias("title"),
+            doi.alias("_doi"),
+            F.lit("submittedVersion").alias("version"),
+            F.slice(F.col("authors3"), 1, 1).alias("authors"),
+        )
+        .withColumn("ids", F.array(F.struct(F.col("_doi").alias("id"), F.lit("doi").alias("namespace"), F.lit(None).cast("string").alias("relationship"))))
+        .drop("_doi")
+    )
+
+    # P1 + U1/U3: both sources through the fixed-schema boundary.
+    unioned = conform_union([crossref, repo], WALDEN_WORKS_SCHEMA)
+
+    # P7 merge key: doi (from the ids array, the reference's open-
+    # namespace trick) else normalized-title fallback.
+    doi_from_ids = F.expr("try_element_at(filter(ids, x -> x.namespace = 'doi'), 1).id")
+    keyed = unioned.withColumn(
+        "mk",
+        F.coalesce(
+            doi_from_ids, F.concat(F.lit("ta:"), normalize_title(F.col("title"))),
+        ),
+    ).withColumn(
+        "priority", F.when(F.col("provenance") == "crossref", 1).otherwise(2)
+    )
+
+    rows = F.array_sort(
+        F.collect_list(
+            F.struct("priority", "provenance", "title", "license", "version", "authors")
+        )
+    )
+    fused = keyed.groupBy(F.col("mk").alias("merge_key")).agg(
+        F.count("*").alias("n_locations"), rows.alias("rows")
+    )
+    first_with = lambda field: F.expr(  # noqa: E731
+        f"try_element_at(filter(rows, r -> r.{field} is not null), 1).{field}"
+    )
+    best_authors = F.expr(
+        "try_element_at(filter(rows, r -> size(r.authors) > 0), 1).authors"
+    )
+    return fused.select(
+        "merge_key",
+        F.col("n_locations").cast("bigint"),
+        first_with("title").alias("title"),
+        first_with("license").alias("license"),
+        first_with("version").alias("version"),
+        F.coalesce(F.size(best_authors), F.lit(0)).cast("bigint").alias("n_authors"),
+        F.lower(F.try_element_at(best_authors, F.lit(1)).getField("family")).alias("first_author_family"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P12: TEI-XML field extraction (pandas UDF)
+# --------------------------------------------------------------------------
+_P12_SQL = """
+WITH tei AS (
+  SELECT doc_id,
+         '<TEI><titleStmt><title>Doc ' || doc_id::VARCHAR || '</title></titleStmt>'
+         || '<author><persName>Author' || (doc_id % 7)::VARCHAR || '</persName></author>'
+         || '<abstract>' || substr(text, 1, 40) || '</abstract></TEI>' AS xml
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       regexp_extract(xml, '<title>([^<]*)</title>', 1) AS title,
+       regexp_extract(xml, '<persName>([^<]*)</persName>', 1) AS author,
+       length(regexp_extract(xml, '<abstract>([^<]*)</abstract>', 1))::BIGINT AS abstract_len
+FROM tei
+"""
+
+
+@register("p12_tei_extract", oracle=_P12_SQL, tags=("udf", "P12"), tables=("documents",))
+def p12_tei_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROBID TEI-XML field extraction (P12): per-row XML parsed in an
+    Arrow-batched pandas UDF with a real parser (xml.etree — the
+    reference uses lxml, PDF.py:92-334), not regex. The oracle regexes
+    the same fields out of the deliberately-simple synthesized TEI.
+
+    Documents whose text contains XML-significant characters would break
+    naive regex extraction but not the parser — the synthesis keeps the
+    corpus clean so both agree."""
+    from openalex_walden_spark.deploy import ensure_shipped
+    from openalex_walden_spark.functions.udfs import TEI_SCHEMA, tei_extract_batch
+
+    ensure_shipped(spark)
+    d = spark.table("documents").where(F.col("doc_id") < 200)
+    xml = F.concat(
+        F.lit("<TEI><titleStmt><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title></titleStmt><author><persName>Author"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("</persName></author><abstract>"),
+        F.substring("text", 1, 40),
+        F.lit("</abstract></TEI>"),
+    )
+    return d.select("doc_id", xml.alias("xml")).mapInPandas(
+        tei_extract_batch, TEI_SCHEMA
+    )
