@@ -157,16 +157,20 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANTI_SQL = """
 SELECT c.c_custkey AS custkey, c.c_name AS name
 FROM customer c
-LEFT JOIN orders o ON o.o_custkey = c.c_custkey
-WHERE o.o_orderkey IS NULL
+LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderpriority = '1-URGENT') o
+  ON o.o_custkey = c.c_custkey
+WHERE o.o_custkey IS NULL
 """
 
 
 @register("join_anti_customers_without_orders", oracle=_ANTI_SQL, tags=("join", "J3"), tables=("customer", "orders"))
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left anti join: customers that never ordered."""
+    """Left anti join: customers with no urgent order (filtered right
+    side keeps the result non-empty at every SF — a 0-row anti-join is
+    vacuous correctness evidence)."""
     c = spark.table("customer")
-    o = spark.table("orders")
+    o = spark.table("orders").where(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")
     )

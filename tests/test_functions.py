@@ -147,3 +147,40 @@ def test_conform_fills_missing_nested(spark):
     assert out.schema == target
     row = out.collect()[0]
     assert row["authors"][0]["name"] == "Ada" and row["authors"][0]["orcid"] is None
+
+
+def test_truncate_inverted_index_p14(spark):
+    from pyspark.sql import functions as F
+
+    from openalex_walden_spark.functions.arrays import inverted_index
+    from openalex_walden_spark.functions.serving import truncate_inverted_index
+
+    df = spark.createDataFrame(
+        [("the cat and the hat sat on the mat côté",)], "t string"
+    ).select(inverted_index(F.col("t")).alias("idx"))
+    import json
+
+    for budget in (10, 40, 80, 10_000):
+        out = df.select(
+            truncate_inverted_index(F.col("idx"), budget).alias("j")
+        ).collect()[0]["j"]
+        parsed = json.loads(out)  # must ALWAYS be valid JSON
+        assert len(out.encode("utf-8")) <= max(budget, 2)
+        if budget == 10_000:
+            assert parsed == {
+                "the": [0, 3, 7], "cat": [1], "and": [2], "hat": [4],
+                "sat": [5], "on": [6], "mat": [8], "côté": [9],
+            }
+
+
+def test_with_column_at_p16(spark):
+    from pyspark.sql import functions as F
+
+    from openalex_walden_spark.functions.serving import with_column_at
+
+    df = spark.createDataFrame([(1, "x", 2.0)], "a int, b string, c double")
+    out = with_column_at(df, 1, "inserted", F.lit(9))
+    assert out.columns == ["a", "inserted", "b", "c"]
+    out2 = with_column_at(df, 0, "b", F.lit("z"))  # replace + move
+    assert out2.columns == ["b", "a", "c"]
+    assert out2.collect()[0]["b"] == "z"

@@ -1,0 +1,77 @@
+"""Physical-plan audits: the 100 TB design claims, checked mechanically.
+
+Each catalog query documents a plan property (pushdown, broadcast, no
+cartesian product, partial aggregation). These tests pin them so a
+regression in plan shape fails CI even while results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from openalex_walden_spark import queries as q
+
+q.load_all()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = q.CATALOG[name].spark(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+
+
+def test_q1_filter_pushdown(spark, sf_dir):
+    """The shipdate filter must reach the parquet scan — Catalyst
+    rewrites the date-cast into a timestamp range predicate."""
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan" in plan
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    """Map-side combine before the group-key exchange."""
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "partial_" in plan  # HashAggregate(partial_sum/partial_count...)
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    """All four dimension joins broadcast; the fact side never shuffles
+    for them."""
+    plan = _plan(spark, sf_dir, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    """ReadSchema carries only the referenced lineitem columns."""
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    scan_line = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "l_comment" not in scan_line
+    for col in ("l_returnflag", "l_linestatus", "l_quantity"):
+        assert col in scan_line
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_minhash_lsh_pairs", "embedding_neardup_pairs", "j8_blocking_fuzzy_match"],
+)
+def test_no_cartesian_products(spark, sf_dir, name):
+    """Every near-dup/fuzzy path is blocked or banded — a cartesian
+    product anywhere here is the 100 TB killer."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+
+
+def test_t1_topk_uses_take_ordered(spark, sf_dir):
+    """Global ORDER BY + LIMIT plans as TakeOrderedAndProject (per-
+    partition top-k, k-row merge), never a global sort."""
+    plan = _plan(spark, sf_dir, "t1_global_topk_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_entry_whole_stage_codegen(spark, sf_dir):
+    """The flagship query's hot path stays inside whole-stage codegen
+    (visible only in the AQE-final plan, so execute first)."""
+    df = q.CATALOG["q5_local_supplier_volume"].spark(spark, sf_dir)
+    df.collect()  # AQE finalizes THIS df's own query execution
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")  # noqa: SLF001
+    plan = df._jdf.queryExecution().explainString(mode)  # noqa: SLF001
+    assert "codegen id" in plan  # joins/aggregates fused into codegen stages

@@ -147,3 +147,41 @@ def test_tumbling_window_stream(spark, events, tmp_path):
         F.col("b.n_events").isNull() | (F.col("g.n_events") != F.col("b.n_events"))
     ).count() == 0
     assert got.count() > 0
+
+
+def test_changelog_chaining_st3(spark, events, tmp_path):
+    """St3: a downstream stage streams the upstream's change-log (the CDF
+    chaining pattern) and its aggregate matches the batch answer."""
+    src_dir = str(tmp_path / "chain_src")
+    ev = events.select("event_id", "ts_us", "user_id", "event_type", "value")
+    ev.repartition(3).write.mode("overwrite").json(src_dir)
+
+    stream = file_stream(spark, src_dir, ev.schema, fmt="json")
+    changelog = str(tmp_path / "chain_changelog")
+    run_scd1_stream(
+        stream,
+        state_path=str(tmp_path / "chain_state"),
+        checkpoint_path=str(tmp_path / "chain_ckpt1"),
+        keys=["user_id"],
+        sequence_col="ts_us",
+        tie_breaker="event_id",
+        changelog_path=changelog,
+    )
+
+    # Stage 2: stream the change-log into per-type counts.
+    log_df = spark.read.parquet(changelog)
+    stage2 = file_stream(spark, changelog, log_df.schema, fmt="parquet")
+    out_dir = str(tmp_path / "chain_counts")
+    (
+        stage2.groupBy("event_type")
+        .count()
+        .writeStream.format("memory")
+        .queryName("chain_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {r["event_type"]: r["count"] for r in spark.table("chain_counts").collect()}
+    want = {r["event_type"]: r["count"] for r in ev.groupBy("event_type").count().collect()}
+    assert got == want
