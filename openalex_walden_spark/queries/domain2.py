@@ -551,3 +551,124 @@ def s8_model_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
     )
     return queue.mapInPandas(model_score_batch, SCORED_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# D8: reference resolution via id-map cascade
+# --------------------------------------------------------------------------
+_D8_SQL = """
+WITH raw_refs AS (
+  SELECT l_orderkey AS citing_work, l_linenumber AS ref_pos,
+         CASE WHEN l_partkey % 3 = 0 THEN '10.1000/w' || l_partkey::VARCHAR END AS ref_doi,
+         CASE WHEN l_partkey % 3 = 1 THEN 'pmid:' || l_partkey::VARCHAR END AS ref_pmid,
+         l_partkey
+  FROM lineitem
+),
+doi_map AS (
+  SELECT '10.1000/w' || p_partkey::VARCHAR AS doi, p_partkey * 100 AS work_id
+  FROM part WHERE p_partkey % 6 = 0
+),
+pmid_map AS (
+  SELECT 'pmid:' || p_partkey::VARCHAR AS pmid, p_partkey * 100 + 1 AS work_id
+  FROM part WHERE p_partkey % 3 = 1 AND p_partkey % 5 <> 0
+)
+SELECT r.citing_work, CAST(r.ref_pos AS BIGINT) AS ref_pos,
+       COALESCE(d.work_id, p.work_id) AS resolved_work_id,
+       CASE WHEN d.work_id IS NOT NULL THEN 'doi'
+            WHEN p.work_id IS NOT NULL THEN 'pmid'
+            ELSE 'unresolved' END AS resolved_via
+FROM raw_refs r
+LEFT JOIN doi_map d ON r.ref_doi = d.doi
+LEFT JOIN pmid_map p ON r.ref_pmid = p.pmid
+"""
+
+
+@register("d8_reference_resolution", oracle=_D8_SQL, tags=("domain", "D8"), tables=("lineitem", "part"))
+def d8_reference_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference resolution (D8): exploded raw references resolve through
+    the id-map cascade doi → pmid → unresolved
+    (parse_work_references.ipynb cells 2-14; 1.53B of the reference's
+    3.76B refs stay unresolved — the 'unresolved' class is a real
+    outcome, not an error).
+
+    Scale: both maps join broadcast (id maps are dimension-sized
+    relative to the reference fact table); the fact side never shuffles.
+    """
+    li = spark.table("lineitem")
+    part = spark.table("part")
+    pk = F.col("l_partkey")
+    raw = li.select(
+        F.col("l_orderkey").alias("citing_work"),
+        F.col("l_linenumber").cast("bigint").alias("ref_pos"),
+        F.when(pk % 3 == 0, F.concat(F.lit("10.1000/w"), pk.cast("string"))).alias("ref_doi"),
+        F.when(pk % 3 == 1, F.concat(F.lit("pmid:"), pk.cast("string"))).alias("ref_pmid"),
+    )
+    doi_map = F.broadcast(
+        part.where(F.col("p_partkey") % 6 == 0).select(
+            F.concat(F.lit("10.1000/w"), F.col("p_partkey").cast("string")).alias("doi"),
+            (F.col("p_partkey") * 100).alias("doi_work_id"),
+        )
+    )
+    pmid_map = F.broadcast(
+        part.where((F.col("p_partkey") % 3 == 1) & (F.col("p_partkey") % 5 != 0)).select(
+            F.concat(F.lit("pmid:"), F.col("p_partkey").cast("string")).alias("pmid"),
+            (F.col("p_partkey") * 100 + 1).alias("pmid_work_id"),
+        )
+    )
+    return (
+        raw.join(doi_map, raw.ref_doi == doi_map.doi, "left")
+        .join(pmid_map, raw.ref_pmid == pmid_map.pmid, "left")
+        .select(
+            "citing_work",
+            "ref_pos",
+            F.coalesce(F.col("doi_work_id"), F.col("pmid_work_id")).alias("resolved_work_id"),
+            F.when(F.col("doi_work_id").isNotNull(), F.lit("doi"))
+            .when(F.col("pmid_work_id").isNotNull(), F.lit("pmid"))
+            .otherwise(F.lit("unresolved"))
+            .alias("resolved_via"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# D5: cohort percentile flags (top-1% / top-10%)
+# --------------------------------------------------------------------------
+_D5F_SQL = """
+WITH counts AS (
+  SELECT l_partkey AS work_id, COUNT(*) AS cited_by_count
+  FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+  SELECT work_id, cited_by_count,
+         percent_rank() OVER (ORDER BY cited_by_count ASC, work_id ASC) AS pr
+  FROM counts
+)
+SELECT work_id, cited_by_count, pr AS citation_percentile,
+       pr >= 0.99 AS is_in_top_1_percent,
+       pr >= 0.90 AS is_in_top_10_percent
+FROM ranked
+"""
+
+
+@register("d5_percentile_flags", oracle=_D5F_SQL, tags=("domain", "D5", "W3"), tables=("lineitem",))
+def d5_percentile_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Citation-normalized percentile + top-1%/top-10% flags (the
+    `citation_normalized_percentile` struct, CreateWorksBase cell 2 /
+    CreateWorksEnriched cell 11) with a totalized ordering so the flag
+    boundary is deterministic."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        spark.table("lineitem")
+        .groupBy(F.col("l_partkey").alias("work_id"))
+        .agg(F.count("*").alias("cited_by_count"))
+    )
+    w = Window.orderBy(F.col("cited_by_count").asc(), F.col("work_id").asc())
+    ranked = counts.withColumn("pr", F.percent_rank().over(w))
+    return ranked.select(
+        "work_id",
+        "cited_by_count",
+        F.col("pr").alias("citation_percentile"),
+        (F.col("pr") >= 0.99).alias("is_in_top_1_percent"),
+        (F.col("pr") >= 0.90).alias("is_in_top_10_percent"),
+    )

@@ -185,3 +185,36 @@ def test_changelog_chaining_st3(spark, events, tmp_path):
     got = {r["event_type"]: r["count"] for r in spark.table("chain_counts").collect()}
     want = {r["event_type"]: r["count"] for r in ev.groupBy("event_type").count().collect()}
     assert got == want
+
+
+def test_guardrails_block_on_breach(spark, events):
+    """Guardrail checks pass within limits and raise (with a full report)
+    on breach — the blocking nightly-QA contract."""
+    from openalex_walden_spark.operators.guardrails import (
+        Guardrail,
+        GuardrailViolation,
+        null_fraction,
+        row_count_drift,
+        run_guardrails,
+    )
+
+    n = events.count()
+    ok_report = run_guardrails(
+        events,
+        [
+            Guardrail("row_drift_small", row_count_drift(n - 3), limit=10),
+            Guardrail("value_nulls_low", null_fraction("value"), limit=0.05),
+        ],
+    )
+    assert all(r.ok for r in ok_report)
+
+    with pytest.raises(GuardrailViolation) as exc:
+        run_guardrails(
+            events,
+            [
+                Guardrail("row_drift_tight", row_count_drift(n - 100), limit=10),
+                Guardrail("value_nulls_low", null_fraction("value"), limit=0.05),
+            ],
+        )
+    report = exc.value.report
+    assert [r.ok for r in report] == [False, True]  # all checks evaluated
