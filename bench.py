@@ -52,6 +52,10 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
         .config("spark.sql.adaptive.enabled", "true")
+        # Local fixture = one parquet file per table; a smaller split size
+        # parallelizes the scan across cores (bounded by row groups). On a
+        # real cluster with many files, the 128m default is right.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
