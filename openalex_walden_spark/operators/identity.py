@@ -1,0 +1,137 @@
+"""Stateful work-identity resolution (D2): the MERGE cascade with
+adopt-vs-mint semantics across runs.
+
+The reference's ``CreateLocationsMapped.sql:103-1170`` is the heart of
+the system: each nightly run joins incoming location records against the
+persistent ``work_id_map`` through a key cascade (doi → pmid → arxiv →
+title_author), adopts the mapped id on the first hit, canonicalizes
+multi-hit groups to the minimum id, and mints fresh ids above a
+high-water mark for records no key resolves (identity column ``START
+WITH 6600000001``; open-source replacement: max-id + row_number, the
+reference's own author-id pattern — ``MatchAuthors.ipynb`` cell 11).
+
+Subtleties carried over:
+- **Two-pass discipline**: within one run, records that share a key with
+  a *newly minted* record must receive the same new id (the reference
+  needed a second MERGE pass to avoid multi-match). Here the mint pass
+  groups unresolved records by their strongest key first, so one id is
+  minted per unresolved entity, not per record.
+- **Idempotency**: re-running the same batch adopts every id minted by
+  the previous run and mints nothing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEFAULT_ID_FLOOR = 6_600_000_000
+
+
+def resolve_work_ids(
+    spark: SparkSession,
+    id_map: DataFrame | None,
+    records: DataFrame,
+    key_cols: Sequence[str],
+    record_key: str = "record_id",
+    id_floor: int = DEFAULT_ID_FLOOR,
+) -> tuple[DataFrame, DataFrame]:
+    """One resolution run.
+
+    ``id_map`` holds (key_kind, key_value, work_id) rows — one per known
+    identity key. ``records`` carries ``record_key`` plus the cascade's
+    ``key_cols`` (earlier = stronger; NULLs allowed). Returns
+    ``(assignments, new_id_map)`` where assignments is
+    (record_id, work_id, resolved_via).
+
+    Scale: each cascade tier is one broadcast-able equi-join against the
+    map partition for that key kind; minting is one shuffle on the
+    strongest unresolved key. No driver-side loops over rows — the only
+    driver value is the high-water mark (a 1-row aggregate, exactly what
+    the reference's DECLARE VARIABLE does).
+    """
+    empty_map = id_map is None
+    if empty_map:
+        from pyspark.sql.types import LongType, StringType, StructType
+
+        schema = (
+            StructType()
+            .add("key_kind", StringType())
+            .add("key_value", StringType())
+            .add("work_id", LongType())
+        )
+        id_map = spark.createDataFrame([], schema)
+
+    # Cascade: left-join each key tier, first non-null mapped id wins.
+    out = records
+    adopted_cols = []
+    for kc in key_cols:
+        tier = (
+            id_map.where(F.col("key_kind") == kc)
+            .select(
+                F.col("key_value").alias(f"_k_{kc}"),
+                F.col("work_id").alias(f"_id_{kc}"),
+            )
+        )
+        out = out.join(
+            F.broadcast(tier), out[kc] == tier[f"_k_{kc}"], "left"
+        ).drop(f"_k_{kc}")
+        adopted_cols.append(F.col(f"_id_{kc}"))
+
+    resolved_via = F.lit(None).cast("string")
+    for kc in reversed(key_cols):
+        resolved_via = F.when(
+            F.col(f"_id_{kc}").isNotNull(), F.lit(kc)
+        ).otherwise(resolved_via)
+    out = out.withColumn("_adopted", F.coalesce(*adopted_cols)).withColumn(
+        "_via", resolved_via
+    )
+
+    # Mint: group unresolved records by their strongest present key so
+    # same-key records share one new id (the two-pass multi-match fix).
+    strongest = F.coalesce(*[F.col(kc) for kc in key_cols], F.col(record_key).cast("string"))
+    unresolved = out.where(F.col("_adopted").isNull()).withColumn("_mint_key", strongest)
+    high_water = (id_map.agg(F.max("work_id")).collect()[0][0]) or id_floor
+    mint_w = Window.orderBy(F.col("_mint_key").asc())
+    minted_keys = (
+        unresolved.select("_mint_key").distinct()
+        .withColumn("_minted_id", F.lit(high_water) + F.dense_rank().over(mint_w))
+    )
+    unresolved = unresolved.join(minted_keys, "_mint_key")
+
+    assignments = (
+        out.where(F.col("_adopted").isNotNull())
+        .select(
+            F.col(record_key),
+            F.col("_adopted").alias("work_id"),
+            F.col("_via").alias("resolved_via"),
+        )
+        .unionByName(
+            unresolved.select(
+                F.col(record_key),
+                F.col("_minted_id").cast("long").alias("work_id"),
+                F.lit("minted").alias("resolved_via"),
+            )
+        )
+    )
+
+    # New map entries: every (key_kind, key_value) of every record now
+    # points at its work_id; min-id canonicalization on conflict.
+    keyed = records.join(assignments, record_key)
+    new_entries = None
+    for kc in key_cols:
+        e = keyed.where(F.col(kc).isNotNull()).select(
+            F.lit(kc).alias("key_kind"),
+            F.col(kc).alias("key_value"),
+            F.col("work_id"),
+        )
+        new_entries = e if new_entries is None else new_entries.unionByName(e)
+    merged_map = (
+        id_map.unionByName(new_entries)
+        .groupBy("key_kind", "key_value")
+        .agg(F.min("work_id").alias("work_id"))
+    )
+    return assignments, merged_map

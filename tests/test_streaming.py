@@ -218,3 +218,33 @@ def test_guardrails_block_on_breach(spark, events):
         )
     report = exc.value.report
     assert [r.ok for r in report] == [False, True]  # all checks evaluated
+
+
+def test_scd1_stream_delete_propagation_st4(spark, events, tmp_path):
+    """St4 through the stream: delete-flagged records remove their key
+    from the state (apply_as_deletes semantics)."""
+    src_dir = str(tmp_path / "del_src")
+    ev = events.select("event_id", "ts_us", "user_id", "event_type", "value")
+    ev.repartition(2).write.mode("overwrite").json(src_dir)
+
+    stream = file_stream(spark, src_dir, ev.schema, fmt="json")
+    state = str(tmp_path / "del_state")
+    run_scd1_stream(
+        stream,
+        state_path=state,
+        checkpoint_path=str(tmp_path / "del_ckpt"),
+        keys=["user_id"],
+        sequence_col="ts_us",
+        tie_breaker="event_id",
+        delete_predicate=F.col("event_type") == "error",
+    )
+    final = latest_state(spark, state)
+    # Users whose LATEST event is an error are deleted from state.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_us").desc(), F.col("event_id").desc())
+    latest = ev.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+    deleted_users = {r["user_id"] for r in latest.where("event_type = 'error'").collect()}
+    kept_users = {r["user_id"] for r in final.collect()}
+    assert deleted_users and kept_users.isdisjoint(deleted_users)
+    assert kept_users == {r["user_id"] for r in latest.collect()} - deleted_users
