@@ -1,0 +1,117 @@
+"""SQL UDF surface (SURVEY.md §2.10 "SQL UDF (CREATE FUNCTION)").
+
+The reference declares reusable scalar logic as catalog-level SQL UDFs:
+``get_highest_priority_value`` (fold over a value/priority array —
+``CreateWorksBase.ipynb`` cell 2 lines 53-70), ``names_compatible``
+(name-identity predicate — ``UpdateWorkAuthors.ipynb`` cell 3), and the
+award-id pair ``award_id_is_weak`` / ``award_norm_key``
+(``notebooks/awards/AwardNormKey.sql:11-16,18+``).
+
+Spark 4 supports the same declaration style natively
+(``CREATE OR REPLACE TEMPORARY FUNCTION … RETURNS … RETURN <expr>``), so
+these are session-scoped SQL functions, usable from any ``spark.sql``
+query — the engine's SQL layer gains the reference's vocabulary without
+any Python-UDF serialization cost: the bodies inline into Catalyst plans
+and stay inside whole-stage codegen.
+
+Scale note: SQL UDFs are macro-expanded at analysis time; at 100 TB they
+cost exactly what their body expression costs — no per-row interpreter,
+no Arrow transfer, no executor-side Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+# A3 as a SQL UDF: first element with a strictly lower priority wins, so
+# ties break toward the earliest candidate — same contract as
+# functions.arrays.priority_pick (and the reference's fold).
+_PRIORITY_BEST = """
+CREATE OR REPLACE TEMPORARY FUNCTION priority_best(
+  vals ARRAY<STRUCT<value STRING, priority INT>>)
+RETURNS STRING
+RETURN aggregate(
+  vals,
+  CAST(STRUCT(CAST(NULL AS STRING) AS value, 2147483647 AS priority)
+       AS STRUCT<value STRING, priority INT>),
+  (acc, x) -> CASE WHEN x.value IS NOT NULL AND x.value != ''
+                    AND x.priority < acc.priority
+                   THEN x ELSE acc END
+).value
+"""
+
+# Name-identity predicate, same behavioral contract as the reference's
+# names_compatible: unparsed side (NULL surname) falls back to raw
+# equality; same surname needs only initial-or-missing given-name
+# agreement; first/last order swap is compatible; surname containment
+# (prefix/suffix, min length 4) with initial agreement is compatible.
+_NAMES_COMPATIBLE = """
+CREATE OR REPLACE TEMPORARY FUNCTION names_compatible(
+  a_last STRING, a_first STRING, b_last STRING, b_first STRING,
+  a_raw STRING, b_raw STRING)
+RETURNS BOOLEAN
+RETURN COALESCE(
+  CASE
+    WHEN a_last IS NULL OR b_last IS NULL
+      THEN lower(trim(a_raw)) = lower(trim(b_raw))
+    WHEN a_last = b_last
+     AND (left(a_first, 1) = left(b_first, 1)
+          OR a_first IS NULL OR b_first IS NULL)
+      THEN TRUE
+    WHEN a_last = b_first AND a_first = b_last
+      THEN TRUE
+    WHEN (startswith(a_last, b_last) OR endswith(a_last, b_last)
+          OR startswith(b_last, a_last) OR endswith(b_last, a_last))
+     AND least(length(a_last), length(b_last)) >= 4
+     AND (left(a_first, 1) = left(b_first, 1)
+          OR a_first IS NULL OR b_first IS NULL)
+      THEN TRUE
+    ELSE FALSE
+  END, FALSE)
+"""
+
+# Generic award-id normalization key: uppercase/trim, collapse runs of
+# whitespace, drop spaces and hyphens, then canonicalize the trailing
+# digit run by stripping leading zeros (the generic layer under the
+# reference's per-funder table; the per-funder regexes are data, not
+# engine capability).
+_AWARD_KEY = """
+CREATE OR REPLACE TEMPORARY FUNCTION award_key(award STRING)
+RETURNS STRING
+RETURN CASE
+  WHEN award IS NULL OR trim(award) = '' THEN NULL
+  ELSE (
+    WITH stripped AS (
+      SELECT regexp_replace(
+               regexp_replace(upper(trim(award)), '\\\\s+', ' '),
+               '[ -]', '') AS s
+    )
+    SELECT CASE
+      WHEN s rlike '^.*[0-9]$' AND regexp_extract(s, '^(.*?)([0-9]+)$', 2) != ''
+        THEN concat(regexp_extract(s, '^(.*?)([0-9]+)$', 1),
+                    CAST(CAST(regexp_extract(s, '^(.*?)([0-9]+)$', 2) AS BIGINT)
+                         AS STRING))
+      ELSE nullif(s, '')
+    END FROM stripped)
+END
+"""
+
+# Weakness predicate: a normalized form that is a bare 4-7 digit number
+# deposited at a dense numeric registry is never sufficient evidence for
+# an automatic merge (the reference's WEAK_BARE rule, generalized: the
+# caller supplies the registry-density fact instead of a funder-id list).
+_AWARD_IS_WEAK = """
+CREATE OR REPLACE TEMPORARY FUNCTION award_is_weak(
+  dense_registry BOOLEAN, award STRING)
+RETURNS BOOLEAN
+RETURN COALESCE(
+  dense_registry AND award_key(award) rlike '^[0-9]{4,7}$', FALSE)
+"""
+
+_ALL = (_PRIORITY_BEST, _NAMES_COMPATIBLE, _AWARD_KEY, _AWARD_IS_WEAK)
+
+
+def create_sql_udfs(spark: SparkSession) -> None:
+    """Install the engine's SQL-UDF vocabulary into the session."""
+    for ddl in _ALL:
+        spark.sql(ddl)

@@ -1,0 +1,216 @@
+"""SQL-UDF surface queries (SURVEY.md §2.10 "SQL UDF (CREATE FUNCTION)").
+
+The reference ships reusable scalar logic as catalog SQL UDFs —
+``get_highest_priority_value`` (``CreateWorksBase.ipynb`` cell 2 lines
+53-70), ``names_compatible`` (``UpdateWorkAuthors.ipynb`` cell 3),
+``award_id_is_weak``/``award_norm_key`` (``AwardNormKey.sql:11-16``).
+These queries exercise the engine's equivalents (session SQL functions,
+``functions/sql_udfs.py``) end-to-end from ``spark.sql`` text, with the
+oracle inlining the same scalar logic in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from openalex_walden_spark.functions.sql_udfs import create_sql_udfs
+from openalex_walden_spark.queries.registry import register
+
+# ---------------------------------------------------------------------------
+# Award-id normalization battery over synthesized deposited strings.
+
+_AWARD_RAW_SPARK = """
+CASE CAST(o_orderkey % 4 AS INT)
+  WHEN 0 THEN concat('awd - ', lpad(CAST(o_orderkey % 100000 AS STRING), 7, '0'))
+  WHEN 1 THEN concat('AWD-', CAST(o_orderkey % 100000 AS STRING))
+  WHEN 2 THEN lpad(CAST(o_orderkey % 100000 AS STRING), 6, '0')
+  ELSE concat('R01-GM', lpad(CAST(o_orderkey % 1000 AS STRING), 6, '0'))
+END
+"""
+
+_AWARD_RAW_DUCK = _AWARD_RAW_SPARK.replace("AS STRING", "AS VARCHAR")
+
+# DuckDB inline equivalent of award_key(raw): uppercase/trim, collapse
+# whitespace, drop spaces+hyphens, strip leading zeros off the trailing
+# digit run.
+_AWARD_KEY_DUCK = """
+CASE
+  WHEN regexp_matches(s, '^.*[0-9]$')
+    THEN concat(regexp_extract(s, '^(.*?)([0-9]+)$', 1),
+                CAST(CAST(regexp_extract(s, '^(.*?)([0-9]+)$', 2) AS BIGINT) AS VARCHAR))
+  ELSE nullif(s, '')
+END
+"""
+
+_AWARD_ORACLE = f"""
+WITH raw AS (
+  SELECT o_orderkey, o_custkey, {_AWARD_RAW_DUCK} AS award FROM orders
+),
+stripped AS (
+  SELECT o_orderkey, o_custkey,
+         regexp_replace(regexp_replace(upper(trim(award)), '\\s+', ' ', 'g'),
+                        '[ -]', '', 'g') AS s
+  FROM raw
+),
+keyed AS (
+  SELECT o_orderkey,
+         {_AWARD_KEY_DUCK} AS k,
+         COALESCE(o_custkey % 2 = 0
+                  AND regexp_matches({_AWARD_KEY_DUCK}, '^[0-9]{{4,7}}$'),
+                  FALSE) AS is_weak
+  FROM stripped
+)
+SELECT is_weak, length(k) AS key_len,
+       count(*)::BIGINT AS n, count(DISTINCT k)::BIGINT AS n_keys
+FROM keyed GROUP BY is_weak, key_len ORDER BY is_weak, key_len
+"""
+
+
+@register(
+    "udf_award_normalize",
+    oracle=_AWARD_ORACLE,
+    tags=("sqludf", "scalar"),
+    tables=("orders",),
+)
+def udf_award_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Award-id normalization via session SQL UDFs (award_key +
+    award_is_weak), declared with CREATE TEMPORARY FUNCTION and invoked
+    from plain SQL — macro-expanded by Catalyst, zero Python in the plan.
+    """
+    create_sql_udfs(spark)
+    return spark.sql(f"""
+        WITH raw AS (
+          SELECT o_orderkey, o_custkey, {_AWARD_RAW_SPARK} AS award FROM orders
+        ),
+        keyed AS (
+          SELECT o_orderkey, award_key(award) AS k,
+                 award_is_weak(o_custkey % 2 = 0, award) AS is_weak
+          FROM raw
+        )
+        SELECT is_weak, length(k) AS key_len,
+               count(*) AS n, count(DISTINCT k) AS n_keys
+        FROM keyed GROUP BY is_weak, key_len ORDER BY is_weak, key_len
+    """)
+
+
+# ---------------------------------------------------------------------------
+# names_compatible over blocked candidate pairs (J8's predicate layer).
+
+_NAMES_COMPAT_DUCK = """
+COALESCE(CASE
+  WHEN a.family IS NULL OR b.family IS NULL
+    THEN lower(trim(a.raw)) = lower(trim(b.raw))
+  WHEN a.family = b.family
+   AND (left(a.given, 1) = left(b.given, 1)
+        OR a.given IS NULL OR b.given IS NULL) THEN TRUE
+  WHEN a.family = b.given AND a.given = b.family THEN TRUE
+  WHEN (starts_with(a.family, b.family) OR ends_with(a.family, b.family)
+        OR starts_with(b.family, a.family) OR ends_with(b.family, a.family))
+   AND least(length(a.family), length(b.family)) >= 4
+   AND (left(a.given, 1) = left(b.given, 1)
+        OR a.given IS NULL OR b.given IS NULL) THEN TRUE
+  ELSE FALSE END, FALSE)
+"""
+
+_NAMES_ORACLE = f"""
+WITH named AS (
+  SELECT doc_id,
+         CASE WHEN n_chars % 7 = 0 THEN NULL
+              ELSE string_split(text, ' ')[2] END AS family,
+         CASE WHEN n_chars % 7 = 0 THEN NULL
+              ELSE string_split(text, ' ')[1] END AS given,
+         string_split(text, ' ')[1] AS raw,
+         CAST(n_chars % 20 AS INT) AS block
+  FROM documents
+)
+SELECT a.block AS block, count(*)::BIGINT AS n_pairs,
+       sum(CASE WHEN {_NAMES_COMPAT_DUCK} THEN 1 ELSE 0 END)::BIGINT AS n_compat
+FROM named a JOIN named b ON a.block = b.block AND a.doc_id < b.doc_id
+GROUP BY a.block ORDER BY a.block
+"""
+
+
+@register(
+    "udf_names_compatible_pairs",
+    oracle=_NAMES_ORACLE,
+    tags=("sqludf", "entity-resolution"),
+    tables=("documents",),
+)
+def udf_names_compatible_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked candidate pairs scored by the names_compatible SQL UDF —
+    the predicate layer of the reference's author-disambiguation join
+    (block on a cheap key, apply the identity predicate inside the
+    block; pair volume stays bounded by block occupancy at any scale).
+    """
+    create_sql_udfs(spark)
+    return spark.sql("""
+        WITH named AS (
+          SELECT doc_id,
+                 CASE WHEN n_chars % 7 = 0 THEN NULL
+                      ELSE element_at(split(text, ' '), 2) END AS family,
+                 CASE WHEN n_chars % 7 = 0 THEN NULL
+                      ELSE element_at(split(text, ' '), 1) END AS given,
+                 element_at(split(text, ' '), 1) AS raw,
+                 CAST(n_chars % 20 AS INT) AS block
+          FROM documents
+        )
+        SELECT a.block AS block, count(*) AS n_pairs,
+               sum(CASE WHEN names_compatible(a.family, a.given,
+                                              b.family, b.given,
+                                              a.raw, b.raw)
+                        THEN 1 ELSE 0 END) AS n_compat
+        FROM named a JOIN named b
+          ON a.block = b.block AND a.doc_id < b.doc_id
+        GROUP BY a.block ORDER BY a.block
+    """)
+
+
+# ---------------------------------------------------------------------------
+# priority_best fold (A3 as a SQL UDF, callable from SQL text).
+
+_FOLD_ORACLE = """
+WITH cand AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderpriority END AS value,
+         CAST(o_orderkey % 5 AS INT) AS priority, 0 AS idx
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 4 = 0 THEN '' ELSE o_orderstatus END,
+         2, 1
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'fallback', 98, 2 FROM orders
+)
+SELECT o_orderkey, arg_min(value, priority * 4 + idx) AS best
+FROM cand WHERE value IS NOT NULL AND value != ''
+GROUP BY o_orderkey
+"""
+
+
+@register(
+    "udf_priority_best_fold",
+    oracle=_FOLD_ORACLE,
+    tags=("sqludf", "fold"),
+    tables=("orders",),
+)
+def udf_priority_best_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A3 provenance fold exposed as a SQL UDF: first candidate with a
+    strictly lower priority wins (ties break toward the earlier element).
+    The oracle replicates the fold relationally via arg_min over a
+    composite (priority, index) key.
+    """
+    create_sql_udfs(spark)
+    return spark.sql("""
+        SELECT o_orderkey,
+               priority_best(array(
+                 struct(CASE WHEN o_orderkey % 3 = 0
+                             THEN CAST(NULL AS STRING)
+                             ELSE o_orderpriority END AS value,
+                        CAST(o_orderkey % 5 AS INT) AS priority),
+                 struct(CASE WHEN o_orderkey % 4 = 0
+                             THEN '' ELSE o_orderstatus END AS value,
+                        2 AS priority),
+                 struct('fallback' AS value, 98 AS priority))) AS best
+        FROM orders
+    """)

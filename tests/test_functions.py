@@ -184,3 +184,35 @@ def test_with_column_at_p16(spark):
     out2 = with_column_at(df, 0, "b", F.lit("z"))  # replace + move
     assert out2.columns == ["b", "a", "c"]
     assert out2.collect()[0]["b"] == "z"
+
+
+def test_sql_udf_surface(spark):
+    """§2.10 SQL UDFs: session CREATE FUNCTION vocabulary edge cases."""
+    from openalex_walden_spark.functions.sql_udfs import create_sql_udfs
+
+    create_sql_udfs(spark)
+    row = spark.sql("""
+      SELECT
+        priority_best(array(struct(CAST(NULL AS STRING) AS value, 0 AS priority),
+                            struct('' AS value, 1 AS priority),
+                            struct('b' AS value, 3 AS priority),
+                            struct('a' AS value, 3 AS priority))) AS tie_earliest,
+        priority_best(CAST(array() AS ARRAY<STRUCT<value STRING, priority INT>>)) AS empty,
+        names_compatible('smith', 'jane', 'smith', 'j', NULL, NULL) AS initial_ok,
+        names_compatible('smith', 'jane', 'smith', 'kate', NULL, NULL) AS initial_clash,
+        names_compatible('jane', 'smith', 'smith', 'jane', NULL, NULL) AS swap_ok,
+        names_compatible('li', 'a', 'lin', 'a', NULL, NULL) AS short_containment,
+        names_compatible(NULL, NULL, NULL, NULL, ' Ana ', 'ana') AS raw_fallback,
+        award_key(' awd - 0012345 ') AS key_zeros,
+        award_key(NULL) AS key_null,
+        award_is_weak(TRUE, '0012345') AS weak_dense,
+        award_is_weak(FALSE, '0012345') AS weak_sparse
+    """).collect()[0]
+    assert row["tie_earliest"] == "b"       # ties break toward earlier element
+    assert row["empty"] is None
+    assert row["initial_ok"] and not row["initial_clash"]
+    assert row["swap_ok"]
+    assert not row["short_containment"]     # containment needs length >= 4
+    assert row["raw_fallback"]
+    assert row["key_zeros"] == "AWD12345" and row["key_null"] is None
+    assert row["weak_dense"] and not row["weak_sparse"]
