@@ -547,3 +547,44 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("q_id", "neighbor_id", "cosine", F.col("rnk").cast("bigint").alias("rnk"))
     )
+
+
+# --------------------------------------------------------------------------
+# LLM-as-operator (§2.10): cost-guarded judge pass over documents.
+# --------------------------------------------------------------------------
+
+_LLM_JUDGE_ORACLE = """
+SELECT doc_id,
+       CASE WHEN ('0x' || substr(md5(COALESCE(text, '')), 1, 8))::BIGINT % 5 = 0
+            THEN 'flag' ELSE 'ok' END AS verdict,
+       (('0x' || substr(md5(COALESCE(text, '')), 1, 8))::BIGINT % 1000)::INTEGER
+         AS conf_milli
+FROM documents
+"""
+
+
+@register(
+    "llm_judge_verdicts",
+    oracle=_LLM_JUDGE_ORACLE,
+    tags=("llmdata", "llm-operator", "pandas-udf"),
+    tables=("documents",),
+)
+def llm_judge_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-as-operator (§2.10): judge every document through the
+    cost-guarded model pass (``functions/llm.py``), re-expressing the
+    reference's ai_query + cost-guard discipline
+    (``AuthorshipQualityJudge.py``; ``ai_query_cost_guard.py:57-97``).
+
+    The stub backend's verdicts are md5-derived, so this pandas-UDF
+    (Arrow/mapInPandas) pipeline is fully oracle-checked — schema,
+    batching, and determinism are all verified, only the model weights
+    are fake. The guard meters a 256-row chunk first; the full pass only
+    launches under budget.
+    """
+    from openalex_walden_spark.functions.llm import guarded_llm_pass
+
+    docs = spark.table("documents")
+    out, _est = guarded_llm_pass(
+        docs, text_col="text", id_col="doc_id", budget_usd=10.0
+    )
+    return out

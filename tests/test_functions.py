@@ -216,3 +216,36 @@ def test_sql_udf_surface(spark):
     assert row["raw_fallback"]
     assert row["key_zeros"] == "AWD12345" and row["key_null"] is None
     assert row["weak_dense"] and not row["weak_sparse"]
+
+
+def test_llm_cost_guard(spark, sf_dir):
+    """§2.10 LLM-as-operator: guard meters a chunk and blocks over-budget
+    passes BEFORE any full-scale work; non-stub backends are a clearly
+    marked seam."""
+    import pytest as _pytest
+
+    from openalex_walden_spark.functions.llm import (
+        CostGuardError,
+        embed_texts,
+        guarded_llm_pass,
+        llm_judge,
+    )
+    from openalex_walden_spark.tables import register_views
+
+    register_views(spark, sf_dir, ("documents",))
+    docs = spark.table("documents")
+
+    out, est = guarded_llm_pass(docs, "text", "doc_id", budget_usd=10.0)
+    assert est.projected_usd > 0 and est.metered_rows > 0
+    assert out.limit(1).collect()[0]["verdict"] in ("ok", "flag")
+
+    with _pytest.raises(CostGuardError):
+        guarded_llm_pass(docs, "text", "doc_id", budget_usd=0.0)
+
+    with _pytest.raises(NotImplementedError):
+        llm_judge(docs, "text", "doc_id", backend="real")
+
+    emb = embed_texts(docs.limit(4), "text", "doc_id", dim=8).collect()
+    assert all(len(r["embedding"]) == 8 for r in emb)
+    # L1-normalized token-count buckets sum to ~1 for non-empty docs
+    assert abs(sum(emb[0]["embedding"]) - 1.0) < 1e-6
