@@ -52,6 +52,9 @@ def _canon_value(v) -> str:
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon_value(x) for x in v) + "]"
+    # numpy arrays (DuckDB list columns) → python lists
+    if getattr(v, "ndim", 0):
+        return _canon_value(v.tolist())
     if isinstance(v, dict):
         items = sorted((str(k), _canon_value(x)) for k, x in v.items())
         return "{" + ",".join(f"{k}:{x}" for k, x in items) + "}"

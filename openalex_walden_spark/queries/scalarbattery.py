@@ -1,0 +1,154 @@
+"""Scalar-function battery (SURVEY.md §2.8) + J12 USING-join.
+
+§2.8 lists the scalar vocabulary the reference actually exercises
+(grep-verified): string fns (`split_part translate levenshtein instr
+lpad left`), date fns (`make_date date_trunc year least/greatest` —
+`Crossref.py:450-459` LEAST-of-dates), and the array/map/JSON layer
+(`arrays_zip/zip_with aggregate flatten slice sort_array map_from_entries
+element_at to_json json-path get` — `CreateWorksBase.ipynb` cell 2,
+`MatchAuthors.ipynb` cell 3). These queries exercise that vocabulary
+end-to-end against the oracle so the SQL layer's semantics (1-based
+substring, null propagation, fold order) are pinned, not assumed.
+
+All pure column expressions — whole-stage codegen, no shuffle beyond the
+one groupBy that builds the per-order arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from openalex_walden_spark.queries.registry import register
+
+# ---------------------------------------------------------------------------
+# J12: USING-join (coalesced join column, deduped in the output).
+
+_J12_ORACLE = """
+SELECT nationkey, n_name, r_name
+FROM (SELECT n_nationkey AS nationkey, n_regionkey AS regionkey, n_name
+      FROM nation)
+JOIN (SELECT r_regionkey AS regionkey, r_name FROM region)
+USING (regionkey)
+"""
+
+
+@register(
+    "j12_using_join",
+    oracle=_J12_ORACLE,
+    tags=("join", "using"),
+    tables=("nation", "region"),
+)
+def j12_using_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12: SQL USING-join — single deduped join column in the output
+    (the reference's `LEFT JOIN priority_table USING (provenance)` shape,
+    `CreateWorksBase.ipynb` cell 2). Dimension×dimension: broadcast."""
+    return spark.sql("""
+        SELECT nationkey, n_name, r_name
+        FROM (SELECT n_nationkey AS nationkey, n_regionkey AS regionkey,
+                     n_name FROM nation)
+        JOIN (SELECT r_regionkey AS regionkey, r_name FROM region)
+        USING (regionkey)
+    """)
+
+
+# ---------------------------------------------------------------------------
+# String + date battery over orders.
+
+_STRDATE_ORACLE = """
+SELECT o_orderkey,
+       split_part(o_orderpriority, '-', 2) AS prio_word,
+       translate(o_orderstatus, 'OF', 'of') AS status_t,
+       levenshtein(o_orderpriority, o_orderstatus) AS lev,
+       instr(o_orderpriority, '-')::INTEGER AS dash_pos,
+       lpad(CAST(o_orderkey % 100 AS VARCHAR), 4, '0') AS padded,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       make_date(year(o_orderdate)::INTEGER, 1, 1) AS year_start,
+       CAST(greatest(o_orderdate, TIMESTAMP '1995-01-01') AS DATE) AS clamped,
+       left(o_orderpriority, 1) AS p1,
+       substring(o_orderpriority, 3, 3) AS p3
+FROM orders WHERE o_orderkey % 10 = 0
+"""
+
+
+@register(
+    "f_string_date_battery",
+    oracle=_STRDATE_ORACLE,
+    tags=("scalar", "string", "date"),
+    tables=("orders",),
+)
+def f_string_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 string/date battery: split_part, translate, levenshtein,
+    instr, lpad, left, substring, date_trunc, make_date, greatest —
+    the exact fns the reference leans on for keying and date discipline
+    (`LEAST(issued, created, …)`, `Crossref.py:450-459`)."""
+    return spark.sql("""
+        SELECT o_orderkey,
+               split_part(o_orderpriority, '-', 2) AS prio_word,
+               translate(o_orderstatus, 'OF', 'of') AS status_t,
+               levenshtein(o_orderpriority, o_orderstatus) AS lev,
+               instr(o_orderpriority, '-') AS dash_pos,
+               lpad(CAST(o_orderkey % 100 AS STRING), 4, '0') AS padded,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+               make_date(year(o_orderdate), 1, 1) AS year_start,
+               CAST(greatest(o_orderdate, TIMESTAMP '1995-01-01') AS DATE)
+                 AS clamped,
+               left(o_orderpriority, 1) AS p1,
+               substring(o_orderpriority, 3, 3) AS p3
+        FROM orders WHERE o_orderkey % 10 = 0
+    """)
+
+
+# ---------------------------------------------------------------------------
+# Array / map / JSON battery over per-order quantity arrays.
+
+_ARR_ORACLE = """
+WITH per AS (
+  SELECT l_orderkey AS okey,
+         list_sort(list(l_quantity::INTEGER)) AS qtys
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT okey,
+       len(list_distinct(qtys))::INTEGER AS n_dq,
+       list_sum(qtys)::BIGINT AS qsum,
+       to_json(list_slice(list_sort(qtys, 'DESC'), 1, 3)) AS top3,
+       list_contains(qtys, 25) AS has25,
+       list_aggregate(qtys, 'max') AS mx,
+       to_json(flatten([qtys, [0]])) AS padded,
+       len(qtys)::INTEGER AS n_via_map,
+       CAST(okey AS VARCHAR) AS k_json
+FROM per
+"""
+
+
+@register(
+    "f_array_map_json_battery",
+    oracle=_ARR_ORACLE,
+    tags=("scalar", "array", "map", "json"),
+    tables=("lineitem",),
+)
+def f_array_map_json_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 array/map/JSON battery: sort_array, array_distinct, aggregate
+    fold, slice-of-reverse (top-k inside an array), array_contains,
+    array_max, flatten, map_from_entries + element_at, to_json +
+    get_json_object round-trip. The oracle computes the same values
+    relationally (maps/JSON are Spark-side vocabulary under test; their
+    VALUES are engine-neutral)."""
+    return spark.sql("""
+        WITH per AS (
+          SELECT l_orderkey AS okey,
+                 sort_array(collect_list(CAST(l_quantity AS INT))) AS qtys
+          FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT okey,
+               size(array_distinct(qtys)) AS n_dq,
+               CAST(aggregate(qtys, 0L, (a, x) -> a + x) AS BIGINT) AS qsum,
+               to_json(slice(reverse(qtys), 1, 3)) AS top3,
+               array_contains(qtys, 25) AS has25,
+               array_max(qtys) AS mx,
+               to_json(flatten(array(qtys, array(0)))) AS padded,
+               element_at(
+                 map_from_entries(array(struct('n', size(qtys)))), 'n')
+                 AS n_via_map,
+               get_json_object(to_json(struct(okey AS k)), '$.k') AS k_json
+        FROM per
+    """)
