@@ -672,3 +672,112 @@ def d5_percentile_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pr") >= 0.99).alias("is_in_top_1_percent"),
         (F.col("pr") >= 0.90).alias("is_in_top_10_percent"),
     )
+
+
+# --------------------------------------------------------------------------
+# D6 full cascade: tiered adoption with uniqueness gates + cluster minting
+# --------------------------------------------------------------------------
+_D6_CASCADE_SQL = """
+WITH t1 AS (
+  SELECT c.c_custkey AS custkey, 'S' || CAST(s.s_suppkey AS VARCHAR) AS author_id,
+         'strong-id' AS tier
+  FROM customer c JOIN supplier s ON s.s_suppkey = c.c_custkey % 200
+  WHERE c.c_custkey % 7 = 0
+),
+t2_cand AS (
+  SELECT c.c_custkey AS custkey, s.s_suppkey
+  FROM customer c JOIN supplier s
+    ON c.c_nationkey = s.s_nationkey
+   AND levenshtein(c.c_name, s.s_name) <= 7
+  WHERE c.c_custkey NOT IN (SELECT custkey FROM t1)
+),
+t2 AS (
+  SELECT custkey, 'S' || CAST(min(s_suppkey) AS VARCHAR) AS author_id,
+         'blocked-unique' AS tier
+  FROM t2_cand GROUP BY custkey HAVING count(*) = 1
+),
+t3 AS (
+  SELECT c_custkey AS custkey,
+         'C' || substr(md5(lower(c_name) || ':' || CAST(c_nationkey AS VARCHAR)), 1, 12)
+           AS author_id,
+         'minted' AS tier
+  FROM customer
+  WHERE c_custkey NOT IN (SELECT custkey FROM t1)
+    AND c_custkey NOT IN (SELECT custkey FROM t2)
+)
+SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3
+"""
+
+
+@register(
+    "d6_and_cascade",
+    oracle=_D6_CASCADE_SQL,
+    tags=("domain", "D6", "J8"),
+    tables=("customer", "supplier"),
+)
+def d6_and_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 end-to-end: the author-disambiguation cascade
+    (``MatchAuthors.ipynb`` cells 3-18) as tiers of descending evidence:
+
+    1. strong-id adoption (the global ORCID tier) — exact equi-join;
+    2. blocked fuzzy match accepted only under the uniqueness gate
+       (exactly one candidate in the block — never guess);
+    3. cluster-hash minting for everything unresolved (deterministic
+       md5 cluster key, the rematch-stable mint discipline).
+
+    Every record exits with exactly one author_id and its provenance
+    tier. Scale: tier joins are equi-joins on (suppkey) / (nationkey)
+    with the dimension side broadcast; the anti-join fall-through is a
+    broadcast-able key set per tier; minting is a pure column expr.
+    """
+    c = spark.table("customer")
+    s = F.broadcast(spark.table("supplier"))
+
+    t1 = (
+        c.where(F.col("c_custkey") % 7 == 0)
+        .join(s, s["s_suppkey"] == F.col("c_custkey") % 200)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("author_id"),
+            F.lit("strong-id").alias("tier"),
+        )
+    )
+
+    unresolved1 = c.join(t1.select("custkey"), c["c_custkey"] == F.col("custkey"), "left_anti")
+    cand = unresolved1.join(
+        s,
+        (unresolved1["c_nationkey"] == s["s_nationkey"])
+        & (F.levenshtein(unresolved1["c_name"], s["s_name"]) <= 7),
+    ).select(F.col("c_custkey").alias("custkey"), "s_suppkey")
+    t2 = (
+        cand.groupBy("custkey")
+        .agg(F.min("s_suppkey").alias("sk"), F.count("*").alias("n"))
+        .where(F.col("n") == 1)
+        .select(
+            "custkey",
+            F.concat(F.lit("S"), F.col("sk").cast("string")).alias("author_id"),
+            F.lit("blocked-unique").alias("tier"),
+        )
+    )
+
+    resolved = t1.select("custkey").unionByName(t2.select("custkey"))
+    t3 = (
+        c.join(resolved, c["c_custkey"] == resolved["custkey"], "left_anti")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.concat(
+                F.lit("C"),
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.lower(F.col("c_name")), F.col("c_nationkey").cast("string")
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+            ).alias("author_id"),
+            F.lit("minted").alias("tier"),
+        )
+    )
+    return t1.unionByName(t2).unionByName(t3)
