@@ -320,30 +320,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _spark_corpus_neardup(spark).repartition(
         spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
-    toks = corpus.select(
-        "doc_id", F.posexplode(F.expr(_TOKS_SPARK.format(c="text"))).alias("pos", "t")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    tri = toks.select(
-        "doc_id",
-        F.concat_ws(
-            " ", F.col("t"), F.lead("t", 1).over(w), F.lead("t", 2).over(w)
-        ).alias("s"),
-        F.lead("t", 2).over(w).isNotNull().alias("full"),
-        F.count("*").over(Window.partitionBy("doc_id")).alias("n_toks"),
-    )
-    # Docs with >= 3 tokens contribute complete trigrams; shorter docs
-    # contribute their whole text as the single shingle (the oracle's
-    # CASE fallback — concat_ws skips the NULL leads, so at pos 0 of a
-    # short doc `s` already IS the whole text). One filter, one pass:
-    # a union here would evaluate the explode+window subtree twice.
+    # Shingles are built per-row with array HOFs — no explode+window
+    # shuffle/sort, no global distinct: array_distinct dedups within the
+    # doc (the only dedup the signature needs), so the first shuffle in
+    # the whole pipeline is the signature groupBy. Docs with >= 3 tokens
+    # contribute complete trigrams; shorter docs contribute their whole
+    # text as the single shingle (the oracle's CASE fallback).
+    shingle_arr = """
+        CASE WHEN size(toks) >= 3 THEN array_distinct(transform(
+               sequence(0, size(toks) - 3),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+             WHEN size(toks) > 0 THEN array(array_join(toks, ' '))
+             ELSE array() END
+    """
     shingle_rows = (
-        tri.where(
-            ((F.col("n_toks") >= 3) & F.col("full"))
-            | ((F.col("n_toks") < 3) & (F.col("pos") == 0))
-        )
-        .select("doc_id", "s")
-        .distinct()
+        corpus.withColumn("toks", F.expr(_TOKS_SPARK.format(c="text")))
+        .select("doc_id", F.explode(F.expr(shingle_arr)).alias("s"))
         .cache()
     )
 
