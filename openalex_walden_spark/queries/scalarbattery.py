@@ -152,3 +152,42 @@ def f_array_map_json_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
                get_json_object(to_json(struct(okey AS k)), '$.k') AS k_json
         FROM per
     """)
+
+
+# ---------------------------------------------------------------------------
+# U3: unionByName(allowMissingColumns=True) — ragged-schema stream union.
+
+_U3_ORACLE = """
+SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority,
+       'amt' AS src
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice, o_orderpriority,
+       'pri' AS src
+FROM orders WHERE o_orderkey % 3 = 0
+"""
+
+
+@register(
+    "u3_union_missing_columns",
+    oracle=_U3_ORACLE,
+    tags=("setop", "U3"),
+    tables=("orders",),
+)
+def u3_union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: ``unionByName(allowMissingColumns=True)`` — the reference's
+    7-source streaming union tolerates per-source schema raggedness
+    (``UnionAllWorksIntoLocationsParsed.ipynb`` cell 1 line 49); missing
+    columns NULL-fill by name, never by position."""
+    from pyspark.sql import functions as F
+
+    o = spark.table("orders")
+    amt = (
+        o.where(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice", F.lit("amt").alias("src"))
+    )
+    pri = (
+        o.where(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey", "o_orderpriority", F.lit("pri").alias("src"))
+    )
+    return amt.unionByName(pri, allowMissingColumns=True)
