@@ -541,3 +541,91 @@ def u4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").cast("bigint").alias("custkey"))
     )
     return all_cust.subtract(urgent)
+
+
+# --------------------------------------------------------------------------
+# D2 cascade run: the stateful resolver (operators/identity.py) one-run shape
+# --------------------------------------------------------------------------
+_D2_CASCADE_SQL = """
+WITH recs AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS record_id,
+         CASE WHEN c_custkey % 3 = 0
+              THEN 'd:' || CAST(c_custkey % 40 AS VARCHAR) END AS doi,
+         CASE WHEN c_custkey % 5 = 0
+              THEN 'p:' || CAST(c_custkey % 25 AS VARCHAR) END AS pmid,
+         'ta:' || CAST(c_custkey % 100 AS VARCHAR) AS ta
+  FROM customer
+),
+map AS (
+  SELECT DISTINCT 'doi' AS key_kind,
+         'd:' || CAST(c_custkey % 40 AS VARCHAR) AS key_value,
+         7000000000 + (c_custkey % 40) AS work_id
+  FROM customer WHERE c_custkey % 10 = 0
+),
+joined AS (
+  SELECT r.record_id, r.doi, r.pmid, r.ta, m.work_id AS adopted
+  FROM recs r LEFT JOIN map m ON r.doi = m.key_value
+),
+unres AS (
+  SELECT record_id, coalesce(doi, pmid, ta, record_id) AS mint_key
+  FROM joined WHERE adopted IS NULL
+),
+hw AS (SELECT max(work_id) AS h FROM map)
+SELECT record_id, adopted AS work_id, 'doi' AS resolved_via
+FROM joined WHERE adopted IS NOT NULL
+UNION ALL
+SELECT record_id,
+       (SELECT h FROM hw) + dense_rank() OVER (ORDER BY mint_key) AS work_id,
+       'minted' AS resolved_via
+FROM unres
+"""
+
+
+@register(
+    "d2_cascade_run",
+    oracle=_D2_CASCADE_SQL,
+    tags=("domain", "D2", "stateful"),
+    tables=("customer",),
+)
+def d2_cascade_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One run of the stateful identity resolver
+    (``operators/identity.py:resolve_work_ids`` — the engine's
+    re-expression of ``CreateLocationsMapped.sql:103-1170``): records
+    join the persistent (key_kind, key_value → work_id) map through the
+    key cascade, adopt on first hit, and mint fresh ids above the map's
+    high-water mark grouped by strongest key (one id per unresolved
+    entity, the two-pass multi-match fix). Cross-run semantics
+    (idempotency, min-id canonicalization on bridge records) are pytest-
+    covered in tests/test_identity.py; this entry oracle-checks the
+    single-run contract end-to-end.
+    """
+    from openalex_walden_spark.operators.identity import resolve_work_ids
+
+    c = spark.table("customer")
+    records = c.select(
+        F.col("c_custkey").cast("string").alias("record_id"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.lit("d:"), (F.col("c_custkey") % 40).cast("string")),
+        ).alias("doi"),
+        F.when(
+            F.col("c_custkey") % 5 == 0,
+            F.concat(F.lit("p:"), (F.col("c_custkey") % 25).cast("string")),
+        ).alias("pmid"),
+        F.concat(F.lit("ta:"), (F.col("c_custkey") % 100).cast("string")).alias("ta"),
+    )
+    id_map = (
+        c.where(F.col("c_custkey") % 10 == 0)
+        .select(
+            F.lit("doi").alias("key_kind"),
+            F.concat(F.lit("d:"), (F.col("c_custkey") % 40).cast("string")).alias(
+                "key_value"
+            ),
+            (F.lit(7000000000) + (F.col("c_custkey") % 40)).alias("work_id"),
+        )
+        .distinct()
+    )
+    assignments, _new_map = resolve_work_ids(
+        spark, id_map, records, key_cols=["doi", "pmid", "ta"]
+    )
+    return assignments

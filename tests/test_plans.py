@@ -75,3 +75,33 @@ def test_entry_whole_stage_codegen(spark, sf_dir):
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")  # noqa: SLF001
     plan = df._jdf.queryExecution().explainString(mode)  # noqa: SLF001
     assert "codegen id" in plan  # joins/aggregates fused into codegen stages
+
+
+def test_d6_cascade_broadcasts_and_no_cartesian(spark, sf_dir):
+    """The D6 tiers are broadcast equi-joins (dimension side) and the
+    fuzzy tier is blocked — nothing degenerates to a cross join."""
+    plan = _plan(spark, sf_dir, "d6_and_cascade")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_udf_names_pairs_blocked(spark, sf_dir):
+    """The names_compatible pair join runs on the block key equi-join;
+    the predicate evaluates inside the block only."""
+    plan = _plan(spark, sf_dir, "udf_names_compatible_pairs")
+    assert "CartesianProduct" not in plan
+
+
+def test_sql_udfs_stay_codegen(spark, sf_dir):
+    """SQL UDFs macro-expand into the plan — no Python evaluators, no
+    Arrow exchange anywhere in the award battery."""
+    plan = _plan(spark, sf_dir, "udf_award_normalize")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_lsh_first_shuffle_is_signature_groupby(spark, sf_dir):
+    """The HOF shingling adds no shuffle before the signature
+    aggregation: exactly the exchanges the relational pipeline needs,
+    and no sort from a window anywhere."""
+    plan = _plan(spark, sf_dir, "dedup_minhash_lsh_pairs")
+    assert "Window" not in plan
