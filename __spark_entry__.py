@@ -29,8 +29,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    spec = _q.CATALOG["q5_local_supplier_volume"]
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    d0_works_build is the engine's signature shape: the nested walden
+    works row built end-to-end (priority merge, authorship fusion,
+    schema conformance) — the reference's CreateWorksBase plane.
+    """
+    spec = _q.CATALOG["d0_works_build"]
     return spec.spark(spark, SMOKE_SF_DIR)
 
 

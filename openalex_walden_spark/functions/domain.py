@@ -30,11 +30,9 @@ def oa_status(
 # D7 rule table: (priority-ordered) substring pattern over the raw type →
 # canonical type. First hit wins, dict fallback last.
 TYPE_RULES: list[tuple[str, str]] = [
-    ("ANODIZED", "article"),
-    ("BURNISHED", "book-chapter"),
-    ("PLATED", "preprint"),
-    ("POLISHED", "dataset"),
-    ("BRUSHED", "report"),
+    ("PROMO", "preprint"),
+    ("STANDARD", "article"),
+    ("ECONOMY", "report"),
 ]
 
 
@@ -44,6 +42,43 @@ def classify_type(raw: Column, fallback: Column | None = None) -> Column:
     whole-stage codegen sees one expression tree regardless of rule
     count (the reference's ~400-rule cascade compiles the same way)."""
     expr = fallback if fallback is not None else F.lit("other")
+    for needle, slug in reversed(TYPE_RULES):
+        expr = F.when(F.upper(raw).contains(needle), F.lit(slug)).otherwise(expr)
+    return expr
+
+
+# D7 full cascade: later tiers fire only when earlier evidence misses —
+# the reference orders raw type > host/container > title keywords >
+# ref-count fallback (CreateLocationsWithTypes.sql:120-704). Each tier is
+# a priority-ordered (pattern, slug) table; all tiers compile into ONE
+# CASE chain.
+CONTAINER_RULES: list[tuple[str, str]] = [
+    ("#13", "book"),
+    ("#24", "reference-entry"),
+    ("#5", "dataset"),
+]
+
+TITLE_RULES: list[tuple[str, str]] = [
+    ("WIDGET", "review"),
+    ("ANVIL", "editorial"),
+    ("GIZMO", "erratum"),
+]
+
+
+def classify_type_cascade(
+    raw: Column, container: Column, title: Column, n_refs: Column
+) -> Column:
+    """D7 multi-evidence cascade. Tier order is evidence strength:
+    deposited raw type, then container/host name, then title keywords,
+    then the structural fallback (zero references → paratext, else
+    article — the reference's dict default). Rules are data; the
+    compiled plan is a single codegen'd CASE regardless of rule count.
+    """
+    expr = F.when(n_refs == 0, F.lit("paratext")).otherwise(F.lit("article"))
+    for needle, slug in reversed(TITLE_RULES):
+        expr = F.when(F.upper(title).contains(needle), F.lit(slug)).otherwise(expr)
+    for needle, slug in reversed(CONTAINER_RULES):
+        expr = F.when(F.upper(container).contains(needle), F.lit(slug)).otherwise(expr)
     for needle, slug in reversed(TYPE_RULES):
         expr = F.when(F.upper(raw).contains(needle), F.lit(slug)).otherwise(expr)
     return expr

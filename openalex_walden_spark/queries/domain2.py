@@ -224,11 +224,9 @@ def d6_unique_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # D7: rule-cascade type classification (rules as data)
 # --------------------------------------------------------------------------
 _D7_SQL = """
-SELECT CASE WHEN upper(p_type) LIKE '%ANODIZED%' THEN 'article'
-            WHEN upper(p_type) LIKE '%BURNISHED%' THEN 'book-chapter'
-            WHEN upper(p_type) LIKE '%PLATED%' THEN 'preprint'
-            WHEN upper(p_type) LIKE '%POLISHED%' THEN 'dataset'
-            WHEN upper(p_type) LIKE '%BRUSHED%' THEN 'report'
+SELECT CASE WHEN upper(p_type) LIKE '%PROMO%' THEN 'preprint'
+            WHEN upper(p_type) LIKE '%STANDARD%' THEN 'article'
+            WHEN upper(p_type) LIKE '%ECONOMY%' THEN 'report'
             ELSE 'other' END AS work_type,
        COUNT(*) AS n
 FROM part
@@ -781,3 +779,69 @@ def d6_and_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return t1.unionByName(t2).unionByName(t3)
+
+
+# --------------------------------------------------------------------------
+# D7 full cascade: multi-evidence classification with structural fallback
+# --------------------------------------------------------------------------
+_D7_CASCADE_SQL = """
+WITH refs AS (
+  SELECT l_partkey AS partkey, count(*) AS n_refs
+  FROM lineitem GROUP BY l_partkey
+),
+classified AS (
+  SELECT CASE
+    WHEN upper(p_type) LIKE '%PROMO%' THEN 'preprint'
+    WHEN upper(p_type) LIKE '%STANDARD%' THEN 'article'
+    WHEN upper(p_type) LIKE '%ECONOMY%' THEN 'report'
+    WHEN upper(p_brand) LIKE '%#13%' THEN 'book'
+    WHEN upper(p_brand) LIKE '%#24%' THEN 'reference-entry'
+    WHEN upper(p_brand) LIKE '%#5%' THEN 'dataset'
+    WHEN upper(p_name) LIKE '%WIDGET%' THEN 'review'
+    WHEN upper(p_name) LIKE '%ANVIL%' THEN 'editorial'
+    WHEN upper(p_name) LIKE '%GIZMO%' THEN 'erratum'
+    WHEN coalesce(r.n_refs, 0) = 0 THEN 'paratext'
+    ELSE 'article' END AS work_type
+  FROM part p LEFT JOIN refs r ON p.p_partkey = r.partkey
+)
+SELECT work_type, count(*)::BIGINT AS n
+FROM classified GROUP BY work_type
+"""
+
+
+@register(
+    "d7_type_cascade",
+    oracle=_D7_CASCADE_SQL,
+    tags=("domain", "D7"),
+    tables=("part", "lineitem"),
+)
+def d7_type_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 end-to-end: the multi-evidence classification cascade
+    (``CreateLocationsWithTypes.sql:120-704``) — deposited raw type
+    outranks container/host evidence, which outranks title keywords,
+    with the structural ref-count fallback last (no references →
+    paratext). Rule tiers are data (``functions/domain.py``); the whole
+    cascade compiles to one codegen'd CASE. The ref-count join
+    aggregates the fact side BEFORE joining (partial-agg then join on
+    the dimension key — never the reverse at 100 TB).
+    """
+    from openalex_walden_spark.functions.domain import classify_type_cascade
+
+    refs = (
+        spark.table("lineitem")
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.count("*").alias("n_refs"))
+    )
+    p = spark.table("part").join(refs, "p_partkey", "left")
+    return (
+        p.select(
+            classify_type_cascade(
+                F.col("p_type"),
+                F.col("p_brand"),
+                F.col("p_name"),
+                F.coalesce(F.col("n_refs"), F.lit(0)),
+            ).alias("work_type")
+        )
+        .groupBy("work_type")
+        .agg(F.count("*").alias("n"))
+    )
