@@ -376,3 +376,84 @@ def s6_json_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("doc"),
     )
+
+
+# --------------------------------------------------------------------------
+# Skew mitigation: salted aggregation + salted join (semantics-preserving)
+# --------------------------------------------------------------------------
+_SKEW_AGG_SQL = """
+SELECT l_returnflag, count(*)::BIGINT AS n,
+       CAST(sum(l_quantity::INTEGER) AS BIGINT) AS qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register(
+    "skew_salted_agg",
+    oracle=_SKEW_AGG_SQL,
+    tags=("skew", "agg", "A1"),
+    tables=("lineitem",),
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation through the salting operator
+    (``operators/skew.py:salted_agg``): l_returnflag has 3 values over
+    the whole fact table — the worst-case skew for a 1-stage groupBy at
+    100 TB (3 reducers do all the work). The two-stage form spreads each
+    key over 16 salt buckets; the oracle proves the decomposition is
+    exact.
+    """
+    from openalex_walden_spark.operators.skew import salted_agg
+
+    li = spark.table("lineitem").withColumn(
+        "q_int", F.col("l_quantity").cast("int")
+    )
+    return salted_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs={"n": ("l_orderkey", "count"), "qty": ("q_int", "sum")},
+        salt_cols=["l_orderkey", "l_linenumber"],
+        salt_buckets=16,
+    ).select("l_returnflag", "n", F.col("qty").cast("long").alias("qty"))
+
+
+_SKEW_JOIN_SQL = """
+SELECT n_name, CAST(sum(l_quantity::INTEGER) AS BIGINT) AS qty
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@register(
+    "skew_salted_join",
+    oracle=_SKEW_JOIN_SQL,
+    tags=("skew", "join", "J1"),
+    tables=("lineitem", "supplier", "nation"),
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact⋈dimension join via ``salted_join``: the fact salts
+    on (orderkey, linenumber), the supplier×nation dimension replicates
+    to 8 buckets, so a hot suppkey spreads over 8 tasks. Broadcast is
+    still the first choice for a dimension this small — this entry pins
+    the replicate-path semantics for dimensions too big to broadcast.
+    """
+    from openalex_walden_spark.operators.skew import salted_join
+
+    dim = (
+        spark.table("supplier")
+        .join(F.broadcast(spark.table("nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("s_suppkey").alias("l_suppkey"), "n_name")
+    )
+    li = spark.table("lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("int").alias("q_int"),
+    )
+    joined = salted_join(
+        li, dim, on="l_suppkey",
+        salt_cols=["l_orderkey", "l_linenumber"], salt_buckets=8,
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum("q_int").cast("long").alias("qty")
+    )

@@ -105,3 +105,12 @@ def test_lsh_first_shuffle_is_signature_groupby(spark, sf_dir):
     and no sort from a window anywhere."""
     plan = _plan(spark, sf_dir, "dedup_minhash_lsh_pairs")
     assert "Window" not in plan
+
+
+def test_salted_agg_two_stage(spark, sf_dir):
+    """The salted aggregation plans as two distinct aggregate exchanges:
+    (key, salt) then (key) — the hot key is split before it ever reaches
+    a single reducer."""
+    plan = _plan(spark, sf_dir, "skew_salted_agg")
+    assert plan.count("Exchange hashpartitioning") >= 2
+    assert "__salt" in plan
