@@ -95,6 +95,7 @@ def main() -> None:
             continue
         best = None
         for _ in range(2):
+            spark.catalog.clearCache()  # each timed run does ALL the work
             t0 = time.perf_counter()
             spec.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0

@@ -365,8 +365,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_N_BANDS)
         ]
     )
-    bands = sigs.select("doc_id", F.explode(band_structs).alias("band")).select(
-        "doc_id", "band.band_idx", "band.band_hash"
+    # bands is consumed by BOTH sides of the self-join and cand by both
+    # the intersection and the final score join — persist the small
+    # reused frames (one row per doc per band / one row per candidate
+    # pair) or the signature aggregation recomputes once per consumer.
+    # On a cluster this is the standard persist-the-reused-subplan rule.
+    bands = (
+        sigs.select("doc_id", F.explode(band_structs).alias("band"))
+        .select("doc_id", "band.band_idx", "band.band_hash")
+        .cache()
     )
 
     a = bands.alias("a")
@@ -380,6 +387,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        .cache()
     )
 
     # |A ∩ B| as a set-similarity join over shingle rows restricted to
