@@ -588,3 +588,108 @@ def llm_judge_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, text_col="text", id_col="doc_id", budget_usd=10.0
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# token statistics (whitespace + BPE-ish) — the token-counting operator
+# --------------------------------------------------------------------------
+_TOKSTATS_SQL = """
+SELECT doc_id,
+       len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))::BIGINT
+         AS n_ws,
+       len(list_filter(string_split_regex(
+             regexp_replace(lower(text), '([^a-z0-9\\s])', ' \\1 ', 'g'),
+             '\\s+'), x -> x <> ''))::BIGINT AS n_bpe
+FROM documents
+"""
+
+
+@register(
+    "text_token_stats",
+    oracle=_TOKSTATS_SQL,
+    tags=("llmdata", "text", "tokens"),
+    tables=("documents",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for training-data budgeting: whitespace tokens and
+    the BPE-ish regex tokenization (letter/digit runs, punctuation split
+    out — ``functions/textstats.py:word_tokens``). Pure column exprs;
+    at 100 TB this is a single codegen'd scan with no shuffle."""
+    from openalex_walden_spark.functions.textstats import token_count, word_tokens
+
+    return spark.table("documents").select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws"),
+        F.size(word_tokens(F.col("text"))).cast("bigint").alias("n_bpe"),
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup (character 4-grams, blocked pairs)
+# --------------------------------------------------------------------------
+_NGRAM_JACCARD_SQL = """
+WITH g AS (
+  SELECT doc_id, lang, CAST(n_chars // 100 AS INT) AS bucket,
+         CASE WHEN length(text) >= 4
+              THEN list_distinct(list_transform(range(1, length(lower(text)) - 2),
+                                                i -> substr(lower(text), i, 4)))
+              ELSE [lower(text)] END AS grams
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       len(list_intersect(a.grams, b.grams))::DOUBLE
+         / len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE AS jacc
+FROM g a JOIN g b
+  ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+        / len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE >= 0.6
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_NGRAM_JACCARD_SQL,
+    tags=("llmdata", "dedup", "ngram"),
+    tables=("documents",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-4-gram Jaccard near-dup detection over blocked pairs:
+    docs meet only inside a (lang, length-bucket) block — the candidate
+    set is bounded by block occupancy, never all-pairs — then exact
+    set-Jaccard over distinct grams gates at 0.6. Set ops are array
+    HOFs on pre-deduped per-doc gram arrays (intersect/union sizes are
+    integers, so the score is engine-exact)."""
+    d = spark.table("documents")
+    grams = F.when(
+        F.length("text") >= 4,
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, length(text) - 3),"
+                " i -> substring(lower(text), i, 4))"
+            )
+        ),
+    ).otherwise(F.array(F.lower(F.col("text"))))
+    g = d.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / 100).cast("int").alias("bucket"),
+        grams.alias("grams"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    jacc = inter.cast("double") / union.cast("double")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(jacc >= 0.6)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jacc.alias("jacc"),
+        )
+    )
