@@ -190,3 +190,44 @@ def model_score_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                 "positive": [s > 0 for s in scores],
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal frame sampling (1→many mapInPandas: video → sampled frames)
+# ---------------------------------------------------------------------------
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+FRAME_STRIDE = 7
+
+
+def fake_frame_sample_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas body for frame sampling: each binary payload expands
+    to every FRAME_STRIDE-th frame — the one-to-many batch shape a real
+    ffmpeg sampler produces. Frame count and per-frame hash derive
+    deterministically from the payload (a real decoder reads container
+    metadata instead); cardinality change, schema, and batching are the
+    real contract."""
+    for pdf in batches:
+        ids, idxs, hashes = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            h = hashlib.md5(payload).hexdigest()
+            n_frames = len(payload) % 40 + 1
+            for i in range(0, n_frames, FRAME_STRIDE):
+                ids.append(doc_id)
+                idxs.append(i)
+                hashes.append(hashlib.md5(f"{h}:{i}".encode()).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.array(ids, dtype="int64"),
+                "frame_idx": pd.array(idxs, dtype="int64"),
+                "frame_md5": hashes,
+            }
+        )

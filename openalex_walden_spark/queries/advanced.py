@@ -457,3 +457,50 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("n_name").agg(
         F.sum("q_int").cast("long").alias("qty")
     )
+
+
+# --------------------------------------------------------------------------
+# Multimodal frame sampling (1→many mapInPandas)
+# --------------------------------------------------------------------------
+_FRAMES_SQL = """
+WITH base AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS h
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, unnest(range(0, n_bytes % 40 + 1)) AS frame_idx, h
+  FROM base
+)
+SELECT doc_id, frame_idx,
+       md5(h || ':' || CAST(frame_idx AS VARCHAR)) AS frame_md5
+FROM frames WHERE frame_idx % 7 = 0
+"""
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=_FRAMES_SQL,
+    tags=("udf", "multimodal"),
+    tables=("documents",),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: the 1→many mapInPandas shape (one
+    video payload → every 7th frame as a row). A real sampler swaps the
+    deterministic fake for ffmpeg with a per-worker process cache; the
+    Arrow batch contract — input batch in, EXPANDED batch out — is the
+    operator, and the oracle pins cardinality + per-frame identity.
+    Scale: frames inherit the payload partitioning; no shuffle until a
+    downstream aggregation asks for one."""
+    from openalex_walden_spark.deploy import ensure_shipped
+    from openalex_walden_spark.functions.udfs import (
+        FRAMES_SCHEMA,
+        fake_frame_sample_batch,
+    )
+
+    ensure_shipped(spark)
+    payloads = (
+        spark.table("documents")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+    return payloads.mapInPandas(fake_frame_sample_batch, FRAMES_SCHEMA)
