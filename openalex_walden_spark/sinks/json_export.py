@@ -61,3 +61,21 @@ def export_snapshot(
     with open(os.path.join(path, "manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=2, sort_keys=True)
     return manifest
+
+
+def write_clustered(
+    df,
+    path: str,
+    cluster_cols: Sequence[str],
+    n_files: int | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Data-layout write: range-partition by the cluster key, sort within
+    partitions — the open equivalent of the reference's `CLUSTER BY` /
+    `ZORDER` layout discipline (`CreateLocationsMapped.sql:59-88`,
+    `CreateAuthors.ipynb` ZORDER): min/max file statistics become
+    selective, so key-ranged scans skip files.
+    """
+    cols = [F.col(c) for c in cluster_cols]
+    out = df.repartitionByRange(*([n_files] if n_files else []), *cols)
+    out.sortWithinPartitions(*cols).write.format(fmt).mode("overwrite").save(path)

@@ -110,3 +110,68 @@ def test_partition_count_ladder():
     assert partition_count_for(5_000) == 1
     assert partition_count_for(2_000_000) == 200
     assert partition_count_for(10 ** 9) == 8096  # capped
+
+
+def test_write_clustered_layout_skippable(spark, sf_dir, tmp_path):
+    """write_clustered range-partitions + sorts by the cluster key, so
+    per-file min/max stats are disjoint and a key-ranged scan prunes
+    files (the CLUSTER BY / ZORDER discipline, open-format form)."""
+    import pyarrow.parquet as pq
+
+    from openalex_walden_spark.sinks.json_export import write_clustered
+    from openalex_walden_spark.tables import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    out = str(tmp_path / "clustered")
+    write_clustered(spark.table("orders"), out, ["o_custkey"], n_files=4)
+
+    import glob
+
+    ranges = []
+    for f in sorted(glob.glob(out + "/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "o_custkey"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min); maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint key ranges → file-level skipping works
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both sides on the join key co-locates them: the join
+    plan has NO exchange on either side — the shuffle moved to write
+    time, paid once, reused by every subsequent join (the 100 TB
+    discipline for repeated fact⋈fact joins)."""
+    from openalex_walden_spark.tables import register_views
+
+    register_views(spark, sf_dir, ("orders", "customer"))
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    (spark.table("orders").write.bucketBy(8, "o_custkey")
+     .sortBy("o_custkey").option("path", str(tmp_path / "b_orders"))
+     .mode("overwrite").saveAsTable("b_orders"))
+    (spark.table("customer").withColumnRenamed("c_custkey", "o_custkey")
+     .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+     .option("path", str(tmp_path / "b_customer"))
+     .mode("overwrite").saveAsTable("b_customer"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"), "o_custkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # co-located: no shuffle
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
