@@ -84,6 +84,14 @@ def main() -> None:
             except Exception:  # pragma: no cover - keep bench robust
                 pass
 
+    # One unrecorded full-SF buffer run: the 30s warm-up burst can leave
+    # the (shared) host throttled for a few seconds, and whichever query
+    # is timed first would absorb that penalty.
+    spec0 = q.CATALOG.get(HEADLINE[0])
+    if spec0 is not None:
+        spark.catalog.clearCache()
+        spec0.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
     # Two timed runs per query, report the min: on a shared host a single
     # run confounds scheduler/page-cache noise with query cost; the min
     # of two is the steady-state number a cluster would see.
