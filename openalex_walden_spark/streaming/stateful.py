@@ -1,0 +1,96 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference needs no engine-managed state (its sequencing lives inside
+MERGE conditions — SURVEY.md §2.9), but a training-data pipeline at
+100 TB does: running per-key aggregates that survive restarts without
+rescanning history. This module is the engine's seam for that class of
+operator — Arrow-batched per-key state, persisted in the streaming
+checkpoint, updated incrementally per micro-batch.
+
+Scale notes: state is partitioned by the grouping key (same shuffle as a
+groupBy), each key's state is O(1) here (a count + a max), and the
+checkpoint makes re-runs incremental — the property the reference
+approximates with high-watermark DECLARE VARIABLE scans
+(``MatchAuthors.ipynb`` cell 1), expressed natively.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+RUNNING_STATE_SCHEMA = StructType(
+    [StructField("n_events", LongType()), StructField("max_seq", LongType())]
+)
+
+RUNNING_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n_events", LongType()),
+        StructField("max_seq", LongType()),
+    ]
+)
+
+
+def _update_running(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-key update: fold this micro-batch's rows into (n_events,
+    max_seq). Emits one row per key per batch — the running totals."""
+    n, mx = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        if len(pdf):
+            mx = max(mx, int(pdf["seq"].max()))
+    state.update((n, mx))
+    yield pd.DataFrame({"key": [key[0]], "n_events": [n], "max_seq": [mx]})
+
+
+def running_counts_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    seq_col: str,
+    checkpoint_path: str,
+    out_path: str,
+) -> None:
+    """Drain a stream into per-key running (count, max-sequence) state.
+
+    ``applyInPandasWithState`` keeps the fold state in the checkpoint:
+    a re-run with new files continues from the previous totals instead
+    of rescanning history. Output appends one snapshot row per key per
+    micro-batch; the latest row per key is the current total.
+    """
+    from pyspark.sql import functions as F
+
+    keyed = stream_df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(seq_col).cast("long").alias("seq"),
+    )
+    q = (
+        keyed.groupBy("key")
+        .applyInPandasWithState(
+            _update_running,
+            outputStructType=RUNNING_OUTPUT_SCHEMA,
+            stateStructType=RUNNING_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

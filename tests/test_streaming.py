@@ -248,3 +248,62 @@ def test_scd1_stream_delete_propagation_st4(spark, events, tmp_path):
     kept_users = {r["user_id"] for r in final.collect()}
     assert deleted_users and kept_users.isdisjoint(deleted_users)
     assert kept_users == {r["user_id"] for r in latest.collect()} - deleted_users
+
+
+def test_stateful_running_counts_across_restarts(spark, events, tmp_path):
+    """applyInPandasWithState: per-key fold state lives in the
+    checkpoint, so a SECOND AvailableNow run over newly arrived files
+    CONTINUES the totals instead of rescanning history — and the final
+    per-key counts equal the batch groupBy over everything."""
+    import glob
+    import shutil
+
+    from openalex_walden_spark.streaming.stateful import running_counts_stream
+
+    ev = events.select("event_id", "ts_us", "user_id").limit(400).cache()
+    ev.count()
+    half_a = ev.where(F.col("event_id") % 2 == 0)
+    half_b = ev.where(F.col("event_id") % 2 == 1)
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    stage = str(tmp_path / "stage")
+
+    from pyspark.sql.types import StructType
+
+    schema: StructType = ev.schema
+
+    def arrive(df, tag):
+        df.coalesce(1).write.mode("overwrite").json(stage)
+        os.makedirs(src, exist_ok=True)
+        for i, f in enumerate(glob.glob(stage + "/part-*.json")):
+            shutil.copy(f, os.path.join(src, f"{tag}_{i}.json"))
+
+    from openalex_walden_spark.streaming.scd1 import file_stream
+
+    arrive(half_a, "a")
+    running_counts_stream(
+        file_stream(spark, src, schema), "user_id", "ts_us", ckpt, out
+    )
+    arrive(half_b, "b")
+    running_counts_stream(
+        file_stream(spark, src, schema), "user_id", "ts_us", ckpt, out
+    )
+
+    from pyspark.sql.window import Window
+
+    snap = spark.read.parquet(out)
+    w = Window.partitionBy("key").orderBy(F.col("n_events").desc())
+    final = (
+        snap.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("key", "n_events", "max_seq")
+    )
+    expect = ev.groupBy(F.col("user_id").cast("string").alias("key")).agg(
+        F.count("*").alias("n_events"), F.max("ts_us").alias("max_seq")
+    )
+    got = {r["key"]: (r["n_events"], r["max_seq"]) for r in final.collect()}
+    want = {r["key"]: (r["n_events"], r["max_seq"]) for r in expect.collect()}
+    assert got == want
+    ev.unpersist()
