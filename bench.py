@@ -38,6 +38,11 @@ HEADLINE = [
     "ann_ivf_topk",
     "multimodal_decode",
     "ev_scd1_latest_state",
+    "d6_and_cascade",
+    "d7_type_cascade",
+    "dedup_ngram_jaccard",
+    "skew_salted_agg",
+    "udf_award_normalize",
 ]
 
 

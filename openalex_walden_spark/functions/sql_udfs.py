@@ -75,24 +75,27 @@ RETURN COALESCE(
 # digit run by stripping leading zeros (the generic layer under the
 # reference's per-funder table; the per-funder regexes are data, not
 # engine capability).
+_AWARD_STRIP = """
+CREATE OR REPLACE TEMPORARY FUNCTION award_strip(award STRING)
+RETURNS STRING
+RETURN regexp_replace(
+  regexp_replace(upper(trim(award)), '\\\\s+', ' '), '[ -]', '')
+"""
+
+# NOTE: the body is a flat expression on purpose — a scalar subquery /
+# CTE inside a SQL UDF body plans as a correlated subquery PER ROW
+# (measured 18s vs ~1s on 1.5M rows). Flat bodies macro-expand into the
+# enclosing plan and stay in whole-stage codegen.
 _AWARD_KEY = """
 CREATE OR REPLACE TEMPORARY FUNCTION award_key(award STRING)
 RETURNS STRING
 RETURN CASE
   WHEN award IS NULL OR trim(award) = '' THEN NULL
-  ELSE (
-    WITH stripped AS (
-      SELECT regexp_replace(
-               regexp_replace(upper(trim(award)), '\\\\s+', ' '),
-               '[ -]', '') AS s
-    )
-    SELECT CASE
-      WHEN s rlike '^.*[0-9]$' AND regexp_extract(s, '^(.*?)([0-9]+)$', 2) != ''
-        THEN concat(regexp_extract(s, '^(.*?)([0-9]+)$', 1),
-                    CAST(CAST(regexp_extract(s, '^(.*?)([0-9]+)$', 2) AS BIGINT)
-                         AS STRING))
-      ELSE nullif(s, '')
-    END FROM stripped)
+  WHEN award_strip(award) rlike '[0-9]$'
+    THEN concat(regexp_extract(award_strip(award), '^(.*?)([0-9]+)$', 1),
+                CAST(CAST(regexp_extract(award_strip(award), '^(.*?)([0-9]+)$', 2)
+                          AS BIGINT) AS STRING))
+  ELSE nullif(award_strip(award), '')
 END
 """
 
@@ -108,7 +111,7 @@ RETURN COALESCE(
   dense_registry AND award_key(award) rlike '^[0-9]{4,7}$', FALSE)
 """
 
-_ALL = (_PRIORITY_BEST, _NAMES_COMPATIBLE, _AWARD_KEY, _AWARD_IS_WEAK)
+_ALL = (_PRIORITY_BEST, _NAMES_COMPATIBLE, _AWARD_STRIP, _AWARD_KEY, _AWARD_IS_WEAK)
 
 
 def create_sql_udfs(spark: SparkSession) -> None:

@@ -654,11 +654,18 @@ WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-4-gram Jaccard near-dup detection over blocked pairs:
-    docs meet only inside a (lang, length-bucket) block — the candidate
-    set is bounded by block occupancy, never all-pairs — then exact
-    set-Jaccard over distinct grams gates at 0.6. Set ops are array
-    HOFs on pre-deduped per-doc gram arrays (intersect/union sizes are
-    integers, so the score is engine-exact)."""
+    docs meet only inside a (lang, length-bucket) block, then exact
+    set-Jaccard over distinct grams gates at 0.6.
+
+    The intersection is computed RELATIONALLY — gram rows joined on
+    (block, gram), counted per pair — never as a per-pair
+    array_intersect: per-pair HOF set ops re-hash every gram for every
+    pair (measured 111s at sf0.1; this form is 10s, same 77 pairs), and
+    only join+count shapes survive real scale. |A∪B| = |A|+|B|-|A∩B|
+    from per-doc sizes. At 100 TB the candidate arm of choice is
+    MinHash-LSH (``dedup_minhash_lsh_pairs``); this operator is the
+    exact-verify arm, and its block key is the knob that bounds pair
+    volume."""
     d = spark.table("documents")
     grams = F.when(
         F.length("text") >= 4,
@@ -669,27 +676,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array(F.lower(F.col("text"))))
-    g = d.select(
-        "doc_id",
-        "lang",
-        F.floor(F.col("n_chars") / 100).cast("int").alias("bucket"),
-        grams.alias("grams"),
+    g = (
+        d.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        .select(
+            "doc_id",
+            "lang",
+            F.floor(F.col("n_chars") / 100).cast("int").alias("bucket"),
+            F.explode(grams).alias("gram"),
+        )
+        .cache()
     )
-    a, b = g.alias("a"), g.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
-    jacc = inter.cast("double") / union.cast("double")
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_g"))
+    ga = g.select(F.col("doc_id").alias("doc_a"), "lang", "bucket", "gram")
+    gb = g.select(F.col("doc_id").alias("doc_b"), "lang", "bucket", "gram")
+    inter = (
+        ga.join(gb, ["lang", "bucket", "gram"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_i"))
+    )
+    jacc = F.col("n_i").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_i")
+    ).cast("double")
     return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_g", "n_a"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_g", "n_b"),
+            "doc_b",
         )
         .where(jacc >= 0.6)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jacc.alias("jacc"),
-        )
+        .select("doc_a", "doc_b", jacc.alias("jacc"))
     )
