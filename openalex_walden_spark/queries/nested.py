@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from openalex_walden_spark.queries.registry import register
 
@@ -232,4 +233,152 @@ def p12_tei_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select("doc_id", xml.alias("xml")).mapInPandas(
         tei_extract_batch, TEI_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# D0-enriched: the CreateWorksEnriched plane end-to-end in one DAG
+# --------------------------------------------------------------------------
+_ENRICHED_SQL = """
+WITH works AS (
+  SELECT p_partkey AS work_id,
+         1992 + p_partkey % 7 AS pub_year,
+         p_type AS cohort
+  FROM part
+),
+edges AS (
+  SELECT l_partkey AS work_id,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+counts AS (
+  SELECT work_id, count(*) AS cited_by_count FROM edges GROUP BY work_id
+),
+cby AS (
+  SELECT work_id,
+         string_agg(yr || ':' || cnt, ',' ORDER BY yr) AS counts_by_year
+  FROM (SELECT work_id, yr, count(*) AS cnt FROM edges
+        WHERE yr >= 1996 GROUP BY work_id, yr)
+  GROUP BY work_id
+),
+win3 AS (
+  SELECT w.work_id,
+         sum(CASE WHEN e.yr BETWEEN w.pub_year AND w.pub_year + 3
+                  THEN 1 ELSE 0 END)::BIGINT AS cnt_3yr
+  FROM works w JOIN edges e ON e.work_id = w.work_id
+  GROUP BY w.work_id
+),
+base AS (
+  SELECT w.work_id, w.pub_year, w.cohort,
+         coalesce(c.cited_by_count, 0)::BIGINT AS cited_by_count,
+         cb.counts_by_year,
+         coalesce(t.cnt_3yr, 0)::BIGINT AS cnt_3yr
+  FROM works w
+  LEFT JOIN counts c ON w.work_id = c.work_id
+  LEFT JOIN cby cb ON w.work_id = cb.work_id
+  LEFT JOIN win3 t ON w.work_id = t.work_id
+)
+SELECT work_id, pub_year, cohort, cited_by_count, counts_by_year, cnt_3yr,
+       CASE WHEN sum(cnt_3yr) OVER coh > 0
+            THEN (cnt_3yr * count(*) OVER coh)::DOUBLE
+                   / sum(cnt_3yr) OVER coh::DOUBLE END AS fwci,
+       percent_rank() OVER
+         (PARTITION BY pub_year, cohort
+          ORDER BY cited_by_count ASC, work_id ASC) AS citation_percentile
+FROM base
+WINDOW coh AS (PARTITION BY pub_year, cohort)
+"""
+
+
+@register(
+    "d0_works_enriched",
+    oracle=_ENRICHED_SQL,
+    tags=("nested", "D5", "J6", "J11", "W3", "W4", "flagship"),
+    tables=("part", "lineitem", "orders"),
+)
+def d0_works_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CreateWorksEnriched plane (cells 5-11) as ONE DAG: citation
+    edges (J11 explode shape) → cited_by_count (A1) → counts_by_year
+    time series (D5) → 3-year citation window (J6 as equi-join +
+    conditional sum) → FWCI vs the (pub_year, cohort) mean (W4, single
+    exact division: cnt·n/sum) → cohort percentile with totalized
+    ordering (W3).
+
+    Scale: edges shuffle once on work_id and every aggregate reuses that
+    key; cohort stats are windows over the already-small per-work frame,
+    not a second pass over edges. The reference runs this nightly over
+    3.7B reference rows — this is the plan shape that survives it.
+    """
+    works = spark.table("part").select(
+        F.col("p_partkey").alias("work_id"),
+        (F.lit(1992) + F.col("p_partkey") % 7).alias("pub_year"),
+        F.col("p_type").alias("cohort"),
+    )
+    edges = (
+        spark.table("lineitem")
+        .join(spark.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("l_partkey").alias("work_id"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+    )
+    counts = edges.groupBy("work_id").agg(F.count("*").alias("cited_by_count"))
+    cby = (
+        edges.where(F.col("yr") >= 1996)
+        .groupBy("work_id", "yr")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("work_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.array_sort(
+                    F.collect_list(F.concat_ws(":", F.col("yr"), F.col("cnt")))
+                ),
+            ).alias("counts_by_year")
+        )
+    )
+    win3 = (
+        works.join(edges, "work_id")
+        .groupBy("work_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("yr").between(F.col("pub_year"), F.col("pub_year") + 3), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("cnt_3yr")
+        )
+    )
+    base = (
+        works.join(counts, "work_id", "left")
+        .join(cby, "work_id", "left")
+        .join(win3, "work_id", "left")
+        .select(
+            "work_id",
+            "pub_year",
+            "cohort",
+            F.coalesce("cited_by_count", F.lit(0)).cast("long").alias("cited_by_count"),
+            "counts_by_year",
+            F.coalesce("cnt_3yr", F.lit(0)).cast("long").alias("cnt_3yr"),
+        )
+    )
+    coh = Window.partitionBy("pub_year", "cohort")
+    rank_w = Window.partitionBy("pub_year", "cohort").orderBy(
+        F.col("cited_by_count").asc(), F.col("work_id").asc()
+    )
+    sum3 = F.sum("cnt_3yr").over(coh)
+    n_coh = F.count("*").over(coh)
+    return base.select(
+        "work_id",
+        "pub_year",
+        "cohort",
+        "cited_by_count",
+        "counts_by_year",
+        "cnt_3yr",
+        F.when(
+            sum3 > 0,
+            (F.col("cnt_3yr") * n_coh).cast("double") / sum3.cast("double"),
+        ).alias("fwci"),
+        F.percent_rank().over(rank_w).alias("citation_percentile"),
     )
