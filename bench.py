@@ -43,6 +43,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "skew_salted_agg",
     "udf_award_normalize",
+    "d0_works_enriched",
 ]
 
 
