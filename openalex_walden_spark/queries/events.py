@@ -250,3 +250,75 @@ def ev_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# S4/St3: change-data-feed derivation between two table versions
+# --------------------------------------------------------------------------
+_CDF_SQL = """
+WITH v1 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey % 97 <> 0
+),
+v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 100 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         o_totalprice
+  FROM orders
+)
+SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+            WHEN b.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update_postimage' END AS _change_type
+FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+   OR a.o_orderstatus <> b.o_orderstatus
+   OR a.o_totalprice <> b.o_totalprice
+"""
+
+
+@register(
+    "s4_change_feed",
+    oracle=_CDF_SQL,
+    tags=("source", "S4", "St3", "D9", "J5"),
+    tables=("orders",),
+)
+def s4_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/St3: derive the change feed between two table versions — the
+    rows a CDF reader would emit (`readChangeFeed` semantics,
+    ``Crossref.py:326-329``): full-outer join on the key, classify
+    insert / delete / update_postimage, suppress no-op rows via the
+    change predicate (the D9 discipline). This is the explicit
+    change-log fallback the engine's St3 chaining streams from
+    (``streaming/scd1.py`` changelog_path). One shuffle on the key;
+    the change predicate prunes before anything downstream runs.
+    """
+    o = spark.table("orders")
+    v1 = o.where(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v2 = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 100 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    joined = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    change_type = (
+        F.when(F.col("a.o_orderkey").isNull(), F.lit("insert"))
+        .when(F.col("b.o_orderkey").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update_postimage"))
+    )
+    changed = (
+        F.col("a.o_orderkey").isNull()
+        | F.col("b.o_orderkey").isNull()
+        | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+        | (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+    )
+    return joined.where(changed).select(
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        change_type.alias("_change_type"),
+    )
