@@ -52,46 +52,64 @@ def normalize_title(col: Column, max_len: int = 500) -> Column:
     return F.when(t == "", F.lit(None).cast("string")).otherwise(t)
 
 
-# license substring → canonical slug, checked in order (first hit wins).
-# Mirrors the semantics of the reference's lookup table (normalize.py:181-223).
-_LICENSE_RULES: list[tuple[str, str]] = [
-    ("cc-by-nc-nd", "cc-by-nc-nd"),
-    ("cc-by-nc-sa", "cc-by-nc-sa"),
-    ("cc-by-nc", "cc-by-nc"),
-    ("cc-by-nd", "cc-by-nd"),
-    ("cc-by-sa", "cc-by-sa"),
-    ("cc-by", "cc-by"),
-    ("cc0", "public-domain"),
-    ("public domain", "public-domain"),
-    ("publicdomain", "public-domain"),
-    ("creativecommons.org/licenses/by-nc-nd", "cc-by-nc-nd"),
-    ("creativecommons.org/licenses/by-nc-sa", "cc-by-nc-sa"),
-    ("creativecommons.org/licenses/by-nc", "cc-by-nc"),
-    ("creativecommons.org/licenses/by-nd", "cc-by-nd"),
-    ("creativecommons.org/licenses/by-sa", "cc-by-sa"),
+# Space/hyphen-stripped substring → canonical slug, checked in order
+# (first hit wins) — the reference's lookup architecture
+# (normalize.py:181-223): publisher-specific suppressions first (the
+# Elsevier user-license URL contains 'openaccess' and must NOT slug),
+# then CC forms (stripped, so 'CC BY-NC' and 'ccbync' both hit), CC URL
+# forms, public domain (guarded), generic open-access, versioned GPL
+# before the bare fallback, and strict apache2.
+_LICENSE_STRIPPED_RULES: list[tuple[str, str | None]] = [
+    ("elsevier.com/openaccess/userlicense", None),
+    ("pubs.acs.org/page/policy/authorchoice_termsofuse.html", "other-oa"),
+    ("arxiv.orgperpetual", "other-oa"),
+    ("arxiv.orgnonexclusive", "other-oa"),
+    ("ccbyncnd", "cc-by-nc-nd"),
+    ("ccbyncsa", "cc-by-nc-sa"),
+    ("ccbynd", "cc-by-nd"),
+    ("ccbysa", "cc-by-sa"),
+    ("ccbync", "cc-by-nc"),
+    ("ccby", "cc-by"),
+    ("creativecommons.org/licenses/byncnd", "cc-by-nc-nd"),
+    ("creativecommons.org/licenses/byncsa", "cc-by-nc-sa"),
+    ("creativecommons.org/licenses/bync", "cc-by-nc"),
+    ("creativecommons.org/licenses/bynd", "cc-by-nd"),
+    ("creativecommons.org/licenses/bysa", "cc-by-sa"),
     ("creativecommons.org/licenses/by", "cc-by"),
-    ("apache", "apache-2.0"),
+    ("cc0", "public-domain"),
+    ("publicdomain", "public-domain"),  # guarded below
+    ("openaccess", "other-oa"),
+    ("gpl3", "gpl-3"),
+    ("gpl2", "gpl-2"),
+    ("gpl", "gpl"),
+    ("apache2", "apache-2.0"),
 ]
 
-# Short generic names match only on word boundaries: a bare substring
-# 'mit' would hit 'permitted'/'submitted'/'limited' (the reference's
-# space-stripped exact-lookup table avoids this class of false positive
-# — normalize.py:181-223).
+# The public-domain hit is suppressed when the text is the publisher's
+# "works NOT in the public domain" notice (the reference's guard).
+_PD_GUARD = "worksnotinthepublicdomain"
+
+# Short generic names match only on word boundaries ON THE RAW text: a
+# bare substring 'mit' would hit 'permitted'/'submitted'/'limited'
+# (the reference's stripped-lookup 'mit ' rule is unreachable after its
+# own space-strip — the word-boundary form keeps the intent alive).
 _LICENSE_WORD_RULES: list[tuple[str, str]] = [
     (r"\bmit\b", "mit"),
-    (r"\b[al]?gplv?[23]?\b", "gpl"),
 ]
 
 
 def normalize_license(col: Column) -> Column:
     """Map a raw license string to a canonical slug (P4); NULL if unknown."""
     c = F.lower(F.trim(col))
+    stripped = F.translate(c, " -", "")
     expr = F.lit(None).cast("string")
-    # Build the WHEN-chain back to front so earlier rules take precedence.
     for pattern, slug in reversed(_LICENSE_WORD_RULES):
         expr = F.when(c.rlike(pattern), F.lit(slug)).otherwise(expr)
-    for needle, slug in reversed(_LICENSE_RULES):
-        expr = F.when(c.contains(needle), F.lit(slug)).otherwise(expr)
+    for needle, slug in reversed(_LICENSE_STRIPPED_RULES):
+        cond = stripped.contains(needle)
+        if slug == "public-domain":
+            cond = cond & ~stripped.contains(_PD_GUARD)
+        expr = F.when(cond, F.lit(slug).cast("string")).otherwise(expr)
     return expr
 
 

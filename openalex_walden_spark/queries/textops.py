@@ -100,68 +100,85 @@ def p3_title(spark: SparkSession, sf_dir: str) -> DataFrame:
 # P4: license normalization
 # --------------------------------------------------------------------------
 _RAW_LICENSE_DUCK = """
-CASE o_orderkey % 10
+CASE o_orderkey % 14
   WHEN 0 THEN 'This work is licensed under CC BY 4.0 (creativecommons.org/licenses/by/4.0)'
   WHEN 1 THEN 'cc-by-nc-nd'
   WHEN 2 THEN 'MIT License'
   WHEN 3 THEN 'submitted version, all rights reserved'
-  WHEN 4 THEN 'Apache License 2.0'
+  WHEN 4 THEN 'Apache-2.0'
   WHEN 5 THEN 'Public Domain (CC0)'
   WHEN 6 THEN 'GPLv3'
   WHEN 7 THEN 'https://creativecommons.org/licenses/by-nc/2.0'
   WHEN 8 THEN 'permitted for reuse with attribution'
-  ELSE NULL END
+  WHEN 9 THEN 'https://www.elsevier.com/openaccess/userlicense/1.0/'
+  WHEN 10 THEN 'arXiv.org perpetual, non-exclusive license'
+  WHEN 11 THEN 'Open Access article under publisher terms'
+  WHEN 12 THEN 'GPL-3 or later'
+  ELSE 'Works not in the public domain notice' END
 """
 
 _LICENSE_SQL = f"""
 SELECT CASE WHEN raw IS NULL THEN '<null>' ELSE raw END AS raw_license,
        CASE
-         WHEN lower(trim(raw)) LIKE '%cc-by-nc-nd%' THEN 'cc-by-nc-nd'
-         WHEN lower(trim(raw)) LIKE '%cc-by-nc-sa%' THEN 'cc-by-nc-sa'
-         WHEN lower(trim(raw)) LIKE '%cc-by-nc%' THEN 'cc-by-nc'
-         WHEN lower(trim(raw)) LIKE '%cc-by-nd%' THEN 'cc-by-nd'
-         WHEN lower(trim(raw)) LIKE '%cc-by-sa%' THEN 'cc-by-sa'
-         WHEN lower(trim(raw)) LIKE '%cc-by%' THEN 'cc-by'
-         WHEN lower(trim(raw)) LIKE '%cc0%' THEN 'public-domain'
-         WHEN lower(trim(raw)) LIKE '%public domain%' THEN 'public-domain'
-         WHEN lower(trim(raw)) LIKE '%publicdomain%' THEN 'public-domain'
-         WHEN lower(trim(raw)) LIKE '%creativecommons.org/licenses/by-nc-nd%' THEN 'cc-by-nc-nd'
-         WHEN lower(trim(raw)) LIKE '%creativecommons.org/licenses/by-nc-sa%' THEN 'cc-by-nc-sa'
-         WHEN lower(trim(raw)) LIKE '%creativecommons.org/licenses/by-nc%' THEN 'cc-by-nc'
-         WHEN lower(trim(raw)) LIKE '%creativecommons.org/licenses/by-nd%' THEN 'cc-by-nd'
-         WHEN lower(trim(raw)) LIKE '%creativecommons.org/licenses/by-sa%' THEN 'cc-by-sa'
-         WHEN lower(trim(raw)) LIKE '%creativecommons.org/licenses/by%' THEN 'cc-by'
-         WHEN lower(trim(raw)) LIKE '%apache%' THEN 'apache-2.0'
+         WHEN s LIKE '%elsevier.com/openaccess/userlicense%' THEN NULL
+         WHEN s LIKE '%pubs.acs.org/page/policy/authorchoice_termsofuse.html%' THEN 'other-oa'
+         WHEN s LIKE '%arxiv.orgperpetual%' THEN 'other-oa'
+         WHEN s LIKE '%arxiv.orgnonexclusive%' THEN 'other-oa'
+         WHEN s LIKE '%ccbyncnd%' THEN 'cc-by-nc-nd'
+         WHEN s LIKE '%ccbyncsa%' THEN 'cc-by-nc-sa'
+         WHEN s LIKE '%ccbynd%' THEN 'cc-by-nd'
+         WHEN s LIKE '%ccbysa%' THEN 'cc-by-sa'
+         WHEN s LIKE '%ccbync%' THEN 'cc-by-nc'
+         WHEN s LIKE '%ccby%' THEN 'cc-by'
+         WHEN s LIKE '%creativecommons.org/licenses/byncnd%' THEN 'cc-by-nc-nd'
+         WHEN s LIKE '%creativecommons.org/licenses/byncsa%' THEN 'cc-by-nc-sa'
+         WHEN s LIKE '%creativecommons.org/licenses/bync%' THEN 'cc-by-nc'
+         WHEN s LIKE '%creativecommons.org/licenses/bynd%' THEN 'cc-by-nd'
+         WHEN s LIKE '%creativecommons.org/licenses/bysa%' THEN 'cc-by-sa'
+         WHEN s LIKE '%creativecommons.org/licenses/by%' THEN 'cc-by'
+         WHEN s LIKE '%cc0%' THEN 'public-domain'
+         WHEN s LIKE '%publicdomain%' AND s NOT LIKE '%worksnotinthepublicdomain%' THEN 'public-domain'
+         WHEN s LIKE '%openaccess%' THEN 'other-oa'
+         WHEN s LIKE '%gpl3%' THEN 'gpl-3'
+         WHEN s LIKE '%gpl2%' THEN 'gpl-2'
+         WHEN s LIKE '%gpl%' THEN 'gpl'
+         WHEN s LIKE '%apache2%' THEN 'apache-2.0'
          WHEN regexp_matches(lower(trim(raw)), '\\bmit\\b') THEN 'mit'
-         WHEN regexp_matches(lower(trim(raw)), '\\b[al]?gplv?[23]?\\b') THEN 'gpl'
          ELSE NULL END AS license,
        COUNT(*) AS n
-FROM (SELECT {_RAW_LICENSE_DUCK} AS raw FROM orders)
+FROM (SELECT raw, replace(replace(lower(trim(raw)), ' ', ''), '-', '') AS s
+      FROM (SELECT {_RAW_LICENSE_DUCK} AS raw FROM orders))
 GROUP BY raw_license, license
 """
 
 
 @register("p4_license_normalize", oracle=_LICENSE_SQL, tags=("textops", "P4"), tables=("orders",))
 def p4_license(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """License normalization (P4): substring-rule table with word-boundary
-    guards for short generic names ('MIT License' maps, 'permitted'/
-    'submitted' must NOT — the false-positive class the reference's
-    stripped-lookup avoids, normalize.py:181-223)."""
+    """License normalization (P4): the reference's full stripped-lookup
+    table (normalize.py:181-223) — publisher suppressions (the Elsevier
+    user-license URL must NOT slug even though it contains 'openaccess'),
+    CC word and URL forms, guarded public-domain, other-oa, versioned
+    GPL, strict apache2 — plus word-boundary guards for short generic
+    names ('MIT License' maps; 'permitted'/'submitted' must not)."""
     raws = [
         "This work is licensed under CC BY 4.0 (creativecommons.org/licenses/by/4.0)",
         "cc-by-nc-nd",
         "MIT License",
         "submitted version, all rights reserved",
-        "Apache License 2.0",
+        "Apache-2.0",
         "Public Domain (CC0)",
         "GPLv3",
         "https://creativecommons.org/licenses/by-nc/2.0",
         "permitted for reuse with attribution",
-        None,
+        "https://www.elsevier.com/openaccess/userlicense/1.0/",
+        "arXiv.org perpetual, non-exclusive license",
+        "Open Access article under publisher terms",
+        "GPL-3 or later",
+        "Works not in the public domain notice",
     ]
     raw = F.lit(None).cast("string")
-    for i, v in enumerate(raws[:-1]):
-        raw = F.when(F.col("o_orderkey") % 10 == i, F.lit(v)).otherwise(raw)
+    for i, v in enumerate(raws):
+        raw = F.when(F.col("o_orderkey") % 14 == i, F.lit(v)).otherwise(raw)
     return (
         spark.table("orders")
         .select(raw.alias("raw"))

@@ -249,3 +249,23 @@ def test_llm_cost_guard(spark, sf_dir):
     assert all(len(r["embedding"]) == 8 for r in emb)
     # L1-normalized token-count buckets sum to ~1 for non-empty docs
     assert abs(sum(emb[0]["embedding"]) - 1.0) < 1e-6
+
+
+@pytest.mark.parametrize(
+    ("raw", "want"),
+    [
+        ("https://www.elsevier.com/openaccess/userlicense/1.0/", None),  # suppression
+        ("arXiv.org perpetual, non-exclusive license", "other-oa"),
+        ("Open Access under publisher terms", "other-oa"),
+        ("GPL-3 or later", "gpl-3"),
+        ("GPL 2", "gpl-2"),
+        ("CC BY NC ND", "cc-by-nc-nd"),  # spaced form hits via strip
+        ("Works not in the public domain", None),  # guard
+        ("Apache-2.0", "apache-2.0"),
+        ("Apache License (unversioned)", None),  # strict apache2 needle
+    ],
+)
+def test_normalize_license_reference_table(spark, raw, want):
+    from openalex_walden_spark.functions.normalize import normalize_license
+
+    assert _one(spark, normalize_license(F.lit(raw))) == want
