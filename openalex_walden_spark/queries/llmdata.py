@@ -710,3 +710,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jacc >= 0.6)
         .select("doc_a", "doc_b", jacc.alias("jacc"))
     )
+
+
+# --------------------------------------------------------------------------
+# LLM embedding operator: hash-bucket embeddings, oracle-checked per weight
+# --------------------------------------------------------------------------
+_EMBED_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           AS t
+  FROM documents
+),
+n AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+b AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT % 8 AS bucket,
+         count(*) AS c
+  FROM toks GROUP BY doc_id, bucket
+)
+SELECT b.doc_id, bucket::BIGINT AS bucket,
+       (c::DOUBLE / n.n::DOUBLE)::FLOAT AS weight
+FROM b JOIN n ON b.doc_id = n.doc_id
+"""
+
+
+@register(
+    "llm_embed_vectors",
+    oracle=_EMBED_ORACLE,
+    tags=("llmdata", "llm-operator", "embeddings", "pandas-udf"),
+    tables=("documents",),
+)
+def llm_embed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding operator (``functions/llm.py:embed_texts`` — the
+    ContinuousEmbeddings ai_query shape) through the correctness gate:
+    mapInPandas produces ARRAY<FLOAT> per doc; the nonzero bucket
+    weights explode to rows and hash-match DuckDB bit-for-bit (the
+    float32 cast is the same IEEE round in both engines). Proves the
+    Arrow embedding plumbing end-to-end, not just its schema."""
+    from openalex_walden_spark.functions.llm import embed_texts
+
+    emb = embed_texts(spark.table("documents"), "text", "doc_id", dim=8)
+    return (
+        emb.select("doc_id", F.posexplode("embedding").alias("bucket", "weight"))
+        .where(F.col("weight") > 0)
+        .select("doc_id", F.col("bucket").cast("long").alias("bucket"), "weight")
+    )
