@@ -313,3 +313,75 @@ def p15_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("raw_flag", "flag")
         .agg(F.count("*").alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# P7b: merge-key with the bad-title deny-list fallback
+# --------------------------------------------------------------------------
+_MERGEKEY_BAD_SQL = f"""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             translate(
+               regexp_replace(lower(substr(text, 1, 80)), '<[^>]+>', ' ', 'g'),
+               'àáâãäåçèéêëìíîïñòóôõöùúûüýÿšžœæß',
+               'aaaaaaceeeeiiiinooooouuuuyyszoas'),
+             '\\b({_STOP})\\b', ' ', 'g'),
+           '[^\\p{{L}}\\p{{N}}]+', '', 'g') AS t
+  FROM documents
+),
+bad AS (
+  SELECT t FROM norm WHERE t <> '' GROUP BY t HAVING count(*) >= 2
+)
+SELECT doc_id,
+       CASE WHEN t IS NULL OR t = '' OR length(t) < 5
+              OR t IN (SELECT t FROM bad)
+            THEN 'native:' || doc_id::VARCHAR
+            ELSE 'ta:' || t END AS merge_key,
+       CASE WHEN t IS NULL OR t = '' OR length(t) < 5
+              OR t IN (SELECT t FROM bad)
+            THEN 'native' ELSE 'title' END AS key_kind
+FROM norm
+"""
+
+
+@register(
+    "p7_merge_key_badtitle",
+    oracle=_MERGEKEY_BAD_SQL,
+    tags=("textops", "P7", "P3", "J4"),
+    tables=("documents",),
+)
+def p7_merge_key_badtitle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 with the reference's bad-title guard (normalize.py:116-139):
+    the title_author key falls back to the native id when the normalized
+    title is missing, too short, or sits in the ambiguous-title
+    deny-list (`openalex.system.bad_titles` — here derived as titles
+    shared by >= 2 docs, which is what that table operationally is).
+    The deny-list check is the correlated `IN (SELECT …)` shape —
+    Catalyst decorrelates it to a broadcast-able semi-join."""
+    norm = spark.table("documents").select(
+        "doc_id", normalize_title(F.col("text"), max_len=80).alias("t")
+    )
+    bad = (
+        norm.where(F.col("t").isNotNull())
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= 2)
+        .select("t")
+    )
+    flagged = norm.join(
+        F.broadcast(bad.withColumn("is_bad", F.lit(True))), "t", "left"
+    )
+    fallback = (
+        F.col("t").isNull()
+        | (F.length("t") < 5)
+        | F.col("is_bad").isNotNull()
+    )
+    return flagged.select(
+        "doc_id",
+        F.when(fallback, F.concat(F.lit("native:"), F.col("doc_id").cast("string")))
+        .otherwise(F.concat(F.lit("ta:"), F.col("t")))
+        .alias("merge_key"),
+        F.when(fallback, F.lit("native")).otherwise(F.lit("title")).alias("key_kind"),
+    )
