@@ -629,3 +629,87 @@ def d2_cascade_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, id_map, records, key_cols=["doi", "pmid", "ta"]
     )
     return assignments
+
+
+# --------------------------------------------------------------------------
+# D10: field-priority authorship fusion (seats, name pick, positional attach)
+# --------------------------------------------------------------------------
+_D10_SQL = """
+WITH seats AS (
+  SELECT l_orderkey AS work_id, l_linenumber AS pos,
+         CASE WHEN s.s_suppkey % 4 = 0 THEN NULL ELSE s.s_name END
+           AS primary_name,
+         p.p_name AS fallback_name,
+         n.n_name AS affiliation
+  FROM lineitem
+  JOIN supplier s ON l_suppkey = s.s_suppkey
+  JOIN part p ON l_partkey = p.p_partkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE l_linenumber <= 5
+)
+SELECT work_id,
+       count(*)::BIGINT AS n_seats,
+       string_agg(pos || ':' || coalesce(primary_name, fallback_name)
+                      || '@' || affiliation,
+                  '|' ORDER BY pos, coalesce(primary_name, fallback_name),
+                   affiliation)
+         AS authorships
+FROM seats GROUP BY work_id
+"""
+
+
+@register(
+    "d10_authorship_fusion",
+    oracle=_D10_SQL,
+    tags=("domain", "D10", "J13", "A2", "T2"),
+    tables=("lineitem", "supplier", "part", "nation"),
+)
+def d10_authorship_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authorship fusion (D10, ``CreateCrossrefSuperAuthorships.ipynb``):
+    per-work author seats in POSITION order, each seat's display name
+    picked by provenance priority (authoritative source first, fallback
+    when masked/absent — the field-priority rule), affiliation attached
+    positionally via the seat join key, seat list capped (the
+    reference's per-provenance caps). Rendered as a deterministic
+    ordered signature string so the oracle hash-checks seat order, name
+    pick, and attach in one value.
+
+    Scale: dimensions broadcast; the only fact shuffle is the final
+    per-work aggregation — same key the seats already carry.
+    """
+    li = spark.table("lineitem").where(F.col("l_linenumber") <= 5)
+    s = F.broadcast(spark.table("supplier"))
+    p = F.broadcast(spark.table("part"))
+    n = F.broadcast(spark.table("nation"))
+    seats = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("l_orderkey").alias("work_id"),
+            F.col("l_linenumber").alias("pos"),
+            F.coalesce(
+                F.when(F.col("s_suppkey") % 4 != 0, F.col("s_name")),
+                F.col("p_name"),
+            ).alias("author"),
+            F.col("n_name").alias("affiliation"),
+        )
+    )
+    seat_str = F.concat_ws(
+        "", F.col("pos").cast("string"), F.lit(":"), F.col("author"),
+        F.lit("@"), F.col("affiliation"),
+    )
+    return seats.groupBy("work_id").agg(
+        F.count("*").cast("long").alias("n_seats"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("pos"), F.col("author"), seat_str.alias("s"))
+                    )
+                ),
+                lambda x: x.getField("s"),
+            ),
+            "|",
+        ).alias("authorships"),
+    )
