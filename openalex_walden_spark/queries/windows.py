@@ -248,3 +248,67 @@ def w8_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("custkey"),
         F.ntile(4).over(w).cast("bigint").alias("balance_quartile"),
     )
+
+
+# --------------------------------------------------------------------------
+# W1b: the quality CASE-ladder pick with a portable hash tie-break
+# --------------------------------------------------------------------------
+_W1_LADDER_SQL = """
+SELECT custkey, picked_order, status_rank
+FROM (
+  SELECT o_custkey AS custkey, o_orderkey AS picked_order,
+         CASE o_orderstatus WHEN 'F' THEN 0 WHEN 'O' THEN 1 ELSE 2 END
+           AS status_rank,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY CASE o_orderstatus WHEN 'F' THEN 0 WHEN 'O' THEN 1
+                    ELSE 2 END ASC,
+                    CASE WHEN o_orderpriority LIKE '1-%' THEN 0 ELSE 1 END ASC,
+                    o_totalprice DESC,
+                    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT ASC,
+                    o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+@register(
+    "w1_quality_ladder_pick",
+    oracle=_W1_LADDER_SQL,
+    tags=("window", "W1", "D3"),
+    tables=("orders",),
+)
+def w1_quality_ladder_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 in its production form: the best-record pick whose ORDER BY is
+    a CASE quality ladder (status class, priority class, value) with a
+    HASH tie-break (``CreateSuperLocations.ipynb`` cell 1 lines 16-45;
+    the reference tie-breaks with xxhash64 — here the engine-portable
+    md5-derived 60-bit hash so the oracle can replicate bit-for-bit)
+    and a final total ordering on the key. Every ordering totalized —
+    the determinism discipline the oracle contract depends on."""
+    status_rank = (
+        F.when(F.col("o_orderstatus") == "F", 0)
+        .when(F.col("o_orderstatus") == "O", 1)
+        .otherwise(2)
+    )
+    urgent_rank = F.when(F.col("o_orderpriority").startswith("1-"), 0).otherwise(1)
+    tie = F.expr(
+        "cast(conv(substr(md5(cast(o_orderkey as string)), 1, 15), 16, 10) as bigint)"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        status_rank.asc(),
+        urgent_rank.asc(),
+        F.col("o_totalprice").desc(),
+        tie.asc(),
+        F.col("o_orderkey").asc(),
+    )
+    return (
+        spark.table("orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("picked_order"),
+            status_rank.alias("status_rank"),
+        )
+    )
