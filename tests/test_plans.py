@@ -114,3 +114,20 @@ def test_salted_agg_two_stage(spark, sf_dir):
     plan = _plan(spark, sf_dir, "skew_salted_agg")
     assert plan.count("Exchange hashpartitioning") >= 2
     assert "__salt" in plan
+
+
+def test_works_enriched_single_edge_shuffle(spark, sf_dir):
+    """The enriched flagship reuses the work_id key across all its
+    aggregates and broadcasts nothing it shouldn't — no cartesian
+    product, no python, cohort windows over the per-work frame only."""
+    plan = _plan(spark, sf_dir, "d0_works_enriched")
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_d10_fusion_broadcasts_dimensions(spark, sf_dir):
+    """All three dimensions of the authorship fusion broadcast; the fact
+    side shuffles once for the per-work aggregation."""
+    plan = _plan(spark, sf_dir, "d10_authorship_fusion")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
