@@ -17,6 +17,7 @@ one groupBy that builds the per-order arrays.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from openalex_walden_spark.queries.registry import register
 
@@ -179,8 +180,6 @@ def u3_union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     7-source streaming union tolerates per-source schema raggedness
     (``UnionAllWorksIntoLocationsParsed.ipynb`` cell 1 line 49); missing
     columns NULL-fill by name, never by position."""
-    from pyspark.sql import functions as F
-
     o = spark.table("orders")
     amt = (
         o.where(F.col("o_orderkey") % 2 == 0)
@@ -191,3 +190,66 @@ def u3_union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderpriority", F.lit("pri").alias("src"))
     )
     return amt.unionByName(pri, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# U1: schema-conformed UNION ALL across differently-shaped sources.
+
+_U1_ORACLE = """
+SELECT o_orderkey AS record_key, CAST(o_totalprice AS DOUBLE) AS amount,
+       'orders' AS provenance
+FROM orders WHERE o_orderkey % 5 = 0
+UNION ALL
+SELECT c_custkey AS record_key, CAST(c_acctbal AS DOUBLE) AS amount,
+       'customer' AS provenance
+FROM customer
+UNION ALL
+SELECT s_suppkey AS record_key, CAST(NULL AS DOUBLE) AS amount,
+       'supplier' AS provenance
+FROM supplier
+"""
+
+
+@register(
+    "u1_conform_union",
+    oracle=_U1_ORACLE,
+    tags=("setop", "U1", "P1"),
+    tables=("orders", "customer", "supplier"),
+)
+def u1_conform_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 through the conformance layer (``conform.py:conform_union``):
+    three sources with different column names/orders/shapes (supplier
+    lacks the amount entirely) conform to one target schema and UNION
+    ALL by NAME — the construction that makes the reference's
+    column-order union hazard (``CreateSuperLocations.ipynb`` lines
+    770-773, a shipped production bug) impossible by design."""
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    from openalex_walden_spark.conform import conform_union
+
+    target = StructType(
+        [
+            StructField("record_key", LongType()),
+            StructField("amount", DoubleType()),
+            StructField("provenance", StringType()),
+        ]
+    )
+    o = (
+        spark.table("orders")
+        .where(F.col("o_orderkey") % 5 == 0)
+        .select(
+            F.lit("orders").alias("provenance"),  # wrong order on purpose
+            F.col("o_orderkey").alias("record_key"),
+            F.col("o_totalprice").alias("amount"),
+        )
+    )
+    c = spark.table("customer").select(
+        F.col("c_custkey").alias("record_key"),
+        F.col("c_acctbal").alias("amount"),
+        F.lit("customer").alias("provenance"),
+    )
+    s = spark.table("supplier").select(  # missing 'amount' entirely
+        F.col("s_suppkey").alias("record_key"),
+        F.lit("supplier").alias("provenance"),
+    )
+    return conform_union([o, c, s], target)
