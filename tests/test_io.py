@@ -175,3 +175,36 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_snapshot_smoke_battery(spark, sf_dir, tmp_path):
+    """§5 layer 3: the smoke harness passes a clean export, and catches
+    a corrupted one (bad JSON line + duplicate id) with named checks."""
+    import pytest as _pytest
+
+    from openalex_walden_spark.operators.smoke import SmokeFailure, smoke_test_snapshot
+    from openalex_walden_spark.sinks.json_export import export_snapshot
+    from openalex_walden_spark.tables import register_views
+
+    register_views(spark, sf_dir, ("customer",))
+    out = str(tmp_path / "snap")
+    df = spark.table("customer").selectExpr(
+        "concat('C', c_custkey) AS id", "c_name", "c_mktsegment"
+    )
+    export_snapshot(df, out, ["id", "c_name", "c_mktsegment"])
+    report = smoke_test_snapshot(
+        spark, out, id_field="id", id_pattern=r"^C\d+$",
+        required_fields=("c_name",),
+    )
+    assert all(r.ok for r in report) and len(report) >= 6
+
+    # corrupt: append an unparseable line and a duplicate id
+    part = next(f for f in os.listdir(out) if f.startswith("part-"))
+    with open(os.path.join(out, part), "a") as fh:
+        fh.write("not json\n")
+        fh.write('{"id":"C0","c_name":"dup","c_mktsegment":"X"}\n')
+    with _pytest.raises(SmokeFailure) as exc:
+        smoke_test_snapshot(spark, out, id_field="id", id_pattern=r"^C\d+$")
+    bad = {r.name for r in exc.value.report if not r.ok}
+    assert "json_and_id_present" in bad and "id_unique" in bad
+    assert "manifest_sizes_match" in bad  # we appended bytes past the manifest
