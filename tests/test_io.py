@@ -198,13 +198,13 @@ def test_snapshot_smoke_battery(spark, sf_dir, tmp_path):
     )
     assert all(r.ok for r in report) and len(report) >= 6
 
-    # corrupt: append an unparseable line and a duplicate id
-    part = next(f for f in os.listdir(out) if f.startswith("part-"))
-    with open(os.path.join(out, part), "a") as fh:
+    # corrupt: drop in a rogue part file (bad JSON + duplicate id) that
+    # the manifest does not list
+    with open(os.path.join(out, "part-99999-rogue.txt"), "w") as fh:
         fh.write("not json\n")
         fh.write('{"id":"C0","c_name":"dup","c_mktsegment":"X"}\n')
     with _pytest.raises(SmokeFailure) as exc:
         smoke_test_snapshot(spark, out, id_field="id", id_pattern=r"^C\d+$")
     bad = {r.name for r in exc.value.report if not r.ok}
     assert "json_and_id_present" in bad and "id_unique" in bad
-    assert "manifest_sizes_match" in bad  # we appended bytes past the manifest
+    assert "manifest_files_match" in bad  # rogue file not in manifest
