@@ -686,6 +686,7 @@ t2_cand AS (
   SELECT c.c_custkey AS custkey, s.s_suppkey
   FROM customer c JOIN supplier s
     ON c.c_nationkey = s.s_nationkey
+   AND right(c.c_name, 1) = right(s.s_name, 1)
    AND levenshtein(c.c_name, s.s_name) <= 7
   WHERE c.c_custkey NOT IN (SELECT custkey FROM t1)
 ),
@@ -742,9 +743,13 @@ def d6_and_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     unresolved1 = c.join(t1.select("custkey"), c["c_custkey"] == F.col("custkey"), "left_anti")
+    # Block key = (nation, name-tail) — the reference's blocks are this
+    # tight (first_initial + surname); the expensive edit-distance gate
+    # only ever runs inside a block (MatchAuthors.ipynb cell 9).
     cand = unresolved1.join(
         s,
         (unresolved1["c_nationkey"] == s["s_nationkey"])
+        & (F.substring(unresolved1["c_name"], -1, 1) == F.substring(s["s_name"], -1, 1))
         & (F.levenshtein(unresolved1["c_name"], s["s_name"]) <= 7),
     ).select(F.col("c_custkey").alias("custkey"), "s_suppkey")
     t2 = (
