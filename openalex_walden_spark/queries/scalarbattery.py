@@ -253,3 +253,67 @@ def u1_conform_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("supplier").alias("provenance"),
     )
     return conform_union([o, c, s], target)
+
+
+# ---------------------------------------------------------------------------
+# Map-function battery: map_from_entries/map_filter/map_concat/
+# transform_values/element_at (§2.8 "Map" row, the ids-map block shape).
+
+_MAP_ORACLE = """
+WITH per AS (
+  SELECT l_orderkey AS okey,
+         count(*) FILTER (l_returnflag = 'A') AS n_a,
+         count(*) FILTER (l_returnflag = 'N') AS n_n,
+         count(*) FILTER (l_returnflag = 'R') AS n_r
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT okey,
+       (CASE WHEN n_a > 0 THEN 1 ELSE 0 END + CASE WHEN n_n > 0 THEN 1 ELSE 0 END
+        + CASE WHEN n_r > 0 THEN 1 ELSE 0 END)::INTEGER AS n_kinds,
+       (n_a * 10)::BIGINT AS a_scaled,
+       (n_a + n_n + n_r + 1)::BIGINT AS total_with_base
+FROM per
+"""
+
+
+@register(
+    "f_map_battery",
+    oracle=_MAP_ORACLE,
+    tags=("scalar", "map"),
+    tables=("lineitem",),
+)
+def f_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 map battery — the reference's ids-map block shape
+    (``CreateWorksBase.ipynb`` cell 2): build a map with
+    map_from_entries, drop empty entries with map_filter, scale values
+    with transform_values, merge a base map with map_concat, read with
+    element_at, measure with size. The oracle computes the same VALUES
+    relationally — maps are Spark-side vocabulary under test."""
+    per = spark.sql("""
+        SELECT l_orderkey AS okey,
+               count(IF(l_returnflag = 'A', 1, NULL)) AS n_a,
+               count(IF(l_returnflag = 'N', 1, NULL)) AS n_n,
+               count(IF(l_returnflag = 'R', 1, NULL)) AS n_r
+        FROM lineitem GROUP BY l_orderkey
+    """)
+    per.createOrReplaceTempView("_per_map")
+    return spark.sql("""
+        WITH maps AS (
+          SELECT okey,
+                 map_filter(
+                   map_from_entries(array(
+                     struct('A' AS k, n_a AS v), struct('N' AS k, n_n AS v),
+                     struct('R' AS k, n_r AS v))),
+                   (k, v) -> v > 0) AS kinds
+          FROM _per_map
+        )
+        SELECT okey,
+               size(kinds) AS n_kinds,
+               CAST(coalesce(element_at(
+                 transform_values(kinds, (k, v) -> v * 10), 'A'), 0) AS BIGINT)
+                 AS a_scaled,
+               CAST(aggregate(map_values(
+                      map_concat(map('base', 1L), kinds)), 0L, (a, x) -> a + x)
+                 AS BIGINT) AS total_with_base
+        FROM maps
+    """)
