@@ -317,3 +317,40 @@ def f_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS BIGINT) AS total_with_base
         FROM maps
     """)
+
+
+# ---------------------------------------------------------------------------
+# S3 nuances: IDENTIFIER(:param) table binding + SQL session variables.
+
+_S3_PARAM_ORACLE = """
+SELECT o_orderstatus AS status, count(*)::BIGINT AS n
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "s3_identifier_and_variables",
+    oracle=_S3_PARAM_ORACLE,
+    tags=("scan", "S3", "sqlvar"),
+    tables=("orders",),
+)
+def s3_identifier_and_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3's parameterization devices, both from the reference:
+    ``IDENTIFIER(:tbl)`` binds the table name as a parameter (the
+    `'cat' || :env_suffix` pattern), and a SQL session variable carries
+    the high-watermark (``DECLARE VARIABLE max_updated_date`` —
+    ``MatchAuthors.ipynb`` cell 1). Injection-proof name binding + the
+    incremental-scan watermark discipline in one statement."""
+    spark.sql("DECLARE OR REPLACE VARIABLE wm TIMESTAMP")
+    spark.sql("SET VAR wm = TIMESTAMP '1997-01-01'")
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS status, count(*) AS n
+        FROM IDENTIFIER(:tbl)
+        WHERE o_orderdate >= wm
+        GROUP BY o_orderstatus
+        """,
+        args={"tbl": "orders"},
+    )
