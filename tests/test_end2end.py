@@ -1,0 +1,70 @@
+"""The nightly DAG end-to-end: build → enrich → guardrails → export →
+smoke — the reference's walden_end2end.yaml shape (Guardrails gates the
+Full_Snapshot task) composed from the engine's own layers.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from openalex_walden_spark import queries as q
+from openalex_walden_spark.operators.guardrails import (
+    Guardrail,
+    run_guardrails,
+)
+from openalex_walden_spark.operators.smoke import smoke_test_snapshot
+from openalex_walden_spark.sinks.json_export import export_snapshot
+
+q.load_all()
+
+
+def test_nightly_dag_build_guard_export_smoke(spark, sf_dir, tmp_path):
+    # 1. build the nested works plane and its enrichment
+    works = q.CATALOG["d0_works_build"].spark(spark, sf_dir).cache()
+    enriched = q.CATALOG["d0_works_enriched"].spark(spark, sf_dir).cache()
+    n_works = works.count()
+    assert n_works > 0
+
+    # 2. guardrails gate (the §5-layer-2 contract: blocking asserts with
+    # numeric baselines — here: nothing lost vs the enriched plane, and
+    # no work without an id)
+    from openalex_walden_spark.tables import register_views
+
+    register_views(spark, sf_dir, ("part",))
+    n_parts = spark.table("part").count()  # enriched is part-grained
+    checks = [
+        Guardrail(
+            "works_count_floor",
+            lambda df: float(-df.count()),  # lower bound via negation
+            -float(n_parts),
+        ),
+        Guardrail(
+            "missing_ids",
+            lambda df: float(df.where(F.col("work_id").isNull()).count()),
+            0.0,
+        ),
+    ]
+    report = run_guardrails(enriched, checks)
+    assert all(r.ok for r in report)
+
+    # 3. export the serving snapshot (S6) with sanitize + manifest
+    out = str(tmp_path / "snapshot")
+    ids = works.select(
+        F.concat(F.lit("W"), F.substring(F.md5("merge_key"), 1, 12)).alias("id"),
+        F.col("merge_key"),
+    )
+    manifest = export_snapshot(ids, out, ["id", "merge_key"])
+    assert manifest["n_files"] >= 1 and manifest["total_bytes"] > 0
+
+    # 4. smoke-test the published snapshot (§5 layer 3) — id format,
+    # uniqueness, required fields, manifest coherence
+    smoke = smoke_test_snapshot(
+        spark, out, id_field="id", id_pattern=r"^W[0-9a-f]{12}$",
+        required_fields=("merge_key",),
+    )
+    assert all(r.ok for r in smoke)
+    assert os.path.exists(os.path.join(out, "manifest.json"))
+    works.unpersist()
+    enriched.unpersist()
