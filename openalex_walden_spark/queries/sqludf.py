@@ -214,3 +214,60 @@ def udf_priority_best_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
                  struct('fallback' AS value, 98 AS priority))) AS best
         FROM orders
     """)
+
+
+# ---------------------------------------------------------------------------
+# Award family policy: merge each key-family onto its newest year.
+
+_FAMILY_ORACLE = f"""
+WITH raw AS (
+  SELECT o_orderkey, {_AWARD_RAW_DUCK} AS award,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr
+  FROM orders
+),
+stripped AS (
+  SELECT o_orderkey, yr,
+         regexp_replace(regexp_replace(upper(trim(award)), '\\s+', ' ', 'g'),
+                        '[ -]', '', 'g') AS s
+  FROM raw
+),
+keyed AS (
+  SELECT o_orderkey, yr, {_AWARD_KEY_DUCK} AS fam FROM stripped
+)
+SELECT fam, count(*)::BIGINT AS n_members,
+       max(yr) AS newest_year,
+       arg_min(o_orderkey, (2100 - yr) * 10000000 + o_orderkey) AS canonical_id
+FROM keyed WHERE fam IS NOT NULL
+GROUP BY fam
+"""
+
+
+@register(
+    "award_family_merge",
+    oracle=_FAMILY_ORACLE,
+    tags=("sqludf", "domain", "A4"),
+    tables=("orders",),
+)
+def award_family_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The award family policy (``AwardNormKey.sql`` header: families
+    merge onto the NEWEST year): group deposited award strings by their
+    normalized family key, pick the newest-year member as canonical
+    (min orderkey breaks year ties — totalized). max_by-with-tie-break
+    (A4) over the SQL-UDF key layer; one shuffle on the family key."""
+    create_sql_udfs(spark)
+    return spark.sql(f"""
+        WITH raw AS (
+          SELECT o_orderkey, {_AWARD_RAW_SPARK} AS award,
+                 CAST(year(o_orderdate) AS BIGINT) AS yr
+          FROM orders
+        ),
+        keyed AS (
+          SELECT o_orderkey, yr, award_key(award) AS fam FROM raw
+        )
+        SELECT fam, count(*) AS n_members,
+               max(yr) AS newest_year,
+               min_by(o_orderkey, (2100 - yr) * 10000000 + o_orderkey)
+                 AS canonical_id
+        FROM keyed WHERE fam IS NOT NULL
+        GROUP BY fam
+    """)
