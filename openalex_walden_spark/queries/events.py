@@ -322,3 +322,49 @@ def s4_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
         change_type.alias("_change_type"),
     )
+
+
+# --------------------------------------------------------------------------
+# sliding window: 30-min windows advancing every 15 min (each event in 2)
+# --------------------------------------------------------------------------
+_US_15M = 900_000_000
+
+_SLIDING_SQL = f"""
+WITH contrib AS (
+  SELECT event_type,
+         ({_TSUS_DUCK} // {_US_15M}) * {_US_15M} AS w_start
+  FROM events
+  UNION ALL
+  SELECT event_type,
+         ({_TSUS_DUCK} // {_US_15M} - 1) * {_US_15M} AS w_start
+  FROM events
+)
+SELECT w_start, event_type, COUNT(*) AS n_events
+FROM contrib GROUP BY w_start, event_type
+"""
+
+
+@register(
+    "ev_sliding_30m",
+    oracle=_SLIDING_SQL,
+    tags=("events", "agg", "window", "sliding"),
+    tables=("events",),
+)
+def ev_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation: 30-minute windows advancing every 15
+    minutes, so each event lands in exactly two windows — the
+    Structured Streaming ``window(ts, '30 minutes', '15 minutes')``
+    semantics, stated over ``ts_us`` integer arithmetic so the oracle
+    replicates the overlap exactly (the window start set of an event at
+    time t is {floor(t/slide)·slide, (floor(t/slide)-1)·slide}).
+    Map-side explode of 2 contributions per row, one shuffle on
+    (window, type) — the same cost profile the streaming form has."""
+    ev = spark.table("events")
+    w0 = (F.col("ts_us") / _US_15M).cast("long") * _US_15M
+    contrib = ev.select(
+        "event_type",
+        F.explode(F.array(w0, w0 - _US_15M)).alias("w_start"),
+    )
+    return contrib.groupBy("w_start", "event_type").agg(
+        F.count("*").alias("n_events")
+    )

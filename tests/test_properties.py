@@ -102,3 +102,25 @@ def test_normalize_doi_idempotent_on_generated_corpus(spark):
     ).collect()
     for r in twice:
         assert r["d2"] == r["d1"]  # normalizing a normal form is a no-op
+
+
+def test_award_key_idempotent_on_generated_corpus(spark):
+    """award_key(award_key(x)) == award_key(x): the normal form is a
+    fixed point (re-keying an already-normal key changes nothing)."""
+    from openalex_walden_spark.functions.sql_udfs import create_sql_udfs
+
+    create_sql_udfs(spark)
+    gen = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=30
+    )
+    rows = [(gen.example(),) for _ in range(40)] + [
+        (" AWD - 0012345 ",), ("R01-GM000123",), ("abc",), ("",), (None,),
+    ]
+    df = spark.createDataFrame(rows, "raw string")
+    df.createOrReplaceTempView("_award_prop")
+    out = spark.sql(
+        "SELECT award_key(raw) AS k1, award_key(award_key(raw)) AS k2 "
+        "FROM _award_prop"
+    ).collect()
+    for r in out:
+        assert r["k2"] == r["k1"]
