@@ -354,3 +354,47 @@ def s3_identifier_and_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "orders"},
     )
+
+
+# ---------------------------------------------------------------------------
+# HOF predicate battery: exists / forall / filter over per-order arrays.
+
+_HOF_ORACLE = """
+WITH per AS (
+  SELECT l_orderkey AS okey, list(l_quantity::INTEGER) AS qtys
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT okey,
+       len(list_filter(qtys, q -> q >= 25))::INTEGER AS n_large,
+       CASE WHEN len(list_filter(qtys, q -> q > 45)) > 0
+            THEN TRUE ELSE FALSE END AS has_jumbo,
+       CASE WHEN len(list_filter(qtys, q -> q >= 10)) = len(qtys)
+            THEN TRUE ELSE FALSE END AS all_at_least_10
+FROM per
+"""
+
+
+@register(
+    "f_hof_predicate_battery",
+    oracle=_HOF_ORACLE,
+    tags=("scalar", "array", "hof"),
+    tables=("lineitem",),
+)
+def f_hof_predicate_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 predicate HOFs — exists(), forall(), filter() with lambda
+    predicates (the reference leans on `exists(...)`/`filter(...)`
+    inside its location ladders). The oracle states the same predicates
+    via list_filter counting, so the lambda semantics (null handling,
+    empty arrays) are pinned across engines."""
+    return spark.sql("""
+        WITH per AS (
+          SELECT l_orderkey AS okey,
+                 collect_list(CAST(l_quantity AS INT)) AS qtys
+          FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT okey,
+               size(filter(qtys, q -> q >= 25)) AS n_large,
+               exists(qtys, q -> q > 45) AS has_jumbo,
+               forall(qtys, q -> q >= 10) AS all_at_least_10
+        FROM per
+    """)
