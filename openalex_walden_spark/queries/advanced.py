@@ -504,3 +504,65 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.encode("text", "utf-8").alias("payload"))
     )
     return payloads.mapInPandas(fake_frame_sample_batch, FRAMES_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Multimodal resize: typed-metadata transform over decoded payloads
+# --------------------------------------------------------------------------
+_RESIZE_SQL = """
+WITH decoded AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(text), 1, 4))::BIGINT % 640 AS w,
+         ('0x' || substr(md5(text), 5, 4))::BIGINT % 480 AS h
+  FROM documents
+)
+SELECT doc_id, w, h,
+       CASE WHEN w >= h THEN least(w, 256)
+            ELSE (least(h, 256) * w) // greatest(h, 1) END AS out_w,
+       CASE WHEN w >= h THEN (least(w, 256) * h) // greatest(w, 1)
+            ELSE least(h, 256) END AS out_h
+FROM decoded
+"""
+
+
+@register(
+    "multimodal_resize",
+    oracle=_RESIZE_SQL,
+    tags=("udf", "multimodal"),
+    tables=("documents",),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing: compute the target geometry
+    (long-edge cap 256, aspect preserved, integer floor) from decoded
+    dimensions as PURE COLUMN EXPRESSIONS — the actual pixel resample is
+    the only part that needs the (absent) image lib, and it would slot
+    into the decode mapInPandas batch; the geometry contract, which is
+    what downstream training pipelines depend on, is fully engine-checked.
+    """
+    from openalex_walden_spark.functions.udfs import DECODED_SCHEMA, fake_decode_batch
+
+    from openalex_walden_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    payloads = (
+        spark.table("documents")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+    decoded = payloads.mapInPandas(fake_decode_batch, DECODED_SCHEMA).select(
+        "doc_id",
+        F.col("fake_width").alias("w"),
+        F.col("fake_height").alias("h"),
+    )
+    cap = F.lit(256)
+    landscape = F.col("w") >= F.col("h")
+    out_w = F.when(landscape, F.least(F.col("w"), cap)).otherwise(
+        (F.least(F.col("h"), cap) * F.col("w"))
+        .cast("long") / F.greatest(F.col("h"), F.lit(1))
+    ).cast("long")
+    out_h = F.when(
+        landscape,
+        (F.least(F.col("w"), cap) * F.col("h")).cast("long")
+        / F.greatest(F.col("w"), F.lit(1)),
+    ).otherwise(F.least(F.col("h"), cap)).cast("long")
+    return decoded.select("doc_id", "w", "h", out_w.alias("out_w"), out_h.alias("out_h"))

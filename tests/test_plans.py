@@ -131,3 +131,12 @@ def test_d10_fusion_broadcasts_dimensions(spark, sf_dir):
     plan = _plan(spark, sf_dir, "d10_authorship_fusion")
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_salted_join_replicates_dimension(spark, sf_dir):
+    """The salted join's dimension side explodes to all salt buckets
+    (the replicate path) and the join stays an equi-join on
+    (key, salt) — no cartesian product anywhere."""
+    plan = _plan(spark, sf_dir, "skew_salted_join")
+    assert "Generate explode" in plan or "Expand" in plan or "explode" in plan
+    assert "CartesianProduct" not in plan
