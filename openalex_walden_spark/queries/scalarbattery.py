@@ -398,3 +398,72 @@ def f_hof_predicate_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
                forall(qtys, q -> q >= 10) AS all_at_least_10
         FROM per
     """)
+
+
+# ---------------------------------------------------------------------------
+# Null-handling + array set-ops battery: nullif/nvl/try_cast/zeroifnull,
+# array_intersect/union/except-by-filter/overlap/compact, sequence-by-step.
+
+_NULLSET_ORACLE = """
+WITH per AS (
+  SELECT o_orderkey AS okey,
+         nullif(o_orderstatus, 'P') AS status_or_null,
+         coalesce(nullif(o_orderstatus, 'P'), 'unknown') AS status_filled,
+         TRY_CAST(o_orderpriority AS BIGINT) AS prio_num,
+         coalesce(TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT), 0)
+           AS prio_digit
+  FROM orders
+),
+arr AS (
+  SELECT okey, status_or_null, status_filled, prio_num, prio_digit,
+         range(1, prio_digit + 2, 1) AS seq_to_prio,
+         list_distinct(list_intersect([1,2,3,prio_digit], [2,3,4,prio_digit]))
+           AS inter,
+         len(list_distinct(list_concat([1,2,3], [CASE WHEN prio_digit > 0
+                                                 THEN prio_digit END])))::INTEGER
+           AS union_len
+  FROM per
+)
+SELECT okey, status_or_null, status_filled, prio_num, prio_digit,
+       len(seq_to_prio)::INTEGER AS seq_len,
+       to_json(list_sort(inter)) AS inter_sorted,
+       union_len
+FROM arr
+"""
+
+
+@register(
+    "f_null_setops_battery",
+    oracle=_NULLSET_ORACLE,
+    tags=("scalar", "null", "array"),
+    tables=("orders",),
+)
+def f_null_setops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 null-handling (nullif/nvl/try_cast semantics incl. the
+    failed-cast → NULL path) and array set-ops (array_intersect,
+    array_union via distinct-concat, array_compact dropping the NULL,
+    sequence with explicit step). DuckDB's list_concat keeps NULL
+    elements, so array_compact's semantics are stated there as the
+    conditional element — values, not vocabulary, are what the oracle
+    pins."""
+    return spark.sql("""
+        WITH per AS (
+          SELECT o_orderkey AS okey,
+                 nullif(o_orderstatus, 'P') AS status_or_null,
+                 nvl(nullif(o_orderstatus, 'P'), 'unknown') AS status_filled,
+                 TRY_CAST(o_orderpriority AS BIGINT) AS prio_num,
+                 nvl(TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT), 0)
+                   AS prio_digit
+          FROM orders
+        )
+        SELECT okey, status_or_null, status_filled, prio_num, prio_digit,
+               size(sequence(1L, prio_digit + 1, 1L)) AS seq_len,
+               to_json(array_sort(array_distinct(
+                 array_intersect(array(1L,2L,3L,prio_digit),
+                                 array(2L,3L,4L,prio_digit))))) AS inter_sorted,
+               size(array_distinct(array_compact(
+                 array(1L, 2L, 3L,
+                       CASE WHEN prio_digit > 0 THEN prio_digit END))))
+                 AS union_len
+        FROM per
+    """)
