@@ -368,3 +368,46 @@ def ev_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrib.groupBy("w_start", "event_type").agg(
         F.count("*").alias("n_events")
     )
+
+
+# --------------------------------------------------------------------------
+# watermark late-data policy: events older than (max ts - 1h) are dropped
+# --------------------------------------------------------------------------
+_LATE_SQL = f"""
+WITH mx AS (SELECT max({_TSUS_DUCK}) AS m FROM events),
+kept AS (
+  SELECT {_TSUS_DUCK} // {_US_PER_HOUR} AS hour_bucket, event_type
+  FROM events, mx
+  WHERE {_TSUS_DUCK} >= mx.m - {_US_PER_HOUR}
+)
+SELECT hour_bucket, event_type, COUNT(*) AS n_events
+FROM kept GROUP BY hour_bucket, event_type
+"""
+
+
+@register(
+    "ev_watermark_late_drop",
+    oracle=_LATE_SQL,
+    tags=("events", "watermark", "window"),
+    tables=("events",),
+)
+def ev_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermark's late-data policy as its deterministic batch
+    statement: with a 1-hour watermark, events older than (max event
+    time − 1h) are dropped before the windowed aggregation — exactly
+    what ``withWatermark('ts', '1 hour')`` guarantees at stream end.
+    The high-water read is a 1-row aggregate broadcast into the filter
+    (no driver loop); the kept set then aggregates on the bucket."""
+    ev = spark.table("events")
+    mx = ev.agg(F.max("ts_us").alias("m"))
+    kept = ev.crossJoin(F.broadcast(mx)).where(
+        F.col("ts_us") >= F.col("m") - F.lit(_US_PER_HOUR)
+    )
+    return (
+        kept.select(
+            (F.col("ts_us") / _US_PER_HOUR).cast("long").alias("hour_bucket"),
+            "event_type",
+        )
+        .groupBy("hour_bucket", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
