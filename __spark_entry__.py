@@ -39,15 +39,61 @@ def entry(spark: SparkSession) -> DataFrame:
     return spec.spark(spark, SMOKE_SF_DIR)
 
 
+# The driver's CORRECTNESS sweep verifies the FIRST 50 entries of
+# ``queries()`` in insertion order.  Round 2 verified these 50 (all
+# green, CORRECTNESS_r02.json); they move to the back so round 3's
+# window covers the yet-unchecked queries.  Local parity
+# (tests/test_parity.py, all oracles) still guards the whole catalog.
+_R2_GREEN = [
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "join_anti_customers_without_orders", "join_semi_customers_with_urgent",
+    "join_full_outer_nation_counts", "join_nullsafe_band",
+    "subquery_orders_above_cust_avg", "agg_having_priority_spread",
+    "agg_grouping_sets", "agg_percentiles_by_segment", "agg_max_by_order",
+    "agg_conditional_battery", "agg_sorted_collect",
+    "w1_top_order_per_customer", "w2_qualify_top3_orders",
+    "w3_percent_rank_cohort", "w4_fwci_ratio", "w5_running_revenue",
+    "w6_flag_propagation", "w7_count_over_partition", "w8_ntile_quartiles",
+    "w1_quality_ladder_pick", "d5_citation_counts", "d5_counts_by_year",
+    "j13_posexplode_seats", "d1_priority_merge", "j6_range_window_revenue",
+    "j7_alive_per_year", "j8_blocking_fuzzy_match", "d2_identity_resolution",
+    "d9_change_detection", "t1_global_topk_orders", "t2_array_cap_top5",
+    "u2_union_distinct_nations", "u4_except_non_urgent_customers",
+    "d2_cascade_run", "d10_authorship_fusion", "text_quality_features",
+    "text_lang_id", "dedup_exact_documents", "dedup_minhash_lsh_pairs",
+    "dedup_simhash", "ann_cosine_topk", "llm_judge_verdicts",
+    "text_token_stats", "dedup_ngram_jaccard", "llm_embed_vectors",
+    "ev_counts_by_type_day", "ev_tumbling_hourly",
+]
+
+# Unverified queries that don't fit the 50-slot window this round.
+# Chosen because their §2 ops already hold a driver-green row via
+# another query (S3 via every scan, U1 inside d1_priority_merge, A6 via
+# the W1/W2 ladders, §2.8 vocabulary via the two batteries kept
+# in-window) — they take the front of round 4's window.
+_DEFER_NEXT = [
+    "s3_identifier_and_variables", "u1_conform_union", "a6_distinct_pairs",
+    "j12_using_join", "u3_union_missing_columns", "f_map_battery",
+    "f_hof_predicate_battery", "f_null_setops_battery",
+]
+
+
+def _driver_order() -> list[str]:
+    back = set(_R2_GREEN) | set(_DEFER_NEXT)
+    front = [n for n in _q.CATALOG if n not in back]
+    tail = [n for n in _DEFER_NEXT + _R2_GREEN if n in _q.CATALOG]
+    return front + tail
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.spark for name, spec in _q.CATALOG.items()}
+    return {name: _q.CATALOG[name].spark for name in _driver_order()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL per query (omitted → rows-only check)."""
     return {
-        name: spec.oracle
-        for name, spec in _q.CATALOG.items()
-        if spec.oracle is not None
+        name: _q.CATALOG[name].oracle
+        for name in _driver_order()
+        if _q.CATALOG[name].oracle is not None
     }
