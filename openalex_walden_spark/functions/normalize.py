@@ -10,6 +10,10 @@ pure-Spark alternatives.
 
 from __future__ import annotations
 
+import re
+import unicodedata
+
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -31,13 +35,18 @@ def normalize_doi(col: Column) -> Column:
 
 
 def normalize_title(col: Column, max_len: int = 500) -> Column:
-    """Normalize a title for merge-keying (P3).
+    """Normalize a title for merge-keying (P3) — JVM fast path.
 
     First ``max_len`` chars → lowercase → strip HTML tags → fold common
-    latin diacritics (translate) → drop stopwords → keep every Unicode
-    letter/digit (the reference keeps isalpha() after NFD — stripping to
-    ASCII would NULL out CJK/Cyrillic/Greek titles and corrupt their
-    merge keys).
+    latin diacritics (translate) → drop stopwords → keep only Unicode
+    letters (the reference keeps isalpha() after NFD, normalize.py:147-150
+    — digits are dropped, and stripping to ASCII would NULL out
+    CJK/Cyrillic/Greek titles and corrupt their merge keys).
+
+    The translate fold covers the 32 most common accents only; for exact
+    reference parity on rarer diacritics (ō, ș, Å …) use
+    :func:`normalize_title_nfd`, the Arrow-UDF NFD variant behind the
+    same signature.
     """
     t = F.lower(F.substring(col, 1, max_len))
     t = F.regexp_replace(t, r"<[^>]+>", " ")
@@ -48,8 +57,53 @@ def normalize_title(col: Column, max_len: int = 500) -> Column:
     )
     pattern = r"\b(" + "|".join(_TITLE_STOPWORDS) + r")\b"
     t = F.regexp_replace(t, pattern, " ")
-    t = F.regexp_replace(t, r"[^\p{L}\p{N}]+", "")
+    t = F.regexp_replace(t, r"[^\p{L}]+", "")
     return F.when(t == "", F.lit(None).cast("string")).otherwise(t)
+
+
+# Reference pipeline order (normalize.py:156-179): slice(500) → lower →
+# NFD accent strip → clean_html → stopword/newline removal → keep
+# isalpha only → strip.  The HTML regex deliberately matches only
+# opening tags (``<\\w+.*?>``, normalize.py:143) — a closing ``</b>``
+# survives to the alpha filter as 'b'; we reproduce that quirk so merge
+# keys agree byte-for-byte with the reference.
+_NFD_CLEAN_HTML = None  # compiled lazily inside the UDF closure
+_NFD_STOPWORD_PATTERN = r"\b(" + "|".join(_TITLE_STOPWORDS) + r"|\n)\b"
+
+
+def normalize_title_nfd(col: Column, max_len: int = 500) -> Column:
+    """NFD-exact title normalization (P3) via Arrow-batched pandas UDF.
+
+    Matches the reference's ``normalize_title`` (normalize.py:142-179)
+    character-for-character: ``unicodedata.normalize('NFD', …)`` then
+    drop combining marks (category Mn), so rarer diacritics the 32-char
+    translate fold misses (ō→o, ș→s, Å→a) fold correctly while
+    non-decomposable letters (ł, ß, æ, CJK) pass through unchanged.
+    Divergence from the reference: empty results surface as NULL rather
+    than '' (SQL-friendly; the P7 bad-title fallback treats both alike).
+    """
+    clean_html = re.compile(r"<\w+.*?>")
+    stopwords = re.compile(_NFD_STOPWORD_PATTERN)
+
+    def one(title: str | None) -> str | None:
+        if not title:
+            return None
+        text = title[0:max_len].lower()
+        text = "".join(
+            ch
+            for ch in unicodedata.normalize("NFD", text)
+            if unicodedata.category(ch) != "Mn"
+        )
+        text = clean_html.sub("", text)
+        text = stopwords.sub("", text)
+        text = "".join(e for e in text if e.isalpha())
+        return text.strip() or None
+
+    @F.pandas_udf("string")
+    def _udf(titles: pd.Series) -> pd.Series:
+        return titles.map(one)
+
+    return _udf(col)
 
 
 # Space/hyphen-stripped substring → canonical slug, checked in order

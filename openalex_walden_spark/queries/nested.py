@@ -29,9 +29,13 @@ _STOP = "the|a|an|of|to|in|for|on|by|with|at|from"
 
 
 def _duck_norm_title(expr: str) -> str:
+    # Keep-class is letters only — the reference's remove_everything_
+    # but_alphas (normalize.py:147-150) drops digits, so the synthesized
+    # title spells the work key in letters (translate below) to keep
+    # per-work title keys distinct.
     return (
         f"regexp_replace(regexp_replace(lower({expr}), "
-        f"'\\b({_STOP})\\b', ' ', 'g'), '[^a-z0-9]+', '', 'g')"
+        f"'\\b({_STOP})\\b', ' ', 'g'), '[^a-z]+', '', 'g')"
     )
 
 
@@ -53,7 +57,8 @@ works AS (
   SELECT o.o_orderkey AS k,
          CASE WHEN o.o_orderkey % 3 <> 0
               THEN '10.1000/w' || o.o_orderkey::VARCHAR END AS doi,
-         'Study of ' || o.o_orderpriority || ' order ' || o.o_orderkey::VARCHAR AS title,
+         'Study of ' || o.o_orderpriority || ' order '
+           || translate(o.o_orderkey::VARCHAR, '0123456789', 'abcdefghij') AS title,
          f.n_names, f.name1
   FROM orders o JOIN first3 f ON f.l_orderkey = o.o_orderkey
 )
@@ -119,8 +124,13 @@ def d0_works_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = orders.join(names, F.col("l_orderkey") == F.col("o_orderkey"))
     k = F.col("o_orderkey")
     doi = F.when(k % 3 != 0, F.concat(F.lit("10.1000/w"), k.cast("string")))
+    # The key rides in the title as LETTERS (digits are dropped by the
+    # reference's alpha-only normalization) so title keys stay distinct.
     title = F.concat(
-        F.lit("Study of "), F.col("o_orderpriority"), F.lit(" order "), k.cast("string")
+        F.lit("Study of "),
+        F.col("o_orderpriority"),
+        F.lit(" order "),
+        F.translate(k.cast("string"), "0123456789", "abcdefghij"),
     )
 
     crossref = base.select(

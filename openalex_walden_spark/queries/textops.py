@@ -17,6 +17,7 @@ from openalex_walden_spark.functions.normalize import (
     normalize_doi,
     normalize_license,
     normalize_title,
+    normalize_title_nfd,
 )
 from openalex_walden_spark.queries.registry import register
 
@@ -67,6 +68,18 @@ def p2_doi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _STOP = "the|a|an|of|to|in|for|on|by|with|at|from"
 
+# Decorated synthetic title: digits (must be dropped — reference keeps
+# isalpha only), an opening+closing HTML tag pair (the reference's
+# clean_html strips only the opening tag, normalize.py:143 — '</b>'
+# survives to the alpha filter as 'b'), and diacritics OUTSIDE the
+# 32-char translate fold (ō, ș, Å fold only under NFD; ł has no NFD
+# decomposition and must pass through).  Identical expression on both
+# engines so only the operator under test can differ.
+_RAW_TITLE_DUCK = (
+    "'Étude ' || (doc_id % 100)::VARCHAR || ': <b>ōmega</b> șiret łódź "
+    "Ångström No.' || (doc_id % 7)::VARCHAR || ' ' || substr(text, 1, 60)"
+)
+
 _TITLE_SQL = f"""
 SELECT doc_id,
        CASE WHEN t = '' THEN NULL ELSE t END AS normalized_title
@@ -74,12 +87,11 @@ FROM (
   SELECT doc_id,
          regexp_replace(
            regexp_replace(
-             translate(
-               regexp_replace(lower(substr(text, 1, 80)), '<[^>]+>', ' ', 'g'),
-               'àáâãäåçèéêëìíîïñòóôõöùúûüýÿšžœæß',
-               'aaaaaaceeeeiiiinooooouuuuyyszoas'),
-             '\\b({_STOP})\\b', ' ', 'g'),
-           '[^\\p{{L}}\\p{{N}}]+', '', 'g') AS t
+             regexp_replace(
+               strip_accents(lower(substr({_RAW_TITLE_DUCK}, 1, 120))),
+               '<\\w+.*?>', '', 'g'),
+             '\\b({_STOP}|\\n)\\b', '', 'g'),
+           '[^\\p{{L}}]+', '', 'g') AS t
   FROM documents
 )
 """
@@ -87,12 +99,24 @@ FROM (
 
 @register("p3_title_normalize", oracle=_TITLE_SQL, tags=("textops", "P3"), tables=("documents",))
 def p3_title(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Title normalization (P3) on the documents table: HTML-strip,
-    diacritic fold, stopword removal, keep all Unicode letters/digits
-    (reference semantics — normalize.py:142-179)."""
+    """Title normalization (P3), NFD-exact variant: slice → lower → NFD
+    accent strip → HTML strip → stopword removal → keep letters only
+    (reference pipeline order, normalize.py:156-179).  DuckDB's
+    strip_accents (utf8proc) and unicodedata NFD agree on every
+    non-Hangul codepoint, so the oracle checks the fold exactly —
+    including ō/ș/Å (outside the JVM translate table) and ł (no
+    decomposition, must survive)."""
+    raw = F.concat(
+        F.lit("Étude "),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(": <b>ōmega</b> șiret łódź Ångström No."),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(" "),
+        F.substring("text", 1, 60),
+    )
     return spark.table("documents").select(
         "doc_id",
-        normalize_title(F.col("text"), max_len=80).alias("normalized_title"),
+        normalize_title_nfd(raw, max_len=120).alias("normalized_title"),
     )
 
 
@@ -328,7 +352,7 @@ WITH norm AS (
                'àáâãäåçèéêëìíîïñòóôõöùúûüýÿšžœæß',
                'aaaaaaceeeeiiiinooooouuuuyyszoas'),
              '\\b({_STOP})\\b', ' ', 'g'),
-           '[^\\p{{L}}\\p{{N}}]+', '', 'g') AS t
+           '[^\\p{{L}}]+', '', 'g') AS t
   FROM documents
 ),
 bad AS (

@@ -40,10 +40,27 @@ def test_normalize_doi(spark, raw, want):
         ("量子力学の基礎", "量子力学の基礎"),  # CJK preserved (ADVICE fix)
         ("Анализ данных", "анализданных"),  # Cyrillic preserved
         ("the a an of", None),  # all stopwords → NULL
+        ("Study 2020", "study"),  # digits dropped (reference keeps isalpha only)
     ],
 )
 def test_normalize_title(spark, raw, want):
     assert _one(spark, normalize_title(F.lit(raw))) == want
+
+
+@pytest.mark.parametrize(
+    ("raw", "want"),
+    [
+        ("Study 2020", "study"),
+        ("Ångström ș ō", "angstromso"),  # NFD folds outside the translate table
+        ("Łódź <b>review</b>", "łodzreviewb"),  # ł survives; closing-tag quirk keeps 'b'
+        ("量子力学の基礎", "量子力学の基礎"),  # CJK preserved
+        ("the a an of", None),
+    ],
+)
+def test_normalize_title_nfd(spark, raw, want):
+    from openalex_walden_spark.functions.normalize import normalize_title_nfd
+
+    assert _one(spark, normalize_title_nfd(F.lit(raw).cast("string"))) == want
 
 
 @pytest.mark.parametrize(
