@@ -10,19 +10,39 @@ from pyspark.sql import functions as F
 
 
 def oa_status(
-    host_type: Column, license_slug: Column, in_doaj: Column, has_apc: Column
+    host_type: Column,
+    license_slug: Column,
+    source_is_oa: Column,
+    apc_usd: Column,
+    is_oa: Column,
 ) -> Column:
-    """OA status decision tree (D4): diamond/gold/hybrid/bronze/green/
-    closed, mirroring the reference's ladder over host_type × DOAJ ×
-    license × APC (CreateWorksBase.ipynb cell 2 `oa_status` lines
-    242-271)."""
-    licensed = license_slug.isNotNull()
+    """OA status decision tree (D4), mirroring the reference ladder
+    exactly (CreateWorksBase.ipynb cell 2 lines 197-218):
+
+    - ``composite_is_oa`` = COALESCE(is_oa, FALSE) OR source_is_oa
+      (cell 2 lines 101-128) gates the whole tree — a non-OA row is
+      ``closed`` regardless of host.
+    - publisher host: diamond when APC is zero/null AND the source is
+      OA-flagged; gold when the source is OA-flagged; hybrid when a
+      license exists and is not 'publisher-specific-oa'; else bronze.
+    - null host with any OA evidence → gold; repository host → green.
+    """
+    composite = F.coalesce(is_oa, F.lit(False)) | source_is_oa
+    publisher_ladder = (
+        F.when((F.coalesce(apc_usd, F.lit(0)) == 0) & source_is_oa, F.lit("diamond"))
+        .when(source_is_oa, F.lit("gold"))
+        .when(
+            license_slug.isNotNull() & (license_slug != "publisher-specific-oa"),
+            F.lit("hybrid"),
+        )
+        .otherwise(F.lit("bronze"))
+    )
+    # The reference tests `is_oa OR composite_is_oa` below; composite
+    # already subsumes is_oa, so the truth value is identical.
     return (
-        F.when(in_doaj & ~has_apc, F.lit("diamond"))
-        .when(in_doaj & has_apc, F.lit("gold"))
-        .when((host_type == "journal") & licensed, F.lit("hybrid"))
-        .when((host_type == "journal") & ~licensed, F.lit("bronze"))
-        .when(host_type == "repository", F.lit("green"))
+        F.when(composite & (host_type == "publisher"), publisher_ladder)
+        .when(host_type.isNull() & composite, F.lit("gold"))
+        .when(composite & (host_type == "repository"), F.lit("green"))
         .otherwise(F.lit("closed"))
     )
 

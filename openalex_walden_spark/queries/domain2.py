@@ -135,20 +135,31 @@ def d3_best_location(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # D4: OA status decision tree
 # --------------------------------------------------------------------------
+# Feature synthesis covers every branch of the reference ladder:
+# diamond (publisher, null APC, OA source), gold (OA source w/ APC, and
+# the null-host arm), hybrid (cc-by), the publisher-specific-oa
+# exclusion falling to bronze, green (repository), closed (no OA
+# evidence) — plus nullable is_oa (NULL must behave as FALSE).
 _D4_SQL = """
 WITH feat AS (
-  SELECT CASE o_orderkey % 3 WHEN 0 THEN 'journal' WHEN 1 THEN 'repository' ELSE 'other' END AS host_type,
-         CASE WHEN o_orderkey % 4 = 0 THEN 'cc-by' END AS license,
-         o_orderkey % 5 = 0 AS in_doaj,
-         o_orderkey % 2 = 0 AS has_apc
+  SELECT CASE o_orderkey % 3 WHEN 0 THEN 'publisher' WHEN 1 THEN 'repository' END AS host_type,
+         CASE WHEN o_orderkey % 4 = 0 THEN 'cc-by'
+              WHEN o_orderkey % 4 = 2 THEN 'publisher-specific-oa' END AS license,
+         o_orderkey % 5 = 0 AS source_is_oa,
+         CASE WHEN o_orderkey % 2 = 0 THEN 1000 END AS apc_usd,
+         CASE WHEN o_orderkey % 6 = 0 THEN TRUE
+              WHEN o_orderkey % 6 = 3 THEN FALSE END AS is_oa
   FROM orders
 )
-SELECT CASE WHEN in_doaj AND NOT has_apc THEN 'diamond'
-            WHEN in_doaj AND has_apc THEN 'gold'
-            WHEN host_type = 'journal' AND license IS NOT NULL THEN 'hybrid'
-            WHEN host_type = 'journal' AND license IS NULL THEN 'bronze'
-            WHEN host_type = 'repository' THEN 'green'
-            ELSE 'closed' END AS oa_status,
+SELECT CASE
+         WHEN (COALESCE(is_oa, FALSE) OR source_is_oa) AND host_type = 'publisher' THEN
+           CASE WHEN COALESCE(apc_usd, 0) = 0 AND source_is_oa THEN 'diamond'
+                WHEN source_is_oa THEN 'gold'
+                WHEN license IS NOT NULL AND license <> 'publisher-specific-oa' THEN 'hybrid'
+                ELSE 'bronze' END
+         WHEN host_type IS NULL AND (COALESCE(is_oa, FALSE) OR source_is_oa) THEN 'gold'
+         WHEN (COALESCE(is_oa, FALSE) OR source_is_oa) AND host_type = 'repository' THEN 'green'
+         ELSE 'closed' END AS oa_status,
        COUNT(*) AS n
 FROM feat
 GROUP BY oa_status
@@ -157,25 +168,34 @@ GROUP BY oa_status
 
 @register("d4_oa_status", oracle=_D4_SQL, tags=("domain", "D4"), tables=("orders",))
 def d4_oa_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OA-status derivation (D4) over synthesized host/license/DOAJ/APC
-    features — the library decision tree (functions/domain.py:oa_status)
-    against the oracle's closed-form CASE."""
+    """OA-status derivation (D4) over synthesized host/license/source/
+    APC/is_oa features — the library decision tree
+    (functions/domain.py:oa_status, the reference's CreateWorksBase
+    cell 2 ladder verbatim) against the oracle's closed-form CASE."""
     from openalex_walden_spark.functions.domain import oa_status
 
     k = F.col("o_orderkey")
     feats = spark.table("orders").select(
-        F.when(k % 3 == 0, F.lit("journal"))
+        F.when(k % 3 == 0, F.lit("publisher"))
         .when(k % 3 == 1, F.lit("repository"))
-        .otherwise(F.lit("other"))
         .alias("host_type"),
-        F.when(k % 4 == 0, F.lit("cc-by")).alias("license"),
-        (k % 5 == 0).alias("in_doaj"),
-        (k % 2 == 0).alias("has_apc"),
+        F.when(k % 4 == 0, F.lit("cc-by"))
+        .when(k % 4 == 2, F.lit("publisher-specific-oa"))
+        .alias("license"),
+        (k % 5 == 0).alias("source_is_oa"),
+        F.when(k % 2 == 0, F.lit(1000)).alias("apc_usd"),
+        F.when(k % 6 == 0, F.lit(True))
+        .when(k % 6 == 3, F.lit(False))
+        .alias("is_oa"),
     )
     return (
         feats.select(
             oa_status(
-                F.col("host_type"), F.col("license"), F.col("in_doaj"), F.col("has_apc")
+                F.col("host_type"),
+                F.col("license"),
+                F.col("source_is_oa"),
+                F.col("apc_usd"),
+                F.col("is_oa"),
             ).alias("oa_status")
         )
         .groupBy("oa_status")
