@@ -92,7 +92,14 @@ def resolve_work_ids(
 
     # Mint: group unresolved records by their strongest present key so
     # same-key records share one new id (the two-pass multi-match fix).
-    strongest = F.coalesce(*[F.col(kc) for kc in key_cols], F.col(record_key).cast("string"))
+    # The mint key is namespaced by key KIND — two unresolved records
+    # whose strongest keys are of different kinds but equal strings
+    # (pmid 'X' vs title_author 'X', or a record_id colliding with a key
+    # value) are distinct entities and must not share a minted id.
+    strongest = F.coalesce(
+        *[F.concat(F.lit(f"{kc}:"), F.col(kc)) for kc in key_cols],
+        F.concat(F.lit("rec:"), F.col(record_key).cast("string")),
+    )
     unresolved = out.where(F.col("_adopted").isNull()).withColumn("_mint_key", strongest)
     high_water = (id_map.agg(F.max("work_id")).collect()[0][0]) or id_floor
     mint_w = Window.orderBy(F.col("_mint_key").asc())

@@ -567,7 +567,11 @@ joined AS (
   FROM recs r LEFT JOIN map m ON r.doi = m.key_value
 ),
 unres AS (
-  SELECT record_id, coalesce(doi, pmid, ta, record_id) AS mint_key
+  -- mint key is namespaced by kind so equal strings of different key
+  -- kinds never merge into one minted id (identity.py:strongest)
+  SELECT record_id,
+         coalesce('doi:' || doi, 'pmid:' || pmid, 'ta:' || ta,
+                  'rec:' || record_id) AS mint_key
   FROM joined WHERE adopted IS NULL
 ),
 hw AS (SELECT max(work_id) AS h FROM map)
