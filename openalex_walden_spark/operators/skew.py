@@ -79,7 +79,19 @@ def salted_join(
     ``salt_cols`` must be fact columns with per-row entropy (a line
     number, a unique id) so a hot ``on`` key spreads evenly. The join
     key becomes (on, salt); the dimension explodes to all buckets.
+
+    Only ``inner`` and ``left`` (fact-preserving) joins are correct
+    under dimension replication: every unmatched dim row appears once
+    per salt bucket, so right/full would emit it ``salt_buckets`` times
+    and semi/anti from the fact side would still work but invert if the
+    caller swaps sides. Anything else raises.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only (got {how!r}): "
+            "the replicated dimension side would duplicate unmatched dim "
+            "rows or invert semi/anti semantics"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt_buckets))
     f = fact.withColumn(_SALT, salt)
     d = dim.withColumn(

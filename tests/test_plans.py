@@ -140,3 +140,21 @@ def test_salted_join_replicates_dimension(spark, sf_dir):
     plan = _plan(spark, sf_dir, "skew_salted_join")
     assert "Generate explode" in plan or "Expand" in plan or "explode" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_salted_join_rejects_dim_preserving_modes(spark, sf_dir):
+    """Replicating the dimension to every salt bucket is only sound for
+    fact-preserving joins: right/full would emit each unmatched dim row
+    salt_buckets times; semi/anti invert. The operator must refuse."""
+    import pytest
+
+    from openalex_walden_spark.operators.skew import salted_join
+
+    fact = spark.range(10).withColumnRenamed("id", "k")
+    dim = spark.range(4).withColumnRenamed("id", "k")
+    for how in ("right", "full", "left_semi", "left_anti"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(fact, dim, "k", salt_cols=["k"], how=how)
+    # fact-preserving modes still construct
+    salted_join(fact, dim, "k", salt_cols=["k"], how="left")
+    salted_join(fact, dim, "k", salt_cols=["k"], how="inner")
