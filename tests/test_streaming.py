@@ -53,6 +53,62 @@ def test_merge_into_state_versioned(spark, tmp_path):
     assert final == {1: "a", 2: "b2", 3: "c"}
 
 
+def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """The Delta-MERGE physics contract: a merge touching one key
+    rewrites only that key's bucket; every other bucket's files are
+    byte-identical afterwards (same paths, same bytes — never opened)."""
+    import glob
+    import hashlib
+
+    from openalex_walden_spark.operators.merge import _read_manifest
+
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame(
+        [(i, f"v{i}", 1) for i in range(200)], "k int, v string, seq int"
+    )
+    merge_into_state(spark, state, b1, ["k"], "seq", n_buckets=8)
+
+    def snap():
+        return {
+            p: hashlib.md5(open(p, "rb").read()).hexdigest()
+            for p in glob.glob(f"{state}/buckets/*/v_*/*")
+            if os.path.isfile(p)
+        }
+
+    before = snap()
+    b2 = spark.createDataFrame([(0, "updated", 2)], "k int, v string, seq int")
+    merge_into_state(spark, state, b2, ["k"], "seq")
+    m1, m2 = _read_manifest(state, 1), _read_manifest(state, 2)
+    changed = [b for b in m1["buckets"] if m2["buckets"][b] != m1["buckets"][b]]
+    assert len(changed) == 1
+    after = snap()
+    for p, h in before.items():
+        if f"{os.sep}{changed[0]}{os.sep}" not in p.replace(f"{state}/buckets", ""):
+            assert after.get(p) == h, f"untouched bucket file rewritten: {p}"
+    final = {r["k"]: r["v"] for r in read_state(spark, state).collect()}
+    assert len(final) == 200 and final[0] == "updated" and final[1] == "v1"
+
+
+def test_delete_tombstone_blocks_stale_resurrection(spark, tmp_path):
+    """Out-of-order delete contract (the full apply_changes semantics):
+    after a delete at seq 10, a late batch with seq 7 must NOT
+    resurrect the key; a genuinely newer seq 11 upsert must."""
+    state = str(tmp_path / "state")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k int, v string, seq int, is_delete boolean")
+
+    dp = F.col("is_delete")
+    merge_into_state(spark, state, mk([(1, "a", 5, False), (2, "b", 5, False)]), ["k"], "seq", delete_predicate=dp)
+    merge_into_state(spark, state, mk([(1, None, 10, True)]), ["k"], "seq", delete_predicate=dp)
+    assert {r["k"] for r in read_state(spark, state).collect()} == {2}
+    merge_into_state(spark, state, mk([(1, "stale", 7, False)]), ["k"], "seq", delete_predicate=dp)
+    assert {r["k"] for r in read_state(spark, state).collect()} == {2}
+    merge_into_state(spark, state, mk([(1, "new", 11, False)]), ["k"], "seq", delete_predicate=dp)
+    out = {r["k"]: r["v"] for r in read_state(spark, state).collect()}
+    assert out == {1: "new", 2: "b"}
+
+
 def test_scd1_stream_matches_batch_dedup(spark, sf_dir, events, tmp_path):
     """St1+St2 end-to-end: stream the events table (json file source,
     AvailableNow) through foreachBatch SCD1 and compare the final state
