@@ -34,7 +34,9 @@ def ensure_shipped(spark: SparkSession) -> None:
             if "__pycache__" in root:
                 continue
             for name in files:
-                if name.endswith(".py"):
+                # .json rides along for package data (e.g. the LID
+                # model), read zip-safely via importlib.resources.
+                if name.endswith((".py", ".json")):
                     full = os.path.join(root, name)
                     zf.write(full, os.path.relpath(full, parent))
     spark.sparkContext.addPyFile(zip_path)

@@ -286,3 +286,57 @@ def test_normalize_license_reference_table(spark, raw, want):
     from openalex_walden_spark.functions.normalize import normalize_license
 
     assert _one(spark, normalize_license(F.lit(raw))) == want
+
+
+# ---------------------------------------------------------------------------
+# P17: trigram language-ID model accuracy on held-out sentences
+# ---------------------------------------------------------------------------
+_LID_HELDOUT = [
+    ("en", "the model was trained on a large collection of text and the results show that it works well"),
+    ("en", "in the following section we discuss the limitations of this approach and possible future work"),
+    ("en", "each document in the corpus is assigned to one of the categories by the classifier"),
+    ("en", "there is strong evidence that the method generalizes to other domains as well"),
+    ("de", "das modell wurde auf einer großen sammlung von texten trainiert und die ergebnisse zeigen dass es gut funktioniert"),
+    ("de", "im folgenden abschnitt diskutieren wir die grenzen dieses ansatzes und mögliche zukünftige arbeiten"),
+    ("de", "jedes dokument in der sammlung wird vom klassifikator einer der kategorien zugeordnet"),
+    ("de", "es gibt deutliche hinweise darauf dass die methode auch auf andere bereiche übertragbar ist"),
+    ("es", "el modelo fue entrenado con una gran colección de textos y los resultados muestran que funciona bien"),
+    ("es", "en la siguiente sección discutimos las limitaciones de este enfoque y el posible trabajo futuro"),
+    ("es", "cada documento de la colección es asignado a una de las categorías por el clasificador"),
+    ("es", "hay evidencia sólida de que el método se generaliza también a otros dominios"),
+    ("fr", "le modèle a été entraîné sur une grande collection de textes et les résultats montrent qu'il fonctionne bien"),
+    ("fr", "dans la section suivante nous discutons les limites de cette approche et les travaux futurs possibles"),
+    ("fr", "chaque document de la collection est assigné à une des catégories par le classifieur"),
+    ("fr", "il existe des preuves solides que la méthode se généralise aussi à d'autres domaines"),
+    ("zh", "该模型在大量文本上进行了训练结果表明它运行良好"),
+    ("zh", "在下一节中我们讨论这种方法的局限性以及未来可能的工作"),
+    ("zh", "语料库中的每个文档都由分类器分配到其中一个类别"),
+    ("zh", "有力的证据表明该方法也适用于其他领域"),
+    ("ru", "модель была обучена на большой коллекции текстов и результаты показывают что она работает хорошо"),
+    ("ru", "в следующем разделе мы обсуждаем ограничения этого подхода и возможную будущую работу"),
+    ("ru", "каждый документ в коллекции относится классификатором к одной из категорий"),
+    ("ru", "есть веские основания полагать что метод обобщается и на другие области"),
+    ("ja", "モデルは大量のテキストで訓練され結果はそれがうまく機能することを示しています"),
+    ("ja", "次の節ではこの手法の限界と将来の課題について議論します"),
+    ("ja", "コーパス内の各文書は分類器によっていずれかのカテゴリに割り当てられます"),
+    ("ja", "この手法が他の分野にも一般化できるという強い証拠があります"),
+]
+
+
+def test_lid_model_accuracy():
+    """P17 model grade: >= 95% agreement with labels on held-out prose,
+    non-Latin scripts included (the VERDICT round-3 bar)."""
+    from openalex_walden_spark.functions.lid import detect_one, load_model
+
+    model = load_model()
+    hits = sum(
+        1 for lang, text in _LID_HELDOUT if detect_one(text, model)[0] == lang
+    )
+    assert hits / len(_LID_HELDOUT) >= 0.95, f"{hits}/{len(_LID_HELDOUT)}"
+
+
+def test_lid_und_on_no_signal():
+    from openalex_walden_spark.functions.lid import detect_one, load_model
+
+    assert detect_one("", load_model()) == ("und", 0)
+    assert detect_one(None, load_model()) == ("und", 0)
