@@ -22,8 +22,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 # Flagship set: one per plan family (scan-agg, shuffle join, broadcast star,
-# window ladder, explode analytics, dedup, LSH near-dup, ANN, streaming-shape).
+# window ladder, explode analytics, dedup, LSH near-dup, ANN, streaming-shape,
+# nested works build, MERGE path).
 HEADLINE = [
+    "d0_works_build",
+    "j9_merge_scd1_batch",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
