@@ -98,3 +98,30 @@ def run_guardrails(df: DataFrame, checks: list[Guardrail]) -> list[GuardrailResu
     if any(not r.ok for r in report):
         raise GuardrailViolation(report)
     return report
+
+
+def persist_scalar(df: DataFrame, level=None) -> DataFrame:
+    """Persist a reused subplan, refusing nested/array columns.
+
+    Caching an exploded fact whose rows still carry array/map/struct
+    columns is a measured memory cliff (the columnar cache builder
+    materializes every container) — at 100 TB it's the difference
+    between a spillable scalar cache and an executor OOM. Every persist
+    in the engine goes through this guard: project the containers away
+    (or explode them to rows) first.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    if bad:
+        raise ValueError(
+            f"refusing to persist non-scalar columns {bad}: project or "
+            "explode containers before caching (memory-cliff guard)"
+        )
+    if level is not None:
+        return df.persist(level)
+    return df.persist()  # MEMORY_AND_DISK: spills, never OOMs

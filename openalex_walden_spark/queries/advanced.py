@@ -334,9 +334,13 @@ def a8_tall_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tall-metrics snapshot (metric, dimension, value): one thin cached
     projection feeding several aggregations (WorksDailyMetrics.py:60-120
     shape). The cache means one scan serves all metric families."""
-    thin = spark.table("orders").select(
-        "o_orderstatus", "o_orderpriority", "o_totalprice"
-    ).cache()
+    from openalex_walden_spark.operators.guardrails import persist_scalar
+
+    thin = persist_scalar(
+        spark.table("orders").select(
+            "o_orderstatus", "o_orderpriority", "o_totalprice"
+        )
+    )
     by_status = thin.groupBy(F.col("o_orderstatus").alias("dimension")).agg(
         F.count("*").cast("double").alias("value")
     ).select(F.lit("orders_by_status").alias("metric"), "dimension", "value")

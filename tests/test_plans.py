@@ -158,3 +158,38 @@ def test_salted_join_rejects_dim_preserving_modes(spark, sf_dir):
     # fact-preserving modes still construct
     salted_join(fact, dim, "k", salt_cols=["k"], how="left")
     salted_join(fact, dim, "k", salt_cols=["k"], how="inner")
+
+
+def test_persist_scalar_refuses_container_columns(spark):
+    """Caching a frame that still carries array/map/struct columns is
+    the measured memory cliff — the engine-wide persist guard must
+    refuse it and accept scalar projections."""
+    import pytest
+
+    from openalex_walden_spark.operators.guardrails import persist_scalar
+
+    arr = spark.sql("SELECT 1 AS id, array(1,2,3) AS xs")
+    with pytest.raises(ValueError, match="refusing to persist"):
+        persist_scalar(arr)
+    ok = persist_scalar(arr.select("id"))
+    assert ok.count() == 1
+    ok.unpersist()
+
+
+def test_no_catalog_query_caches_container_columns(spark):
+    """Source-level sweep: every cache()/persist() call site in the
+    query catalog must route through persist_scalar (the guard above),
+    so no cached plan node can carry container columns."""
+    import pathlib
+    import re
+
+    qdir = pathlib.Path(__file__).parent.parent / "openalex_walden_spark"
+    offenders = []
+    for p in qdir.rglob("*.py"):
+        if p.name == "guardrails.py":  # the guard's own persist call
+            continue
+        src = p.read_text()
+        for m in re.finditer(r"\.(cache|persist)\(", src):
+            line = src[: m.start()].count("\n") + 1
+            offenders.append(f"{p.name}:{line}")
+    assert not offenders, f"raw cache()/persist() call sites: {offenders}"
