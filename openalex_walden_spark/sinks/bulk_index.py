@@ -58,7 +58,8 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **opti
     """S7: JDBC sink — thin wrapper over df.write.jdbc (the Wunpaywall →
     Postgres path, WunpaywallToOpenAlexDB.py). Requires a JDBC driver on
     the classpath; callers own retry/idempotency (the reference stages
-    into a temp table then swaps)."""
+    into a temp table then swaps). Executed end-to-end against embedded
+    Derby in tests/test_io.py::test_jdbc_roundtrip_embedded_derby."""
     df.write.format("jdbc").option("url", url).option("dbtable", table).options(
         **options
     ).mode(mode).save()

@@ -208,3 +208,36 @@ def test_snapshot_smoke_battery(spark, sf_dir, tmp_path):
     bad = {r.name for r in exc.value.report if not r.ok}
     assert "json_and_id_present" in bad and "id_unique" in bad
     assert "manifest_files_match" in bad  # rogue file not in manifest
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """S7 executed for real: write a frame through the JDBC sink into
+    embedded Apache Derby (shipped on Spark's own classpath — no
+    network, no external DB), then read it back with spark.read.jdbc
+    and compare. Exercises url/dbtable/mode plumbing end-to-end; the
+    reference's Postgres path differs only in the driver string."""
+    from openalex_walden_spark.sinks.bulk_index import write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/s7db;create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", 2.5), (3, "gamma", None)],
+        "id int, name string, score double",
+    )
+    write_jdbc(df, url, "works", mode="overwrite", driver=driver)
+    # append mode: second batch lands alongside the first
+    write_jdbc(
+        spark.createDataFrame([(4, "delta", 4.0)], "id int, name string, score double"),
+        url, "works", mode="append", driver=driver,
+    )
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "works")
+        .option("driver", driver)
+        .load()
+    )
+    rows = {r["ID"] if "ID" in back.columns else r["id"]: r for r in back.collect()}
+    assert len(rows) == 4
+    got_names = sorted(r[1] for r in back.collect())
+    assert got_names == ["alpha", "beta", "delta", "gamma"]
