@@ -133,33 +133,52 @@ def d0_works_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.translate(k.cast("string"), "0123456789", "abcdefghij"),
     )
 
-    crossref = base.select(
-        F.lit("crossref").alias("provenance"),
-        F.concat(F.lit("cr-"), k.cast("string")).alias("native_id"),
-        title.alias("title"),
+    # Both sources derive from the SAME upstream aggregate (`names`).
+    # A plain two-frame union would instantiate that heavy subplan
+    # twice (DataFrame DAGs lower to trees; exchange reuse does not
+    # bridge union branches with differing downstream filters — the
+    # measured plan aggregated lineitem⋈part twice). Exploding a
+    # provenance selector computes it ONCE and emits 1-2 source rows
+    # per work; per-source field values are CASE on provenance. When
+    # sources are genuinely distinct upstreams (the reference's real
+    # topology), conform_union of separate frames is the right device —
+    # that path is oracle-checked by u1_conform_union.
+    prov = F.explode(
+        F.when(
+            k % 2 == 0, F.array(F.lit("crossref"), F.lit("repo"))
+        ).otherwise(F.array(F.lit("crossref")))
+    ).alias("provenance")
+    rows = base.select(prov, "*")
+    is_cr = F.col("provenance") == "crossref"
+    empty_authors = F.expr("array()").cast(base.schema["authors3"].dataType)
+    source_rows = rows.select(
+        "provenance",
+        F.when(is_cr, F.concat(F.lit("cr-"), k.cast("string")))
+        .otherwise(F.concat(F.lit("oai-"), k.cast("string")))
+        .alias("native_id"),
+        F.when(is_cr, title).otherwise(F.upper(title)).alias("title"),
         doi.alias("_doi"),
-        F.lit("cc-by").alias("license"),
-        F.when(k % 9 != 0, F.col("authors3"))
-        .otherwise(F.expr("array()").cast(base.schema["authors3"].dataType))
-        .alias("authors"),
-    ).withColumn("ids", F.array(F.struct(F.col("_doi").alias("id"), F.lit("doi").alias("namespace"), F.lit(None).cast("string").alias("relationship")))).drop("_doi")
-
-    repo = (
-        base.where(k % 2 == 0)
-        .select(
-            F.lit("repo").alias("provenance"),
-            F.concat(F.lit("oai-"), k.cast("string")).alias("native_id"),
-            F.upper(title).alias("title"),
-            doi.alias("_doi"),
-            F.lit("submittedVersion").alias("version"),
-            F.slice(F.col("authors3"), 1, 1).alias("authors"),
+        F.when(is_cr, F.lit("cc-by")).alias("license"),
+        F.when(~is_cr, F.lit("submittedVersion")).alias("version"),
+        F.when(
+            is_cr, F.when(k % 9 != 0, F.col("authors3")).otherwise(empty_authors)
         )
-        .withColumn("ids", F.array(F.struct(F.col("_doi").alias("id"), F.lit("doi").alias("namespace"), F.lit(None).cast("string").alias("relationship"))))
-        .drop("_doi")
-    )
+        .otherwise(F.slice(F.col("authors3"), 1, 1))
+        .alias("authors"),
+    ).withColumn(
+        "ids",
+        F.array(
+            F.struct(
+                F.col("_doi").alias("id"),
+                F.lit("doi").alias("namespace"),
+                F.lit(None).cast("string").alias("relationship"),
+            )
+        ),
+    ).drop("_doi")
 
-    # P1 + U1/U3: both sources through the fixed-schema boundary.
-    unioned = conform_union([crossref, repo], WALDEN_WORKS_SCHEMA)
+    # P1: through the fixed-schema boundary (typed NULL-fill for the
+    # fields either source lacks).
+    unioned = conform_union([source_rows], WALDEN_WORKS_SCHEMA)
 
     # P7 merge key: doi (from the ids array, the reference's open-
     # namespace trick) else normalized-title fallback.
