@@ -72,6 +72,9 @@ _R2_GREEN = [
 # the W1/W2 ladders, §2.8 vocabulary via the two batteries kept
 # in-window) — they take the front of round 4's window.
 _DEFER_NEXT = [
+    # new this round — front of round 4's window
+    "text_fingerprint_winnow", "dedup_connected_components",
+    "sample_stratified_hash",
     "s3_identifier_and_variables", "u1_conform_union", "a6_distinct_pairs",
     "j12_using_join", "u3_union_missing_columns", "f_map_battery",
     "f_hof_predicate_battery", "f_null_setops_battery",

@@ -836,3 +836,298 @@ def llm_embed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("weight") > 0)
         .select("doc_id", F.col("bucket").cast("long").alias("bucket"), "weight")
     )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting: winnowing (rolling k-gram hash, min-per-window)
+# --------------------------------------------------------------------------
+_WINNOW_K = 8   # k-gram length (chars)
+_WINNOW_W = 4   # window width (k-gram positions)
+
+_WINNOW_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(range(1, greatest(length(lower(text)) - {_WINNOW_K - 1}, 1) + 1),
+                          i -> substr(lower(text), i, {_WINNOW_K})),
+           g -> ('0x' || substr(md5(g), 1, 8))::BIGINT) AS hs
+  FROM documents
+),
+sel AS (
+  SELECT doc_id, len(hs) AS n_kgrams,
+         list_distinct(
+           CASE WHEN len(hs) >= {_WINNOW_W}
+                THEN list_transform(range(0, len(hs) - {_WINNOW_W - 1}),
+                                    i -> list_min(hs[i + 1 : i + {_WINNOW_W}]))
+                ELSE [list_min(hs)] END) AS fps
+  FROM h
+)
+SELECT doc_id, n_kgrams::BIGINT AS n_kgrams,
+       len(fps)::BIGINT AS n_fingerprints,
+       md5(array_to_string(list_transform(list_sort(fps), x -> x::VARCHAR), ',')) AS fp_checksum
+FROM sel
+"""
+
+
+@register(
+    "text_fingerprint_winnow",
+    oracle=_WINNOW_SQL,
+    tags=("llmdata", "text", "fingerprint"),
+    tables=("documents",),
+)
+def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting by winnowing (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-gram (k=8 chars),
+    slide a w=4 window over the hash sequence, select the minimum per
+    window; the distinct selected hashes are the document fingerprint.
+    Guarantees any shared substring of length >= k+w-1 contributes a
+    shared fingerprint hash — the containment-detection primitive for
+    training-data decontamination.
+
+    Entirely per-row array HOFs (transform/slice/array_min) — ONE
+    codegen'd scan, zero shuffles, embarrassingly parallel at 100 TB.
+    Output is scalar (count + md5 checksum of the sorted fingerprint
+    set) so the oracle hash-compares exactly; downstream dedup would
+    explode `fps` and hash-join on fingerprint instead.
+    """
+    t = "lower(text)"
+    kgrams = (
+        f"transform(sequence(1, greatest(length({t}) - {_WINNOW_K - 1}, 1)),"
+        f" i -> substring({t}, i, {_WINNOW_K}))"
+    )
+    hashes = f"transform({kgrams}, g -> cast(conv(substr(md5(g), 1, 8), 16, 10) as bigint))"
+    wins = (
+        f"CASE WHEN size(hs) >= {_WINNOW_W} THEN "
+        f"transform(sequence(0, size(hs) - {_WINNOW_W}),"
+        f" i -> array_min(slice(hs, i + 1, {_WINNOW_W}))) "
+        f"ELSE array(array_min(hs)) END"
+    )
+    return (
+        spark.table("documents")
+        .select("doc_id", F.expr(hashes).alias("hs"))
+        .select(
+            "doc_id",
+            F.size("hs").cast("bigint").alias("n_kgrams"),
+            F.array_distinct(F.expr(wins)).alias("fps"),
+        )
+        .select(
+            "doc_id",
+            "n_kgrams",
+            F.size("fps").cast("bigint").alias("n_fingerprints"),
+            F.md5(
+                F.array_join(
+                    F.transform(F.array_sort("fps"), lambda x: x.cast("string")), ","
+                )
+            ).alias("fp_checksum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup clustering: connected components over shared-fingerprint edges
+# --------------------------------------------------------------------------
+_CC_SQL = f"""
+WITH corpus AS ({_DUCK_CORPUS_NEARDUP}),
+h AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(hs) >= {_WINNOW_W}
+                THEN list_transform(range(0, len(hs) - {_WINNOW_W - 1}),
+                                    i -> list_min(hs[i + 1 : i + {_WINNOW_W}]))
+                ELSE [list_min(hs)] END) AS fps
+  FROM (
+    SELECT doc_id,
+           list_transform(
+             list_transform(range(1, greatest(length(lower(text)) - {_WINNOW_K - 1}, 1) + 1),
+                            i -> substr(lower(text), i, {_WINNOW_K})),
+             g -> ('0x' || substr(md5(g), 1, 8))::BIGINT) AS hs
+    FROM corpus)
+),
+fp AS (SELECT doc_id, unnest(fps) AS f FROM h),
+rare AS (
+  SELECT f FROM fp GROUP BY f HAVING count(*) <= 8
+),
+fpr AS (SELECT fp.doc_id, fp.f FROM fp JOIN rare USING (f)),
+edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM fpr a JOIN fpr b ON a.f = b.f AND a.doc_id < b.doc_id
+  GROUP BY src, dst
+  HAVING count(*) >= 3
+),
+sym AS (
+  SELECT src, dst FROM edges
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM edges
+),
+nodes AS (SELECT DISTINCT doc_id FROM fp),
+reach AS (
+  WITH RECURSIVE r(id, label) AS (
+    SELECT doc_id, doc_id FROM nodes
+    UNION
+    SELECT s.dst, r.label FROM r JOIN sym s ON s.src = r.id
+  )
+  SELECT id, min(label) AS component_id FROM r GROUP BY id
+)
+SELECT component_id,
+       count(*)::BIGINT AS n_members,
+       string_agg(id::VARCHAR, ',' ORDER BY id) AS member_ids
+FROM reach
+GROUP BY component_id
+HAVING count(*) > 1
+"""
+
+
+@register(
+    "dedup_connected_components",
+    oracle=_CC_SQL,
+    tags=("llmdata", "dedup", "iterative"),
+    tables=("documents",),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup CLUSTERING — the step after pair detection: connected
+    components over the similarity graph, so each duplicate group gets
+    one canonical id (the minimum member id) before canonical-pick.
+
+    Edges: docs sharing >= 3 rare winnowing fingerprints (df <= 8 cut
+    bounds the fp join exactly like the ngram DF cut). Components:
+    iterative min-label propagation to fixpoint — each round is one
+    shuffle join (label <- min(label, min over neighbours)); rounds are
+    bounded by component diameter, which for dup clusters is tiny. The
+    DuckDB oracle computes the same fixpoint with a recursive CTE, so
+    this ITERATIVE operator is still exactly value-checked. At 100 TB
+    swap the loop for alternating large-star/small-star (same per-round
+    plan shape, provably O(log n) rounds).
+    """
+    from openalex_walden_spark.operators.guardrails import persist_scalar
+
+    corpus = _spark_corpus_neardup(spark)
+    t = "lower(text)"
+    kgrams = (
+        f"transform(sequence(1, greatest(length({t}) - {_WINNOW_K - 1}, 1)),"
+        f" i -> substring({t}, i, {_WINNOW_K}))"
+    )
+    hashes = f"transform({kgrams}, g -> cast(conv(substr(md5(g), 1, 8), 16, 10) as bigint))"
+    wins = (
+        f"CASE WHEN size(hs) >= {_WINNOW_W} THEN "
+        f"transform(sequence(0, size(hs) - {_WINNOW_W}),"
+        f" i -> array_min(slice(hs, i + 1, {_WINNOW_W}))) "
+        f"ELSE array(array_min(hs)) END"
+    )
+    fp = persist_scalar(
+        corpus.select("doc_id", F.expr(hashes).alias("hs"))
+        .select("doc_id", F.explode(F.array_distinct(F.expr(wins))).alias("f"))
+    )
+    rare = fp.groupBy("f").agg(F.count("*").alias("df")).where(F.col("df") <= 8)
+    fpr = fp.join(rare.select("f"), "f")
+    fa = fpr.select(F.col("doc_id").alias("src"), "f")
+    fb = fpr.select(F.col("doc_id").alias("dst"), "f")
+    edges = (
+        fa.join(fb, "f")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= 3)
+        .select("src", "dst")
+    )
+    sym = persist_scalar(
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+    # localCheckpoint per round: iterative plans double their lineage
+    # every iteration (labels references the previous round's joins), so
+    # without truncation the logical plan grows exponentially and the
+    # driver OOMs just STRINGIFYING it by round ~15. Checkpointing the
+    # (doc_id, label) frame — two scalar columns — keeps each round's
+    # plan constant-size; this is the canonical Spark iterative pattern.
+    labels = (
+        fp.select("doc_id").distinct().withColumn("label", F.col("doc_id"))
+    ).localCheckpoint()
+    for _ in range(20):  # diameter bound; dup clusters are shallow
+        nbr_min = (
+            sym.join(labels, sym.src == labels.doc_id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.dst, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )  # driver-side scalar convergence check (one int per round)
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.groupBy(F.col("label").alias("component_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("member_ids"),
+        )
+        .where(F.col("n_members") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling (training-mixture construction)
+# --------------------------------------------------------------------------
+_SAMPLE_SQL = """
+WITH pol AS (
+  SELECT * FROM (VALUES ('en', 35), ('de', 80), ('es', 80), ('fr', 80), ('zh', 100))
+    AS pol(lang, pct)
+),
+strat AS (
+  SELECT doc_id, d.lang, CAST(n_chars // 200 AS INT) AS size_bucket,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':' || d.lang), 1, 8))::BIGINT % 100 AS die,
+         pct
+  FROM documents d JOIN pol ON d.lang = pol.lang
+)
+SELECT doc_id, lang, size_bucket
+FROM strat WHERE die < pct
+"""
+
+
+@register(
+    "sample_stratified_hash",
+    oracle=_SAMPLE_SQL,
+    tags=("llmdata", "sampling"),
+    tables=("documents",),
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for training-mixture
+    construction: per-language keep rates (the mixture policy, a
+    broadcast-joined VALUES table — rates are data, not code) applied
+    via a content-derived die: md5(doc_id:lang) % 100 < pct. No rand()
+    anywhere, so the sample is reproducible run-over-run, stable under
+    repartitioning, and auditable — the property a 100 TB mixture
+    rebuild needs (re-running the pipeline yields the same corpus).
+    Map-side only: scan → broadcast join → filter; zero shuffles.
+    """
+    policy = spark.createDataFrame(
+        [("en", 35), ("de", 80), ("es", 80), ("fr", 80), ("zh", 100)],
+        "lang string, pct int",
+    )
+    d = spark.table("documents")
+    die = F.expr(
+        "cast(conv(substr(md5(concat(cast(doc_id as string), ':', lang)), 1, 8), 16, 10) as bigint) % 100"
+    )
+    return (
+        d.join(F.broadcast(policy), "lang")
+        .where(die < F.col("pct"))
+        .select("doc_id", "lang", F.floor(F.col("n_chars") / 200).cast("int").alias("size_bucket"))
+    )
