@@ -110,17 +110,30 @@ def test_award_key_idempotent_on_generated_corpus(spark):
     from openalex_walden_spark.functions.sql_udfs import create_sql_udfs
 
     create_sql_udfs(spark)
-    gen = st.text(
-        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=30
-    )
-    rows = [(gen.example(),) for _ in range(40)] + [
+    # Seeded corpus (NOT hypothesis .example(), whose unseeded sampling
+    # makes the suite nondeterministic): wide unicode incl. astral
+    # planes, plus the structured edge cases.
+    import random
+
+    rng = random.Random(20260813)
+
+    def rand_char() -> str:
+        while True:
+            c = rng.randint(32, 0x2FFFF)
+            if not 0xD800 <= c <= 0xDFFF:  # skip surrogates
+                return chr(c)
+
+    rows = [
+        ("".join(rand_char() for _ in range(rng.randint(0, 20))),)
+        for _ in range(60)
+    ] + [
         (" AWD - 0012345 ",), ("R01-GM000123",), ("abc",), ("",), (None,),
     ]
     df = spark.createDataFrame(rows, "raw string")
     df.createOrReplaceTempView("_award_prop")
     out = spark.sql(
-        "SELECT award_key(raw) AS k1, award_key(award_key(raw)) AS k2 "
+        "SELECT raw, award_key(raw) AS k1, award_key(award_key(raw)) AS k2 "
         "FROM _award_prop"
     ).collect()
     for r in out:
-        assert r["k2"] == r["k1"]
+        assert r["k2"] == r["k1"], repr(r["raw"])
