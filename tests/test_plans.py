@@ -160,6 +160,16 @@ def test_salted_join_rejects_dim_preserving_modes(spark, sf_dir):
     salted_join(fact, dim, "k", salt_cols=["k"], how="inner")
 
 
+def test_d0_works_build_single_source_aggregate(spark, sf_dir):
+    """The works-build sources must share ONE lineitem-part author
+    aggregate (provenance-selector explode), not one per union branch —
+    the plan carries exactly two hash exchanges (l_orderkey aggregate,
+    merge-key fusion) and aggregates lineitem once."""
+    plan = _plan(spark, sf_dir, "d0_works_build")
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "Union" not in plan  # selector explode replaced the union
+
+
 def test_persist_scalar_refuses_container_columns(spark):
     """Caching a frame that still carries array/map/struct columns is
     the measured memory cliff — the engine-wide persist guard must
