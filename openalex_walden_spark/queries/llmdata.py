@@ -365,6 +365,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.expr(shingle_arr)).alias("s"))
     )
 
+    # Signatures via explode + ONE 16-MIN hash aggregate — deliberately
+    # NOT per-row array HOFs, although the DuckDB oracle uses that form:
+    # Catalyst inlines chained HOF projections (ProjectCollapse) and
+    # does not hoist loop-invariant subexpressions out of lambda
+    # bodies, so an array-form signature re-evaluates md5 ~32x per
+    # shingle (measured 23s vs 3s at sf0.1). The exploded form pays one
+    # shuffle but hashes each shingle exactly once and the 16 MINs run
+    # in one codegen'd aggregate.
     hashed = shingle_rows.select(
         "doc_id",
         F.expr("cast(conv(substr(md5(s), 1, 14), 16, 10) as bigint)").alias("h1"),
