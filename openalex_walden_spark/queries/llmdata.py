@@ -1139,3 +1139,172 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(die < F.col("pct"))
         .select("doc_id", "lang", F.floor(F.col("n_chars") / 200).cast("int").alias("size_bucket"))
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: fingerprint containment against an eval set
+# --------------------------------------------------------------------------
+_DECON_SQL = f"""
+WITH fpdoc AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(hs) >= {_WINNOW_W}
+                THEN list_transform(range(0, len(hs) - {_WINNOW_W - 1}),
+                                    i -> list_min(hs[i + 1 : i + {_WINNOW_W}]))
+                ELSE [list_min(hs)] END) AS fps
+  FROM (
+    SELECT doc_id,
+           list_transform(
+             list_transform(range(1, greatest(length(lower(text)) - {_WINNOW_K - 1}, 1) + 1),
+                            i -> substr(lower(text), i, {_WINNOW_K})),
+             g -> ('0x' || substr(md5(g), 1, 8))::BIGINT) AS hs
+    FROM documents)
+),
+evalset AS (
+  SELECT doc_id AS eval_id, fps AS eval_fps FROM fpdoc WHERE doc_id % 25 = 0
+),
+train AS (
+  SELECT doc_id, fps FROM fpdoc WHERE doc_id % 25 <> 0
+),
+tf AS (SELECT doc_id, unnest(fps) AS f FROM train),
+ef AS (SELECT eval_id, unnest(eval_fps) AS f FROM evalset),
+hits AS (
+  SELECT tf.doc_id, ef.eval_id, count(*) AS shared
+  FROM tf JOIN ef ON tf.f = ef.f
+  GROUP BY tf.doc_id, ef.eval_id
+),
+sizes AS (SELECT eval_id, len(eval_fps) AS n_eval FROM evalset)
+SELECT h.doc_id, h.eval_id, h.shared::BIGINT AS shared,
+       (h.shared::DOUBLE / s.n_eval::DOUBLE) AS containment
+FROM hits h JOIN sizes s ON h.eval_id = s.eval_id
+WHERE h.shared * 5 >= s.n_eval
+"""
+
+
+@register(
+    "decontaminate_eval_overlap",
+    oracle=_DECON_SQL,
+    tags=("llmdata", "decontamination", "fingerprint"),
+    tables=("documents",),
+)
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose
+    winnowing-fingerprint CONTAINMENT of an eval document is >= 20 %
+    (shared·5 >= |eval fps| — integer gate, exact on both engines).
+    Winnowing guarantees any shared substring of length >= k+w-1 yields
+    a shared fingerprint, so verbatim eval leakage cannot hide from
+    this join. Containment (|A∩B| / |eval|), not Jaccard — a long
+    training doc EMBEDDING a short eval item is exactly the case that
+    must fire.
+
+    Scale: one fingerprint explode per side, one equi-join on the
+    fingerprint value, one count — the same bounded-join discipline as
+    the dedup arms; eval sets are small, so at 100 TB the eval side
+    broadcasts and the train side never shuffles.
+    """
+    t = "lower(text)"
+    kgrams = (
+        f"transform(sequence(1, greatest(length({t}) - {_WINNOW_K - 1}, 1)),"
+        f" i -> substring({t}, i, {_WINNOW_K}))"
+    )
+    hashes = f"transform({kgrams}, g -> cast(conv(substr(md5(g), 1, 8), 16, 10) as bigint))"
+    wins = (
+        f"CASE WHEN size(hs) >= {_WINNOW_W} THEN "
+        f"transform(sequence(0, size(hs) - {_WINNOW_W}),"
+        f" i -> array_min(slice(hs, i + 1, {_WINNOW_W}))) "
+        f"ELSE array(array_min(hs)) END"
+    )
+    fpdoc = (
+        spark.table("documents")
+        .select("doc_id", F.expr(hashes).alias("hs"))
+        .select("doc_id", F.array_distinct(F.expr(wins)).alias("fps"))
+    )
+    is_eval = F.col("doc_id") % 25 == 0
+    ef = (
+        fpdoc.where(is_eval)
+        .select(F.col("doc_id").alias("eval_id"), F.explode("fps").alias("f"))
+    )
+    sizes = fpdoc.where(is_eval).select(
+        F.col("doc_id").alias("eval_id"), F.size("fps").alias("n_eval")
+    )
+    tf = (
+        fpdoc.where(~is_eval)
+        .select("doc_id", F.explode("fps").alias("f"))
+    )
+    hits = (
+        tf.join(F.broadcast(ef), "f")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        hits.join(F.broadcast(sizes), "eval_id")
+        .where(F.col("shared") * 5 >= F.col("n_eval"))
+        .select(
+            "doc_id",
+            "eval_id",
+            F.col("shared").cast("bigint").alias("shared"),
+            (F.col("shared").cast("double") / F.col("n_eval").cast("double")).alias(
+                "containment"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality-filter gate: policy thresholds over the quality features
+# --------------------------------------------------------------------------
+_QFILTER_SQL = """
+WITH feats AS (
+  SELECT doc_id, lang,
+         length(text) AS n_chars_m,
+         len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tokens,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+           / greatest(length(text), 1)::DOUBLE AS alpha_ratio,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+           / greatest(length(text), 1)::DOUBLE AS digit_ratio
+  FROM documents
+),
+gated AS (
+  SELECT doc_id, lang,
+         CASE WHEN n_tokens < 20 THEN 'too_short'
+              WHEN n_chars_m > 2000 THEN 'too_long'
+              WHEN alpha_ratio < 0.6 THEN 'low_alpha'
+              WHEN digit_ratio > 0.2 THEN 'digit_heavy'
+              ELSE 'keep' END AS verdict
+  FROM feats
+)
+SELECT lang, verdict, count(*)::BIGINT AS n
+FROM gated GROUP BY lang, verdict
+"""
+
+
+@register(
+    "quality_filter_gate",
+    oracle=_QFILTER_SQL,
+    tags=("llmdata", "text", "quality", "St5"),
+    tables=("documents",),
+)
+def quality_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality filtering with reason codes — the document-corpus
+    analog of the expectations gate (St5): a first-match-wins threshold
+    ladder over the quality features (too_short / too_long / low_alpha /
+    digit_heavy / keep), reported as per-(lang, verdict) counts. Reason
+    codes, not a boolean, because a 100 TB curation loop needs to see
+    WHY mass is being dropped per language before shipping a mixture.
+    Single codegen'd scan + one small aggregate."""
+    from openalex_walden_spark.functions.textstats import quality_features
+
+    d = spark.table("documents")
+    feats = quality_features(F.col("text"))
+    verdict = (
+        F.when(feats["n_tokens"] < 20, F.lit("too_short"))
+        .when(feats["n_chars"] > 2000, F.lit("too_long"))
+        .when(feats["alpha_ratio"] < 0.6, F.lit("low_alpha"))
+        .when(feats["digit_ratio"] > 0.2, F.lit("digit_heavy"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        d.select("lang", verdict.alias("verdict"))
+        .groupBy("lang", "verdict")
+        .agg(F.count("*").alias("n"))
+    )
