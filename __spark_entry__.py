@@ -79,6 +79,10 @@ _DEFER_NEXT = [
     "s3_identifier_and_variables", "u1_conform_union", "a6_distinct_pairs",
     "j12_using_join", "u3_union_missing_columns", "f_map_battery",
     "f_hof_predicate_battery", "f_null_setops_battery",
+    # deferred to make room for j9_merge_state_rounds (the new bucketed
+    # MERGE layer belongs under this round's gate); §2.8 keeps
+    # f_string_date_battery in-window
+    "f_array_map_json_battery",
 ]
 
 

@@ -66,6 +66,77 @@ def j9_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# J9 stateful: the bucketed-state MERGE physical layer, three real rounds
+# --------------------------------------------------------------------------
+_MERGE_STATE_SQL = """
+WITH all_rows AS (
+  SELECT o_orderkey AS k, 'v1:' || o_orderstatus AS v, 1 AS seq, FALSE AS is_delete
+  FROM orders WHERE o_orderkey % 4 < 3
+  UNION ALL
+  SELECT o_orderkey, 'v2:' || o_orderpriority, 2, FALSE
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, NULL, 3, TRUE
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+win AS (
+  SELECT k, v, is_delete,
+         row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+  FROM all_rows
+)
+SELECT k, v FROM win WHERE rn = 1 AND NOT is_delete
+"""
+
+
+@register(
+    "j9_merge_state_rounds",
+    oracle=_MERGE_STATE_SQL,
+    tags=("merge", "J9", "St2", "St4", "stateful"),
+    tables=("orders",),
+)
+def j9_merge_state_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partition-pruned MERGE *physical layer* under the correctness
+    gate: three real ``merge_into_state`` rounds (baseline upserts,
+    newer-sequence updates, then deletes) against an on-disk bucketed
+    state table — manifests committed, only touched buckets rewritten,
+    deletes tombstoned — and the surviving live state must equal the
+    oracle's closed-form window over the concatenated batches. This is
+    what `j9_merge_scd1_batch` (the semantic core) cannot show: that
+    the manifest/bucket/tombstone machinery preserves MERGE semantics
+    across rounds."""
+    import tempfile
+
+    from openalex_walden_spark.operators.merge import merge_into_state, read_state
+
+    state = tempfile.mkdtemp(prefix="j9_state_")
+    o = spark.table("orders")
+    b1 = o.where(F.col("o_orderkey") % 4 < 3).select(
+        F.col("o_orderkey").alias("k"),
+        F.concat(F.lit("v1:"), F.col("o_orderstatus")).alias("v"),
+        F.lit(1).alias("seq"),
+        F.lit(False).alias("is_delete"),
+    )
+    b2 = o.where(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.concat(F.lit("v2:"), F.col("o_orderpriority")).alias("v"),
+        F.lit(2).alias("seq"),
+        F.lit(False).alias("is_delete"),
+    )
+    b3 = o.where(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(None).cast("string").alias("v"),
+        F.lit(3).alias("seq"),
+        F.lit(True).alias("is_delete"),
+    )
+    for batch in (b1, b2, b3):
+        merge_into_state(
+            spark, state, batch, keys=["k"], sequence_col="seq",
+            delete_predicate=F.col("is_delete"), n_buckets=8,
+        )
+    return read_state(spark, state).select("k", "v")
+
+
+# --------------------------------------------------------------------------
 # A6: dropDuplicates where ordering is irrelevant
 # --------------------------------------------------------------------------
 _A6_SQL = """
