@@ -75,7 +75,7 @@ _DEFER_NEXT = [
     # new this round — front of round 4's window
     "text_fingerprint_winnow", "dedup_connected_components",
     "sample_stratified_hash", "decontaminate_eval_overlap",
-    "quality_filter_gate",
+    "quality_filter_gate", "award_oa_compliance",
     "s3_identifier_and_variables", "u1_conform_union", "a6_distinct_pairs",
     "j12_using_join", "u3_union_missing_columns", "f_map_battery",
     "f_hof_predicate_battery", "f_null_setops_battery",

@@ -941,3 +941,98 @@ def d7_type_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("work_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# Award plane: funder OA-compliance report (the per-funder rollup shape)
+# --------------------------------------------------------------------------
+_AWARD_COMPLIANCE_SQL = """
+WITH feat AS (
+  SELECT 'F' || lpad((o_custkey % 20)::VARCHAR, 2, '0') AS funder,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         CASE o_orderkey % 3 WHEN 0 THEN 'publisher' WHEN 1 THEN 'repository' END AS host_type,
+         CASE WHEN o_orderkey % 4 = 0 THEN 'cc-by'
+              WHEN o_orderkey % 4 = 2 THEN 'publisher-specific-oa' END AS license,
+         o_orderkey % 5 = 0 AS source_is_oa,
+         CASE WHEN o_orderkey % 2 = 0 THEN 1000 END AS apc_usd,
+         CASE WHEN o_orderkey % 6 = 0 THEN TRUE
+              WHEN o_orderkey % 6 = 3 THEN FALSE END AS is_oa
+  FROM orders
+),
+status AS (
+  SELECT funder, yr,
+         CASE
+           WHEN (COALESCE(is_oa, FALSE) OR source_is_oa) AND host_type = 'publisher' THEN
+             CASE WHEN COALESCE(apc_usd, 0) = 0 AND source_is_oa THEN 'diamond'
+                  WHEN source_is_oa THEN 'gold'
+                  WHEN license IS NOT NULL AND license <> 'publisher-specific-oa' THEN 'hybrid'
+                  ELSE 'bronze' END
+           WHEN host_type IS NULL AND (COALESCE(is_oa, FALSE) OR source_is_oa) THEN 'gold'
+           WHEN (COALESCE(is_oa, FALSE) OR source_is_oa) AND host_type = 'repository' THEN 'green'
+           ELSE 'closed' END AS oa_status
+  FROM feat
+)
+SELECT funder, yr,
+       count(*)::BIGINT AS n_works,
+       count_if(oa_status IN ('diamond', 'gold', 'hybrid', 'green'))::BIGINT AS n_open,
+       (count_if(oa_status IN ('diamond', 'gold', 'hybrid', 'green'))::DOUBLE
+          / count(*)::DOUBLE) AS open_share,
+       count_if(oa_status IN ('diamond', 'gold', 'hybrid', 'green')) * 10 >= count(*) * 3
+         AS meets_policy
+FROM status
+GROUP BY funder, yr
+"""
+
+
+@register(
+    "award_oa_compliance",
+    oracle=_AWARD_COMPLIANCE_SQL,
+    tags=("domain", "award", "D4", "D11"),
+    tables=("orders",),
+)
+def award_oa_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The award-plane compliance report (the reference generates one
+    per funder — plans/awards/examples/aha-oa-compliance): per
+    (funder, year), works funded, how many landed in an open route
+    (diamond/gold/hybrid/green via the D4 ladder), the open share, and
+    an integer-threshold policy verdict (>= 30 % open — threshold
+    arithmetic in integers so both engines agree exactly). One scan,
+    one aggregate on (funder, year); the reference's 351 generated
+    notebooks are this one parameterized shape."""
+    from openalex_walden_spark.functions.domain import oa_status
+
+    k = F.col("o_orderkey")
+    feats = spark.table("orders").select(
+        F.concat(
+            F.lit("F"), F.lpad((F.col("o_custkey") % 20).cast("string"), 2, "0")
+        ).alias("funder"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.when(k % 3 == 0, F.lit("publisher"))
+        .when(k % 3 == 1, F.lit("repository"))
+        .alias("host_type"),
+        F.when(k % 4 == 0, F.lit("cc-by"))
+        .when(k % 4 == 2, F.lit("publisher-specific-oa"))
+        .alias("license"),
+        (k % 5 == 0).alias("source_is_oa"),
+        F.when(k % 2 == 0, F.lit(1000)).alias("apc_usd"),
+        F.when(k % 6 == 0, F.lit(True)).when(k % 6 == 3, F.lit(False)).alias("is_oa"),
+    )
+    status = feats.select(
+        "funder",
+        "yr",
+        oa_status(
+            F.col("host_type"),
+            F.col("license"),
+            F.col("source_is_oa"),
+            F.col("apc_usd"),
+            F.col("is_oa"),
+        ).alias("oa_status"),
+    )
+    is_open = F.col("oa_status").isin("diamond", "gold", "hybrid", "green")
+    n_open = F.sum(is_open.cast("long"))
+    return status.groupBy("funder", "yr").agg(
+        F.count("*").cast("bigint").alias("n_works"),
+        n_open.cast("bigint").alias("n_open"),
+        (n_open.cast("double") / F.count("*").cast("double")).alias("open_share"),
+        (n_open * 10 >= F.count("*") * 3).alias("meets_policy"),
+    )

@@ -170,6 +170,30 @@ def test_d0_works_build_single_source_aggregate(spark, sf_dir):
     assert "Union" not in plan  # selector explode replaced the union
 
 
+def test_sample_stratified_is_map_side_only(spark, sf_dir):
+    """Deterministic sampling must be scan -> broadcast join -> filter:
+    no hash-partition exchange anywhere (reproducible sampling that
+    shuffles would be paying for nothing)."""
+    plan = _plan(spark, sf_dir, "sample_stratified_hash")
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_winnow_fingerprints_no_shuffle(spark, sf_dir):
+    """Winnowing is per-row array HOFs over one scan — a shuffle here
+    means someone turned it back into an explode+window."""
+    plan = _plan(spark, sf_dir, "text_fingerprint_winnow")
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_decontamination_broadcasts_eval_side(spark, sf_dir):
+    """The eval set is small by construction: the fingerprint join must
+    broadcast it so the training corpus never shuffles."""
+    plan = _plan(spark, sf_dir, "decontaminate_eval_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_persist_scalar_refuses_container_columns(spark):
     """Caching a frame that still carries array/map/struct columns is
     the measured memory cliff — the engine-wide persist guard must
