@@ -104,11 +104,20 @@ def j9_merge_state_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     what `j9_merge_scd1_batch` (the semantic core) cannot show: that
     the manifest/bucket/tombstone machinery preserves MERGE semantics
     across rounds."""
+    import os
     import tempfile
 
     from openalex_walden_spark.operators.merge import merge_into_state, read_state
 
-    state = tempfile.mkdtemp(prefix="j9_state_")
+    # State lands under the repo's (gitignored) spark-warehouse so the
+    # operator never writes outside the repo; fresh dir per invocation
+    # keeps reruns independent.
+    wh = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+    )
+    os.makedirs(wh, exist_ok=True)
+    state = tempfile.mkdtemp(prefix="j9_state_", dir=wh)
     o = spark.table("orders")
     b1 = o.where(F.col("o_orderkey") % 4 < 3).select(
         F.col("o_orderkey").alias("k"),
