@@ -23,7 +23,6 @@ for the model's predict to productionize; the Spark plumbing is final.
 from __future__ import annotations
 
 import json
-import os
 from collections.abc import Iterator
 from functools import lru_cache
 
@@ -31,8 +30,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
-
-MODEL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "lid_model.json")
 
 LID_SCHEMA = StructType(
     [

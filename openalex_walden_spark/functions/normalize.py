@@ -67,7 +67,14 @@ def normalize_title(col: Column, max_len: int = 500) -> Column:
 # opening tags (``<\\w+.*?>``, normalize.py:143) — a closing ``</b>``
 # survives to the alpha filter as 'b'; we reproduce that quirk so merge
 # keys agree byte-for-byte with the reference.
-_NFD_CLEAN_HTML = None  # compiled lazily inside the UDF closure
+#
+# Boundary-semantics note: Python's ``\b`` here is Unicode-aware (the
+# reference's behavior), while the p3 oracle's RE2 ``\b`` is ASCII — the
+# two diverge ONLY when a stopword substring abuts an unfoldable
+# non-ASCII letter ("łat" keeps its 'at' here, loses it under RE2). The
+# oracle's synthesized inputs never place a stopword against such a
+# letter; the Unicode behavior itself is pinned by
+# tests/test_functions.py::test_normalize_title_nfd_unicode_boundary.
 _NFD_STOPWORD_PATTERN = r"\b(" + "|".join(_TITLE_STOPWORDS) + r"|\n)\b"
 
 

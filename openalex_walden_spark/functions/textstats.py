@@ -98,3 +98,53 @@ def shingles(col: Column, k: int = 3) -> Column:
     return F.when(n >= k, F.array_distinct(sh)).otherwise(
         F.when(n > 0, F.array(F.array_join(toks, " "))).otherwise(F.array().cast("array<string>"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken): single-source
+# expression builders — the Spark form and the DuckDB-oracle form are
+# generated here so the three consumers (text_fingerprint_winnow,
+# dedup_connected_components, decontaminate_eval_overlap) can never
+# drift from each other or from their oracles.
+# ---------------------------------------------------------------------------
+WINNOW_K = 8  # k-gram length (chars)
+WINNOW_W = 4  # window width (k-gram positions)
+
+
+def winnow_hashes_spark(text: str = "lower(text)") -> str:
+    """Spark-SQL expr: rolling k-gram 32-bit hashes of ``text``."""
+    kgrams = (
+        f"transform(sequence(1, greatest(length({text}) - {WINNOW_K - 1}, 1)),"
+        f" i -> substring({text}, i, {WINNOW_K}))"
+    )
+    return f"transform({kgrams}, g -> cast(conv(substr(md5(g), 1, 8), 16, 10) as bigint))"
+
+
+def winnow_select_spark(hs: str = "hs") -> str:
+    """Spark-SQL expr: min-per-window selection over the hash sequence."""
+    return (
+        f"CASE WHEN size({hs}) >= {WINNOW_W} THEN "
+        f"transform(sequence(0, size({hs}) - {WINNOW_W}),"
+        f" i -> array_min(slice({hs}, i + 1, {WINNOW_W}))) "
+        f"ELSE array(array_min({hs})) END"
+    )
+
+
+def winnow_fps_duck(source_sql: str = "documents") -> str:
+    """DuckDB CTE body yielding (doc_id, n_kgrams, fps) per document of
+    ``source_sql`` — the oracle mirror of the two exprs above."""
+    return f"""
+  SELECT doc_id, len(hs) AS n_kgrams,
+         list_distinct(
+           CASE WHEN len(hs) >= {WINNOW_W}
+                THEN list_transform(range(0, len(hs) - {WINNOW_W - 1}),
+                                    i -> list_min(hs[i + 1 : i + {WINNOW_W}]))
+                ELSE [list_min(hs)] END) AS fps
+  FROM (
+    SELECT doc_id,
+           list_transform(
+             list_transform(range(1, greatest(length(lower(text)) - {WINNOW_K - 1}, 1) + 1),
+                            i -> substr(lower(text), i, {WINNOW_K})),
+             g -> ('0x' || substr(md5(g), 1, 8))::BIGINT) AS hs
+    FROM {source_sql})
+"""

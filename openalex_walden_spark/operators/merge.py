@@ -113,6 +113,17 @@ def _manifest_versions(state_path: str) -> list[int]:
 
 def current_version(state_path: str) -> int | None:
     vs = _manifest_versions(state_path)
+    if not vs and os.path.isdir(state_path):
+        # Loud failure beats silent data loss: a state dir written by
+        # the pre-manifest layout (v_XXXXXXXX dirs at the root) must not
+        # be read as "empty table".
+        legacy = [n for n in os.listdir(state_path) if re.match(r"^v_\d{8}$", n)]
+        if legacy:
+            raise ValueError(
+                f"{state_path} holds a legacy un-manifested state layout "
+                f"({legacy[:3]}…); migrate it by re-merging its rows into "
+                "a fresh state table"
+            )
     return vs[-1] if vs else None
 
 
@@ -232,6 +243,13 @@ def merge_into_state(
         dst = _bucket_dir(state_path, b, next_v)
         if os.path.isdir(src):
             os.makedirs(os.path.dirname(dst), exist_ok=True)
+            # A crash between bucket moves and the manifest commit can
+            # leave an orphaned v_{next_v} dir; no manifest references
+            # it (the commit below is the atomic point), so clobber it —
+            # otherwise shutil.move would nest the new files INSIDE it
+            # and the committed manifest would read stale + new rows.
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
             shutil.move(src, dst)
             new_buckets[str(b)] = next_v
         else:

@@ -86,7 +86,7 @@ def salted_join(
     and semi/anti from the fact side would still work but invert if the
     caller swaps sides. Anything else raises.
     """
-    if how not in ("inner", "left", "left_outer", "leftouter"):
+    if how.lower().replace("_", "") not in ("inner", "left", "leftouter"):
         raise ValueError(
             f"salted_join supports how='inner'/'left' only (got {how!r}): "
             "the replicated dimension side would duplicate unmatched dim "

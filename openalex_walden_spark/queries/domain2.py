@@ -111,12 +111,19 @@ def j9_merge_state_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # State lands under the repo's (gitignored) spark-warehouse so the
     # operator never writes outside the repo; fresh dir per invocation
-    # keeps reruns independent.
+    # keeps reruns independent, and stale dirs from PRIOR invocations
+    # are swept here (the returned DataFrame reads lazily, so the
+    # current dir can only be reclaimed by the NEXT run).
+    import shutil
+
     wh = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "spark-warehouse",
     )
     os.makedirs(wh, exist_ok=True)
+    for stale in os.listdir(wh):
+        if stale.startswith("j9_state_"):
+            shutil.rmtree(os.path.join(wh, stale), ignore_errors=True)
     state = tempfile.mkdtemp(prefix="j9_state_", dir=wh)
     o = spark.table("orders")
     b1 = o.where(F.col("o_orderkey") % 4 < 3).select(

@@ -849,27 +849,17 @@ def llm_embed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Document fingerprinting: winnowing (rolling k-gram hash, min-per-window)
 # --------------------------------------------------------------------------
-_WINNOW_K = 8   # k-gram length (chars)
-_WINNOW_W = 4   # window width (k-gram positions)
+# Winnowing constants + Spark/DuckDB expression builders live in
+# functions/textstats.py (single-sourced for all three fingerprint
+# consumers and their oracles).
+from openalex_walden_spark.functions.textstats import (  # noqa: E402
+    winnow_fps_duck,
+    winnow_hashes_spark,
+    winnow_select_spark,
+)
 
 _WINNOW_SQL = f"""
-WITH h AS (
-  SELECT doc_id,
-         list_transform(
-           list_transform(range(1, greatest(length(lower(text)) - {_WINNOW_K - 1}, 1) + 1),
-                          i -> substr(lower(text), i, {_WINNOW_K})),
-           g -> ('0x' || substr(md5(g), 1, 8))::BIGINT) AS hs
-  FROM documents
-),
-sel AS (
-  SELECT doc_id, len(hs) AS n_kgrams,
-         list_distinct(
-           CASE WHEN len(hs) >= {_WINNOW_W}
-                THEN list_transform(range(0, len(hs) - {_WINNOW_W - 1}),
-                                    i -> list_min(hs[i + 1 : i + {_WINNOW_W}]))
-                ELSE [list_min(hs)] END) AS fps
-  FROM h
-)
+WITH sel AS ({winnow_fps_duck("documents")})
 SELECT doc_id, n_kgrams::BIGINT AS n_kgrams,
        len(fps)::BIGINT AS n_fingerprints,
        md5(array_to_string(list_transform(list_sort(fps), x -> x::VARCHAR), ',')) AS fp_checksum
@@ -898,25 +888,13 @@ def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     set) so the oracle hash-compares exactly; downstream dedup would
     explode `fps` and hash-join on fingerprint instead.
     """
-    t = "lower(text)"
-    kgrams = (
-        f"transform(sequence(1, greatest(length({t}) - {_WINNOW_K - 1}, 1)),"
-        f" i -> substring({t}, i, {_WINNOW_K}))"
-    )
-    hashes = f"transform({kgrams}, g -> cast(conv(substr(md5(g), 1, 8), 16, 10) as bigint))"
-    wins = (
-        f"CASE WHEN size(hs) >= {_WINNOW_W} THEN "
-        f"transform(sequence(0, size(hs) - {_WINNOW_W}),"
-        f" i -> array_min(slice(hs, i + 1, {_WINNOW_W}))) "
-        f"ELSE array(array_min(hs)) END"
-    )
     return (
         spark.table("documents")
-        .select("doc_id", F.expr(hashes).alias("hs"))
+        .select("doc_id", F.expr(winnow_hashes_spark()).alias("hs"))
         .select(
             "doc_id",
             F.size("hs").cast("bigint").alias("n_kgrams"),
-            F.array_distinct(F.expr(wins)).alias("fps"),
+            F.array_distinct(F.expr(winnow_select_spark())).alias("fps"),
         )
         .select(
             "doc_id",
@@ -936,21 +914,7 @@ def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _CC_SQL = f"""
 WITH corpus AS ({_DUCK_CORPUS_NEARDUP}),
-h AS (
-  SELECT doc_id,
-         list_distinct(
-           CASE WHEN len(hs) >= {_WINNOW_W}
-                THEN list_transform(range(0, len(hs) - {_WINNOW_W - 1}),
-                                    i -> list_min(hs[i + 1 : i + {_WINNOW_W}]))
-                ELSE [list_min(hs)] END) AS fps
-  FROM (
-    SELECT doc_id,
-           list_transform(
-             list_transform(range(1, greatest(length(lower(text)) - {_WINNOW_K - 1}, 1) + 1),
-                            i -> substr(lower(text), i, {_WINNOW_K})),
-             g -> ('0x' || substr(md5(g), 1, 8))::BIGINT) AS hs
-    FROM corpus)
-),
+h AS ({winnow_fps_duck("corpus")}),
 fp AS (SELECT doc_id, unnest(fps) AS f FROM h),
 rare AS (
   SELECT f FROM fp GROUP BY f HAVING count(*) <= 8
@@ -1009,21 +973,12 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openalex_walden_spark.operators.guardrails import persist_scalar
 
     corpus = _spark_corpus_neardup(spark)
-    t = "lower(text)"
-    kgrams = (
-        f"transform(sequence(1, greatest(length({t}) - {_WINNOW_K - 1}, 1)),"
-        f" i -> substring({t}, i, {_WINNOW_K}))"
-    )
-    hashes = f"transform({kgrams}, g -> cast(conv(substr(md5(g), 1, 8), 16, 10) as bigint))"
-    wins = (
-        f"CASE WHEN size(hs) >= {_WINNOW_W} THEN "
-        f"transform(sequence(0, size(hs) - {_WINNOW_W}),"
-        f" i -> array_min(slice(hs, i + 1, {_WINNOW_W}))) "
-        f"ELSE array(array_min(hs)) END"
-    )
     fp = persist_scalar(
-        corpus.select("doc_id", F.expr(hashes).alias("hs"))
-        .select("doc_id", F.explode(F.array_distinct(F.expr(wins))).alias("f"))
+        corpus.select("doc_id", F.expr(winnow_hashes_spark()).alias("hs"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.expr(winnow_select_spark()))).alias("f"),
+        )
     )
     rare = fp.groupBy("f").agg(F.count("*").alias("df")).where(F.col("df") <= 8)
     fpr = fp.join(rare.select("f"), "f")
@@ -1051,6 +1006,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = (
         fp.select("doc_id").distinct().withColumn("label", F.col("doc_id"))
     ).localCheckpoint()
+    converged = False
     for _ in range(20):  # diameter bound; dup clusters are shallow
         nbr_min = (
             sym.join(labels, sym.src == labels.doc_id)
@@ -1074,7 +1030,16 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )  # driver-side scalar convergence check (one int per round)
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Loud failure beats silently returning a partial fixpoint that
+        # the oracle's recursive CTE would contradict: a >20-diameter
+        # component means this loop needs the large-star/small-star form.
+        raise RuntimeError(
+            "label propagation did not converge in 20 rounds — component "
+            "diameter exceeds the dup-cluster assumption"
+        )
     return (
         labels.groupBy(F.col("label").alias("component_id"))
         .agg(
@@ -1145,21 +1110,7 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Benchmark decontamination: fingerprint containment against an eval set
 # --------------------------------------------------------------------------
 _DECON_SQL = f"""
-WITH fpdoc AS (
-  SELECT doc_id,
-         list_distinct(
-           CASE WHEN len(hs) >= {_WINNOW_W}
-                THEN list_transform(range(0, len(hs) - {_WINNOW_W - 1}),
-                                    i -> list_min(hs[i + 1 : i + {_WINNOW_W}]))
-                ELSE [list_min(hs)] END) AS fps
-  FROM (
-    SELECT doc_id,
-           list_transform(
-             list_transform(range(1, greatest(length(lower(text)) - {_WINNOW_K - 1}, 1) + 1),
-                            i -> substr(lower(text), i, {_WINNOW_K})),
-             g -> ('0x' || substr(md5(g), 1, 8))::BIGINT) AS hs
-    FROM documents)
-),
+WITH fpdoc AS ({winnow_fps_duck("documents")}),
 evalset AS (
   SELECT doc_id AS eval_id, fps AS eval_fps FROM fpdoc WHERE doc_id % 25 = 0
 ),
@@ -1197,40 +1148,33 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     training doc EMBEDDING a short eval item is exactly the case that
     must fire.
 
-    Scale: one fingerprint explode per side, one equi-join on the
-    fingerprint value, one count — the same bounded-join discipline as
-    the dedup arms; eval sets are small, so at 100 TB the eval side
-    broadcasts and the train side never shuffles.
+    Scale: the fingerprint corpus is hashed ONCE into a persisted
+    scalar (doc_id, is_eval, f) frame serving all three consumers
+    (eval rows, eval sizes, training rows) — the hashing subplan is the
+    dominant cost and must not replay per consumer. One equi-join on
+    the fingerprint value, one count; eval sets are small, so at 100 TB
+    the eval side broadcasts and the train side never shuffles.
     """
-    t = "lower(text)"
-    kgrams = (
-        f"transform(sequence(1, greatest(length({t}) - {_WINNOW_K - 1}, 1)),"
-        f" i -> substring({t}, i, {_WINNOW_K}))"
-    )
-    hashes = f"transform({kgrams}, g -> cast(conv(substr(md5(g), 1, 8), 16, 10) as bigint))"
-    wins = (
-        f"CASE WHEN size(hs) >= {_WINNOW_W} THEN "
-        f"transform(sequence(0, size(hs) - {_WINNOW_W}),"
-        f" i -> array_min(slice(hs, i + 1, {_WINNOW_W}))) "
-        f"ELSE array(array_min(hs)) END"
-    )
-    fpdoc = (
+    from openalex_walden_spark.operators.guardrails import persist_scalar
+
+    fpall = persist_scalar(
         spark.table("documents")
-        .select("doc_id", F.expr(hashes).alias("hs"))
-        .select("doc_id", F.array_distinct(F.expr(wins)).alias("fps"))
+        .select("doc_id", F.expr(winnow_hashes_spark()).alias("hs"))
+        .select("doc_id", F.array_distinct(F.expr(winnow_select_spark())).alias("fps"))
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 25 == 0).alias("is_eval"),
+            F.explode("fps").alias("f"),
+        )
     )
-    is_eval = F.col("doc_id") % 25 == 0
-    ef = (
-        fpdoc.where(is_eval)
-        .select(F.col("doc_id").alias("eval_id"), F.explode("fps").alias("f"))
+    ef = fpall.where("is_eval").select(F.col("doc_id").alias("eval_id"), "f")
+    # fps are distinct per doc, so the exploded row count IS |fps|
+    sizes = (
+        fpall.where("is_eval")
+        .groupBy(F.col("doc_id").alias("eval_id"))
+        .agg(F.count("*").alias("n_eval"))
     )
-    sizes = fpdoc.where(is_eval).select(
-        F.col("doc_id").alias("eval_id"), F.size("fps").alias("n_eval")
-    )
-    tf = (
-        fpdoc.where(~is_eval)
-        .select("doc_id", F.explode("fps").alias("f"))
-    )
+    tf = fpall.where(~F.col("is_eval")).select("doc_id", "f")
     hits = (
         tf.join(F.broadcast(ef), "f")
         .groupBy("doc_id", "eval_id")

@@ -335,6 +335,16 @@ def test_lid_model_accuracy():
     assert hits / len(_LID_HELDOUT) >= 0.95, f"{hits}/{len(_LID_HELDOUT)}"
 
 
+def test_normalize_title_nfd_unicode_boundary(spark):
+    """The reference's stopword regex uses Python's Unicode \\b: 'łat'
+    is one word (ł is a word char), so its 'at' survives — the RE2/Java
+    ASCII \\b would strip it. Pin the reference behavior."""
+    from openalex_walden_spark.functions.normalize import normalize_title_nfd
+
+    got = _one(spark, normalize_title_nfd(F.lit("łat the word").cast("string")))
+    assert got == "łatword"
+
+
 def test_lid_und_on_no_signal():
     from openalex_walden_spark.functions.lid import detect_one, load_model
 

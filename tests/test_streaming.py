@@ -89,6 +89,42 @@ def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
     assert len(final) == 200 and final[0] == "updated" and final[1] == "v1"
 
 
+def test_merge_retry_clobbers_orphaned_bucket_version(spark, tmp_path):
+    """A crash between bucket moves and the manifest commit leaves an
+    orphaned (uncommitted) bucket-version dir; the retry must replace
+    it, not nest new files inside it."""
+    from openalex_walden_spark.operators.merge import _bucket_expr
+
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame([(i, f"v{i}", 1) for i in range(20)], "k int, v string, seq int")
+    merge_into_state(spark, state, b1, ["k"], "seq", n_buckets=4)
+    # simulate the crashed run: an orphan v_00000002 dir exists for the
+    # bucket that key 0 hashes into
+    b = spark.createDataFrame([(0,)], "k int").select(_bucket_expr(["k"], 4).alias("b")).collect()[0]["b"]
+    orphan = os.path.join(state, "buckets", str(b), "v_00000002")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "stale-part.parquet"), "w") as f:
+        f.write("junk from the crashed run")
+    b2 = spark.createDataFrame([(0, "updated", 2)], "k int, v string, seq int")
+    merge_into_state(spark, state, b2, ["k"], "seq")
+    final = {r["k"]: r["v"] for r in read_state(spark, state).collect()}
+    assert len(final) == 20 and final[0] == "updated" and final[1] == "v1"
+    assert not os.path.exists(os.path.join(orphan, "stale-part.parquet"))
+
+
+def test_legacy_state_layout_raises(spark, tmp_path):
+    """A pre-manifest state dir (bare v_XXXXXXXX at the root) must fail
+    loudly rather than read as an empty table."""
+    import pytest
+
+    from openalex_walden_spark.operators.merge import current_version
+
+    state = tmp_path / "state"
+    (state / "v_00000001").mkdir(parents=True)
+    with pytest.raises(ValueError, match="legacy un-manifested"):
+        current_version(str(state))
+
+
 def test_delete_tombstone_blocks_stale_resurrection(spark, tmp_path):
     """Out-of-order delete contract (the full apply_changes semantics):
     after a delete at seq 10, a late batch with seq 7 must NOT
