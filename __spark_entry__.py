@@ -66,31 +66,52 @@ _R2_GREEN = [
     "ev_counts_by_type_day", "ev_tumbling_hourly",
 ]
 
-# Unverified queries that don't fit the 50-slot window this round.
-# Chosen because their §2 ops already hold a driver-green row via
-# another query (S3 via every scan, U1 inside d1_priority_merge, A6 via
-# the W1/W2 ladders, §2.8 vocabulary via the two batteries kept
-# in-window) — they take the front of round 4's window.
+# Green in CORRECTNESS_r04.json — retired to the tail so round 5's
+# 50-slot window can cover never-verified queries.
+_R4_GREEN = [
+    "s4_change_feed", "p2_doi_normalize", "p3_title_normalize",
+    "p4_license_normalize", "p6_inverted_index", "p7_merge_key",
+    "p15_boolean_normalize", "p7_merge_key_badtitle", "p5_author_key_blocks",
+    "multimodal_decode", "ann_ivf_topk", "embedding_neardup_pairs",
+    "a7_histogram_zero_bucket", "a8_tall_metrics", "s6_json_export_shape",
+    "skew_salted_agg", "skew_salted_join", "multimodal_frame_sample",
+    "multimodal_resize", "j9_merge_scd1_batch", "j9_merge_state_rounds",
+    "d3_best_location_pick", "d4_oa_status", "d6_unique_gate_match",
+    "d7_type_classification", "d11_entity_aggregates", "d12_curation_overlay",
+    "p8_affiliation_filter", "p9_langcode_map", "p10_version_detect",
+    "p11_oai_id_extract", "s8_model_inference", "d8_reference_resolution",
+    "d5_percentile_flags", "d6_and_cascade", "d7_type_cascade",
+    "d0_works_build", "p12_tei_extract", "d0_works_enriched",
+    "udf_award_normalize", "udf_names_compatible_pairs",
+    "udf_priority_best_fold", "award_family_merge", "f_string_date_battery",
+]
+
+# Never driver-verified (deferred two rounds) — FRONT of round 5's window.
 _DEFER_NEXT = [
-    # new this round — front of round 4's window
     "text_fingerprint_winnow", "dedup_connected_components",
     "sample_stratified_hash", "decontaminate_eval_overlap",
     "quality_filter_gate", "award_oa_compliance",
     "s3_identifier_and_variables", "u1_conform_union", "a6_distinct_pairs",
     "j12_using_join", "u3_union_missing_columns", "f_map_battery",
     "f_hof_predicate_battery", "f_null_setops_battery",
-    # deferred to make room for j9_merge_state_rounds (the new bucketed
-    # MERGE layer belongs under this round's gate); §2.8 keeps
-    # f_string_date_battery in-window
     "f_array_map_json_battery",
+]
+
+# Errored in r4 on the (now-fixed) events-loader NTZ bug — must re-verify.
+_EV_RETRY = [
+    "ev_scd1_latest_state", "ev_sessionize", "ev_expectations_gate",
+    "ev_json_extract", "ev_sliding_30m", "ev_watermark_late_drop",
 ]
 
 
 def _driver_order() -> list[str]:
-    back = set(_R2_GREEN) | set(_DEFER_NEXT)
-    front = [n for n in _q.CATALOG if n not in back]
-    tail = [n for n in _DEFER_NEXT + _R2_GREEN if n in _q.CATALOG]
-    return front + tail
+    """Window composition: never-verified queries first, then anything new
+    this round, then the retired green tail (r4 then r2)."""
+    front = [n for n in _DEFER_NEXT + _EV_RETRY if n in _q.CATALOG]
+    back = set(front) | set(_R4_GREEN) | set(_R2_GREEN)
+    fresh = [n for n in _q.CATALOG if n not in back]
+    tail = [n for n in _R4_GREEN + _R2_GREEN if n in _q.CATALOG]
+    return front + fresh + tail
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

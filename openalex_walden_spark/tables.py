@@ -52,8 +52,18 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
         df = df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
             "ts", F.timestamp_micros(F.col("ts_us"))
         )
-    else:  # pragma: no cover - future-proof if the fixture changes to micros
-        df = df.withColumn("ts_us", F.unix_micros(F.col("ts")))
+    else:
+        # Fixture ships TIMESTAMP(MICROS) (TIMESTAMP_NTZ in Spark 4):
+        # unix_micros() rejects NTZ input, so cast to (session-local)
+        # TIMESTAMP first.  The session timezone is pinned to UTC
+        # (session.py), making the NTZ→LTZ cast an identity and the result
+        # byte-identical to DuckDB's epoch_us(ts).
+        # Also normalize ``ts`` itself to TIMESTAMP so downstream consumers
+        # (withWatermark rejects NTZ) see the same type the nanos branch
+        # produced via timestamp_micros().
+        df = df.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+            "ts_us", F.unix_micros(F.col("ts"))
+        )
     return df
 
 
