@@ -31,6 +31,57 @@ from pyspark.sql.window import Window
 DEFAULT_ID_FLOOR = 6_600_000_000
 
 
+def assign_dense_ids(
+    keys: DataFrame, key_col: str, start: int
+) -> DataFrame:
+    """Assign ``start + 1 .. start + K`` to the K distinct ``key_col``
+    values in ascending key order — the deterministic equivalent of
+    ``dense_rank() OVER (ORDER BY key)`` WITHOUT the single-partition
+    global sort that a Window with no PARTITION BY forces (on a cold
+    100× run every key is unresolved, and one task sorting them all is
+    the scale-killer).
+
+    Two passes, byte-identical output to the global window:
+    1. range-partition the distinct keys (ascending partition ids hold
+       ascending key ranges), rank *within* each partition;
+    2. collect the per-partition counts (one int per partition — bounded
+       by ``spark.sql.shuffle.partitions``, not by data) and add each
+       partition's exclusive prefix sum as its offset.
+    """
+    spark = keys.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        keys.select(key_col)
+        .distinct()
+        .repartitionByRange(n_parts, F.col(key_col).asc())
+        # Materialize the physical partition id BEFORE the window's own
+        # shuffle; spark_partition_id() is non-deterministic so Catalyst
+        # will not reorder it across the exchange.
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    local_w = Window.partitionBy("_pid").orderBy(F.col(key_col).asc())
+    ranked = ranged.withColumn("_local", F.row_number().over(local_w))
+    counts = {
+        r["_pid"]: r["n"]
+        for r in ranked.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    if offsets:
+        off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    else:
+        off_df = spark.createDataFrame([], "_pid int, _off long")
+    return (
+        ranked.join(F.broadcast(off_df), "_pid")
+        .select(
+            key_col,
+            (F.lit(start) + F.col("_off") + F.col("_local")).alias("_minted_id"),
+        )
+    )
+
+
 def resolve_work_ids(
     spark: SparkSession,
     id_map: DataFrame | None,
@@ -102,11 +153,7 @@ def resolve_work_ids(
     )
     unresolved = out.where(F.col("_adopted").isNull()).withColumn("_mint_key", strongest)
     high_water = (id_map.agg(F.max("work_id")).collect()[0][0]) or id_floor
-    mint_w = Window.orderBy(F.col("_mint_key").asc())
-    minted_keys = (
-        unresolved.select("_mint_key").distinct()
-        .withColumn("_minted_id", F.lit(high_water) + F.dense_rank().over(mint_w))
-    )
+    minted_keys = assign_dense_ids(unresolved, "_mint_key", high_water)
     unresolved = unresolved.join(minted_keys, "_mint_key")
 
     assignments = (

@@ -962,14 +962,16 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Edges: docs sharing >= 3 rare winnowing fingerprints (df <= 8 cut
     bounds the fp join exactly like the ngram DF cut). Components:
-    iterative min-label propagation to fixpoint — each round is one
-    shuffle join (label <- min(label, min over neighbours)); rounds are
-    bounded by component diameter, which for dup clusters is tiny. The
-    DuckDB oracle computes the same fixpoint with a recursive CTE, so
-    this ITERATIVE operator is still exactly value-checked. At 100 TB
-    swap the loop for alternating large-star/small-star (same per-round
-    plan shape, provably O(log n) rounds).
+    alternating large-star/small-star (operators/components.py) — O(log^2
+    n) shuffle rounds regardless of component diameter, so the operator
+    survives long dup chains that would starve per-round min-label
+    propagation. The DuckDB oracle computes the same fixpoint with a
+    recursive CTE, so this ITERATIVE operator is still exactly
+    value-checked. Isolated docs (no edges) form their own singleton
+    components and are filtered by the n_members > 1 gate either way, so
+    only edge endpoints need labeling.
     """
+    from openalex_walden_spark.operators.components import connected_components
     from openalex_walden_spark.operators.guardrails import persist_scalar
 
     corpus = _spark_corpus_neardup(spark)
@@ -992,54 +994,17 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("shared") >= 3)
         .select("src", "dst")
     )
-    sym = persist_scalar(
-        edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+    labels = connected_components(edges).withColumnRenamed("id", "doc_id")
+    # Docs with no qualifying edges are singletons; the oracle's reach CTE
+    # labels them with their own id before the >1 filter drops them — so
+    # attach them the same way to keep intermediate semantics identical.
+    singles = (
+        fp.select("doc_id")
+        .distinct()
+        .join(labels.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("label", F.col("doc_id"))
     )
-    # localCheckpoint per round: iterative plans double their lineage
-    # every iteration (labels references the previous round's joins), so
-    # without truncation the logical plan grows exponentially and the
-    # driver OOMs just STRINGIFYING it by round ~15. Checkpointing the
-    # (doc_id, label) frame — two scalar columns — keeps each round's
-    # plan constant-size; this is the canonical Spark iterative pattern.
-    labels = (
-        fp.select("doc_id").distinct().withColumn("label", F.col("doc_id"))
-    ).localCheckpoint()
-    converged = False
-    for _ in range(20):  # diameter bound; dup clusters are shallow
-        nbr_min = (
-            sym.join(labels, sym.src == labels.doc_id)
-            .groupBy("dst")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels.doc_id == nbr_min.dst, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )  # driver-side scalar convergence check (one int per round)
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        # Loud failure beats silently returning a partial fixpoint that
-        # the oracle's recursive CTE would contradict: a >20-diameter
-        # component means this loop needs the large-star/small-star form.
-        raise RuntimeError(
-            "label propagation did not converge in 20 rounds — component "
-            "diameter exceeds the dup-cluster assumption"
-        )
+    labels = labels.unionByName(singles)
     return (
         labels.groupBy(F.col("label").alias("component_id"))
         .agg(

@@ -83,3 +83,35 @@ def test_min_id_canonicalization_on_key_conflict(spark):
     _, map2 = resolve_work_ids(spark, map1, bridging, KEYS)
     m = {(r["key_kind"], r["key_value"]): r["work_id"] for r in map2.collect()}
     assert m[("doi", "10.1/a")] == m[("pmid", "p9")] == min(ids.values())
+
+
+def test_mint_ids_dense_and_deterministic(spark):
+    """assign_dense_ids == dense_rank over the global order, without the
+    global window (ids are start+1..start+K in ascending key order)."""
+    from openalex_walden_spark.operators.identity import assign_dense_ids
+
+    keys = [f"k{i:04d}" for i in range(500)]
+    df = spark.createDataFrame([(k,) for k in keys], "_mint_key string")
+    out = assign_dense_ids(df, "_mint_key", 1000).collect()
+    got = {r["_mint_key"]: r["_minted_id"] for r in out}
+    want = {k: 1001 + i for i, k in enumerate(sorted(keys))}
+    assert got == want
+
+
+def test_mint_ids_plan_has_no_single_partition_sort(spark):
+    """The scale claim: minting must never funnel all keys through one
+    task — the plan carries a range exchange, not Exchange SinglePartition."""
+    from openalex_walden_spark.operators.identity import assign_dense_ids
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(100)], "_mint_key string")
+    out = assign_dense_ids(df, "_mint_key", 0)
+    plan = out._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_mint_ids_empty_input(spark):
+    from openalex_walden_spark.operators.identity import assign_dense_ids
+
+    df = spark.createDataFrame([], "_mint_key string")
+    assert assign_dense_ids(df, "_mint_key", 0).count() == 0
