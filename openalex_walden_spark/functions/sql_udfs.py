@@ -111,7 +111,83 @@ RETURN COALESCE(
   dense_registry AND award_key(award) rlike '^[0-9]{4,7}$', FALSE)
 """
 
-_ALL = (_PRIORITY_BEST, _NAMES_COMPATIBLE, _AWARD_STRIP, _AWARD_KEY, _AWARD_IS_WEAK)
+# Per-family award normalizers, ported from the reference's generated
+# per-funder table (``notebooks/awards/AwardNormKey.sql``, deposited
+# side):
+#   nih      l.78:  institute letters + serial LPAD 6 ("1 R01 GM 48123-02"
+#                   -> "GM048123")
+#   nsf      l.79:  the standalone 7-digit award number
+#   erc      l.88:  trailing 5-6 digit grant agreement, leading zeros
+#                   dropped; 12-digit CORDIS ids keep the last 6
+#   ukri     l.110-115: council code / alphanum / version ("EP/N000000/1"),
+#                   separators squashed; prefix-labelled fallback
+#   wellcome l.37:  5-6 digit core id LPAD 6 (incl. 360G-WELLCOME- forms)
+#   dod      l.118: contract-number families (W81XWH/DAMD/N00014/FA/HR0011)
+# Patterns are deliberately lookaround-free so the Java-regex (Spark) and
+# RE2 (DuckDB oracle) compilations agree verbatim.
+_AWARD_NORM0 = """
+CREATE OR REPLACE TEMPORARY FUNCTION award_norm0(award STRING)
+RETURNS STRING
+RETURN regexp_replace(upper(trim(award)), '  +', ' ')
+"""
+
+_AWARD_FAMILY_KEY = """
+CREATE OR REPLACE TEMPORARY FUNCTION award_family_key(
+  family STRING, award STRING)
+RETURNS STRING
+RETURN CASE
+  WHEN award IS NULL OR trim(award) = '' THEN NULL
+  WHEN family = 'nih' THEN
+    CASE WHEN nullif(regexp_extract(award_norm0(award),
+           '([A-Z]{2}) ?-?([0-9]{5,6})', 1), '') IS NOT NULL
+         THEN concat(
+           regexp_extract(award_norm0(award),
+                          '([A-Z]{2}) ?-?([0-9]{5,6})', 1),
+           lpad(regexp_extract(award_norm0(award),
+                               '([A-Z]{2}) ?-?([0-9]{5,6})', 2), 6, '0'))
+    END
+  WHEN family = 'nsf' THEN
+    nullif(regexp_extract(
+      regexp_replace(award_norm0(award), '[ -]', ''), '([0-9]{7})', 1), '')
+  WHEN family = 'erc' THEN
+    CAST(CAST(nullif(CASE
+      WHEN regexp_replace(award_norm0(award), '[ -]', '') rlike '^[0-9]{12}$'
+        THEN substr(regexp_replace(award_norm0(award), '[ -]', ''), 7)
+      ELSE regexp_extract(
+        regexp_replace(award_norm0(award), '[ -]', ''), '([0-9]{5,6})$', 1)
+    END, '') AS BIGINT) AS STRING)
+  WHEN family = 'ukri' THEN
+    coalesce(
+      regexp_replace(nullif(regexp_extract(award_norm0(award),
+        '((EP|BBS|BB|NE|ES|AH|MR|ST)/ ?[A-Z0-9]{6,7}(/[0-9]{1,2})?)', 1),
+        ''), '[ /]', ''),
+      nullif(regexp_replace(regexp_replace(award_norm0(award),
+        '^(EPSRC|BBSRC|NERC|ESRC|AHRC|MRC|STFC|UKRI|GRANT|NO)[ .:#-]*', ''),
+        '[ _/.-]', ''), ''))
+  WHEN family = 'wellcome' THEN
+    lpad(coalesce(
+      nullif(regexp_extract(award_norm0(award),
+                            '360G-WELLCOME-([0-9]{5,6})', 1), ''),
+      nullif(regexp_extract(award_norm0(award), '^([0-9]{5,6})', 1), '')),
+      6, '0')
+  WHEN family = 'dod' THEN
+    nullif(regexp_extract(
+      regexp_replace(award_norm0(award), '[-_ ]', ''),
+      '((W81XWH|DAMD[0-9]{2}|HT[0-9]{4}|W911NF|N00014|FA[0-9]{4}|HR0011)[0-9]{2}[A-Z0-9]{3,9})',
+      1), '')
+  ELSE award_key(award)
+END
+"""
+
+_ALL = (
+    _PRIORITY_BEST,
+    _NAMES_COMPATIBLE,
+    _AWARD_STRIP,
+    _AWARD_KEY,
+    _AWARD_IS_WEAK,
+    _AWARD_NORM0,
+    _AWARD_FAMILY_KEY,
+)
 
 
 def create_sql_udfs(spark: SparkSession) -> None:

@@ -1,0 +1,496 @@
+"""D7 type-classification cascade as rules-as-data, ported from the
+reference's generated CASE chain
+(``notebooks/end2end/CreateLocationsWithTypes.sql:120-704``).
+
+The reference compiles ~400 WHEN branches from scraper findings; this
+module keeps the same decision ORDER and the highest-traffic branches
+(~130 rules) as a priority-ordered data table. Two compilers read the
+same table:
+
+- :func:`spark_case` — one ``F.when`` chain (a single codegen'd CASE
+  expression regardless of rule count; rule count never adds plan nodes);
+- :func:`duck_case` — the identical ANSI-SQL CASE text for the DuckDB
+  oracle, so the correctness gate mechanically proves both stay in
+  lockstep.
+
+Rule algebra: ``(slug, [(field, op, value), ...])`` — conditions AND
+together; first matching rule wins; fallback ``article``. Fields are the
+reference's feature columns: ``title raw crtype host src cont abstract
+doiurl genre issue`` (strings, lowercased upstream), ``sc`` (derived
+``src || ' ' || cont``), ``nrefs`` (int), ``single``/``hasabs`` (bool).
+
+Ops: ``prefix contains suffix equals isin not_contains`` for strings;
+``nrefs0 nrefs_ge nrefs_gt single hasabs not_hasabs`` structural (value
+ignored except the ``nrefs_*`` int). Patterns never contain ``%``/``_``
+so LIKE compilation is literal-safe on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+Cond = tuple[str, str, object]
+Rule = tuple[str, list[Cond]]
+
+_STR_FIELDS = (
+    "title", "raw", "crtype", "host", "src", "cont",
+    "abstract", "doiurl", "genre", "issue",
+)
+
+# Priority-ordered; source line refs are CreateLocationsWithTypes.sql.
+CASCADE_RULES: list[Rule] = [
+    # -- retraction / erratum / peer-review (l.127-129)
+    ("retraction", [("title", "prefix", "retraction")]),
+    ("retraction", [("title", "prefix", "statement of retraction")]),
+    ("retraction", [("abstract", "contains", "this retracts")]),
+    ("retraction", [("abstract", "contains", "retracts the article")]),
+    ("erratum", [("title", "contains", "erratum")]),
+    ("erratum", [("title", "contains", "corrigendum")]),
+    ("erratum", [("title", "contains", "correction to")]),
+    ("erratum", [("title", "contains", "author correction")]),
+    ("erratum", [("title", "contains", "publisher correction")]),
+    ("erratum", [("title", "prefix", "correction")]),
+    ("erratum", [("abstract", "contains", "corrects the article")]),
+    ("peer-review", [("raw", "equals", "peer-review")]),
+    ("peer-review", [("title", "prefix", "review for")]),
+    ("peer-review", [("title", "prefix", "decision letter")]),
+    ("peer-review", [("title", "prefix", "author response")]),
+    ("peer-review", [("title", "prefix", "peer review of")]),
+    # -- crossref type shortcuts (l.130-134)
+    ("dissertation", [("crtype", "equals", "dissertation")]),
+    ("reference-entry", [("crtype", "isin", ("reference-entry", "reference-book"))]),
+    ("standard", [("crtype", "equals", "standard")]),
+    ("report", [("crtype", "equals", "report-component")]),
+    ("preprint", [("crtype", "equals", "posted-content-preprint")]),
+    # -- URL host table (l.136-147)
+    ("preprint", [("host", "isin", ("osf.io", "www.researchsquare.com"))]),
+    ("dataset", [("host", "isin", ("www.encodeproject.org", "www.rcsb.org", "www.wwpdb.org"))]),
+    ("software-paper", [("host", "equals", "www.softxjournal.com")]),
+    ("software", [("host", "isin", ("cran.r-project.org", "demonstrations.wolfram.com"))]),
+    ("peer-review", [("host", "isin", ("facultyopinions.com", "publons.com", "www.webofscience.com"))]),
+    ("dissertation", [("host", "isin", ("theses.fr", "theses.hal.science"))]),
+    ("reference-entry", [("host", "isin", (
+        "materials.springer.com", "referenceworks.brill.com",
+        "www.cabidigitallibrary.org", "www.oed.com",
+        "www.oxfordartonline.com", "www.ukwhoswho.com"))]),
+    ("conference-abstract", [("host", "isin", ("meetingorganizer.copernicus.org", "www.morressier.com"))]),
+    ("book", [("host", "isin", ("goodreads.com", "www.goodreads.com"))]),
+    ("other", [("host", "isin", ("picryl.com", "www.picryl.com"))]),
+    # -- exact source-name table (l.148-162)
+    ("conference-abstract", [("src", "isin", (
+        "abstracts", "abstracts with programs - geological society of america",
+        "academy of management proceedings", "endocrine abstracts",
+        "the proceedings of the annual convention of the japanese psychological association"))]),
+    ("reference-entry", [("src", "isin", (
+        "brill’s new pauly", "definitions", "der neue pauly",
+        "iucn red list of threatened species", "radiopaedia.org",
+        "religion in geschichte und gegenwart", "springerreference",
+        "the shafr guide online", "who was who", "who's who"))]),
+    ("dataset", [("src", "equals", "psyctests dataset")]),
+    ("preprint", [("src", "isin", ("research square", "ssrn electronic journal"))]),
+    ("data-paper", [("src", "equals", "data in brief")]),
+    ("software-paper", [("src", "isin", ("softwarex", "the journal of open source software"))]),
+    ("conference-paper", [("src", "isin", (
+        "acta horticulturae", "ecs transactions", "iceri proceedings",
+        "ifac proceedings volumes", "materials today proceedings",
+        "procedia engineering"))]),
+    ("peer-review", [("src", "equals", "faculty opinions – post-publication peer review of the biomedical literature")]),
+    ("book-chapter", [("src", "isin", ("apress ebooks", "jaypee brothers medical publishers (p) ltd. ebooks"))]),
+    ("book-review", [("src", "isin", ("bulletin of the center for children's books", "choice reviews online"))]),
+    ("report", [("src", "equals", "national bureau of economic research")]),
+    ("editorial", [("src", "equals", "synfacts")]),
+    # -- source/container substring table (l.163-171)
+    ("dataset", [("sc", "contains", "datasets")]),
+    ("conference-paper", [("sc", "contains", "web of conferences")]),
+    ("preprint", [("sc", "contains", "rxiv")]),
+    ("preprint", [("sc", "contains", "preprint")]),
+    ("reference-entry", [("sc", "contains", "dictionary")]),
+    ("reference-entry", [("sc", "contains", "encyclopedia")]),
+    ("reference-entry", [("sc", "contains", "lexicon")]),
+    ("conference-abstract", [("sc", "contains", "meeting abstracts")]),
+    # (list order is semantics-free; the lecture-notes value leads so the
+    # generated trigger row is not shadowed by the sc-contains rule above)
+    ("conference-paper", [("src", "isin", (
+        "lecture notes on data engineering and communications technologies",
+        "e3s web of conferences",
+        "procedia - social and behavioral sciences"))]),
+    ("conference-abstract", [("src", "equals", "european urology supplements")]),
+    ("dataset", [("src", "equals", "gisaid")]),
+    ("dataset", [("sc", "contains", "encode")]),
+    ("conference-paper", [("sc", "contains", "spie proceedings")]),
+    ("dataset", [("sc", "contains", "worldwide protein data bank")]),
+    ("conference-paper", [("sc", "contains", "sae technical paper series")]),
+    ("conference-paper", [("sc", "contains", "ifmbe proceedings")]),
+    ("dataset", [("sc", "contains", "morphosource")]),
+    # -- doi/url keys (l.180)
+    ("conference-abstract", [("doiurl", "contains", "meetingabstracts")]),
+    ("conference-abstract", [("doiurl", "contains", "meeting-abstracts")]),
+    # -- early title paratext + url tokens (l.181-186)
+    ("paratext", [("title", "prefix", "editorial board")]),
+    ("paratext", [("title", "prefix", "front matter")]),
+    ("reference-entry", [("doiurl", "contains", "referenceworkentry")]),
+    ("dissertation", [("doiurl", "contains", "/thesis/"), ("crtype", "equals", "")]),
+    # -- dc.type / genre values (l.189-205)
+    ("book-review", [("genre", "isin", ("book-review", "bookreview", "book reviews", "book review", "reseñas"))]),
+    ("dissertation", [("genre", "isin", ("thesis", "dissertação", "doctoral dissertation", "pg-thesis"))]),
+    ("editorial", [("genre", "isin", ("editorial", "editorialnotes", "article-commentary"))]),
+    ("conference-abstract", [("genre", "isin", ("meeting-report", "congress-abstract"))]),
+    ("report", [("genre", "equals", "oxan-executive-summary")]),
+    ("other", [("genre", "equals", "news")]),
+    ("book-chapter", [("genre", "equals", "chapter")]),
+    # -- supplementary materials (l.207)
+    ("supplementary-materials", [("title", "prefix", "supplementary")]),
+    ("supplementary-materials", [("title", "prefix", "supplemental")]),
+    ("supplementary-materials", [("title", "contains", "supplementary figure")]),
+    ("supplementary-materials", [("title", "contains", "supplementary table")]),
+    ("supplementary-materials", [("title", "contains", "figure from")]),
+    # -- paratext title-prefix lexicon (l.208)
+    ("paratext", [("title", "prefix", "table of contents")]),
+    ("paratext", [("title", "prefix", "contents")]),
+    ("paratext", [("title", "prefix", "back matter")]),
+    ("paratext", [("title", "prefix", "frontmatter")]),
+    ("paratext", [("title", "prefix", "front cover")]),
+    ("paratext", [("title", "prefix", "subject index")]),
+    ("paratext", [("title", "prefix", "author index")]),
+    ("paratext", [("title", "prefix", "name index")]),
+    ("paratext", [("title", "prefix", "list of figures")]),
+    ("paratext", [("title", "prefix", "list of tables")]),
+    ("paratext", [("title", "prefix", "list of contributors")]),
+    ("paratext", [("title", "prefix", "list of abbreviations")]),
+    ("paratext", [("title", "prefix", "list of illustrations")]),
+    ("paratext", [("title", "prefix", "list of plates")]),
+    ("paratext", [("title", "prefix", "bibliography")]),
+    ("paratext", [("title", "prefix", "abbreviation")]),
+    ("paratext", [("title", "prefix", "acknowledgment")]),
+    ("paratext", [("title", "prefix", "acknowledgement")]),
+    ("paratext", [("title", "prefix", "dedication")]),
+    ("paratext", [("title", "prefix", "contributors")]),
+    ("paratext", [("title", "prefix", "about the author")]),
+    ("paratext", [("title", "prefix", "about the editor")]),
+    ("paratext", [("title", "prefix", "copyright")]),
+    ("paratext", [("title", "prefix", "title page")]),
+    ("paratext", [("title", "prefix", "masthead")]),
+    ("paratext", [("title", "prefix", "frontispiece")]),
+    ("paratext", [("title", "prefix", "titelei")]),
+    ("paratext", [("title", "prefix", "inhaltsverzeichnis")]),
+    ("paratext", [("title", "prefix", "sachregister")]),
+    ("paratext", [("title", "prefix", "literaturverzeichnis")]),
+    ("paratext", [("title", "prefix", "session details")]),
+    ("paratext", [("title", "prefix", "forthcoming")]),
+    ("paratext", [("title", "prefix", "general index")]),
+    ("paratext", [("title", "prefix", "back cover")]),
+    ("paratext", [("title", "prefix", "inside front cover")]),
+    ("paratext", [("title", "prefix", "prelims")]),
+    ("paratext", [("title", "prefix", "preliminary material")]),
+    ("paratext", [("title", "prefix", "backmatter")]),
+    ("paratext", [("title", "prefix", "books received")]),
+    ("paratext", [("title", "prefix", "works cited")]),
+    ("paratext", [("title", "prefix", "author biograph")]),
+    ("paratext", [("title", "prefix", "table des mati")]),
+    ("paratext", [("title", "prefix", "remerciements")]),
+    # -- paratext title-contains lexicon (l.209)
+    ("paratext", [("title", "contains", "issue information")]),
+    ("paratext", [("title", "contains", "instructions for authors")]),
+    ("paratext", [("title", "contains", "list of reviewers")]),
+    ("paratext", [("title", "contains", "acknowledgment of reviewers")]),
+    ("paratext", [("title", "contains", "cover image")]),
+    ("paratext", [("title", "contains", "information for authors")]),
+    ("paratext", [("title", "contains", "society information")]),
+    ("paratext", [("title", "contains", "notes for contributors")]),
+    ("paratext", [("title", "contains", "call for papers")]),
+    ("paratext", [("title", "contains", "guide for authors")]),
+    ("paratext", [("title", "contains", "impressum")]),
+    ("paratext", [("title", "contains", "publication information")]),
+    ("paratext", [("title", "contains", "reviewer acknowledgement")]),
+    ("paratext", [("title", "equals", "notes")]),
+    ("paratext", [("title", "equals", "peer review statement")]),
+    # -- committees (l.212)
+    ("paratext", [("title", "prefix", "program committee")]),
+    ("paratext", [("title", "prefix", "organizing committee")]),
+    ("paratext", [("title", "prefix", "scientific committee")]),
+    ("paratext", [("title", "prefix", "steering committee")]),
+    ("paratext", [("title", "prefix", "index")]),
+    # -- software / standard / dataset titles (l.214-216)
+    ("software-paper", [("title", "contains", "python package")]),
+    ("standard", [("title", "prefix", "din en")]),
+    ("standard", [("title", "prefix", "specification for")]),
+    ("standard", [("title", "prefix", "test method")]),
+    ("dataset", [("title", "prefix", "encsr")]),
+    # -- book reviews (l.217)
+    ("book-review", [("title", "prefix", "book review")]),
+    ("book-review", [("title", "prefix", "review of the book")]),
+    ("book-review", [("title", "prefix", "reseña del libro")]),
+    ("book-review", [("title", "contains", "edited by")]),
+    # -- editorials (l.218)
+    ("editorial", [("title", "prefix", "guest editorial")]),
+    ("editorial", [("title", "prefix", "editorial comment")]),
+    ("editorial", [("title", "prefix", "commentary on")]),
+    ("editorial", [("title", "prefix", "message from")]),
+    ("editorial", [("title", "prefix", "editorial:")]),
+    ("editorial", [("title", "prefix", "éditorial")]),
+    ("editorial", [("title", "prefix", "note from the editor")]),
+    ("editorial", [("title", "prefix", "interview with")]),
+    ("editorial", [("title", "prefix", "entrevista")]),
+    ("editorial", [("title", "contains", "from the editor")]),
+    ("editorial", [("title", "contains", "special issue on")]),
+    ("editorial", [("title", "prefix", "editorial"), ("title", "not_contains", "board")]),
+    # -- letters (l.219, 226)
+    ("letter", [("title", "prefix", "letter to the")]),
+    ("letter", [("title", "prefix", "reply to")]),
+    ("letter", [("title", "prefix", "in reply")]),
+    ("letter", [("title", "prefix", "reader response")]),
+    ("letter", [("title", "prefix", "comments on the article")]),
+    ("letter", [("title", "contains", "to the editor")]),
+    ("letter", [("title", "contains", "authors' reply")]),
+    ("letter", [("title", "prefix", "correspondence")]),
+    ("letter", [("title", "prefix", "re:")]),
+    ("letter", [("title", "prefix", "comment on:")]),
+    # -- reviews / misc titles (l.220-231)
+    ("review", [("title", "contains", "narrative review")]),
+    ("review", [("title", "contains", "mini-review")]),
+    ("review", [("title", "contains", "meta-analysis of")]),
+    ("editorial", [("title", "prefix", "discussion of")]),
+    ("dataset", [("title", "prefix", "data for ")]),
+    ("review", [("title", "contains", "systematic literature review"),
+                ("title", "not_contains", "case report")]),
+    ("other", [("title", "contains", "in memoriam")]),
+    ("other", [("title", "contains", "obituary")]),
+    ("conference-abstract", [("title", "prefix", "abstract")]),
+    # -- structural conference-abstract guards (l.233-236)
+    ("conference-abstract", [("sc", "contains", "abstract"), ("single", "single", None)]),
+    ("conference-abstract", [("src", "contains", "supplement"), ("single", "single", None), ("nrefs", "nrefs0", None)]),
+    ("conference-abstract", [("issue", "contains", "suppl"), ("single", "single", None)]),
+    # -- abstract-text cues (l.237-241)
+    ("conference-abstract", [("abstract", "contains", "abstracts of presentations")]),
+    ("book-review", [("abstract", "prefix", "reviewed by")]),
+    ("data-paper", [("abstract", "contains", "this data article")]),
+    ("editorial", [("abstract", "contains", "this editorial")]),
+    # -- guarded single-type sources (l.242-246)
+    ("conference-abstract", [("src", "isin", (
+        "communications in computer and information science", "energy procedia",
+        "lecture notes in civil engineering", "lecture notes in computer science",
+        "procedia computer science")),
+        ("nrefs", "nrefs0", None), ("single", "single", None), ("hasabs", "hasabs", None)]),
+    ("conference-paper", [("src", "isin", (
+        "communications in computer and information science", "energy procedia",
+        "lecture notes in civil engineering", "lecture notes in computer science",
+        "procedia computer science"))]),
+    ("data-paper", [("src", "equals", "scientific data")]),
+    ("conference-abstract", [("sc", "contains", "journal of physics: conference series"),
+        ("nrefs", "nrefs0", None), ("single", "single", None), ("hasabs", "hasabs", None)]),
+    ("conference-paper", [("sc", "contains", "journal of physics: conference series")]),
+    # -- structural review guards (l.248-249)
+    ("review", [("title", "contains", "systematic review"), ("nrefs", "nrefs_gt", 0)]),
+    # -- conference venue substrings, guarded split (l.251-256)
+    ("conference-abstract", [("sc", "contains", "conference"),
+        ("nrefs", "nrefs0", None), ("single", "single", None), ("hasabs", "hasabs", None)]),
+    ("conference-paper", [("sc", "contains", "conference")]),
+    ("conference-abstract", [("sc", "contains", "symposium"),
+        ("nrefs", "nrefs0", None), ("single", "single", None), ("hasabs", "hasabs", None)]),
+    ("conference-paper", [("sc", "contains", "symposium")]),
+    ("conference-abstract", [("sc", "contains", "workshop"),
+        ("nrefs", "nrefs0", None), ("single", "single", None), ("hasabs", "hasabs", None)]),
+    ("conference-paper", [("sc", "contains", "workshop")]),
+    # -- proceedings raw types (l.257-260)
+    ("conference-abstract", [("raw", "equals", "proceedings-article"),
+        ("nrefs", "nrefs0", None), ("single", "single", None), ("hasabs", "hasabs", None)]),
+    ("conference-paper", [("raw", "equals", "proceedings-article")]),
+    # -- crossref fallthrough (l.261-263)
+    ("paratext", [("crtype", "equals", "journal-issue")]),
+    ("book", [("crtype", "isin", ("edited-book", "monograph"))]),
+    ("reference-entry", [("raw", "equals", "reference-entry")]),
+    ("dissertation", [("raw", "equals", "dissertation")]),
+    # -- trailing-title review guard (l.264-265)
+    ("review", [("title", "suffix", "a review"), ("nrefs", "nrefs_ge", 20)]),
+    ("review", [("title", "contains", "a meta-analysis"), ("nrefs", "nrefs_ge", 20)]),
+    # -- eu-repo semantics (l.266-271)
+    ("conference-paper", [("raw", "contains", "eu-repo/semantics/"), ("raw", "suffix", "/conferenceobject")]),
+    ("book-chapter", [("raw", "contains", "eu-repo/semantics/"), ("raw", "suffix", "/bookpart")]),
+    ("dissertation", [("raw", "contains", "eu-repo/semantics/"), ("raw", "suffix", "/doctoralthesis")]),
+    ("dissertation", [("raw", "contains", "eu-repo/semantics/"), ("raw", "suffix", "/masterthesis")]),
+    ("article", [("raw", "contains", "eu-repo/semantics/"), ("raw", "suffix", "/article")]),
+    ("report", [("raw", "contains", "eu-repo/semantics/"), ("raw", "suffix", "/report")]),
+    ("other", [("raw", "contains", "eu-repo/semantics/"), ("raw", "suffix", "/other")]),
+    # -- repository raw-type lexicon (l.272-291)
+    ("dissertation", [("raw", "contains", "thesis")]),
+    ("dissertation", [("raw", "contains", "väitöskirja")]),
+    ("dissertation", [("raw", "contains", "hochschulschrift")]),
+    ("dissertation", [("raw", "prefix", "tesis")]),
+    ("report", [("raw", "contains", "final year project")]),
+    ("book-chapter", [("raw", "isin", ("chapter", "bookpart"))]),
+    ("conference-paper", [("raw", "suffix", "conferencepaper")]),
+    ("report", [("raw", "equals", "researchreport")]),
+    ("supplementary-materials", [("raw", "equals", "figure")]),
+    ("software", [("raw", "equals", "software")]),
+    ("other", [("raw", "contains", "printed serial")]),
+    ("other", [("raw", "isin", ("image", "physicalobject", "audiovisual", "sound"))]),
+    ("book", [("raw", "contains", "monograph")]),
+    ("book", [("raw", "contains", "monograf")]),
+    # -- crossref raw fallthrough (l.292-302)
+    ("preprint", [("raw", "contains", "preprint")]),
+    ("book-chapter", [("raw", "isin", ("book-chapter", "book-part"))]),
+    ("reference-entry", [("raw", "equals", "book-section")]),
+    ("book", [("raw", "isin", ("book", "edited-book", "book-set"))]),
+    ("report", [("raw", "equals", "report")]),
+    ("other", [("raw", "equals", "posted-content")]),
+    ("dataset", [("raw", "isin", ("dataset", "database"))]),
+    ("paratext", [("raw", "equals", "proceedings")]),
+    ("other", [("raw", "equals", "other")]),
+    # -- structural paratext fallback (reference dict default tier)
+    ("paratext", [("nrefs", "nrefs0", None), ("hasabs", "not_hasabs", None),
+                  ("title", "equals", "")]),
+]
+
+FALLBACK = "article"
+
+
+def _esc(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + _esc(s) + "'"
+
+
+def _cond_sql(field: str, op: str, value: object) -> str:
+    if op == "prefix":
+        return f"{field} LIKE '{_esc(str(value))}%'"
+    if op == "suffix":
+        return f"{field} LIKE '%{_esc(str(value))}'"
+    if op == "contains":
+        return f"{field} LIKE '%{_esc(str(value))}%'"
+    if op == "not_contains":
+        return f"{field} NOT LIKE '%{_esc(str(value))}%'"
+    if op == "equals":
+        return f"{field} = {_sql_quote(str(value))}"
+    if op == "isin":
+        vals = ", ".join(_sql_quote(v) for v in value)
+        return f"{field} IN ({vals})"
+    if op == "nrefs0":
+        return "nrefs = 0"
+    if op == "nrefs_ge":
+        return f"nrefs >= {int(value)}"
+    if op == "nrefs_gt":
+        return f"nrefs > {int(value)}"
+    if op == "single":
+        return "single"
+    if op == "hasabs":
+        return "hasabs"
+    if op == "not_hasabs":
+        return "NOT hasabs"
+    raise ValueError(f"unknown op {op!r}")
+
+
+def duck_case(emit_index: bool = False) -> str:
+    """The cascade as DuckDB CASE text. Expects columns named like the
+    rule fields plus derived ``sc`` (build it in the enclosing query)."""
+    whens = []
+    for i, (slug, conds) in enumerate(CASCADE_RULES):
+        pred = " AND ".join(_cond_sql(f, op, v) for f, op, v in conds)
+        out = str(i) if emit_index else _sql_quote(slug)
+        whens.append(f"WHEN {pred} THEN {out}")
+    fallback = "-1" if emit_index else _sql_quote(FALLBACK)
+    return "CASE " + " ".join(whens) + f" ELSE {fallback} END"
+
+
+def _cond_col(cols: dict[str, Column], field: str, op: str, value: object) -> Column:
+    c = cols[field]
+    if op == "prefix":
+        return c.startswith(str(value))
+    if op == "suffix":
+        return c.endswith(str(value))
+    if op == "contains":
+        return c.contains(str(value))
+    if op == "not_contains":
+        return ~c.contains(str(value))
+    if op == "equals":
+        return c == str(value)
+    if op == "isin":
+        return c.isin(*value)
+    if op == "nrefs0":
+        return cols["nrefs"] == 0
+    if op == "nrefs_ge":
+        return cols["nrefs"] >= int(value)
+    if op == "nrefs_gt":
+        return cols["nrefs"] > int(value)
+    if op == "single":
+        return cols["single"]
+    if op == "hasabs":
+        return cols["hasabs"]
+    if op == "not_hasabs":
+        return ~cols["hasabs"]
+    raise ValueError(f"unknown op {op!r}")
+
+
+def spark_case(cols: dict[str, Column], emit_index: bool = False) -> Column:
+    """The cascade as one F.when chain over the caller's feature columns
+    (must include derived ``sc``)."""
+    expr = F.lit(-1) if emit_index else F.lit(FALLBACK)
+    for i, (slug, conds) in reversed(list(enumerate(CASCADE_RULES))):
+        pred = None
+        for f, op, v in conds:
+            c = _cond_col(cols, f, op, v)
+            pred = c if pred is None else (pred & c)
+        expr = F.when(pred, F.lit(i) if emit_index else F.lit(slug)).otherwise(expr)
+    return expr
+
+
+def trigger_row(rule_idx: int) -> dict[str, object]:
+    """A corpus row designed to fire rule ``rule_idx`` (and, by table
+    order, no earlier rule — pinned by tests/test_typecascade.py)."""
+    row: dict[str, object] = {f: "" for f in _STR_FIELDS}
+    row.update({"title": "untitled study of things",
+                "src": "plain journal", "nrefs": 5,
+                "single": False, "hasabs": True})
+    _, conds = CASCADE_RULES[rule_idx]
+    parts: dict[str, dict[str, str]] = {}
+    for f, op, v in conds:
+        if op in ("nrefs0",):
+            row["nrefs"] = 0
+        elif op == "nrefs_ge":
+            row["nrefs"] = int(v)
+        elif op == "nrefs_gt":
+            row["nrefs"] = int(v) + 1
+        elif op == "single":
+            row["single"] = True
+        elif op == "hasabs":
+            row["hasabs"] = True
+        elif op == "not_hasabs":
+            row["hasabs"] = False
+        elif op == "not_contains":
+            continue  # defaults already lack the pattern
+        else:
+            parts.setdefault(f, {})[op] = (
+                v[0] if op == "isin" else str(v)
+            )
+    for f, ops in parts.items():
+        target = f if f != "sc" else "cont"
+        if "equals" in ops or "isin" in ops:
+            row[target] = ops.get("equals", ops.get("isin"))
+        else:
+            val = ops.get("prefix", "")
+            mid = ops.get("contains", "")
+            if mid and not (val and mid in val):
+                val = (val + " " if val else "zz ") + mid
+            suf = ops.get("suffix", "")
+            if suf and not val.endswith(suf):
+                val = val + suf
+            elif not suf and val and f in ("title", "abstract"):
+                val = val + " zz"
+            row[target] = val
+    return row
+
+
+def corpus() -> list[dict[str, object]]:
+    """One trigger row per rule, plus one fallback row — the golden-test
+    corpus for the whole cascade (>=100 rules exercised by construction).
+    """
+    rows = [trigger_row(i) for i in range(len(CASCADE_RULES))]
+    rows.append({f: "" for f in _STR_FIELDS} | {
+        "title": "untitled study of things", "src": "plain journal",
+        "nrefs": 5, "single": False, "hasabs": True,
+    })
+    for i, r in enumerate(rows):
+        r["case_id"] = i
+    return rows

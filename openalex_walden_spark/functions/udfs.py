@@ -28,34 +28,96 @@ from pyspark.sql.types import (
 )
 
 # ---------------------------------------------------------------------------
-# P5: author-name keying (reference contract: normalize.py:233-303 —
-# "last;first_initial", latin-folded, honorific-stripped, lru_cached per
-# Python worker because workers are reused across batches)
+# P5: author-name keying (reference contract: normalize.py:55-92 —
+# HumanName parse → "last;first_initial", latin-folded, lru_cached per
+# Python worker because workers are reused across batches).
+#
+# The reference delegates to the public `nameparser` package; that
+# library is not in this container, so parse_human_name() implements the
+# needed subset: "Last, First" comma order, surname particles ("de la
+# Cruz", "van der Berg"), generational/degree suffixes ("Smith Jr.",
+# "Jones III, PhD"), and honorific titles — the cases the plain
+# split-on-whitespace key mis-keyed.
 # ---------------------------------------------------------------------------
 _FOLD = str.maketrans(
     "àáâãäåçèéêëìíîïñòóôõöùúûüýÿšžœæß",
     "aaaaaaceeeeiiiinooooouuuuyyszoas",
 )
-_HONORIFICS = {"dr", "prof", "mr", "mrs", "ms", "sir", "md", "phd", "jr", "sr"}
-_NAME_SPLIT = re.compile(r"[\s,]+")
+_TITLES = {
+    "dr", "prof", "professor", "mr", "mrs", "ms", "miss", "sir", "dame",
+    "lord", "lady", "rev", "fr", "hon",
+}
+_SUFFIXES = {
+    "jr", "sr", "ii", "iii", "iv", "v", "phd", "md", "esq", "dds", "jd",
+    "msc", "mba", "frs",
+}
+# nameparser's surname-prefix list (public package constants).
+_PARTICLES = {
+    "abu", "bin", "bon", "da", "dal", "de", "del", "dela", "della",
+    "delle", "den", "der", "di", "do", "dos", "du", "ibn", "la", "le",
+    "san", "santa", "st", "ste", "ter", "ten", "van", "vel", "von",
+}
+
+
+def _norm_token(t: str) -> str:
+    return t.strip().strip(".").lower()
+
+
+def _strip_affixes(tokens: list[str]) -> list[str]:
+    while tokens and _norm_token(tokens[0]) in _TITLES:
+        tokens = tokens[1:]
+    while tokens and _norm_token(tokens[-1]) in _SUFFIXES:
+        tokens = tokens[:-1]
+    return tokens
+
+
+def parse_human_name(raw: str | None) -> tuple[str, str]:
+    """Parse a display name into (first, last). Subset of the public
+    nameparser.HumanName behavior the reference relies on."""
+    if not raw:
+        return ("", "")
+    s = raw.strip()
+    for pref in ("None ", "Array "):  # reference remove_author_prefixes
+        if s.startswith(pref):
+            s = s[len(pref):]
+    chunks = [c.strip() for c in s.split(",") if c.strip()]
+    if len(chunks) >= 2 and not all(
+        _norm_token(t) in _SUFFIXES for t in chunks[1].split()
+    ):
+        # "Last, First [Middle]" (trailing ", Jr."/", PhD" chunks drop)
+        last_tokens = _strip_affixes(chunks[0].split())
+        first_tokens = _strip_affixes(chunks[1].split())
+        first = first_tokens[0] if first_tokens else ""
+        return (first, " ".join(last_tokens))
+    tokens = _strip_affixes(chunks[0].split() if chunks else [])
+    if not tokens:
+        return ("", "")
+    if len(tokens) == 1:
+        return ("", tokens[0])
+    # Surname = final token plus any contiguous preceding particles,
+    # never consuming the first token (it is the given name).
+    idx = len(tokens) - 1
+    while idx - 1 >= 1 and _norm_token(tokens[idx - 1]) in _PARTICLES:
+        idx -= 1
+    return (tokens[0], " ".join(tokens[idx:]))
+
+
+def _clean_part(p: str) -> str:
+    return re.sub(r"[^a-z]", "", p.lower().translate(_FOLD))
 
 
 @lru_cache(maxsize=500_000)
 def _author_key_one(name: str | None) -> str | None:
     if not name:
         return None
-    parts = [
-        p
-        for p in _NAME_SPLIT.split(name.strip().lower().translate(_FOLD))
-        if p and p.strip(".") not in _HONORIFICS
-    ]
-    parts = [re.sub(r"[^a-z]", "", p) for p in parts]
-    parts = [p for p in parts if p]
-    if not parts:
+    first, last = parse_human_name(name)
+    family = _clean_part(last)
+    given = _clean_part(first)
+    if not family and not given:
         return None
-    family = parts[-1]
-    initial = parts[0][0] if len(parts) > 1 else ""
-    return f"{family};{initial}"
+    if not family:
+        family, given = given, ""
+    return f"{family};{given[0] if given else ''}"
 
 
 @F.pandas_udf(StringType())

@@ -271,3 +271,128 @@ def award_family_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM keyed WHERE fam IS NOT NULL
         GROUP BY fam
     """)
+
+
+# ---------------------------------------------------------------------------
+# Per-family award normalization (the reference's generated per-funder
+# table, notebooks/awards/AwardNormKey.sql) over realistic formats.
+
+_FAMILY_RAW_SPARK = """
+CASE CAST(o_orderkey % 7 AS INT)
+  WHEN 0 THEN concat('1 R01 GM ', lpad(CAST(o_orderkey % 90000 + 10000 AS STRING), 5, '0'),
+                     '-0', CAST(o_orderkey % 9 + 1 AS STRING))
+  WHEN 1 THEN concat('DMS-1', lpad(CAST(o_orderkey % 1000000 AS STRING), 6, '0'))
+  WHEN 2 THEN concat('ERC-2020-STG 0', lpad(CAST(o_orderkey % 100000 AS STRING), 5, '0'))
+  WHEN 3 THEN concat('EP/N', lpad(CAST(o_orderkey % 100000 AS STRING), 5, '0'), '1/1')
+  WHEN 4 THEN concat(lpad(CAST(o_orderkey % 100000 AS STRING), 5, '0'), '/Z/04/Z')
+  WHEN 5 THEN concat('W81XWH-', lpad(CAST(o_orderkey % 100 AS STRING), 2, '0'),
+                     '-1-', lpad(CAST(o_orderkey % 10000 AS STRING), 4, '0'))
+  ELSE concat('awd - ', lpad(CAST(o_orderkey % 100000 AS STRING), 7, '0'))
+END
+"""
+
+_FAMILY_NAME = """
+CASE CAST(o_orderkey % 7 AS INT)
+  WHEN 0 THEN 'nih' WHEN 1 THEN 'nsf' WHEN 2 THEN 'erc'
+  WHEN 3 THEN 'ukri' WHEN 4 THEN 'wellcome' WHEN 5 THEN 'dod'
+  ELSE 'generic'
+END
+"""
+
+_FAMILY_RAW_DUCK = _FAMILY_RAW_SPARK.replace("AS STRING", "AS VARCHAR")
+
+# DuckDB inline mirror of award_family_key (functions/sql_udfs.py).
+# Patterns are lookaround-free on purpose: RE2 (DuckDB) and Java regex
+# (Spark) then agree verbatim.
+_FAMILY_KEY_DUCK = """
+CASE
+  WHEN family = 'nih' THEN
+    CASE WHEN nullif(regexp_extract(_n, '([A-Z]{2}) ?-?([0-9]{5,6})', 1), '') IS NOT NULL
+         THEN concat(regexp_extract(_n, '([A-Z]{2}) ?-?([0-9]{5,6})', 1),
+                     lpad(regexp_extract(_n, '([A-Z]{2}) ?-?([0-9]{5,6})', 2), 6, '0'))
+    END
+  WHEN family = 'nsf' THEN
+    nullif(regexp_extract(regexp_replace(_n, '[ -]', '', 'g'), '([0-9]{7})', 1), '')
+  WHEN family = 'erc' THEN
+    CAST(CAST(nullif(CASE
+      WHEN regexp_matches(regexp_replace(_n, '[ -]', '', 'g'), '^[0-9]{12}$')
+        THEN substr(regexp_replace(_n, '[ -]', '', 'g'), 7)
+      ELSE regexp_extract(regexp_replace(_n, '[ -]', '', 'g'), '([0-9]{5,6})$', 1)
+    END, '') AS BIGINT) AS VARCHAR)
+  WHEN family = 'ukri' THEN
+    coalesce(
+      regexp_replace(nullif(regexp_extract(_n,
+        '((EP|BBS|BB|NE|ES|AH|MR|ST)/ ?[A-Z0-9]{6,7}(/[0-9]{1,2})?)', 1), ''),
+        '[ /]', '', 'g'),
+      nullif(regexp_replace(regexp_replace(_n,
+        '^(EPSRC|BBSRC|NERC|ESRC|AHRC|MRC|STFC|UKRI|GRANT|NO)[ .:#-]*', ''),
+        '[ _/.-]', '', 'g'), ''))
+  WHEN family = 'wellcome' THEN
+    lpad(coalesce(
+      nullif(regexp_extract(_n, '360G-WELLCOME-([0-9]{5,6})', 1), ''),
+      nullif(regexp_extract(_n, '^([0-9]{5,6})', 1), '')), 6, '0')
+  WHEN family = 'dod' THEN
+    nullif(regexp_extract(regexp_replace(_n, '[-_ ]', '', 'g'),
+      '((W81XWH|DAMD[0-9]{2}|HT[0-9]{4}|W911NF|N00014|FA[0-9]{4}|HR0011)[0-9]{2}[A-Z0-9]{3,9})',
+      1), '')
+  ELSE
+    CASE
+      WHEN regexp_matches(_sq, '[0-9]$')
+        THEN concat(regexp_extract(_sq, '^(.*?)([0-9]+)$', 1),
+                    CAST(CAST(regexp_extract(_sq, '^(.*?)([0-9]+)$', 2) AS BIGINT) AS VARCHAR))
+      ELSE nullif(_sq, '')
+    END
+END
+"""
+
+_FAMILY_BATTERY_ORACLE = f"""
+WITH raw AS (
+  SELECT o_orderkey, {_FAMILY_NAME} AS family, {_FAMILY_RAW_DUCK} AS award
+  FROM orders
+),
+normed AS (
+  SELECT o_orderkey, family,
+         regexp_replace(upper(trim(award)), '  +', ' ', 'g') AS _n,
+         regexp_replace(regexp_replace(upper(trim(award)), '\\s+', ' ', 'g'),
+                        '[ -]', '', 'g') AS _sq
+  FROM raw
+),
+keyed AS (
+  SELECT family, {_FAMILY_KEY_DUCK} AS k FROM normed
+)
+SELECT family, length(k) AS key_len,
+       count(*)::BIGINT AS n, count(DISTINCT k)::BIGINT AS n_keys
+FROM keyed
+GROUP BY family, length(k)
+ORDER BY family, key_len
+"""
+
+
+@register(
+    "udf_award_family_battery",
+    oracle=_FAMILY_BATTERY_ORACLE,
+    tags=("sqludf", "scalar", "awards"),
+    tables=("orders",),
+)
+def udf_award_family_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-family award normalizers (NIH institute+serial, NSF
+     7-digit, ERC grant agreement, UKRI council codes, Wellcome core id,
+    DoD contract numbers) exercised over realistic deposited formats —
+    AwardNormKey.sql's top families as engine vocabulary. Macro-expanded
+    SQL UDF: zero Python in the plan, one shuffle for the rollup."""
+    create_sql_udfs(spark)
+    return spark.sql(f"""
+        WITH raw AS (
+          SELECT o_orderkey, {_FAMILY_NAME} AS family,
+                 {_FAMILY_RAW_SPARK} AS award
+          FROM orders
+        ),
+        keyed AS (
+          SELECT family, award_family_key(family, award) AS k FROM raw
+        )
+        SELECT family, length(k) AS key_len,
+               count(*) AS n, count(DISTINCT k) AS n_keys
+        FROM keyed
+        GROUP BY family, length(k)
+        ORDER BY family, key_len
+    """)

@@ -350,3 +350,47 @@ def test_lid_und_on_no_signal():
 
     assert detect_one("", load_model()) == ("und", 0)
     assert detect_one(None, load_model()) == ("und", 0)
+
+
+# ---------------------------------------------------------------------------
+# P5 HumanName-grade parsing contracts (reference normalize.py:55-92)
+# ---------------------------------------------------------------------------
+
+def test_parse_human_name_particles():
+    from openalex_walden_spark.functions.udfs import parse_human_name
+
+    assert parse_human_name("Maria de la Cruz") == ("Maria", "de la Cruz")
+    assert parse_human_name("Ludwig van Beethoven") == ("Ludwig", "van Beethoven")
+    assert parse_human_name("Vincent van der Berg") == ("Vincent", "van der Berg")
+
+
+def test_parse_human_name_comma_order():
+    from openalex_walden_spark.functions.udfs import parse_human_name
+
+    assert parse_human_name("de la Cruz, Maria") == ("Maria", "de la Cruz")
+    assert parse_human_name("Smith, John") == ("John", "Smith")
+    assert parse_human_name("Smith, John, Jr.") == ("John", "Smith")
+    # A comma chunk that is ONLY a suffix falls through to no-comma parse.
+    assert parse_human_name("John Smith, Jr.") == ("John", "Smith")
+
+
+def test_parse_human_name_suffixes_titles():
+    from openalex_walden_spark.functions.udfs import parse_human_name
+
+    assert parse_human_name("John Smith Jr.") == ("John", "Smith")
+    assert parse_human_name("Dr. Jane Jones III") == ("Jane", "Jones")
+    assert parse_human_name("Prof. Ada Lovelace PhD") == ("Ada", "Lovelace")
+
+
+def test_author_key_contract_cases():
+    from openalex_walden_spark.functions.udfs import _author_key_one
+
+    assert _author_key_one("Maria de la Cruz") == "delacruz;m"
+    assert _author_key_one("de la Cruz, Maria") == "delacruz;m"
+    assert _author_key_one("John Smith Jr.") == "smith;j"
+    assert _author_key_one("Conor O'Brien-Lee") == "obrienlee;c"
+    assert _author_key_one("O'Brien-Lee, Conor") == "obrienlee;c"
+    assert _author_key_one("Cher") == "cher;"
+    assert _author_key_one("José Álvarez") == "alvarez;j"
+    assert _author_key_one(None) is None
+    assert _author_key_one("  ") is None
