@@ -190,7 +190,19 @@ _ALL = (
 )
 
 
+_INSTALLED: set[int] = set()
+
+
 def create_sql_udfs(spark: SparkSession) -> None:
-    """Install the engine's SQL-UDF vocabulary into the session."""
+    """Install the engine's SQL-UDF vocabulary into the session.
+
+    Temporary functions live for the session, so re-declaring them on
+    every query invocation only burns driver round-trips (~0.4s for the
+    7 DDLs) — cache per underlying JVM session and declare once.
+    """
+    key = id(spark._jsparkSession)  # noqa: SLF001 - JVM session identity
+    if key in _INSTALLED:
+        return
     for ddl in _ALL:
         spark.sql(ddl)
+    _INSTALLED.add(key)

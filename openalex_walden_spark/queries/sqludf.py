@@ -12,6 +12,7 @@ oracle inlining the same scalar logic in DuckDB.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from openalex_walden_spark.functions.sql_udfs import create_sql_udfs
 from openalex_walden_spark.queries.registry import register
@@ -78,9 +79,16 @@ def udf_award_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from plain SQL — macro-expanded by Catalyst, zero Python in the plan.
     """
     create_sql_udfs(spark)
+    # The single-file local fixture scans as ONE split; spread the
+    # regex-heavy key projection across cores before it runs (a real
+    # cluster gets this split-parallelism from the file layout for free).
+    spark.table("orders").repartition(
+        spark.sparkContext.defaultParallelism, F.col("o_orderkey")
+    ).createOrReplaceTempView("orders_rp")
     return spark.sql(f"""
         WITH raw AS (
-          SELECT o_orderkey, o_custkey, {_AWARD_RAW_SPARK} AS award FROM orders
+          SELECT o_orderkey, o_custkey, {_AWARD_RAW_SPARK} AS award
+          FROM orders_rp
         ),
         keyed AS (
           SELECT o_orderkey, award_key(award) AS k,
@@ -255,11 +263,14 @@ def award_family_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min orderkey breaks year ties — totalized). max_by-with-tie-break
     (A4) over the SQL-UDF key layer; one shuffle on the family key."""
     create_sql_udfs(spark)
+    spark.table("orders").repartition(
+        spark.sparkContext.defaultParallelism, F.col("o_orderkey")
+    ).createOrReplaceTempView("orders_rp")
     return spark.sql(f"""
         WITH raw AS (
           SELECT o_orderkey, {_AWARD_RAW_SPARK} AS award,
                  CAST(year(o_orderdate) AS BIGINT) AS yr
-          FROM orders
+          FROM orders_rp
         ),
         keyed AS (
           SELECT o_orderkey, yr, award_key(award) AS fam FROM raw
@@ -381,11 +392,14 @@ def udf_award_family_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     AwardNormKey.sql's top families as engine vocabulary. Macro-expanded
     SQL UDF: zero Python in the plan, one shuffle for the rollup."""
     create_sql_udfs(spark)
+    spark.table("orders").repartition(
+        spark.sparkContext.defaultParallelism, F.col("o_orderkey")
+    ).createOrReplaceTempView("orders_rp")
     return spark.sql(f"""
         WITH raw AS (
           SELECT o_orderkey, {_FAMILY_NAME} AS family,
                  {_FAMILY_RAW_SPARK} AS award
-          FROM orders
+          FROM orders_rp
         ),
         keyed AS (
           SELECT family, award_family_key(family, award) AS k FROM raw

@@ -227,3 +227,11 @@ def test_no_catalog_query_caches_container_columns(spark):
             line = src[: m.start()].count("\n") + 1
             offenders.append(f"{p.name}:{line}")
     assert not offenders, f"raw cache()/persist() call sites: {offenders}"
+
+
+def test_d6_pattern_cascade_no_cartesian(spark, sf_dir):
+    """The 8-pattern x signal cascade joins strictly on the block key and
+    the orcid value — a cartesian anywhere is the 100 TB killer."""
+    plan = _plan(spark, sf_dir, "d6_pattern_cascade")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
