@@ -1217,3 +1217,233 @@ def quality_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "verdict")
         .agg(F.count("*").alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition quality filters (public training-data rules:
+# Rae et al. 2021 "Scaling Language Models" App. A1.1; RefinedWeb §3).
+# Integer-only outputs: fractions gate via cross-multiplied integer
+# predicates so Spark and DuckDB hash identically with no float rounding.
+# --------------------------------------------------------------------------
+_GOPHER_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_DUCK.format(c='text')} AS toks FROM documents
+),
+base AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         len(list_distinct(toks))::BIGINT AS n_distinct, toks
+  FROM t
+),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1])) AS g
+  FROM base WHERE len(toks) >= 2
+),
+bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+bga AS (
+  SELECT doc_id, max(c)::BIGINT AS max_bigram, sum(c)::BIGINT AS n_bigrams
+  FROM bgc GROUP BY doc_id
+),
+fg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                             || ' ' || toks[i+3] || ' ' || toks[i+4])) AS g
+  FROM base WHERE len(toks) >= 5
+),
+fgc AS (SELECT doc_id, g, count(*) AS c FROM fg GROUP BY doc_id, g),
+fga AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_5grams,
+         count(*)::BIGINT AS n_distinct_5grams
+  FROM fgc GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens, b.n_distinct,
+       COALESCE(bga.max_bigram, 0) AS max_bigram,
+       COALESCE(bga.n_bigrams, 0) AS n_bigrams,
+       COALESCE(fga.n_5grams, 0) AS n_5grams,
+       COALESCE(fga.n_distinct_5grams, 0) AS n_distinct_5grams,
+       (COALESCE(bga.max_bigram, 0) * 5 <= COALESCE(bga.n_bigrams, 0)
+        AND b.n_distinct * 10 >= b.n_tokens * 3
+        AND (COALESCE(fga.n_5grams, 0) = 0
+             OR (COALESCE(fga.n_5grams, 0) - COALESCE(fga.n_distinct_5grams, 0)) * 10
+                <= COALESCE(fga.n_5grams, 0) * 3)) AS keep
+FROM base b
+LEFT JOIN bga ON b.doc_id = bga.doc_id
+LEFT JOIN fga ON b.doc_id = fga.doc_id
+"""
+
+
+@register(
+    "quality_gopher_repetition",
+    oracle=_GOPHER_SQL,
+    tags=("llmdata", "quality"),
+    tables=("documents",),
+)
+def quality_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality gates from the public Gopher/RefinedWeb
+    rulebooks: top-bigram token fraction <= 0.2, distinct-token ratio >=
+    0.3, duplicated-5-gram fraction <= 0.3 — the standard pre-training
+    corpus filters the simple length/punct features (text_quality_features)
+    don't capture.
+
+    Scale: per-doc n-gram counting is explode -> two-level groupBy keyed
+    by doc_id — per-doc cardinality is bounded by doc length, the shuffle
+    key is the doc, and no cross-doc state exists, so the operator is
+    embarrassingly scalable. Gates compare cross-multiplied integers; no
+    float thresholds to drift between engines.
+    """
+    d = spark.table("documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    toks = d.select("doc_id", F.expr(_TOKS_SPARK.format(c="text")).alias("toks"))
+    base = toks.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct"),
+        "toks",
+    )
+    bg = base.where(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> concat_ws(' ', toks[i], toks[i+1]))"
+            )
+        ).alias("g"),
+    )
+    bga = (
+        bg.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").cast("bigint").alias("max_bigram"),
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+        )
+    )
+    fg = base.where(F.size("toks") >= 5).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 5),"
+                " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],"
+                " toks[i+3], toks[i+4]))"
+            )
+        ).alias("g"),
+    )
+    fga = (
+        fg.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_5grams"),
+            F.count("*").cast("bigint").alias("n_distinct_5grams"),
+        )
+    )
+    out = (
+        base.select("doc_id", "n_tokens", "n_distinct")
+        .join(bga, "doc_id", "left")
+        .join(fga, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.coalesce("max_bigram", F.lit(0)).alias("max_bigram"),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_5grams", F.lit(0)).alias("n_5grams"),
+            F.coalesce("n_distinct_5grams", F.lit(0)).alias("n_distinct_5grams"),
+        )
+    )
+    keep = (
+        (F.col("max_bigram") * 5 <= F.col("n_bigrams"))
+        & (F.col("n_distinct") * 10 >= F.col("n_tokens") * 3)
+        & (
+            (F.col("n_5grams") == 0)
+            | (
+                (F.col("n_5grams") - F.col("n_distinct_5grams")) * 10
+                <= F.col("n_5grams") * 3
+            )
+        )
+    )
+    return out.withColumn("keep", keep)
+
+
+# --------------------------------------------------------------------------
+# PII scrub/redact (standard pre-training hygiene: emails, phone numbers,
+# IPs replaced with typed placeholder tokens; counts logged per doc).
+# Patterns avoid backslash escapes ([.] for literal dot) so the same
+# text works in Java regex and RE2 without dialect escaping.
+# --------------------------------------------------------------------------
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+_PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_PII_IP = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+# Deterministic PII injection (the fixture corpus is clean): ~60% of
+# docs gain one synthetic PII item so the scrubber has real work and the
+# zero-PII path stays covered.
+_PII_AUG_SPARK = """
+concat(text, CASE CAST(doc_id % 5 AS INT)
+  WHEN 0 THEN concat(' contact user', CAST(doc_id AS STRING), '@example.com now')
+  WHEN 1 THEN concat(' call 555-', lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), '-1234')
+  WHEN 2 THEN concat(' host 10.0.', CAST(doc_id % 256 AS STRING), '.7 up')
+  ELSE '' END)
+"""
+_PII_AUG_DUCK = _PII_AUG_SPARK.replace("AS STRING", "AS VARCHAR")
+
+_PII_SQL = f"""
+WITH aug AS (
+  SELECT doc_id, {_PII_AUG_DUCK} AS text2 FROM documents
+),
+counted AS (
+  SELECT doc_id, text2,
+         len(regexp_extract_all(text2, '{_PII_EMAIL}'))::BIGINT AS n_emails,
+         len(regexp_extract_all(text2, '{_PII_PHONE}'))::BIGINT AS n_phones,
+         len(regexp_extract_all(text2, '{_PII_IP}'))::BIGINT AS n_ips
+  FROM aug
+)
+SELECT doc_id, n_emails, n_phones, n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(text2,
+            '{_PII_EMAIL}', '<EMAIL>', 'g'),
+            '{_PII_PHONE}', '<PHONE>', 'g'),
+            '{_PII_IP}', '<IP>', 'g')) AS scrubbed_md5
+FROM counted
+"""
+
+
+@register(
+    "pii_scrub_redact",
+    oracle=_PII_SQL,
+    tags=("llmdata", "quality", "pii"),
+    tables=("documents",),
+)
+def pii_scrub_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus: emails / phone numbers / IPv4
+    addresses replaced by typed placeholders, with per-doc counts for the
+    compliance log — pure column expressions (regexp_count +
+    regexp_replace chain), map-side only, no shuffle, whole plan inside
+    codegen. The scrubbed text is md5'd for the oracle check so the full
+    redacted string is value-verified without hauling it around."""
+    d = spark.table("documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    aug = d.select("doc_id", F.expr(_PII_AUG_SPARK).alias("text2"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text2"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return aug.select(
+        "doc_id",
+        F.expr(f"size(regexp_extract_all(text2, '{_PII_EMAIL}', 0))")
+        .cast("bigint")
+        .alias("n_emails"),
+        F.expr(f"size(regexp_extract_all(text2, '{_PII_PHONE}', 0))")
+        .cast("bigint")
+        .alias("n_phones"),
+        F.expr(f"size(regexp_extract_all(text2, '{_PII_IP}', 0))")
+        .cast("bigint")
+        .alias("n_ips"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
