@@ -190,7 +190,9 @@ _ALL = (
 )
 
 
-_INSTALLED: set[int] = set()
+from weakref import WeakSet
+
+_INSTALLED: WeakSet = WeakSet()
 
 
 def create_sql_udfs(spark: SparkSession) -> None:
@@ -198,11 +200,12 @@ def create_sql_udfs(spark: SparkSession) -> None:
 
     Temporary functions live for the session, so re-declaring them on
     every query invocation only burns driver round-trips (~0.4s for the
-    7 DDLs) — cache per underlying JVM session and declare once.
+    7 DDLs) — declare once per live session object. A WeakSet (not an
+    id() set) so a recycled address can only cause a harmless re-declare
+    (CREATE OR REPLACE), never a silent skip on a fresh session.
     """
-    key = id(spark._jsparkSession)  # noqa: SLF001 - JVM session identity
-    if key in _INSTALLED:
+    if spark in _INSTALLED:
         return
     for ddl in _ALL:
         spark.sql(ddl)
-    _INSTALLED.add(key)
+    _INSTALLED.add(spark)
