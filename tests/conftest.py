@@ -40,3 +40,11 @@ def duck(sf_dir):
     con = duckdb_connect(sf_dir)
     yield con
     con.close()
+
+
+@pytest.fixture(scope="session")
+def spark_udfs(spark):
+    from openalex_walden_spark.functions.sql_udfs import create_sql_udfs
+
+    create_sql_udfs(spark)
+    return spark

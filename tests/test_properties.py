@@ -137,3 +137,31 @@ def test_award_key_idempotent_on_generated_corpus(spark):
     ).collect()
     for r in out:
         assert r["k2"] == r["k1"], repr(r["raw"])
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=300, deadline=None)
+def test_parse_human_name_total(name):
+    """parse_human_name never raises and always returns two strings; the
+    returned parts contain no comma and come from the input's tokens."""
+    from openalex_walden_spark.functions.udfs import parse_human_name
+
+    first, last = parse_human_name(name)
+    assert isinstance(first, str) and isinstance(last, str)
+    assert "," not in first and "," not in last
+    toks = set((name or "").replace(",", " ").split())
+    for part in (first, *last.split()):
+        if part:
+            assert part in toks
+
+
+@given(st.sampled_from(["nih", "nsf", "erc", "ukri", "wellcome", "dod", "generic"]),
+       st.text(max_size=60))
+@settings(max_examples=150, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_award_family_key_total_on_spark(spark_udfs, family, award):
+    """award_family_key is total: any (family, string) yields NULL or a
+    non-empty string, never an error."""
+    out = spark_udfs.sql(
+        "SELECT award_family_key(?, ?) AS k", args=[family, award]
+    ).collect()[0]["k"]
+    assert out is None or (isinstance(out, str) and out != "")
