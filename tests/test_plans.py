@@ -235,3 +235,21 @@ def test_d6_pattern_cascade_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "d6_pattern_cascade")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pii_scrub_is_shuffle_free(spark, sf_dir):
+    """PII redaction is pure column expressions after the parallelizing
+    repartition — exactly one exchange, no aggregates."""
+    plan = _plan(spark, sf_dir, "pii_scrub_redact")
+    assert plan.count("Exchange") == 1  # the explicit repartition only
+    assert "HashAggregate" not in plan
+
+
+def test_gopher_repetition_shuffles_on_doc_only(spark, sf_dir):
+    """Per-doc n-gram stats: every aggregate keys on doc_id (possibly
+    with the gram) — no global aggregation, no cartesian."""
+    plan = _plan(spark, sf_dir, "quality_gopher_repetition")
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "HashAggregate(keys=" in line:
+            assert "doc_id" in line
