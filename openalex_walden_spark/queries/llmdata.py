@@ -1447,3 +1447,101 @@ def pii_scrub_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_ips"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# Boolean retrieval over the token inverted index (the query-side
+# complement of P6): conjunctive term match, integer tf scoring, top-k
+# per query. Integer-only scores keep both engines hash-identical.
+# --------------------------------------------------------------------------
+_RETRIEVAL_QUERIES = (
+    (0, ("table", "scan")),
+    (1, ("fast", "merge")),
+    (2, ("window", "sort", "key")),
+    (3, ("customer", "query")),
+    (4, ("vector",)),
+)
+
+
+def _retrieval_values(dialect: str) -> str:
+    rows = []
+    for qid, terms in _RETRIEVAL_QUERIES:
+        for t in terms:
+            rows.append(f"({qid}, '{t}')")
+    return ", ".join(rows)
+
+
+_RETRIEVAL_SQL = f"""
+WITH q(query_id, term) AS (VALUES {_retrieval_values('duck')}),
+qsize AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY query_id),
+tok AS (
+  SELECT doc_id, unnest({_TOKS_DUCK.format(c='text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+hits AS (
+  SELECT q.query_id, tf.doc_id,
+         count(*)::BIGINT AS n_matched, sum(tf.tf)::BIGINT AS score
+  FROM q JOIN tf ON tf.term = q.term
+  GROUP BY q.query_id, tf.doc_id
+),
+conj AS (
+  SELECT h.query_id, h.doc_id, h.score
+  FROM hits h JOIN qsize s ON h.query_id = s.query_id
+  WHERE h.n_matched = s.n_terms
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM conj
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+FROM ranked WHERE rank <= 10
+"""
+
+
+@register(
+    "search_boolean_retrieval",
+    oracle=_RETRIEVAL_SQL,
+    tags=("llmdata", "search", "P6"),
+    tables=("documents",),
+)
+def search_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) retrieval: every query term must appear in the
+    doc; rank by summed term frequency, doc_id tie-break, top-10 per
+    query. The query set broadcasts; the posting-list build shuffles once
+    on (doc, term); ranking is a per-query window over only the matched
+    docs — at 100 TB this is the standard distributed-retrieval shape
+    (never a scan per query)."""
+    d = spark.table("documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    q_rows = [
+        (qid, t) for qid, terms in _RETRIEVAL_QUERIES for t in terms
+    ]
+    q = spark.createDataFrame(q_rows, "query_id int, term string")
+    qsize = q.groupBy("query_id").agg(F.count("*").alias("n_terms"))
+    tf = (
+        d.select("doc_id", F.explode(F.expr(_TOKS_SPARK.format(c="text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    hits = (
+        tf.join(F.broadcast(q), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_matched"),
+            F.sum("tf").cast("bigint").alias("score"),
+        )
+    )
+    conj = hits.join(F.broadcast(qsize), "query_id").where(
+        F.col("n_matched") == F.col("n_terms")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        conj.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "rank", "doc_id", "score")
+    )
