@@ -4,8 +4,8 @@ reference's generated CASE chain
 
 The reference compiles ~400 WHEN branches from scraper findings; this
 module keeps the same decision ORDER and the highest-traffic branches
-(~130 rules) as a priority-ordered data table. Two compilers read the
-same table:
+(239 rules — ``len(CASCADE_RULES)``, pinned by tests) as a
+priority-ordered data table. Two compilers read the same table:
 
 - :func:`spark_case` — one ``F.when`` chain (a single codegen'd CASE
   expression regardless of rule count; rule count never adds plan nodes);

@@ -67,6 +67,12 @@ def _strip_affixes(tokens: list[str]) -> list[str]:
     while tokens and _norm_token(tokens[0]) in _TITLES:
         tokens = tokens[1:]
     while tokens and _norm_token(tokens[-1]) in _SUFFIXES:
+        # A bare trailing "V" is ambiguous: Roman-numeral suffix in
+        # "John Smith V" but the FAMILY initial in "Rajesh V". Strip it
+        # only when given+family tokens remain afterwards; every other
+        # suffix in the list is unambiguous.
+        if _norm_token(tokens[-1]) == "v" and len(tokens) <= 2:
+            break
         tokens = tokens[:-1]
     return tokens
 

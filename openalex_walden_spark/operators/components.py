@@ -26,7 +26,7 @@ propagation pass.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # 2^50 nodes is far beyond any realistic graph; the alternating-star round
@@ -106,9 +106,13 @@ def connected_components(
     propagation loop this replaces: Catalyst plans double per iteration
     otherwise).
     """
-    cur = _dedup(
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # Checkpoint the raw projection ONCE: both the iteration seed and the
+    # node universe derive from it, so the caller's (possibly expensive)
+    # edge lineage executes exactly one time.
+    raw = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
     ).localCheckpoint()
+    cur = _dedup(raw).localCheckpoint()
     prev_fp = _edge_fingerprint(cur)
     for _ in range(max_rounds):
         cur = _small_star(_large_star(cur)).localCheckpoint()
@@ -123,8 +127,8 @@ def connected_components(
     # Fixpoint edges form stars centred on component minima: every
     # non-root points at its root. Roots label themselves.
     nodes = (
-        edges.select(F.col(src).alias("id"))
-        .unionByName(edges.select(F.col(dst).alias("id")))
+        raw.select(F.col("u").alias("id"))
+        .unionByName(raw.select(F.col("v").alias("id")))
         .distinct()
     )
     root_of = cur.groupBy(F.col("u").alias("id")).agg(
@@ -133,8 +137,3 @@ def connected_components(
     return nodes.join(root_of, "id", "left").select(
         "id", F.coalesce(F.col("label"), F.col("id")).alias("label")
     )
-
-
-def min_label_column(u: Column, v: Column) -> Column:  # pragma: no cover
-    """Tiny helper kept for symmetry with callers that fold labels."""
-    return F.least(u, v)

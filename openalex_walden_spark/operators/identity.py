@@ -31,6 +31,25 @@ from pyspark.sql.window import Window
 DEFAULT_ID_FLOOR = 6_600_000_000
 
 
+def _ranked_keys(keys: DataFrame, key_col: str) -> DataFrame:
+    """Distinct keys range-partitioned ascending with a per-partition
+    rank — the shuffle shape assign_dense_ids pins (audited by
+    tests/test_identity.py against this pre-checkpoint plan)."""
+    spark = keys.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        keys.select(key_col)
+        .distinct()
+        .repartitionByRange(n_parts, F.col(key_col).asc())
+        # Materialize the physical partition id BEFORE the window's own
+        # shuffle; spark_partition_id() is non-deterministic so Catalyst
+        # will not reorder it across the exchange.
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    local_w = Window.partitionBy("_pid").orderBy(F.col(key_col).asc())
+    return ranged.withColumn("_local", F.row_number().over(local_w))
+
+
 def assign_dense_ids(
     keys: DataFrame, key_col: str, start: int
 ) -> DataFrame:
@@ -49,18 +68,12 @@ def assign_dense_ids(
        partition's exclusive prefix sum as its offset.
     """
     spark = keys.sparkSession
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = (
-        keys.select(key_col)
-        .distinct()
-        .repartitionByRange(n_parts, F.col(key_col).asc())
-        # Materialize the physical partition id BEFORE the window's own
-        # shuffle; spark_partition_id() is non-deterministic so Catalyst
-        # will not reorder it across the exchange.
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    local_w = Window.partitionBy("_pid").orderBy(F.col(key_col).asc())
-    ranked = ranged.withColumn("_local", F.row_number().over(local_w))
+    # localCheckpoint BEFORE the two consumers: the counts collect and
+    # the final join are separate jobs, and repartitionByRange samples
+    # its boundaries per execution — two executions could place a
+    # boundary key in different partitions and mint colliding ids.
+    # Pinning the ranked frame makes both jobs read the same placement.
+    ranked = _ranked_keys(keys, key_col).localCheckpoint()
     counts = {
         r["_pid"]: r["n"]
         for r in ranked.groupBy("_pid").agg(F.count("*").alias("n")).collect()

@@ -1463,7 +1463,7 @@ _RETRIEVAL_QUERIES = (
 )
 
 
-def _retrieval_values(dialect: str) -> str:
+def _retrieval_values() -> str:
     rows = []
     for qid, terms in _RETRIEVAL_QUERIES:
         for t in terms:
@@ -1472,7 +1472,7 @@ def _retrieval_values(dialect: str) -> str:
 
 
 _RETRIEVAL_SQL = f"""
-WITH q(query_id, term) AS (VALUES {_retrieval_values('duck')}),
+WITH q(query_id, term) AS (VALUES {_retrieval_values()}),
 qsize AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY query_id),
 tok AS (
   SELECT doc_id, unnest({_TOKS_DUCK.format(c='text')}) AS term FROM documents

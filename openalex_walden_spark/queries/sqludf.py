@@ -17,6 +17,16 @@ from pyspark.sql import functions as F
 from openalex_walden_spark.functions.sql_udfs import create_sql_udfs
 from openalex_walden_spark.queries.registry import register
 
+def _orders_rp(spark: SparkSession) -> None:
+    """Register ``orders_rp``: the orders table spread across cores. The
+    single-file local fixture scans as ONE split, so regex-heavy key
+    projections would otherwise run on one core (a real cluster gets
+    split-parallelism from the file layout for free)."""
+    spark.table("orders").repartition(
+        spark.sparkContext.defaultParallelism, F.col("o_orderkey")
+    ).createOrReplaceTempView("orders_rp")
+
+
 # ---------------------------------------------------------------------------
 # Award-id normalization battery over synthesized deposited strings.
 
@@ -79,12 +89,7 @@ def udf_award_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from plain SQL — macro-expanded by Catalyst, zero Python in the plan.
     """
     create_sql_udfs(spark)
-    # The single-file local fixture scans as ONE split; spread the
-    # regex-heavy key projection across cores before it runs (a real
-    # cluster gets this split-parallelism from the file layout for free).
-    spark.table("orders").repartition(
-        spark.sparkContext.defaultParallelism, F.col("o_orderkey")
-    ).createOrReplaceTempView("orders_rp")
+    _orders_rp(spark)
     return spark.sql(f"""
         WITH raw AS (
           SELECT o_orderkey, o_custkey, {_AWARD_RAW_SPARK} AS award
@@ -263,9 +268,7 @@ def award_family_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min orderkey breaks year ties — totalized). max_by-with-tie-break
     (A4) over the SQL-UDF key layer; one shuffle on the family key."""
     create_sql_udfs(spark)
-    spark.table("orders").repartition(
-        spark.sparkContext.defaultParallelism, F.col("o_orderkey")
-    ).createOrReplaceTempView("orders_rp")
+    _orders_rp(spark)
     return spark.sql(f"""
         WITH raw AS (
           SELECT o_orderkey, {_AWARD_RAW_SPARK} AS award,
@@ -392,9 +395,7 @@ def udf_award_family_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     AwardNormKey.sql's top families as engine vocabulary. Macro-expanded
     SQL UDF: zero Python in the plan, one shuffle for the rollup."""
     create_sql_udfs(spark)
-    spark.table("orders").repartition(
-        spark.sparkContext.defaultParallelism, F.col("o_orderkey")
-    ).createOrReplaceTempView("orders_rp")
+    _orders_rp(spark)
     return spark.sql(f"""
         WITH raw AS (
           SELECT o_orderkey, {_FAMILY_NAME} AS family,

@@ -394,3 +394,12 @@ def test_author_key_contract_cases():
     assert _author_key_one("José Álvarez") == "alvarez;j"
     assert _author_key_one(None) is None
     assert _author_key_one("  ") is None
+
+
+def test_parse_human_name_trailing_v_ambiguity():
+    from openalex_walden_spark.functions.udfs import parse_human_name
+
+    # Bare "Given V": V is the family initial, not a Roman numeral.
+    assert parse_human_name("Rajesh V") == ("Rajesh", "V")
+    # With a full family name present, trailing V is generational.
+    assert parse_human_name("John Smith V") == ("John", "Smith")

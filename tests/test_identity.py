@@ -100,14 +100,26 @@ def test_mint_ids_dense_and_deterministic(spark):
 
 def test_mint_ids_plan_has_no_single_partition_sort(spark):
     """The scale claim: minting must never funnel all keys through one
-    task — the plan carries a range exchange, not Exchange SinglePartition."""
-    from openalex_walden_spark.operators.identity import assign_dense_ids
+    task — the ranking plan carries a range exchange, never Exchange
+    SinglePartition (audited pre-checkpoint: assign_dense_ids pins the
+    frame with localCheckpoint, which truncates the visible lineage)."""
+    from openalex_walden_spark.operators.identity import (
+        _ranked_keys,
+        assign_dense_ids,
+    )
 
     df = spark.createDataFrame([(f"k{i}",) for i in range(100)], "_mint_key string")
-    out = assign_dense_ids(df, "_mint_key", 0)
-    plan = out._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    plan = (
+        _ranked_keys(df, "_mint_key")
+        ._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    )
     assert "SinglePartition" not in plan
     assert "rangepartitioning" in plan.lower()
+    out_plan = (
+        assign_dense_ids(df, "_mint_key", 0)
+        ._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    )
+    assert "SinglePartition" not in out_plan
 
 
 def test_mint_ids_empty_input(spark):
