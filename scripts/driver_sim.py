@@ -17,7 +17,30 @@ sys.path.insert(0, REPO)
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     import __spark_entry__ as e
+    from openalex_walden_spark import queries as _q
     from pyspark.sql import SparkSession
+
+    # Window-composition audit (checked in code, not comments): the
+    # driver verifies the FIRST 50 queries() entries, so every query the
+    # entry module marks as never-verified must sit inside that window,
+    # and the ordering must cover the catalog exactly once.
+    order = e._driver_order()
+    assert sorted(order) == sorted(_q.CATALOG), "order != catalog"
+    window = set(order[:50])
+    missing = [
+        n
+        for n in (e._DEFER_NEXT + e._EV_RETRY)
+        if n in _q.CATALOG and n not in window
+    ]
+    assert not missing, f"unverified queries outside the 50-window: {missing}"
+    fresh = [
+        n
+        for n in _q.CATALOG
+        if n not in set(e._R2_GREEN) | set(e._R4_GREEN)
+        and n not in set(e._DEFER_NEXT) | set(e._EV_RETRY)
+    ]
+    out = [n for n in fresh if n not in window]
+    assert not out, f"new queries outside the 50-window: {out}"
 
     spark = (
         SparkSession.builder.master("local[8]")
