@@ -110,6 +110,9 @@ def main() -> None:
     for name in HEADLINE:
         spec = q.CATALOG.get(name)
         if spec is None:
+            # A renamed/removed catalog entry must not silently shrink
+            # the basket (the total would look like a speedup).
+            errors[name] = "not in catalog"
             continue
         best = None
         try:
