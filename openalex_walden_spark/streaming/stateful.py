@@ -12,6 +12,14 @@ groupBy), each key's state is O(1) here (a count + a max), and the
 checkpoint makes re-runs incremental — the property the reference
 approximates with high-watermark DECLARE VARIABLE scans
 (``MatchAuthors.ipynb`` cell 1), expressed natively.
+
+API note: Spark 4's successor API (``transformWithStateInPandas``,
+RocksDB-backed with timers/TTL) was evaluated and WORKS API-wise but
+fails at runtime in this container — its Arrow/state protocol needs the
+``google.protobuf`` Python bindings, which are broken here (``cannot
+import name 'descriptor'``) and cannot be installed. On a standard
+cluster image, porting these operators to a ``StatefulProcessor`` is
+mechanical (same keying, state schema, and output contract).
 """
 
 from __future__ import annotations
