@@ -1545,3 +1545,73 @@ def search_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 10)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+# --------------------------------------------------------------------------
+# Segment-level exact dedup (the line/paragraph-dedup shape at token level)
+# --------------------------------------------------------------------------
+_SEG_DEDUP_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, {_TOKS_DUCK.format(c='text')} AS toks FROM documents
+),
+seg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, CAST((len(toks) + 9) // 10 AS INT)),
+                i -> {_H_DUCK.format(x="array_to_string(toks[i*10+1 : i*10+10], ' ')")}
+               )) AS seg_h
+  FROM docs WHERE len(toks) >= 1
+),
+freq AS (SELECT seg_h, COUNT(*) AS freq FROM seg GROUP BY seg_h)
+SELECT s.doc_id,
+       COUNT(*) AS n_seg,
+       CAST(SUM(CASE WHEN f.freq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       (SUM(CASE WHEN f.freq > 1 THEN 1 ELSE 0 END) * 5 <= COUNT(*)) AS keep
+FROM seg s JOIN freq f USING (seg_h)
+GROUP BY s.doc_id
+"""
+
+
+@register(
+    "dedup_segments_exact",
+    oracle=_SEG_DEDUP_SQL,
+    tags=("llmdata", "dedup", "segments"),
+    tables=("documents",),
+)
+def dedup_segments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level exact dedup — the paragraph/line-dedup stage of a
+    web-corpus pipeline (CCNet drops duplicated paragraphs; RefinedWeb
+    drops documents dominated by boilerplate lines), expressed over
+    non-overlapping 10-token segments since the fixture's text has no
+    line structure.
+
+    Each segment is hashed to a portable 60-bit md5-prefix BIGINT (a
+    32-byte hex string would double the shuffle width for nothing), its
+    corpus-wide occurrence count computed with one hash aggregation,
+    and each document rolled up to (n_seg, n_dup, keep) where ``keep``
+    is the integer-exact gate dup_fraction <= 20 % (5*n_dup <= n_seg).
+    Two shuffles total, both on the compact hash — no document text
+    crosses an exchange, which is the property that matters when the
+    corpus is 100 TB but the segment-hash table is ~1 % of it."""
+    d = spark.table("documents")
+    toks = F.expr(_TOKS_SPARK.format(c="text"))
+    seg_list = F.expr(
+        "transform(sequence(0, cast((size(toks) + 9) div 10 as int) - 1), "
+        "i -> cast(conv(substr(md5(array_join(slice(toks, i*10+1, 10), ' ')), "
+        "1, 15), 16, 10) as bigint))"
+    )
+    seg = (
+        d.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= 1)
+        .select("doc_id", F.explode(seg_list).alias("seg_h"))
+    )
+    freq = seg.groupBy("seg_h").agg(F.count("*").alias("freq"))
+    dup = F.sum(F.when(F.col("freq") > 1, 1).otherwise(0))
+    return (
+        seg.join(freq, "seg_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_seg"),
+            dup.alias("n_dup"),
+            (dup * 5 <= F.count("*")).alias("keep"),
+        )
+    )

@@ -1,0 +1,265 @@
+"""Time-series custom operators Spark lacks as primitives: as-of join,
+hypertable-style multi-granularity rollup, and a count-min sketch.
+
+These are the "custom operator" family the engine needs beyond the
+reference's own inventory (the reference's analogue is the event/metrics
+plane: `walden_end2end.yaml` windowed syncs and the Guardrails metric
+rollups) — each implemented as a composition of existing DataFrame ops,
+never per-row Python:
+
+- **as-of join**: the classic "latest reading at or before t" join.  A
+  naive range join is O(probe x build) and Spark would BNLJ it; the
+  scalable form here is the union + ordered-window merge-scan — one
+  shuffle on the key, zero pair blowup, identical result to DuckDB's
+  native ``ASOF JOIN`` (the oracle).
+- **hypertable rollup**: one pass producing hour/day/all-time continuous
+  aggregates via GROUPING SETS over integer time buckets (the
+  TimescaleDB continuous-aggregate shape).  Catalyst expands the sets in
+  a single Expand node — one shuffle for all three granularities.
+- **count-min sketch**: the fixed-size frequency summary (Cormode &
+  Muthukrishnan).  Built relationally so the DuckDB oracle can replay
+  it bit-for-bit: exact token counts first (one shuffle, vocab-sized
+  output), then the d x w counter matrix from the vocab — the sketch of
+  a 100-TB corpus costs one token-count shuffle plus a vocab-sized agg.
+
+Timezone-proofing follows events.py: all time arithmetic on ``ts_us``
+(BIGINT microseconds), buckets are integer divisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from openalex_walden_spark.queries.registry import register
+
+_US_PER_DAY = 86_400_000_000
+_US_PER_HOUR = 3_600_000_000
+_TSUS_DUCK = "epoch_us(ts)"
+
+# Portable 60-bit positive hash (same idiom as llmdata.py): both engines
+# take the first 15 hex chars of md5 as a BIGINT.
+_H_SPARK = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
+_H_DUCK = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# J14: as-of join — for each purchase, the latest click at-or-before it
+# --------------------------------------------------------------------------
+# The build side is deduped to one row per (user, ts) with a
+# deterministic pick (max event_id) BEFORE the as-of match: DuckDB's
+# ASOF JOIN is free to return any of several build rows sharing the
+# matched timestamp, so parity requires the tie to be resolved up front
+# in both engines.
+_ASOF_SQL = f"""
+WITH b AS (
+  SELECT user_id, {_TSUS_DUCK} AS b_ts_us, value AS b_value,
+         row_number() OVER (PARTITION BY user_id, {_TSUS_DUCK}
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'click'
+), bd AS (SELECT user_id, b_ts_us, b_value FROM b WHERE rn = 1),
+p AS (
+  SELECT event_id, user_id, {_TSUS_DUCK} AS ts_us, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts_us, p.value,
+       bd.b_value AS last_click_value, bd.b_ts_us AS last_click_ts_us
+FROM p ASOF LEFT JOIN bd
+  ON p.user_id = bd.user_id AND p.ts_us >= bd.b_ts_us
+"""
+
+
+@register(
+    "j14_asof_join",
+    oracle=_ASOF_SQL,
+    tags=("events", "join", "asof"),
+    tables=("events",),
+)
+def j14_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks up the latest click
+    at-or-before its timestamp for the same user (NULL if none).
+
+    Spark has no ASOF JOIN operator; the scalable composition is the
+    union + ordered-window merge-scan: tag build rows 0 and probe rows
+    1, sort each user's timeline once, and carry the last non-null
+    build value forward with ``last(..., ignoreNulls)`` over ROWS
+    UNBOUNDED PRECEDING.  Build-before-probe ordering at equal ts makes
+    the match inclusive (>=), matching ASOF semantics.  One shuffle on
+    user_id, linear scan per key — no range-join pair explosion, which
+    is what makes this survive a 100-TB event table where a
+    probe x build theta-join would BNLJ."""
+    e = spark.table("events")
+    wd = Window.partitionBy("user_id", "ts_us").orderBy(F.col("event_id").desc())
+    build = (
+        e.where(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "ts_us",
+            F.lit(0).alias("tag"),
+            F.lit(None).cast("bigint").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+            F.col("value").alias("b_value"),
+            F.col("ts_us").alias("b_ts_us"),
+        )
+    )
+    probe = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts_us",
+        F.lit(1).alias("tag"),
+        "event_id",
+        "value",
+        F.lit(None).cast("double").alias("b_value"),
+        F.lit(None).cast("bigint").alias("b_ts_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = build.unionByName(probe).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "value",
+        "tag",
+        F.last("b_value", ignorenulls=True).over(w).alias("last_click_value"),
+        F.last("b_ts_us", ignorenulls=True).over(w).alias("last_click_ts_us"),
+    )
+    return merged.where(F.col("tag") == 1).drop("tag")
+
+
+# --------------------------------------------------------------------------
+# Hypertable rollup: hour/day/all-time continuous aggregates in one pass
+# --------------------------------------------------------------------------
+_ROLLUP_SQL = f"""
+SELECT event_type,
+       {_TSUS_DUCK} // {_US_PER_DAY}  AS day_bucket,
+       {_TSUS_DUCK} // {_US_PER_HOUR} AS hour_bucket,
+       CAST(GROUPING(({_TSUS_DUCK} // {_US_PER_DAY}),
+                     ({_TSUS_DUCK} // {_US_PER_HOUR})) AS INT) AS lvl,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY GROUPING SETS (
+  (event_type, {_TSUS_DUCK} // {_US_PER_DAY}, {_TSUS_DUCK} // {_US_PER_HOUR}),
+  (event_type, {_TSUS_DUCK} // {_US_PER_DAY}),
+  (event_type)
+)
+"""
+
+
+@register(
+    "ev_hypertable_rollup",
+    oracle=_ROLLUP_SQL,
+    tags=("events", "agg", "rollup"),
+    tables=("events",),
+)
+def ev_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hourly, daily and
+    per-type-total rollups of the event stream in ONE aggregation.
+
+    GROUPING SETS compiles to a single Expand + one shuffle in Spark
+    (vs three separate scans+shuffles for three materialized views);
+    ``lvl`` is the grouping bitmask (0=hour, 1=day, 3=type-total) a
+    serving layer would partition the rollup table by.  Sums go through
+    DECIMAL so both engines add exactly."""
+    return spark.sql(
+        f"""
+        SELECT event_type,
+               ts_us DIV {_US_PER_DAY}  AS day_bucket,
+               ts_us DIV {_US_PER_HOUR} AS hour_bucket,
+               CAST(grouping(ts_us DIV {_US_PER_DAY}) * 2
+                    + grouping(ts_us DIV {_US_PER_HOUR}) AS INT) AS lvl,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY event_type, ts_us DIV {_US_PER_DAY}, ts_us DIV {_US_PER_HOUR}
+        GROUPING SETS (
+          (event_type, ts_us DIV {_US_PER_DAY}, ts_us DIV {_US_PER_HOUR}),
+          (event_type, ts_us DIV {_US_PER_DAY}),
+          (event_type)
+        )
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch over document tokens + heavy-hitter estimate audit
+# --------------------------------------------------------------------------
+_CMS_D = 4  # hash rows (seeds)
+_CMS_W = 256  # counters per row
+_CMS_MIN_N = 200  # heavy-hitter audit threshold
+
+_CMS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+cells AS (
+  SELECT seed,
+         {_H_DUCK.format(x="seed::VARCHAR || ':' || tok")} % {_CMS_W} AS bucket,
+         CAST(SUM(n) AS BIGINT) AS cnt
+  FROM vocab, (SELECT unnest(range({_CMS_D})) AS seed)
+  GROUP BY seed, bucket
+),
+hh AS (SELECT tok, n FROM vocab WHERE n >= {_CMS_MIN_N})
+SELECT hh.tok, hh.n AS true_n, MIN(cells.cnt) AS est_n
+FROM hh
+JOIN cells
+  ON cells.bucket =
+     {_H_DUCK.format(x="cells.seed::VARCHAR || ':' || hh.tok")} % {_CMS_W}
+GROUP BY hh.tok, hh.n
+"""
+
+
+@register(
+    "sketch_countmin_estimates",
+    oracle=_CMS_SQL,
+    tags=("llmdata", "sketch"),
+    tables=("documents",),
+)
+def sketch_countmin_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch of corpus token frequencies, audited against the
+    exact counts for every heavy hitter (true count >= 200): output is
+    (token, true_n, est_n) with est_n >= true_n guaranteed by the
+    sketch's one-sided error.
+
+    Built relationally in two shuffles that a 100-TB corpus would need
+    anyway: (1) exact token counts (the vocab — tiny relative to the
+    corpus; Zipf vocabularies grow sublinearly), (2) the d x w counter
+    matrix aggregated FROM the vocab, so the corpus-sized explode is
+    touched exactly once and the d-way expansion multiplies only
+    vocab-sized data.  The probe join hashes each heavy hitter into its
+    d buckets and takes MIN — the classic point query.  All hashing is
+    the portable md5-prefix idiom so DuckDB replays the sketch
+    bit-for-bit."""
+    d = spark.table("documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+        ).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    seeds = spark.range(_CMS_D).select(F.col("id").cast("int").alias("seed"))
+    bucket = F.expr(
+        _H_SPARK.format(x="concat(cast(seed as string), ':', tok)")
+    ) % _CMS_W
+    cells = (
+        vocab.crossJoin(F.broadcast(seeds))
+        .groupBy("seed", bucket.alias("bucket"))
+        .agg(F.sum("n").alias("cnt"))
+    )
+    hh = vocab.where(F.col("n") >= _CMS_MIN_N).withColumnRenamed("n", "true_n")
+    probe = hh.crossJoin(F.broadcast(seeds)).select(
+        "tok", "true_n", "seed", bucket.alias("bucket")
+    )
+    return (
+        probe.join(cells, ["seed", "bucket"])
+        .groupBy("tok", "true_n")
+        .agg(F.min("cnt").alias("est_n"))
+    )
