@@ -101,9 +101,13 @@ def main() -> None:
         spark.catalog.clearCache()
         spec0.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
-    # Two timed runs per query, report the min: on a shared host a single
-    # run confounds scheduler/page-cache noise with query cost; the min
-    # of two is the steady-state number a cluster would see.
+    # Three timed runs per query, report the min: on a shared host a
+    # single run confounds scheduler/page-cache noise with query cost;
+    # measured here, a JVM full-GC pause landing mid-query inflates one
+    # run by 5-20s, so the min over three is the steady-state number a
+    # cluster would see. The explicit System.gc() between queries takes
+    # those pauses OUT of the timed window instead of letting them land
+    # randomly inside one.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
@@ -114,9 +118,13 @@ def main() -> None:
             # the basket (the total would look like a speedup).
             errors[name] = "not in catalog"
             continue
+        try:
+            spark._jvm.System.gc()  # noqa: SLF001 - drain garbage between queries
+        except Exception:  # pragma: no cover
+            pass
         best = None
         try:
-            for _ in range(2):
+            for _ in range(3):
                 spark.catalog.clearCache()  # each timed run does ALL the work
                 t0 = time.perf_counter()
                 spec.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -1615,3 +1615,122 @@ def dedup_segments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dup * 5 <= F.count("*")).alias("keep"),
         )
     )
+
+# --------------------------------------------------------------------------
+# BM25-shaped ranked retrieval (disjunctive), integer-exact arithmetic
+# --------------------------------------------------------------------------
+# True BM25 with k1=1.2, b=0.75 rewritten over integers only: with
+# S = sum of doc lengths and N = doc count,
+#   tf_sat = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+# multiplies out (by 20*S) to  44*S*tf / (20*S*tf + 6*S + 18*dl*N),
+# and idf(t) = ln-free scaled surrogate ((N-df)*2000 + 1000)/(2*df + 1)
+# ~ 1000*(N-df+0.5)/(df+0.5).  One integer division per (term, doc) at
+# the very end keeps Spark `div` and DuckDB `//` bit-identical
+# (both truncate; every operand is positive).
+_BM25_SQL = f"""
+WITH q(query_id, term) AS (VALUES {_retrieval_values()}),
+qterms AS (SELECT DISTINCT term FROM q),
+tok AS (
+  SELECT doc_id, unnest({_TOKS_DUCK.format(c='text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+scal AS (SELECT CAST(SUM(dl) AS BIGINT) AS s, COUNT(*)::BIGINT AS n FROM dl),
+dft AS (
+  SELECT tf.term, count(*)::BIGINT AS df
+  FROM tf JOIN qterms USING (term) GROUP BY tf.term
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         (((scal.n - dft.df) * 2000 + 1000) // (2 * dft.df + 1))
+         * ((44 * scal.s * tf.tf * 1000)
+            // (20 * scal.s * tf.tf + 6 * scal.s + 18 * dl.dl * scal.n))
+           AS part
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN dft ON dft.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN scal
+),
+agg AS (
+  SELECT query_id, doc_id, CAST(SUM(part) AS BIGINT) AS score
+  FROM scored GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM agg
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+FROM ranked WHERE rank <= 10
+"""
+
+
+@register(
+    "search_bm25_topk",
+    oracle=_BM25_SQL,
+    tags=("llmdata", "search", "bm25"),
+    tables=("documents",),
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive BM25 ranking (k1=1.2, b=0.75), top-10 per query, on
+    integer-exact arithmetic — the float BM25 formula is multiplied out
+    so the only division is one truncating integer div per (term, doc),
+    identical in Spark (`div`) and DuckDB (`//`).
+
+    Shape for 100 TB: the posting list (tf) is built once and persisted
+    — it feeds document lengths, query-term document frequencies AND
+    the scoring join, so the corpus-sized explode runs exactly once.
+    The query set, per-term df and the (S, N) corpus scalars all
+    broadcast; the only non-broadcast joins key on doc_id.  Integer
+    magnitudes: parts are bounded by ~2*idf_scale*S*tf, so at
+    web-corpus N the idf/sat scale constants must shrink — noted here
+    rather than silently overflowed."""
+    from openalex_walden_spark.operators.guardrails import persist_scalar
+
+    d = spark.table("documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    q_rows = [(qid, t) for qid, terms in _RETRIEVAL_QUERIES for t in terms]
+    q = spark.createDataFrame(q_rows, "query_id int, term string")
+    qterms = q.select("term").distinct()
+    tf = persist_scalar(
+        d.select(
+            "doc_id", F.explode(F.expr(_TOKS_SPARK.format(c="text"))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    scal = dl.agg(
+        F.sum("dl").cast("bigint").alias("s"), F.count("*").cast("bigint").alias("n")
+    )
+    dft = (
+        tf.join(F.broadcast(qterms), "term")
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("df"))
+    )
+    part = F.expr(
+        "(((n - df) * 2000 + 1000) div (2 * df + 1))"
+        " * ((44 * s * tf * 1000)"
+        "    div (20 * s * tf + 6 * s + 18 * dl * n))"
+    )
+    scored = (
+        tf.join(F.broadcast(q), "term")
+        .join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scal))
+        .select("query_id", "doc_id", part.alias("part"))
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("part").cast("bigint").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "rank", "doc_id", "score")
+    )

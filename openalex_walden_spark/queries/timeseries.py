@@ -238,13 +238,18 @@ def sketch_countmin_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d buckets and takes MIN — the classic point query.  All hashing is
     the portable md5-prefix idiom so DuckDB replays the sketch
     bit-for-bit."""
+    from openalex_walden_spark.operators.guardrails import persist_scalar
+
     d = spark.table("documents")
     toks = d.select(
         F.explode(
             F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
         ).alias("tok")
     )
-    vocab = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    # vocab feeds BOTH the sketch build and the heavy-hitter probe;
+    # without the persist the DAG lowers to a tree and the corpus-sized
+    # explode+aggregate runs twice (two full scans at 100 TB).
+    vocab = persist_scalar(toks.groupBy("tok").agg(F.count("*").alias("n")))
     seeds = spark.range(_CMS_D).select(F.col("id").cast("int").alias("seed"))
     bucket = F.expr(
         _H_SPARK.format(x="concat(cast(seed as string), ':', tok)")
@@ -263,3 +268,71 @@ def sketch_countmin_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok", "true_n")
         .agg(F.min("cnt").alias("est_n"))
     )
+
+
+# --------------------------------------------------------------------------
+# J15: range join — purchases inside [error, error+30min] windows
+# --------------------------------------------------------------------------
+_RANGE_WIN_US = 30 * 60 * 1_000_000
+_RANGE_SQL = f"""
+WITH err AS (
+  SELECT user_id, event_id AS err_id, {_TSUS_DUCK} AS lo,
+         {_TSUS_DUCK} + {_RANGE_WIN_US} AS hi
+  FROM events WHERE event_type = 'error'
+),
+p AS (
+  SELECT event_id, user_id, {_TSUS_DUCK} AS ts_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts_us,
+       CAST(COUNT(err.err_id) AS BIGINT) AS n_error_windows
+FROM p LEFT JOIN err
+  ON p.user_id = err.user_id AND err.lo <= p.ts_us AND p.ts_us < err.hi
+GROUP BY p.event_id, p.user_id, p.ts_us
+"""
+
+
+@register(
+    "j15_range_join",
+    oracle=_RANGE_SQL,
+    tags=("events", "join", "range"),
+    tables=("events",),
+)
+def j15_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (point-in-interval) join: for each purchase, how many
+    half-open 30-minute error windows [error_ts, error_ts+30m) of the
+    same user contain it.
+
+    Spark would execute the raw inequality join as a per-key nested
+    loop; the scale form here is bucket blocking: each error interval
+    explodes into the (at most 2) 30-minute buckets it touches, the
+    purchase joins on (user_id, its own bucket) — an EQUI join Catalyst
+    shuffles normally — and the exact containment predicate filters the
+    candidates.  Fan-out is bounded by interval_len/bucket_len + 1 per
+    build row regardless of data volume, the classic bounded-expansion
+    range join (DuckDB's native IEJoin is the oracle).  A left anti
+    rejoin restores zero-match probes."""
+    e = spark.table("events")
+    err = e.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("err_id"),
+        F.col("ts_us").alias("lo"),
+        (F.col("ts_us") + _RANGE_WIN_US).alias("hi"),
+    )
+    # half-open [lo, hi): the last touched bucket is (hi-1) div W
+    buckets = F.expr(f"sequence(lo div {_RANGE_WIN_US}, (hi - 1) div {_RANGE_WIN_US})")
+    err_b = err.select("user_id", "err_id", "lo", "hi", F.explode(buckets).alias("b"))
+    p = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us",
+        (F.col("ts_us") / _RANGE_WIN_US).cast("bigint").alias("b"),
+    )
+    hits = (
+        p.join(err_b, ["user_id", "b"])
+        .where((F.col("lo") <= F.col("ts_us")) & (F.col("ts_us") < F.col("hi")))
+        .groupBy("event_id", "user_id", "ts_us")
+        .agg(F.count("*").cast("bigint").alias("n_error_windows"))
+    )
+    zero = p.join(hits.select("event_id"), "event_id", "left_anti").select(
+        "event_id", "user_id", "ts_us", F.lit(0).cast("bigint").alias("n_error_windows")
+    )
+    return hits.unionByName(zero)

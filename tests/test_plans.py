@@ -253,3 +253,45 @@ def test_gopher_repetition_shuffles_on_doc_only(spark, sf_dir):
     for line in plan.splitlines():
         if "HashAggregate(keys=" in line:
             assert "doc_id" in line
+
+
+def test_asof_join_single_key_shuffle(spark, sf_dir):
+    """The as-of join is the union + ordered-window merge-scan: no join
+    operator at all in the plan (so no range-join pair explosion), and
+    every exchange partitions on user_id only."""
+    plan = _plan(spark, sf_dir, "j14_asof_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan  # merge-scan, not a join
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "user_id" in line
+
+
+def test_hypertable_rollup_single_expand(spark, sf_dir):
+    """Three rollup granularities come from ONE Expand + one aggregate
+    pair — not three scans."""
+    plan = _plan(spark, sf_dir, "ev_hypertable_rollup")
+    assert plan.count("Expand") == 1
+    assert plan.count("Scan parquet") == 1
+
+
+def test_countmin_sketch_broadcasts_seeds(spark, sf_dir):
+    """The d-way seed expansion must be a broadcast over the vocab-sized
+    aggregate — the corpus-sized token explode is aggregated exactly
+    once before any multiplication."""
+    plan = _plan(spark, sf_dir, "sketch_countmin_estimates")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the vocab aggregate feeds both the sketch build and the probe from
+    # the persisted copy — the corpus-sized explode+count runs ONCE
+    assert plan.count("InMemoryTableScan") == 2
+
+
+def test_segment_dedup_shuffles_hashes_only(spark, sf_dir):
+    """No document text crosses an exchange: every hashpartitioning is
+    on the 60-bit segment hash or doc_id."""
+    plan = _plan(spark, sf_dir, "dedup_segments_exact")
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "seg_h" in line or "doc_id" in line
+        assert "CartesianProduct" not in line
