@@ -47,6 +47,13 @@ HEADLINE = [
     "skew_salted_agg",
     "udf_award_normalize",
     "d0_works_enriched",
+    # round-5 additions: custom-operator plan families (as-of merge-scan,
+    # bucketed range join, sketch build, segment dedup, ranked retrieval)
+    "j14_asof_join",
+    "j15_range_join",
+    "sketch_countmin_estimates",
+    "dedup_segments_exact",
+    "search_bm25_topk",
 ]
 
 

@@ -494,3 +494,233 @@ def corpus() -> list[dict[str, object]]:
     for i, r in enumerate(rows):
         r["case_id"] = i
     return rows
+
+
+# Per-provenance raw-type dictionary fallback for rows the cascade
+# defaulted to article — the reference's ``dict_map`` VALUES table
+# (CreateLocationsWithTypes.sql:460-683, 218 entries) as data.
+# (family, raw_type_lower) -> mapped_type; families repo/datacite/
+# crossref/pubmed mirror the provenance fold in the final select
+# (l.691-695).
+DICT_MAP: list[tuple[str, str, str]] = [
+    ("repo", "acceptedversion", "article"),
+    ("repo", "article", "article"),
+    ("repo", "article / letter to editor", "article"),
+    ("repo", "artigo de jornal", "article"),
+    ("repo", "award/grant", "award"),
+    ("repo", "bachelor thesis", "dissertation"),
+    ("repo", "bachelorthesis", "dissertation"),
+    ("repo", "book", "book"),
+    ("repo", "book article", "book-chapter"),
+    ("repo", "book part", "book-chapter"),
+    ("repo", "book sections", "book-chapter"),
+    ("repo", "bookpart", "book-chapter"),
+    ("repo", "books", "book"),
+    ("repo", "chapter, part of book", "book-chapter"),
+    ("repo", "chemical structures", "other"),
+    ("repo", "conference paper", "article"),
+    ("repo", "conference papers", "article"),
+    ("repo", "conferencecontribution", "article"),
+    ("repo", "conferenceitem", "article"),
+    ("repo", "conferenceobject", "article"),
+    ("repo", "conferencepaper", "article"),
+    ("repo", "conferenceposter", "article"),
+    ("repo", "conferenceproceedings", "article"),
+    ("repo", "contributiontoperiodical", "article"),
+    ("repo", "creative project", "other"),
+    ("repo", "dataset", "dataset"),
+    ("repo", "dataset/mass spectrometry", "dataset"),
+    ("repo", "diplomová práce", "dissertation"),
+    ("repo", "dissertation", "dissertation"),
+    ("repo", "dissertation-reproduction (electronic)", "dissertation"),
+    ("repo", "dissertação", "dissertation"),
+    ("repo", "doc-type:article", "article"),
+    ("repo", "doc-type:bookpart", "book-chapter"),
+    ("repo", "doc-type:doctoralthesis", "dissertation"),
+    ("repo", "doctor of philosophy", "dissertation"),
+    ("repo", "doctoral thesis", "dissertation"),
+    ("repo", "doctoral_dissertation", "dissertation"),
+    ("repo", "doctoralthesis", "dissertation"),
+    ("repo", "electronic dissertation", "dissertation"),
+    ("repo", "hochschulschrift", "dissertation"),
+    ("repo", "http://purl.org/coar/resource_type/c_18gh", "report"),
+    ("repo", "http://purl.org/coar/resource_type/c_18ws", "report"),
+    ("repo", "http://purl.org/coar/resource_type/c_2f33", "book"),
+    ("repo", "http://purl.org/coar/resource_type/c_3248", "book-chapter"),
+    ("repo", "http://purl.org/coar/resource_type/c_46ec", "dissertation"),
+    ("repo", "http://purl.org/coar/resource_type/c_5794", "conference-paper"),
+    ("repo", "http://purl.org/coar/resource_type/c_8042", "report"),
+    ("repo", "http://purl.org/coar/resource_type/c_816b", "preprint"),
+    ("repo", "http://purl.org/coar/resource_type/c_ba08", "review"),
+    ("repo", "http://purl.org/coar/resource_type/c_beb9", "dataset"),
+    ("repo", "http://purl.org/coar/resource_type/c_db06", "dissertation"),
+    ("repo", "http://purl.org/coar/resource_type/c_dcae04bc", "review"),
+    ("repo", "http://purl.org/coar/resource_type/c_efa0", "conference-abstract"),
+    ("repo", "image", "other"),
+    ("repo", "info:ulb-repo/semantics/openurl/article", "article"),
+    ("repo", "inproceedings", "article"),
+    ("repo", "journal article", "article"),
+    ("repo", "journal articles", "article"),
+    ("repo", "journal contribution", "article"),
+    ("repo", "konferenzschrift", "article"),
+    ("repo", "learning object", "other"),
+    ("repo", "lecture", "other"),
+    ("repo", "letter", "article"),
+    ("repo", "libros", "book"),
+    ("repo", "manuscript", "article"),
+    ("repo", "master thesis", "dissertation"),
+    ("repo", "masters paper", "dissertation"),
+    ("repo", "masters thesis", "dissertation"),
+    ("repo", "masterthesis", "dissertation"),
+    ("repo", "monografische reihe", "book"),
+    ("repo", "monograph", "book"),
+    ("repo", "null", "other"),
+    ("repo", "other", "other"),
+    ("repo", "part of book or chapter of book", "book-chapter"),
+    ("repo", "patent", "other"),
+    ("repo", "peer reviewed", "article"),
+    ("repo", "peer-review", "peer-review"),
+    ("repo", "peerreviewed", "article"),
+    ("repo", "phd", "dissertation"),
+    ("repo", "phdthesis", "dissertation"),
+    ("repo", "preprint", "preprint"),
+    ("repo", "preprints, working papers, ...", "preprint"),
+    ("repo", "presentation", "other"),
+    ("repo", "publishedversion", "article"),
+    ("repo", "report", "report"),
+    ("repo", "reportpart", "report"),
+    ("repo", "reports", "report"),
+    ("repo", "research data", "dataset"),
+    ("repo", "review", "review"),
+    ("repo", "review article", "review"),
+    ("repo", "software", "software"),
+    ("repo", "submittedversion", "article"),
+    ("repo", "technical documentation", "report"),
+    ("repo", "technical report", "report"),
+    ("repo", "tesi doctoral", "dissertation"),
+    ("repo", "text", "article"),
+    ("repo", "text (article)", "article"),
+    ("repo", "theses", "dissertation"),
+    ("repo", "thesis", "dissertation"),
+    ("repo", "thesis or dissertation", "dissertation"),
+    ("repo", "thesis-reproduction (electronic)", "dissertation"),
+    ("repo", "thèse", "dissertation"),
+    ("repo", "undergraduate senior honors thesis", "dissertation"),
+    ("repo", "volume", "book"),
+    ("repo", "vor", "article"),
+    ("repo", "working paper", "report"),
+    ("repo", "workingpaper", "report"),
+    ("repo", "zeitschrift", "article"),
+    ("datacite", "audiovisual", "other"),
+    ("datacite", "award", "other"),
+    ("datacite", "book", "book"),
+    ("datacite", "bookchapter", "book-chapter"),
+    ("datacite", "collection", "other"),
+    ("datacite", "computationalnotebook", "software"),
+    ("datacite", "conferencepaper", "conference-paper"),
+    ("datacite", "conferenceproceeding", "conference-paper"),
+    ("datacite", "datapaper", "data-paper"),
+    ("datacite", "dataset", "dataset"),
+    ("datacite", "dissertation", "dissertation"),
+    ("datacite", "event", "other"),
+    ("datacite", "image", "other"),
+    ("datacite", "instrument", "other"),
+    ("datacite", "interactiveresource", "other"),
+    ("datacite", "journal", "other"),
+    ("datacite", "journalarticle", "article"),
+    ("datacite", "model", "dataset"),
+    ("datacite", "modeloutput", "other"),
+    ("datacite", "other", "other"),
+    ("datacite", "peerreview", "peer-review"),
+    ("datacite", "physicalobject", "other"),
+    ("datacite", "poster", "conference-abstract"),
+    ("datacite", "preprint", "preprint"),
+    ("datacite", "projectreport", "report"),
+    ("datacite", "report", "report"),
+    ("datacite", "service", "other"),
+    ("datacite", "software", "software"),
+    ("datacite", "sound", "other"),
+    ("datacite", "standard", "standard"),
+    ("datacite", "studyregistration", "other"),
+    ("datacite", "text", "article"),
+    ("datacite", "workflow", "other"),
+    ("datacite", "chapter", "book-chapter"),
+    ("datacite", "thesis", "dissertation"),
+    ("crossref", "book", "book"),
+    ("crossref", "book-chapter", "book-chapter"),
+    ("crossref", "book-part", "book-chapter"),
+    ("crossref", "book-series", "paratext"),
+    ("crossref", "book-set", "book"),
+    ("crossref", "book-track", "book-chapter"),
+    ("crossref", "dataset", "dataset"),
+    ("crossref", "dissertation", "dissertation"),
+    ("crossref", "edited-book", "book"),
+    ("crossref", "journal", "paratext"),
+    ("crossref", "journal-issue", "paratext"),
+    ("crossref", "journal-volume", "paratext"),
+    ("crossref", "monograph", "book"),
+    ("crossref", "other", "other"),
+    ("crossref", "peer-review", "peer-review"),
+    ("crossref", "proceedings", "paratext"),
+    ("crossref", "proceedings-series", "paratext"),
+    ("crossref", "reference-book", "book"),
+    ("crossref", "reference-entry", "reference-entry"),
+    ("crossref", "report", "report"),
+    ("crossref", "report-series", "paratext"),
+    ("crossref", "standard", "standard"),
+    ("pubmed", "address", "other"),
+    ("pubmed", "autobiography", "other"),
+    ("pubmed", "bibliography", "paratext"),
+    ("pubmed", "biography", "other"),
+    ("pubmed", "classical article", "other"),
+    ("pubmed", "clinical conference", "other"),
+    ("pubmed", "collected work", "other"),
+    ("pubmed", "comment", "letter"),
+    ("pubmed", "congress", "paratext"),
+    ("pubmed", "consensus development conference", "other"),
+    ("pubmed", "corrected and republished article", "erratum"),
+    ("pubmed", "dataset", "dataset"),
+    ("pubmed", "dictionary", "paratext"),
+    ("pubmed", "directory", "paratext"),
+    ("pubmed", "duplicate publication", "other"),
+    ("pubmed", "editorial", "editorial"),
+    ("pubmed", "electronic supplementary materials", "supplementary-materials"),
+    ("pubmed", "english abstract", "other"),
+    ("pubmed", "expression of concern", "other"),
+    ("pubmed", "festschrift", "other"),
+    ("pubmed", "government publication", "other"),
+    ("pubmed", "guideline", "other"),
+    ("pubmed", "historical article", "other"),
+    ("pubmed", "interactive tutorial", "other"),
+    ("pubmed", "interview", "other"),
+    ("pubmed", "introductory journal article", "other"),
+    ("pubmed", "lecture", "other"),
+    ("pubmed", "legal case", "other"),
+    ("pubmed", "legislation", "other"),
+    ("pubmed", "letter", "letter"),
+    ("pubmed", "meta-analysis", "review"),
+    ("pubmed", "news", "other"),
+    ("pubmed", "newspaper article", "other"),
+    ("pubmed", "overall", "other"),
+    ("pubmed", "patient education handout", "other"),
+    ("pubmed", "peer review", "peer-review"),
+    ("pubmed", "periodical index", "paratext"),
+    ("pubmed", "personal narrative", "other"),
+    ("pubmed", "portrait", "other"),
+    ("pubmed", "practice guideline", "other"),
+    ("pubmed", "preprint", "preprint"),
+    ("pubmed", "published erratum", "erratum"),
+    ("pubmed", "research support, american recovery and reinvestment act", "other"),
+    ("pubmed", "research support, n.i.h., extramural", "other"),
+    ("pubmed", "research support, n.i.h., intramural", "other"),
+    ("pubmed", "retracted publication", "retraction"),
+    ("pubmed", "retraction of publication", "retraction"),
+    ("pubmed", "review", "review"),
+    ("pubmed", "scientific integrity review", "review"),
+    ("pubmed", "systematic review", "review"),
+    ("pubmed", "technical report", "report"),
+    ("pubmed", "video-audio media", "other"),
+    ("pubmed", "webcast", "other"),
+]
+
+assert len(DICT_MAP) == 218, len(DICT_MAP)

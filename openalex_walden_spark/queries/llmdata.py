@@ -1734,3 +1734,89 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 10)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+# --------------------------------------------------------------------------
+# SQ8 scalar-quantized ANN: int8 vectors, integer dot-product ranking
+# --------------------------------------------------------------------------
+_SQ8_QZ_DUCK = """
+  SELECT vec_id,
+         list_transform(embedding,
+           v -> CAST(floor(v::DOUBLE * 127.0 / mx + 0.5) AS BIGINT)) AS qv
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(embedding, v -> abs(v::DOUBLE))) AS mx
+        FROM embeddings)
+  WHERE mx > 0
+"""
+
+_SQ8_SQL = f"""
+WITH qz AS ({_SQ8_QZ_DUCK}),
+q AS (SELECT vec_id AS q_id, qv AS qa FROM qz WHERE vec_id < 8),
+scored AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, len(q.qa) + 1),
+                                      i -> q.qa[i] * e.qv[i])) AS BIGINT) AS score
+  FROM q JOIN qz e ON e.vec_id <> q.q_id
+)
+SELECT q_id, neighbor_id, score, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT q_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY score DESC, neighbor_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+
+
+@register(
+    "ann_sq8_topk",
+    oracle=_SQ8_SQL,
+    tags=("llmdata", "ann", "quantization"),
+    tables=("embeddings",),
+)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) nearest neighbours: each vector maps to
+    int8 codes q_i = round(127 * x_i / max|x|), candidates rank by the
+    INTEGER dot product — the memory-bound regime's standard trade
+    (4x smaller vectors, exact integer arithmetic) and the third member
+    of the similarity family next to the float brute force
+    (``ann_cosine_topk``) and the IVF scale path (``ann_ivf_topk``).
+
+    Quantization keeps both engines bit-identical: one double multiply/
+    divide chain per element (IEEE-deterministic, identical order) into
+    floor(x + 0.5), then ALL ranking math is int64. At 100 TB the code
+    table rides the same IVF partitioning as the float path; probes
+    broadcast."""
+    e = spark.table("embeddings")
+    mx = F.expr("array_max(transform(embedding, v -> abs(cast(v as double))))")
+    qz = (
+        e.withColumn("mx", mx)
+        .where(F.col("mx") > 0)
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(embedding,"
+                " v -> cast(floor(cast(v as double) * 127.0 / mx + 0.5) as bigint))"
+            ).alias("qv"),
+        )
+    )
+    q = qz.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("qa")
+    )
+    scored = (
+        qz.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                "aggregate(zip_with(qa, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 3)
+        .select("q_id", "neighbor_id", "score", "rnk")
+    )

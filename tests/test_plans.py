@@ -295,3 +295,26 @@ def test_segment_dedup_shuffles_hashes_only(spark, sf_dir):
         if "Exchange hashpartitioning" in line:
             assert "seg_h" in line or "doc_id" in line
         assert "CartesianProduct" not in line
+
+
+def test_range_join_is_bucketed_equi(spark, sf_dir):
+    """The point-in-interval join must be the bucket-blocked EQUI join —
+    never a BNLJ/cartesian over (probe x intervals)."""
+    plan = _plan(spark, sf_dir, "j15_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_single_posting_build(spark, sf_dir):
+    """The persisted posting list feeds dl, df and scoring — the
+    corpus-sized explode+aggregate runs once; query set, df and corpus
+    scalars broadcast."""
+    spark.catalog.clearCache()  # a pre-cached posting list nests plan text
+    plan = _plan(spark, sf_dir, "search_bm25_topk")
+    # every explode in the plan text sits inside a cached-subtree
+    # description (one copy per InMemoryTableScan); none executes outside
+    # the single posting-list build
+    assert plan.count("Generate explode") <= plan.count("InMemoryTableScan")
+    assert plan.count("InMemoryTableScan") >= 3  # dl, df and scoring reuse it
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

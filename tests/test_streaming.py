@@ -399,3 +399,49 @@ def test_stateful_running_counts_across_restarts(spark, events, tmp_path):
     want = {r["key"]: (r["n_events"], r["max_seq"]) for r in expect.collect()}
     assert got == want
     ev.unpersist()
+
+
+def test_stream_stream_interval_join(spark, events, tmp_path):
+    """Stream-stream interval join (the streaming j15): purchases joined
+    to same-user error windows [err_ts, err_ts+30min) with watermarks on
+    BOTH sides equals the batch inner join exactly once every file is
+    processed (availableNow drains the source, so no row is still held
+    back by the watermark)."""
+    from openalex_walden_spark.streaming.joins import interval_join_stream
+
+    purch = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    errs = events.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"), "user_id", F.col("ts").alias("e_ts")
+    )
+    p_dir, e_dir = str(tmp_path / "p_src"), str(tmp_path / "e_src")
+    purch.repartition(2).write.mode("overwrite").parquet(p_dir)
+    errs.repartition(2).write.mode("overwrite").parquet(e_dir)
+
+    p_stream = file_stream(spark, p_dir, purch.schema, fmt="parquet")
+    e_stream = file_stream(spark, e_dir, errs.schema, fmt="parquet")
+    joined = interval_join_stream(
+        p_stream, e_stream, key="user_id", probe_ts="p_ts",
+        build_ts="e_ts", window="30 minutes", watermark="2 hours",
+    )
+    out_dir = str(tmp_path / "ssj_out")
+    (
+        joined.select("p.p_id", "b.e_id")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {(r.p_id, r.e_id) for r in spark.read.parquet(out_dir).collect()}
+    batch = purch.alias("p").join(
+        errs.alias("b"),
+        (F.col("p.user_id") == F.col("b.user_id"))
+        & (F.col("b.e_ts") <= F.col("p.p_ts"))
+        & (F.col("p.p_ts") < F.col("b.e_ts") + F.expr("interval 30 minutes")),
+    )
+    want = {(r.p_id, r.e_id) for r in batch.select("p_id", "e_id").collect()}
+    assert got == want and len(got) > 0
