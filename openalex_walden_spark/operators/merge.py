@@ -290,3 +290,61 @@ def _vacuum(state_path: str, keep_versions: int) -> None:
             os.remove(os.path.join(state_path, f"manifest_v{v:08d}.json"))
         except OSError:
             pass
+
+
+def rebucket_state(
+    spark: SparkSession,
+    state_path: str,
+    keys: Sequence[str],
+    n_buckets_new: int,
+    keep_versions: int = 2,
+) -> DataFrame:
+    """OPTIMIZE-style maintenance: rewrite the state table into a new
+    bucket count and commit it as one manifest version.
+
+    ``n_buckets`` is frozen at state creation because the bucket id is a
+    pure function of (keys, n_buckets) — incremental merges depend on
+    it. But a bucket layout sized for year-1 data eventually outgrows
+    its executors (a single bucket must fit a window-merge), so the
+    scale story needs exactly what Delta gets from OPTIMIZE: a full
+    rewrite under a new layout, atomic at the manifest commit, with
+    readers of the previous version unaffected until then. Reads the
+    state ONCE including tombstones (they must survive rebucketing or
+    the delete/sequencing contract breaks), writes every new bucket,
+    then swings the manifest; ongoing incremental merges pick up the new
+    ``n_buckets`` from it.
+    """
+    prev_v = current_version(state_path)
+    if prev_v is None:
+        raise ValueError(f"no state at {state_path} to rebucket")
+    if n_buckets_new < 1:
+        raise ValueError(f"n_buckets_new must be >= 1, got {n_buckets_new}")
+    full = read_state(spark, state_path, include_tombstones=True)
+    staged = full.withColumn(_BUCKET, _bucket_expr(keys, n_buckets_new))
+
+    next_v = prev_v + 1
+    staging = os.path.join(state_path, f"_staging_v{next_v:08d}")
+    staged.write.mode("overwrite").partitionBy(_BUCKET).parquet(staging)
+
+    new_buckets: dict[str, int] = {}
+    for name in os.listdir(staging):
+        m = re.match(rf"^{_BUCKET}=(\d+)$", name)
+        if not m:
+            continue
+        b = int(m.group(1))
+        dst = _bucket_dir(state_path, b, next_v)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        shutil.move(os.path.join(staging, name), dst)
+        new_buckets[str(b)] = next_v
+    shutil.rmtree(staging, ignore_errors=True)
+
+    manifest_out = {"n_buckets": n_buckets_new, "buckets": new_buckets}
+    tmp = os.path.join(state_path, f"_manifest_v{next_v:08d}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest_out, f)
+    os.replace(tmp, os.path.join(state_path, f"manifest_v{next_v:08d}.json"))
+
+    _vacuum(state_path, keep_versions)
+    return read_state(spark, state_path)

@@ -324,7 +324,7 @@ def j15_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     err_b = err.select("user_id", "err_id", "lo", "hi", F.explode(buckets).alias("b"))
     p = e.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts_us",
-        (F.col("ts_us") / _RANGE_WIN_US).cast("bigint").alias("b"),
+        F.expr(f"ts_us div {_RANGE_WIN_US}").alias("b"),
     )
     hits = (
         p.join(err_b, ["user_id", "b"])

@@ -445,3 +445,43 @@ def test_stream_stream_interval_join(spark, events, tmp_path):
     )
     want = {(r.p_id, r.e_id) for r in batch.select("p_id", "e_id").collect()}
     assert got == want and len(got) > 0
+
+
+def test_rebucket_state_optimize(spark, tmp_path):
+    """The OPTIMIZE-style rebucket: rows and tombstones survive the
+    layout rewrite byte-for-value, the new manifest carries the new
+    n_buckets, subsequent incremental merges inherit it, and the
+    delete/sequencing contract still holds across the rewrite."""
+    from openalex_walden_spark.operators.merge import (
+        _read_manifest,
+        current_version,
+        rebucket_state,
+    )
+
+    state = str(tmp_path / "rb_state")
+    b1 = spark.createDataFrame(
+        [(i, f"v{i}", 1) for i in range(100)], "k int, v string, seq int"
+    )
+    merge_into_state(spark, state, b1, ["k"], "seq", n_buckets=4)
+    # delete key 7 at seq 2 → tombstone
+    b2 = spark.createDataFrame([(7, "gone", 2)], "k int, v string, seq int")
+    merge_into_state(spark, state, b2, ["k"], "seq", delete_predicate=F.col("v") == "gone")
+    live_before = {r["k"]: r["v"] for r in read_state(spark, state).collect()}
+    assert 7 not in live_before and len(live_before) == 99
+
+    rebucket_state(spark, state, ["k"], n_buckets_new=16)
+    v = current_version(state)
+    m = _read_manifest(state, v)
+    assert m["n_buckets"] == 16
+    live_after = {r["k"]: r["v"] for r in read_state(spark, state).collect()}
+    assert live_after == live_before
+    # the tombstone crossed the rewrite: a stale (older-seq) upsert for
+    # the deleted key must still lose the sequence race
+    stale = spark.createDataFrame([(7, "zombie", 1)], "k int, v string, seq int")
+    merge_into_state(spark, state, stale, ["k"], "seq")
+    assert 7 not in {r["k"] for r in read_state(spark, state).collect()}
+    # and a genuinely newer upsert resurrects it under the new layout
+    fresh = spark.createDataFrame([(7, "back", 3)], "k int, v string, seq int")
+    merge_into_state(spark, state, fresh, ["k"], "seq")
+    final = {r["k"]: r["v"] for r in read_state(spark, state).collect()}
+    assert final[7] == "back" and len(final) == 100

@@ -112,7 +112,7 @@ def _range_spark(spark, rows):
     err_b = err.select("user_id", "lo", "hi", F.explode(buckets).alias("b"))
     p = e.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts_us",
-        (F.col("ts_us") / _WIN).cast("bigint").alias("b"),
+        F.expr(f"ts_us div {_WIN}").alias("b"),
     )
     hits = (
         p.join(err_b, ["user_id", "b"])
