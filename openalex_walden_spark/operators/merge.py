@@ -198,6 +198,7 @@ def merge_into_state(
         manifest = _read_manifest(state_path, prev_v)
         n_buckets = int(manifest["n_buckets"])
         prev_buckets: dict[str, int] = dict(manifest["buckets"])
+        _check_keys(manifest, keys, state_path)
     else:
         prev_buckets = {}
 
@@ -236,12 +237,52 @@ def merge_into_state(
     next_v = (prev_v or 0) + 1
     staging = os.path.join(state_path, f"_staging_v{next_v:08d}")
     merged.write.mode("overwrite").partitionBy(_BUCKET).parquet(staging)
+    _commit_staged(
+        state_path, staging, next_v, n_buckets, keys,
+        base_buckets=prev_buckets, touched=touched, keep_versions=keep_versions,
+    )
+    return read_state(spark, state_path)
 
-    new_buckets = dict(prev_buckets)
-    for b in touched:
-        src = os.path.join(staging, f"{_BUCKET}={b}")
+
+def _check_keys(manifest: dict, keys: Sequence[str], state_path: str) -> None:
+    """The bucket id is a pure function of (keys, n_buckets); merging or
+    rebucketing with different keys scatters rows into buckets the next
+    merge will never read — silent state corruption. Manifests persist
+    the keys at creation; pre-keys manifests (legacy) are accepted and
+    backfilled at the next commit."""
+    stored = manifest.get("keys")
+    if stored is not None and list(stored) != list(keys):
+        raise ValueError(
+            f"state at {state_path} is bucketed by keys {stored}, "
+            f"got {list(keys)} — a mixed-key merge would corrupt it"
+        )
+
+
+def _commit_staged(
+    state_path: str,
+    staging: str,
+    next_v: int,
+    n_buckets: int,
+    keys: Sequence[str],
+    base_buckets: dict[str, int],
+    touched: Sequence[int] | None,
+    keep_versions: int,
+) -> None:
+    """Atomically promote a staged partitionBy(_BUCKET) write: move each
+    staged bucket dir to its versioned home, commit the manifest (the
+    atomic point), vacuum. ``touched`` limits which bucket pointers may
+    change (incremental merge); None promotes every staged bucket and
+    starts from ``base_buckets`` as given (rebucket passes {})."""
+    staged: dict[int, str] = {}
+    for name in os.listdir(staging):
+        m = re.match(rf"^{_BUCKET}=(\d+)$", name)
+        if m:
+            staged[int(m.group(1))] = os.path.join(staging, name)
+    new_buckets = dict(base_buckets)
+    for b in sorted(staged) if touched is None else touched:
+        src = staged.get(b)
         dst = _bucket_dir(state_path, b, next_v)
-        if os.path.isdir(src):
+        if src is not None and os.path.isdir(src):
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             # A crash between bucket moves and the manifest commit can
             # leave an orphaned v_{next_v} dir; no manifest references
@@ -258,14 +299,17 @@ def merge_into_state(
             new_buckets.pop(str(b), None)
     shutil.rmtree(staging, ignore_errors=True)
 
-    manifest_out = {"n_buckets": n_buckets, "buckets": new_buckets}
+    manifest_out = {
+        "n_buckets": n_buckets,
+        "keys": list(keys),
+        "buckets": new_buckets,
+    }
     tmp = os.path.join(state_path, f"_manifest_v{next_v:08d}.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest_out, f)
     os.replace(tmp, os.path.join(state_path, f"manifest_v{next_v:08d}.json"))
 
     _vacuum(state_path, keep_versions)
-    return read_state(spark, state_path)
 
 
 def _vacuum(state_path: str, keep_versions: int) -> None:
@@ -319,32 +363,15 @@ def rebucket_state(
         raise ValueError(f"no state at {state_path} to rebucket")
     if n_buckets_new < 1:
         raise ValueError(f"n_buckets_new must be >= 1, got {n_buckets_new}")
+    _check_keys(_read_manifest(state_path, prev_v), keys, state_path)
     full = read_state(spark, state_path, include_tombstones=True)
     staged = full.withColumn(_BUCKET, _bucket_expr(keys, n_buckets_new))
 
     next_v = prev_v + 1
     staging = os.path.join(state_path, f"_staging_v{next_v:08d}")
     staged.write.mode("overwrite").partitionBy(_BUCKET).parquet(staging)
-
-    new_buckets: dict[str, int] = {}
-    for name in os.listdir(staging):
-        m = re.match(rf"^{_BUCKET}=(\d+)$", name)
-        if not m:
-            continue
-        b = int(m.group(1))
-        dst = _bucket_dir(state_path, b, next_v)
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        if os.path.isdir(dst):
-            shutil.rmtree(dst)
-        shutil.move(os.path.join(staging, name), dst)
-        new_buckets[str(b)] = next_v
-    shutil.rmtree(staging, ignore_errors=True)
-
-    manifest_out = {"n_buckets": n_buckets_new, "buckets": new_buckets}
-    tmp = os.path.join(state_path, f"_manifest_v{next_v:08d}.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest_out, f)
-    os.replace(tmp, os.path.join(state_path, f"manifest_v{next_v:08d}.json"))
-
-    _vacuum(state_path, keep_versions)
+    _commit_staged(
+        state_path, staging, next_v, n_buckets_new, keys,
+        base_buckets={}, touched=None, keep_versions=keep_versions,
+    )
     return read_state(spark, state_path)

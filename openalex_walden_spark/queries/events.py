@@ -411,3 +411,92 @@ def ev_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hour_bucket", "event_type")
         .agg(F.count("*").alias("n_events"))
     )
+
+
+# --------------------------------------------------------------------------
+# Funnel / ordered-sequence match (the windowFunnel-style operator)
+# --------------------------------------------------------------------------
+_FUNNEL_SQL = f"""
+WITH s1 AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN {_TSUS_DUCK} END) AS t1
+  FROM events GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min({_TSUS_DUCK}) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND s1.t1 IS NOT NULL AND {_TSUS_DUCK} > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min({_TSUS_DUCK}) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND {_TSUS_DUCK} > s2.t2
+  GROUP BY e.user_id
+)
+SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+       CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                 WHEN s2.t2 IS NOT NULL THEN 2
+                 WHEN s1.t1 IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS steps
+FROM s1
+LEFT JOIN s2 ON s2.user_id = s1.user_id
+LEFT JOIN s3 ON s3.user_id = s1.user_id
+"""
+
+
+@register(
+    "ev_funnel_steps",
+    oracle=_FUNNEL_SQL,
+    tags=("events", "funnel", "sequence"),
+    tables=("events",),
+)
+def ev_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel match (signup → click → purchase, each step
+    strictly after the previous): per user, the step timestamps reached
+    and the completed-step count — the windowFunnel/sequence-match
+    operator of event-analytics engines.
+
+    The relational form needs one aggregation + join PER STEP (the
+    oracle's three stages — fine for 3 steps, linear in funnel depth);
+    this implementation folds each user's time-sorted event array once:
+    collect_list → array_sort → one ``aggregate`` HOF carrying
+    (t1, t2, t3) state. ONE shuffle total, any funnel depth, and the
+    fold is codegen'd — the shape that survives a 100-TB event table
+    where per-step self-joins would each reshuffle it."""
+    e = spark.table("events")
+    evs = F.array_sort(
+        F.collect_list(F.struct("ts_us", "event_id", "event_type"))
+    )
+    fold = F.expr(
+        """
+        aggregate(
+          evs,
+          named_struct('t1', cast(null as bigint),
+                       't2', cast(null as bigint),
+                       't3', cast(null as bigint)),
+          (s, e) -> named_struct(
+            't1', CASE WHEN s.t1 IS NULL AND e.event_type = 'signup'
+                       THEN e.ts_us ELSE s.t1 END,
+            't2', CASE WHEN s.t2 IS NULL AND s.t1 IS NOT NULL
+                        AND e.event_type = 'click' AND e.ts_us > s.t1
+                       THEN e.ts_us ELSE s.t2 END,
+            't3', CASE WHEN s.t3 IS NULL AND s.t2 IS NOT NULL
+                        AND e.event_type = 'purchase' AND e.ts_us > s.t2
+                       THEN e.ts_us ELSE s.t3 END)
+        )
+        """
+    )
+    steps = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(evs.alias("evs"))
+        .select("user_id", fold.alias("f"))
+        .select("user_id", "f.t1", "f.t2", "f.t3")
+        .withColumn("steps", steps.cast("int"))
+    )

@@ -32,16 +32,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from openalex_walden_spark.queries.events import _TSUS_DUCK
+
+# One definition of the portable 60-bit md5-prefix hash for the whole
+# catalog: a second copy here would let the idioms drift apart and break
+# cross-query hash compatibility silently.
+from openalex_walden_spark.queries.llmdata import _H_DUCK, _H_SPARK
 from openalex_walden_spark.queries.registry import register
 
 _US_PER_DAY = 86_400_000_000
 _US_PER_HOUR = 3_600_000_000
-_TSUS_DUCK = "epoch_us(ts)"
-
-# Portable 60-bit positive hash (same idiom as llmdata.py): both engines
-# take the first 15 hex chars of md5 as a BIGINT.
-_H_SPARK = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
-_H_DUCK = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
 
 
 # --------------------------------------------------------------------------
@@ -82,13 +82,17 @@ def j14_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark has no ASOF JOIN operator; the scalable composition is the
     union + ordered-window merge-scan: tag build rows 0 and probe rows
-    1, sort each user's timeline once, and carry the last non-null
-    build value forward with ``last(..., ignoreNulls)`` over ROWS
-    UNBOUNDED PRECEDING.  Build-before-probe ordering at equal ts makes
-    the match inclusive (>=), matching ASOF semantics.  One shuffle on
-    user_id, linear scan per key — no range-join pair explosion, which
-    is what makes this survive a 100-TB event table where a
-    probe x build theta-join would BNLJ."""
+    1, sort each user's timeline once, and carry the last build ROW
+    forward with ``last(struct(...), ignoreNulls)`` over ROWS UNBOUNDED
+    PRECEDING.  The carried unit must be the struct, not the bare value:
+    a matched click whose ``value`` is genuinely NULL is still the
+    as-of match (ASOF returns its NULL), and a bare-column carry would
+    skip it and resurrect an older click's value — the struct-null is
+    the only "no build row" sentinel.  Build-before-probe ordering at
+    equal ts makes the match inclusive (>=), matching ASOF semantics.
+    One shuffle on user_id, linear scan per key — no range-join pair
+    explosion, which is what makes this survive a 100-TB event table
+    where a probe x build theta-join would BNLJ."""
     e = spark.table("events")
     wd = Window.partitionBy("user_id", "ts_us").orderBy(F.col("event_id").desc())
     build = (
@@ -101,8 +105,9 @@ def j14_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).alias("tag"),
             F.lit(None).cast("bigint").alias("event_id"),
             F.lit(None).cast("double").alias("value"),
-            F.col("value").alias("b_value"),
-            F.col("ts_us").alias("b_ts_us"),
+            F.struct(
+                F.col("ts_us").alias("b_ts_us"), F.col("value").alias("b_value")
+            ).alias("b"),
         )
     )
     probe = e.where(F.col("event_type") == "purchase").select(
@@ -111,22 +116,22 @@ def j14_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("tag"),
         "event_id",
         "value",
-        F.lit(None).cast("double").alias("b_value"),
-        F.lit(None).cast("bigint").alias("b_ts_us"),
+        F.lit(None).cast("struct<b_ts_us:bigint,b_value:double>").alias("b"),
     )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts_us", "tag", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    last_b = F.last("b", ignorenulls=True).over(w)
     merged = build.unionByName(probe).select(
         "event_id",
         "user_id",
         "ts_us",
         "value",
         "tag",
-        F.last("b_value", ignorenulls=True).over(w).alias("last_click_value"),
-        F.last("b_ts_us", ignorenulls=True).over(w).alias("last_click_ts_us"),
+        last_b.getField("b_value").alias("last_click_value"),
+        last_b.getField("b_ts_us").alias("last_click_ts_us"),
     )
     return merged.where(F.col("tag") == 1).drop("tag")
 
@@ -306,33 +311,38 @@ def j15_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark would execute the raw inequality join as a per-key nested
     loop; the scale form here is bucket blocking: each error interval
     explodes into the (at most 2) 30-minute buckets it touches, the
-    purchase joins on (user_id, its own bucket) — an EQUI join Catalyst
-    shuffles normally — and the exact containment predicate filters the
-    candidates.  Fan-out is bounded by interval_len/bucket_len + 1 per
-    build row regardless of data volume, the classic bounded-expansion
-    range join (DuckDB's native IEJoin is the oracle).  A left anti
-    rejoin restores zero-match probes."""
+    purchase LEFT-joins on (user_id, its own bucket) with the exact
+    containment predicate in the join condition — one equi-shuffled
+    join whose unmatched probes surface as NULL err_ids, so the
+    zero-match rows come from ``count(err_id)`` instead of a second
+    evaluation of the whole subplan (a union + anti-join restore was
+    measured to run the bucket join twice: DataFrame DAGs lower to
+    trees, and cross-branch CSE needs an explicit persist).  Fan-out is
+    bounded by interval_len/bucket_len + 1 per build row regardless of
+    data volume, the classic bounded-expansion range join (DuckDB's
+    native IEJoin is the oracle)."""
     e = spark.table("events")
     err = e.where(F.col("event_type") == "error").select(
-        "user_id",
+        F.col("user_id").alias("e_user"),
         F.col("event_id").alias("err_id"),
         F.col("ts_us").alias("lo"),
         (F.col("ts_us") + _RANGE_WIN_US).alias("hi"),
     )
     # half-open [lo, hi): the last touched bucket is (hi-1) div W
     buckets = F.expr(f"sequence(lo div {_RANGE_WIN_US}, (hi - 1) div {_RANGE_WIN_US})")
-    err_b = err.select("user_id", "err_id", "lo", "hi", F.explode(buckets).alias("b"))
+    err_b = err.select("e_user", "err_id", "lo", "hi", F.explode(buckets).alias("e_b"))
     p = e.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts_us",
         F.expr(f"ts_us div {_RANGE_WIN_US}").alias("b"),
     )
-    hits = (
-        p.join(err_b, ["user_id", "b"])
-        .where((F.col("lo") <= F.col("ts_us")) & (F.col("ts_us") < F.col("hi")))
+    cond = (
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("b") == F.col("e_b"))
+        & (F.col("lo") <= F.col("ts_us"))
+        & (F.col("ts_us") < F.col("hi"))
+    )
+    return (
+        p.join(err_b, cond, "left")
         .groupBy("event_id", "user_id", "ts_us")
-        .agg(F.count("*").cast("bigint").alias("n_error_windows"))
+        .agg(F.count("err_id").cast("bigint").alias("n_error_windows"))
     )
-    zero = p.join(hits.select("event_id"), "event_id", "left_anti").select(
-        "event_id", "user_id", "ts_us", F.lit(0).cast("bigint").alias("n_error_windows")
-    )
-    return hits.unionByName(zero)

@@ -318,3 +318,17 @@ def test_bm25_single_posting_build(spark, sf_dir):
     assert plan.count("InMemoryTableScan") >= 3  # dl, df and scoring reuse it
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_catalog_no_cartesian_products(spark, sf_dir):
+    """Catalog-wide scale gate: NO query may plan a CartesianProduct.
+    (Broadcast nested-loop joins against deliberately tiny broadcast
+    sides — corpus scalars, probe sets — are legitimate and distinct.)
+    Every new operator inherits this check automatically."""
+    spark.catalog.clearCache()
+    offenders = []
+    for name, spec in sorted(q.CATALOG.items()):
+        plan = spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"

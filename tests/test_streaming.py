@@ -485,3 +485,24 @@ def test_rebucket_state_optimize(spark, tmp_path):
     merge_into_state(spark, state, fresh, ["k"], "seq")
     final = {r["k"]: r["v"] for r in read_state(spark, state).collect()}
     assert final[7] == "back" and len(final) == 100
+
+
+def test_merge_rejects_mismatched_bucket_keys(spark, tmp_path):
+    """The manifest persists the bucketing keys; merging or rebucketing
+    with different keys must fail loudly instead of scattering rows
+    into buckets the next merge will never read."""
+    import pytest
+
+    from openalex_walden_spark.operators.merge import rebucket_state
+
+    state = str(tmp_path / "keys_state")
+    b1 = spark.createDataFrame([(1, "a", 1), (2, "b", 1)], "k int, v string, seq int")
+    merge_into_state(spark, state, b1, ["k"], "seq", n_buckets=4)
+    b2 = spark.createDataFrame([(3, "c", 1)], "k int, v string, seq int")
+    with pytest.raises(ValueError, match="bucketed by keys"):
+        merge_into_state(spark, state, b2, ["v"], "seq")
+    with pytest.raises(ValueError, match="bucketed by keys"):
+        rebucket_state(spark, state, ["v"], 8)
+    # the right keys still work
+    merge_into_state(spark, state, b2, ["k"], "seq")
+    assert {r["k"] for r in read_state(spark, state).collect()} == {1, 2, 3}
