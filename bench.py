@@ -54,6 +54,9 @@ HEADLINE = [
     "sketch_countmin_estimates",
     "dedup_segments_exact",
     "search_bm25_topk",
+    # register-sized sketch agg and iterative join-agg plan families
+    "sketch_hll_distinct",
+    "graph_pagerank_fixedpoint",
 ]
 
 

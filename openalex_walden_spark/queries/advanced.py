@@ -570,3 +570,85 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.greatest(F.col("w"), F.lit(1)),
     ).otherwise(F.least(F.col("h"), cap)).cast("long")
     return decoded.select("doc_id", "w", "h", out_w.alias("out_w"), out_h.alias("out_h"))
+
+
+# --------------------------------------------------------------------------
+# SemDeDup-style semantic prune: one representative per ε-ball per cell
+# --------------------------------------------------------------------------
+_SEMDEDUP_TAU = 0.99
+
+_SEMDEDUP_SQL = f"""
+WITH dominated AS (
+  SELECT DISTINCT a.vec_id
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND b.vec_id < a.vec_id
+  WHERE {_DOT.format(a='a.embedding', b='b.embedding')}
+          / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='b.embedding')})
+        >= {_SEMDEDUP_TAU}
+)
+SELECT e.label, COUNT(*) AS n_vectors,
+       COUNT(*) FILTER (WHERE d.vec_id IS NULL) AS n_kept,
+       COUNT(d.vec_id) AS n_pruned
+FROM embeddings e LEFT JOIN dominated d ON e.vec_id = d.vec_id
+GROUP BY e.label
+"""
+
+
+@register(
+    "semdedup_prune",
+    oracle=_SEMDEDUP_SQL,
+    tags=("llmdata", "dedup", "ann", "semdedup"),
+    tables=("embeddings",),
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): within
+    each cluster cell (the label column — in production the k-means
+    assignment ann_ivf_topk's centroid stage produces), a vector is
+    pruned when a LOWER-id vector in the same cell sits within the
+    cosine ε-ball (τ=0.99).  Greedy lowest-id-wins is deterministic and
+    needs no transitive closure — exactly the published algorithm's
+    "keep one representative per duplicate ball".
+
+    Scale shape: candidate pairs exist only WITHIN a cell (equi-join on
+    label), never across the corpus; the per-cell quadratic term is
+    bounded by cell size, which the clustering stage controls.  Output
+    is the per-cell keep/prune census a curation loop monitors.
+    """
+    e = spark.table("embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding"), F.col("b.embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    cos = dot / (norm("a.embedding") * norm("b.embedding"))
+    dominated = (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("b.vec_id") < F.col("a.vec_id")))
+        .where(cos >= _SEMDEDUP_TAU)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dom", F.lit(True))
+    )
+    return (
+        e.join(dominated, "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.count(F.when(F.col("is_dom").isNull(), 1)).alias("n_kept"),
+            F.count("is_dom").alias("n_pruned"),
+        )
+    )

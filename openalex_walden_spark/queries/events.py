@@ -500,3 +500,62 @@ def ev_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "f.t1", "f.t2", "f.t3")
         .withColumn("steps", steps.cast("int"))
     )
+
+
+# --------------------------------------------------------------------------
+# Native session_window aggregation (the Structured-Streaming session op)
+# --------------------------------------------------------------------------
+_SESSWIN_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, {_TSUS_DUCK} AS ts_us,
+         CASE WHEN lag({_TSUS_DUCK}) OVER w IS NULL
+                OR {_TSUS_DUCK} - lag({_TSUS_DUCK}) OVER w > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY {_TSUS_DUCK}, event_id)
+),
+islands AS (
+  SELECT user_id, ts_us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) + {_SESSION_GAP_US} AS session_end_us,
+       COUNT(*) AS n_events
+FROM islands
+GROUP BY user_id, island
+"""
+
+
+@register(
+    "ev_session_window",
+    oracle=_SESSWIN_SQL,
+    tags=("events", "session", "streaming-shape"),
+    tables=("events",),
+)
+def ev_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE ``session_window()`` operator (30-min gap), the
+    streaming-capable session shape: ``groupBy(user, session_window(ts))``
+    runs unchanged under ``readStream`` with a watermark, where the
+    state store merges windows incrementally.  ``ev_sessionize`` is the
+    two-window batch analogue; this entry pins the built-in operator's
+    semantics against the same gap-island oracle — Spark defines
+    session end as last-event-time + gap, which the oracle reproduces
+    as ``MAX(ts_us) + gap``.
+
+    One shuffle on user_id; the session merge happens inside the
+    aggregation operator (no second window pass).
+    """
+    e = spark.table("events")  # loader normalizes ts to TIMESTAMP (UTC)
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )

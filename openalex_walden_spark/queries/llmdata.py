@@ -1820,3 +1820,112 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("q_id", "neighbor_id", "score", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Mixture rebalancing: hash-sample each source down to an equal token share
+# --------------------------------------------------------------------------
+_MIX_SCALE = 1_000_000
+
+_MIXTURE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT
+           AS n_tokens
+  FROM documents
+),
+per_source AS (
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens,
+         COUNT(*) AS n_docs
+  FROM toks GROUP BY source
+),
+totals AS (
+  SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+         COUNT(*) AS n_sources
+  FROM per_source
+),
+rates AS (
+  SELECT p.source, p.src_tokens, p.n_docs,
+         LEAST({_MIX_SCALE}::BIGINT,
+               ({_MIX_SCALE} * t.total_tokens) // (t.n_sources * p.src_tokens))
+           AS keep_threshold
+  FROM per_source p CROSS JOIN totals t
+),
+sampled AS (
+  SELECT k.source, k.n_tokens
+  FROM toks k JOIN rates r ON k.source = r.source
+  WHERE {_H_DUCK.format(x="'mix:' || k.doc_id::VARCHAR")} % {_MIX_SCALE}
+        < r.keep_threshold
+)
+SELECT r.source, r.n_docs AS n_docs_before, r.src_tokens AS tokens_before,
+       CAST(r.keep_threshold AS BIGINT) AS keep_threshold,
+       COUNT(s.n_tokens) AS n_docs_after,
+       CAST(COALESCE(SUM(s.n_tokens), 0) AS BIGINT) AS tokens_after
+FROM rates r LEFT JOIN sampled s ON r.source = s.source
+GROUP BY r.source, r.n_docs, r.src_tokens, r.keep_threshold
+"""
+
+
+@register(
+    "mixture_rebalance_sample",
+    oracle=_MIXTURE_SQL,
+    tags=("llmdata", "sampling", "mixture"),
+    tables=("documents",),
+)
+def mixture_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing (the DoReMi/Pile-style curation step):
+    compute each source's token mass, derive a per-source acceptance
+    rate that caps every source at an equal share of the total token
+    budget (rate = min(1, fair_share / src_tokens)), then hash-sample
+    deterministically — keep a doc when
+    stable_hash64('mix:'||doc_id) % 1e6 < rate*1e6.  The threshold is
+    computed in exact integer arithmetic so both engines sample the
+    identical doc set; re-running the pipeline reproduces the mixture
+    bit-for-bit (no RNG state anywhere).
+
+    Scale shape: one map-side token count + a source-sized aggregate
+    (tiny), the rate table broadcasts back onto the corpus scan, and
+    the sample is a stateless filter — the 100-TB path never shuffles
+    the documents themselves.
+    """
+    d = spark.table("documents")
+    n_tokens = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    ).cast("bigint")
+    toks = d.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    per_source = toks.groupBy("source").agg(
+        F.sum("n_tokens").alias("src_tokens"), F.count("*").alias("n_docs")
+    )
+    totals = per_source.agg(
+        F.sum("src_tokens").alias("total_tokens"), F.count("*").alias("n_sources")
+    )
+    rates = per_source.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "src_tokens",
+        "n_docs",
+        F.least(
+            F.lit(_MIX_SCALE).cast("bigint"),
+            F.expr(f"({_MIX_SCALE} * total_tokens) div (n_sources * src_tokens)"),
+        ).alias("keep_threshold"),
+    )
+    h = F.expr(_H_SPARK.format(x="concat('mix:', cast(doc_id as string))"))
+    sampled = toks.join(F.broadcast(rates.select("source", "keep_threshold")), "source").where(
+        (h % _MIX_SCALE) < F.col("keep_threshold")
+    )
+    return (
+        F.broadcast(rates)
+        .join(sampled.select("source", "n_tokens"), "source", "left")
+        .groupBy("source", "n_docs", "src_tokens", "keep_threshold")
+        .agg(
+            F.count("n_tokens").alias("n_docs_after"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("bigint").alias("tokens_after"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").alias("n_docs_before"),
+            F.col("src_tokens").alias("tokens_before"),
+            F.col("keep_threshold").cast("bigint").alias("keep_threshold"),
+            "n_docs_after",
+            "tokens_after",
+        )
+    )
