@@ -1912,20 +1912,18 @@ def mixture_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = toks.join(F.broadcast(rates.select("source", "keep_threshold")), "source").where(
         (h % _MIX_SCALE) < F.col("keep_threshold")
     )
-    return (
-        F.broadcast(rates)
-        .join(sampled.select("source", "n_tokens"), "source", "left")
-        .groupBy("source", "n_docs", "src_tokens", "keep_threshold")
-        .agg(
-            F.count("n_tokens").alias("n_docs_after"),
-            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("bigint").alias("tokens_after"),
-        )
-        .select(
-            "source",
-            F.col("n_docs").alias("n_docs_before"),
-            F.col("src_tokens").alias("tokens_before"),
-            F.col("keep_threshold").cast("bigint").alias("keep_threshold"),
-            "n_docs_after",
-            "tokens_after",
-        )
+    # Aggregate the sampled side to source grain FIRST, then join the two
+    # source-sized tables: a left join could not broadcast its preserved
+    # side, so joining pre-aggregation would sort-merge the full corpus.
+    sampled_agg = sampled.groupBy("source").agg(
+        F.count("*").alias("n_docs_after"),
+        F.sum("n_tokens").alias("tokens_after"),
+    )
+    return rates.join(F.broadcast(sampled_agg), "source", "left").select(
+        "source",
+        F.col("n_docs").alias("n_docs_before"),
+        F.col("src_tokens").alias("tokens_before"),
+        F.col("keep_threshold").cast("bigint").alias("keep_threshold"),
+        F.coalesce("n_docs_after", F.lit(0)).alias("n_docs_after"),
+        F.coalesce("tokens_after", F.lit(0)).cast("bigint").alias("tokens_after"),
     )

@@ -332,3 +332,49 @@ def test_catalog_no_cartesian_products(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, f"cartesian products in: {offenders}"
+
+
+def test_hll_shuffles_registers_not_keys(spark, sf_dir):
+    """The HLL build's only exchanges are the (group, register) partial
+    agg and the final group agg — the raw key stream never shuffles, and
+    both aggregates combine map-side."""
+    plan = _plan(spark, sf_dir, "sketch_hll_distinct")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "partial_" in plan
+    assert "Join" not in plan
+
+
+def test_bloom_probe_joins_all_broadcast(spark, sf_dir):
+    """The word table (256 rows) and truth markers broadcast onto the
+    probe; a shuffled join anywhere here would defeat the point of a
+    bloom-filter prune."""
+    plan = _plan(spark, sf_dir, "sketch_bloom_probe")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_mixture_rebalance_never_shuffles_corpus_rows(spark, sf_dir):
+    """Rates broadcast onto the corpus scan and the sampled side
+    aggregates to source grain BEFORE the reporting join — no
+    sort-merge join of document rows anywhere."""
+    plan = _plan(spark, sf_dir, "mixture_rebalance_sample")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_session_window_single_exchange(spark, sf_dir):
+    """Native session_window sessionizes inside one user_id exchange —
+    the merge happens in the aggregation operator, not a second
+    window pass."""
+    plan = _plan(spark, sf_dir, "ev_session_window")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pagerank_supersteps_stay_equi_join(spark, sf_dir):
+    """Every unrolled superstep is an equi-join + keyed aggregate;
+    no cartesian anywhere, and the contribution aggregate combines
+    map-side (partial_sum) before the dst exchange."""
+    plan = _plan(spark, sf_dir, "graph_pagerank_fixedpoint")
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan

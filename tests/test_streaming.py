@@ -506,3 +506,36 @@ def test_merge_rejects_mismatched_bucket_keys(spark, tmp_path):
     # the right keys still work
     merge_into_state(spark, state, b2, ["k"], "seq")
     assert {r["k"] for r in read_state(spark, state).collect()} == {1, 2, 3}
+
+
+def test_stream_dedup_within_watermark_drops_redeliveries(spark, events, tmp_path):
+    """Bounded-state streaming dedup: an at-least-once source redelivers
+    every file; dropDuplicatesWithinWatermark must emit each event_id
+    exactly once while keeping only watermark-bounded state (the
+    unbounded-state dropDuplicates would also pass this assertion but
+    could never be shipped on an infinite stream)."""
+    from openalex_walden_spark.streaming.dedup import dedup_within_watermark
+    from openalex_walden_spark.streaming.scd1 import file_stream
+
+    src_dir = str(tmp_path / "incoming")
+    ev = events.select("event_id", "ts", "user_id", "event_type").limit(500)
+    # Two identical deliveries of the same records (same batch window).
+    ev.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    ev.coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = file_stream(spark, src_dir, ev.schema, fmt="parquet")
+    deduped = dedup_within_watermark(
+        stream, keys=["event_id"], event_time_col="ts", delay="1 hour"
+    )
+    out_dir = str(tmp_path / "out")
+    (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = spark.read.parquet(out_dir)
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
