@@ -559,3 +559,186 @@ def ev_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 validity-interval history (the warehouse companion to St2's SCD1)
+# --------------------------------------------------------------------------
+_SCD2_SQL = f"""
+WITH deduped AS (
+  SELECT user_id, {_TSUS_DUCK} AS ts_us, event_type
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, {_TSUS_DUCK}
+                                 ORDER BY event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
+changes AS (
+  SELECT user_id, ts_us, event_type
+  FROM (
+    SELECT user_id, ts_us, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev
+    FROM deduped
+  ) WHERE prev IS NULL OR event_type <> prev
+)
+SELECT user_id, event_type, ts_us AS valid_from_us,
+       lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS valid_to_us,
+       lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+         AS is_current
+FROM changes
+"""
+
+
+@register(
+    "ev_scd2_history",
+    oracle=_SCD2_SQL,
+    tags=("events", "scd2", "window"),
+    tables=("events",),
+)
+def ev_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build: turn each user's event stream into
+    validity-interval rows — a new row opens only when the tracked
+    attribute CHANGES (consecutive equal values coalesce into one
+    interval), `valid_to_us` chains to the next change, and the open
+    interval is flagged current.  This is the type-2 companion to the
+    engine's SCD1 plane (St2/J9): same keyed-latest discipline, but
+    history-preserving.
+
+    Same-timestamp ties resolve deterministically (max event_id) BEFORE
+    the change scan — expressed as a lag-based first-of-ts-group filter
+    under the SAME (user_id)-partitioned ordering as the change windows,
+    so all passes (tie dedup, lag change-flag, lead chain) share one
+    partitioning and Catalyst plans a single Exchange (plan-pinned).
+    """
+    tie_w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").desc()
+    )
+    # Ordered (ts asc, event_id desc), the first row of each ts group is
+    # the max-event_id tie winner.
+    deduped = (
+        spark.table("events")
+        .select(
+            "user_id",
+            "ts_us",
+            "event_type",
+            F.lag("ts_us").over(tie_w).alias("prev_ts"),
+        )
+        .where(F.col("prev_ts").isNull() | (F.col("prev_ts") != F.col("ts_us")))
+        .drop("prev_ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    changes = (
+        deduped.withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNull() | (F.col("event_type") != F.col("prev")))
+        .drop("prev")
+    )
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w).alias("valid_to_us"),
+        F.lead("ts_us").over(w).isNull().alias("is_current"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental aggregate maintenance from the S4 change feed (IVM)
+# --------------------------------------------------------------------------
+# The oracle recomputes the aggregate directly from the NEW table
+# version; the Spark side maintains it incrementally (old aggregate +
+# retract/add deltas from the change feed).  Hash-equality between the
+# two IS the incremental-view-maintenance identity, checked by the
+# driver on every run.
+_IVM_SQL = """
+WITH v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 100 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         o_totalprice
+  FROM orders
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM v2
+GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "s4_incremental_agg_maintenance",
+    oracle=_IVM_SQL,
+    tags=("events", "S4", "ivm", "agg"),
+    tables=("orders",),
+)
+def s4_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: keep a per-status (count, revenue)
+    aggregate current by folding the S4 change feed into the OLD
+    aggregate instead of rescanning the new table version.  Inserts add
+    (+1, +price); deletes retract (-1, -price); updates emit BOTH a
+    preimage retraction and a postimage addition — which handles
+    group-key migration (an update that changes o_orderstatus moves
+    mass between groups).  The oracle recomputes from the new version
+    directly, so the driver's hash check proves the IVM identity
+    old ⊕ Δ == recompute on every run.
+
+    Scale shape: the base aggregate is group-sized, the delta stream is
+    change-sized (≪ table-sized at steady state), and money folds at
+    DECIMAL(18,2) so addition is exact and order-independent.  This is
+    the batch form of what streaming `foreachBatch` maintenance does
+    with the St3 changelog.
+    """
+    o = spark.table("orders")
+    v1 = o.where(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v2 = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 100 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    dec = 'cast(o_totalprice as decimal(18,2))'
+    base = v1.groupBy("o_orderstatus").agg(
+        F.count("*").alias("dcnt"), F.expr(f"sum({dec})").alias("damt")
+    )
+
+    a, b = v1.alias("a"), v2.alias("b")
+    joined = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    pre = F.struct(
+        F.col("a.o_orderstatus").alias("o_orderstatus"),
+        F.lit(-1).cast("bigint").alias("dcnt"),
+        F.expr("-cast(a.o_totalprice as decimal(18,2))").alias("damt"),
+    )
+    post = F.struct(
+        F.col("b.o_orderstatus").alias("o_orderstatus"),
+        F.lit(1).cast("bigint").alias("dcnt"),
+        F.expr("cast(b.o_totalprice as decimal(18,2))").alias("damt"),
+    )
+    entries = (
+        F.when(F.col("a.o_orderkey").isNull(), F.array(post))
+        .when(F.col("b.o_orderkey").isNull(), F.array(pre))
+        .otherwise(F.array(pre, post))
+    )
+    changed = (
+        F.col("a.o_orderkey").isNull()
+        | F.col("b.o_orderkey").isNull()
+        | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+        | (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+    )
+    deltas = (
+        joined.where(changed)
+        .select(F.explode(entries).alias("e"))
+        .select("e.o_orderstatus", "e.dcnt", "e.damt")
+    )
+    return (
+        base.unionByName(deltas)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("dcnt").alias("n_orders"), F.sum("damt").alias("amt"))
+        .where(F.col("n_orders") > 0)
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            F.col("amt").cast("double").alias("total_price"),
+        )
+    )

@@ -285,3 +285,28 @@ def test_events_loader_handles_both_ts_physical_types(spark, tmp_path):
     rows_a = {r["event_id"]: r["ts_us"] for r in a.collect()}
     rows_b = {r["event_id"]: r["ts_us"] for r in b.collect()}
     assert rows_a == rows_b == {i: micros[i] for i in range(10)}
+
+
+def test_hive_partition_pruning(spark, sf_dir, tmp_path):
+    """Directory-partitioned layout + a partition-key predicate →
+    Catalyst prunes at the PartitionFilters level: non-matching
+    directories are never listed into the scan (file skipping before
+    row skipping — the first line of defense at 100 TB)."""
+    from openalex_walden_spark.tables import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    out = str(tmp_path / "by_priority")
+    spark.table("orders").write.partitionBy("o_orderpriority").mode(
+        "overwrite"
+    ).parquet(out)
+
+    df = spark.read.parquet(out).where(F.col("o_orderpriority") == "1-URGENT")
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "PartitionFilters" in plan
+    assert "o_orderpriority" in plan.split("PartitionFilters")[1][:200]
+    # The scan must touch only the matching partition's files.
+    touched = {
+        r[0]
+        for r in df.select(F.input_file_name()).distinct().collect()
+    }
+    assert touched and all("o_orderpriority=1-URGENT" in f for f in touched)

@@ -378,3 +378,20 @@ def test_pagerank_supersteps_stay_equi_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "graph_pagerank_fixedpoint")
     assert "CartesianProduct" not in plan
     assert "partial_sum" in plan
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """Tie dedup, change-flag lag and validity lead all reuse ONE
+    user_id partitioning — a second exchange would mean the windows
+    disagree on partitioning keys."""
+    plan = _plan(spark, sf_dir, "ev_scd2_history")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ivm_delta_fold_no_cartesian(spark, sf_dir):
+    """The IVM maintenance path: version diff is a keyed full-outer
+    join (shuffle on the key, no cartesian), and both the base and
+    final aggregates combine map-side."""
+    plan = _plan(spark, sf_dir, "s4_incremental_agg_maintenance")
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
