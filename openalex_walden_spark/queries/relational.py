@@ -480,3 +480,80 @@ def agg_sorted_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_customers"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Pivot (wide crosstab) and unpivot/melt (tall) — the reshape surface
+# --------------------------------------------------------------------------
+_PIVOT_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "agg_pivot_status",
+    oracle=_PIVOT_SQL,
+    tags=("agg", "pivot", "reshape"),
+    tables=("orders",),
+)
+def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`groupBy().pivot()` crosstab: order counts per priority, one
+    column per status.  The pivot VALUES are pinned explicitly — with
+    an explicit list Catalyst plans a single pass (conditional counts,
+    no distinct-values pre-query, stable column order); an open-ended
+    pivot would first run a distinct scan to discover columns, which at
+    100 TB is both a second pass and a schema nondeterminism hazard.
+    """
+    return (
+        spark.table("orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+_UNPIVOT_SQL = """
+SELECT o_orderkey, 'o_custkey' AS metric, o_custkey AS val FROM orders
+WHERE o_orderkey % 50 = 0
+UNION ALL
+SELECT o_orderkey, 'o_year' AS metric,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+FROM orders WHERE o_orderkey % 50 = 0
+"""
+
+
+@register(
+    "f_unpivot_melt",
+    oracle=_UNPIVOT_SQL,
+    tags=("reshape", "unpivot"),
+    tables=("orders",),
+)
+def f_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`DataFrame.unpivot` (melt): wide metric columns → tall
+    (id, metric, value) rows — the inverse reshape of pivot and the
+    exact shape the a8 tall-metrics snapshot consumes.  Map-side only:
+    unpivot is a Generate (no shuffle, no UNION rescan of the input —
+    the hand-written UNION ALL oracle scans the table twice; the
+    operator scans once).
+    """
+    return (
+        spark.table("orders")
+        .where(F.col("o_orderkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .unpivot(
+            ids=["o_orderkey"],
+            values=["o_custkey", "o_year"],
+            variableColumnName="metric",
+            valueColumnName="val",
+        )
+    )

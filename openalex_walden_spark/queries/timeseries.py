@@ -346,3 +346,83 @@ def j15_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_id", "user_id", "ts_us")
         .agg(F.count("err_id").cast("bigint").alias("n_error_windows"))
     )
+
+
+# --------------------------------------------------------------------------
+# Gap-fill + LOCF forward fill (the timeseries "time_bucket_gapfill" shape)
+# --------------------------------------------------------------------------
+_GAPFILL_SQL = f"""
+WITH actual AS (
+  SELECT event_type, {_TSUS_DUCK} // {_US_PER_HOUR} AS bucket,
+         MAX(value) AS v, COUNT(*) AS n
+  FROM events GROUP BY event_type, {_TSUS_DUCK} // {_US_PER_HOUR}
+),
+bounds AS (
+  SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi FROM actual
+  GROUP BY event_type
+),
+grid AS (
+  SELECT b.event_type, g.bucket
+  FROM bounds b, UNNEST(generate_series(b.lo, b.hi)) AS g(bucket)
+)
+SELECT g.event_type,
+       g.bucket * {_US_PER_HOUR} AS bucket_us,
+       last_value(a.v IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.bucket
+         ROWS UNBOUNDED PRECEDING) AS v_filled,
+       a.bucket IS NULL AS is_gap,
+       COALESCE(a.n, 0) AS n_events
+FROM grid g LEFT JOIN actual a
+  ON a.event_type = g.event_type AND a.bucket = g.bucket
+"""
+
+
+@register(
+    "ev_gapfill_locf",
+    oracle=_GAPFILL_SQL,
+    tags=("events", "timeseries", "gapfill"),
+    tables=("events",),
+)
+def ev_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series with LOCF (last-observation-carried-
+    forward): densify each event_type's hour range (sequence + explode
+    builds the grid — no driver loop), left-join the actual buckets,
+    and forward-fill misses with ``last(v, ignoreNulls)`` — the
+    TimescaleDB ``time_bucket_gapfill + locf`` shape Spark has no
+    primitive for.  The carried metric is MAX(value): order-independent,
+    so both engines agree bit-for-bit (an avg of doubles would not).
+
+    Scale shape: the actual-bucket aggregate is (types x hours)-sized —
+    time-bounded, tiny next to the raw stream; the grid explodes from a
+    types-sized bounds table; the fill is one window over the grid.
+    """
+    e = spark.table("events")
+    actual = (
+        e.groupBy(
+            "event_type",
+            F.expr(f"ts_us div {_US_PER_HOUR}").alias("bucket"),
+        )
+        .agg(F.max("value").alias("v"), F.count("*").alias("n"))
+    )
+    bounds = actual.groupBy("event_type").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(lo, hi)")).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(actual, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            (F.col("bucket") * _US_PER_HOUR).alias("bucket_us"),
+            F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+            F.col("n").isNull().alias("is_gap"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+    )
