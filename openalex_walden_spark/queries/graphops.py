@@ -113,3 +113,132 @@ def graph_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return scores.select("node", F.col("score").alias("pagerank_fp"))
+
+
+# --------------------------------------------------------------------------
+# Triangle counting + global clustering coefficient
+# --------------------------------------------------------------------------
+_TRI_NODES = 1024
+_TRI_SCALE = 1_000_000  # fixed-point 1.0 for the clustering coefficient
+
+_TRI_SQL = f"""
+WITH und AS (
+  SELECT DISTINCT LEAST(l_orderkey % {_TRI_NODES}, l_partkey % {_TRI_NODES}) AS u,
+         GREATEST(l_orderkey % {_TRI_NODES}, l_partkey % {_TRI_NODES}) AS v
+  FROM lineitem
+  WHERE l_orderkey % {_TRI_NODES} <> l_partkey % {_TRI_NODES}
+),
+deg AS (
+  SELECT node, COUNT(*)::BIGINT AS d FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und
+  ) GROUP BY node
+),
+-- total order: degree-major, id-minor, encoded as one BIGINT key
+okey AS (SELECT node, d * {_TRI_NODES * 2} + node AS k FROM deg),
+oriented AS (
+  SELECT CASE WHEN ku.k < kv.k THEN e.u ELSE e.v END AS src,
+         CASE WHEN ku.k < kv.k THEN e.v ELSE e.u END AS dst,
+         CASE WHEN ku.k < kv.k THEN kv.k ELSE ku.k END AS dst_k
+  FROM und e JOIN okey ku ON ku.node = e.u JOIN okey kv ON kv.node = e.v
+),
+tri AS (
+  SELECT COUNT(*)::BIGINT AS n_triangles
+  FROM oriented w1
+  JOIN oriented w2 ON w2.src = w1.src AND w1.dst_k < w2.dst_k
+  JOIN oriented e3 ON e3.src = w1.dst AND e3.dst = w2.dst
+),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM deg)::BIGINT AS n_nodes,
+         (SELECT COUNT(*) FROM und)::BIGINT AS n_edges,
+         (SELECT SUM(d * (d - 1) // 2) FROM deg)::BIGINT AS n_wedges
+)
+SELECT s.n_nodes, s.n_edges, s.n_wedges, t.n_triangles,
+       (3 * t.n_triangles * {_TRI_SCALE} // s.n_wedges)::BIGINT AS clustering_fp
+FROM stats s CROSS JOIN tri t
+"""
+
+
+@register(
+    "graph_triangle_count",
+    oracle=_TRI_SQL,
+    tags=("graph", "triangles"),
+    tables=("lineitem",),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient over the same
+    folded order->part edge plane PageRank uses.
+
+    Algorithm (the MapReduce-canonical node-iterator++ / Cohen scheme):
+    orient every undirected edge from its (degree, id)-smaller endpoint
+    to the larger, which makes the edge set a DAG where each node's
+    out-degree is O(sqrt(m)); enumerate wedges by self-joining oriented
+    edges on their source; close each wedge against the oriented edge
+    set.  Every triangle is counted exactly once (its corners are
+    totally ordered by the (degree, id) key), and the orientation bounds
+    the wedge fan-out of high-degree hubs — the property that makes the
+    self-join survive power-law graphs at 100 TB, where an id-only
+    orientation would explode on hub nodes.
+
+    Determinism: counts and a fixed-point clustering coefficient
+    (3*triangles*1e6 // wedges, exact integer division) — no floats.
+
+    Scale shape: one distinct (edge canonicalization), one degree agg,
+    degree joins keyed on node, then the wedge self-join keyed on src —
+    every shuffle is on a join key, no cartesian anywhere.
+    """
+    li = spark.table("lineitem")
+    a = (F.col("l_orderkey") % _TRI_NODES).alias("a")
+    b = (F.col("l_partkey") % _TRI_NODES).alias("b")
+    und = (
+        li.select(a, b)
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    okey = deg.select("node", (F.col("d") * (_TRI_NODES * 2) + F.col("node")).alias("k"))
+    oriented = (
+        und.join(okey.select(F.col("node").alias("u"), F.col("k").alias("ku")), "u")
+        .join(okey.select(F.col("node").alias("v"), F.col("k").alias("kv")), "v")
+        .select(
+            F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.greatest("ku", "kv").alias("dst_k"),
+        )
+    )
+    w1 = oriented.select(
+        F.col("src").alias("wsrc"), F.col("dst").alias("b1"), F.col("dst_k").alias("k1")
+    )
+    w2 = oriented.select(
+        F.col("src").alias("wsrc"), F.col("dst").alias("b2"), F.col("dst_k").alias("k2")
+    )
+    closer = oriented.select(F.col("src").alias("b1"), F.col("dst").alias("b2"))
+    tri = (
+        w1.join(w2, "wsrc")
+        .where(F.col("k1") < F.col("k2"))
+        .join(closer, ["b1", "b2"], "left_semi")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    stats = (
+        deg.agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges"),
+        )
+        .crossJoin(F.broadcast(und.agg(F.count("*").cast("bigint").alias("n_edges"))))
+    )
+    return stats.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.expr(f"3 * n_triangles * {_TRI_SCALE} div n_wedges")
+        .cast("bigint")
+        .alias("clustering_fp"),
+    )

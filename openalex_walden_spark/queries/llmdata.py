@@ -1927,3 +1927,214 @@ def mixture_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_docs_after", F.lit(0)).alias("n_docs_after"),
         F.coalesce("tokens_after", F.lit(0)).cast("bigint").alias("tokens_after"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: concat-and-chunk documents into fixed token-budget bins
+# --------------------------------------------------------------------------
+_PACK_B = 256  # tokens per packed training sequence
+_PACK_BUCKET = 64  # doc_ids per offset bucket (scale knob, not semantics)
+
+_PACK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))::BIGINT AS n
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, n,
+         COALESCE(SUM(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS s
+  FROM toks WHERE n > 0
+),
+frag AS (
+  SELECT doc_id, n, s, s + n AS e,
+         UNNEST(generate_series(s // {_PACK_B}, (s + n - 1) // {_PACK_B})) AS bin_id
+  FROM pos
+)
+SELECT bin_id, doc_id,
+       (LEAST(e, (bin_id + 1) * {_PACK_B})
+          - GREATEST(s, bin_id * {_PACK_B}))::BIGINT AS frag_tokens,
+       ((e - 1) // {_PACK_B} > s // {_PACK_B}) AS is_split
+FROM frag
+"""
+
+
+@register(
+    "pack_sequences_chunked",
+    oracle=_PACK_SQL,
+    tags=("llmdata", "packing"),
+    tables=("documents",),
+)
+def pack_sequences_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, concat-and-chunk flavor (the T5/GPT pretraining
+    batcher): lay all documents end-to-end in doc_id order and slice the
+    token stream into fixed {B}-token bins; a document crossing a bin
+    boundary is split, emitting one fragment row per bin it touches.
+    Output: (bin_id, doc_id, frag_tokens, is_split) — the packing
+    manifest a loader needs to assemble training sequences.
+
+    The global token offset is the crux: a naive
+    ``SUM() OVER (ORDER BY doc_id)`` funnels the whole corpus through
+    one task.  Here it is two-pass (the same scheme as the id minter,
+    operators/identity.py): docs bucket by ``doc_id div {K}``, bucket
+    token sums aggregate map-side to a bucket-count-sized table, an
+    exclusive running total over THAT table (bucket-sized, trivially one
+    task) broadcasts back, and each doc's offset = bucket offset +
+    in-bucket exclusive cumsum (window partitioned by bucket).  Output
+    is byte-identical to the naive global window at any partitioning.
+    Fragments then come from sequence()+explode — map-side, no driver
+    loop, no shuffle after the one window exchange.
+    """
+    d = spark.table("documents")
+    n = F.size(
+        F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    ).cast("bigint")
+    toks = (
+        d.select("doc_id", n.alias("n"))
+        .where(F.col("n") > 0)
+        .withColumn("bk", F.expr(f"doc_id div {_PACK_BUCKET}"))
+    )
+    bsum = toks.groupBy("bk").agg(F.sum("n").alias("btok"))
+    wb = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bsum.select(
+        "bk", F.coalesce(F.sum("btok").over(wb), F.lit(0)).cast("bigint").alias("boff")
+    )
+    wd = (
+        Window.partitionBy("bk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = (
+        toks.join(F.broadcast(boff), "bk")
+        .withColumn(
+            "s",
+            (F.coalesce(F.sum("n").over(wd), F.lit(0)) + F.col("boff")).cast("bigint"),
+        )
+        .withColumn("e", F.col("s") + F.col("n"))
+    )
+    return placed.select(
+        F.explode(
+            F.expr(f"sequence(s div {_PACK_B}, (e - 1) div {_PACK_B})")
+        ).alias("bin_id"),
+        "doc_id",
+        "s",
+        "e",
+    ).select(
+        "bin_id",
+        "doc_id",
+        (
+            F.least(F.col("e"), (F.col("bin_id") + 1) * _PACK_B)
+            - F.greatest(F.col("s"), F.col("bin_id") * _PACK_B)
+        ).cast("bigint").alias("frag_tokens"),
+        F.expr(f"(e - 1) div {_PACK_B} > s div {_PACK_B}").alias("is_split"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Importance-weighted resampling toward a target domain (DSIR-style)
+# --------------------------------------------------------------------------
+_DSIR_V = 512  # hashed feature vocabulary
+_DSIR_S = 1_000_000  # fixed-point 1.0 for per-feature ratios
+_DSIR_S2 = 1_000  # fixed-point 1.0 for the totals-ratio factor
+
+_DSIR_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         UNNEST(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS t
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, lang, {_H_DUCK.format(x="t")} % {_DSIR_V} AS f FROM tok
+),
+counts AS (
+  SELECT f, COUNT(*)::BIGINT AS raw_cnt,
+         (COUNT(*) FILTER (WHERE lang = 'en'))::BIGINT AS tgt_cnt
+  FROM feat GROUP BY f
+),
+tot AS (
+  SELECT SUM(raw_cnt)::BIGINT AS raw_tot, SUM(tgt_cnt)::BIGINT AS tgt_tot
+  FROM counts
+),
+wt AS (
+  SELECT c.f,
+         (({_DSIR_S} * (c.tgt_cnt + 1)) // (c.raw_cnt + 1))
+           * (({_DSIR_S2} * (t.raw_tot + {_DSIR_V})) // (t.tgt_tot + {_DSIR_V}))
+           // {_DSIR_S2} AS w
+  FROM counts c CROSS JOIN tot t
+),
+scored AS (
+  SELECT fe.doc_id, (SUM(w.w) // COUNT(*))::BIGINT AS score_fp
+  FROM feat fe JOIN wt w ON w.f = fe.f
+  GROUP BY fe.doc_id
+)
+SELECT d.doc_id, d.lang, s.score_fp
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+WHERE {_H_DUCK.format(x="'dsir:' || d.doc_id::VARCHAR")} % {_DSIR_S}
+      < LEAST({_DSIR_S}, s.score_fp)
+"""
+
+
+@register(
+    "sample_importance_weighted",
+    oracle=_DSIR_SQL,
+    tags=("llmdata", "sampling", "dsir"),
+    tables=("documents",),
+)
+def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023),
+    integer-arithmetic variant: score every document by how target-like
+    its hashed-unigram distribution is (target = the ``lang='en'``
+    slice), then keep it with probability proportional to that score via
+    a deterministic hash draw — no RNG state, rerunning reproduces the
+    selected set bit-for-bit.
+
+    Per-feature weight = smoothed likelihood ratio
+    p_target(f)/p_corpus(f) in two bounded fixed-point factors (each
+    capped near 1e6/1e3, so the product stays far from BIGINT overflow
+    at any corpus size); doc score = mean feature weight; accept when
+    ``hash('dsir:'||doc_id) % 1e6 < min(1e6, score)``.  Truncating
+    integer division is mirrored exactly in the oracle.
+
+    Scale shape: one token explode feeding a {V}-row feature-count
+    aggregate (map-side partials do the heavy lifting), the weight
+    table broadcasts back onto the exploded scan, per-doc scores are
+    the only real shuffle (keyed on doc_id), and selection is a
+    stateless filter — documents themselves never shuffle.
+    """
+    d = spark.table("documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    feat = d.select(
+        "doc_id", "lang", F.explode(toks).alias("t")
+    ).select(
+        "doc_id",
+        "lang",
+        (F.expr(_H_SPARK.format(x="t")) % _DSIR_V).alias("f"),
+    )
+    counts = feat.groupBy("f").agg(
+        F.count("*").cast("bigint").alias("raw_cnt"),
+        F.count(F.when(F.col("lang") == "en", 1)).cast("bigint").alias("tgt_cnt"),
+    )
+    tot = counts.agg(
+        F.sum("raw_cnt").cast("bigint").alias("raw_tot"),
+        F.sum("tgt_cnt").cast("bigint").alias("tgt_tot"),
+    )
+    wt = counts.crossJoin(F.broadcast(tot)).select(
+        "f",
+        F.expr(
+            f"(({_DSIR_S} * (tgt_cnt + 1)) div (raw_cnt + 1))"
+            f" * (({_DSIR_S2} * (raw_tot + {_DSIR_V})) div (tgt_tot + {_DSIR_V}))"
+            f" div {_DSIR_S2}"
+        ).alias("w"),
+    )
+    scored = (
+        feat.join(F.broadcast(wt), "f")
+        .groupBy("doc_id")
+        .agg(F.expr("sum(w) div count(*)").cast("bigint").alias("score_fp"))
+    )
+    keep_hash = F.expr(_H_SPARK.format(x="concat('dsir:', cast(doc_id as string))"))
+    return (
+        scored.join(d.select("doc_id", "lang"), "doc_id")
+        .where((keep_hash % _DSIR_S) < F.least(F.lit(_DSIR_S), F.col("score_fp")))
+        .select("doc_id", "lang", "score_fp")
+    )

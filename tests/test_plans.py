@@ -395,3 +395,34 @@ def test_ivm_delta_fold_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "s4_incremental_agg_maintenance")
     assert "CartesianProduct" not in plan
     assert "partial_" in plan
+
+
+def test_pack_sequences_no_global_window_over_docs(spark, sf_dir):
+    """The packing offsets come from the two-pass bucketed cumsum: the
+    only SinglePartition exchange feeds the bucket-count-sized running
+    total (then broadcast); document rows themselves are windowed under
+    a hashpartitioning exchange on the bucket key."""
+    plan = _plan(spark, sf_dir, "pack_sequences_chunked")
+    single = [
+        ln for ln in plan.splitlines() if "Exchange SinglePartition" in ln
+    ]
+    assert len(single) == 1  # the tiny bucket table, never the corpus
+    assert "Exchange hashpartitioning(bk" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_triangle_count_no_cartesian_and_partial_agg(spark, sf_dir):
+    """Wedge enumeration and closure are equi-joins on src/(b1,b2);
+    degree counts combine map-side before their node exchange."""
+    plan = _plan(spark, sf_dir, "graph_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+
+
+def test_dsir_weights_broadcast_onto_token_scan(spark, sf_dir):
+    """The 512-row feature-weight table must broadcast back onto the
+    exploded token scan; a sort-merge join there would shuffle every
+    token instance in the corpus twice."""
+    plan = _plan(spark, sf_dir, "sample_importance_weighted")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
