@@ -104,10 +104,31 @@ _EV_RETRY = [
 ]
 
 
+# Round-5 fresh set, pinned explicitly: front (21) + these (29) fill the
+# driver's 50-slot window exactly. Anything added to the catalog later in
+# the round lands AFTER this list (still locally parity-checked; rotates
+# into round 6's window) instead of displacing a never-verified query.
+_R5_WINDOW_FRESH = [
+    "agg_pivot_status", "f_unpivot_melt", "quality_gopher_repetition",
+    "pii_scrub_redact", "search_boolean_retrieval", "dedup_segments_exact",
+    "search_bm25_topk", "ann_sq8_topk", "mixture_rebalance_sample",
+    "pack_sequences_chunked", "sample_importance_weighted", "ev_funnel_steps",
+    "ev_session_window", "ev_scd2_history", "s4_incremental_agg_maintenance",
+    "semdedup_prune", "udf_award_family_battery", "d7_reference_cascade",
+    "d7_dict_fallback", "d6_pattern_cascade", "j14_asof_join",
+    "ev_hypertable_rollup", "sketch_countmin_estimates", "j15_range_join",
+    "ev_gapfill_locf", "sketch_hll_distinct", "sketch_bloom_probe",
+    "graph_pagerank_fixedpoint", "graph_triangle_count",
+]
+
+
 def _driver_order() -> list[str]:
-    """Window composition: never-verified queries first, then anything new
-    this round, then the retired green tail (r4 then r2)."""
-    front = [n for n in _DEFER_NEXT + _EV_RETRY if n in _q.CATALOG]
+    """Window composition: never-verified queries first (deferred + the
+    r4 loader-bug retries + the pinned round-5 fresh set), then anything
+    newer, then the retired green tail (r4 then r2)."""
+    front = [
+        n for n in _DEFER_NEXT + _EV_RETRY + _R5_WINDOW_FRESH if n in _q.CATALOG
+    ]
     back = set(front) | set(_R4_GREEN) | set(_R2_GREEN)
     fresh = [n for n in _q.CATALOG if n not in back]
     tail = [n for n in _R4_GREEN + _R2_GREEN if n in _q.CATALOG]

@@ -57,6 +57,12 @@ HEADLINE = [
     # register-sized sketch agg and iterative join-agg plan families
     "sketch_hll_distinct",
     "graph_pagerank_fixedpoint",
+    # two-pass global-offset packing, degree-oriented wedge join,
+    # broadcast-weight scoring, z-value layout manifest
+    "pack_sequences_chunked",
+    "graph_triangle_count",
+    "sample_importance_weighted",
+    "layout_zorder_stats",
 ]
 
 

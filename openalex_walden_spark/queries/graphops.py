@@ -31,6 +31,9 @@ from pyspark.sql import functions as F
 
 from openalex_walden_spark.queries.registry import register
 
+# 60-bit engine-portable hash (same construction as llmdata._H_SPARK).
+_H_EXPR = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
+
 _PR_NODES = 1024
 _PR_ONE = 1_000_000_000_000  # fixed-point 1.0
 _PR_BASE = 150_000_000_000  # (1 - 0.85) * ONE
@@ -123,10 +126,13 @@ _TRI_SCALE = 1_000_000  # fixed-point 1.0 for the clustering coefficient
 
 _TRI_SQL = f"""
 WITH und AS (
-  SELECT DISTINCT LEAST(l_orderkey % {_TRI_NODES}, l_partkey % {_TRI_NODES}) AS u,
-         GREATEST(l_orderkey % {_TRI_NODES}, l_partkey % {_TRI_NODES}) AS v
-  FROM lineitem
-  WHERE l_orderkey % {_TRI_NODES} <> l_partkey % {_TRI_NODES}
+  SELECT u, v FROM (
+    SELECT DISTINCT LEAST(l_orderkey % {_TRI_NODES}, l_partkey % {_TRI_NODES}) AS u,
+           GREATEST(l_orderkey % {_TRI_NODES}, l_partkey % {_TRI_NODES}) AS v
+    FROM lineitem
+    WHERE l_orderkey % {_TRI_NODES} <> l_partkey % {_TRI_NODES}
+  )
+  WHERE (('0x' || substr(md5(u::VARCHAR || ':' || v::VARCHAR), 1, 15))::BIGINT) % 8 = 0
 ),
 deg AS (
   SELECT node, COUNT(*)::BIGINT AS d FROM (
@@ -189,6 +195,19 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.table("lineitem")
     a = (F.col("l_orderkey") % _TRI_NODES).alias("a")
     b = (F.col("l_partkey") % _TRI_NODES).alias("b")
+    # Hash-sparsify the folded pair space: id-folding makes the fixture
+    # graph converge on a near-complete 1024-clique as SF grows (a
+    # fixture artifact real graphs don't have), and a clique's wedge set
+    # is O(n^3) no matter how the join is written. Keeping a
+    # deterministic 1/8 of CANONICAL PAIRS (not rows) caps density at
+    # every SF while leaving a real triangle population to count.
+    keep = (
+        F.expr(
+            _H_EXPR.format(x="concat(cast(u as string), ':', cast(v as string))")
+        )
+        % 8
+        == 0
+    )
     und = (
         li.select(a, b)
         .where(F.col("a") != F.col("b"))
@@ -196,6 +215,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
         )
         .distinct()
+        .where(keep)
     )
     deg = (
         und.select(F.col("u").alias("node"))
@@ -242,3 +262,107 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("clustering_fp"),
     )
+
+
+# --------------------------------------------------------------------------
+# Label propagation communities (synchronous, deterministic tie-break)
+# --------------------------------------------------------------------------
+_LPA_ROUNDS = 2
+
+
+def _lpa_round_sql(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT n.node, COALESCE(p.lab, n.lab) AS lab
+  FROM {prev} n LEFT JOIN (
+    SELECT node, lab FROM (
+      SELECT e.dst AS node, l.lab, COUNT(*) AS c,
+             row_number() OVER (PARTITION BY e.dst
+                                ORDER BY COUNT(*) DESC, l.lab ASC) AS rn
+      FROM sym e JOIN {prev} l ON l.node = e.src
+      GROUP BY e.dst, l.lab
+    ) WHERE rn = 1
+  ) p ON p.node = n.node
+)"""
+
+
+_LPA_SQL = (
+    f"""
+WITH und AS (
+  SELECT DISTINCT LEAST(l_orderkey % {_TRI_NODES}, l_partkey % {_TRI_NODES}) AS u,
+         GREATEST(l_orderkey % {_TRI_NODES}, l_partkey % {_TRI_NODES}) AS v
+  FROM lineitem
+  WHERE l_orderkey % {_TRI_NODES} <> l_partkey % {_TRI_NODES}
+),
+sym AS (
+  SELECT u AS src, v AS dst FROM und
+  UNION ALL SELECT v, u FROM und
+),
+l0 AS (
+  SELECT node, node AS lab FROM (
+    SELECT DISTINCT u AS node FROM und UNION SELECT DISTINCT v FROM und
+  )
+),"""
+    + ",".join(_lpa_round_sql(f"l{i}", f"l{i + 1}") for i in range(_LPA_ROUNDS))
+    + f"""
+SELECT node, lab AS community FROM l{_LPA_ROUNDS}
+"""
+)
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_LPA_SQL,
+    tags=("graph", "communities", "iterative"),
+    tables=("lineitem",),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation community detection over the folded
+    edge plane, {R} rounds unrolled.  Each node adopts its neighbors'
+    most frequent label; ties break to the SMALLEST label, which (with
+    synchronous updates) makes the whole algorithm deterministic — the
+    async/random-order LPA of the original paper is irreproducible by
+    construction and therefore un-oracle-able.
+
+    Scale shape per round: edges⋈labels equi-join on src (one shuffle),
+    a (dst, label) count aggregate with map-side partials, and a
+    row_number top-1 inside the dst partitioning — the same two-exchange
+    superstep cost as PageRank; no cartesian anywhere, hub fan-in is
+    bounded by the count aggregate happening BEFORE the rank.
+    """
+    li = spark.table("lineitem")
+    a = (F.col("l_orderkey") % _TRI_NODES).alias("a")
+    b = (F.col("l_partkey") % _TRI_NODES).alias("b")
+    und = (
+        li.select(a, b)
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+    sym = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("lab"))
+    )
+    from pyspark.sql.window import Window
+
+    for _ in range(_LPA_ROUNDS):
+        counted = (
+            sym.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst", "lab")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("dst").orderBy(F.col("c").desc(), F.col("lab").asc())
+        picked = (
+            counted.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("dst").alias("node"), F.col("lab").alias("newlab"))
+        )
+        labels = labels.join(picked, "node", "left").select(
+            "node", F.coalesce("newlab", "lab").alias("lab")
+        )
+    return labels.select("node", F.col("lab").alias("community"))

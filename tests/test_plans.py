@@ -426,3 +426,20 @@ def test_dsir_weights_broadcast_onto_token_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sample_importance_weighted")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_zorder_manifest_single_shuffle_with_partials(spark, sf_dir):
+    """The z-value is pure map-side arithmetic; the manifest aggregate
+    combines map-side (partial_min/max/count) before its one bucket
+    exchange."""
+    plan = _plan(spark, sf_dir, "layout_zorder_stats")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan and "partial_min" in plan
+
+
+def test_label_propagation_supersteps_stay_equi_join(spark, sf_dir):
+    """Each LPA round: edges⋈labels equi-join, (dst,label) partial-agg,
+    top-1 inside the dst partitioning — no cartesian anywhere."""
+    plan = _plan(spark, sf_dir, "graph_label_propagation")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
