@@ -652,3 +652,143 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("is_dom").alias("n_pruned"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# k-means Lloyd step, exact fixed-point arithmetic (IVF training step)
+# --------------------------------------------------------------------------
+_KM_K = 8
+_KM_Q = 65536  # 2^16 quantization scale — power of two, so x*Q is exact
+
+_KMEANS_SQL = f"""
+WITH pts AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x::DOUBLE * {_KM_Q})::BIGINT + {_KM_Q}) AS qx
+  FROM embeddings
+),
+seeds AS (
+  SELECT vec_id AS cluster, qx AS qc FROM pts WHERE vec_id < {_KM_K}
+),
+assigned AS (
+  SELECT vec_id, cluster, qx, d2 FROM (
+    SELECT p.vec_id, s.cluster, p.qx,
+           list_sum(list_transform(range(1, len(p.qx) + 1),
+             i -> (p.qx[i] - s.qc[i]) * (p.qx[i] - s.qc[i])))::BIGINT AS d2,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY list_sum(list_transform(range(1, len(p.qx) + 1),
+                                i -> (p.qx[i] - s.qc[i]) * (p.qx[i] - s.qc[i]))) ASC,
+                              s.cluster ASC) AS rn
+    FROM pts p CROSS JOIN seeds s
+  ) WHERE rn = 1
+),
+dims AS (
+  SELECT a.cluster, r.i AS dim, a.qx[r.i] AS q, a.d2, a.vec_id
+  FROM assigned a, UNNEST(range(1, len(a.qx) + 1)) AS r(i)
+),
+per_dim AS (
+  SELECT cluster, dim, SUM(q)::BIGINT AS sq, COUNT(*)::BIGINT AS n
+  FROM dims GROUP BY cluster, dim
+),
+shift AS (
+  SELECT p.cluster, SUM(abs(p.sq // p.n - s.qc[p.dim]))::BIGINT AS shift_l1_fp
+  FROM per_dim p JOIN seeds s ON s.cluster = p.cluster
+  GROUP BY p.cluster
+),
+stats AS (
+  SELECT cluster, COUNT(*)::BIGINT AS n_members, SUM(d2)::BIGINT AS inertia
+  FROM assigned GROUP BY cluster
+)
+SELECT t.cluster, t.n_members, t.inertia, h.shift_l1_fp
+FROM stats t JOIN shift h ON h.cluster = t.cluster
+"""
+
+
+@register(
+    "kmeans_lloyd_step",
+    oracle=_KMEANS_SQL,
+    tags=("llmdata", "ann", "kmeans", "iterative"),
+    tables=("embeddings",),
+)
+def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means over the embedding corpus — the
+    training step behind the IVF coarse quantizer (``ann_ivf_topk``
+    consumes cells; this is how the cells get fit).  Returns per-cluster
+    (n_members, inertia, L1 centroid shift) — the convergence metrics a
+    training loop monitors.
+
+    Coordinates carry a +2^16 offset so every quantized value (and
+    therefore every per-dimension sum) is non-negative: Spark's ``div``
+    truncates toward zero while DuckDB's ``//`` floors, and they only
+    agree on non-negative operands.  Distances and centroid shifts are
+    differences, so the common offset cancels exactly.
+
+    Float k-means is nondeterministic at cluster scale: the centroid
+    mean depends on float summation order, which depends on partial-agg
+    arrival order.  Here every coordinate is quantized to 1/2^16 by
+    ``floor(x * 65536)`` (float32→double is exact and the scale is a
+    power of two, so the quantization itself is exact in both engines);
+    distances and centroid sums are then BIGINT arithmetic — commutative
+    and retry-stable, so a speculative re-execution can never move a
+    centroid.  This is also the SQ8 insight (``ann_sq8_topk``) applied
+    to training rather than search.
+
+    Scale shape: seeds broadcast (k rows) onto the corpus scan;
+    assignment is map-side (k distance folds per row + a per-vector
+    top-1 window keyed on vec_id); the update is a (cluster, dim)
+    partial aggregate — dims explode map-side and combine before the
+    one real exchange.  No collect_list of vectors anywhere: the
+    centroid update streams through sums, so a billion-vector cluster
+    costs the same memory as an empty one.
+    """
+    e = spark.table("embeddings")
+    pts = e.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double) * {_KM_Q}) as bigint) + {_KM_Q})"
+        ).alias("qx"),
+    )
+    seeds = F.broadcast(
+        pts.where(F.col("vec_id") < _KM_K).select(
+            F.col("vec_id").alias("cluster"), F.col("qx").alias("qc")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qx"), F.col("qc"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cluster").asc())
+    assigned = (
+        pts.crossJoin(seeds)
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cluster", "qx", "d2")
+    )
+    dims = assigned.select(
+        "cluster",
+        "d2",
+        F.posexplode("qx").alias("dim0", "q"),
+    ).select("cluster", "d2", (F.col("dim0") + 1).alias("dim"), "q")
+    per_dim = dims.groupBy("cluster", "dim").agg(
+        F.sum("q").cast("bigint").alias("sq"), F.count("*").cast("bigint").alias("n")
+    )
+    seed_dims = seeds.select(
+        "cluster", F.posexplode("qc").alias("dim0", "qc_d")
+    ).select("cluster", (F.col("dim0") + 1).alias("dim"), "qc_d")
+    shift = (
+        per_dim.join(F.broadcast(seed_dims), ["cluster", "dim"])
+        .groupBy("cluster")
+        .agg(
+            F.sum(F.abs(F.expr("sq div n") - F.col("qc_d")))
+            .cast("bigint")
+            .alias("shift_l1_fp")
+        )
+    )
+    stats = assigned.groupBy("cluster").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum("d2").cast("bigint").alias("inertia"),
+    )
+    return stats.join(shift, "cluster").select(
+        "cluster", "n_members", "inertia", "shift_l1_fp"
+    )

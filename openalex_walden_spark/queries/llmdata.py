@@ -2138,3 +2138,106 @@ def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((keep_hash % _DSIR_S) < F.least(F.lit(_DSIR_S), F.col("score_fp")))
         .select("doc_id", "lang", "score_fp")
     )
+
+
+# --------------------------------------------------------------------------
+# LM-surprisal quality scoring (the CCNet/KenLM perplexity-filter shape)
+# --------------------------------------------------------------------------
+_SURP_SCALE = 1_000  # fixed-point 1.0 for mean per-bigram surprisal
+
+
+_LM_SURPRISAL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_DUCK.format(c='text')} AS ts FROM documents
+),
+bigrams AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS bg
+  FROM toks, UNNEST(range(1, len(ts))) AS r(i)
+  WHERE len(ts) >= 2
+),
+counts AS (
+  SELECT bg, COUNT(*)::BIGINT AS c FROM bigrams GROUP BY bg
+),
+maxbits AS (
+  SELECT MAX(length(bin(c)))::BIGINT AS mb FROM counts
+),
+scored AS (
+  SELECT b.doc_id,
+         COUNT(*)::BIGINT AS n_bigrams,
+         SUM(m.mb - length(bin(c.c)))::BIGINT AS surp
+  FROM bigrams b JOIN counts c ON c.bg = b.bg CROSS JOIN maxbits m
+  GROUP BY b.doc_id
+)
+SELECT doc_id, n_bigrams,
+       (surp * {_SURP_SCALE} // n_bigrams)::BIGINT AS surprisal_fp
+FROM scored
+"""
+
+
+@register(
+    "quality_lm_surprisal",
+    oracle=_LM_SURPRISAL_SQL,
+    tags=("llmdata", "quality", "lm"),
+    tables=("documents",),
+)
+def quality_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality signal, the CCNet/KenLM perplexity-filter
+    shape: train a unigram-of-bigrams model on the corpus itself, score
+    each document by its mean per-bigram surprisal, and emit the
+    fixed-point score a curation gate thresholds on (high surprisal =
+    rare constructions = boilerplate/garbled candidates at the tails).
+
+    Real perplexity needs log-probabilities — floats whose summation
+    order is nondeterministic.  Here surprisal is quantized to WHOLE
+    BITS: ``length(bin(count))`` is floor(log2)+1 computed exactly as a
+    string length in both engines, so a bigram's surprisal is
+    (max_bits - bits(count)) — an integer, summed exactly, scaled to
+    fixed point.  The ranking this induces is log2-perplexity at 1-bit
+    resolution: deterministic under retries and hash-verifiable.
+
+    Scale shape: bigrams explode map-side (adjacent-pair transform, no
+    self-join); the count table aggregates with map-side partials; the
+    score join shuffles on the bigram key (same discipline as the
+    n-gram Jaccard gram join); per-doc sums shuffle on doc_id.  At
+    100 TB the exact bigram vocabulary outgrows memory but never needs
+    to be IN memory — it stays a shuffled aggregate; a count-min sketch
+    (see ``sketch_countmin_estimates``) is the constant-memory variant
+    when the model table itself must ship somewhere.
+    """
+    d = spark.table("documents")
+    toks = F.expr(_TOKS_SPARK.format(c="text"))
+    bigrams = (
+        d.select("doc_id", toks.alias("ts"))
+        .where(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ts) - 2),"
+                    " i -> concat(ts[i], ' ', ts[i + 1]))"
+                )
+            ).alias("bg"),
+        )
+    )
+    counts = bigrams.groupBy("bg").agg(F.count("*").cast("bigint").alias("c"))
+    maxbits = counts.agg(
+        F.max(F.length(F.bin(F.col("c")))).cast("bigint").alias("mb")
+    )
+    return (
+        bigrams.join(counts, "bg")
+        .crossJoin(F.broadcast(maxbits))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("mb") - F.length(F.bin(F.col("c"))))
+            .cast("bigint")
+            .alias("surp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr(f"surp * {_SURP_SCALE} div n_bigrams")
+            .cast("bigint")
+            .alias("surprisal_fp"),
+        )
+    )

@@ -443,3 +443,22 @@ def test_label_propagation_supersteps_stay_equi_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "graph_label_propagation")
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
+
+
+def test_lm_surprisal_no_cartesian_partial_counts(spark, sf_dir):
+    """Bigram counts combine map-side before the bigram exchange; the
+    1-row max-bits table broadcasts; no cartesian anywhere."""
+    plan = _plan(spark, sf_dir, "quality_lm_surprisal")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_kmeans_seeds_broadcast_no_vector_collect(spark, sf_dir):
+    """Seeds broadcast onto the corpus scan (the k-row cross join is
+    broadcast, not cartesian-shuffled) and the centroid update is a
+    streaming (cluster, dim) aggregate — no collect_list of vectors."""
+    plan = _plan(spark, sf_dir, "kmeans_lloyd_step")
+    assert "CartesianProduct" not in plan
+    assert "collect_list" not in plan
+    assert "BroadcastExchange" in plan
