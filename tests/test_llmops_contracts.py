@@ -1,0 +1,195 @@
+"""Semantic contracts for the round-5 pipeline operators.
+
+Oracle parity proves Spark == DuckDB; these tests prove both == the
+*intended semantics*, using hand-built inputs with known answers
+(the reference's own test style: tiny fixtures, exact expectations —
+SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openalex_walden_spark import queries as q
+
+q.load_all()
+
+
+# --------------------------------------------------------------------------
+# Sequence packing
+# --------------------------------------------------------------------------
+def test_pack_sequences_conserves_tokens_and_respects_budget(spark, sf_dir):
+    from openalex_walden_spark.queries.llmdata import _PACK_B
+
+    out = q.CATALOG["pack_sequences_chunked"].spark(spark, sf_dir).cache()
+    try:
+        # Every bin except the last holds exactly B tokens (concat-and-
+        # chunk leaves no slack), and no bin ever exceeds the budget.
+        per_bin = (
+            out.groupBy("bin_id").agg(F.sum("frag_tokens").alias("t")).collect()
+        )
+        last_bin = max(r["bin_id"] for r in per_bin)
+        for r in per_bin:
+            assert r["t"] <= _PACK_B
+            if r["bin_id"] != last_bin:
+                assert r["t"] == _PACK_B, f"bin {r['bin_id']} underfilled"
+
+        # Token conservation: per-doc fragment sums equal the doc's
+        # whitespace token count (no token lost or duplicated by splits).
+        from openalex_walden_spark.tables import register_views
+
+        register_views(spark, sf_dir, ("documents",))
+        expected = (
+            spark.table("documents")
+            .select(
+                "doc_id",
+                F.size(
+                    F.filter(
+                        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+                    )
+                ).cast("bigint").alias("n"),
+            )
+            .where(F.col("n") > 0)
+        )
+        got = out.groupBy("doc_id").agg(F.sum("frag_tokens").alias("n2"))
+        bad = (
+            expected.join(got, "doc_id", "full")
+            .where(
+                F.col("n").isNull()
+                | F.col("n2").isNull()
+                | (F.col("n") != F.col("n2"))
+            )
+            .count()
+        )
+        assert bad == 0
+
+        # is_split marks exactly the docs appearing in >1 bin.
+        multi = (
+            out.groupBy("doc_id")
+            .agg(
+                F.countDistinct("bin_id").alias("nb"),
+                F.max(F.col("is_split").cast("int")).alias("split"),
+            )
+            .where(
+                ((F.col("nb") > 1) & (F.col("split") == 0))
+                | ((F.col("nb") == 1) & (F.col("split") == 1))
+            )
+            .count()
+        )
+        assert multi == 0
+    finally:
+        out.unpersist()
+
+
+# --------------------------------------------------------------------------
+# Triangle counting on a hand-built graph
+# --------------------------------------------------------------------------
+def test_triangle_count_known_graph(spark):
+    """K4 plus a pendant edge: K4 has exactly 4 triangles; the pendant
+    adds wedges but no triangle. Checked against the same oriented
+    wedge-join the operator uses, applied to an exact edge list."""
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    deg = (
+        df.select(F.col("u").alias("node"))
+        .unionAll(df.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    okey = deg.select("node", (F.col("d") * 100 + F.col("node")).alias("k"))
+    o = (
+        df.join(okey.select(F.col("node").alias("u"), F.col("k").alias("ku")), "u")
+        .join(okey.select(F.col("node").alias("v"), F.col("k").alias("kv")), "v")
+        .select(
+            F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.greatest("ku", "kv").alias("dst_k"),
+        )
+    )
+    w1 = o.select(F.col("src").alias("s"), F.col("dst").alias("b1"), F.col("dst_k").alias("k1"))
+    w2 = o.select(F.col("src").alias("s"), F.col("dst").alias("b2"), F.col("dst_k").alias("k2"))
+    closer = o.select(F.col("src").alias("b1"), F.col("dst").alias("b2"))
+    tri = (
+        w1.join(w2, "s")
+        .where(F.col("k1") < F.col("k2"))
+        .join(closer, ["b1", "b2"], "left_semi")
+        .count()
+    )
+    assert tri == 4
+
+
+# --------------------------------------------------------------------------
+# k-means step sanity
+# --------------------------------------------------------------------------
+def test_kmeans_step_partitions_all_vectors(spark, sf_dir):
+    out = q.CATALOG["kmeans_lloyd_step"].spark(spark, sf_dir).collect()
+    from openalex_walden_spark.tables import register_views
+
+    register_views(spark, sf_dir, ("embeddings",))
+    n_vec = spark.table("embeddings").count()
+    assert sum(r["n_members"] for r in out) == n_vec  # exhaustive partition
+    assert all(r["inertia"] >= 0 and r["shift_l1_fp"] >= 0 for r in out)
+    # Seeds are real vectors, so each seed's own cluster contains at
+    # least the seed itself (distance 0 beats every tie-break).
+    assert all(r["n_members"] >= 1 for r in out)
+
+
+# --------------------------------------------------------------------------
+# DSIR scoring sanity
+# --------------------------------------------------------------------------
+def test_dsir_scores_favor_target_marker_docs(spark, sf_dir):
+    """Inject a token that exists only in the target slice: target-slice
+    docs must then out-score the corpus median (their features include a
+    maximally target-likely one)."""
+    from openalex_walden_spark.queries.llmdata import (
+        _DSIR_S,
+        _DSIR_S2,
+        _DSIR_V,
+        _H_SPARK,
+    )
+    from openalex_walden_spark.tables import register_views
+
+    register_views(spark, sf_dir, ("documents",))
+    d = spark.table("documents").select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.concat(F.col("text"), F.lit(" tgtmarker")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+    )
+    # The registered query would re-register the parquet view over this
+    # doctored frame, so score it inline with the operator's exact
+    # arithmetic instead.
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    feat = d.select("doc_id", "lang", F.explode(toks).alias("t")).select(
+        "doc_id", "lang", (F.expr(_H_SPARK.format(x="t")) % _DSIR_V).alias("f")
+    )
+    counts = feat.groupBy("f").agg(
+        F.count("*").cast("bigint").alias("raw_cnt"),
+        F.count(F.when(F.col("lang") == "en", 1)).cast("bigint").alias("tgt_cnt"),
+    )
+    tot = counts.agg(
+        F.sum("raw_cnt").cast("bigint").alias("raw_tot"),
+        F.sum("tgt_cnt").cast("bigint").alias("tgt_tot"),
+    )
+    wt = counts.crossJoin(F.broadcast(tot)).select(
+        "f",
+        F.expr(
+            f"(({_DSIR_S} * (tgt_cnt + 1)) div (raw_cnt + 1))"
+            f" * (({_DSIR_S2} * (raw_tot + {_DSIR_V})) div (tgt_tot + {_DSIR_V}))"
+            f" div {_DSIR_S2}"
+        ).alias("w"),
+    )
+    scored = (
+        feat.join(F.broadcast(wt), "f")
+        .groupBy("doc_id")
+        .agg(F.expr("sum(w) div count(*)").cast("bigint").alias("score_fp"))
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .collect()
+    )
+    en = sorted(r["score_fp"] for r in scored if r["lang"] == "en")
+    rest = sorted(r["score_fp"] for r in scored if r["lang"] != "en")
+    assert en and rest
+    assert en[len(en) // 2] > rest[len(rest) // 2]  # median en > median rest
+    # Restore the pristine view for any later test sharing this session.
+    register_views(spark, sf_dir, ("documents",))
