@@ -366,3 +366,81 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node", F.coalesce("newlab", "lab").alias("lab")
         )
     return labels.select("node", F.col("lab").alias("community"))
+
+
+# --------------------------------------------------------------------------
+# Hierarchy flattening by pointer doubling (the recursive-CTE replacement)
+# --------------------------------------------------------------------------
+_HIER_FANOUT = 10  # synthetic tree: parent(c) = c div 10, roots are 1..9
+_HIER_ROUNDS = 4  # doubling: 4 rounds resolve depth ≤ 2^4 (custkey ≤ 10^16)
+
+_HIER_SQL = f"""
+WITH RECURSIVE walk(node, cur, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer
+  UNION ALL
+  SELECT node, cur // {_HIER_FANOUT}, depth + 1
+  FROM walk WHERE cur >= {_HIER_FANOUT}
+)
+SELECT node, cur::BIGINT AS root, depth::BIGINT AS depth
+FROM walk WHERE cur < {_HIER_FANOUT}
+"""
+
+
+@register(
+    "hierarchy_flatten_doubling",
+    oracle=_HIER_SQL,
+    tags=("graph", "hierarchy", "iterative"),
+    tables=("customer",),
+)
+def hierarchy_flatten_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flatten a parent-pointer hierarchy to (node, root, depth) —
+    the recursive-CTE workload Spark cannot express directly (DuckDB's
+    oracle here IS a recursive CTE), done Spark-first with POINTER
+    DOUBLING: each round joins the ancestor table with itself, so the
+    known-ancestor distance doubles per round and a depth-d hierarchy
+    resolves in ceil(log2 d) equi-join rounds instead of d chained
+    joins.  Four unrolled rounds cover depth 16 — every custkey up to
+    10^16 under the synthetic ``parent(c) = c div 10`` tree (roots are
+    1..9, the fixture construction; the operator itself works on any
+    parent table).
+
+    Scale shape: each round is ONE equi-join of the frontier with
+    itself on the ancestor key (shuffle on that key, AQE-broadcastable
+    as the unresolved frontier shrinks) — the naive per-level walk
+    would take O(depth) passes over the full node set and is the shape
+    that dies on deep hierarchies; this is the same large-step
+    discipline as the large-star/small-star components operator
+    (operators/components.py).
+    """
+    c = spark.table("customer").select(F.col("c_custkey").alias("node"))
+    is_root = F.col("node") < _HIER_FANOUT
+    t = c.select(
+        "node",
+        F.when(is_root, F.col("node"))
+        .otherwise(F.expr(f"node div {_HIER_FANOUT}"))
+        .cast("bigint")
+        .alias("anc"),
+        F.when(is_root, F.lit(0)).otherwise(F.lit(1)).cast("bigint").alias("dist"),
+        is_root.alias("done"),
+    )
+    for _ in range(_HIER_ROUNDS):
+        up = t.select(
+            F.col("node").alias("anc"),
+            F.col("anc").alias("anc2"),
+            F.col("dist").alias("dist2"),
+            F.col("done").alias("done2"),
+        )
+        t = (
+            t.join(up, "anc")
+            .select(
+                "node",
+                F.when(F.col("done"), F.col("anc")).otherwise(F.col("anc2")).alias("anc"),
+                F.when(F.col("done"), F.col("dist"))
+                .otherwise(F.col("dist") + F.col("dist2"))
+                .alias("dist"),
+                (F.col("done") | F.col("done2")).alias("done"),
+            )
+        )
+    return t.select(
+        "node", F.col("anc").alias("root"), F.col("dist").cast("bigint").alias("depth")
+    )

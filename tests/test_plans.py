@@ -462,3 +462,11 @@ def test_kmeans_seeds_broadcast_no_vector_collect(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "collect_list" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_hierarchy_doubling_equi_joins_only(spark, sf_dir):
+    """Every doubling round is an equi-join on the ancestor key — no
+    cartesian, no per-level chained scans of the full node set."""
+    plan = _plan(spark, sf_dir, "hierarchy_flatten_doubling")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
