@@ -426,3 +426,55 @@ def ev_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).alias("n_events"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# RANGE-frame trailing window (interval frame, not row frame)
+# --------------------------------------------------------------------------
+_RANGE_FRAME_SQL = f"""
+SELECT event_id, user_id, {_TSUS_DUCK} AS ts_us,
+       COUNT(*) OVER w AS n_trailing_1h,
+       CAST(SUM(event_id % 1000) OVER w AS BIGINT) AS ck_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY {_TSUS_DUCK}
+             RANGE BETWEEN {_US_PER_HOUR} PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "w9_range_frame_trailing",
+    oracle=_RANGE_FRAME_SQL,
+    tags=("events", "window", "range-frame"),
+    tables=("events",),
+)
+def w9_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-interval window aggregate: for every event, the count
+    and an integer checksum of the same user's events in the preceding
+    hour — a VALUE-based ``rangeBetween`` frame, not a row frame.  ROWS
+    frames (w5) count physical neighbors; RANGE frames bound the frame
+    by the ordering value itself, which is the correct semantics for
+    "activity in the last hour" when events are irregularly spaced, and
+    handles ts ties by including all peers (making the result
+    order-deterministic without a tie-break column).
+
+    The frame works on ``ts_us`` BIGINT microseconds — numeric RANGE
+    frames are exact integer comparisons in both engines (an INTERVAL
+    frame over timestamps would drag session-timezone semantics in).
+    The summed metric is an integer (event_id mod 1000), keeping the
+    aggregate hash-exact.
+
+    Scale shape: one user_id exchange + in-partition sort — identical
+    cost to any W-family ladder; the frame bound adds no shuffle.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_US_PER_HOUR, Window.currentRow)
+    )
+    return spark.table("events").select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count("*").over(w).alias("n_trailing_1h"),
+        F.sum(F.col("event_id") % 1000).over(w).cast("bigint").alias("ck_trailing_1h"),
+    )
