@@ -40,7 +40,15 @@ def main() -> int:
         and n not in set(e._DEFER_NEXT) | set(e._EV_RETRY)
     ]
     out = [n for n in fresh if n not in window]
-    assert not out, f"new queries outside the 50-window: {out}"
+    # Overflow is legitimate ONLY when the window is already saturated
+    # with never-verified queries — then later additions queue for the
+    # next round's rotation instead of displacing a priority slot.  What
+    # must never happen is a half-empty window while fresh queries wait.
+    if out:
+        retired = set(e._R2_GREEN) | set(e._R4_GREEN)
+        assert all(n not in retired for n in order[:50]) and len(order) > 50, (
+            f"window not saturated yet these queries sit outside it: {out}"
+        )
 
     spark = (
         SparkSession.builder.master("local[8]")
