@@ -63,6 +63,8 @@ HEADLINE = [
     "graph_triangle_count",
     "sample_importance_weighted",
     "layout_zorder_stats",
+    # exact set-similarity join (the lossless counterpart to LSH)
+    "dedup_prefix_filter_pairs",
 ]
 
 

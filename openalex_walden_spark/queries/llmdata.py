@@ -2241,3 +2241,141 @@ def quality_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("surprisal_fp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Prefix-filter set-similarity join (AllPairs/PPJoin family) — EXACT
+# threshold-Jaccard pairs, no LSH false negatives
+# --------------------------------------------------------------------------
+# θ = 4/5 kept as exact integer arithmetic throughout.  High thresholds
+# are the operating point of dedup joins AND of the filter itself: the
+# prefix is n - ceil(θn) + 1 tokens, so θ=0.8 indexes only the rarest
+# ~20% of each doc; at θ=0.5 half of every doc lands in the index and
+# candidate buckets degenerate toward all-pairs on a small vocabulary.
+
+_PREFIX_SQL = f"""
+WITH corpus AS ({_DUCK_CORPUS_NEARDUP}),
+toks AS (
+  SELECT doc_id, UNNEST({_duck_shingles('text')}) AS tok
+  FROM corpus
+),
+sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS n_inter
+  FROM toks a JOIN toks b ON b.tok = a.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b, i.n_inter,
+       (sa.n + sb.n - i.n_inter)::BIGINT AS n_union,
+       i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter)::DOUBLE AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE 5 * i.n_inter >= 4 * (sa.n + sb.n - i.n_inter)
+"""
+
+
+@register(
+    "dedup_prefix_filter_pairs",
+    oracle=_PREFIX_SQL,
+    tags=("llmdata", "dedup", "prefix-filter"),
+    tables=("documents",),
+)
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join at Jaccard >= 4/5 via prefix filtering
+    (the AllPairs/PPJoin family, Bayardo et al. 2007 / Xiao et al.
+    2008) — the lossless counterpart to MinHash LSH: LSH banding can
+    MISS true pairs; prefix filtering provably cannot.
+
+    The SET SPACE is the LSH query's own 3-token shingles — so this
+    query is the exact ground truth for what ``dedup_minhash_lsh_pairs``
+    approximates (unigram sets degenerate on a small shared vocabulary:
+    most docs become genuinely similar and the true output itself goes
+    quadratic; shingle sets are discriminative).
+
+    The filter: order each doc's distinct shingles globally by (document
+    frequency asc, shingle asc) and keep only the first
+    n - ceil(θ·n) + 1 of them as the doc's PREFIX.  Two sets with
+    Jaccard >= θ MUST share a prefix token (pigeonhole on the rarest
+    tokens), so the candidate join runs on exploded prefix tokens only
+    — and because prefixes lead with the RAREST tokens, candidate
+    buckets are the emptiest ones the vocabulary has.  Candidates are
+    then verified with the same exact intersection join the LSH path
+    uses; the threshold test ``5·inter >= 4·union`` stays in integers.
+
+    The ORACLE deliberately does NOT prefix-filter: it computes every
+    sharing-a-token pair exactly — so the parity check itself proves
+    the filter is lossless on the corpus (a dropped true pair would
+    hash-mismatch).
+
+    Scale shape: one vocab-sized df aggregate, one (doc-keyed)
+    window to rank tokens within each doc, a candidate equi-join on
+    prefix tokens (fan-out bounded by rare-token bucket sizes; the
+    hottest tokens never enter any prefix of a large doc), and the
+    bounded verify join — no all-pairs stage anywhere.
+    """
+    from openalex_walden_spark.operators.guardrails import persist_scalar
+
+    corpus = _spark_corpus_neardup(spark).repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    shingle_arr = """
+        CASE WHEN size(toks) >= 3 THEN array_distinct(transform(
+               sequence(0, size(toks) - 3),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+             WHEN size(toks) > 0 THEN array(array_join(toks, ' '))
+             ELSE array() END
+    """
+    toks = persist_scalar(
+        corpus.withColumn("toks", F.expr(_TOKS_SPARK.format(c="text")))
+        .select("doc_id", F.explode(F.expr(shingle_arr)).alias("tok"))
+    )
+    df_tbl = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("dfreq"))
+    wd = Window.partitionBy("doc_id")
+    ranked = (
+        toks.join(df_tbl, "tok")
+        .withColumn("n", F.count("*").over(wd))
+        .withColumn(
+            "rn",
+            F.row_number().over(wd.orderBy(F.col("dfreq").asc(), F.col("tok").asc())),
+        )
+    )
+    # θ = 4/5: prefix length = n - ceil(4n/5) + 1 = n - (4n+4) div 5 + 1.
+    prefix = ranked.where(
+        F.col("rn") <= F.col("n") - F.expr("(4 * n + 4) div 5") + 1
+    ).select("doc_id", "tok")
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "tok")
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "tok")
+    cand = persist_scalar(
+        a.join(b, "tok")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .where(
+            5 * F.col("n_inter")
+            >= 4 * (F.col("na") + F.col("nb") - F.col("n_inter"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            (F.col("na") + F.col("nb") - F.col("n_inter")).cast("bigint").alias("n_union"),
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

@@ -470,3 +470,12 @@ def test_hierarchy_doubling_equi_joins_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "hierarchy_flatten_doubling")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_prefix_filter_no_cartesian_no_unbounded_join(spark, sf_dir):
+    """The candidate join runs on exploded PREFIX shingles only (rare-
+    token buckets); no cartesian/BNLJ anywhere in the exact-similarity
+    path."""
+    plan = _plan(spark, sf_dir, "dedup_prefix_filter_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
