@@ -792,3 +792,148 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(shift, "cluster").select(
         "cluster", "n_members", "inertia", "shift_l1_fp"
     )
+
+
+# --------------------------------------------------------------------------
+# ANN recall audit: IVF(1-probe) vs exact brute force, integer-exact
+# --------------------------------------------------------------------------
+_RECALL_SQL = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 7),
+brute AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q.q_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             {_DOT.format(a='q.qe', b='e.embedding')}
+               / ({_NORM.format(a='q.qe')} * {_NORM.format(a='e.embedding')}) DESC,
+             e.vec_id ASC) AS rnk
+    FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+  ) WHERE rnk <= 3
+),
+ordered AS (
+  SELECT label, list(embedding ORDER BY vec_id) AS vs FROM embeddings GROUP BY label
+),
+centroids AS (
+  SELECT label,
+         list_transform(range(1, len(vs[1]) + 1),
+           j -> list_sum(list_transform(vs, v -> v[j]::DOUBLE)) / len(vs)::DOUBLE) AS c
+  FROM ordered
+),
+routed AS (
+  SELECT q_id, qe, label AS best_label FROM (
+    SELECT q.q_id, q.qe, c.label,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             {_DOT.format(a='q.qe', b='c.c')}
+               / ({_NORM.format(a='q.qe')} * {_NORM.format(a='c.c')}) DESC,
+             c.label ASC) AS rc
+    FROM q CROSS JOIN centroids c
+  ) WHERE rc = 1
+),
+ivf AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT r.q_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY r.q_id ORDER BY
+             {_DOT.format(a='r.qe', b='e.embedding')}
+               / ({_NORM.format(a='r.qe')} * {_NORM.format(a='e.embedding')}) DESC,
+             e.vec_id ASC) AS rnk
+    FROM routed r JOIN embeddings e ON e.label = r.best_label AND e.vec_id <> r.q_id
+  ) WHERE rnk <= 3
+)
+SELECT b.q_id,
+       COUNT(i.neighbor_id)::BIGINT AS n_hits_at_3,
+       (COUNT(i.neighbor_id) = 3) AS full_recall
+FROM brute b LEFT JOIN ivf i
+  ON i.q_id = b.q_id AND i.neighbor_id = b.neighbor_id
+GROUP BY b.q_id
+"""
+
+
+@register(
+    "ann_recall_audit",
+    oracle=_RECALL_SQL,
+    tags=("llmdata", "ann", "audit"),
+    tables=("embeddings",),
+)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the IVF 1-probe path against exact brute force, per
+    query — the evaluation operator an ANN deployment runs before
+    trusting its approximate index (tune cells/probes until the audited
+    recall meets the bar).  On this fixture it duly reports LOW recall
+    (~0.2/3 mean hits at sf0.01): the ``label`` column is an arbitrary
+    partition, not a learned quantizer — the k-means step
+    (``kmeans_lloyd_step``) is what would fit cells that align with
+    cosine neighborhoods.  An audit that can say "your index is bad" is
+    the point.  Integer-exact output (hit counts, not float
+    recall ratios): both engines produce bit-identical cosine ladders
+    (sequential folds + total tie-breaks), so the intersection count is
+    deterministic and hash-checkable.
+
+    Scale shape: the brute side is the expensive half (it exists to BE
+    the ground truth) but runs on the query SAMPLE only — queries
+    broadcast, corpus never shuffles (ann_cosine_topk's plan); the IVF
+    side reuses the routed equi-join. The final compare is a tiny
+    (queries x k)-row join.
+    """
+    brute = (
+        ann_cosine_topk_at(spark, query_filter=(F.col("vec_id") % 100 == 7))
+        .select("q_id", "neighbor_id")
+    )
+    ivf = ann_ivf_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    return (
+        brute.alias("b")
+        .join(
+            ivf.alias("i"),
+            (F.col("i.q_id") == F.col("b.q_id"))
+            & (F.col("i.neighbor_id") == F.col("b.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("b.q_id").alias("q_id"))
+        .agg(F.count(F.col("i.neighbor_id")).cast("bigint").alias("n_hits_at_3"))
+        .select(
+            "q_id",
+            "n_hits_at_3",
+            (F.col("n_hits_at_3") == 3).alias("full_recall"),
+        )
+    )
+
+
+def ann_cosine_topk_at(spark: SparkSession, query_filter) -> DataFrame:
+    """Brute-force cosine top-3 for an arbitrary query subset — the
+    ann_cosine_topk plan parameterized by its query predicate."""
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    e = spark.table("embeddings").withColumn("nrm", norm("embedding"))
+    q = F.broadcast(
+        e.where(query_filter).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("qe"), F.col("embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = e.join(q, F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot / (F.col("qnrm") * F.col("nrm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("q_id", "neighbor_id", "cosine")
+    )

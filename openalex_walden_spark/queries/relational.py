@@ -557,3 +557,92 @@ def f_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
             valueColumnName="val",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Table profiling (the Deequ/dbt-style column-statistics operator)
+# --------------------------------------------------------------------------
+_PROFILE_SQL = """
+SELECT 'o_orderkey' AS col, COUNT(*) AS n_rows,
+       SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+       COUNT(DISTINCT o_orderkey) AS n_distinct,
+       MIN(o_orderkey)::VARCHAR AS min_val, MAX(o_orderkey)::VARCHAR AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*),
+       SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       COUNT(DISTINCT o_orderstatus),
+       MIN(o_orderstatus), MAX(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*),
+       SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       COUNT(DISTINCT o_orderpriority),
+       MIN(o_orderpriority), MAX(o_orderpriority)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', COUNT(*),
+       SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       COUNT(DISTINCT o_orderdate),
+       strftime(MIN(o_orderdate), '%Y-%m-%d'), strftime(MAX(o_orderdate), '%Y-%m-%d')
+FROM orders
+"""
+
+
+@register(
+    "profile_table_stats",
+    oracle=_PROFILE_SQL,
+    tags=("profiling", "quality"),
+    tables=("orders",),
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-statistics profile (the Deequ / dbt-test shape the
+    reference's Guardrails notebook hand-rolls per metric): one row per
+    profiled column with rowcount, null count, exact distinct count,
+    and min/max rendered to strings — the payload a data-quality gate
+    or a CBO stats collector consumes.
+
+    The oracle's natural form is one scan per column UNION ALL'd; the
+    Spark plan computes ALL columns' statistics in a SINGLE pass (one
+    aggregate over the scan, no per-column rescans) and unpivots the
+    struct — at 100 TB the difference between 1 scan and N scans IS the
+    operator.  Exact distincts shuffle once on values per column via
+    count(distinct ...)'s Expand; swap in approx_count_distinct (HLL,
+    `sketch_hll_distinct`) when exactness isn't required.
+
+    Dates render through an explicit yyyy-MM-dd format so the string
+    form is timezone-free and engine-identical.
+    """
+    o = spark.table("orders")
+
+    def stats(col, render):
+        return [
+            F.count("*").alias(f"{col}__n_rows"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias(f"{col}__n_null"),
+            F.countDistinct(col).alias(f"{col}__n_distinct"),
+            render(F.min(col)).alias(f"{col}__min_val"),
+            render(F.max(col)).alias(f"{col}__max_val"),
+        ]
+
+    as_str = lambda c: c.cast("string")  # noqa: E731
+    as_date = lambda c: F.date_format(c, "yyyy-MM-dd")  # noqa: E731
+    cols = [
+        ("o_orderkey", as_str),
+        ("o_orderstatus", as_str),
+        ("o_orderpriority", as_str),
+        ("o_orderdate", as_date),
+    ]
+    aggs = [a for col, render in cols for a in stats(col, render)]
+    wide = o.agg(*aggs)
+    profile_rows = [
+        F.struct(
+            F.lit(col).alias("col"),
+            F.col(f"{col}__n_rows").alias("n_rows"),
+            F.col(f"{col}__n_null").cast("bigint").alias("n_null"),
+            F.col(f"{col}__n_distinct").alias("n_distinct"),
+            F.col(f"{col}__min_val").alias("min_val"),
+            F.col(f"{col}__max_val").alias("max_val"),
+        )
+        for col, _ in cols
+    ]
+    return wide.select(F.explode(F.array(*profile_rows)).alias("p")).select("p.*")

@@ -479,3 +479,11 @@ def test_prefix_filter_no_cartesian_no_unbounded_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_prefix_filter_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_profile_single_scan_all_columns(spark, sf_dir):
+    """The whole multi-column profile reads the table ONCE — the
+    oracle's UNION-per-column form would rescan N times; at 100 TB
+    1-scan-vs-N IS the operator."""
+    plan = _plan(spark, sf_dir, "profile_table_stats")
+    assert plan.count("FileScan parquet") == 1
