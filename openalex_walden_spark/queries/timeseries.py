@@ -478,3 +478,80 @@ def w9_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_trailing_1h"),
         F.sum(F.col("event_id") % 1000).over(w).cast("bigint").alias("ck_trailing_1h"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-key isotonic regression (PAVA) via grouped-map applyInPandas
+# --------------------------------------------------------------------------
+def _pava(y):
+    """Pool-adjacent-violators: non-decreasing fit minimizing L2.
+    Sequential by nature — the reason this operator is a grouped-map
+    pandas function and not a window expression."""
+    n = len(y)
+    level = list(y)
+    weight = [1.0] * n
+    # classic stack formulation: merge backwards while decreasing
+    levels, weights, counts = [], [], []
+    for i in range(n):
+        cl, cw, cc = level[i], weight[i], 1
+        while levels and levels[-1] > cl:
+            pl, pw, pc = levels.pop(), weights.pop(), counts.pop()
+            cl = (pl * pw + cl * cw) / (pw + cw)
+            cw += pw
+            cc += pc
+        levels.append(cl)
+        weights.append(cw)
+        counts.append(cc)
+    out = []
+    for lv, c in zip(levels, counts):
+        out.extend([lv] * c)
+    return out
+
+
+_ISO_SCHEMA = "user_id long, ts_us long, y double, y_fit double"
+
+
+@register(
+    "fit_isotonic_pava",
+    oracle=None,  # PAVA is inherently sequential: no ANSI-SQL form exists
+    # short of a recursive CTE encoding of the merge stack; the driver
+    # records the rows-only check and pytest carries the semantics
+    # (monotonicity, mass conservation, reference-implementation match).
+    tags=("timeseries", "applyInPandas", "ml"),
+    tables=("events",),
+)
+def fit_isotonic_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user isotonic regression: fit the best non-decreasing curve
+    (L2) to each user's value series in event-time order, via
+    pool-adjacent-violators — calibration's workhorse (probability
+    calibration, monotone metric smoothing).
+
+    This is the engine's grouped-map ``applyInPandas`` exemplar: PAVA's
+    merge stack is irreducibly sequential WITHIN a key, so no window or
+    HOF expresses it — but it is embarrassingly parallel ACROSS keys,
+    exactly the contract ``groupBy(key).applyInPandas`` gives: one
+    shuffle on user_id, then each group fits in a single Arrow batch in
+    C-speed pandas.  Each group's rows arrive as one pandas frame; the
+    fit sorts by (ts_us, event_id) for a total order, so output is
+    partition-invariant and retry-deterministic.
+
+    Scale note: a group must fit in one worker's memory — true for
+    per-user series (the reference's biggest per-entity group is
+    bounded the same way, D11); for unbounded keys the fix is
+    time-chunked keys, not a bigger executor.
+    """
+    from openalex_walden_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)  # the grouped-map closure references _pava,
+    # so the package must be importable on executors (any fresh-process
+    # driver whose cwd is elsewhere reproduces ModuleNotFoundError
+    # without this — caught by the sweep, not by repo-cwd pytest).
+    ev = spark.table("events").select("user_id", "ts_us", "event_id", "value")
+
+    def fit(pdf):
+        pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
+        y = pdf["value"].astype("float64").tolist()
+        pdf = pdf.assign(y=y, y_fit=_pava(y))
+        return pdf[["user_id", "ts_us", "y", "y_fit"]]
+
+    return ev.groupBy("user_id").applyInPandas(fit, _ISO_SCHEMA)

@@ -193,3 +193,36 @@ def test_dsir_scores_favor_target_marker_docs(spark, sf_dir):
     assert en[len(en) // 2] > rest[len(rest) // 2]  # median en > median rest
     # Restore the pristine view for any later test sharing this session.
     register_views(spark, sf_dir, ("documents",))
+
+
+# --------------------------------------------------------------------------
+# Isotonic PAVA contracts (no SQL oracle exists — these ARE the gate)
+# --------------------------------------------------------------------------
+def test_pava_monotone_mass_conserving_and_matches_reference(spark, sf_dir):
+    out = (
+        q.CATALOG["fit_isotonic_pava"].spark(spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "ts_us"])
+    )
+    assert len(out) > 0
+    for uid, g in out.groupby("user_id"):
+        fit = g["y_fit"].to_numpy()
+        # 1. Non-decreasing within each key.
+        assert (fit[1:] >= fit[:-1] - 1e-12).all(), f"user {uid} not monotone"
+        # 2. Mass conservation: PAVA pools preserve the mean exactly.
+        assert abs(fit.mean() - g["y"].to_numpy().mean()) < 1e-9
+    # 3. Matches an independent reference implementation on one key.
+    uid = out["user_id"].iloc[0]
+    g = out[out["user_id"] == uid]
+    y = g["y"].tolist()
+    ref, stack = [], []
+    for v in y:
+        lv, w = float(v), 1.0
+        while stack and stack[-1][0] > lv:
+            pl, pw = stack.pop()
+            lv = (pl * pw + lv * w) / (pw + w)
+            w += pw
+        stack.append((lv, w))
+    for lv, w in stack:
+        ref.extend([lv] * int(w))
+    assert max(abs(a - b) for a, b in zip(g["y_fit"].tolist(), ref)) < 1e-9
