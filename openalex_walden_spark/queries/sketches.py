@@ -271,3 +271,114 @@ def sketch_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_customers"))
     )
+
+
+# --------------------------------------------------------------------------
+# HLL register MERGE rollup: coarser grains from stored sketches alone
+# --------------------------------------------------------------------------
+_HLL_MERGE_SQL = f"""
+WITH hashed AS (
+  SELECT l_returnflag, l_linestatus,
+         {_H_DUCK.format(x="'pk:' || l_partkey::VARCHAR")} AS h
+  FROM lineitem
+),
+rho AS (
+  SELECT l_returnflag, l_linestatus, h % {_HLL_M} AS idx,
+         CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_WBITS + 1}
+              ELSE {_HLL_WBITS + 1} - length(bin(h // {_HLL_M})) END AS r
+  FROM hashed
+),
+regs AS (
+  SELECT l_returnflag, l_linestatus, idx, MAX(r) AS m
+  FROM rho GROUP BY l_returnflag, l_linestatus, idx
+),
+merged AS (
+  SELECT l_returnflag AS flag, idx, MAX(m) AS m
+  FROM regs GROUP BY l_returnflag, idx
+  UNION ALL
+  SELECT '*' AS flag, idx, MAX(m) AS m
+  FROM regs GROUP BY idx
+),
+folded AS (
+  SELECT flag, COUNT(*) AS n_filled,
+         SUM(1::BIGINT << ({_HLL_WBITS + 1} - m)) AS filled_num
+  FROM merged GROUP BY flag
+)
+SELECT flag, CAST(n_filled AS BIGINT) AS n_filled,
+       ROUND(
+         CASE WHEN {_HLL_M} - n_filled > 0
+                   AND {_HLL_NUM} / (filled_num + ({_HLL_M} - n_filled) * {_HLL_FIX})::DOUBLE
+                       <= 2.5 * {_HLL_M}
+              THEN {_HLL_M}.0 * ln({_HLL_M}.0 / ({_HLL_M} - n_filled))
+              ELSE {_HLL_NUM} / (filled_num + ({_HLL_M} - n_filled) * {_HLL_FIX})::DOUBLE
+         END, 2) AS hll_estimate
+FROM folded
+"""
+
+
+@register(
+    "sketch_hll_merge_rollup",
+    oracle=_HLL_MERGE_SQL,
+    tags=("sketch", "hll", "merge"),
+    tables=("lineitem",),
+)
+def sketch_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes sketches worth storing: MERGEABILITY.
+    Build the fine-grain (returnflag, linestatus) register tables once,
+    then roll them up to per-flag and global distinct estimates by
+    MAX-merging REGISTERS — the raw keys are never touched again.  This
+    is how a 100-TB deployment serves distinct-count dashboards at any
+    grain: persist the fine-grain register table (groups x 512 rows,
+    kilobytes), answer every coarser grain from it incrementally;
+    re-scanning the fact table per grain (the exact-COUNT(DISTINCT)
+    shape) is the thing this operator deletes.
+
+    Estimates are the same fixed-point fold as ``sketch_hll_distinct``
+    — merged registers feed bit-identical arithmetic in both engines.
+    """
+    li = spark.table("lineitem")
+    h = F.expr(_H_SPARK.format(x="concat('pk:', cast(l_partkey as string))"))
+    hashed = li.select("l_returnflag", "l_linestatus", h.alias("h"))
+    rho = hashed.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("h") % _HLL_M).alias("idx"),
+        F.when(F.expr(f"h div {_HLL_M}") == 0, F.lit(_HLL_WBITS + 1))
+        .otherwise(
+            F.lit(_HLL_WBITS + 1) - F.length(F.expr(f"bin(h div {_HLL_M})"))
+        )
+        .alias("r"),
+    )
+    from openalex_walden_spark.operators.guardrails import persist_scalar
+
+    regs = persist_scalar(
+        rho.groupBy("l_returnflag", "l_linestatus", "idx").agg(F.max("r").alias("m"))
+    )
+    merged = (
+        regs.groupBy(F.col("l_returnflag").alias("flag"), "idx")
+        .agg(F.max("m").alias("m"))
+        .unionByName(
+            regs.groupBy("idx")
+            .agg(F.max("m").alias("m"))
+            .select(F.lit("*").alias("flag"), "idx", "m")
+        )
+    )
+    folded = merged.groupBy("flag").agg(
+        F.count("*").alias("n_filled"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_WBITS + 1} - m)")).alias(
+            "filled_num"
+        ),
+    )
+    raw = F.lit(float(_HLL_NUM)) / (
+        F.col("filled_num") + (F.lit(_HLL_M) - F.col("n_filled")) * F.lit(_HLL_FIX)
+    ).cast("double")
+    est = F.when(
+        ((F.lit(_HLL_M) - F.col("n_filled")) > 0) & (raw <= 2.5 * _HLL_M),
+        F.lit(float(_HLL_M))
+        * F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("n_filled"))),
+    ).otherwise(raw)
+    return folded.select(
+        "flag",
+        F.col("n_filled").cast("bigint").alias("n_filled"),
+        F.round(est, 2).alias("hll_estimate"),
+    )
