@@ -382,3 +382,135 @@ def sketch_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_filled").cast("bigint").alias("n_filled"),
         F.round(est, 2).alias("hll_estimate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter JOIN PRUNING (the runtime-filter / semi-join reduction)
+# --------------------------------------------------------------------------
+_BLOOM_POS_DUCK_L = ", ".join(
+    "({h}) % {m}".format(h=_H_DUCK.format(x=f"'b{i}:' || k::VARCHAR"), m=_BLOOM_M)
+    for i in range(_BLOOM_K)
+)
+
+_BLOOM_PRUNE_SQL = f"""
+WITH build_keys AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+),
+build_pos AS (
+  SELECT u.pos // {_BLOOM_WORD} AS word, u.pos % {_BLOOM_WORD} AS bit
+  FROM build_keys b, UNNEST([{_BLOOM_POS_DUCK_L}]) AS u(pos)
+),
+words AS (
+  SELECT word, bit_or(1::BIGINT << bit) AS val
+  FROM build_pos GROUP BY word
+),
+probe AS (
+  SELECT l.l_orderkey, l.l_quantity FROM (
+    SELECT l_orderkey, l_quantity,
+           MIN((COALESCE(w.val, 0) >> (u.pos % {_BLOOM_WORD})) & 1) AS all_set
+    FROM (SELECT l_orderkey, l_orderkey AS k, l_quantity FROM lineitem) l,
+         UNNEST([{_BLOOM_POS_DUCK_L}]) AS u(pos)
+    LEFT JOIN words w ON w.word = u.pos // {_BLOOM_WORD}
+    GROUP BY l_orderkey, l_quantity
+  ) l WHERE all_set = 1
+),
+joined AS (
+  SELECT p.l_orderkey, p.l_quantity
+  FROM probe p JOIN build_keys b ON b.k = p.l_orderkey
+)
+SELECT (SELECT COUNT(*) FROM lineitem)::BIGINT AS n_probe_rows,
+       (SELECT COUNT(*) FROM probe)::BIGINT AS n_after_bloom,
+       (SELECT COUNT(*) FROM joined)::BIGINT AS n_joined,
+       (SELECT CAST(SUM(l_quantity) AS BIGINT) FROM joined) AS sum_qty
+"""
+
+
+@register(
+    "sketch_bloom_join_prune",
+    oracle=_BLOOM_PRUNE_SQL,
+    tags=("sketch", "bloom", "join", "runtime-filter"),
+    tables=("orders", "lineitem"),
+)
+def sketch_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join pruning: build a Bloom filter on the small
+    (filtered-orders) side's join keys, probe it MAP-SIDE on the fact
+    scan, and only ship survivors into the exact join — the semi-join
+    reduction every modern engine applies automatically (Spark's
+    runtime row-level filtering, Trino's dynamic filtering) expressed
+    as an explicit, portable operator.  The output quantifies the
+    prune: probe rows → after-bloom rows → exactly-joined rows (the
+    gap between the last two is the false-positive traffic the exact
+    join absorbs).
+
+    Scale shape: the word table is 256 rows (broadcast); the probe is
+    k=4 hashes per fact row evaluated in the scan stage, so the fact
+    table's shuffle volume drops to the filter's selectivity BEFORE
+    the join exchange — at 100 TB that pre-shuffle drop, not the join
+    algorithm, is the win.
+    """
+    o = spark.table("orders")
+    build_keys = (
+        o.where(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderstatus") == "F")
+        )
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    build_pos = build_keys.select(
+        F.explode(F.array(*_bloom_positions("k"))).alias("pos")
+    ).select(
+        (F.col("pos") / _BLOOM_WORD).cast("bigint").alias("word"),
+        (F.col("pos") % _BLOOM_WORD).alias("bit"),
+    )
+    words = F.broadcast(
+        build_pos.groupBy("word").agg(
+            F.expr("bit_or(shiftleft(cast(1 as bigint), cast(bit as int)))").alias(
+                "val"
+            )
+        )
+    )
+    li = spark.table("lineitem").select("l_orderkey", "l_quantity")
+    n_probe = li.agg(F.count("*").cast("bigint").alias("n_probe_rows"))
+    probe_pos = li.select(
+        "l_orderkey",
+        "l_quantity",
+        F.explode(F.array(*_bloom_positions("l_orderkey"))).alias("pos"),
+    )
+    probed = (
+        probe_pos.join(
+            words, words.word == (F.col("pos") / _BLOOM_WORD).cast("bigint"), "left"
+        )
+        .select(
+            "l_orderkey",
+            "l_quantity",
+            F.expr(
+                f"(coalesce(val, cast(0 as bigint)) >> cast(pos % {_BLOOM_WORD} as int)) & 1"
+            ).alias("bit_set"),
+        )
+        .groupBy("l_orderkey", "l_quantity")
+        .agg(F.min("bit_set").alias("all_set"))
+        .where(F.col("all_set") == 1)
+        .select("l_orderkey", "l_quantity")
+    )
+    from openalex_walden_spark.operators.guardrails import persist_scalar
+
+    probed = persist_scalar(probed)
+    joined = probed.join(
+        F.broadcast(build_keys), probed.l_orderkey == build_keys.k
+    ).select("l_orderkey", "l_quantity")
+    stats = (
+        n_probe.crossJoin(
+            F.broadcast(probed.agg(F.count("*").cast("bigint").alias("n_after_bloom")))
+        )
+        .crossJoin(
+            F.broadcast(
+                joined.agg(
+                    F.count("*").cast("bigint").alias("n_joined"),
+                    F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+                )
+            )
+        )
+    )
+    return stats.select("n_probe_rows", "n_after_bloom", "n_joined", "sum_qty")
