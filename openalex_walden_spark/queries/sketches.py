@@ -349,10 +349,15 @@ def sketch_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("r"),
     )
-    from openalex_walden_spark.operators.guardrails import persist_scalar
-
-    regs = persist_scalar(
-        rho.groupBy("l_returnflag", "l_linestatus", "idx").agg(F.max("r").alias("m"))
+    # Deliberately NOT persist_scalar'd: Spark's cache manager matches
+    # logically-identical subplans session-wide, so caching this regs
+    # frame would silently substitute into sketch_hll_distinct's
+    # identical build and change ITS pinned plan. The union below pays
+    # one extra scan instead; the real deployment persists the register
+    # table to STORAGE (that's the operator's whole premise), not to
+    # executor cache.
+    regs = rho.groupBy("l_returnflag", "l_linestatus", "idx").agg(
+        F.max("r").alias("m")
     )
     merged = (
         regs.groupBy(F.col("l_returnflag").alias("flag"), "idx")
