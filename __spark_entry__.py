@@ -104,11 +104,9 @@ _EV_RETRY = [
 ]
 
 
-# Round-5 fresh set, pinned explicitly: front (21) + these (29) fill the
-# driver's 50-slot window exactly. Anything added to the catalog later in
-# the round lands AFTER this list (still locally parity-checked; rotates
-# into round 6's window) instead of displacing a never-verified query.
-_R5_WINDOW_FRESH = [
+# Green in CORRECTNESS_r05.json (all 50 of round 5's window) — retired
+# to the tail so round 6's window covers never-verified queries.
+_R5_GREEN = _DEFER_NEXT + _EV_RETRY + [
     "agg_pivot_status", "f_unpivot_melt", "quality_gopher_repetition",
     "pii_scrub_redact", "search_boolean_retrieval", "dedup_segments_exact",
     "search_bm25_topk", "ann_sq8_topk", "mixture_rebalance_sample",
@@ -118,20 +116,32 @@ _R5_WINDOW_FRESH = [
     "d7_dict_fallback", "d6_pattern_cascade", "j14_asof_join",
     "ev_hypertable_rollup", "sketch_countmin_estimates", "j15_range_join",
     "ev_gapfill_locf", "sketch_hll_distinct", "sketch_bloom_probe",
-    "graph_pagerank_fixedpoint", "graph_triangle_count",
+    "graph_triangle_count",
+]
+
+# Never driver-verified (added late in round 5; locally parity-green) —
+# FRONT of round 6's window for hard CORRECTNESS rows.  Also here:
+# queries whose semantics CHANGED in round 6 (the audit now measures the
+# trained index; pagerank now runs to its exact fixed point), so their
+# old green rows no longer vouch for the current behavior.
+_R6_FRONT = [
+    "dedup_prefix_filter_pairs", "sketch_hll_merge_rollup",
+    "sketch_bloom_join_prune", "graph_label_propagation",
+    "hierarchy_flatten_doubling", "layout_zorder_stats",
+    "profile_table_stats", "quality_lm_surprisal", "kmeans_lloyd_step",
+    "ann_ivf_multiprobe_topk", "ann_recall_audit", "w9_range_frame_trailing",
+    "fit_isotonic_pava", "graph_pagerank_fixedpoint",
 ]
 
 
 def _driver_order() -> list[str]:
-    """Window composition: never-verified queries first (deferred + the
-    r4 loader-bug retries + the pinned round-5 fresh set), then anything
-    newer, then the retired green tail (r4 then r2)."""
-    front = [
-        n for n in _DEFER_NEXT + _EV_RETRY + _R5_WINDOW_FRESH if n in _q.CATALOG
-    ]
-    back = set(front) | set(_R4_GREEN) | set(_R2_GREEN)
+    """Window composition: never-verified queries first (round 5's late
+    additions), then anything newer added this round, then the retired
+    green tail (r5, then r4, then r2)."""
+    front = [n for n in _R6_FRONT if n in _q.CATALOG]
+    back = set(front) | set(_R5_GREEN) | set(_R4_GREEN) | set(_R2_GREEN)
     fresh = [n for n in _q.CATALOG if n not in back]
-    tail = [n for n in _R4_GREEN + _R2_GREEN if n in _q.CATALOG]
+    tail = [n for n in _R5_GREEN + _R4_GREEN + _R2_GREEN if n in _q.CATALOG]
     return front + fresh + tail
 
 

@@ -27,17 +27,13 @@ def main() -> int:
     order = e._driver_order()
     assert sorted(order) == sorted(_q.CATALOG), "order != catalog"
     window = set(order[:50])
-    missing = [
-        n
-        for n in (e._DEFER_NEXT + e._EV_RETRY)
-        if n in _q.CATALOG and n not in window
-    ]
+    missing = [n for n in e._R6_FRONT if n in _q.CATALOG and n not in window]
     assert not missing, f"unverified queries outside the 50-window: {missing}"
+    retired = set(e._R2_GREEN) | set(e._R4_GREEN) | set(e._R5_GREEN)
     fresh = [
         n
         for n in _q.CATALOG
-        if n not in set(e._R2_GREEN) | set(e._R4_GREEN)
-        and n not in set(e._DEFER_NEXT) | set(e._EV_RETRY)
+        if n not in retired and n not in set(e._R6_FRONT)
     ]
     out = [n for n in fresh if n not in window]
     # Overflow is legitimate ONLY when the window is already saturated
@@ -45,7 +41,6 @@ def main() -> int:
     # next round's rotation instead of displacing a priority slot.  What
     # must never happen is a half-empty window while fresh queries wait.
     if out:
-        retired = set(e._R2_GREEN) | set(e._R4_GREEN)
         assert all(n not in retired for n in order[:50]) and len(order) > 50, (
             f"window not saturated yet these queries sit outside it: {out}"
         )
