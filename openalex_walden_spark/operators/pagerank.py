@@ -1,0 +1,132 @@
+"""Fixed-point PageRank run to exact convergence.
+
+The round-5 query unrolled 3 supersteps — a demo of the plan shape, not
+the operator (a real centrality signal is the converged vector).  This
+module is the real loop, with the same discipline as
+``operators/components.py``:
+
+- **Integer state.** Scores are BIGINT fixed-point (1.0 == 10^12);
+  contributions are exact integer divisions and integer sums commute, so
+  every engine, partitioning, and retry produces bit-identical scores —
+  which is what makes "exact convergence" a well-defined stop condition
+  AND lets a SQL oracle replay the whole loop as unrolled CTEs (extra
+  iterations past the fixed point are no-ops).
+- **Bounded lineage.** The edge plane and degree table are
+  localCheckpoint'ed once; the score table is localCheckpoint'ed every
+  ``check_every`` rounds, so the live plan never exceeds a constant
+  number of joins no matter how many rounds run.
+- **O(1) driver state.** Convergence is detected from a one-row score
+  fingerprint (sum of per-row hashes), never by collecting scores.
+- **Cycle-safe early stop.** The loop checks every ``check_every``
+  rounds and caps at ``max_rounds`` — a multiple of ``check_every`` —
+  so even if the integer dynamics fell into a short cycle instead of a
+  fixed point, the early-stopped state equals the state after exactly
+  ``max_rounds`` rounds (period divides the check interval, and the cap
+  is congruent to every checkpointed round).  The unrolled oracle runs
+  ``max_rounds`` iterations unconditionally; both sides agree in every
+  case.
+
+Scale shape per superstep: one equi-join edges ⋈ scores on src (scores
+is |V| rows — broadcast when small, shuffle-partitioned by src when
+not) plus one dst-keyed partial aggregate.  Dangling-node mass is
+dropped (standard simplification); damping d is applied as
+(num * x) // den.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_ONE = 1_000_000_000_000  # fixed-point 1.0
+
+
+def _score_fingerprint(scores: DataFrame) -> int:
+    """Order-insensitive one-row fingerprint of the score table (same
+    pattern as components._edge_fingerprint: decimal sum of xxhash64,
+    because the session's ANSI mode raises on BIGINT sum overflow)."""
+    row = scores.select(
+        F.coalesce(
+            F.sum(F.xxhash64(F.col("node"), F.col("score")).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("h"),
+        F.count("*").alias("n"),
+    ).first()
+    return hash((str(row["h"]), row["n"]))
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping_num: int = 85,
+    damping_den: int = 100,
+    max_rounds: int = 44,
+    check_every: int = 4,
+) -> DataFrame:
+    """Run integer PageRank to its exact fixed point (capped at
+    ``max_rounds``).  Returns ``(node, score)`` with BIGINT fixed-point
+    scores (PR_ONE == 1.0).
+    """
+    if max_rounds % check_every:
+        raise ValueError("max_rounds must be a multiple of check_every")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # One materialization of the (possibly expensive) edge lineage; every
+    # superstep reuses it.
+    e = e.localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint()
+
+    base = (PR_ONE * (damping_den - damping_num)) // damping_den
+    scores = nodes.select("node", F.lit(PR_ONE).cast("bigint").alias("score"))
+    prev_fp = None
+    for _ in range(max_rounds // check_every):
+        for _ in range(check_every):
+            scores = _superstep(
+                e, nodes, outdeg, scores, base, damping_num, damping_den
+            )
+        scores = scores.localCheckpoint()
+        fp = _score_fingerprint(scores)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    return scores
+
+
+def _superstep(
+    e: DataFrame,
+    nodes: DataFrame,
+    outdeg: DataFrame,
+    scores: DataFrame,
+    base: int,
+    damping_num: int,
+    damping_den: int,
+) -> DataFrame:
+    """One Pregel superstep: equi-join edges ⋈ scores on src, dst-keyed
+    partial aggregate, damped rebase over the node universe."""
+    inmass = (
+        e.join(scores.withColumnRenamed("node", "src"), "src")
+        .join(outdeg, "src")
+        .select("dst", F.expr("score div d").alias("contrib"))
+        .groupBy("dst")
+        .agg(F.sum("contrib").alias("inmass"))
+    )
+    return nodes.join(
+        inmass.withColumnRenamed("dst", "node"), "node", "left"
+    ).select(
+        "node",
+        (
+            F.lit(base)
+            + F.expr(
+                f"({damping_num} * coalesce(inmass, cast(0 as bigint)))"
+                f" div {damping_den}"
+            )
+        )
+        .cast("bigint")
+        .alias("score"),
+    )

@@ -18,10 +18,13 @@ as (85 * x) // 100.
 
 **Scale shape**: each iteration is one equi-join edges⋈scores on src
 (both sides partitioned by the join key) plus one dst-keyed aggregate —
-the same two shuffles a Pregel superstep costs.  Iterations are unrolled
-into a single declarative plan; on a real cluster you would checkpoint
-the score table between iterations to cut lineage, and pre-partition
-``edges`` by src once so every superstep reuses the exchange.
+the same two shuffles a Pregel superstep costs.  The loop itself lives
+in ``operators/pagerank.py``: runs to the exact integer fixed point
+(capped at 44 rounds), localCheckpoints every 4 rounds so lineage stays
+constant-size, and detects convergence from a one-row score fingerprint
+— the ``operators/components.py`` loop discipline.  The oracle replays
+all 44 rounds as materialized CTEs; past the fixed point they are
+no-ops, so both engines agree whether or not Spark stopped early.
 """
 
 from __future__ import annotations
@@ -37,12 +40,16 @@ _H_EXPR = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
 _PR_NODES = 1024
 _PR_ONE = 1_000_000_000_000  # fixed-point 1.0
 _PR_BASE = 150_000_000_000  # (1 - 0.85) * ONE
-_PR_ITERS = 3
+# Measured: the integer dynamics reach their EXACT fixed point at
+# iteration 36 (sf0.001/sf0.01) and 39 (sf0.1); 44 caps the loop with
+# margin and is a multiple of the Spark loop's check interval (4), which
+# keeps the early stop cycle-safe (operators/pagerank.py docstring).
+_PR_MAX_ROUNDS = 44
 
 
 def _pr_iter_sql(prev: str, out: str) -> str:
     return f"""
-{out} AS (
+{out} AS MATERIALIZED (
   SELECT n.node,
          CAST({_PR_BASE} + (85 * COALESCE(c.inmass, 0)) // 100 AS BIGINT) AS score
   FROM nodes n LEFT JOIN (
@@ -57,17 +64,17 @@ def _pr_iter_sql(prev: str, out: str) -> str:
 
 _PR_SQL = (
     f"""
-WITH edges AS (
+WITH edges AS MATERIALIZED (
   SELECT DISTINCT l_orderkey % {_PR_NODES} AS src, l_partkey % {_PR_NODES} AS dst
   FROM lineitem
   WHERE l_orderkey % {_PR_NODES} <> l_partkey % {_PR_NODES}
 ),
-nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
 s0 AS (SELECT node, CAST({_PR_ONE} AS BIGINT) AS score FROM nodes),"""
-    + ",".join(_pr_iter_sql(f"s{i}", f"s{i + 1}") for i in range(_PR_ITERS))
+    + ",".join(_pr_iter_sql(f"s{i}", f"s{i + 1}") for i in range(_PR_MAX_ROUNDS))
     + f"""
-SELECT node, score AS pagerank_fp FROM s{_PR_ITERS}
+SELECT node, score AS pagerank_fp FROM s{_PR_MAX_ROUNDS}
 """
 )
 
@@ -79,42 +86,17 @@ SELECT node, score AS pagerank_fp FROM s{_PR_ITERS}
     tables=("lineitem",),
 )
 def graph_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-iteration PageRank over the order→part edge plane (node ids
-    folded mod 1024 so the oracle's unrolled CTE chain stays cheap at
-    any SF), fixed-point BIGINT scores — see module docstring for the
-    determinism and scale rationale."""
+    """PageRank over the order→part edge plane (node ids folded mod 1024
+    so the oracle's unrolled CTE chain stays cheap at any SF), run to
+    the EXACT integer fixed point by ``operators/pagerank.py`` — see
+    module docstring for the determinism and scale rationale."""
+    from openalex_walden_spark.operators.pagerank import pagerank_fixedpoint
+
     li = spark.table("lineitem")
     src = (F.col("l_orderkey") % _PR_NODES).alias("src")
     dst = (F.col("l_partkey") % _PR_NODES).alias("dst")
     edges = li.select(src, dst).where(F.col("src") != F.col("dst")).distinct()
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("d"))
-
-    scores = nodes.select("node", F.lit(_PR_ONE).cast("bigint").alias("score"))
-    for _ in range(_PR_ITERS):
-        inmass = (
-            edges.join(scores.withColumnRenamed("node", "src"), "src")
-            .join(outdeg, "src")
-            .select("dst", F.expr("score div d").alias("contrib"))
-            .groupBy("dst")
-            .agg(F.sum("contrib").alias("inmass"))
-        )
-        scores = (
-            nodes.join(inmass.withColumnRenamed("dst", "node"), "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(_PR_BASE)
-                    + F.expr("(85 * coalesce(inmass, cast(0 as bigint))) div 100")
-                )
-                .cast("bigint")
-                .alias("score"),
-            )
-        )
+    scores = pagerank_fixedpoint(edges, max_rounds=_PR_MAX_ROUNDS, check_every=4)
     return scores.select("node", F.col("score").alias("pagerank_fp"))
 
 
