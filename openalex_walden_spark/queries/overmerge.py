@@ -1,0 +1,287 @@
+"""Overmerge detection over entity embedding groups.
+
+The reference's author-quality subsystem asks one question of every
+merged author profile: "is this actually two people?"  Two notebook
+pipelines answer it from the profile's work embeddings:
+
+- ``notebooks/vector_search/HdbscanOvermergeDetection.ipynb`` — HDBSCAN
+  per author; n_clusters >= 2 predicts overmerge (plus noise_frac /
+  largest_cluster_frac / second_cluster_frac as calibration metrics).
+- ``notebooks/vector_search/PairwiseOvermergeSignal.ipynb`` and
+  ``ComputeAuthorshipSimilarity.ipynb`` (cell 9) — pure-SQL pairwise
+  cosine percentiles per author (p5/p10/mean/min over all work pairs):
+  a low similarity tail is the cheap overmerge smell test.
+
+Here the ``embeddings`` fixture's ``label`` column plays the author
+profile (the group whose coherence is being audited) and both signals
+are single distributed plans — the reference's driver-side sklearn
+batch loop is replaced by ``operators/density.py`` (see its docstring
+for the HDBSCAN fragment computed and the determinism engineering).
+
+Oracle notes: every decision value is either an exact BIGINT (squared
+distances, component sizes) or a floor-quantized cosine computed by the
+bit-identical IEEE expression in both engines, so the driver's hash
+check is exact.  The density oracle replays threshold linkage as 64
+unrolled min-label-propagation rounds — enough for any component of
+<= 65 points (the fixture's groups are <= 63; the Spark side uses the
+O(log^2 n) alternating-star operator and is correct at ANY size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from openalex_walden_spark.queries.registry import register
+
+_Q = 65536  # 2^16 — same quantization convention as the IVF trainer
+_EPS2 = 6_800_000_000  # squared linkage threshold (fixed-point units)
+_K_CORE = 4
+_MIN_CLUSTER = 3
+_KEY_BASE = 10_000_000
+_LP_ROUNDS = 64  # oracle propagation rounds (>= max component diameter)
+
+_COS_SCALE = 1_000_000  # cosine quantization for the pairwise signal
+
+
+# --------------------------------------------------------------------------
+# Density split (HDBSCAN-style): per-group cluster statistics
+# --------------------------------------------------------------------------
+def _density_sql() -> str:
+    rounds = []
+    for t in range(1, _LP_ROUNDS + 1):
+        rounds.append(
+            f"""l{t} AS MATERIALIZED (
+  SELECT l.k, LEAST(l.lbl, COALESCE(MIN(n2.lbl), l.lbl)) AS lbl
+  FROM l{t - 1} l
+  LEFT JOIN esym e ON e.src = l.k
+  LEFT JOIN l{t - 1} n2 ON n2.k = e.dst
+  GROUP BY l.k, l.lbl
+)"""
+        )
+    return (
+        f"""
+WITH pts AS MATERIALIZED (
+  SELECT label AS g, vec_id AS i,
+         list_transform(embedding, x -> floor(x::DOUBLE * {_Q})::BIGINT + {_Q}) AS qx
+  FROM embeddings
+),
+pairs AS MATERIALIZED (
+  SELECT a.g, a.i AS ia, b.i AS ib,
+         list_sum(list_transform(range(1, len(a.qx) + 1),
+           d -> (a.qx[d] - b.qx[d]) * (a.qx[d] - b.qx[d])))::BIGINT AS d2
+  FROM pts a JOIN pts b ON a.g = b.g AND a.i < b.i
+),
+sym AS MATERIALIZED (
+  SELECT g, ia AS src, ib AS dst, d2 FROM pairs
+  UNION ALL
+  SELECT g, ib AS src, ia AS dst, d2 FROM pairs
+),
+core AS MATERIALIZED (
+  SELECT g, src AS i, d2 AS core2 FROM (
+    SELECT g, src, dst, d2,
+           row_number() OVER (PARTITION BY g, src ORDER BY d2 ASC, dst ASC) AS rn
+    FROM sym
+  ) WHERE rn = {_K_CORE}
+),
+edges AS MATERIALIZED (
+  SELECT p.g * {_KEY_BASE} + p.ia AS src, p.g * {_KEY_BASE} + p.ib AS dst
+  FROM pairs p
+  JOIN core ca ON ca.g = p.g AND ca.i = p.ia
+  JOIN core cb ON cb.g = p.g AND cb.i = p.ib
+  WHERE GREATEST(p.d2, ca.core2, cb.core2) <= {_EPS2}
+),
+esym AS MATERIALIZED (
+  SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
+),
+l0 AS MATERIALIZED (
+  SELECT k, k AS lbl FROM (SELECT src AS k FROM esym GROUP BY src)
+),
+"""
+        + ",\n".join(rounds)
+        + f""",
+sizes AS (
+  SELECT k // {_KEY_BASE} AS g, lbl, COUNT(*)::BIGINT AS sz
+  FROM l{_LP_ROUNDS} GROUP BY k // {_KEY_BASE}, lbl
+),
+clusters AS (
+  SELECT g, sz, row_number() OVER (PARTITION BY g ORDER BY sz DESC, lbl ASC) AS rk
+  FROM sizes WHERE sz >= {_MIN_CLUSTER}
+),
+per_grp AS (
+  SELECT g, COUNT(*)::BIGINT AS n_clusters, SUM(sz)::BIGINT AS clustered,
+         MAX(CASE WHEN rk = 1 THEN sz END) AS largest_sz,
+         MAX(CASE WHEN rk = 2 THEN sz END) AS second_sz
+  FROM clusters GROUP BY g
+),
+npts AS (SELECT g, COUNT(*)::BIGINT AS n_points FROM pts GROUP BY g)
+SELECT n.g AS grp, n.n_points,
+       COALESCE(p.n_clusters, 0)::BIGINT AS n_clusters,
+       (n.n_points - COALESCE(p.clustered, 0))::BIGINT AS n_noise,
+       COALESCE(p.largest_sz, 0)::BIGINT AS largest_sz,
+       COALESCE(p.second_sz, 0)::BIGINT AS second_sz
+FROM npts n LEFT JOIN per_grp p ON p.g = n.g
+"""
+    )
+
+
+@register(
+    "overmerge_density_split",
+    oracle=_density_sql(),
+    tags=("llmdata", "ann", "overmerge", "domain"),
+    tables=("embeddings",),
+)
+def overmerge_density_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-profile density-cluster statistics (the HDBSCAN overmerge
+    signal): a group whose embeddings form 2+ density clusters is a
+    candidate multi-person profile; all-noise groups have no coherent
+    signal.  See module + ``operators/density.py`` docstrings.
+    """
+    from openalex_walden_spark.operators.density import density_split_stats
+
+    pts = spark.table("embeddings").select(
+        F.col("label").alias("grp"),
+        F.col("vec_id").alias("id"),
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double) * {_Q}) as bigint) + {_Q})"
+        ).alias("qx"),
+    )
+    return density_split_stats(
+        pts, eps2=_EPS2, k_core=_K_CORE, min_cluster_size=_MIN_CLUSTER
+    )
+
+
+# --------------------------------------------------------------------------
+# Pairwise cosine percentile signal (pure relational; no clustering)
+# --------------------------------------------------------------------------
+# Quantized cosine: integer dot / norms from floor(x * 2^16) coordinates
+# (no offset — differences are not involved, and signs must survive),
+# floor-scaled to 1e6.  The expression tree is kept IDENTICAL in both
+# engines so the doubles agree bit-for-bit before the floor.
+_PAIRWISE_SQL = f"""
+WITH pts AS MATERIALIZED (
+  SELECT label AS g, vec_id AS i,
+         list_transform(embedding, x -> floor(x::DOUBLE * {_Q})::BIGINT) AS qd
+  FROM embeddings
+),
+nrm AS MATERIALIZED (
+  SELECT g, i, qd,
+         list_sum(list_transform(qd, x -> x * x))::BIGINT AS n2
+  FROM pts
+),
+pairs AS MATERIALIZED (
+  SELECT a.g,
+         floor(({_COS_SCALE}.0 * list_sum(list_transform(range(1, len(a.qd) + 1),
+                  d -> (a.qd[d] * b.qd[d])::DOUBLE)))
+               / (sqrt(a.n2::DOUBLE) * sqrt(b.n2::DOUBLE)))::BIGINT AS cos_q
+  FROM nrm a JOIN nrm b ON a.g = b.g AND a.i < b.i
+),
+ranked AS (
+  SELECT g, cos_q,
+         row_number() OVER (PARTITION BY g ORDER BY cos_q ASC) - 1 AS pos
+  FROM pairs
+),
+agg AS (
+  SELECT g, COUNT(*)::BIGINT AS n_pairs, MIN(cos_q)::BIGINT AS min_q,
+         SUM(cos_q)::BIGINT AS sum_q
+  FROM pairs GROUP BY g
+)
+SELECT a.g AS grp, a.n_pairs, a.min_q,
+       p05.cos_q AS p05_q, p10.cos_q AS p10_q,
+       CAST(FLOOR(a.sum_q / a.n_pairs) AS BIGINT) AS mean_q
+FROM agg a
+JOIN ranked p05 ON p05.g = a.g AND p05.pos = CAST(FLOOR(0.05 * (a.n_pairs - 1)) AS BIGINT)
+JOIN ranked p10 ON p10.g = a.g AND p10.pos = CAST(FLOOR(0.10 * (a.n_pairs - 1)) AS BIGINT)
+"""
+
+
+@register(
+    "overmerge_pairwise_signal",
+    oracle=_PAIRWISE_SQL,
+    tags=("llmdata", "ann", "overmerge", "agg"),
+    tables=("embeddings",),
+)
+def overmerge_pairwise_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-profile pairwise-similarity tail diagnostic: exact p5/p10/
+    mean/min over all within-group pairwise cosines (quantized to 1e-6
+    so percentiles are integer-exact).  The reference computes this
+    with APPROX_PERCENTILE (ComputeAuthorshipSimilarity cell 9,
+    PairwiseOvermergeSignal cell 1); exact rank-statistics cost the
+    same here — one window over the per-group pair list — and make the
+    result oracle-checkable.
+
+    Scale shape: pairs exist only within a group (equi-join on the
+    profile key, quadratic in works-per-author — the same bound the
+    reference accepts, capped upstream at 500 works per profile); one
+    pair-list shuffle keys on the group; everything after is per-group
+    windows and aggregates at group grain.
+    """
+    pts = spark.table("embeddings").select(
+        F.col("label").alias("g"),
+        F.col("vec_id").alias("i"),
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double) * {_Q}) as bigint))"
+        ).alias("qd"),
+    )
+    nrm = pts.withColumn(
+        "n2",
+        F.aggregate(
+            F.transform(F.col("qd"), lambda x: x * x),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.qd"), F.col("b.qd"), lambda u, v: (u * v).cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos_q = F.floor(
+        (F.lit(float(_COS_SCALE)) * dot)
+        / (F.sqrt(F.col("a.n2").cast("double")) * F.sqrt(F.col("b.n2").cast("double")))
+    ).cast("bigint")
+    pairs = (
+        nrm.alias("a")
+        .join(
+            nrm.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.i") < F.col("b.i")),
+        )
+        .select(F.col("a.g").alias("g"), cos_q.alias("cos_q"))
+    )
+    ranked = pairs.withColumn(
+        "pos", F.row_number().over(Window.partitionBy("g").orderBy(F.col("cos_q").asc())) - 1
+    )
+    agg = pairs.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.min("cos_q").cast("bigint").alias("min_q"),
+        F.sum("cos_q").cast("bigint").alias("sum_q"),
+    )
+    p05 = ranked.select(F.col("g").alias("g"), F.col("cos_q").alias("p05_q"), "pos")
+    p10 = ranked.select(F.col("g").alias("g"), F.col("cos_q").alias("p10_q"), "pos")
+    return (
+        agg.join(
+            p05,
+            (p05.g == agg.g)
+            & (p05.pos == F.floor(F.lit(0.05) * (agg.n_pairs - 1)).cast("bigint")),
+        )
+        .drop(p05.g)
+        .drop("pos")
+        .join(
+            p10,
+            (p10.g == agg.g)
+            & (p10.pos == F.floor(F.lit(0.10) * (agg.n_pairs - 1)).cast("bigint")),
+        )
+        .drop(p10.g)
+        .drop("pos")
+        .select(
+            F.col("g").alias("grp"),
+            "n_pairs",
+            "min_q",
+            "p05_q",
+            "p10_q",
+            F.floor(F.col("sum_q").cast("double") / F.col("n_pairs")).cast("bigint").alias("mean_q"),
+        )
+    )

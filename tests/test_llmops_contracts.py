@@ -273,3 +273,45 @@ def test_trained_centroids_are_a_fixed_point(spark, sf_dir):
     for r in sums:
         stepped[r["cell"]][r["dim0"]] = int(r["sq"]) // int(r["n"])
     assert stepped == cents, "one more Lloyd step moved the centroids"
+
+
+# --------------------------------------------------------------------------
+# Density overmerge detection: known-overmerged fixture
+# --------------------------------------------------------------------------
+def test_density_split_flags_known_overmerge(spark):
+    """Hand-built profiles with known answers (the reference's gold-set
+    calibration shape, HdbscanOvermergeDetection.ipynb): a clean
+    profile = 1 density cluster, an overmerged (two-person) profile =
+    2 clusters, an incoherent profile = all noise."""
+    from openalex_walden_spark.operators.density import density_split_stats
+
+    def blob(center, n, spread):
+        # deterministic jitter: point j offsets dim d by ((j*7+d) % spread)
+        return [
+            [center[d] + ((j * 7 + d) % spread) for d in range(len(center))]
+            for j in range(n)
+        ]
+
+    rows = []
+    pid = 0
+    # grp 1: one tight blob of 10 -> 1 cluster
+    for x in blob([0, 0, 0, 0], 10, 3):
+        rows.append((1, pid, x)); pid += 1
+    # grp 2: two tight blobs of 6, far apart -> 2 clusters
+    for x in blob([0, 0, 0, 0], 6, 3) + blob([1000, 1000, 1000, 1000], 6, 3):
+        rows.append((2, pid, x)); pid += 1
+    # grp 3: 5 mutually distant points -> all noise
+    for j in range(5):
+        rows.append((3, pid, [j * 5000, j * 3000, 0, 0])); pid += 1
+    pts = spark.createDataFrame(rows, "grp int, id int, qx array<bigint>")
+    out = {
+        r["grp"]: r
+        for r in density_split_stats(
+            pts, eps2=100, k_core=3, min_cluster_size=3
+        ).collect()
+    }
+    assert out[1]["n_clusters"] == 1 and out[1]["largest_sz"] == 10
+    assert out[1]["n_noise"] == 0
+    assert out[2]["n_clusters"] == 2
+    assert out[2]["largest_sz"] == 6 and out[2]["second_sz"] == 6
+    assert out[3]["n_clusters"] == 0 and out[3]["n_noise"] == 5
