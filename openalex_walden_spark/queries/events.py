@@ -463,8 +463,21 @@ def ev_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect_list → array_sort → one ``aggregate`` HOF carrying
     (t1, t2, t3) state. ONE shuffle total, any funnel depth, and the
     fold is codegen'd — the shape that survives a 100-TB event table
-    where per-step self-joins would each reshuffle it."""
-    e = spark.table("events")
+    where per-step self-joins would each reshuffle it.
+
+    Skew bound: only funnel-step event types are collected (the filter
+    reaches the parquet scan — plan-pinned by
+    test_funnel_collect_is_type_bounded), so a hot user's array holds
+    its signup/click/purchase events only, never its page-view firehose
+    — at a realistic event mix that is orders of magnitude off the
+    per-key state. Other types can never change the fold, so semantics
+    are identical; the steps=0 universe (users with no funnel events at
+    all) is restored by a left join from the distinct-user aggregate,
+    whose scan prunes to the user_id column."""
+    e = spark.table("events").where(
+        F.col("event_type").isin("signup", "click", "purchase")
+    )
+    users = spark.table("events").select("user_id").distinct()
     evs = F.array_sort(
         F.collect_list(F.struct("ts_us", "event_id", "event_type"))
     )
@@ -493,12 +506,14 @@ def ev_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("t1").isNotNull(), 1)
         .otherwise(0)
     )
-    return (
+    folded = (
         e.groupBy("user_id")
         .agg(evs.alias("evs"))
         .select("user_id", fold.alias("f"))
         .select("user_id", "f.t1", "f.t2", "f.t3")
-        .withColumn("steps", steps.cast("int"))
+    )
+    return users.join(folded, "user_id", "left").withColumn(
+        "steps", steps.cast("int")
     )
 
 

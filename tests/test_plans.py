@@ -548,3 +548,14 @@ def test_pagerank_converged_beyond_unrolled_demo(spark, sf_dir):
     assert (merged["pagerank_fp"] != merged["score3"]).any()
     # Sanity: scores live in fixed-point units around PR_ONE.
     assert merged["pagerank_fp"].between(PR_ONE // 10, PR_ONE * 50).all()
+
+
+def test_funnel_collect_is_type_bounded(spark, sf_dir):
+    """The per-user collect in the funnel fold must only ever see
+    funnel-step event types — the In(event_type,...) filter reaches the
+    parquet scan, so a hot user's page-view firehose never enters the
+    collected array (the round-5 verdict's skew finding)."""
+    plan = _plan(spark, sf_dir, "ev_funnel_steps")
+    assert "In(event_type" in plan  # pushed to the scan
+    # the distinct-user universe scan reads ONLY user_id
+    assert "ReadSchema: struct<user_id" in plan
