@@ -112,8 +112,7 @@ _R5_GREEN = _DEFER_NEXT + _EV_RETRY + [
     "search_bm25_topk", "ann_sq8_topk", "mixture_rebalance_sample",
     "pack_sequences_chunked", "sample_importance_weighted", "ev_funnel_steps",
     "ev_session_window", "ev_scd2_history", "s4_incremental_agg_maintenance",
-    "semdedup_prune", "udf_award_family_battery", "d7_reference_cascade",
-    "d7_dict_fallback", "d6_pattern_cascade", "j14_asof_join",
+    "semdedup_prune", "d6_pattern_cascade", "j14_asof_join",
     "ev_hypertable_rollup", "sketch_countmin_estimates", "j15_range_join",
     "ev_gapfill_locf", "sketch_hll_distinct", "sketch_bloom_probe",
     "graph_triangle_count",
@@ -131,6 +130,7 @@ _R6_FRONT = [
     "profile_table_stats", "quality_lm_surprisal", "kmeans_lloyd_step",
     "ann_ivf_multiprobe_topk", "ann_recall_audit", "w9_range_frame_trailing",
     "fit_isotonic_pava", "graph_pagerank_fixedpoint",
+    "udf_award_family_battery", "d7_reference_cascade", "d7_dict_fallback",
 ]
 
 

@@ -123,8 +123,20 @@ RETURN COALESCE(
 #                   separators squashed; prefix-labelled fallback
 #   wellcome l.37:  5-6 digit core id LPAD 6 (incl. 360G-WELLCOME- forms)
 #   dod      l.118: contract-number families (W81XWH/DAMD/N00014/FA/HR0011)
+# Round-6 additions (next-largest funders by the same file's key order):
+#   kakenhi  l.80:  JP/KAKENHI prefix stripped, yyXnnnnn or 8-digit form
+#   anr      l.36:  ANR-yy-CODE-nnnn canonicalized to yy-CODE-nnnn
+#   fapesp   l.31:  xx/xxxxx-x process numbers (space-squashed)
+#   doe      l.52:  DE- prefix + office code (SC/FG/...) contract forms
+#   cdmrp    l.118: W81XWH/DAMD/HT/W911/CDMRPL award numbers
+#   aei      l.56:  PID/PGC/RYC/... yyyy-nnnnnn Spanish state grants
+#   most_tw  l.29:  MOST/NSC/NSTC prefix stripped, separators squashed
+#   capes    l.44:  8888x.nnnnnn/yyyy-nn process numbers
+#   ncn      l.45:  yyyy/nn/L/LLn/nnnnn Polish grant paths
+#   gacr     l.63:  GA/GP prefixed Czech grant ids (two generations)
 # Patterns are deliberately lookaround-free so the Java-regex (Spark) and
-# RE2 (DuckDB oracle) compilations agree verbatim.
+# RE2 (DuckDB oracle) compilations agree verbatim; literal dots use [.]
+# so neither engine's string-escape rules are in play.
 _AWARD_NORM0 = """
 CREATE OR REPLACE TEMPORARY FUNCTION award_norm0(award STRING)
 RETURNS STRING
@@ -175,6 +187,47 @@ RETURN CASE
       regexp_replace(award_norm0(award), '[-_ ]', ''),
       '((W81XWH|DAMD[0-9]{2}|HT[0-9]{4}|W911NF|N00014|FA[0-9]{4}|HR0011)[0-9]{2}[A-Z0-9]{3,9})',
       1), '')
+  WHEN family = 'kakenhi' THEN
+    nullif(regexp_extract(
+      regexp_replace(award_norm0(award), '^(KAKENHI|JP|GRANT|NO[.]?)[ -]*', ''),
+      '^([0-9]{2}[A-Z][0-9]{5}|[0-9]{8})$', 1), '')
+  WHEN family = 'anr' THEN
+    CASE WHEN nullif(regexp_extract(award_norm0(award),
+           '^ANR-([0-9]{2})-([A-Z0-9]{2,6})-([0-9]{4})', 1), '') IS NOT NULL
+         THEN concat(
+           regexp_extract(award_norm0(award), '^ANR-([0-9]{2})-([A-Z0-9]{2,6})-([0-9]{4})', 1), '-',
+           regexp_extract(award_norm0(award), '^ANR-([0-9]{2})-([A-Z0-9]{2,6})-([0-9]{4})', 2), '-',
+           regexp_extract(award_norm0(award), '^ANR-([0-9]{2})-([A-Z0-9]{2,6})-([0-9]{4})', 3))
+    END
+  WHEN family = 'fapesp' THEN
+    nullif(regexp_extract(regexp_replace(award_norm0(award), ' ', ''),
+      '^([0-9]{2}/[0-9]{5}-[0-9])$', 1), '')
+  WHEN family = 'doe' THEN
+    nullif(regexp_extract(regexp_replace(award_norm0(award), '[ -]', ''),
+      '^(?:DE)?((SC|EE|FE|AR|NE|NA|EM|OE|IA|PI|BI|CF|ET|SF|HS|DP|EW)[0-9]{7}|(FG|FC|AC|AI|GO|PS|EV|ER|AA)[0-9]{2}[A-Z]{1,2}[0-9]{4,6})$',
+      1), '')
+  WHEN family = 'cdmrp' THEN
+    nullif(regexp_extract(regexp_replace(award_norm0(award), '[-_ ]', ''),
+      '^((W81XWH|DAMD[0-9]{2}|HT[0-9]{4}|W911[A-Z0-9]{2}|CDMRPL)[0-9A-Z]{5,14})$',
+      1), '')
+  WHEN family = 'aei' THEN
+    nullif(regexp_extract(regexp_replace(award_norm0(award), ' ', ''),
+      '^((PID|PGC|RYC|RTI|CEX|TED|SEV|BES|FPU|FJC|IJC|CNS|EUR|EQC|PLEC|PDC)[0-9]{4}-[0-9]{5,6}[A-Z0-9-]{0,8})$',
+      1), '')
+  WHEN family = 'most_tw' THEN
+    nullif(regexp_replace(
+      regexp_replace(award_norm0(award), '^(MOST|NSC|NSTC)[ -]*', ''),
+      '[ -]', ''), '')
+  WHEN family = 'capes' THEN
+    nullif(regexp_extract(regexp_replace(award_norm0(award), ' ', ''),
+      '^((8888[0-9]|99999)[.][0-9]{6}/[0-9]{4}-[0-9]{2})$', 1), '')
+  WHEN family = 'ncn' THEN
+    nullif(regexp_extract(regexp_replace(award_norm0(award), ' ', ''),
+      '^(20[0-9]{2}/[0-9]{2}/[A-Z]{1,2}/[A-Z]{2,3}[0-9]{1,2}/[0-9]{5})$', 1), '')
+  WHEN family = 'gacr' THEN
+    coalesce(
+      nullif(regexp_extract(award_norm0(award), '^G[A-Z]([0-9]{2}-[0-9]{5}[A-Z])$', 1), ''),
+      nullif(regexp_extract(award_norm0(award), '^G[A-Z](P?[0-9]{3}/[0-9]{2}/[A-Z]?[0-9]{3,4})$', 1), ''))
   ELSE award_key(award)
 END
 """

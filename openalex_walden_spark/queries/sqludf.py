@@ -292,7 +292,7 @@ def award_family_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # table, notebooks/awards/AwardNormKey.sql) over realistic formats.
 
 _FAMILY_RAW_SPARK = """
-CASE CAST(o_orderkey % 7 AS INT)
+CASE CAST(o_orderkey % 17 AS INT)
   WHEN 0 THEN concat('1 R01 GM ', lpad(CAST(o_orderkey % 90000 + 10000 AS STRING), 5, '0'),
                      '-0', CAST(o_orderkey % 9 + 1 AS STRING))
   WHEN 1 THEN concat('DMS-1', lpad(CAST(o_orderkey % 1000000 AS STRING), 6, '0'))
@@ -301,14 +301,44 @@ CASE CAST(o_orderkey % 7 AS INT)
   WHEN 4 THEN concat(lpad(CAST(o_orderkey % 100000 AS STRING), 5, '0'), '/Z/04/Z')
   WHEN 5 THEN concat('W81XWH-', lpad(CAST(o_orderkey % 100 AS STRING), 2, '0'),
                      '-1-', lpad(CAST(o_orderkey % 10000 AS STRING), 4, '0'))
+  WHEN 6 THEN concat('JP ', lpad(CAST(o_orderkey % 25 + 10 AS STRING), 2, '0'), 'H',
+                     lpad(CAST(o_orderkey % 100000 AS STRING), 5, '0'))
+  WHEN 7 THEN concat('ANR-', lpad(CAST(o_orderkey % 100 AS STRING), 2, '0'), '-CE',
+                     lpad(CAST(o_orderkey % 100 AS STRING), 2, '0'), '-',
+                     lpad(CAST(o_orderkey % 10000 AS STRING), 4, '0'))
+  WHEN 8 THEN concat(lpad(CAST(o_orderkey % 100 AS STRING), 2, '0'), '/',
+                     lpad(CAST(o_orderkey % 100000 AS STRING), 5, '0'), '-',
+                     CAST(o_orderkey % 10 AS STRING))
+  WHEN 9 THEN concat('DE-SC', lpad(CAST(o_orderkey % 10000000 AS STRING), 7, '0'))
+  WHEN 10 THEN concat('HT', lpad(CAST(o_orderkey % 10000 AS STRING), 4, '0'), '-',
+                      lpad(CAST(o_orderkey % 100 AS STRING), 2, '0'), '-1-',
+                      lpad(CAST(o_orderkey % 10000 AS STRING), 4, '0'))
+  WHEN 11 THEN concat('PID', CAST(o_orderkey % 6 + 2017 AS STRING), '-',
+                      lpad(CAST(o_orderkey % 1000000 AS STRING), 6, '0'))
+  WHEN 12 THEN concat('MOST ', CAST(o_orderkey % 30 + 100 AS STRING), '-2221-E-',
+                      lpad(CAST(o_orderkey % 1000 AS STRING), 3, '0'), '-',
+                      lpad(CAST(o_orderkey % 200 AS STRING), 3, '0'))
+  WHEN 13 THEN concat('88887.', lpad(CAST(o_orderkey % 1000000 AS STRING), 6, '0'), '/',
+                      CAST(o_orderkey % 10 + 2013 AS STRING), '-',
+                      lpad(CAST(o_orderkey % 100 AS STRING), 2, '0'))
+  WHEN 14 THEN concat('20', lpad(CAST(o_orderkey % 23 AS STRING), 2, '0'), '/',
+                      lpad(CAST(o_orderkey % 45 AS STRING), 2, '0'), '/B/ST',
+                      CAST(o_orderkey % 9 + 1 AS STRING), '/',
+                      lpad(CAST(o_orderkey % 100000 AS STRING), 5, '0'))
+  WHEN 15 THEN concat('GA', lpad(CAST(o_orderkey % 100 AS STRING), 2, '0'), '-',
+                      lpad(CAST(o_orderkey % 100000 AS STRING), 5, '0'), 'S')
   ELSE concat('awd - ', lpad(CAST(o_orderkey % 100000 AS STRING), 7, '0'))
 END
 """
 
 _FAMILY_NAME = """
-CASE CAST(o_orderkey % 7 AS INT)
+CASE CAST(o_orderkey % 17 AS INT)
   WHEN 0 THEN 'nih' WHEN 1 THEN 'nsf' WHEN 2 THEN 'erc'
   WHEN 3 THEN 'ukri' WHEN 4 THEN 'wellcome' WHEN 5 THEN 'dod'
+  WHEN 6 THEN 'kakenhi' WHEN 7 THEN 'anr' WHEN 8 THEN 'fapesp'
+  WHEN 9 THEN 'doe' WHEN 10 THEN 'cdmrp' WHEN 11 THEN 'aei'
+  WHEN 12 THEN 'most_tw' WHEN 13 THEN 'capes' WHEN 14 THEN 'ncn'
+  WHEN 15 THEN 'gacr'
   ELSE 'generic'
 END
 """
@@ -349,6 +379,45 @@ CASE
     nullif(regexp_extract(regexp_replace(_n, '[-_ ]', '', 'g'),
       '((W81XWH|DAMD[0-9]{2}|HT[0-9]{4}|W911NF|N00014|FA[0-9]{4}|HR0011)[0-9]{2}[A-Z0-9]{3,9})',
       1), '')
+  WHEN family = 'kakenhi' THEN
+    nullif(regexp_extract(regexp_replace(_n, '^(KAKENHI|JP|GRANT|NO[.]?)[ -]*', ''),
+      '^([0-9]{2}[A-Z][0-9]{5}|[0-9]{8})$', 1), '')
+  WHEN family = 'anr' THEN
+    CASE WHEN nullif(regexp_extract(_n, '^ANR-([0-9]{2})-([A-Z0-9]{2,6})-([0-9]{4})', 1), '') IS NOT NULL
+         THEN concat(
+           regexp_extract(_n, '^ANR-([0-9]{2})-([A-Z0-9]{2,6})-([0-9]{4})', 1), '-',
+           regexp_extract(_n, '^ANR-([0-9]{2})-([A-Z0-9]{2,6})-([0-9]{4})', 2), '-',
+           regexp_extract(_n, '^ANR-([0-9]{2})-([A-Z0-9]{2,6})-([0-9]{4})', 3))
+    END
+  WHEN family = 'fapesp' THEN
+    nullif(regexp_extract(regexp_replace(_n, ' ', '', 'g'),
+      '^([0-9]{2}/[0-9]{5}-[0-9])$', 1), '')
+  WHEN family = 'doe' THEN
+    nullif(regexp_extract(regexp_replace(_n, '[ -]', '', 'g'),
+      '^(?:DE)?((SC|EE|FE|AR|NE|NA|EM|OE|IA|PI|BI|CF|ET|SF|HS|DP|EW)[0-9]{7}|(FG|FC|AC|AI|GO|PS|EV|ER|AA)[0-9]{2}[A-Z]{1,2}[0-9]{4,6})$',
+      1), '')
+  WHEN family = 'cdmrp' THEN
+    nullif(regexp_extract(regexp_replace(_n, '[-_ ]', '', 'g'),
+      '^((W81XWH|DAMD[0-9]{2}|HT[0-9]{4}|W911[A-Z0-9]{2}|CDMRPL)[0-9A-Z]{5,14})$',
+      1), '')
+  WHEN family = 'aei' THEN
+    nullif(regexp_extract(regexp_replace(_n, ' ', '', 'g'),
+      '^((PID|PGC|RYC|RTI|CEX|TED|SEV|BES|FPU|FJC|IJC|CNS|EUR|EQC|PLEC|PDC)[0-9]{4}-[0-9]{5,6}[A-Z0-9-]{0,8})$',
+      1), '')
+  WHEN family = 'most_tw' THEN
+    nullif(regexp_replace(
+      regexp_replace(_n, '^(MOST|NSC|NSTC)[ -]*', ''),
+      '[ -]', '', 'g'), '')
+  WHEN family = 'capes' THEN
+    nullif(regexp_extract(regexp_replace(_n, ' ', '', 'g'),
+      '^((8888[0-9]|99999)[.][0-9]{6}/[0-9]{4}-[0-9]{2})$', 1), '')
+  WHEN family = 'ncn' THEN
+    nullif(regexp_extract(regexp_replace(_n, ' ', '', 'g'),
+      '^(20[0-9]{2}/[0-9]{2}/[A-Z]{1,2}/[A-Z]{2,3}[0-9]{1,2}/[0-9]{5})$', 1), '')
+  WHEN family = 'gacr' THEN
+    coalesce(
+      nullif(regexp_extract(_n, '^G[A-Z]([0-9]{2}-[0-9]{5}[A-Z])$', 1), ''),
+      nullif(regexp_extract(_n, '^G[A-Z](P?[0-9]{3}/[0-9]{2}/[A-Z]?[0-9]{3,4})$', 1), ''))
   ELSE
     CASE
       WHEN regexp_matches(_sq, '[0-9]$')
