@@ -68,3 +68,30 @@ def test_nightly_dag_build_guard_export_smoke(spark, sf_dir, tmp_path):
     assert os.path.exists(os.path.join(out, "manifest.json"))
     works.unpersist()
     enriched.unpersist()
+
+
+def test_doc_catalog_counts_match_registry():
+    """README.md and COVERAGE.md state the catalog size; those claims
+    must be machine-true (the round-5 verdict caught them drifting).
+    The counts are parsed from the exact phrases the docs use."""
+    import pathlib
+    import re
+
+    from openalex_walden_spark import queries as q
+
+    q.load_all()
+    n = len(q.CATALOG)
+    n_oracle = sum(1 for s in q.CATALOG.values() if s.oracle is not None)
+    root = pathlib.Path(__file__).parent.parent
+    readme = (root / "README.md").read_text()
+    m = re.search(r"\((\d+) queries: (\d+) with DuckDB oracles", readme)
+    assert m, "README catalog-count phrase missing"
+    assert (int(m.group(1)), int(m.group(2))) == (n, n_oracle), (
+        f"README says {m.groups()}, registry has {(n, n_oracle)}"
+    )
+    coverage = (root / "COVERAGE.md").read_text()
+    m = re.search(r"(\d+) catalog queries — (\d+) with DuckDB oracles", coverage)
+    assert m, "COVERAGE catalog-count phrase missing"
+    assert (int(m.group(1)), int(m.group(2))) == (n, n_oracle), (
+        f"COVERAGE says {m.groups()}, registry has {(n, n_oracle)}"
+    )
