@@ -65,6 +65,10 @@ HEADLINE = [
     "layout_zorder_stats",
     # exact set-similarity join (the lossless counterpart to LSH)
     "dedup_prefix_filter_pairs",
+    # round-6 additions: trained-quantizer ANN (iterative driver-loop
+    # training plan family) and per-group density clustering
+    "ann_ivf_trained_topk",
+    "overmerge_density_split",
 ]
 
 

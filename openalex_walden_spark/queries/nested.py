@@ -411,3 +411,203 @@ def d0_works_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fwci"),
         F.percent_rank().over(rank_w).alias("citation_percentile"),
     )
+
+
+# --------------------------------------------------------------------------
+# Work-fulltext plane: key extraction -> longest-raw-wins -> clean -> match
+# --------------------------------------------------------------------------
+# The reference precomputes work fulltext from crawled PDFs
+# (notebooks/end2end/CreateWorkFulltext.ipynb): each PDF contributes one
+# KEY (its DOI url when present, else its OAI-PMH id), the longest RAW
+# text per key wins, the winner is cleaned (200K-char cap, HTML-tag
+# strip, whitespace squash, trim), and works match keys DOI-first with
+# raw-length tie-breaks.  The incremental MERGE layers around this are
+# the repo's existing operators/merge.py + s4 shapes; this query is the
+# semantic core those merges maintain.  The reference breaks raw-length
+# ties with XXHASH64(fulltext); here the tie-break is doc_id — same
+# "deterministic total order" purpose, engine-portable.
+_FULLTEXT_SQL = r"""
+WITH pdfs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN concat('<p class="body">', text, '</p> <div>end</div>')
+              ELSE text END AS fulltext,
+         CASE WHEN doc_id % 3 <> 2
+              THEN concat('10.1234/d', CAST(doc_id % 40 AS VARCHAR)) END AS doi,
+         CASE WHEN doc_id % 3 = 2
+              THEN concat('oai:repo:', CAST(doc_id % 30 AS VARCHAR)) END AS pmh
+  FROM documents
+),
+keyed AS (
+  SELECT 'doi' AS key_type, concat('https://doi.org/', lower(doi)) AS key,
+         fulltext, doc_id
+  FROM pdfs WHERE doi IS NOT NULL
+  UNION ALL
+  SELECT 'pmh', pmh, fulltext, doc_id
+  FROM pdfs WHERE pmh IS NOT NULL AND doi IS NULL
+),
+winners AS (
+  SELECT key_type, key, fulltext, length(fulltext) AS raw_length,
+         row_number() OVER (PARTITION BY key_type, key
+                            ORDER BY length(fulltext) DESC, doc_id ASC) AS rn
+  FROM keyed
+),
+keys_tbl AS (
+  SELECT key_type, key, raw_length,
+         trim(regexp_replace(regexp_replace(
+           substr(fulltext, 1, 200000), '<[^>]+>', ' ', 'g'),
+           '\s+', ' ', 'g')) AS fulltext
+  FROM winners WHERE rn = 1
+),
+works AS (
+  SELECT o_orderkey AS work_id,
+         CASE WHEN o_orderkey % 2 = 0
+              THEN concat('https://doi.org/10.1234/D',
+                          CAST(o_orderkey % 40 AS VARCHAR)) END AS doi,
+         CASE WHEN o_orderkey % 5 IN (1, 3)
+              THEN concat('oai:repo:', CAST(o_orderkey % 30 AS VARCHAR)) END AS pmh_id
+  FROM orders
+),
+doi_matches AS (
+  SELECT w.work_id, k.key_type, k.key, k.raw_length, 1 AS priority
+  FROM works w JOIN keys_tbl k
+    ON k.key_type = 'doi' AND k.key = lower(w.doi)
+),
+pmh_matches AS (
+  SELECT w.work_id, k.key_type, k.key, k.raw_length, 2 AS priority
+  FROM works w JOIN keys_tbl k
+    ON k.key_type = 'pmh' AND k.key = w.pmh_id
+),
+best AS (
+  SELECT work_id, key_type, key, raw_length,
+         row_number() OVER (PARTITION BY work_id
+                            ORDER BY priority ASC, raw_length DESC, key ASC) AS rn
+  FROM (SELECT * FROM doi_matches UNION ALL SELECT * FROM pmh_matches)
+)
+SELECT b.work_id, b.key_type AS match_type, b.key, b.raw_length,
+       length(k.fulltext) AS fulltext_length,
+       substr(k.fulltext, 1, 60) AS preview
+FROM best b
+JOIN keys_tbl k ON k.key_type = b.key_type AND k.key = b.key
+WHERE b.rn = 1
+"""
+
+
+@register(
+    "fulltext_work_build",
+    oracle=_FULLTEXT_SQL,
+    tags=("domain", "fulltext", "nested"),
+    tables=("documents", "orders"),
+)
+def fulltext_work_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The work-fulltext plane (CreateWorkFulltext.ipynb cells 5-9):
+    DOI-else-PMH key extraction, longest-raw-text-wins per key, the
+    200K-cap + HTML-strip + whitespace-squash clean, and DOI-first
+    work matching with (priority, raw_length DESC, key) tie-breaks.
+
+    Scale shape: keys aggregate on (key_type, key) — one shuffle of
+    (key, length) pairs where only the per-key winner carries its text
+    forward; the work match is two equi-joins against the slim key
+    table (the reference's 'slim keys first, bytes only for changed
+    rows' design), and the bytes join happens once, after the winner
+    per work is known."""
+    docs = spark.table("documents")
+    pdfs = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit('<p class="body">'), F.col("text"), F.lit("</p> <div>end</div>")),
+        )
+        .otherwise(F.col("text"))
+        .alias("fulltext"),
+        F.when(
+            F.col("doc_id") % 3 != 2,
+            F.concat(F.lit("10.1234/d"), (F.col("doc_id") % 40).cast("string")),
+        ).alias("doi"),
+        F.when(
+            F.col("doc_id") % 3 == 2,
+            F.concat(F.lit("oai:repo:"), (F.col("doc_id") % 30).cast("string")),
+        ).alias("pmh"),
+    )
+    keyed = (
+        pdfs.where(F.col("doi").isNotNull())
+        .select(
+            F.lit("doi").alias("key_type"),
+            F.concat(F.lit("https://doi.org/"), F.lower("doi")).alias("key"),
+            "fulltext",
+            "doc_id",
+        )
+        .unionByName(
+            pdfs.where(F.col("pmh").isNotNull() & F.col("doi").isNull()).select(
+                F.lit("pmh").alias("key_type"),
+                F.col("pmh").alias("key"),
+                "fulltext",
+                "doc_id",
+            )
+        )
+    )
+    wk = Window.partitionBy("key_type", "key").orderBy(
+        F.length("fulltext").desc(), F.col("doc_id").asc()
+    )
+    keys_tbl = (
+        keyed.withColumn("raw_length", F.length("fulltext").cast("bigint"))
+        .withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") == 1)
+        .select(
+            "key_type",
+            "key",
+            "raw_length",
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.substring("fulltext", 1, 200000), "<[^>]+>", " "
+                    ),
+                    r"\s+",
+                    " ",
+                )
+            ).alias("fulltext"),
+        )
+    )
+    works = spark.table("orders").select(
+        F.col("o_orderkey").alias("work_id"),
+        F.when(
+            F.col("o_orderkey") % 2 == 0,
+            F.concat(
+                F.lit("https://doi.org/10.1234/D"),
+                (F.col("o_orderkey") % 40).cast("string"),
+            ),
+        ).alias("doi"),
+        F.when(
+            (F.col("o_orderkey") % 5).isin(1, 3),
+            F.concat(F.lit("oai:repo:"), (F.col("o_orderkey") % 30).cast("string")),
+        ).alias("pmh_id"),
+    )
+    slim = keys_tbl.select("key_type", "key", "raw_length")
+    doi_m = works.join(
+        F.broadcast(slim.where(F.col("key_type") == "doi")),
+        F.col("key") == F.lower("doi"),
+    ).select("work_id", "key_type", "key", "raw_length", F.lit(1).alias("priority"))
+    pmh_m = works.join(
+        F.broadcast(slim.where(F.col("key_type") == "pmh")),
+        F.col("key") == F.col("pmh_id"),
+    ).select("work_id", "key_type", "key", "raw_length", F.lit(2).alias("priority"))
+    wb = Window.partitionBy("work_id").orderBy(
+        F.col("priority").asc(), F.col("raw_length").desc(), F.col("key").asc()
+    )
+    best = (
+        doi_m.unionByName(pmh_m)
+        .withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") == 1)
+        .select("work_id", F.col("key_type").alias("match_type"), "key", "raw_length")
+    )
+    return best.join(
+        F.broadcast(keys_tbl.select("key_type", "key", "fulltext")),
+        (F.col("key_type") == F.col("match_type")) & (keys_tbl.key == best.key),
+    ).select(
+        "work_id",
+        "match_type",
+        best.key.alias("key"),
+        "raw_length",
+        F.length("fulltext").cast("bigint").alias("fulltext_length"),
+        F.substring("fulltext", 1, 60).alias("preview"),
+    )
