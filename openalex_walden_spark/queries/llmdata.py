@@ -2379,3 +2379,72 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Overlapping-window document chunking (context-window preparation)
+# --------------------------------------------------------------------------
+_CHUNK_W = 200   # window chars
+_CHUNK_S = 150   # stride (W - S = 50 chars of overlap)
+
+_CHUNK_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, text, length(text) AS n,
+         CASE WHEN length(text) > {_CHUNK_W}
+              THEN (length(text) - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S} + 1
+              ELSE 1 END AS n_chunks
+  FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0
+)
+SELECT doc_id, CAST(r.k AS BIGINT) AS chunk_id, n_chunks::BIGINT AS n_chunks,
+       substr(text, CAST(r.k * {_CHUNK_S} + 1 AS BIGINT), {_CHUNK_W}) AS chunk,
+       length(substr(text, CAST(r.k * {_CHUNK_S} + 1 AS BIGINT), {_CHUNK_W}))::BIGINT AS chunk_len
+FROM sized, UNNEST(range(0, n_chunks)) AS r(k)
+"""
+
+
+@register(
+    "chunk_documents_overlap",
+    oracle=_CHUNK_SQL,
+    tags=("llmdata", "chunking"),
+    tables=("documents",),
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking — the context-window
+    preparation step of a training/RAG pipeline: fixed {W}-char windows
+    every {S} chars (W-S chars of overlap so no boundary content is
+    lost), the final window keeps its natural short tail, and documents
+    shorter than one window yield exactly one chunk.
+
+    The chunk count is pure non-negative integer arithmetic
+    ((n - W + S - 1) div S + 1), so Spark and the oracle agree exactly.
+
+    Scale shape: one map-side sequence+explode per document — ZERO
+    shuffles at any corpus size; output order is irrelevant (chunk_id
+    is explicit) so downstream repartitioning is free."""
+    d = spark.table("documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    n_chunks = F.when(
+        F.length("text") > _CHUNK_W,
+        F.expr(
+            f"(length(text) - {_CHUNK_W} + {_CHUNK_S} - 1) div {_CHUNK_S} + 1"
+        ),
+    ).otherwise(F.lit(1))
+    chunk = F.expr(f"substring(text, k * {_CHUNK_S} + 1, {_CHUNK_W})")
+    return (
+        d.withColumn("n_chunks", n_chunks.cast("bigint"))
+        .select(
+            "doc_id",
+            "text",
+            "n_chunks",
+            F.explode(F.expr("sequence(0, n_chunks - 1)")).alias("k"),
+        )
+        .select(
+            "doc_id",
+            F.col("k").cast("bigint").alias("chunk_id"),
+            "n_chunks",
+            chunk.alias("chunk"),
+            F.length(chunk).cast("bigint").alias("chunk_len"),
+        )
+    )

@@ -559,3 +559,21 @@ def test_funnel_collect_is_type_bounded(spark, sf_dir):
     assert "In(event_type" in plan  # pushed to the scan
     # the distinct-user universe scan reads ONLY user_id
     assert "ReadSchema: struct<user_id" in plan
+
+
+def test_trained_ivf_search_is_broadcast_equi(spark, sf_dir):
+    """Trained-IVF: centroids are literals (map-side assignment and
+    routing — no join for either), the probe set broadcasts onto the
+    corpus, and nothing degenerates to a cartesian."""
+    plan = _plan(spark, sf_dir, "ann_ivf_trained_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # corpus joins only against broadcasts
+
+
+def test_density_pairs_are_group_blocked(spark, sf_dir):
+    """Density overmerge: every pairwise distance is produced by an
+    equi-join on the profile key — no all-pairs stage anywhere."""
+    plan = _plan(spark, sf_dir, "overmerge_density_split")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
