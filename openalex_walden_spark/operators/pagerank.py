@@ -11,10 +11,13 @@ module is the real loop, with the same discipline as
   which is what makes "exact convergence" a well-defined stop condition
   AND lets a SQL oracle replay the whole loop as unrolled CTEs (extra
   iterations past the fixed point are no-ops).
-- **Bounded lineage.** The edge plane and degree table are
-  localCheckpoint'ed once; the score table is localCheckpoint'ed every
-  ``check_every`` rounds, so the live plan never exceeds a constant
-  number of joins no matter how many rounds run.
+- **Bounded lineage.** The edge⋈degree plane is localCheckpoint'ed
+  once; the score table is localCheckpoint'ed every ``check_every``
+  rounds, so the live plan never exceeds a constant number of joins no
+  matter how many rounds run.  check_every also bounds the
+  re-execution that broadcasting an un-materialized score chain costs
+  (a broadcast runs its child plan independently), measured fastest at
+  2 on the bench fixture.
 - **O(1) driver state.** Convergence is detected from a one-row score
   fingerprint (sum of per-row hashes), never by collecting scores.
 - **Cycle-safe early stop.** The loop checks every ``check_every``
@@ -62,11 +65,21 @@ def pagerank_fixedpoint(
     damping_num: int = 85,
     damping_den: int = 100,
     max_rounds: int = 44,
-    check_every: int = 4,
+    check_every: int = 2,
+    broadcast_scores: bool = True,
 ) -> DataFrame:
     """Run integer PageRank to its exact fixed point (capped at
     ``max_rounds``).  Returns ``(node, score)`` with BIGINT fixed-point
     scores (PR_ONE == 1.0).
+
+    ``broadcast_scores=True`` ships the |V|-row score table to every
+    task each round, so the edge plane NEVER shuffles (per round: one
+    broadcast join over the checkpointed edges + one dst-keyed partial
+    aggregate whose exchange carries |V| rows).  That is the right plan
+    whenever the node table fits in a broadcast — here the node space
+    is folded mod 1024 exactly so it does.  For a node table too big to
+    broadcast, pass False: supersteps become src-partitioned shuffle
+    joins (the classic Pregel plan) at the same integer semantics.
     """
     if max_rounds % check_every:
         raise ValueError("max_rounds must be a multiple of check_every")
@@ -80,7 +93,10 @@ def pagerank_fixedpoint(
         .distinct()
         .localCheckpoint()
     )
-    outdeg = e.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("d"))
+    # The per-edge contribution denominator is static: join it ONCE and
+    # checkpoint, so no superstep repeats the degree join.
+    ed = e.join(outdeg, "src").localCheckpoint()
 
     base = (PR_ONE * (damping_den - damping_num)) // damping_den
     scores = nodes.select("node", F.lit(PR_ONE).cast("bigint").alias("score"))
@@ -88,7 +104,8 @@ def pagerank_fixedpoint(
     for _ in range(max_rounds // check_every):
         for _ in range(check_every):
             scores = _superstep(
-                e, nodes, outdeg, scores, base, damping_num, damping_den
+                ed, nodes, scores, base, damping_num, damping_den,
+                broadcast_scores,
             )
         scores = scores.localCheckpoint()
         fp = _score_fingerprint(scores)
@@ -99,26 +116,31 @@ def pagerank_fixedpoint(
 
 
 def _superstep(
-    e: DataFrame,
+    ed: DataFrame,
     nodes: DataFrame,
-    outdeg: DataFrame,
     scores: DataFrame,
     base: int,
     damping_num: int,
     damping_den: int,
+    broadcast_scores: bool = True,
 ) -> DataFrame:
-    """One Pregel superstep: equi-join edges ⋈ scores on src, dst-keyed
-    partial aggregate, damped rebase over the node universe."""
+    """One Pregel superstep: equi-join (edges⋈degree) ⋈ scores on src,
+    dst-keyed partial aggregate, damped rebase over the node universe."""
+    s = scores.withColumnRenamed("node", "src")
+    if broadcast_scores:
+        s = F.broadcast(s)
     inmass = (
-        e.join(scores.withColumnRenamed("node", "src"), "src")
-        .join(outdeg, "src")
+        ed.join(s, "src")
         .select("dst", F.expr("score div d").alias("contrib"))
         .groupBy("dst")
         .agg(F.sum("contrib").alias("inmass"))
     )
-    return nodes.join(
-        inmass.withColumnRenamed("dst", "node"), "node", "left"
-    ).select(
+    im = inmass.withColumnRenamed("dst", "node")
+    if broadcast_scores:
+        # inmass is |V| rows — broadcast it onto the node universe too,
+        # so the rebase left join is also shuffle-free.
+        im = F.broadcast(im)
+    return nodes.join(im, "node", "left").select(
         "node",
         (
             F.lit(base)

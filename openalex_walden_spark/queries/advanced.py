@@ -711,8 +711,10 @@ FROM stats t JOIN shift h ON h.cluster = t.cluster
 )
 def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd iteration of k-means over the embedding corpus — the
-    training step behind the IVF coarse quantizer (``ann_ivf_topk``
-    consumes cells; this is how the cells get fit).  Returns per-cluster
+    training step behind the IVF coarse quantizer, exposed as a query so
+    the per-round convergence metrics are themselves oracle-checked
+    (``train_ivf_centroids`` below runs this step to its fixed point and
+    ``ann_ivf_trained_topk`` routes against the result).  Returns per-cluster
     (n_members, inertia, L1 centroid shift) — the convergence metrics a
     training loop monitors.
 

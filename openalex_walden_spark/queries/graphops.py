@@ -20,7 +20,7 @@ as (85 * x) // 100.
 (both sides partitioned by the join key) plus one dst-keyed aggregate —
 the same two shuffles a Pregel superstep costs.  The loop itself lives
 in ``operators/pagerank.py``: runs to the exact integer fixed point
-(capped at 44 rounds), localCheckpoints every 4 rounds so lineage stays
+(capped at 44 rounds), localCheckpoints every 2 rounds so lineage stays
 constant-size, and detects convergence from a one-row score fingerprint
 — the ``operators/components.py`` loop discipline.  The oracle replays
 all 44 rounds as materialized CTEs; past the fixed point they are
@@ -42,7 +42,7 @@ _PR_ONE = 1_000_000_000_000  # fixed-point 1.0
 _PR_BASE = 150_000_000_000  # (1 - 0.85) * ONE
 # Measured: the integer dynamics reach their EXACT fixed point at
 # iteration 36 (sf0.001/sf0.01) and 39 (sf0.1); 44 caps the loop with
-# margin and is a multiple of the Spark loop's check interval (4), which
+# margin and is a multiple of the Spark loop's check interval (2), which
 # keeps the early stop cycle-safe (operators/pagerank.py docstring).
 _PR_MAX_ROUNDS = 44
 
@@ -96,7 +96,7 @@ def graph_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (F.col("l_orderkey") % _PR_NODES).alias("src")
     dst = (F.col("l_partkey") % _PR_NODES).alias("dst")
     edges = li.select(src, dst).where(F.col("src") != F.col("dst")).distinct()
-    scores = pagerank_fixedpoint(edges, max_rounds=_PR_MAX_ROUNDS, check_every=4)
+    scores = pagerank_fixedpoint(edges, max_rounds=_PR_MAX_ROUNDS, check_every=2)
     return scores.select("node", F.col("score").alias("pagerank_fp"))
 
 

@@ -398,11 +398,15 @@ def test_pagerank_supersteps_stay_equi_join(spark, sf_dir):
         .distinct()
     )
     outdeg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    ed = edges.join(outdeg, "src")
     scores = nodes.select("node", F.lit(PR_ONE).cast("bigint").alias("score"))
-    step = _superstep(edges, nodes, outdeg, scores, 150_000_000_000, 85, 100)
+    step = _superstep(ed, nodes, scores, 150_000_000_000, 85, 100)
     plan = step._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert "CartesianProduct" not in plan
     assert "partial_sum" in plan
+    # broadcast-scores mode: the score and inmass joins are broadcast —
+    # the edge plane never shuffles for a join
+    assert plan.count("BroadcastHashJoin") >= 2
 
 
 def test_scd2_single_exchange(spark, sf_dir):
