@@ -285,3 +285,174 @@ def overmerge_pairwise_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("sum_q").cast("double") / F.col("n_pairs")).cast("bigint").alias("mean_q"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Centroid-fit signal: each member's cosine to its profile centroid
+# --------------------------------------------------------------------------
+# The third reference signal (OvermergeClusterAnalysis.ipynb cell 5 +
+# ComputeAuthorshipSimilarity.ipynb): score every work against its
+# author's embedding centroid, then summarize the per-profile fit
+# distribution (mean/min/percentiles/frac-below-thresholds).  O(n) per
+# profile — the scale-cheap screen that runs before the O(n^2) pairwise
+# tail or the density clustering.
+#
+# Exactness: cos(x, mean) == cos(x, sum), so the centroid is the raw
+# per-dimension BIGINT sum (no division, no floats); the dot of a
+# quantized member against the integer centroid-sum stays < 2^53, so
+# the cosine is one deterministic IEEE expression and its 1e-6 floor
+# quantization is bit-identical in both engines.
+_CENTROID_FIT_SQL = f"""
+WITH pts AS MATERIALIZED (
+  SELECT label AS g, vec_id AS i,
+         list_transform(embedding, x -> floor(x::DOUBLE * {_Q})::BIGINT) AS qd
+  FROM embeddings
+),
+csum AS MATERIALIZED (
+  SELECT g, COUNT(*)::BIGINT AS n_members,
+         list_transform(range(1, 65),
+           j -> list_sum(list_transform(list(qd), v -> v[j]))) AS cs
+  FROM pts GROUP BY g
+),
+fit AS MATERIALIZED (
+  SELECT p.g, p.i,
+         floor(({_COS_SCALE}.0 * list_sum(list_transform(range(1, len(p.qd) + 1),
+                  d -> (p.qd[d] * c.cs[d])::DOUBLE)))
+               / (sqrt(list_sum(list_transform(p.qd, x -> (x * x)::DOUBLE)))
+                  * sqrt(list_sum(list_transform(c.cs, x -> (x * x)::DOUBLE)))))::BIGINT AS cos_q
+  FROM pts p JOIN csum c ON c.g = p.g
+),
+ranked AS (
+  SELECT g, cos_q,
+         row_number() OVER (PARTITION BY g ORDER BY cos_q ASC) - 1 AS pos
+  FROM fit
+),
+agg AS (
+  SELECT g, COUNT(*)::BIGINT AS work_count, MIN(cos_q)::BIGINT AS min_q,
+         SUM(cos_q)::BIGINT AS sum_q,
+         SUM(CASE WHEN cos_q < {_COS_SCALE // 2} THEN 1 ELSE 0 END)::BIGINT AS n_below_05,
+         SUM(CASE WHEN cos_q < {_COS_SCALE * 6 // 10} THEN 1 ELSE 0 END)::BIGINT AS n_below_06,
+         SUM(CASE WHEN cos_q < {_COS_SCALE * 7 // 10} THEN 1 ELSE 0 END)::BIGINT AS n_below_07
+  FROM fit GROUP BY g
+)
+SELECT a.g AS grp, a.work_count, a.min_q,
+       p05.cos_q AS p05_q, p10.cos_q AS p10_q, q1.cos_q AS q1_q, q3.cos_q AS q3_q,
+       CAST(FLOOR(a.sum_q / a.work_count) AS BIGINT) AS mean_q,
+       a.n_below_05, a.n_below_06, a.n_below_07
+FROM agg a
+JOIN ranked p05 ON p05.g = a.g AND p05.pos = CAST(FLOOR(0.05 * (a.work_count - 1)) AS BIGINT)
+JOIN ranked p10 ON p10.g = a.g AND p10.pos = CAST(FLOOR(0.10 * (a.work_count - 1)) AS BIGINT)
+JOIN ranked q1 ON q1.g = a.g AND q1.pos = CAST(FLOOR(0.25 * (a.work_count - 1)) AS BIGINT)
+JOIN ranked q3 ON q3.g = a.g AND q3.pos = CAST(FLOOR(0.75 * (a.work_count - 1)) AS BIGINT)
+"""
+
+
+@register(
+    "overmerge_centroid_fit",
+    oracle=_CENTROID_FIT_SQL,
+    tags=("llmdata", "ann", "overmerge", "agg"),
+    tables=("embeddings",),
+)
+def overmerge_centroid_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-profile centroid-fit distribution: every member's cosine to
+    its profile's embedding centroid, summarized as exact rank
+    statistics plus below-threshold counts — the O(n)-per-profile
+    overmerge screen (see the SQL block comment for the reference
+    lineage and the integer-exactness argument).
+
+    Scale shape: the centroid is one (group, dim) partial aggregate
+    (dims combine map-side); fit scoring is an equi-join of members
+    against their group's centroid row; the summary is per-group
+    windows + aggregates at group grain.  Nothing is quadratic.
+    """
+    e = spark.table("embeddings")
+    pts = e.select(
+        F.col("label").alias("g"),
+        F.col("vec_id").alias("i"),
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double) * {_Q}) as bigint))"
+        ).alias("qd"),
+    )
+    dims = pts.select("g", F.posexplode("qd").alias("dim0", "qv"))
+    csum = (
+        dims.groupBy("g", "dim0")
+        .agg(F.sum("qv").alias("s"))
+        .groupBy("g")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim0", "s"))).alias("ds"),
+        )
+        .select("g", F.expr("transform(ds, x -> x.s)").alias("cs"))
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qd"), F.col("cs"), lambda u, v: (u * v).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm_qd = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("qd"), lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    norm_cs = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("cs"), lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    fit = (
+        pts.join(F.broadcast(csum), "g")
+        .select(
+            "g",
+            "i",
+            F.floor(F.lit(float(_COS_SCALE)) * dot / (norm_qd * norm_cs))
+            .cast("bigint")
+            .alias("cos_q"),
+        )
+    )
+    ranked = fit.withColumn(
+        "pos",
+        F.row_number().over(Window.partitionBy("g").orderBy(F.col("cos_q").asc())) - 1,
+    )
+    agg = fit.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("work_count"),
+        F.min("cos_q").cast("bigint").alias("min_q"),
+        F.sum("cos_q").cast("bigint").alias("sum_q"),
+        F.sum(F.when(F.col("cos_q") < _COS_SCALE // 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_below_05"),
+        F.sum(F.when(F.col("cos_q") < _COS_SCALE * 6 // 10, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_below_06"),
+        F.sum(F.when(F.col("cos_q") < _COS_SCALE * 7 // 10, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_below_07"),
+    )
+    out = agg
+    for name, frac in (("p05_q", 0.05), ("p10_q", 0.10), ("q1_q", 0.25), ("q3_q", 0.75)):
+        r = ranked.select(F.col("g").alias("g"), F.col("cos_q").alias(name), "pos")
+        out = out.join(
+            r,
+            (r.g == out.g)
+            & (
+                r.pos
+                == F.floor(F.lit(frac) * (out.work_count - 1)).cast("bigint")
+            ),
+        ).drop(r.g).drop("pos")
+    return out.select(
+        F.col("g").alias("grp"),
+        "work_count",
+        "min_q",
+        "p05_q",
+        "p10_q",
+        "q1_q",
+        "q3_q",
+        F.floor(F.col("sum_q").cast("double") / F.col("work_count"))
+        .cast("bigint")
+        .alias("mean_q"),
+        "n_below_05",
+        "n_below_06",
+        "n_below_07",
+    )
