@@ -1328,3 +1328,176 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits_at_3") == 3).alias("full_recall"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cosine-LSH (signed random projections): banded bucket join over sigs
+# --------------------------------------------------------------------------
+# The embedding-space analogue of the MinHash band join: B=16 signed-
+# random-projection bits (Charikar's SimHash family over vectors, not
+# text), banded 4x4 so a candidate pair only needs one agreeing band —
+# the standard recall/cost dial.  Hyperplane coefficients are +-1 drawn
+# deterministically from md5("srp:<plane>:<dim>") at module load and
+# shipped as literals to BOTH engines, so there is no RNG state and no
+# cross-engine drift; signature bits come from exact integer dots of the
+# quantized (floor(x*2^16)) coordinates, so every bit is bit-identical
+# under any partitioning or retry.
+import hashlib as _hl
+
+_SRP_B = 16      # signature bits
+_SRP_BANDS = 4   # bands of 4 bits each
+_SRP_TAU_Q = 999_000  # verify threshold: cos_q >= 0.999 * 1e6
+_SRP_DIM = 64
+
+
+def _srp_planes() -> list[list[int]]:
+    return [
+        [
+            1 if int(_hl.md5(f"srp:{b}:{j}".encode()).hexdigest()[:8], 16) % 2 else -1
+            for j in range(_SRP_DIM)
+        ]
+        for b in range(_SRP_B)
+    ]
+
+
+_SRP = _srp_planes()
+
+_SRP_SIG_DUCK = "(" + " + ".join(
+    f"(CASE WHEN list_sum(list_transform(range(1, {_SRP_DIM} + 1), "
+    f"j -> qd[j] * (CASE j {' '.join(f'WHEN {j + 1} THEN {c}' for j, c in enumerate(plane))} END))) >= 0 "
+    f"THEN {1 << b} ELSE 0 END)"
+    for b, plane in enumerate(_SRP)
+) + ")"
+
+_SRP_SQL = f"""
+WITH corpus AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 65536)::BIGINT) AS qd
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding, x -> floor(x::DOUBLE * 65536)::BIGINT)
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+signed AS MATERIALIZED (
+  SELECT vec_id, qd,
+         list_sum(list_transform(qd, x -> x * x))::BIGINT AS n2,
+         {_SRP_SIG_DUCK} AS sig
+  FROM corpus
+),
+banded AS MATERIALIZED (
+  SELECT vec_id, qd, n2, r.b AS band, (sig // CAST(pow(16, r.b) AS BIGINT)) % 16 AS bits
+  FROM signed, UNNEST(range(0, {_SRP_BANDS})) AS r(b)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb, a.qd AS qa, b.qd AS qb,
+         a.n2 AS na, b.n2 AS nb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bits = b.bits AND a.vec_id < b.vec_id
+)
+SELECT va AS vec_a, vb AS vec_b,
+       floor((1000000.0 * list_sum(list_transform(range(1, {_SRP_DIM} + 1),
+                d -> (qa[d] * qb[d])::DOUBLE)))
+             / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE)))::BIGINT AS cos_q
+FROM cand
+WHERE floor((1000000.0 * list_sum(list_transform(range(1, {_SRP_DIM} + 1),
+               d -> (qa[d] * qb[d])::DOUBLE)))
+            / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE))) >= {_SRP_TAU_Q}
+"""
+
+
+@register(
+    "ann_srp_bucket_pairs",
+    oracle=_SRP_SQL,
+    tags=("llmdata", "ann", "lsh", "dedup"),
+    tables=("embeddings",),
+)
+def ann_srp_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine near-dup pairs via banded signed-random-projection LSH:
+    16 deterministic hyperplane bits per vector, 4 bands of 4 bits,
+    candidates only within an agreeing (band, bits) bucket, exact
+    quantized-cosine verification on candidates only.  Synthetic exact
+    copies (vec_id+100000) guarantee known positives whose signatures
+    collide in every band.
+
+    This is the unlabeled-corpus counterpart to
+    ``embedding_neardup_pairs`` (which blocks on a pre-existing cell
+    id): SRP derives its own buckets from geometry, so it works before
+    any clustering exists — the bootstrap dedup pass.
+
+    Scale shape: signatures are a map-side fold over literal planes
+    (zero shuffle); the band explode multiplies rows by 4; the only
+    join is the (band, bits) equi-join whose fan-out is bounded by
+    bucket occupancy — never all-pairs. Same LSH discipline as
+    ``dedup_minhash_lsh_pairs``, plan-pinned catalog-wide (no
+    cartesians)."""
+    e = spark.table("embeddings")
+    qd = F.expr("transform(embedding, x -> cast(floor(cast(x as double) * 65536) as bigint))")
+    corpus = e.select("vec_id", qd.alias("qd")).unionByName(
+        e.where(F.col("vec_id") % 25 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), qd.alias("qd")
+        )
+    )
+    planes = F.array(
+        *[F.array(*[F.lit(c) for c in plane]) for plane in _SRP]
+    )
+    sig = F.aggregate(
+        F.expr(
+            "zip_with(planes, sequence(0, size(planes) - 1), (p, b) -> "
+            "named_struct('bit', CASE WHEN aggregate(zip_with(qd, p, (x, c) -> x * c), "
+            "cast(0 as bigint), (acc, v) -> acc + v) >= 0 THEN shiftleft(1, b) ELSE 0 END))"
+        ),
+        F.lit(0),
+        lambda acc, s: acc + s["bit"],
+    )
+    n2 = F.aggregate(
+        F.transform(F.col("qd"), lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    signed = corpus.withColumn("planes", planes).select(
+        "vec_id", "qd", n2.alias("n2"), sig.alias("sig")
+    )
+    banded = signed.select(
+        "vec_id",
+        "qd",
+        "n2",
+        F.explode(F.expr(f"sequence(0, {_SRP_BANDS - 1})")).alias("band"),
+        "sig",
+    ).select(
+        "vec_id",
+        "qd",
+        "n2",
+        "band",
+        F.expr("(sig div cast(pow(16, band) as bigint)) % 16").alias("bits"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            F.col("a.qd").alias("qa"),
+            F.col("b.qd").alias("qb"),
+            F.col("a.n2").alias("na"),
+            F.col("b.n2").alias("nb"),
+        )
+        .dropDuplicates(["va", "vb"])
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda u, v: (u * v).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos_q = F.floor(
+        (F.lit(1000000.0) * dot)
+        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+    ).cast("bigint")
+    return (
+        cand.withColumn("cos_q", cos_q)
+        .where(F.col("cos_q") >= _SRP_TAU_Q)
+        .select(F.col("va").alias("vec_a"), F.col("vb").alias("vec_b"), "cos_q")
+    )
