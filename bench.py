@@ -56,6 +56,9 @@ HEADLINE = [
     "search_bm25_topk",
     # register-sized sketch agg and iterative join-agg plan families
     "sketch_hll_distinct",
+    # NOTE r6: pagerank now runs ~40 rounds to its exact fixed point
+    # (was a 3-round demo through r5) — wall time rose ~4.4x for 13x
+    # the rounds; per-round cost dropped ~3x (broadcast supersteps).
     "graph_pagerank_fixedpoint",
     # two-pass global-offset packing, degree-oriented wedge join,
     # broadcast-weight scoring, z-value layout manifest
