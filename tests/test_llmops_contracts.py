@@ -315,3 +315,34 @@ def test_density_split_flags_known_overmerge(spark):
     assert out[2]["n_clusters"] == 2
     assert out[2]["largest_sz"] == 6 and out[2]["second_sz"] == 6
     assert out[3]["n_clusters"] == 0 and out[3]["n_noise"] == 5
+
+
+# --------------------------------------------------------------------------
+# Chunking: overlap consistency and lossless reconstruction
+# --------------------------------------------------------------------------
+def test_chunking_is_lossless_and_overlap_consistent(spark, sf_dir):
+    """Every document must be exactly reconstructible from its chunks
+    (drop the first W-S overlap chars of every chunk after the first),
+    and consecutive chunks must agree on their shared overlap."""
+    from openalex_walden_spark.queries.llmdata import _CHUNK_S, _CHUNK_W
+
+    out = (
+        q.CATALOG["chunk_documents_overlap"].spark(spark, sf_dir)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_id"])
+    )
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.table("documents").select("doc_id", "text").collect()
+        if r["text"]
+    }
+    overlap = _CHUNK_W - _CHUNK_S
+    assert set(out.doc_id) == set(docs)
+    for doc_id, g in out.groupby("doc_id"):
+        chunks = g.sort_values("chunk_id")["chunk"].tolist()
+        stitched = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
+        assert stitched == docs[doc_id], f"doc {doc_id} not reconstructible"
+        for prev, cur in zip(chunks, chunks[1:]):
+            assert prev[_CHUNK_S:] == cur[: len(prev) - _CHUNK_S], (
+                f"doc {doc_id}: chunk overlap mismatch"
+            )
