@@ -2448,3 +2448,83 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(chunk).cast("bigint").alias("chunk_len"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge induction: the training side of tokenization
+# --------------------------------------------------------------------------
+# ``text_token_stats`` APPLIES a tokenization; this is how one gets
+# TRAINED: count adjacent-symbol pairs across the word-frequency table
+# and rank merge candidates (Sennrich et al., "Neural Machine
+# Translation of Rare Words with Subword Units", ACL 2016 — one
+# iteration of the greedy merge loop, the same expose-the-step shape as
+# ``kmeans_lloyd_step``).  Counts weight by word frequency (the corpus
+# is first collapsed to distinct words), ranking is total-ordered
+# (count DESC, pair ASC) so the verdict is engine-exact.
+_BPE_TOPK = 20
+
+_BPE_SQL = f"""
+WITH words AS MATERIALIZED (
+  SELECT w, COUNT(*)::BIGINT AS freq FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+),
+pairs AS (
+  SELECT substr(w, r.i, 1) AS sym_a, substr(w, r.i + 1, 1) AS sym_b, freq
+  FROM words, UNNEST(range(1, length(w))) AS r(i)
+),
+agg AS (
+  SELECT sym_a, sym_b, SUM(freq)::BIGINT AS pair_count
+  FROM pairs GROUP BY sym_a, sym_b
+)
+SELECT sym_a, sym_b, pair_count,
+       CAST(row_number() OVER (ORDER BY pair_count DESC, sym_a ASC, sym_b ASC) AS BIGINT) AS rk
+FROM agg
+QUALIFY rk <= {_BPE_TOPK}
+"""
+
+
+@register(
+    "bpe_top_merges",
+    oracle=_BPE_SQL,
+    tags=("llmdata", "tokenizer"),
+    tables=("documents",),
+)
+def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} BPE merge candidates: adjacent character-pair counts over
+    the word-frequency table, totally ordered.  See the SQL block
+    comment for the algorithmic lineage.
+
+    Scale shape: the corpus collapses to DISTINCT words first (the
+    classic BPE trick — pair counting is per unique word times its
+    frequency, so a trillion-token corpus costs its vocabulary, not its
+    token count); pair extraction is a map-side transform over the word
+    table; one (sym_a, sym_b) partial aggregate ranks globally over at
+    most |alphabet|^2 rows."""
+    d = spark.table("documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    pairs = words.where(F.length("w") > 1).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), "
+                "i -> struct(substring(w, i, 1) AS sym_a, substring(w, i + 1, 1) AS sym_b))"
+            )
+        ).alias("p"),
+        "freq",
+    ).select("p.sym_a", "p.sym_b", "freq")
+    counts = pairs.groupBy("sym_a", "sym_b").agg(
+        F.sum("freq").cast("bigint").alias("pair_count")
+    )
+    wr = Window.orderBy(
+        F.col("pair_count").desc(), F.col("sym_a").asc(), F.col("sym_b").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(wr).cast("bigint"))
+        .where(F.col("rk") <= _BPE_TOPK)
+        .select("sym_a", "sym_b", "pair_count", "rk")
+    )
