@@ -115,7 +115,10 @@ def connected_components(
     cur = _dedup(raw).localCheckpoint()
     prev_fp = _edge_fingerprint(cur)
     for _ in range(max_rounds):
-        cur = _small_star(_large_star(cur)).localCheckpoint()
+        # Lazy checkpoint: the fingerprint action right below both
+        # materializes the round and truncates lineage — one Spark job
+        # per round instead of two.
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         fp = _edge_fingerprint(cur)
         if fp == prev_fp:
             break

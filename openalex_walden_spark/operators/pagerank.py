@@ -107,7 +107,9 @@ def pagerank_fixedpoint(
                 ed, nodes, scores, base, damping_num, damping_den,
                 broadcast_scores,
             )
-        scores = scores.localCheckpoint()
+        # Lazy checkpoint: the fingerprint action materializes it —
+        # one job per check instead of two.
+        scores = scores.localCheckpoint(eager=False)
         fp = _score_fingerprint(scores)
         if fp == prev_fp:
             break
