@@ -310,3 +310,118 @@ def test_hive_partition_pruning(spark, sf_dir, tmp_path):
         for r in df.select(F.input_file_name()).distinct().collect()
     }
     assert touched and all("o_orderpriority=1-URGENT" in f for f in touched)
+
+
+# --------------------------------------------------------------------------
+# Trained-IVF index persistence (operators/ann_index.py)
+# --------------------------------------------------------------------------
+def test_ivf_index_roundtrip_reproduces_search(spark, sf_dir, tmp_path):
+    """Build the trained index, save it, reload it, and prove a search
+    against the ARTIFACT returns exactly the in-plan query's rows —
+    byte-identical routing across the persistence boundary."""
+    import pyspark.sql.functions as F
+
+    from openalex_walden_spark import queries as q
+    from openalex_walden_spark.operators.ann_index import (
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from openalex_walden_spark.queries.advanced import (
+        _KM_Q,
+        _TR_ARGMIN,
+        _TR_CACHE,
+        _TR_P,
+        _tr_cent_array,
+        train_ivf_centroids,
+    )
+    from openalex_walden_spark.tables import register_views
+
+    q.load_all()
+    register_views(spark, sf_dir, ("embeddings",))
+    _TR_CACHE.clear()
+    cents = train_ivf_centroids(spark, sf_dir)
+    e = spark.table("embeddings").withColumn(
+        "qx",
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double) * {_KM_Q}) as bigint) + {_KM_Q})"
+        ),
+    )
+    assignments = e.withColumn("cents", _tr_cent_array(cents)).select(
+        "vec_id", F.expr(_TR_ARGMIN)["cl"].alias("cell")
+    )
+    path = str(tmp_path / "ivf_index")
+    save_ivf_index(spark, path, cents, assignments, quant_scale=_KM_Q)
+
+    cents2, asg2, manifest = load_ivf_index(spark, path, expect_quant_scale=_KM_Q)
+    assert cents2 == cents
+    assert manifest["k"] == len(cents)
+
+    # Search via the artifact: route queries against loaded centroids,
+    # probe loaded assignment cells, exact top-3 — must equal the
+    # in-plan query bit for bit.
+    probe_arr = F.expr(
+        "slice(array_sort(transform(cents, c -> "
+        f"named_struct('d2', aggregate(zip_with(qx, c.qc, (x, y) -> (x - y) * (x - y)), "
+        f"cast(0 as bigint), (acc, v) -> acc + v), 'cl', c.cl))), 1, {_TR_P})"
+    )
+    probes = (
+        e.where(F.col("vec_id") % 100 == 7)
+        .withColumn("cents", _tr_cent_array(cents2))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qe"),
+            F.explode(probe_arr).alias("pc"),
+        )
+        .select("q_id", "qe", F.col("pc.cl").alias("probe_cell"))
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("embedding"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    def norm(c):
+        return F.sqrt(F.aggregate(F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
+                                  F.lit(0.0), lambda acc, x: acc + x))
+    from pyspark.sql.window import Window
+    scored = (
+        spark.table("embeddings")
+        .join(asg2, "vec_id")
+        .join(F.broadcast(probes), (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("q_id")))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"),
+                (dot / (norm("qe") * norm("embedding"))).alias("cosine"))
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    via_artifact = (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .where(F.col("rnk") <= 3)
+        .select("q_id", "neighbor_id", "cosine", F.col("rnk").cast("bigint").alias("rnk"))
+        .toPandas().sort_values(["q_id", "rnk"]).reset_index(drop=True)
+    )
+    in_plan = (
+        q.CATALOG["ann_ivf_trained_topk"].spark(spark, sf_dir)
+        .toPandas().sort_values(["q_id", "rnk"]).reset_index(drop=True)
+    )
+    assert via_artifact.equals(in_plan)
+
+
+def test_ivf_index_load_rejects_mismatch_and_corruption(spark, sf_dir, tmp_path):
+    import json as _json
+
+    import pytest
+
+    from openalex_walden_spark.operators.ann_index import (
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    cents = [[1, 2], [3, 4]]
+    asg = spark.createDataFrame([(1, 0), (2, 1)], "vec_id long, cell int")
+    path = str(tmp_path / "idx")
+    save_ivf_index(spark, path, cents, asg, quant_scale=65536)
+    # wrong quantization scale must refuse (silently-wrong routing)
+    with pytest.raises(ValueError, match="quantization"):
+        load_ivf_index(spark, path, expect_quant_scale=256)
+    # corrupt centroids must refuse
+    m = _json.load(open(f"{path}/manifest.json"))
+    m["centroid_md5"] = "0" * 32
+    _json.dump(m, open(f"{path}/manifest.json", "w"))
+    with pytest.raises(ValueError, match="fingerprint"):
+        load_ivf_index(spark, path, expect_quant_scale=65536)
