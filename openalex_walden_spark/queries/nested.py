@@ -549,7 +549,13 @@ def fulltext_work_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     wk = Window.partitionBy("key_type", "key").orderBy(
         F.length("fulltext").desc(), F.col("doc_id").asc()
     )
-    keys_tbl = (
+    from openalex_walden_spark.operators.guardrails import persist_scalar
+
+    # The key table feeds THREE consumers (doi slim join, pmh slim join,
+    # final bytes join) — persist it so the clean+window build runs once
+    # (all-scalar columns, so the memory-cliff guard admits it; the same
+    # pattern as the BM25 posting list).
+    keys_tbl = persist_scalar(
         keyed.withColumn("raw_length", F.length("fulltext").cast("bigint"))
         .withColumn("rn", F.row_number().over(wk))
         .where(F.col("rn") == 1)
