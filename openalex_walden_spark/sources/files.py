@@ -44,6 +44,30 @@ def read_json(
     return reader.json(path)
 
 
+def read_csv_rescued(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    rescue_column: str | None = "_rescued_data",
+) -> DataFrame:
+    """CSV companion to ``read_json``: schema-pinned scan, malformed
+    rows captured whole into the rescue column instead of silently
+    dropped or nulled (the same PERMISSIVE + columnNameOfCorruptRecord
+    contract, so downstream quarantine logic is format-agnostic)."""
+    full = schema
+    if rescue_column is not None and rescue_column not in schema.fieldNames():
+        full = StructType(list(schema.fields)).add(rescue_column, "string")
+    reader = (
+        spark.read.schema(full)
+        .option("header", header)
+        .option("mode", "PERMISSIVE")
+    )
+    if rescue_column is not None:
+        reader = reader.option("columnNameOfCorruptRecord", rescue_column)
+    return reader.csv(path)
+
+
 def read_xml(
     spark: SparkSession,
     path: str,

@@ -425,3 +425,35 @@ def test_ivf_index_load_rejects_mismatch_and_corruption(spark, sf_dir, tmp_path)
     _json.dump(m, open(f"{path}/manifest.json", "w"))
     with pytest.raises(ValueError, match="fingerprint"):
         load_ivf_index(spark, path, expect_quant_scale=65536)
+
+
+def test_read_csv_rescued_quarantines_malformed(spark, tmp_path):
+    """Malformed CSV rows land whole in the rescue column (same
+    contract as the JSON path), valid rows parse typed."""
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    from openalex_walden_spark.sources.files import read_csv_rescued
+
+    p = tmp_path / "rows.csv"
+    p.write_text("id,name\n1,alpha\nnot-a-number,beta\n3,gamma\n")
+    schema = StructType().add("id", LongType()).add("name", StringType())
+    df = read_csv_rescued(spark, str(p), schema).cache()
+    good = df.where(df._rescued_data.isNull()).orderBy("id").collect()
+    bad = df.where(df._rescued_data.isNotNull()).collect()
+    assert [(r["id"], r["name"]) for r in good] == [(1, "alpha"), (3, "gamma")]
+    assert len(bad) == 1 and "not-a-number" in bad[0]["_rescued_data"]
+    df.unpersist()
+
+
+def test_orc_roundtrip_preserves_schema(spark, sf_dir, tmp_path):
+    """ORC as an interchange format: write a typed slice, read it back,
+    schema and values identical (columnar formats beyond parquet)."""
+    from openalex_walden_spark.tables import register_views
+
+    register_views(spark, sf_dir, ("nation",))
+    src = spark.table("nation")
+    out = str(tmp_path / "nation_orc")
+    src.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == src.schema
+    assert sorted(back.collect()) == sorted(src.collect())
