@@ -105,3 +105,80 @@ def load_ivf_index(
         "vec_id", F.col("cell").cast("int").alias("cell")
     )
     return cents, assignments, manifest
+
+
+def assign_cells(vectors: DataFrame, cents: list[list[int]], quant_scale: int) -> DataFrame:
+    """Map-side cell assignment against trained centroids: quantize the
+    embedding, fold the literal centroid array to the integer-L2 argmin.
+    Works identically on batch AND streaming frames (no shuffle, no
+    state) — which is what makes incremental index maintenance a plain
+    ``writeStream``: new vectors route to their cell as they arrive and
+    append into the cell-partitioned layout.
+    """
+    cents_col = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cl"),
+                F.array(*[F.lit(int(v)) for v in qc]).alias("qc"),
+            )
+            for i, qc in enumerate(cents)
+        ]
+    )
+    d2 = (
+        "aggregate(zip_with(__qx, c.qc, (x, y) -> (x - y) * (x - y)), "
+        "cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    argmin = (
+        "aggregate(__cents, named_struct('d2', cast(4611686018427387904 as bigint), 'cl', -1), "
+        f"(acc, c) -> CASE WHEN {d2} < acc.d2 "
+        f"THEN named_struct('d2', {d2}, 'cl', c.cl) ELSE acc END)"
+    )
+    return (
+        vectors.withColumn(
+            "__qx",
+            F.expr(
+                f"transform(embedding, x -> cast(floor(cast(x as double) * {quant_scale}) as bigint) + {quant_scale})"
+            ),
+        )
+        .withColumn("__cents", cents_col)
+        .withColumn("cell", F.expr(argmin)["cl"])
+        .drop("__qx", "__cents")
+    )
+
+
+def stream_into_index(
+    vectors_stream: DataFrame,
+    index_path: str,
+    cents: list[list[int]],
+    quant_scale: int,
+    checkpoint_path: str,
+) -> None:
+    """Incremental index maintenance: drain a vector stream into the
+    saved index's cell-partitioned assignment layout (availableNow —
+    the nightly-cadence contract the batch MERGEs use).  Assignment is
+    stateless and map-side, so the stream never shuffles; each
+    micro-batch appends into ``assignments/cell=<k>/`` directories via
+    foreachBatch (a plain batch append — NOT the streaming file sink,
+    whose ``_spark_metadata`` log would make later batch reads ignore
+    the index's original batch-written files), preserving the
+    partition-pruned probe property of ``save_ivf_index``."""
+    import os as _os
+
+    target = _os.path.join(index_path, "assignments")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            assign_cells(batch_df, cents, quant_scale)
+            .select("vec_id", "cell")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(target)
+        )
+
+    (
+        vectors_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -539,3 +539,56 @@ def test_stream_dedup_within_watermark_drops_redeliveries(spark, events, tmp_pat
     got = spark.read.parquet(out_dir)
     assert got.count() == ev.count()
     assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_stream_into_ivf_index_matches_batch_assignment(spark, sf_dir, tmp_path):
+    """Incremental index maintenance: vectors arriving as a file stream
+    route to the same cells batch assignment gives them, and the merged
+    cell-partitioned layout equals the all-at-once index."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import ArrayType, FloatType, LongType, StructType
+
+    from openalex_walden_spark import queries as q
+    from openalex_walden_spark.operators.ann_index import (
+        assign_cells,
+        load_ivf_index,
+        save_ivf_index,
+        stream_into_index,
+    )
+    from openalex_walden_spark.queries.advanced import _KM_Q, _TR_CACHE, train_ivf_centroids
+    from openalex_walden_spark.tables import register_views
+
+    q.load_all()
+    register_views(spark, sf_dir, ("embeddings",))
+    _TR_CACHE.clear()
+    cents = train_ivf_centroids(spark, sf_dir)
+    e = spark.table("embeddings")
+    batch_half = e.where(F.col("vec_id") % 2 == 0)
+    late_half = e.where(F.col("vec_id") % 2 == 1)
+
+    path = str(tmp_path / "ivf")
+    save_ivf_index(
+        spark,
+        path,
+        cents,
+        assign_cells(batch_half, cents, _KM_Q).select("vec_id", "cell"),
+        quant_scale=_KM_Q,
+    )
+    # the late half arrives as JSON files
+    src = str(tmp_path / "arrivals")
+    late_half.select("vec_id", "embedding").coalesce(2).write.json(src)
+    schema = (
+        StructType()
+        .add("vec_id", LongType())
+        .add("embedding", ArrayType(FloatType()))
+    )
+    stream = spark.readStream.schema(schema).json(src)
+    stream_into_index(stream, path, cents, _KM_Q, str(tmp_path / "ckpt"))
+
+    _, asg, _ = load_ivf_index(spark, path, expect_quant_scale=_KM_Q)
+    got = {(r["vec_id"], r["cell"]) for r in asg.collect()}
+    want = {
+        (r["vec_id"], r["cell"])
+        for r in assign_cells(e, cents, _KM_Q).select("vec_id", "cell").collect()
+    }
+    assert got == want
