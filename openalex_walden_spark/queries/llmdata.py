@@ -2528,3 +2528,81 @@ def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _BPE_TOPK)
         .select("sym_a", "sym_b", "pair_count", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-host budgeted crawl queue (acquisition-side scheduling)
+# --------------------------------------------------------------------------
+# The reference schedules paywall-candidate fetches with two disciplines
+# (notebooks/paywall_signals/build_drain_queue.sql, build_drip_pool.sql):
+# dedupe to ONE best candidate per work (yield DESC, stable tie-break),
+# then rank within each url_host so a politeness-capped drain is just
+# WHERE host_rank <= cap — per-host fairness without a scheduler
+# process; a hash rand_key gives the slow-drip pool its randomized
+# stable order.  Yields here are deterministic integer scores derived
+# from the engine-portable 60-bit hash, so ranks are engine-exact.
+_CRAWL_HOST_CAP = 40
+
+_CRAWL_SQL = f"""
+WITH cand AS (
+  SELECT doc_id, doc_id % 200 AS work_key, source AS url_host,
+         ('0x' || substr(md5('y:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS yield_fp,
+         ('0x' || substr(md5('r:' || CAST(doc_id % 200 AS VARCHAR)), 1, 15))::BIGINT AS rand_key
+  FROM documents
+),
+deduped AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY work_key ORDER BY yield_fp DESC, doc_id ASC) AS rn
+  FROM cand
+)
+SELECT work_key, doc_id, url_host, yield_fp, rand_key,
+       CAST(host_rank AS BIGINT) AS host_rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY url_host ORDER BY yield_fp DESC, doc_id ASC) AS host_rank
+  FROM deduped WHERE rn = 1
+)
+WHERE host_rank <= {_CRAWL_HOST_CAP}
+"""
+
+
+@register(
+    "crawl_drain_queue",
+    oracle=_CRAWL_SQL,
+    tags=("llmdata", "acquisition", "queue"),
+    tables=("documents",),
+)
+def crawl_drain_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host budgeted fetch queue: best candidate per work, ranked
+    within each host, capped at {CAP} per host — per-host politeness
+    enforced by a WHERE clause instead of a scheduler (see the SQL
+    block comment for the reference lineage).  The rand_key column is
+    the slow-drip pool's randomized stable order (retry passes anti-join
+    prior winners — the J3 shape — and walk it again).
+
+    Scale shape: two windows, each partitioned by a bounded key (work,
+    host); the host window is exactly the top-k-per-group pattern — at
+    100 TB the rank never materializes beyond each host's partition,
+    and AQE handles the hot-host skew the cap exists to throttle."""
+    d = spark.table("documents")
+    h = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
+    cand = d.select(
+        "doc_id",
+        (F.col("doc_id") % 200).alias("work_key"),
+        F.col("source").alias("url_host"),
+        (F.expr(h.format(x="concat('y:', cast(doc_id as string))")) % 10000).alias("yield_fp"),
+        F.expr(h.format(x="concat('r:', cast(doc_id % 200 as string))")).alias("rand_key"),
+    )
+    wd = Window.partitionBy("work_key").orderBy(
+        F.col("yield_fp").desc(), F.col("doc_id").asc()
+    )
+    wh = Window.partitionBy("url_host").orderBy(
+        F.col("yield_fp").desc(), F.col("doc_id").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .withColumn("host_rank", F.row_number().over(wh).cast("bigint"))
+        .where(F.col("host_rank") <= _CRAWL_HOST_CAP)
+    )
