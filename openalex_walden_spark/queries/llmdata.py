@@ -2606,3 +2606,162 @@ def crawl_drain_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("host_rank", F.row_number().over(wh).cast("bigint"))
         .where(F.col("host_rank") <= _CRAWL_HOST_CAP)
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and embedding ANN
+# --------------------------------------------------------------------------
+# The modern retrieval stack runs a lexical arm and a semantic arm and
+# fuses their rank lists with RRF (Cormack/Clarke/Buettcher, SIGIR'09:
+# score(d) = sum over systems of 1/(k + rank_d), k=60).  Scores here
+# are integer fixed-point (10^9 div (60 + rank)) so fusion and the
+# final ordering are engine-exact; each probe vector is the embedding
+# whose vec_id is query_id*100+7 (the corpus convention the ANN
+# queries sample).
+_RRF_K = 60
+_RRF_ONE = 1_000_000_000
+
+_HYBRID_SQL = f"""
+WITH q(query_id, term) AS (VALUES {_retrieval_values()}),
+qterms AS (SELECT DISTINCT term FROM q),
+tok AS (
+  SELECT doc_id, unnest({_TOKS_DUCK.format(c='text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+scal AS (SELECT CAST(SUM(dl) AS BIGINT) AS s, COUNT(*)::BIGINT AS n FROM dl),
+dft AS (
+  SELECT tf.term, count(*)::BIGINT AS df
+  FROM tf JOIN qterms USING (term) GROUP BY tf.term
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         (((scal.n - dft.df) * 2000 + 1000) // (2 * dft.df + 1))
+         * ((44 * scal.s * tf.tf * 1000)
+            // (20 * scal.s * tf.tf + 6 * scal.s + 18 * dl.dl * scal.n))
+           AS part
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN dft ON dft.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN scal
+),
+lex AS (
+  SELECT query_id, doc_id, rank_lex FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY SUM(part) DESC, doc_id ASC) AS rank_lex
+    FROM scored GROUP BY query_id, doc_id
+  ) WHERE rank_lex <= 10
+),
+probes AS (
+  SELECT DISTINCT query_id, query_id * 100 + 7 AS pvec FROM q
+),
+pq AS (
+  SELECT p.query_id, e.embedding AS qe
+  FROM probes p JOIN embeddings e ON e.vec_id = p.pvec
+),
+sem AS (
+  SELECT query_id, doc_id, rank_sem FROM (
+    SELECT pq.query_id, e.vec_id AS doc_id,
+           row_number() OVER (PARTITION BY pq.query_id ORDER BY
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> pq.qe[i]::DOUBLE * e.embedding[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(pq.qe, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))) DESC,
+             e.vec_id ASC) AS rank_sem
+    FROM pq JOIN embeddings e ON TRUE
+  ) WHERE rank_sem <= 10
+),
+fused AS (
+  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+         COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         COALESCE({_RRF_ONE} // ({_RRF_K} + l.rank_lex), 0)
+         + COALESCE({_RRF_ONE} // ({_RRF_K} + s.rank_sem), 0) AS rrf_fp
+  FROM lex l FULL OUTER JOIN sem s
+    ON s.query_id = l.query_id AND s.doc_id = l.doc_id
+)
+SELECT query_id, doc_id, CAST(rrf_fp AS BIGINT) AS rrf_fp,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_fp DESC, doc_id ASC) AS BIGINT) AS rank
+FROM fused
+QUALIFY rank <= 10
+"""
+
+
+@register(
+    "search_hybrid_rrf",
+    oracle=_HYBRID_SQL,
+    tags=("llmdata", "search", "hybrid"),
+    tables=("documents", "embeddings"),
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-10 fused with embedding-cosine top-10
+    by integer reciprocal-rank fusion (see the SQL block comment).
+    Reuses the persisted-posting-list BM25 arm as-is; the semantic arm
+    broadcasts 5 probe vectors onto one corpus scan; the fusion is a
+    full outer join of two <=10-row-per-query rank lists — at 100 TB
+    the fusion cost is the query count, never the corpus."""
+    lex = (
+        search_bm25_topk(spark, sf_dir)
+        .select("query_id", "doc_id", F.col("rank").alias("rank_lex"))
+    )
+    e = spark.table("embeddings")
+    probes = F.broadcast(
+        spark.createDataFrame(
+            [(qid, qid * 100 + 7) for qid, _ in _RETRIEVAL_QUERIES],
+            "query_id int, pvec long",
+        )
+    )
+    pq = F.broadcast(
+        probes.join(e, probes.pvec == e.vec_id).select(
+            "query_id", F.col("embedding").alias("qe")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("embedding"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+    def norm(c):
+        return F.sqrt(F.aggregate(
+            F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x))
+
+    wsem = Window.partitionBy("query_id").orderBy(
+        (dot / (norm("qe") * norm("embedding"))).desc(), F.col("vec_id").asc()
+    )
+    sem = (
+        e.crossJoin(pq)
+        .withColumn("rank_sem", F.row_number().over(wsem))
+        .where(F.col("rank_sem") <= 10)
+        .select("query_id", F.col("vec_id").alias("doc_id"), "rank_sem")
+    )
+    fused = (
+        lex.alias("l")
+        .join(
+            sem.alias("s"),
+            (F.col("s.query_id") == F.col("l.query_id"))
+            & (F.col("s.doc_id") == F.col("l.doc_id")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("l.query_id", "s.query_id").alias("query_id"),
+            F.coalesce("l.doc_id", "s.doc_id").alias("doc_id"),
+            (
+                F.coalesce(
+                    F.expr(f"{_RRF_ONE} div ({_RRF_K} + rank_lex)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"{_RRF_ONE} div ({_RRF_K} + rank_sem)"), F.lit(0)
+                )
+            ).cast("bigint").alias("rrf_fp"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_fp").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("bigint"))
+        .where(F.col("rank") <= 10)
+    )
