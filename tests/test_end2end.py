@@ -95,3 +95,13 @@ def test_doc_catalog_counts_match_registry():
     assert (int(m.group(1)), int(m.group(2))) == (n, n_oracle), (
         f"COVERAGE says {m.groups()}, registry has {(n, n_oracle)}"
     )
+    # Bench-basket size (the round-6 verdict caught README saying 38
+    # while bench.py HEADLINE had 36).
+    import bench
+
+    m = re.search(r"Headline basket of (\d+) queries", readme)
+    assert m, "README bench-basket phrase missing"
+    assert int(m.group(1)) == len(bench.HEADLINE), (
+        f"README says {m.group(1)} headline queries, bench.py has "
+        f"{len(bench.HEADLINE)}"
+    )

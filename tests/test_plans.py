@@ -520,7 +520,7 @@ def test_profile_single_scan_all_columns(spark, sf_dir):
 
 def test_pagerank_lineage_stays_bounded(spark, sf_dir):
     """The converged PageRank loop localCheckpoints the score table
-    every 4 rounds, so the plan of the RESULT is a constant-size tail
+    every 2 rounds, so the plan of the RESULT is a constant-size tail
     over a checkpointed RDD — never the 36+-round join chain.  (Without
     the checkpoints this plan would contain ~100 joins and Catalyst
     analysis time would dominate the query.)"""
