@@ -35,11 +35,24 @@ author profile, bounded by works-per-author); the k-NN is one window
 over the per-group pair list; components reuse the O(log^2 n)
 alternating-star operator.  At 100 TB the only heavy shuffle keys on
 the group id — the same key the input is naturally clustered by.
+
+Hot-key guard: the per-group stage is quadratic, so one pathological
+100k-member profile would put 5e9 pairs in a single task.
+``max_group_size`` bounds that: groups above the cap are down-sampled
+to a deterministic, engine-portable subset (ordered by a Knuth
+multiplicative hash of the point id — exact BIGINT arithmetic, so
+DuckDB replays the identical sample) before the pairwise join, which
+bounds pair fan-out per group at cap*(cap-1)/2 regardless of input
+skew.  For capped groups every output stat (n_points included)
+describes the sampled subset — the operator's contract is "density
+stats over at most max_group_size representative members".  The O(n)
+centroid-fit screen (queries/overmerge.py) composes IN FRONT of this
+operator for the production path — see overmerge_screened_density.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -48,6 +61,17 @@ from openalex_walden_spark.operators.components import connected_components
 # Composite node key: group * _KEY_BASE + point id keeps the component
 # search a single flat graph while edges never cross groups.
 _KEY_BASE = 10_000_000
+
+# Knuth multiplicative hash for the deterministic oversized-group
+# sample: exact in BIGINT for any id < _KEY_BASE and identical in
+# every engine (no engine-native hash functions involved).
+_HASH_A = 2_654_435_761
+_HASH_M = 4_294_967_296  # 2^32
+
+
+def sample_order_key(i: Column) -> Column:
+    """Portable pseudo-random order key for down-sampling: (i*A) % 2^32."""
+    return (i * F.lit(_HASH_A)) % F.lit(_HASH_M)
 
 
 def density_split_stats(
@@ -58,6 +82,7 @@ def density_split_stats(
     grp: str = "grp",
     pid: str = "id",
     qx: str = "qx",
+    max_group_size: int | None = 1024,
 ) -> DataFrame:
     """Per-group density-cluster statistics over integer-quantized
     vectors.
@@ -65,15 +90,57 @@ def density_split_stats(
     ``pts``: one row per point — (grp, id, qx: array<bigint>), id <
     _KEY_BASE and unique within its group.  ``eps2``: squared linkage
     threshold (same fixed-point scale as the quantized coordinates).
+    ``max_group_size``: hot-key guard — groups larger than this are
+    deterministically down-sampled before the quadratic stage (see
+    module docstring); None disables the guard.
 
     Returns one row per group: (grp, n_points, n_clusters, n_noise,
     largest_sz, second_sz) — integer-exact, so the output hashes
     identically in any engine.  The reference's noise_frac /
     largest_cluster_frac are these counts over n_points.
+
+    The composite-key precondition (grp >= 0; and, when the sampling
+    window is disabled, 0 <= id < _KEY_BASE) is enforced in-plan via
+    assert_true — a violating row fails the job instead of silently
+    merging two groups' components (no extra scan: the check rides the
+    projection the pipeline already does).  With the guard window ON
+    (the default), point ids are remapped to their dense per-group
+    sample rank, so the composite key is collision-free for ANY input
+    id magnitude; every output stat is invariant to that relabeling
+    (cluster sizes and k-th-neighbour distances depend only on the
+    distance multiset, never on id values).
     """
+    if max_group_size is not None:
+        guard = F.assert_true(
+            F.col(grp) >= 0,
+            F.lit(f"density_split_stats: requires {grp} >= 0"),
+        )
+    else:
+        guard = F.assert_true(
+            (F.col(pid) >= 0) & (F.col(pid) < _KEY_BASE) & (F.col(grp) >= 0),
+            F.lit(
+                f"density_split_stats: requires 0 <= {pid} < {_KEY_BASE} and "
+                f"{grp} >= 0 (composite component key would collide)"
+            ),
+        )
     p = pts.select(
-        F.col(grp).alias("g"), F.col(pid).alias("i"), F.col(qx).alias("x")
+        # assert_true returns NULL after checking (or fails the task),
+        # so the when() always takes the checked branch; wrapping the
+        # group keeps the guard in the plan (an unused column would be
+        # pruned by Catalyst).
+        F.when(guard.isNull(), F.col(grp)).alias("g"),
+        F.col(pid).alias("i"),
+        F.col(qx).alias("x"),
     )
+    if max_group_size is not None:
+        wsamp = Window.partitionBy("g").orderBy(
+            sample_order_key(F.col("i")).asc(), F.col("i").asc()
+        )
+        p = (
+            p.withColumn("srn", F.row_number().over(wsamp))
+            .where(F.col("srn") <= max_group_size)
+            .select("g", F.col("srn").alias("i"), "x")
+        )
     d2 = F.aggregate(
         F.zip_with(F.col("a.x"), F.col("b.x"), lambda u, v: (u - v) * (u - v)),
         F.lit(0).cast("bigint"),

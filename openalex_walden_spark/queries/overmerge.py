@@ -41,14 +41,29 @@ _K_CORE = 4
 _MIN_CLUSTER = 3
 _KEY_BASE = 10_000_000
 _LP_ROUNDS = 64  # oracle propagation rounds (>= max component diameter)
+_MAX_GROUP = 1024  # hot-key guard: per-profile point cap before the O(n^2)
+_HASH_A = 2_654_435_761  # portable sample order (operators/density.py)
+_HASH_M = 4_294_967_296
 
 _COS_SCALE = 1_000_000  # cosine quantization for the pairwise signal
+
+# The 10th-percentile centroid-fit screen threshold: a profile whose
+# bottom-decile member is ANTI-correlated with the profile's own
+# centroid has an incoherent tail — only those profiles earn the
+# quadratic density stage (overmerge_screened_density).
+_SCREEN_P10 = 0
 
 
 # --------------------------------------------------------------------------
 # Density split (HDBSCAN-style): per-group cluster statistics
 # --------------------------------------------------------------------------
-def _density_sql() -> str:
+def _density_sql(prefix: str = "", pts_filter: str = "") -> str:
+    """The density-stats oracle chain.  ``prefix``: extra leading CTEs
+    (must end with a comma) — used by the screened composition;
+    ``pts_filter``: extra WHERE clause on the point source.  The inner
+    QUALIFY-style sample mirrors the operator's hot-key guard exactly
+    (same multiplicative hash, same tie-break), so the oracle replays
+    the identical subset at any scale factor."""
     rounds = []
     for t in range(1, _LP_ROUNDS + 1):
         rounds.append(
@@ -62,10 +77,16 @@ def _density_sql() -> str:
         )
     return (
         f"""
-WITH pts AS MATERIALIZED (
-  SELECT label AS g, vec_id AS i,
-         list_transform(embedding, x -> floor(x::DOUBLE * {_Q})::BIGINT + {_Q}) AS qx
-  FROM embeddings
+WITH {prefix}pts AS MATERIALIZED (
+  SELECT g, i, qx FROM (
+    SELECT label AS g, vec_id AS i,
+           list_transform(embedding, x -> floor(x::DOUBLE * {_Q})::BIGINT + {_Q}) AS qx,
+           row_number() OVER (
+             PARTITION BY label
+             ORDER BY (vec_id * {_HASH_A}) % {_HASH_M} ASC, vec_id ASC
+           ) AS srn
+    FROM embeddings {pts_filter}
+  ) WHERE srn <= {_MAX_GROUP}
 ),
 pairs AS MATERIALIZED (
   SELECT a.g, a.i AS ia, b.i AS ib,
@@ -126,6 +147,17 @@ FROM npts n LEFT JOIN per_grp p ON p.g = n.g
     )
 
 
+def _density_pts(spark: SparkSession) -> DataFrame:
+    """Quantized (grp, id, qx) point set for the density operator."""
+    return spark.table("embeddings").select(
+        F.col("label").alias("grp"),
+        F.col("vec_id").alias("id"),
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double) * {_Q}) as bigint) + {_Q})"
+        ).alias("qx"),
+    )
+
+
 @register(
     "overmerge_density_split",
     oracle=_density_sql(),
@@ -136,19 +168,19 @@ def overmerge_density_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-profile density-cluster statistics (the HDBSCAN overmerge
     signal): a group whose embeddings form 2+ density clusters is a
     candidate multi-person profile; all-noise groups have no coherent
-    signal.  See module + ``operators/density.py`` docstrings.
+    signal.  See module + ``operators/density.py`` docstrings.  The
+    quadratic stage is hot-key-guarded: profiles above _MAX_GROUP
+    points are deterministically down-sampled (mirrored in the oracle),
+    bounding pair fan-out per group regardless of input skew.
     """
     from openalex_walden_spark.operators.density import density_split_stats
 
-    pts = spark.table("embeddings").select(
-        F.col("label").alias("grp"),
-        F.col("vec_id").alias("id"),
-        F.expr(
-            f"transform(embedding, x -> cast(floor(cast(x as double) * {_Q}) as bigint) + {_Q})"
-        ).alias("qx"),
-    )
     return density_split_stats(
-        pts, eps2=_EPS2, k_core=_K_CORE, min_cluster_size=_MIN_CLUSTER
+        _density_pts(spark),
+        eps2=_EPS2,
+        k_core=_K_CORE,
+        min_cluster_size=_MIN_CLUSTER,
+        max_group_size=_MAX_GROUP,
     )
 
 
@@ -347,24 +379,9 @@ JOIN ranked q3 ON q3.g = a.g AND q3.pos = CAST(FLOOR(0.75 * (a.work_count - 1)) 
 """
 
 
-@register(
-    "overmerge_centroid_fit",
-    oracle=_CENTROID_FIT_SQL,
-    tags=("llmdata", "ann", "overmerge", "agg"),
-    tables=("embeddings",),
-)
-def overmerge_centroid_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-profile centroid-fit distribution: every member's cosine to
-    its profile's embedding centroid, summarized as exact rank
-    statistics plus below-threshold counts — the O(n)-per-profile
-    overmerge screen (see the SQL block comment for the reference
-    lineage and the integer-exactness argument).
-
-    Scale shape: the centroid is one (group, dim) partial aggregate
-    (dims combine map-side); fit scoring is an equi-join of members
-    against their group's centroid row; the summary is per-group
-    windows + aggregates at group grain.  Nothing is quadratic.
-    """
+def _centroid_fit(spark: SparkSession) -> DataFrame:
+    """(g, i, cos_q): every member's 1e-6-floor-quantized cosine to its
+    profile's centroid-sum — the shared O(n) screen core."""
     e = spark.table("embeddings")
     pts = e.select(
         F.col("label").alias("g"),
@@ -402,16 +419,34 @@ def overmerge_centroid_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         )
     )
-    fit = (
-        pts.join(F.broadcast(csum), "g")
-        .select(
-            "g",
-            "i",
-            F.floor(F.lit(float(_COS_SCALE)) * dot / (norm_qd * norm_cs))
-            .cast("bigint")
-            .alias("cos_q"),
-        )
+    return pts.join(F.broadcast(csum), "g").select(
+        "g",
+        "i",
+        F.floor(F.lit(float(_COS_SCALE)) * dot / (norm_qd * norm_cs))
+        .cast("bigint")
+        .alias("cos_q"),
     )
+
+
+@register(
+    "overmerge_centroid_fit",
+    oracle=_CENTROID_FIT_SQL,
+    tags=("llmdata", "ann", "overmerge", "agg"),
+    tables=("embeddings",),
+)
+def overmerge_centroid_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-profile centroid-fit distribution: every member's cosine to
+    its profile's embedding centroid, summarized as exact rank
+    statistics plus below-threshold counts — the O(n)-per-profile
+    overmerge screen (see the SQL block comment for the reference
+    lineage and the integer-exactness argument).
+
+    Scale shape: the centroid is one (group, dim) partial aggregate
+    (dims combine map-side); fit scoring is an equi-join of members
+    against their group's centroid row; the summary is per-group
+    windows + aggregates at group grain.  Nothing is quadratic.
+    """
+    fit = _centroid_fit(spark)
     ranked = fit.withColumn(
         "pos",
         F.row_number().over(Window.partitionBy("g").orderBy(F.col("cos_q").asc())) - 1,
@@ -455,4 +490,100 @@ def overmerge_centroid_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_below_05",
         "n_below_06",
         "n_below_07",
+    )
+
+
+# --------------------------------------------------------------------------
+# Screened density split: the production composition (O(n) screen first,
+# the quadratic stage only for profiles the screen flags)
+# --------------------------------------------------------------------------
+# Screen CTEs (renamed s* to avoid colliding with the density chain's
+# names): per-group 10th-percentile centroid fit; a profile whose
+# bottom-decile member is anti-correlated with its own centroid
+# (p10 < _SCREEN_P10) has an incoherent tail and earns clustering.
+_SCREEN_PREFIX = f"""spts AS MATERIALIZED (
+  SELECT label AS g, vec_id AS i,
+         list_transform(embedding, x -> floor(x::DOUBLE * {_Q})::BIGINT) AS qd
+  FROM embeddings
+),
+scsum AS MATERIALIZED (
+  SELECT g, COUNT(*)::BIGINT AS n_members,
+         list_transform(range(1, 65),
+           j -> list_sum(list_transform(list(qd), v -> v[j]))) AS cs
+  FROM spts GROUP BY g
+),
+sfit AS MATERIALIZED (
+  SELECT p.g, p.i,
+         floor(({_COS_SCALE}.0 * list_sum(list_transform(range(1, len(p.qd) + 1),
+                  d -> (p.qd[d] * c.cs[d])::DOUBLE)))
+               / (sqrt(list_sum(list_transform(p.qd, x -> (x * x)::DOUBLE)))
+                  * sqrt(list_sum(list_transform(c.cs, x -> (x * x)::DOUBLE)))))::BIGINT AS cos_q
+  FROM spts p JOIN scsum c ON c.g = p.g
+),
+sranked AS (
+  SELECT g, cos_q,
+         row_number() OVER (PARTITION BY g ORDER BY cos_q ASC) - 1 AS pos,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM sfit
+),
+susp AS MATERIALIZED (
+  SELECT g FROM sranked
+  WHERE pos = CAST(FLOOR(0.10 * (n - 1)) AS BIGINT) AND cos_q < {_SCREEN_P10}
+),
+"""
+
+
+@register(
+    "overmerge_screened_density",
+    oracle=_density_sql(
+        prefix=_SCREEN_PREFIX,
+        pts_filter="WHERE label IN (SELECT g FROM susp)",
+    ),
+    tags=("llmdata", "ann", "overmerge", "domain"),
+    tables=("embeddings",),
+)
+def overmerge_screened_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-ordered overmerge pipeline: the O(n)-per-profile
+    centroid-fit screen runs FIRST, and only profiles it flags (10th-
+    percentile member fit below _SCREEN_P10) enter the quadratic
+    density-clustering stage — so at 100 TB the pairwise join sees the
+    suspicious minority of profiles, not the whole author table, and
+    the per-profile size cap bounds the worst flagged profile too.
+    This is the composition the round-6 review asked for: screen →
+    gate → cluster, each stage at the grain the previous one reduced
+    to (the reference runs the same triage manually across
+    ComputeAuthorshipSimilarity → HdbscanOvermergeDetection).
+
+    Scale shape: screen = one (group, dim) partial agg + an equi-join;
+    gate = per-group rank pick at group grain; the density stage's
+    input is a semi-join of points against the flagged-group list on
+    the same group key everything else shuffles on.
+    """
+    from openalex_walden_spark.operators.density import density_split_stats
+
+    fit = _centroid_fit(spark)
+    ranked = fit.select(
+        "g",
+        "cos_q",
+        (
+            F.row_number().over(
+                Window.partitionBy("g").orderBy(F.col("cos_q").asc())
+            )
+            - 1
+        ).alias("pos"),
+        F.count("*").over(Window.partitionBy("g")).alias("n"),
+    )
+    susp = ranked.where(
+        (F.col("pos") == F.floor(F.lit(0.10) * (F.col("n") - 1)).cast("bigint"))
+        & (F.col("cos_q") < _SCREEN_P10)
+    ).select("g")
+    pts = _density_pts(spark).join(
+        susp, F.col("grp") == F.col("g"), "left_semi"
+    )
+    return density_split_stats(
+        pts,
+        eps2=_EPS2,
+        k_core=_K_CORE,
+        min_cluster_size=_MIN_CLUSTER,
+        max_group_size=_MAX_GROUP,
     )

@@ -317,6 +317,101 @@ def test_density_split_flags_known_overmerge(spark):
     assert out[3]["n_clusters"] == 0 and out[3]["n_noise"] == 5
 
 
+def test_density_split_caps_oversized_profile_pair_fanout(spark):
+    """Hot-key guard contract (round-6 review): a profile far above
+    ``max_group_size`` must be down-sampled BEFORE the quadratic stage,
+    so pair fan-out per group is bounded at cap*(cap-1)/2 no matter how
+    skewed the input — one 100k-member profile must never put 5e9 pairs
+    in a single task.  The sample is deterministic and engine-portable
+    (Knuth multiplicative hash of the id), so repeated runs agree."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from openalex_walden_spark.operators.density import (
+        density_split_stats,
+        sample_order_key,
+    )
+
+    cap = 64
+    n_big = 2000
+    # one oversized profile (two far-apart blobs so clusters survive the
+    # sample) + one small control profile
+    rows = [
+        (7, j, [((j % 2) * 100000) + (j % 5), (j * 3) % 7, 0, 0])
+        for j in range(n_big)
+    ] + [(8, 10_000 + j, [j, j, 0, 0]) for j in range(5)]
+    pts = spark.createDataFrame(rows, "grp int, id int, qx array<bigint>")
+
+    # The sampled point set the operator works on is bounded per group.
+    sampled = (
+        pts.withColumn(
+            "srn",
+            F.row_number().over(
+                Window.partitionBy("grp").orderBy(
+                    sample_order_key(F.col("id")).asc(), F.col("id").asc()
+                )
+            ),
+        )
+        .where(F.col("srn") <= cap)
+        .groupBy("grp")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= cap for r in sampled)
+
+    out = {
+        r["grp"]: r
+        for r in density_split_stats(
+            pts, eps2=200, k_core=3, min_cluster_size=3, max_group_size=cap
+        ).collect()
+    }
+    # capped group: stats describe exactly cap sampled members, and the
+    # pair stage saw at most cap*(cap-1)/2 pairs (n_points bounds it)
+    assert out[7]["n_points"] == cap
+    assert out[7]["n_clusters"] == 2  # both blobs survive the sample
+    assert out[8]["n_points"] == 5  # under the cap: untouched
+    # deterministic: a second run returns the identical stats
+    out2 = {
+        r["grp"]: r
+        for r in density_split_stats(
+            pts, eps2=200, k_core=3, min_cluster_size=3, max_group_size=cap
+        ).collect()
+    }
+    assert out == out2
+
+
+def test_density_split_key_guard_and_big_id_safety(spark):
+    """Composite-key safety (round-6 advice): with the sampling window
+    ON (default), ids are remapped to dense per-group ranks, so point
+    ids >= the 1e7 key base are handled correctly (stats are invariant
+    to relabeling); with the window OFF, the in-plan assert fails the
+    job loudly instead of silently merging two groups' components."""
+    import pytest
+
+    from openalex_walden_spark.operators.density import (
+        _KEY_BASE,
+        density_split_stats,
+    )
+
+    small = [(1, j, [j % 3, 0, 0, 0]) for j in range(6)]
+    big_ids = [(1, _KEY_BASE * 5 + j, [j % 3, 0, 0, 0]) for j in range(6)]
+    pts_small = spark.createDataFrame(small, "grp int, id long, qx array<bigint>")
+    pts_big = spark.createDataFrame(big_ids, "grp int, id long, qx array<bigint>")
+
+    ref = density_split_stats(
+        pts_small, eps2=10, k_core=3, min_cluster_size=3
+    ).collect()
+    got = density_split_stats(
+        pts_big, eps2=10, k_core=3, min_cluster_size=3
+    ).collect()
+    assert [r.asDict() for r in ref] == [r.asDict() for r in got]
+
+    with pytest.raises(Exception, match="density_split_stats"):
+        density_split_stats(
+            pts_big, eps2=10, k_core=3, min_cluster_size=3, max_group_size=None
+        ).collect()
+
+
 # --------------------------------------------------------------------------
 # Chunking: overlap consistency and lossless reconstruction
 # --------------------------------------------------------------------------
