@@ -16,7 +16,18 @@ that artifact path:
   index).
 - ``load_ivf_index``: validates the manifest (quantization scale and
   k must match what the searcher expects; fingerprint must match the
-  stored centroids) and returns the two tables.
+  stored centroids) and returns the two tables, unioning any
+  stream-appended assignment batches.
+- ``stream_into_index``: incremental maintenance.  Each micro-batch
+  lands in its OWN ``assignments_stream/batch_id=<id>/cell=<k>/``
+  directory written with overwrite, so a Structured Streaming retry of
+  a failed batch REPLACES the partial write instead of appending a
+  duplicate — exactly-once at the directory level with no ledger and
+  no load-time dedup shuffle.
+
+All small-file IO (the manifest) goes through the Hadoop FileSystem
+API resolved from the active session, so index paths may live on any
+supported filesystem (local, HDFS, S3A...), same as the parquet halves.
 
 Everything stored is integer-exact (the trainer's fixed-point
 centroids), so an index written by one cluster and read by another
@@ -32,6 +43,37 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _MANIFEST = "manifest.json"
+_STREAM_DIR = "assignments_stream"
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    """(Hadoop FileSystem, Path) for ``path`` under the session's conf.
+    Classic PySpark only (uses the JVM gateway) — the same boundary the
+    rest of the repo's driver-side helpers assume."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _write_small_file(spark: SparkSession, path: str, data: str) -> None:
+    fs, hpath = _fs_and_path(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(data.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_small_file(spark: SparkSession, path: str) -> str:
+    fs, hpath = _fs_and_path(spark, path)
+    stream = fs.open(hpath)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
 
 
 def _centroid_fingerprint(cents: list[list[int]]) -> str:
@@ -71,8 +113,11 @@ def save_ivf_index(
         "quant_scale": quant_scale,
         "centroid_md5": _centroid_fingerprint(cents),
     }
-    with open(os.path.join(path, _MANIFEST), "w") as f:
-        json.dump(manifest, f, sort_keys=True, indent=1)
+    _write_small_file(
+        spark,
+        os.path.join(path, _MANIFEST),
+        json.dumps(manifest, sort_keys=True, indent=1),
+    )
 
 
 def load_ivf_index(
@@ -81,9 +126,10 @@ def load_ivf_index(
     """Load and validate a saved index; returns (centroids, assignments,
     manifest). Raises ValueError on a corrupt or mismatched artifact —
     serving against a silently-wrong index is the failure mode this
-    guards."""
-    with open(os.path.join(path, _MANIFEST)) as f:
-        manifest = json.load(f)
+    guards.  Assignments = the base build UNION ALL any stream-appended
+    batches (both cell-partitioned, so a P-cell probe still reads
+    exactly the P matching directories of each layout)."""
+    manifest = json.loads(_read_small_file(spark, os.path.join(path, _MANIFEST)))
     if manifest.get("format") != "ivf-fixedpoint-v1":
         raise ValueError(f"unknown index format: {manifest.get('format')!r}")
     if (
@@ -104,6 +150,13 @@ def load_ivf_index(
     assignments = spark.read.parquet(os.path.join(path, "assignments")).select(
         "vec_id", F.col("cell").cast("int").alias("cell")
     )
+    stream_path = os.path.join(path, _STREAM_DIR)
+    fs, spath = _fs_and_path(spark, stream_path)
+    if fs.exists(spath):
+        streamed = spark.read.parquet(stream_path).select(
+            "vec_id", F.col("cell").cast("int").alias("cell")
+        )
+        assignments = assignments.unionByName(streamed)
     return cents, assignments, manifest
 
 
@@ -146,6 +199,30 @@ def assign_cells(vectors: DataFrame, cents: list[list[int]], quant_scale: int) -
     )
 
 
+def write_stream_batch(
+    batch_df: DataFrame,
+    index_path: str,
+    cents: list[list[int]],
+    quant_scale: int,
+    batch_id: int,
+) -> None:
+    """Idempotent per-micro-batch index append: assign cells map-side
+    and OVERWRITE ``assignments_stream/batch_id=<id>/`` (cell-
+    partitioned inside).  Structured Streaming re-delivers a failed
+    batch under the SAME batch_id, so a retry replaces the partial
+    directory instead of duplicating rows — duplicated assignments
+    would duplicate probe candidates and let one neighbour occupy two
+    top-k slots."""
+    target = os.path.join(index_path, _STREAM_DIR, f"batch_id={batch_id}")
+    (
+        assign_cells(batch_df, cents, quant_scale)
+        .select("vec_id", "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(target)
+    )
+
+
 def stream_into_index(
     vectors_stream: DataFrame,
     index_path: str,
@@ -157,23 +234,15 @@ def stream_into_index(
     saved index's cell-partitioned assignment layout (availableNow —
     the nightly-cadence contract the batch MERGEs use).  Assignment is
     stateless and map-side, so the stream never shuffles; each
-    micro-batch appends into ``assignments/cell=<k>/`` directories via
-    foreachBatch (a plain batch append — NOT the streaming file sink,
-    whose ``_spark_metadata`` log would make later batch reads ignore
-    the index's original batch-written files), preserving the
-    partition-pruned probe property of ``save_ivf_index``."""
-    import os as _os
-
-    target = _os.path.join(index_path, "assignments")
+    micro-batch lands via ``write_stream_batch`` (foreachBatch — NOT
+    the streaming file sink, whose ``_spark_metadata`` log would make
+    later batch reads ignore the index's original batch-written files)
+    in its own overwrite-on-retry batch directory, preserving both the
+    partition-pruned probe property of ``save_ivf_index`` and
+    exactly-once delivery under micro-batch retries."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            assign_cells(batch_df, cents, quant_scale)
-            .select("vec_id", "cell")
-            .write.mode("append")
-            .partitionBy("cell")
-            .parquet(target)
-        )
+        write_stream_batch(batch_df, index_path, cents, quant_scale, batch_id)
 
     (
         vectors_stream.writeStream.foreachBatch(apply_batch)

@@ -408,6 +408,8 @@ def test_ivf_index_load_rejects_mismatch_and_corruption(spark, sf_dir, tmp_path)
     import pytest
 
     from openalex_walden_spark.operators.ann_index import (
+        _read_small_file,
+        _write_small_file,
         load_ivf_index,
         save_ivf_index,
     )
@@ -419,10 +421,12 @@ def test_ivf_index_load_rejects_mismatch_and_corruption(spark, sf_dir, tmp_path)
     # wrong quantization scale must refuse (silently-wrong routing)
     with pytest.raises(ValueError, match="quantization"):
         load_ivf_index(spark, path, expect_quant_scale=256)
-    # corrupt centroids must refuse
-    m = _json.load(open(f"{path}/manifest.json"))
+    # corrupt centroids must refuse (rewrite through the Hadoop FS
+    # channel — a raw local edit would trip the filesystem's own CRC
+    # sidecar first, which is a different, earlier line of defense)
+    m = _json.loads(_read_small_file(spark, f"{path}/manifest.json"))
     m["centroid_md5"] = "0" * 32
-    _json.dump(m, open(f"{path}/manifest.json", "w"))
+    _write_small_file(spark, f"{path}/manifest.json", _json.dumps(m))
     with pytest.raises(ValueError, match="fingerprint"):
         load_ivf_index(spark, path, expect_quant_scale=65536)
 

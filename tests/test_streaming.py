@@ -586,9 +586,59 @@ def test_stream_into_ivf_index_matches_batch_assignment(spark, sf_dir, tmp_path)
     stream_into_index(stream, path, cents, _KM_Q, str(tmp_path / "ckpt"))
 
     _, asg, _ = load_ivf_index(spark, path, expect_quant_scale=_KM_Q)
-    got = {(r["vec_id"], r["cell"]) for r in asg.collect()}
-    want = {
+    # multiset compare: duplicated assignments (a replayed batch
+    # appending twice) would duplicate probe candidates — a set compare
+    # would mask exactly that bug
+    got = sorted((r["vec_id"], r["cell"]) for r in asg.collect())
+    want = sorted(
         (r["vec_id"], r["cell"])
         for r in assign_cells(e, cents, _KM_Q).select("vec_id", "cell").collect()
-    }
+    )
     assert got == want
+
+
+def test_stream_index_batch_retry_is_idempotent(spark, sf_dir, tmp_path):
+    """Structured Streaming re-delivers a failed micro-batch under the
+    SAME batch_id; the per-batch overwrite directory must make the
+    retry replace the first (possibly partial) write, not append to it
+    — duplicated assignment rows would let one neighbour occupy two
+    top-k slots in the probe join."""
+    import pyspark.sql.functions as F
+
+    from openalex_walden_spark import queries as q
+    from openalex_walden_spark.operators.ann_index import (
+        assign_cells,
+        load_ivf_index,
+        save_ivf_index,
+        write_stream_batch,
+    )
+    from openalex_walden_spark.queries.advanced import _KM_Q, _TR_CACHE, train_ivf_centroids
+    from openalex_walden_spark.tables import register_views
+
+    q.load_all()
+    register_views(spark, sf_dir, ("embeddings",))
+    _TR_CACHE.clear()
+    cents = train_ivf_centroids(spark, sf_dir)
+    e = spark.table("embeddings")
+    base = e.where(F.col("vec_id") % 2 == 0)
+    late = e.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+
+    path = str(tmp_path / "ivf")
+    save_ivf_index(
+        spark,
+        path,
+        cents,
+        assign_cells(base, cents, _KM_Q).select("vec_id", "cell"),
+        quant_scale=_KM_Q,
+    )
+    # deliver batch 0 twice (simulated retry after a mid-write failure)
+    write_stream_batch(late, path, cents, _KM_Q, batch_id=0)
+    write_stream_batch(late, path, cents, _KM_Q, batch_id=0)
+
+    _, asg, _ = load_ivf_index(spark, path, expect_quant_scale=_KM_Q)
+    got = sorted((r["vec_id"], r["cell"]) for r in asg.collect())
+    want = sorted(
+        (r["vec_id"], r["cell"])
+        for r in assign_cells(e, cents, _KM_Q).select("vec_id", "cell").collect()
+    )
+    assert got == want, "retried batch duplicated assignment rows"
