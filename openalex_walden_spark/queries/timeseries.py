@@ -484,39 +484,75 @@ def w9_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-key isotonic regression (PAVA) via grouped-map applyInPandas
 # --------------------------------------------------------------------------
 def _pava(y):
-    """Pool-adjacent-violators: non-decreasing fit minimizing L2.
+    """Pool-adjacent-violators over INTEGER observations, in exact
+    rational arithmetic: each block level is carried as (sum, count)
+    Python ints (arbitrary precision) and violator comparisons are
+    cross-multiplications, so the merge path is rounding-free; each
+    output value is a single correctly-rounded division sum/count.
     Sequential by nature — the reason this operator is a grouped-map
     pandas function and not a window expression."""
-    n = len(y)
-    level = list(y)
-    weight = [1.0] * n
-    # classic stack formulation: merge backwards while decreasing
-    levels, weights, counts = [], [], []
-    for i in range(n):
-        cl, cw, cc = level[i], weight[i], 1
-        while levels and levels[-1] > cl:
-            pl, pw, pc = levels.pop(), weights.pop(), counts.pop()
-            cl = (pl * pw + cl * cw) / (pw + cw)
-            cw += pw
-            cc += pc
-        levels.append(cl)
-        weights.append(cw)
-        counts.append(cc)
+    sums, cnts = [], []
+    for v in y:
+        cs, cc = int(v), 1
+        # merge backwards while the previous block level exceeds ours:
+        # sums[-1]/cnts[-1] > cs/cc  ⟺  sums[-1]*cc > cs*cnts[-1]
+        while sums and sums[-1] * cc > cs * cnts[-1]:
+            cs += sums.pop()
+            cc += cnts.pop()
+        sums.append(cs)
+        cnts.append(cc)
     out = []
-    for lv, c in zip(levels, counts):
-        out.extend([lv] * c)
+    for s, c in zip(sums, cnts):
+        out.extend([s / c] * c)  # int/int → correctly-rounded double
     return out
 
 
 _ISO_SCHEMA = "user_id long, ts_us long, y double, y_fit double"
 
+# DuckDB oracle via the minimax characterization of the L2 isotonic fit:
+#     fit[i] = max_{j<=i} min_{k>=i} avg(y[j..k])
+# (Robertson/Wright/Dykstra, *Order Restricted Statistical Inference*).
+# Hash-exactness argument: y is quantized to BIGINT up front (identical
+# IEEE expr in both engines), so every candidate average is an exact
+# rational num/den with |num| << 2^53; double division is correctly
+# rounded, and rounding is monotone, so it commutes with the running
+# MIN/MAX — the oracle's double equals fl(true rational fit), which is
+# exactly what the Spark side's exact-rational PAVA emits.  O(n²) rows
+# per key — fine for bounded per-entity series (n <= ~100 here); the
+# ORACLE is quadratic, the engine path stays O(n) per key.
+_PAVA_SQL = f"""
+WITH base AS (
+  SELECT user_id, {_TSUS_DUCK} AS ts_us,
+         CAST(FLOOR(value * 100) AS BIGINT) AS yq,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY {_TSUS_DUCK}, event_id) AS i
+  FROM events
+), pre AS (
+  SELECT user_id, i, ts_us, yq,
+         SUM(yq) OVER (PARTITION BY user_id ORDER BY i) AS s
+  FROM base
+), pairs AS (          -- avg(y[j..k]) as exact rational (num, den)
+  SELECT a.user_id, a.i AS j, b.i AS k,
+         b.s - a.s + a.yq AS num, b.i - a.i + 1 AS den
+  FROM pre a JOIN pre b ON a.user_id = b.user_id AND b.i >= a.i
+), rm AS (             -- rm(j,i) = min over k>=i of avg(y[j..k])
+  SELECT user_id, j, k AS i,
+         MIN(CAST(num AS DOUBLE) / den) OVER (
+           PARTITION BY user_id, j ORDER BY k DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+  FROM pairs
+), fit AS (            -- fit[i] = max over j<=i of rm(j,i); grid has j<=i
+  SELECT user_id, i, MAX(mn) AS y_fit
+  FROM rm GROUP BY user_id, i
+)
+SELECT p.user_id, p.ts_us, CAST(p.yq AS DOUBLE) AS y, f.y_fit
+FROM pre p JOIN fit f ON p.user_id = f.user_id AND p.i = f.i
+"""
+
 
 @register(
     "fit_isotonic_pava",
-    oracle=None,  # PAVA is inherently sequential: no ANSI-SQL form exists
-    # short of a recursive CTE encoding of the merge stack; the driver
-    # records the rows-only check and pytest carries the semantics
-    # (monotonicity, mass conservation, reference-implementation match).
+    oracle=_PAVA_SQL,
     tags=("timeseries", "applyInPandas", "ml"),
     tables=("events",),
 )
@@ -535,6 +571,11 @@ def fit_isotonic_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit sorts by (ts_us, event_id) for a total order, so output is
     partition-invariant and retry-deterministic.
 
+    Values are quantized to integer cents (floor(value*100)) BEFORE the
+    fit so the whole computation is exact rational arithmetic and the
+    DuckDB minimax oracle reproduces the doubles bit-for-bit — the
+    catalog's last rows-only entry upgraded to a hash-checked one.
+
     Scale note: a group must fit in one worker's memory — true for
     per-user series (the reference's biggest per-entity group is
     bounded the same way, D11); for unbounded keys the fix is
@@ -546,12 +587,18 @@ def fit_isotonic_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the package must be importable on executors (any fresh-process
     # driver whose cwd is elsewhere reproduces ModuleNotFoundError
     # without this — caught by the sweep, not by repo-cwd pytest).
-    ev = spark.table("events").select("user_id", "ts_us", "event_id", "value")
+    ev = spark.table("events").select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.floor(F.col("value") * F.lit(100)).cast("long").alias("yq"),
+    )
 
     def fit(pdf):
         pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
-        y = pdf["value"].astype("float64").tolist()
-        pdf = pdf.assign(y=y, y_fit=_pava(y))
-        return pdf[["user_id", "ts_us", "y", "y_fit"]]
+        yq = pdf["yq"].tolist()
+        return pdf.assign(
+            y=[float(v) for v in yq], y_fit=_pava(yq)
+        )[["user_id", "ts_us", "y", "y_fit"]]
 
     return ev.groupBy("user_id").applyInPandas(fit, _ISO_SCHEMA)
