@@ -134,9 +134,34 @@ RETURN COALESCE(
 #   capes    l.44:  8888x.nnnnnn/yyyy-nn process numbers
 #   ncn      l.45:  yyyy/nn/L/LLn/nnnnn Polish grant paths
 #   gacr     l.63:  GA/GP prefixed Czech grant ids (two generations)
-# Patterns are deliberately lookaround-free so the Java-regex (Spark) and
-# RE2 (DuckDB oracle) compilations agree verbatim; literal dots use [.]
-# so neither engine's string-escape rules are in play.
+# Round-7 additions — the NEXT 20 funders in the reference's works-count
+# order (scripts/award_translation_rules.py FUNDERS table) not already
+# covered above, deposited-side rules from AwardNormKey.sql l.78-125:
+#   nsfc       U+7-digit or 8-digit project number anywhere in the string
+#   dfg        9-digit project number
+#   fct        space-squashed identity (PTDC/... path ids)
+#   nserc      merge onto "year-number" (RGPIN-2019-05634 -> 2019-5634)
+#   snsf       trailing 5-6 digit grant no (12-digit forms keep last 6)
+#   cihr       programme-prefix stripped, bare number, zeros dropped
+#   aha        space-squashed identity
+#   shandong   ZR-prefixed provincial ids, two generations
+#   bmbf       [+ /-]-squashed identity
+#   fwf        single-letter+digits core id, DOI-prefix + suffix tolerated
+#   isciii     PInn/nnnnn canonicalized with LPAD-5 serial
+#   vr         DNR/VR prefix stripped, yyyy-nnnnn LPAD-5
+#   nasa       [ -]-squashed identity (80NSSC...-style contract ids)
+#   amed       JP prefix + trailing fiscal H-suffix stripped
+#   dhhs       anchored contract/grant grammars, separators squashed
+#   nhmrc      APP/GNT-prefixed or bare 6-7 digit application id
+#   hunan      yyyyJJnnnnn provincial ids; 2-digit years promoted to 20yy
+#   zhejiang   L-series provincial ids; missing L prefix restored
+#   innovate_uk  5-8 digit or KTP-prefixed application number
+#   nihr       programme nn/nnn/nn paths + PROG-yyyy-nnnnn award forms
+# The reference's boundary lookarounds ((?<!\\d) etc.) are deliberately
+# replaced by anchors or prefix-strips: patterns stay lookaround-free so
+# the Java-regex (Spark) and RE2 (DuckDB oracle) compilations agree
+# verbatim; literal dots use [.] so neither engine's string-escape rules
+# are in play.
 _AWARD_NORM0 = """
 CREATE OR REPLACE TEMPORARY FUNCTION award_norm0(award STRING)
 RETURNS STRING
@@ -228,6 +253,127 @@ RETURN CASE
     coalesce(
       nullif(regexp_extract(award_norm0(award), '^G[A-Z]([0-9]{2}-[0-9]{5}[A-Z])$', 1), ''),
       nullif(regexp_extract(award_norm0(award), '^G[A-Z](P?[0-9]{3}/[0-9]{2}/[A-Z]?[0-9]{3,4})$', 1), ''))
+  WHEN family = 'nsfc' THEN
+    nullif(regexp_extract(regexp_replace(award_norm0(award), ' ', ''),
+      '(U[0-9]{7}|[0-9]{8})', 1), '')
+  WHEN family = 'dfg' THEN
+    nullif(regexp_extract(award_norm0(award), '([0-9]{9})', 1), '')
+  WHEN family = 'fct' THEN
+    nullif(regexp_replace(award_norm0(award), ' ', ''), '')
+  WHEN family = 'nserc' THEN
+    CASE
+      WHEN regexp_replace(award_norm0(award), ' ', '')
+             rlike '[A-Z]{3,7}/?-?[0-9]{4}-?[0-9]{4,6}$'
+        THEN concat(
+          regexp_extract(regexp_replace(award_norm0(award), ' ', ''),
+                         '([0-9]{4})-?[0-9]{4,6}$', 1), '-',
+          CAST(CAST(regexp_extract(regexp_replace(award_norm0(award), ' ', ''),
+                                   '([0-9]{4,6})$', 1) AS BIGINT) AS STRING))
+      WHEN award_norm0(award) rlike '^[0-9]{5,6}[ -][0-9]{4}$'
+        THEN concat(
+          regexp_extract(award_norm0(award), '([0-9]{4})$', 1), '-',
+          CAST(CAST(regexp_extract(award_norm0(award), '^([0-9]{5,6})', 1)
+                    AS BIGINT) AS STRING))
+    END
+  WHEN family = 'snsf' THEN
+    CAST(CAST(nullif(CASE
+      WHEN award_norm0(award) rlike '^[0-9]{12}$'
+        THEN substr(award_norm0(award), 7)
+      ELSE regexp_extract(award_norm0(award), '([0-9]{5,6})$', 1)
+    END, '') AS BIGINT) AS STRING)
+  WHEN family = 'cihr' THEN
+    CAST(CAST(nullif(regexp_extract(
+      regexp_replace(regexp_replace(award_norm0(award), '^#+ ?', ''),
+                     '^(950[- ]|[A-Z]{2,4}[0-9]?[- ]?)', ''),
+      '^([0-9]{4,6})([-_][0-9]+)?$', 1), '') AS BIGINT) AS STRING)
+  WHEN family = 'aha' THEN
+    nullif(regexp_replace(award_norm0(award), ' ', ''), '')
+  WHEN family = 'shandong' THEN
+    nullif(regexp_extract(regexp_replace(award_norm0(award), '[ -]', ''),
+      '(ZR(19|20)[0-9]{2}[A-Z]{1,3}[0-9]{2,4}|[0-9]{4}ZR[A-Z][0-9A-Z]{5})',
+      1), '')
+  WHEN family = 'bmbf' THEN
+    nullif(regexp_replace(award_norm0(award), '[+ /-]', ''), '')
+  WHEN family = 'fwf' THEN
+    nullif(regexp_extract(regexp_replace(award_norm0(award), ' ', ''),
+      '^(?:10[.]55776/|HTTPS?://(?:DX[.])?DOI[.]ORG/10[.]55776/)?([A-Z]{1,3}[0-9]{3,7})(?:-[A-Z][0-9]{1,3})?$',
+      1), '')
+  WHEN family = 'isciii' THEN
+    CASE WHEN regexp_replace(award_norm0(award), ' ', '')
+              rlike '^[A-Z]{2,4}[0-9]{2}(CIII)?[/-][0-9]{1,5}$'
+         THEN concat(
+           regexp_extract(regexp_replace(award_norm0(award), ' ', ''),
+                          '^([A-Z]{2,4}[0-9]{2}(CIII)?)[/-]', 1), '/',
+           lpad(regexp_extract(regexp_replace(award_norm0(award), ' ', ''),
+                               '[/-]([0-9]{1,5})$', 1), 5, '0'))
+    END
+  WHEN family = 'vr' THEN
+    CASE WHEN regexp_replace(award_norm0(award), '^(VR|DNR|GRANT)[ .:#-]*', '')
+              rlike '^(19|20)[0-9]{2}[- ][0-9]{4,5}$'
+         THEN concat(
+           regexp_extract(
+             regexp_replace(award_norm0(award), '^(VR|DNR|GRANT)[ .:#-]*', ''),
+             '^((19|20)[0-9]{2})', 1), '-',
+           lpad(regexp_extract(
+             regexp_replace(award_norm0(award), '^(VR|DNR|GRANT)[ .:#-]*', ''),
+             '[- ]([0-9]{4,5})$', 1), 5, '0'))
+    END
+  WHEN family = 'nasa' THEN
+    nullif(regexp_replace(award_norm0(award), '[ -]', ''), '')
+  WHEN family = 'amed' THEN
+    nullif(regexp_extract(award_norm0(award),
+      '^(?:JP)?([0-9]{2}[A-Z]{2}[0-9]{7})(?:H[0-9]{4})?$', 1), '')
+  WHEN family = 'dhhs' THEN
+    nullif(regexp_extract(regexp_replace(award_norm0(award), '[ -]', ''),
+      '^([A-Z][A-Z0-9]{4}[0-9]{6}|[0-9]{2}[A-Z][A-Z0-9][0-9]{4,5})$', 1), '')
+  WHEN family = 'nhmrc' THEN
+    coalesce(
+      nullif(regexp_extract(award_norm0(award),
+                            '(APP|GNT) ?-?([0-9]{6,7})', 2), ''),
+      nullif(regexp_extract(regexp_replace(award_norm0(award), ' ', ''),
+                            '^(?:ID|NHMRC)?[.:#-]*([0-9]{6,7})$', 1), ''))
+  WHEN family = 'hunan' THEN
+    coalesce(
+      nullif(regexp_extract(
+        regexp_replace(regexp_replace(award_norm0(award),
+                                      '^(NO|GRANT)[ .:#-]*', ''), ' ', ''),
+        '^((19|20)[0-9]{2}JJ[0-9]{4,5})$', 1), ''),
+      CASE WHEN regexp_replace(regexp_replace(award_norm0(award),
+                               '^(NO|GRANT)[ .:#-]*', ''), ' ', '')
+                rlike '^[0-9]{2}JJ[0-9]{4,5}$'
+           THEN concat('20', regexp_replace(regexp_replace(award_norm0(award),
+                            '^(NO|GRANT)[ .:#-]*', ''), ' ', ''))
+      END)
+  WHEN family = 'zhejiang' THEN
+    coalesce(
+      nullif(regexp_extract(
+        regexp_replace(regexp_replace(award_norm0(award),
+                                      '^(NO|GRANT)[ .:#-]*', ''), ' ', ''),
+        '^(L[A-Z]{0,4}[0-9]{2}[A-Z][0-9]{6})$', 1), ''),
+      CASE WHEN regexp_replace(regexp_replace(award_norm0(award),
+                               '^(NO|GRANT)[ .:#-]*', ''), ' ', '')
+                rlike '^[A-Z]{1,4}[0-9]{2}[A-Z][0-9]{6}$'
+            AND NOT regexp_replace(regexp_replace(award_norm0(award),
+                                   '^(NO|GRANT)[ .:#-]*', ''), ' ', '')
+                    rlike '^L'
+           THEN concat('L', regexp_replace(regexp_replace(award_norm0(award),
+                            '^(NO|GRANT)[ .:#-]*', ''), ' ', ''))
+      END)
+  WHEN family = 'innovate_uk' THEN
+    nullif(regexp_extract(regexp_replace(award_norm0(award), ' ', ''),
+      '^(?:PROJECT|GRANT|APP|NO)?[.:#-]*([0-9]{5,8}|KTP[0-9]{6})$', 1), '')
+  WHEN family = 'nihr' THEN
+    coalesce(
+      nullif(regexp_extract(
+        regexp_replace(regexp_replace(award_norm0(award), '^NIHR[- ]', ''),
+                       ' ', ''),
+        '^(?:[A-Z]{2,6})?([0-9]{2}/[0-9]{2,4}/[0-9]{2,4})$', 1), ''),
+      nullif(regexp_extract(
+        regexp_replace(award_norm0(award), '^NIHR[- ]', ''),
+        '^([A-Z]{1,5}(-[A-Z0-9]{1,4}){0,3}-(19|20)[0-9]{2}-[0-9]{2,6}(-[A-Z0-9]{1,6}){0,2})$',
+        1), ''),
+      nullif(regexp_replace(
+        regexp_replace(award_norm0(award), '^NIHR[- ]', ''), ' ', ''), ''))
   ELSE award_key(award)
 END
 """

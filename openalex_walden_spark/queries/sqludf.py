@@ -292,7 +292,7 @@ def award_family_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # table, notebooks/awards/AwardNormKey.sql) over realistic formats.
 
 _FAMILY_RAW_SPARK = """
-CASE CAST(o_orderkey % 17 AS INT)
+CASE CAST(o_orderkey % 37 AS INT)
   WHEN 0 THEN concat('1 R01 GM ', lpad(CAST(o_orderkey % 90000 + 10000 AS STRING), 5, '0'),
                      '-0', CAST(o_orderkey % 9 + 1 AS STRING))
   WHEN 1 THEN concat('DMS-1', lpad(CAST(o_orderkey % 1000000 AS STRING), 6, '0'))
@@ -327,18 +327,59 @@ CASE CAST(o_orderkey % 17 AS INT)
                       lpad(CAST(o_orderkey % 100000 AS STRING), 5, '0'))
   WHEN 15 THEN concat('GA', lpad(CAST(o_orderkey % 100 AS STRING), 2, '0'), '-',
                       lpad(CAST(o_orderkey % 100000 AS STRING), 5, '0'), 'S')
+  WHEN 16 THEN concat('NSFC GRANT NO. 8', lpad(CAST(o_orderkey % 10000000 AS STRING), 7, '0'))
+  WHEN 17 THEN concat('PROJEKT ', lpad(CAST(o_orderkey % 1000000000 AS STRING), 9, '0'))
+  WHEN 18 THEN concat('PTDC/BIA-BMA/', lpad(CAST(o_orderkey % 100000 AS STRING), 5, '0'),
+                      '/20', lpad(CAST(o_orderkey % 23 AS STRING), 2, '0'))
+  WHEN 19 THEN concat('RGPIN-', CAST(o_orderkey % 8 + 2015 AS STRING), '-',
+                      lpad(CAST(o_orderkey % 100000 AS STRING), 5, '0'))
+  WHEN 20 THEN concat('31003A_', lpad(CAST(o_orderkey % 1000000 AS STRING), 6, '0'))
+  WHEN 21 THEN concat('MOP-', lpad(CAST(o_orderkey % 1000000 AS STRING), 6, '0'))
+  WHEN 22 THEN concat(CAST(o_orderkey % 89 + 10 AS STRING), ' GRNT ',
+                      lpad(CAST(o_orderkey % 10000000 AS STRING), 7, '0'))
+  WHEN 23 THEN concat('ZR', CAST(o_orderkey % 5 + 2019 AS STRING), 'MH',
+                      lpad(CAST(o_orderkey % 1000 AS STRING), 3, '0'))
+  WHEN 24 THEN concat('01 EO ', lpad(CAST(o_orderkey % 10000 AS STRING), 4, '0'))
+  WHEN 25 THEN concat('P ', lpad(CAST(o_orderkey % 100000 AS STRING), 5, '0'),
+                      '-B', CAST(o_orderkey % 40 AS STRING))
+  WHEN 26 THEN concat('PI', lpad(CAST(o_orderkey % 23 AS STRING), 2, '0'), '/',
+                      lpad(CAST(o_orderkey % 100000 AS STRING), 5, '0'))
+  WHEN 27 THEN concat('DNR 20', lpad(CAST(o_orderkey % 23 AS STRING), 2, '0'), '-',
+                      lpad(CAST(o_orderkey % 100000 AS STRING), 5, '0'))
+  WHEN 28 THEN concat('80NSSC', lpad(CAST(o_orderkey % 100 AS STRING), 2, '0'), 'K',
+                      lpad(CAST(o_orderkey % 10000 AS STRING), 4, '0'))
+  WHEN 29 THEN concat('JP', lpad(CAST(o_orderkey % 25 AS STRING), 2, '0'), 'FK',
+                      lpad(CAST(o_orderkey % 10000000 AS STRING), 7, '0'))
+  WHEN 30 THEN concat(CAST(o_orderkey % 89 + 10 AS STRING), ' DP ',
+                      lpad(CAST(o_orderkey % 100000 AS STRING), 5, '0'))
+  WHEN 31 THEN concat('APP', lpad(CAST(o_orderkey % 10000000 AS STRING), 7, '0'))
+  WHEN 32 THEN concat('NO. 20', lpad(CAST(o_orderkey % 23 AS STRING), 2, '0'), 'JJ',
+                      lpad(CAST(o_orderkey % 100000 AS STRING), 5, '0'))
+  WHEN 33 THEN concat('LY', lpad(CAST(o_orderkey % 23 AS STRING), 2, '0'), 'C',
+                      lpad(CAST(o_orderkey % 1000000 AS STRING), 6, '0'))
+  WHEN 34 THEN concat('PROJECT ', lpad(CAST(o_orderkey % 100000000 AS STRING), 8, '0'))
+  WHEN 35 THEN concat('NIHR HTA ', lpad(CAST(o_orderkey % 100 AS STRING), 2, '0'), '/',
+                      lpad(CAST(o_orderkey % 1000 AS STRING), 3, '0'), '/',
+                      lpad(CAST(o_orderkey % 100 AS STRING), 2, '0'))
   ELSE concat('awd - ', lpad(CAST(o_orderkey % 100000 AS STRING), 7, '0'))
 END
 """
 
 _FAMILY_NAME = """
-CASE CAST(o_orderkey % 17 AS INT)
+CASE CAST(o_orderkey % 37 AS INT)
   WHEN 0 THEN 'nih' WHEN 1 THEN 'nsf' WHEN 2 THEN 'erc'
   WHEN 3 THEN 'ukri' WHEN 4 THEN 'wellcome' WHEN 5 THEN 'dod'
   WHEN 6 THEN 'kakenhi' WHEN 7 THEN 'anr' WHEN 8 THEN 'fapesp'
   WHEN 9 THEN 'doe' WHEN 10 THEN 'cdmrp' WHEN 11 THEN 'aei'
   WHEN 12 THEN 'most_tw' WHEN 13 THEN 'capes' WHEN 14 THEN 'ncn'
   WHEN 15 THEN 'gacr'
+  WHEN 16 THEN 'nsfc' WHEN 17 THEN 'dfg' WHEN 18 THEN 'fct'
+  WHEN 19 THEN 'nserc' WHEN 20 THEN 'snsf' WHEN 21 THEN 'cihr'
+  WHEN 22 THEN 'aha' WHEN 23 THEN 'shandong' WHEN 24 THEN 'bmbf'
+  WHEN 25 THEN 'fwf' WHEN 26 THEN 'isciii' WHEN 27 THEN 'vr'
+  WHEN 28 THEN 'nasa' WHEN 29 THEN 'amed' WHEN 30 THEN 'dhhs'
+  WHEN 31 THEN 'nhmrc' WHEN 32 THEN 'hunan' WHEN 33 THEN 'zhejiang'
+  WHEN 34 THEN 'innovate_uk' WHEN 35 THEN 'nihr'
   ELSE 'generic'
 END
 """
@@ -418,6 +459,130 @@ CASE
     coalesce(
       nullif(regexp_extract(_n, '^G[A-Z]([0-9]{2}-[0-9]{5}[A-Z])$', 1), ''),
       nullif(regexp_extract(_n, '^G[A-Z](P?[0-9]{3}/[0-9]{2}/[A-Z]?[0-9]{3,4})$', 1), ''))
+  WHEN family = 'nsfc' THEN
+    nullif(regexp_extract(regexp_replace(_n, ' ', '', 'g'),
+      '(U[0-9]{7}|[0-9]{8})', 1), '')
+  WHEN family = 'dfg' THEN
+    nullif(regexp_extract(_n, '([0-9]{9})', 1), '')
+  WHEN family = 'fct' THEN
+    nullif(regexp_replace(_n, ' ', '', 'g'), '')
+  WHEN family = 'nserc' THEN
+    CASE
+      WHEN regexp_matches(regexp_replace(_n, ' ', '', 'g'),
+                          '[A-Z]{3,7}/?-?[0-9]{4}-?[0-9]{4,6}$')
+        THEN concat(
+          regexp_extract(regexp_replace(_n, ' ', '', 'g'),
+                         '([0-9]{4})-?[0-9]{4,6}$', 1), '-',
+          CAST(CAST(regexp_extract(regexp_replace(_n, ' ', '', 'g'),
+                                   '([0-9]{4,6})$', 1) AS BIGINT) AS VARCHAR))
+      WHEN regexp_matches(_n, '^[0-9]{5,6}[ -][0-9]{4}$')
+        THEN concat(
+          regexp_extract(_n, '([0-9]{4})$', 1), '-',
+          CAST(CAST(regexp_extract(_n, '^([0-9]{5,6})', 1)
+                    AS BIGINT) AS VARCHAR))
+    END
+  WHEN family = 'snsf' THEN
+    CAST(CAST(nullif(CASE
+      WHEN regexp_matches(_n, '^[0-9]{12}$') THEN substr(_n, 7)
+      ELSE regexp_extract(_n, '([0-9]{5,6})$', 1)
+    END, '') AS BIGINT) AS VARCHAR)
+  WHEN family = 'cihr' THEN
+    CAST(CAST(nullif(regexp_extract(
+      regexp_replace(regexp_replace(_n, '^#+ ?', ''),
+                     '^(950[- ]|[A-Z]{2,4}[0-9]?[- ]?)', ''),
+      '^([0-9]{4,6})([-_][0-9]+)?$', 1), '') AS BIGINT) AS VARCHAR)
+  WHEN family = 'aha' THEN
+    nullif(regexp_replace(_n, ' ', '', 'g'), '')
+  WHEN family = 'shandong' THEN
+    nullif(regexp_extract(regexp_replace(_n, '[ -]', '', 'g'),
+      '(ZR(19|20)[0-9]{2}[A-Z]{1,3}[0-9]{2,4}|[0-9]{4}ZR[A-Z][0-9A-Z]{5})',
+      1), '')
+  WHEN family = 'bmbf' THEN
+    nullif(regexp_replace(_n, '[+ /-]', '', 'g'), '')
+  WHEN family = 'fwf' THEN
+    nullif(regexp_extract(regexp_replace(_n, ' ', '', 'g'),
+      '^(?:10[.]55776/|HTTPS?://(?:DX[.])?DOI[.]ORG/10[.]55776/)?([A-Z]{1,3}[0-9]{3,7})(?:-[A-Z][0-9]{1,3})?$',
+      1), '')
+  WHEN family = 'isciii' THEN
+    CASE WHEN regexp_matches(regexp_replace(_n, ' ', '', 'g'),
+                             '^[A-Z]{2,4}[0-9]{2}(CIII)?[/-][0-9]{1,5}$')
+         THEN concat(
+           regexp_extract(regexp_replace(_n, ' ', '', 'g'),
+                          '^([A-Z]{2,4}[0-9]{2}(CIII)?)[/-]', 1), '/',
+           lpad(regexp_extract(regexp_replace(_n, ' ', '', 'g'),
+                               '[/-]([0-9]{1,5})$', 1), 5, '0'))
+    END
+  WHEN family = 'vr' THEN
+    CASE WHEN regexp_matches(
+                regexp_replace(_n, '^(VR|DNR|GRANT)[ .:#-]*', ''),
+                '^(19|20)[0-9]{2}[- ][0-9]{4,5}$')
+         THEN concat(
+           regexp_extract(
+             regexp_replace(_n, '^(VR|DNR|GRANT)[ .:#-]*', ''),
+             '^((19|20)[0-9]{2})', 1), '-',
+           lpad(regexp_extract(
+             regexp_replace(_n, '^(VR|DNR|GRANT)[ .:#-]*', ''),
+             '[- ]([0-9]{4,5})$', 1), 5, '0'))
+    END
+  WHEN family = 'nasa' THEN
+    nullif(regexp_replace(_n, '[ -]', '', 'g'), '')
+  WHEN family = 'amed' THEN
+    nullif(regexp_extract(_n,
+      '^(?:JP)?([0-9]{2}[A-Z]{2}[0-9]{7})(?:H[0-9]{4})?$', 1), '')
+  WHEN family = 'dhhs' THEN
+    nullif(regexp_extract(regexp_replace(_n, '[ -]', '', 'g'),
+      '^([A-Z][A-Z0-9]{4}[0-9]{6}|[0-9]{2}[A-Z][A-Z0-9][0-9]{4,5})$', 1), '')
+  WHEN family = 'nhmrc' THEN
+    coalesce(
+      nullif(regexp_extract(_n, '(APP|GNT) ?-?([0-9]{6,7})', 2), ''),
+      nullif(regexp_extract(regexp_replace(_n, ' ', '', 'g'),
+                            '^(?:ID|NHMRC)?[.:#-]*([0-9]{6,7})$', 1), ''))
+  WHEN family = 'hunan' THEN
+    coalesce(
+      nullif(regexp_extract(
+        regexp_replace(regexp_replace(_n, '^(NO|GRANT)[ .:#-]*', ''),
+                       ' ', '', 'g'),
+        '^((19|20)[0-9]{2}JJ[0-9]{4,5})$', 1), ''),
+      CASE WHEN regexp_matches(
+                  regexp_replace(regexp_replace(_n, '^(NO|GRANT)[ .:#-]*', ''),
+                                 ' ', '', 'g'),
+                  '^[0-9]{2}JJ[0-9]{4,5}$')
+           THEN concat('20',
+                  regexp_replace(regexp_replace(_n, '^(NO|GRANT)[ .:#-]*', ''),
+                                 ' ', '', 'g'))
+      END)
+  WHEN family = 'zhejiang' THEN
+    coalesce(
+      nullif(regexp_extract(
+        regexp_replace(regexp_replace(_n, '^(NO|GRANT)[ .:#-]*', ''),
+                       ' ', '', 'g'),
+        '^(L[A-Z]{0,4}[0-9]{2}[A-Z][0-9]{6})$', 1), ''),
+      CASE WHEN regexp_matches(
+                  regexp_replace(regexp_replace(_n, '^(NO|GRANT)[ .:#-]*', ''),
+                                 ' ', '', 'g'),
+                  '^[A-Z]{1,4}[0-9]{2}[A-Z][0-9]{6}$')
+            AND NOT regexp_matches(
+                  regexp_replace(regexp_replace(_n, '^(NO|GRANT)[ .:#-]*', ''),
+                                 ' ', '', 'g'),
+                  '^L')
+           THEN concat('L',
+                  regexp_replace(regexp_replace(_n, '^(NO|GRANT)[ .:#-]*', ''),
+                                 ' ', '', 'g'))
+      END)
+  WHEN family = 'innovate_uk' THEN
+    nullif(regexp_extract(regexp_replace(_n, ' ', '', 'g'),
+      '^(?:PROJECT|GRANT|APP|NO)?[.:#-]*([0-9]{5,8}|KTP[0-9]{6})$', 1), '')
+  WHEN family = 'nihr' THEN
+    coalesce(
+      nullif(regexp_extract(
+        regexp_replace(regexp_replace(_n, '^NIHR[- ]', ''), ' ', '', 'g'),
+        '^(?:[A-Z]{2,6})?([0-9]{2}/[0-9]{2,4}/[0-9]{2,4})$', 1), ''),
+      nullif(regexp_extract(
+        regexp_replace(_n, '^NIHR[- ]', ''),
+        '^([A-Z]{1,5}(-[A-Z0-9]{1,4}){0,3}-(19|20)[0-9]{2}-[0-9]{2,6}(-[A-Z0-9]{1,6}){0,2})$',
+        1), ''),
+      nullif(regexp_replace(
+        regexp_replace(_n, '^NIHR[- ]', ''), ' ', '', 'g'), ''))
   ELSE
     CASE
       WHEN regexp_matches(_sq, '[0-9]$')
@@ -458,11 +623,17 @@ ORDER BY family, key_len
     tables=("orders",),
 )
 def udf_award_family_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The per-family award normalizers (NIH institute+serial, NSF
-     7-digit, ERC grant agreement, UKRI council codes, Wellcome core id,
-    DoD contract numbers) exercised over realistic deposited formats —
-    AwardNormKey.sql's top families as engine vocabulary. Macro-expanded
-    SQL UDF: zero Python in the plan, one shuffle for the rollup."""
+    """The per-family award normalizers — 36 funder families spanning
+    AwardNormKey.sql's works-count-ordered table (NIH institute+serial,
+    NSF 7-digit, ERC grant agreement, UKRI council codes, ... through
+    the round-7 additions NSFC/DFG/FCT/NSERC/SNSF/CIHR/AHA/Shandong/
+    BMBF/FWF/ISCIII/VR/NASA/AMED/DHHS/NHMRC/Hunan/Zhejiang/InnovateUK/
+    NIHR) exercised over realistic deposited formats. Every family's
+    fixture format must FIRE (produce a non-null key): the grouped
+    key_len rollup hash-compares per family, so a never-matching regex
+    in either dialect flips that family's row and fails the oracle.
+    Macro-expanded SQL UDF: zero Python in the plan, one shuffle for
+    the rollup."""
     create_sql_udfs(spark)
     _orders_rp(spark)
     return spark.sql(f"""

@@ -403,3 +403,29 @@ def test_parse_human_name_trailing_v_ambiguity():
     assert parse_human_name("Rajesh V") == ("Rajesh", "V")
     # With a full family name present, trailing V is generational.
     assert parse_human_name("John Smith V") == ("John", "Smith")
+
+
+def test_award_family_battery_every_family_fires(spark_udfs):
+    """Every one of the 36 funder families in the battery fixture must
+    FIRE — produce a non-null normalized key for its own synthetic
+    deposited format. Guards the silent failure mode where a pattern is
+    broken identically in both dialects (both produce NULL, the oracle
+    hash still matches)."""
+    from openalex_walden_spark.queries.sqludf import (
+        _FAMILY_NAME,
+        _FAMILY_RAW_SPARK,
+    )
+
+    spark = spark_udfs
+    df = spark.range(1, 2000).selectExpr("id AS o_orderkey").selectExpr(
+        f"({_FAMILY_NAME}) AS family",
+        f"award_family_key(({_FAMILY_NAME}), ({_FAMILY_RAW_SPARK})) AS k",
+    )
+    rows = df.groupBy("family").agg(
+        F.count("*").alias("n"), F.count("k").alias("n_keyed")
+    ).collect()
+    by_family = {r["family"]: r for r in rows}
+    assert len(by_family) == 37  # 36 named + generic
+    for fam, r in by_family.items():
+        assert r["n_keyed"] > 0, f"family {fam!r} never fires"
+        assert r["n_keyed"] == r["n"], f"family {fam!r} fixture only partially fires"

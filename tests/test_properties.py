@@ -155,7 +155,10 @@ def test_parse_human_name_total(name):
             assert part in toks
 
 
-@given(st.sampled_from(["nih", "nsf", "erc", "ukri", "wellcome", "dod", "generic"]),
+@given(st.sampled_from(["nih", "nsf", "erc", "ukri", "wellcome", "dod",
+                        "nsfc", "dfg", "nserc", "snsf", "cihr", "fwf",
+                        "isciii", "vr", "amed", "dhhs", "nhmrc", "hunan",
+                        "zhejiang", "innovate_uk", "nihr", "generic"]),
        st.text(max_size=60))
 @settings(max_examples=150, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_award_family_key_total_on_spark(spark_udfs, family, award):
