@@ -40,108 +40,124 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS sweep verifies the FIRST 50 entries of
-# ``queries()`` in insertion order.  Round 2 verified these 50 (all
-# green, CORRECTNESS_r02.json); they move to the back so round 3's
-# window covers the yet-unchecked queries.  Local parity
-# (tests/test_parity.py, all oracles) still guards the whole catalog.
-_R2_GREEN = [
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "join_anti_customers_without_orders", "join_semi_customers_with_urgent",
+# ``queries()`` in insertion order, so the order below IS the hard
+# sf0.01 re-verification schedule.  Round-7 verdict: the window must
+# rotate OLDEST-green-first (before round 8, 50 queries' last hard
+# driver check was round 2 and 44 more round 4).  The lists below
+# record each query's most-recent green CORRECTNESS round (derived from
+# CORRECTNESS_r0{2,4,5,6,7}.json); ``_driver_order`` fronts queries
+# changed this round, then brand-new queries, then the stalest greens.
+# Maintenance per round: move re-verified names into the newest list,
+# refresh ``_CHANGED_THIS_ROUND``.
+
+_LAST_GREEN_R2 = [
+    "agg_conditional_battery", "agg_grouping_sets",
+    "agg_having_priority_spread", "agg_max_by_order",
+    "agg_percentiles_by_segment", "agg_sorted_collect", "ann_cosine_topk",
+    "d10_authorship_fusion", "d1_priority_merge", "d2_cascade_run",
+    "d2_identity_resolution", "d5_citation_counts", "d5_counts_by_year",
+    "d9_change_detection", "dedup_exact_documents",
+    "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard", "dedup_simhash",
+    "ev_counts_by_type_day", "ev_tumbling_hourly", "j13_posexplode_seats",
+    "j6_range_window_revenue", "j7_alive_per_year",
+    "j8_blocking_fuzzy_match", "join_anti_customers_without_orders",
     "join_full_outer_nation_counts", "join_nullsafe_band",
-    "subquery_orders_above_cust_avg", "agg_having_priority_spread",
-    "agg_grouping_sets", "agg_percentiles_by_segment", "agg_max_by_order",
-    "agg_conditional_battery", "agg_sorted_collect",
+    "join_semi_customers_with_urgent", "llm_embed_vectors",
+    "llm_judge_verdicts", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "subquery_orders_above_cust_avg",
+    "t1_global_topk_orders", "t2_array_cap_top5", "text_lang_id",
+    "text_quality_features", "text_token_stats", "u2_union_distinct_nations",
+    "u4_except_non_urgent_customers", "w1_quality_ladder_pick",
     "w1_top_order_per_customer", "w2_qualify_top3_orders",
     "w3_percent_rank_cohort", "w4_fwci_ratio", "w5_running_revenue",
-    "w6_flag_propagation", "w7_count_over_partition", "w8_ntile_quartiles",
-    "w1_quality_ladder_pick", "d5_citation_counts", "d5_counts_by_year",
-    "j13_posexplode_seats", "d1_priority_merge", "j6_range_window_revenue",
-    "j7_alive_per_year", "j8_blocking_fuzzy_match", "d2_identity_resolution",
-    "d9_change_detection", "t1_global_topk_orders", "t2_array_cap_top5",
-    "u2_union_distinct_nations", "u4_except_non_urgent_customers",
-    "d2_cascade_run", "d10_authorship_fusion", "text_quality_features",
-    "text_lang_id", "dedup_exact_documents", "dedup_minhash_lsh_pairs",
-    "dedup_simhash", "ann_cosine_topk", "llm_judge_verdicts",
-    "text_token_stats", "dedup_ngram_jaccard", "llm_embed_vectors",
-    "ev_counts_by_type_day", "ev_tumbling_hourly",
+    "w6_flag_propagation", "w7_count_over_partition", "w8_ntile_quartiles"
 ]
 
-# Green in CORRECTNESS_r04.json — retired to the tail so round 5's
-# 50-slot window can cover never-verified queries.
-_R4_GREEN = [
-    "s4_change_feed", "p2_doi_normalize", "p3_title_normalize",
-    "p4_license_normalize", "p6_inverted_index", "p7_merge_key",
-    "p15_boolean_normalize", "p7_merge_key_badtitle", "p5_author_key_blocks",
-    "multimodal_decode", "ann_ivf_topk", "embedding_neardup_pairs",
-    "a7_histogram_zero_bucket", "a8_tall_metrics", "s6_json_export_shape",
-    "skew_salted_agg", "skew_salted_join", "multimodal_frame_sample",
-    "multimodal_resize", "j9_merge_scd1_batch", "j9_merge_state_rounds",
-    "d3_best_location_pick", "d4_oa_status", "d6_unique_gate_match",
-    "d7_type_classification", "d11_entity_aggregates", "d12_curation_overlay",
-    "p8_affiliation_filter", "p9_langcode_map", "p10_version_detect",
-    "p11_oai_id_extract", "s8_model_inference", "d8_reference_resolution",
-    "d5_percentile_flags", "d6_and_cascade", "d7_type_cascade",
-    "d0_works_build", "p12_tei_extract", "d0_works_enriched",
+_LAST_GREEN_R4 = [
+    "a7_histogram_zero_bucket", "a8_tall_metrics", "ann_ivf_topk",
+    "award_family_merge", "d0_works_build", "d0_works_enriched",
+    "d11_entity_aggregates", "d12_curation_overlay", "d3_best_location_pick",
+    "d4_oa_status", "d5_percentile_flags", "d6_and_cascade",
+    "d6_unique_gate_match", "d7_type_cascade", "d7_type_classification",
+    "d8_reference_resolution", "embedding_neardup_pairs",
+    "f_string_date_battery", "j9_merge_scd1_batch", "j9_merge_state_rounds",
+    "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
+    "p10_version_detect", "p11_oai_id_extract", "p12_tei_extract",
+    "p15_boolean_normalize", "p2_doi_normalize", "p3_title_normalize",
+    "p4_license_normalize", "p5_author_key_blocks", "p6_inverted_index",
+    "p7_merge_key", "p7_merge_key_badtitle", "p8_affiliation_filter",
+    "p9_langcode_map", "s4_change_feed", "s6_json_export_shape",
+    "s8_model_inference", "skew_salted_agg", "skew_salted_join",
     "udf_award_normalize", "udf_names_compatible_pairs",
-    "udf_priority_best_fold", "award_family_merge", "f_string_date_battery",
+    "udf_priority_best_fold"
 ]
 
-# Never driver-verified (deferred two rounds) — FRONT of round 5's window.
-_DEFER_NEXT = [
-    "text_fingerprint_winnow", "dedup_connected_components",
-    "sample_stratified_hash", "decontaminate_eval_overlap",
-    "quality_filter_gate", "award_oa_compliance",
-    "s3_identifier_and_variables", "u1_conform_union", "a6_distinct_pairs",
-    "j12_using_join", "u3_union_missing_columns", "f_map_battery",
-    "f_hof_predicate_battery", "f_null_setops_battery",
-    "f_array_map_json_battery",
+_LAST_GREEN_R5 = [
+    "ann_sq8_topk", "d6_pattern_cascade", "dedup_segments_exact",
+    "ev_funnel_steps", "ev_gapfill_locf", "ev_hypertable_rollup",
+    "ev_scd2_history", "ev_session_window", "f_unpivot_melt",
+    "graph_triangle_count", "j14_asof_join", "j15_range_join",
+    "mixture_rebalance_sample", "pack_sequences_chunked", "pii_scrub_redact",
+    "quality_gopher_repetition", "s4_incremental_agg_maintenance",
+    "sample_importance_weighted", "search_bm25_topk",
+    "search_boolean_retrieval", "semdedup_prune", "sketch_bloom_probe",
+    "sketch_countmin_estimates", "sketch_hll_distinct"
 ]
 
-# Errored in r4 on the (now-fixed) events-loader NTZ bug — must re-verify.
-_EV_RETRY = [
-    "ev_scd1_latest_state", "ev_sessionize", "ev_expectations_gate",
-    "ev_json_extract", "ev_sliding_30m", "ev_watermark_late_drop",
+_LAST_GREEN_R6 = [
+    "agg_pivot_status"
 ]
 
-
-# Green in CORRECTNESS_r05.json (all 50 of round 5's window) — retired
-# to the tail so round 6's window covers never-verified queries.
-_R5_GREEN = _DEFER_NEXT + _EV_RETRY + [
-    "agg_pivot_status", "f_unpivot_melt", "quality_gopher_repetition",
-    "pii_scrub_redact", "search_boolean_retrieval", "dedup_segments_exact",
-    "search_bm25_topk", "ann_sq8_topk", "mixture_rebalance_sample",
-    "pack_sequences_chunked", "sample_importance_weighted", "ev_funnel_steps",
-    "ev_session_window", "ev_scd2_history", "s4_incremental_agg_maintenance",
-    "semdedup_prune", "d6_pattern_cascade", "j14_asof_join",
-    "ev_hypertable_rollup", "sketch_countmin_estimates", "j15_range_join",
-    "ev_gapfill_locf", "sketch_hll_distinct", "sketch_bloom_probe",
-    "graph_triangle_count",
+_LAST_GREEN_R7 = [
+    "a6_distinct_pairs", "ann_ivf_multiprobe_topk", "ann_ivf_trained_topk",
+    "ann_recall_audit", "ann_srp_bucket_pairs", "award_oa_compliance",
+    "bpe_top_merges", "chunk_documents_overlap", "crawl_drain_queue",
+    "d7_dict_fallback", "d7_ingest_type_resolution", "d7_reference_cascade",
+    "decontaminate_eval_overlap", "dedup_connected_components",
+    "dedup_prefix_filter_pairs", "ev_expectations_gate", "ev_json_extract",
+    "ev_scd1_latest_state", "ev_sessionize", "ev_sliding_30m",
+    "ev_watermark_late_drop", "f_array_map_json_battery",
+    "f_hof_predicate_battery", "f_map_battery", "f_null_setops_battery",
+    "fit_isotonic_pava", "fulltext_work_build", "graph_label_propagation",
+    "graph_pagerank_fixedpoint", "hierarchy_flatten_doubling",
+    "j12_using_join", "kmeans_lloyd_step", "layout_zorder_stats",
+    "overmerge_centroid_fit", "overmerge_density_split",
+    "overmerge_pairwise_signal", "overmerge_screened_density",
+    "profile_table_stats", "quality_filter_gate", "quality_lm_surprisal",
+    "s3_identifier_and_variables", "sample_stratified_hash",
+    "search_hybrid_rrf", "sketch_bloom_join_prune",
+    "sketch_hll_merge_rollup", "text_fingerprint_winnow", "u1_conform_union",
+    "u3_union_missing_columns", "udf_award_family_battery",
+    "w9_range_frame_trailing"
 ]
 
-# Never driver-verified (added late in round 5; locally parity-green) —
-# FRONT of round 6's window for hard CORRECTNESS rows.  Also here:
-# queries whose semantics CHANGED in round 6 (the audit now measures the
-# trained index; pagerank now runs to its exact fixed point), so their
-# old green rows no longer vouch for the current behavior.
-_R6_FRONT = [
-    "dedup_prefix_filter_pairs", "sketch_hll_merge_rollup",
-    "sketch_bloom_join_prune", "graph_label_propagation",
-    "hierarchy_flatten_doubling", "layout_zorder_stats",
-    "profile_table_stats", "quality_lm_surprisal", "kmeans_lloyd_step",
-    "ann_ivf_multiprobe_topk", "ann_recall_audit", "w9_range_frame_trailing",
-    "fit_isotonic_pava", "graph_pagerank_fixedpoint",
-    "udf_award_family_battery", "d7_reference_cascade", "d7_dict_fallback",
+# Queries whose plan or semantics changed in round 8, so their old
+# green rows no longer vouch for current behavior:
+#   - search_hybrid_rrf: semantic arm re-routed through the IVF route
+#     table (was a corpus-sized window partition per query).
+#   - udf_award_family_battery / award_family_merge / udf_award_normalize:
+#     award normalizer digit-boundary fixes (ADVICE r7) + new families.
+#   - overmerge_density_split / overmerge_screened_density: the
+#     sample_order_key hash made overflow-safe for >2^31 ids (ADVICE r7).
+_CHANGED_THIS_ROUND = [
+    "search_hybrid_rrf", "udf_award_family_battery", "award_family_merge",
+    "udf_award_normalize", "overmerge_density_split",
+    "overmerge_screened_density",
 ]
+
+_ROTATION = (
+    _LAST_GREEN_R2 + _LAST_GREEN_R4 + _LAST_GREEN_R5 + _LAST_GREEN_R6
+    + _LAST_GREEN_R7
+)
 
 
 def _driver_order() -> list[str]:
-    """Window composition: never-verified queries first (round 5's late
-    additions), then anything newer added this round, then the retired
-    green tail (r5, then r4, then r2)."""
-    front = [n for n in _R6_FRONT if n in _q.CATALOG]
-    back = set(front) | set(_R5_GREEN) | set(_R4_GREEN) | set(_R2_GREEN)
-    fresh = [n for n in _q.CATALOG if n not in back]
-    tail = [n for n in _R5_GREEN + _R4_GREEN + _R2_GREEN if n in _q.CATALOG]
+    """Changed-this-round first, then never-verified new queries, then
+    every remaining query oldest-green-first (r2 → r4 → r5 → r6 → r7)."""
+    front = [n for n in _CHANGED_THIS_ROUND if n in _q.CATALOG]
+    known = set(front) | set(_ROTATION)
+    fresh = [n for n in _q.CATALOG if n not in known]
+    tail = [n for n in _ROTATION if n in _q.CATALOG and n not in set(front)]
     return front + fresh + tail
 
 

@@ -82,18 +82,43 @@ def test_doc_catalog_counts_match_registry():
     q.load_all()
     n = len(q.CATALOG)
     n_oracle = sum(1 for s in q.CATALOG.values() if s.oracle is not None)
+    # Both docs now claim "every one with a DuckDB oracle" — make that
+    # claim machine-true too (the rows-only bucket must stay empty).
+    assert n_oracle == n, (
+        f"docs claim every query has an oracle; registry has {n_oracle}/{n}"
+    )
     root = pathlib.Path(__file__).parent.parent
     readme = (root / "README.md").read_text()
-    m = re.search(r"\((\d+) queries: (\d+) with DuckDB oracles", readme)
+    m = re.search(r"\((\d+) queries, every one with a DuckDB oracle", readme)
     assert m, "README catalog-count phrase missing"
-    assert (int(m.group(1)), int(m.group(2))) == (n, n_oracle), (
-        f"README says {m.groups()}, registry has {(n, n_oracle)}"
+    assert int(m.group(1)) == n, (
+        f"README says {m.group(1)} queries, registry has {n}"
     )
     coverage = (root / "COVERAGE.md").read_text()
-    m = re.search(r"(\d+) catalog queries — (\d+) with DuckDB oracles", coverage)
+    m = re.search(
+        r"(\d+) catalog queries, every one with a DuckDB oracle", coverage
+    )
     assert m, "COVERAGE catalog-count phrase missing"
-    assert (int(m.group(1)), int(m.group(2))) == (n, n_oracle), (
-        f"COVERAGE says {m.groups()}, registry has {(n, n_oracle)}"
+    assert int(m.group(1)) == n, (
+        f"COVERAGE says {m.group(1)} catalog queries, registry has {n}"
+    )
+    # Funder-family count (the round-7 verdict caught README/COVERAGE
+    # still saying 16 after the normalizer grew to 36): derive the truth
+    # from the CASE branches of award_family_key itself.
+    from openalex_walden_spark.functions import sql_udfs
+
+    n_fam = sql_udfs._AWARD_FAMILY_KEY.count("WHEN family = '")
+    m = re.search(r"award batteries over (\d+)\s+funder families", readme)
+    assert m, "README funder-family phrase missing"
+    assert int(m.group(1)) == n_fam, (
+        f"README says {m.group(1)} funder families, award_family_key has "
+        f"{n_fam}"
+    )
+    m = re.search(r"award_family_key: (\d+) funder families", coverage)
+    assert m, "COVERAGE funder-family phrase missing"
+    assert int(m.group(1)) == n_fam, (
+        f"COVERAGE says {m.group(1)} funder families, award_family_key has "
+        f"{n_fam}"
     )
     # Bench-basket size (the round-6 verdict caught README saying 38
     # while bench.py HEADLINE had 36).

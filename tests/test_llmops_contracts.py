@@ -196,7 +196,9 @@ def test_dsir_scores_favor_target_marker_docs(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Isotonic PAVA contracts (no SQL oracle exists — these ARE the gate)
+# Isotonic PAVA contracts — supplementary to the hash-checked DuckDB
+# minimax oracle (fit_isotonic_pava, round 7): structural invariants the
+# hash alone doesn't name.
 # --------------------------------------------------------------------------
 def test_pava_monotone_mass_conserving_and_matches_reference(spark, sf_dir):
     out = (
