@@ -151,17 +151,26 @@ RETURN COALESCE(
 #   vr         DNR/VR prefix stripped, yyyy-nnnnn LPAD-5
 #   nasa       [ -]-squashed identity (80NSSC...-style contract ids)
 #   amed       JP prefix + trailing fiscal H-suffix stripped
-#   dhhs       anchored contract/grant grammars, separators squashed
+#   dhhs       embedded contract/grant grammars, separators squashed
 #   nhmrc      APP/GNT-prefixed or bare 6-7 digit application id
 #   hunan      yyyyJJnnnnn provincial ids; 2-digit years promoted to 20yy
 #   zhejiang   L-series provincial ids; missing L prefix restored
 #   innovate_uk  5-8 digit or KTP-prefixed application number
 #   nihr       programme nn/nnn/nn paths + PROG-yyyy-nnnnn award forms
 # The reference's boundary lookarounds ((?<!\\d) etc.) are deliberately
-# replaced by anchors or prefix-strips: patterns stay lookaround-free so
-# the Java-regex (Spark) and RE2 (DuckDB oracle) compilations agree
-# verbatim; literal dots use [.] so neither engine's string-escape rules
-# are in play.
+# replaced lookaround-free so the Java-regex (Spark) and RE2 (DuckDB
+# oracle) compilations agree verbatim: either anchors/prefix-strips
+# where the reference itself anchors, or a consuming boundary group —
+# '(^|[^0-9])(<id>)([^0-9]|$)' extracting the middle group — where the
+# reference extracts an id embedded in longer text (nsfc, dfg, nhmrc,
+# dhhs second form, nihr second form).  The consuming emulation scans
+# the same leftmost-first order as the lookaround original; the one
+# residual divergence is dhhs, where the reference's single alternation
+# is split into a COALESCE of its two arms, so a string containing BOTH
+# shapes keys on the contract-number arm even when the grant-number arm
+# occurs earlier — vanishingly rare in award strings and noted here
+# deliberately.  Literal dots use [.] so neither engine's string-escape
+# rules are in play.
 _AWARD_NORM0 = """
 CREATE OR REPLACE TEMPORARY FUNCTION award_norm0(award STRING)
 RETURNS STRING
@@ -254,10 +263,16 @@ RETURN CASE
       nullif(regexp_extract(award_norm0(award), '^G[A-Z]([0-9]{2}-[0-9]{5}[A-Z])$', 1), ''),
       nullif(regexp_extract(award_norm0(award), '^G[A-Z](P?[0-9]{3}/[0-9]{2}/[A-Z]?[0-9]{3,4})$', 1), ''))
   WHEN family = 'nsfc' THEN
-    nullif(regexp_extract(regexp_replace(award_norm0(award), ' ', ''),
-      '(U[0-9]{7}|[0-9]{8})', 1), '')
+    coalesce(
+      nullif(regexp_extract(award_norm0(award),
+        '(^|[^A-Z0-9])(U[0-9]{7})([^0-9]|$)', 2), ''),
+      nullif(regexp_extract(award_norm0(award),
+        '(^|[^0-9])([0-9]{8})([^0-9]|$)', 2), ''),
+      nullif(regexp_extract(regexp_replace(award_norm0(award), ' ', ''),
+        '(^|[^0-9])([0-9]{8})([^0-9]|$)', 2), ''))
   WHEN family = 'dfg' THEN
-    nullif(regexp_extract(award_norm0(award), '([0-9]{9})', 1), '')
+    nullif(regexp_extract(award_norm0(award),
+      '(^|[^0-9])([0-9]{9})([^0-9]|$)', 2), '')
   WHEN family = 'fct' THEN
     nullif(regexp_replace(award_norm0(award), ' ', ''), '')
   WHEN family = 'nserc' THEN
@@ -324,12 +339,15 @@ RETURN CASE
     nullif(regexp_extract(award_norm0(award),
       '^(?:JP)?([0-9]{2}[A-Z]{2}[0-9]{7})(?:H[0-9]{4})?$', 1), '')
   WHEN family = 'dhhs' THEN
-    nullif(regexp_extract(regexp_replace(award_norm0(award), '[ -]', ''),
-      '^([A-Z][A-Z0-9]{4}[0-9]{6}|[0-9]{2}[A-Z][A-Z0-9][0-9]{4,5})$', 1), '')
+    coalesce(
+      nullif(regexp_extract(regexp_replace(award_norm0(award), '[ -]', ''),
+        '([A-Z][A-Z0-9]{4}[0-9]{6})', 1), ''),
+      nullif(regexp_extract(regexp_replace(award_norm0(award), '[ -]', ''),
+        '(^|[^0-9])([0-9]{2}[A-Z][A-Z0-9][0-9]{4,5})([^0-9]|$)', 2), ''))
   WHEN family = 'nhmrc' THEN
     coalesce(
       nullif(regexp_extract(award_norm0(award),
-                            '(APP|GNT) ?-?([0-9]{6,7})', 2), ''),
+        '(^|[^A-Z0-9])(APP|GNT) ?-?([0-9]{6,7})([^0-9]|$)', 3), ''),
       nullif(regexp_extract(regexp_replace(award_norm0(award), ' ', ''),
                             '^(?:ID|NHMRC)?[.:#-]*([0-9]{6,7})$', 1), ''))
   WHEN family = 'hunan' THEN
@@ -370,8 +388,8 @@ RETURN CASE
         '^(?:[A-Z]{2,6})?([0-9]{2}/[0-9]{2,4}/[0-9]{2,4})$', 1), ''),
       nullif(regexp_extract(
         regexp_replace(award_norm0(award), '^NIHR[- ]', ''),
-        '^([A-Z]{1,5}(-[A-Z0-9]{1,4}){0,3}-(19|20)[0-9]{2}-[0-9]{2,6}(-[A-Z0-9]{1,6}){0,2})$',
-        1), ''),
+        '(^|[^A-Z0-9-])([A-Z]{1,5}(-[A-Z0-9]{1,4}){0,3}-(19|20)[0-9]{2}-[0-9]{2,6}(-[A-Z0-9]{1,6}){0,2})([^A-Z0-9-]|$)',
+        2), ''),
       nullif(regexp_replace(
         regexp_replace(award_norm0(award), '^NIHR[- ]', ''), ' ', ''), ''))
   ELSE award_key(award)

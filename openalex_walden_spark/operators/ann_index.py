@@ -153,8 +153,27 @@ def load_ivf_index(
     stream_path = os.path.join(path, _STREAM_DIR)
     fs, spath = _fs_and_path(spark, stream_path)
     if fs.exists(spath):
-        streamed = spark.read.parquet(stream_path).select(
-            "vec_id", F.col("cell").cast("int").alias("cell")
+        # Explicit schema: an empty micro-batch still creates its
+        # batch_id=<id>/ dir with only _SUCCESS, and schema INFERENCE
+        # over a data-file-less tree fails with "Unable to infer
+        # schema" — an index whose stream delivered no rows must still
+        # load.  vec_id reuses the BASE layout's type (the stream is
+        # written from the same source), and the partition columns
+        # (cell, batch_id) take their values from the directory names.
+        from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+        vec_field = next(f for f in assignments.schema.fields if f.name == "vec_id")
+        stream_schema = StructType(
+            [
+                StructField("vec_id", vec_field.dataType),
+                StructField("cell", IntegerType()),
+                StructField("batch_id", LongType()),
+            ]
+        )
+        streamed = (
+            spark.read.schema(stream_schema)
+            .parquet(stream_path)
+            .select("vec_id", F.col("cell").cast("int").alias("cell"))
         )
         assignments = assignments.unionByName(streamed)
     return cents, assignments, manifest

@@ -63,15 +63,23 @@ from openalex_walden_spark.operators.components import connected_components
 _KEY_BASE = 10_000_000
 
 # Knuth multiplicative hash for the deterministic oversized-group
-# sample: exact in BIGINT for any id < _KEY_BASE and identical in
-# every engine (no engine-native hash functions involved).
+# sample: identical in every engine (no engine-native hash functions
+# involved).  The id is reduced mod 2^31 BEFORE the multiply so the
+# product stays <= (2^31-1) * A < 2^63 — exact BIGINT arithmetic for
+# ANY non-negative id (a raw i*A overflows for i >= ~3.47e9: non-ANSI
+# Spark wraps silently, ANSI Spark and DuckDB throw).
 _HASH_A = 2_654_435_761
 _HASH_M = 4_294_967_296  # 2^32
+_HASH_R = 2_147_483_648  # 2^31 pre-reduction keeps i*A inside BIGINT
 
 
 def sample_order_key(i: Column) -> Column:
-    """Portable pseudo-random order key for down-sampling: (i*A) % 2^32."""
-    return (i * F.lit(_HASH_A)) % F.lit(_HASH_M)
+    """Portable pseudo-random order key for down-sampling:
+    ((i % 2^31) * A) % 2^32.  Requires i >= 0 (asserted in-plan by
+    density_split_stats).  Ids >= 2^31 alias mod 2^31 for ORDERING
+    only — the caller's explicit id tie-break keeps the sampled subset
+    deterministic regardless."""
+    return ((i % F.lit(_HASH_R)) * F.lit(_HASH_A)) % F.lit(_HASH_M)
 
 
 def density_split_stats(
@@ -112,8 +120,11 @@ def density_split_stats(
     """
     if max_group_size is not None:
         guard = F.assert_true(
-            F.col(grp) >= 0,
-            F.lit(f"density_split_stats: requires {grp} >= 0"),
+            (F.col(grp) >= 0) & (F.col(pid) >= 0),
+            F.lit(
+                f"density_split_stats: requires {grp} >= 0 and {pid} >= 0 "
+                "(sample_order_key is defined for non-negative ids)"
+            ),
         )
     else:
         guard = F.assert_true(

@@ -44,6 +44,7 @@ _LP_ROUNDS = 64  # oracle propagation rounds (>= max component diameter)
 _MAX_GROUP = 1024  # hot-key guard: per-profile point cap before the O(n^2)
 _HASH_A = 2_654_435_761  # portable sample order (operators/density.py)
 _HASH_M = 4_294_967_296
+_HASH_R = 2_147_483_648  # mod-2^31 pre-reduction keeps vec_id*A in BIGINT
 
 _COS_SCALE = 1_000_000  # cosine quantization for the pairwise signal
 
@@ -83,7 +84,7 @@ WITH {prefix}pts AS MATERIALIZED (
            list_transform(embedding, x -> floor(x::DOUBLE * {_Q})::BIGINT + {_Q}) AS qx,
            row_number() OVER (
              PARTITION BY label
-             ORDER BY (vec_id * {_HASH_A}) % {_HASH_M} ASC, vec_id ASC
+             ORDER BY ((vec_id % {_HASH_R}) * {_HASH_A}) % {_HASH_M} ASC, vec_id ASC
            ) AS srn
     FROM embeddings {pts_filter}
   ) WHERE srn <= {_MAX_GROUP}

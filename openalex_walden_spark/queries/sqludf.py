@@ -460,10 +460,13 @@ CASE
       nullif(regexp_extract(_n, '^G[A-Z]([0-9]{2}-[0-9]{5}[A-Z])$', 1), ''),
       nullif(regexp_extract(_n, '^G[A-Z](P?[0-9]{3}/[0-9]{2}/[A-Z]?[0-9]{3,4})$', 1), ''))
   WHEN family = 'nsfc' THEN
-    nullif(regexp_extract(regexp_replace(_n, ' ', '', 'g'),
-      '(U[0-9]{7}|[0-9]{8})', 1), '')
+    coalesce(
+      nullif(regexp_extract(_n, '(^|[^A-Z0-9])(U[0-9]{7})([^0-9]|$)', 2), ''),
+      nullif(regexp_extract(_n, '(^|[^0-9])([0-9]{8})([^0-9]|$)', 2), ''),
+      nullif(regexp_extract(regexp_replace(_n, ' ', '', 'g'),
+        '(^|[^0-9])([0-9]{8})([^0-9]|$)', 2), ''))
   WHEN family = 'dfg' THEN
-    nullif(regexp_extract(_n, '([0-9]{9})', 1), '')
+    nullif(regexp_extract(_n, '(^|[^0-9])([0-9]{9})([^0-9]|$)', 2), '')
   WHEN family = 'fct' THEN
     nullif(regexp_replace(_n, ' ', '', 'g'), '')
   WHEN family = 'nserc' THEN
@@ -530,11 +533,15 @@ CASE
     nullif(regexp_extract(_n,
       '^(?:JP)?([0-9]{2}[A-Z]{2}[0-9]{7})(?:H[0-9]{4})?$', 1), '')
   WHEN family = 'dhhs' THEN
-    nullif(regexp_extract(regexp_replace(_n, '[ -]', '', 'g'),
-      '^([A-Z][A-Z0-9]{4}[0-9]{6}|[0-9]{2}[A-Z][A-Z0-9][0-9]{4,5})$', 1), '')
+    coalesce(
+      nullif(regexp_extract(regexp_replace(_n, '[ -]', '', 'g'),
+        '([A-Z][A-Z0-9]{4}[0-9]{6})', 1), ''),
+      nullif(regexp_extract(regexp_replace(_n, '[ -]', '', 'g'),
+        '(^|[^0-9])([0-9]{2}[A-Z][A-Z0-9][0-9]{4,5})([^0-9]|$)', 2), ''))
   WHEN family = 'nhmrc' THEN
     coalesce(
-      nullif(regexp_extract(_n, '(APP|GNT) ?-?([0-9]{6,7})', 2), ''),
+      nullif(regexp_extract(_n,
+        '(^|[^A-Z0-9])(APP|GNT) ?-?([0-9]{6,7})([^0-9]|$)', 3), ''),
       nullif(regexp_extract(regexp_replace(_n, ' ', '', 'g'),
                             '^(?:ID|NHMRC)?[.:#-]*([0-9]{6,7})$', 1), ''))
   WHEN family = 'hunan' THEN
@@ -579,8 +586,8 @@ CASE
         '^(?:[A-Z]{2,6})?([0-9]{2}/[0-9]{2,4}/[0-9]{2,4})$', 1), ''),
       nullif(regexp_extract(
         regexp_replace(_n, '^NIHR[- ]', ''),
-        '^([A-Z]{1,5}(-[A-Z0-9]{1,4}){0,3}-(19|20)[0-9]{2}-[0-9]{2,6}(-[A-Z0-9]{1,6}){0,2})$',
-        1), ''),
+        '(^|[^A-Z0-9-])([A-Z]{1,5}(-[A-Z0-9]{1,4}){0,3}-(19|20)[0-9]{2}-[0-9]{2,6}(-[A-Z0-9]{1,6}){0,2})([^A-Z0-9-]|$)',
+        2), ''),
       nullif(regexp_replace(
         regexp_replace(_n, '^NIHR[- ]', ''), ' ', '', 'g'), ''))
   ELSE

@@ -429,3 +429,63 @@ def test_award_family_battery_every_family_fires(spark_udfs):
     for fam, r in by_family.items():
         assert r["n_keyed"] > 0, f"family {fam!r} never fires"
         assert r["n_keyed"] == r["n"], f"family {fam!r} fixture only partially fires"
+
+
+def test_award_digit_boundary_vectors_both_dialects(spark_udfs):
+    """Round-7 ADVICE: nsfc/dfg/nhmrc must emulate the reference's digit
+    -boundary lookarounds ((?<!\\d)...(?!\\d)) lookaround-free — a 9-digit
+    run must NOT key as its first 8 digits, 'U12345678' as 'U1234567',
+    or 'APP12345678' as '1234567'.  dhhs/nihr must extract ids EMBEDDED
+    in surrounding text (the reference is unanchored there).  Each
+    vector is pinned against the expected key in BOTH dialects, so a
+    divergent emulation cannot hide behind a both-NULL oracle match."""
+    import duckdb
+
+    from openalex_walden_spark.queries.sqludf import _FAMILY_KEY_DUCK
+
+    vectors = [
+        # family, award, expected key (None = reference rejects)
+        ("nsfc", "123456789", None),           # 9-digit run: no bare-8 prefix
+        ("nsfc", "U12345678", "12345678"),     # U-form rejected; digit arm fires
+        ("nsfc", "U1803261", "U1803261"),      # clean U+7 form
+        ("nsfc", "GRANT 81771234", "81771234"),
+        ("dfg", "123456789", "123456789"),
+        ("dfg", "1234567890", None),           # 10-digit run: no 9-digit prefix
+        ("dfg", "PROJEKT 405602047 FUNDED", "405602047"),
+        ("nhmrc", "APP12345678", None),        # 8 digits: reference rejects
+        ("nhmrc", "APP1059515", "1059515"),
+        ("nhmrc", "GNT2009991", "2009991"),
+        ("nhmrc", "XAPP1059515", None),        # letter-glued APP is not a match
+        ("dhhs", "NO 12 DP 34567", "12DP34567"),   # embedded grant grammar
+        ("dhhs", "T32GM007753", "T32GM007753"),    # contract grammar
+        ("nihr", "NIHR PGFAR-2013-00123 AWARD", "PGFAR-2013-00123"),
+    ]
+    spark = spark_udfs
+    sdf = spark.createDataFrame(
+        [(i, f, a) for i, (f, a, _) in enumerate(vectors)],
+        "idx INT, family STRING, award STRING",
+    ).selectExpr("idx", "award_family_key(family, award) AS k")
+    got_spark = {r["idx"]: r["k"] for r in sdf.collect()}
+
+    con = duckdb.connect()
+    values = ", ".join(
+        f"({i}, '{f}', '{a}')" for i, (f, a, _) in enumerate(vectors)
+    )
+    got_duck = dict(con.sql(f"""
+        WITH v(idx, family, award) AS (VALUES {values}),
+        normed AS (
+          SELECT idx, family,
+                 regexp_replace(upper(trim(award)), '  +', ' ', 'g') AS _n,
+                 regexp_replace(regexp_replace(upper(trim(award)),
+                                '\\s+', ' ', 'g'), '[ -]', '', 'g') AS _sq
+          FROM v)
+        SELECT idx, {_FAMILY_KEY_DUCK} AS k FROM normed
+    """).fetchall())
+
+    for i, (fam, award, want) in enumerate(vectors):
+        assert got_spark[i] == want, (
+            f"Spark: {fam} {award!r} -> {got_spark[i]!r}, want {want!r}"
+        )
+        assert got_duck[i] == want, (
+            f"DuckDB: {fam} {award!r} -> {got_duck[i]!r}, want {want!r}"
+        )

@@ -461,3 +461,61 @@ def test_orc_roundtrip_preserves_schema(spark, sf_dir, tmp_path):
     back = spark.read.orc(out)
     assert back.schema == src.schema
     assert sorted(back.collect()) == sorted(src.collect())
+
+
+def test_ivf_index_loads_with_empty_stream_batches(spark, sf_dir, tmp_path):
+    """Round-7 ADVICE: an empty micro-batch still creates its
+    batch_id=<id>/ directory with only _SUCCESS; loading an index whose
+    stream delivered no rows must not die on parquet schema inference.
+    A later non-empty batch must still union in on top of that."""
+    import pyspark.sql.functions as F
+
+    from openalex_walden_spark import queries as q
+    from openalex_walden_spark.operators.ann_index import (
+        load_ivf_index,
+        save_ivf_index,
+        write_stream_batch,
+    )
+    from openalex_walden_spark.queries.advanced import (
+        _KM_Q,
+        _TR_ARGMIN,
+        _TR_CACHE,
+        _tr_cent_array,
+        train_ivf_centroids,
+    )
+    from openalex_walden_spark.tables import register_views
+
+    q.load_all()
+    register_views(spark, sf_dir, ("embeddings",))
+    _TR_CACHE.clear()
+    cents = train_ivf_centroids(spark, sf_dir)
+    e = spark.table("embeddings").withColumn(
+        "qx",
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double) * {_KM_Q}) as bigint) + {_KM_Q})"
+        ),
+    )
+    assignments = e.withColumn("cents", _tr_cent_array(cents)).select(
+        "vec_id", F.expr(_TR_ARGMIN)["cl"].alias("cell")
+    )
+    base_n = assignments.count()
+    path = str(tmp_path / "ivf_index_empty_stream")
+    save_ivf_index(spark, path, cents, assignments, quant_scale=_KM_Q)
+
+    # An empty micro-batch: the directory exists, no data files.
+    empty_batch = tmp_path / "ivf_index_empty_stream" / "assignments_stream" / "batch_id=0"
+    empty_batch.mkdir(parents=True)
+    (empty_batch / "_SUCCESS").touch()
+
+    _, asg, _ = load_ivf_index(spark, path, expect_quant_scale=_KM_Q)
+    assert asg.count() == base_n
+
+    # A later real batch still lands and unions in.
+    write_stream_batch(
+        e.where(F.col("vec_id") % 50 == 3).select("vec_id", "embedding"),
+        path, cents, _KM_Q, batch_id=1,
+    )
+    extra = e.where(F.col("vec_id") % 50 == 3).count()
+    _, asg2, _ = load_ivf_index(spark, path, expect_quant_scale=_KM_Q)
+    assert asg2.count() == base_n + extra
+    assert [f.name for f in asg2.schema.fields] == ["vec_id", "cell"]

@@ -443,3 +443,43 @@ def test_chunking_is_lossless_and_overlap_consistent(spark, sf_dir):
             assert prev[_CHUNK_S:] == cur[: len(prev) - _CHUNK_S], (
                 f"doc {doc_id}: chunk overlap mismatch"
             )
+
+
+def test_sample_order_key_is_overflow_safe_for_huge_ids(spark):
+    """Round-7 ADVICE: a raw id*A overflows BIGINT for ids >= ~3.47e9
+    (real OpenAlex-scale ids exceed this) — ANSI Spark and DuckDB would
+    throw, non-ANSI Spark would wrap to negative keys.  The mod-2^31
+    pre-reduction must keep the arithmetic exact and engine-portable at
+    any id magnitude."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from openalex_walden_spark.operators.density import (
+        _HASH_A,
+        _HASH_M,
+        _HASH_R,
+        sample_order_key,
+    )
+
+    ids = [0, 1, 5, 2**31 - 1, 2**31, 3_470_000_000, 2**33 + 5, 10**15 + 7]
+    df = spark.createDataFrame([(i,) for i in ids], "id bigint")
+    got = dict(
+        df.withColumn("k", sample_order_key(F.col("id")))
+        .withColumn(
+            # ANSI-mode evaluation of the same expression: throws on
+            # overflow instead of wrapping, so a wrap cannot hide.
+            "k_ansi",
+            F.expr(f"((id % {_HASH_R}) * {_HASH_A}L) % {_HASH_M}L"),
+        )
+        .select("id", "k", "k_ansi")
+        .rdd.map(lambda r: (r["id"], (r["k"], r["k_ansi"])))
+        .collect()
+    )
+    con = duckdb.connect()
+    for i in ids:
+        duck = con.sql(
+            f"SELECT ((({i}::BIGINT % {_HASH_R}) * {_HASH_A}) % {_HASH_M})::BIGINT"
+        ).fetchone()[0]
+        k, k_ansi = got[i]
+        assert k == k_ansi == duck >= 0, (i, k, k_ansi, duck)
