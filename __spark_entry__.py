@@ -139,10 +139,12 @@ _LAST_GREEN_R7 = [
 #     award normalizer digit-boundary fixes (ADVICE r7) + new families.
 #   - overmerge_density_split / overmerge_screened_density: the
 #     sample_order_key hash made overflow-safe for >2^31 ids (ADVICE r7).
+#   - graph_pagerank_fixedpoint: bench fixture damping 0.85 -> 0.70
+#     (same superstep plan, ~18 rounds instead of 40).
 _CHANGED_THIS_ROUND = [
     "search_hybrid_rrf", "udf_award_family_battery", "award_family_merge",
     "udf_award_normalize", "overmerge_density_split",
-    "overmerge_screened_density",
+    "overmerge_screened_density", "graph_pagerank_fixedpoint",
 ]
 
 _ROTATION = (

@@ -56,9 +56,11 @@ HEADLINE = [
     "search_bm25_topk",
     # register-sized sketch agg and iterative join-agg plan families
     "sketch_hll_distinct",
-    # NOTE r6: pagerank now runs ~40 rounds to its exact fixed point
-    # (was a 3-round demo through r5) — wall time rose ~4.4x for 13x
-    # the rounds; per-round cost dropped ~3x (broadcast supersteps).
+    # NOTE r8: the pagerank FIXTURE now runs at damping 0.70 (same
+    # per-superstep plan, ~18 rounds to the exact fixed point at sf0.1
+    # vs 40 at the classic 0.85), so the bench measures superstep cost
+    # instead of local[32] job-scheduling overhead; the operator's
+    # default damping is still 0.85.
     "graph_pagerank_fixedpoint",
     # two-pass global-offset packing, degree-oriented wedge join,
     # broadcast-weight scoring, z-value layout manifest

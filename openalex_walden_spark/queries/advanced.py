@@ -1031,8 +1031,10 @@ c{t} AS MATERIALIZED (
     return ",\n".join(parts)
 
 
-_TR_IVF_BODY = f"""
-af AS (
+# Final cell assignment against the trained centroids — shared by the
+# trained-IVF oracles here AND the hybrid-RRF oracle (llmdata.py),
+# which replays the same probe relationally.
+_TR_AF_CTE = f"""af AS (
   SELECT vec_id, cluster FROM (
     SELECT vec_id, cluster,
            row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cluster ASC) AS rn
@@ -1043,7 +1045,9 @@ af AS (
       FROM pts p CROSS JOIN c{_TR_T} c
     )
   ) WHERE rn = 1
-),
+)"""
+
+_TR_IVF_BODY = _TR_AF_CTE + f""",
 q AS (
   SELECT e.vec_id AS q_id, e.embedding AS qe, p.qx AS qqx
   FROM embeddings e JOIN pts p ON p.vec_id = e.vec_id

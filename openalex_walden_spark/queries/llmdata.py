@@ -2618,11 +2618,30 @@ def crawl_drain_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # final ordering are engine-exact; each probe vector is the embedding
 # whose vec_id is query_id*100+7 (the corpus convention the ANN
 # queries sample).
+#
+# The semantic arm routes through the TRAINED IVF quantizer
+# (advanced.py's fixed-point Lloyd loop) instead of brute-forcing the
+# corpus: each query probes its top-{_TR_P} trained cells and
+# exact-ranks only those cells' members.  Round-7 verdict: the old
+# brute arm put the ENTIRE corpus in one window partition per query —
+# a single-task corpus sort at scale.  With IVF routing the per-query
+# partition is P*N/k rows (P, k grow with the corpus), and the oracle
+# replays the identical probe relationally (same unrolled training
+# chain the trained-IVF oracles use), so fusion stays hash-exact.
+from openalex_walden_spark.queries.advanced import (  # noqa: E402
+    _TR_AF_CTE,
+    _TR_P,
+    _TR_T,
+    _tr_iter_ctes,
+)
+
 _RRF_K = 60
 _RRF_ONE = 1_000_000_000
 
 _HYBRID_SQL = f"""
-WITH q(query_id, term) AS (VALUES {_retrieval_values()}),
+WITH {_tr_iter_ctes()},
+{_TR_AF_CTE},
+q(query_id, term) AS (VALUES {_retrieval_values()}),
 qterms AS (SELECT DISTINCT term FROM q),
 tok AS (
   SELECT doc_id, unnest({_TOKS_DUCK.format(c='text')}) AS term FROM documents
@@ -2658,19 +2677,36 @@ probes AS (
   SELECT DISTINCT query_id, query_id * 100 + 7 AS pvec FROM q
 ),
 pq AS (
-  SELECT p.query_id, e.embedding AS qe
-  FROM probes p JOIN embeddings e ON e.vec_id = p.pvec
+  SELECT p.query_id, e.embedding AS qe, pt.qx AS qqx
+  FROM probes p
+  JOIN embeddings e ON e.vec_id = p.pvec
+  JOIN pts pt ON pt.vec_id = p.pvec
+),
+hrouted AS (
+  SELECT query_id, qe, cluster AS probe_cell FROM (
+    SELECT query_id, qe, cluster,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY d2 ASC, cluster ASC) AS rc
+    FROM (
+      SELECT pq.query_id, pq.qe, c.cluster,
+             list_sum(list_transform(range(1, len(pq.qqx) + 1),
+               i -> (pq.qqx[i] - c.qc[i]) * (pq.qqx[i] - c.qc[i])))::BIGINT AS d2
+      FROM pq CROSS JOIN c{_TR_T} c
+    )
+  ) WHERE rc <= {_TR_P}
 ),
 sem AS (
   SELECT query_id, doc_id, rank_sem FROM (
-    SELECT pq.query_id, e.vec_id AS doc_id,
-           row_number() OVER (PARTITION BY pq.query_id ORDER BY
+    SELECT r.query_id, e.vec_id AS doc_id,
+           row_number() OVER (PARTITION BY r.query_id ORDER BY
              list_sum(list_transform(range(1, len(e.embedding) + 1),
-               i -> pq.qe[i]::DOUBLE * e.embedding[i]::DOUBLE))
-             / (sqrt(list_sum(list_transform(pq.qe, x -> x::DOUBLE * x::DOUBLE)))
+               i -> r.qe[i]::DOUBLE * e.embedding[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(r.qe, x -> x::DOUBLE * x::DOUBLE)))
                 * sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))) DESC,
              e.vec_id ASC) AS rank_sem
-    FROM pq JOIN embeddings e ON TRUE
+    FROM hrouted r
+    JOIN af ON af.cluster = r.probe_cell
+    JOIN embeddings e ON e.vec_id = af.vec_id
   ) WHERE rank_sem <= 10
 ),
 fused AS (
@@ -2689,34 +2725,53 @@ QUALIFY rank <= 10
 """
 
 
-@register(
-    "search_hybrid_rrf",
-    oracle=_HYBRID_SQL,
-    tags=("llmdata", "search", "hybrid"),
-    tables=("documents", "embeddings"),
-)
-def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval: BM25 top-10 fused with embedding-cosine top-10
-    by integer reciprocal-rank fusion (see the SQL block comment).
-    Reuses the persisted-posting-list BM25 arm as-is; the semantic arm
-    broadcasts 5 probe vectors onto one corpus scan; the fusion is a
-    full outer join of two <=10-row-per-query rank lists — at 100 TB
-    the fusion cost is the query count, never the corpus."""
-    lex = (
-        search_bm25_topk(spark, sf_dir)
-        .select("query_id", "doc_id", F.col("rank").alias("rank_lex"))
+def _hybrid_semantic_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hybrid query's semantic rank list, routed through the
+    trained IVF quantizer: assign every corpus vector to its trained
+    cell map-side (zero shuffle), route each probe vector to its
+    top-P cells against the broadcast centroid literals (also
+    map-side), then exact-rank cosine ONLY inside the probed cells via
+    a broadcast-hash equi-join on the cell label.  The per-query
+    window partition holds P cells' members, never the corpus — the
+    round-7 scale fix.  Factored out so the plan test can pin that
+    shape independent of the lexical arm."""
+    from openalex_walden_spark.queries.advanced import (
+        _KM_Q,
+        _TR_ARGMIN,
+        _TR_D2,
+        _tr_cent_array,
+        train_ivf_centroids,
     )
-    e = spark.table("embeddings")
+
+    cents = train_ivf_centroids(spark, sf_dir)
+    e = spark.table("embeddings").withColumn(
+        "qx",
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double) * {_KM_Q}) as bigint) + {_KM_Q})"
+        ),
+    )
+    assigned = e.withColumn("cents", _tr_cent_array(cents)).select(
+        "vec_id", "embedding", F.expr(_TR_ARGMIN)["cl"].alias("cell")
+    )
+    probe_arr = F.expr(
+        "slice(array_sort(transform(cents, c -> "
+        f"named_struct('d2', {_TR_D2}, 'cl', c.cl))), 1, {_TR_P})"
+    )
     probes = F.broadcast(
         spark.createDataFrame(
             [(qid, qid * 100 + 7) for qid, _ in _RETRIEVAL_QUERIES],
             "query_id int, pvec long",
         )
     )
-    pq = F.broadcast(
-        probes.join(e, probes.pvec == e.vec_id).select(
-            "query_id", F.col("embedding").alias("qe")
+    routed = F.broadcast(
+        probes.join(e, probes.pvec == e.vec_id)
+        .withColumn("cents", _tr_cent_array(cents))
+        .select(
+            "query_id",
+            F.col("embedding").alias("qe"),
+            F.explode(probe_arr).alias("pc"),
         )
+        .select("query_id", "qe", F.col("pc.cl").alias("probe_cell"))
     )
     dot = F.aggregate(
         F.zip_with(F.col("qe"), F.col("embedding"),
@@ -2731,12 +2786,33 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     wsem = Window.partitionBy("query_id").orderBy(
         (dot / (norm("qe") * norm("embedding"))).desc(), F.col("vec_id").asc()
     )
-    sem = (
-        e.crossJoin(pq)
+    return (
+        assigned.join(routed, F.col("cell") == routed.probe_cell)
         .withColumn("rank_sem", F.row_number().over(wsem))
         .where(F.col("rank_sem") <= 10)
         .select("query_id", F.col("vec_id").alias("doc_id"), "rank_sem")
     )
+
+
+@register(
+    "search_hybrid_rrf",
+    oracle=_HYBRID_SQL,
+    tags=("llmdata", "search", "hybrid"),
+    tables=("documents", "embeddings"),
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-10 fused with IVF-routed embedding
+    top-10 by integer reciprocal-rank fusion (see the SQL block
+    comment).  Reuses the persisted-posting-list BM25 arm as-is; the
+    semantic arm is ``_hybrid_semantic_arm`` — trained-quantizer cell
+    routing, NOT a corpus-wide window; the fusion is a full outer join
+    of two <=10-row-per-query rank lists — at 100 TB the fusion cost
+    is the query count, never the corpus."""
+    lex = (
+        search_bm25_topk(spark, sf_dir)
+        .select("query_id", "doc_id", F.col("rank").alias("rank_lex"))
+    )
+    sem = _hybrid_semantic_arm(spark, sf_dir)
     fused = (
         lex.alias("l")
         .join(

@@ -581,3 +581,20 @@ def test_density_pairs_are_group_blocked(spark, sf_dir):
     plan = _plan(spark, sf_dir, "overmerge_density_split")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hybrid_semantic_arm_is_cell_routed(spark, sf_dir):
+    """Round-7 verdict: the hybrid-RRF semantic arm must never put the
+    corpus in one window partition per query.  The IVF-routed arm's
+    corpus side reaches the window only through a broadcast-hash
+    EQUI-join on the trained cell label — no nested-loop/cartesian
+    corpus expansion anywhere in the arm."""
+    from openalex_walden_spark.queries.llmdata import _hybrid_semantic_arm
+    from openalex_walden_spark.tables import register_views
+
+    register_views(spark, sf_dir, ("embeddings",))
+    df = _hybrid_semantic_arm(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "BroadcastHashJoin [cell" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
