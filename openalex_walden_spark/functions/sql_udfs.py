@@ -157,6 +157,26 @@ RETURN COALESCE(
 #   zhejiang   L-series provincial ids; missing L prefix restored
 #   innovate_uk  5-8 digit or KTP-prefixed application number
 #   nihr       programme nn/nnn/nn paths + PROG-yyyy-nnnnn award forms
+# Round-8 additions — the REMAINING funders of the reference's scored
+# set (AwardNormKey.sql l.288 lists 51 funder ids; these close the
+# deposited-side normalizer to full breadth), same sources:
+#   ec         CORDIS 101-prefixed 9-digit or bare 6-digit grant no
+#   epsrc      space-squashed identity (EP/... council paths)
+#   nstc_tw    MOST/NSC/NSTC prefix stripped (same rule, separate funder)
+#   mrc        MR/-path embedded extract, else council-prefix strip
+#   bbsrc      BB(S)/-path embedded extract (ids may nest '/'), else strip
+#   nerc       NE/-path embedded extract, else strip
+#   stfc       ST|PP/-path embedded extract, else strip
+#   esrc       ES/-path embedded extract, else strip
+#   ahrc       AH/-path embedded extract, else strip
+#   aro        W911NF contract grammar, separators squashed
+#   onr        N00014-style contract grammar
+#   afosr      FA-series/F49620 contract grammar
+#   darpa      HR0011/D..A[CP]/N66001/W31P4Q/FA86xx/FA87xx grammars
+#   dtra       HDTRA contract grammar
+#   usamrmc/usamrdc/usamraa  W81XWH/DAMD/HT award grammar (shared format,
+#              three funder identities — kept as separate families so the
+#              fid->family map stays 1:1 with the reference's table)
 # The reference's boundary lookarounds ((?<!\\d) etc.) are deliberately
 # replaced lookaround-free so the Java-regex (Spark) and RE2 (DuckDB
 # oracle) compilations agree verbatim: either anchors/prefix-strips
@@ -392,6 +412,85 @@ RETURN CASE
         2), ''),
       nullif(regexp_replace(
         regexp_replace(award_norm0(award), '^NIHR[- ]', ''), ' ', ''), ''))
+  WHEN family = 'ec' THEN
+    coalesce(
+      nullif(regexp_extract(award_norm0(award),
+        '(^|[^0-9])(101[0-9]{6})([^0-9]|$)', 2), ''),
+      nullif(regexp_extract(award_norm0(award),
+        '(^|[^0-9])([0-9]{6})([^0-9]|$)', 2), ''))
+  WHEN family = 'epsrc' THEN
+    nullif(regexp_replace(award_norm0(award), ' ', ''), '')
+  WHEN family = 'nstc_tw' THEN
+    nullif(regexp_replace(
+      regexp_replace(award_norm0(award), '^(MOST|NSC|NSTC)[ -]*', ''),
+      '[ -]', ''), '')
+  WHEN family = 'mrc' THEN
+    coalesce(
+      regexp_replace(nullif(regexp_extract(award_norm0(award),
+        '(^|[^A-Z0-9])(MR/ ?[A-Z0-9]{6,7}(/[0-9]{1,2})?)([^A-Z0-9]|$)', 2),
+        ''), '[ /]', ''),
+      nullif(regexp_replace(regexp_replace(award_norm0(award),
+        '^(MRC|UKRI|GRANT|NO)[ .:#-]*', ''), '[ _/.-]', ''), ''))
+  WHEN family = 'bbsrc' THEN
+    coalesce(
+      regexp_replace(nullif(regexp_extract(award_norm0(award),
+        '(^|[^A-Z0-9])(BBS?/ ?[A-Z0-9/]{6,14}?(/[0-9]{1,2})?)([^A-Z0-9]|$)', 2),
+        ''), '[ /]', ''),
+      nullif(regexp_replace(regexp_replace(award_norm0(award),
+        '^(BBSRC|UKRI|GRANT|NO)[ .:#-]*', ''), '[ _/.-]', ''), ''))
+  WHEN family = 'nerc' THEN
+    coalesce(
+      regexp_replace(nullif(regexp_extract(award_norm0(award),
+        '(^|[^A-Z0-9])(NE/ ?[A-Z0-9]{6,7}(/[0-9]{1,2})?)([^A-Z0-9]|$)', 2),
+        ''), '[ /]', ''),
+      nullif(regexp_replace(regexp_replace(award_norm0(award),
+        '^(NERC|UKRI|GRANT|NO)[ .:#-]*', ''), '[ _/.-]', ''), ''))
+  WHEN family = 'stfc' THEN
+    coalesce(
+      regexp_replace(nullif(regexp_extract(award_norm0(award),
+        '(^|[^A-Z0-9])((ST|PP)/ ?[A-Z0-9/]{6,9}?(/[0-9]{1,2})?)([^A-Z0-9]|$)', 2),
+        ''), '[ /]', ''),
+      nullif(regexp_replace(regexp_replace(award_norm0(award),
+        '^(STFC|UKRI|GRANT|NO)[ .:#-]*', ''), '[ _/.-]', ''), ''))
+  WHEN family = 'esrc' THEN
+    coalesce(
+      regexp_replace(nullif(regexp_extract(award_norm0(award),
+        '(^|[^A-Z0-9])(ES/ ?[A-Z0-9]{6,7}(/[0-9]{1,2})?)([^A-Z0-9]|$)', 2),
+        ''), '[ /]', ''),
+      nullif(regexp_replace(regexp_replace(award_norm0(award),
+        '^(ESRC|UKRI[ .:#-]|GRANT|NO)[ .:#-]*', ''), '[ _/.-]', ''), ''))
+  WHEN family = 'ahrc' THEN
+    coalesce(
+      regexp_replace(nullif(regexp_extract(award_norm0(award),
+        '(^|[^A-Z0-9])(AH/ ?[A-Z0-9]{6,7}(/[0-9]{1,2})?)([^A-Z0-9]|$)', 2),
+        ''), '[ /]', ''),
+      nullif(regexp_replace(regexp_replace(award_norm0(award),
+        '^(AHRC|UKRI[ .:#-]|GRANT|NO)[ .:#-]*', ''), '[ _/.-]', ''), ''))
+  WHEN family = 'aro' THEN
+    nullif(regexp_extract(regexp_replace(award_norm0(award), '[-_ ]', ''),
+      '^(W911NF[0-9]{2}[A-Z0-9]{3,9})$', 1), '')
+  WHEN family = 'onr' THEN
+    nullif(regexp_extract(regexp_replace(award_norm0(award), '[-_ ]', ''),
+      '^(N[0-9]{7}[A-Z0-9]{3,9})$', 1), '')
+  WHEN family = 'afosr' THEN
+    nullif(regexp_extract(regexp_replace(award_norm0(award), '[-_ ]', ''),
+      '^((FA[0-9]{4}|F49620)[0-9]{2}[A-Z0-9]{3,9})$', 1), '')
+  WHEN family = 'darpa' THEN
+    nullif(regexp_extract(regexp_replace(award_norm0(award), '[-_ ]', ''),
+      '^((HR0011|D[0-9]{2}A[CP]|N66001|W31P4Q|FA86[0-9]{2}|FA87[0-9]{2})[0-9A-Z]{5,12})$',
+      1), '')
+  WHEN family = 'dtra' THEN
+    nullif(regexp_extract(regexp_replace(award_norm0(award), '[-_ ]', ''),
+      '^(HDTRA[0-9]{3}[A-Z0-9]{3,9})$', 1), '')
+  WHEN family = 'usamrmc' THEN
+    nullif(regexp_extract(regexp_replace(award_norm0(award), '[-_ ]', ''),
+      '^((W81XWH|DAMD[0-9]{2}|HT[0-9]{4})[0-9]{2}[A-Z0-9]{3,9})$', 1), '')
+  WHEN family = 'usamrdc' THEN
+    nullif(regexp_extract(regexp_replace(award_norm0(award), '[-_ ]', ''),
+      '^((W81XWH|DAMD[0-9]{2}|HT[0-9]{4})[0-9]{2}[A-Z0-9]{3,9})$', 1), '')
+  WHEN family = 'usamraa' THEN
+    nullif(regexp_extract(regexp_replace(award_norm0(award), '[-_ ]', ''),
+      '^((W81XWH|DAMD[0-9]{2}|HT[0-9]{4})[0-9]{2}[A-Z0-9]{3,9})$', 1), '')
   ELSE award_key(award)
 END
 """

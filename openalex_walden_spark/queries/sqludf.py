@@ -292,7 +292,7 @@ def award_family_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # table, notebooks/awards/AwardNormKey.sql) over realistic formats.
 
 _FAMILY_RAW_SPARK = """
-CASE CAST(o_orderkey % 37 AS INT)
+CASE CAST(o_orderkey % 54 AS INT)
   WHEN 0 THEN concat('1 R01 GM ', lpad(CAST(o_orderkey % 90000 + 10000 AS STRING), 5, '0'),
                      '-0', CAST(o_orderkey % 9 + 1 AS STRING))
   WHEN 1 THEN concat('DMS-1', lpad(CAST(o_orderkey % 1000000 AS STRING), 6, '0'))
@@ -361,12 +361,41 @@ CASE CAST(o_orderkey % 37 AS INT)
   WHEN 35 THEN concat('NIHR HTA ', lpad(CAST(o_orderkey % 100 AS STRING), 2, '0'), '/',
                       lpad(CAST(o_orderkey % 1000 AS STRING), 3, '0'), '/',
                       lpad(CAST(o_orderkey % 100 AS STRING), 2, '0'))
+  WHEN 36 THEN concat('H2020 GA NO. ', lpad(CAST(o_orderkey % 1000000 AS STRING), 6, '0'))
+  WHEN 37 THEN concat('EP/N', lpad(CAST(o_orderkey % 100000 AS STRING), 5, '0'), '/1')
+  WHEN 38 THEN concat('NSTC ', CAST(o_orderkey % 30 + 100 AS STRING), '-2221-E-',
+                      lpad(CAST(o_orderkey % 1000 AS STRING), 3, '0'), '-',
+                      lpad(CAST(o_orderkey % 200 AS STRING), 3, '0'))
+  WHEN 39 THEN concat('GRANT MR/N', lpad(CAST(o_orderkey % 1000000 AS STRING), 6, '0'), '/1')
+  WHEN 40 THEN concat('BB/S', lpad(CAST(o_orderkey % 1000000 AS STRING), 6, '0'), '/1')
+  WHEN 41 THEN concat('NE/L', lpad(CAST(o_orderkey % 1000000 AS STRING), 6, '0'), '/1')
+  WHEN 42 THEN concat('ST/P', lpad(CAST(o_orderkey % 1000000 AS STRING), 6, '0'), '/1')
+  WHEN 43 THEN concat('ES/P', lpad(CAST(o_orderkey % 1000000 AS STRING), 6, '0'), '/1')
+  WHEN 44 THEN concat('AH/L', lpad(CAST(o_orderkey % 1000000 AS STRING), 6, '0'), '/1')
+  WHEN 45 THEN concat('W911NF-', lpad(CAST(o_orderkey % 100 AS STRING), 2, '0'),
+                      '-1-', lpad(CAST(o_orderkey % 10000 AS STRING), 4, '0'))
+  WHEN 46 THEN concat('N00014-', lpad(CAST(o_orderkey % 100 AS STRING), 2, '0'),
+                      '-1-', lpad(CAST(o_orderkey % 10000 AS STRING), 4, '0'))
+  WHEN 47 THEN concat('FA9550-', lpad(CAST(o_orderkey % 100 AS STRING), 2, '0'),
+                      '-1-', lpad(CAST(o_orderkey % 10000 AS STRING), 4, '0'))
+  WHEN 48 THEN concat('HR0011-', lpad(CAST(o_orderkey % 100 AS STRING), 2, '0'),
+                      '-C-', lpad(CAST(o_orderkey % 10000 AS STRING), 4, '0'))
+  WHEN 49 THEN concat('HDTRA1-', lpad(CAST(o_orderkey % 100 AS STRING), 2, '0'),
+                      '-1-', lpad(CAST(o_orderkey % 10000 AS STRING), 4, '0'))
+  WHEN 50 THEN concat('W81XWH-', lpad(CAST(o_orderkey % 100 AS STRING), 2, '0'),
+                      '-1-', lpad(CAST(o_orderkey % 10000 AS STRING), 4, '0'))
+  WHEN 51 THEN concat('DAMD', lpad(CAST(o_orderkey % 100 AS STRING), 2, '0'), '-',
+                      lpad(CAST(o_orderkey % 100 AS STRING), 2, '0'),
+                      '-1-', lpad(CAST(o_orderkey % 10000 AS STRING), 4, '0'))
+  WHEN 52 THEN concat('HT', lpad(CAST(o_orderkey % 10000 AS STRING), 4, '0'), '-',
+                      lpad(CAST(o_orderkey % 100 AS STRING), 2, '0'),
+                      '-1-', lpad(CAST(o_orderkey % 10000 AS STRING), 4, '0'))
   ELSE concat('awd - ', lpad(CAST(o_orderkey % 100000 AS STRING), 7, '0'))
 END
 """
 
 _FAMILY_NAME = """
-CASE CAST(o_orderkey % 37 AS INT)
+CASE CAST(o_orderkey % 54 AS INT)
   WHEN 0 THEN 'nih' WHEN 1 THEN 'nsf' WHEN 2 THEN 'erc'
   WHEN 3 THEN 'ukri' WHEN 4 THEN 'wellcome' WHEN 5 THEN 'dod'
   WHEN 6 THEN 'kakenhi' WHEN 7 THEN 'anr' WHEN 8 THEN 'fapesp'
@@ -380,6 +409,12 @@ CASE CAST(o_orderkey % 37 AS INT)
   WHEN 28 THEN 'nasa' WHEN 29 THEN 'amed' WHEN 30 THEN 'dhhs'
   WHEN 31 THEN 'nhmrc' WHEN 32 THEN 'hunan' WHEN 33 THEN 'zhejiang'
   WHEN 34 THEN 'innovate_uk' WHEN 35 THEN 'nihr'
+  WHEN 36 THEN 'ec' WHEN 37 THEN 'epsrc' WHEN 38 THEN 'nstc_tw'
+  WHEN 39 THEN 'mrc' WHEN 40 THEN 'bbsrc' WHEN 41 THEN 'nerc'
+  WHEN 42 THEN 'stfc' WHEN 43 THEN 'esrc' WHEN 44 THEN 'ahrc'
+  WHEN 45 THEN 'aro' WHEN 46 THEN 'onr' WHEN 47 THEN 'afosr'
+  WHEN 48 THEN 'darpa' WHEN 49 THEN 'dtra' WHEN 50 THEN 'usamrmc'
+  WHEN 51 THEN 'usamrdc' WHEN 52 THEN 'usamraa'
   ELSE 'generic'
 END
 """
@@ -590,6 +625,83 @@ CASE
         2), ''),
       nullif(regexp_replace(
         regexp_replace(_n, '^NIHR[- ]', ''), ' ', '', 'g'), ''))
+  WHEN family = 'ec' THEN
+    coalesce(
+      nullif(regexp_extract(_n, '(^|[^0-9])(101[0-9]{6})([^0-9]|$)', 2), ''),
+      nullif(regexp_extract(_n, '(^|[^0-9])([0-9]{6})([^0-9]|$)', 2), ''))
+  WHEN family = 'epsrc' THEN
+    nullif(regexp_replace(_n, ' ', '', 'g'), '')
+  WHEN family = 'nstc_tw' THEN
+    nullif(regexp_replace(
+      regexp_replace(_n, '^(MOST|NSC|NSTC)[ -]*', ''),
+      '[ -]', '', 'g'), '')
+  WHEN family = 'mrc' THEN
+    coalesce(
+      regexp_replace(nullif(regexp_extract(_n,
+        '(^|[^A-Z0-9])(MR/ ?[A-Z0-9]{6,7}(/[0-9]{1,2})?)([^A-Z0-9]|$)', 2),
+        ''), '[ /]', '', 'g'),
+      nullif(regexp_replace(regexp_replace(_n,
+        '^(MRC|UKRI|GRANT|NO)[ .:#-]*', ''), '[ _/.-]', '', 'g'), ''))
+  WHEN family = 'bbsrc' THEN
+    coalesce(
+      regexp_replace(nullif(regexp_extract(_n,
+        '(^|[^A-Z0-9])(BBS?/ ?[A-Z0-9/]{6,14}?(/[0-9]{1,2})?)([^A-Z0-9]|$)', 2),
+        ''), '[ /]', '', 'g'),
+      nullif(regexp_replace(regexp_replace(_n,
+        '^(BBSRC|UKRI|GRANT|NO)[ .:#-]*', ''), '[ _/.-]', '', 'g'), ''))
+  WHEN family = 'nerc' THEN
+    coalesce(
+      regexp_replace(nullif(regexp_extract(_n,
+        '(^|[^A-Z0-9])(NE/ ?[A-Z0-9]{6,7}(/[0-9]{1,2})?)([^A-Z0-9]|$)', 2),
+        ''), '[ /]', '', 'g'),
+      nullif(regexp_replace(regexp_replace(_n,
+        '^(NERC|UKRI|GRANT|NO)[ .:#-]*', ''), '[ _/.-]', '', 'g'), ''))
+  WHEN family = 'stfc' THEN
+    coalesce(
+      regexp_replace(nullif(regexp_extract(_n,
+        '(^|[^A-Z0-9])((ST|PP)/ ?[A-Z0-9/]{6,9}?(/[0-9]{1,2})?)([^A-Z0-9]|$)', 2),
+        ''), '[ /]', '', 'g'),
+      nullif(regexp_replace(regexp_replace(_n,
+        '^(STFC|UKRI|GRANT|NO)[ .:#-]*', ''), '[ _/.-]', '', 'g'), ''))
+  WHEN family = 'esrc' THEN
+    coalesce(
+      regexp_replace(nullif(regexp_extract(_n,
+        '(^|[^A-Z0-9])(ES/ ?[A-Z0-9]{6,7}(/[0-9]{1,2})?)([^A-Z0-9]|$)', 2),
+        ''), '[ /]', '', 'g'),
+      nullif(regexp_replace(regexp_replace(_n,
+        '^(ESRC|UKRI[ .:#-]|GRANT|NO)[ .:#-]*', ''), '[ _/.-]', '', 'g'), ''))
+  WHEN family = 'ahrc' THEN
+    coalesce(
+      regexp_replace(nullif(regexp_extract(_n,
+        '(^|[^A-Z0-9])(AH/ ?[A-Z0-9]{6,7}(/[0-9]{1,2})?)([^A-Z0-9]|$)', 2),
+        ''), '[ /]', '', 'g'),
+      nullif(regexp_replace(regexp_replace(_n,
+        '^(AHRC|UKRI[ .:#-]|GRANT|NO)[ .:#-]*', ''), '[ _/.-]', '', 'g'), ''))
+  WHEN family = 'aro' THEN
+    nullif(regexp_extract(regexp_replace(_n, '[-_ ]', '', 'g'),
+      '^(W911NF[0-9]{2}[A-Z0-9]{3,9})$', 1), '')
+  WHEN family = 'onr' THEN
+    nullif(regexp_extract(regexp_replace(_n, '[-_ ]', '', 'g'),
+      '^(N[0-9]{7}[A-Z0-9]{3,9})$', 1), '')
+  WHEN family = 'afosr' THEN
+    nullif(regexp_extract(regexp_replace(_n, '[-_ ]', '', 'g'),
+      '^((FA[0-9]{4}|F49620)[0-9]{2}[A-Z0-9]{3,9})$', 1), '')
+  WHEN family = 'darpa' THEN
+    nullif(regexp_extract(regexp_replace(_n, '[-_ ]', '', 'g'),
+      '^((HR0011|D[0-9]{2}A[CP]|N66001|W31P4Q|FA86[0-9]{2}|FA87[0-9]{2})[0-9A-Z]{5,12})$',
+      1), '')
+  WHEN family = 'dtra' THEN
+    nullif(regexp_extract(regexp_replace(_n, '[-_ ]', '', 'g'),
+      '^(HDTRA[0-9]{3}[A-Z0-9]{3,9})$', 1), '')
+  WHEN family = 'usamrmc' THEN
+    nullif(regexp_extract(regexp_replace(_n, '[-_ ]', '', 'g'),
+      '^((W81XWH|DAMD[0-9]{2}|HT[0-9]{4})[0-9]{2}[A-Z0-9]{3,9})$', 1), '')
+  WHEN family = 'usamrdc' THEN
+    nullif(regexp_extract(regexp_replace(_n, '[-_ ]', '', 'g'),
+      '^((W81XWH|DAMD[0-9]{2}|HT[0-9]{4})[0-9]{2}[A-Z0-9]{3,9})$', 1), '')
+  WHEN family = 'usamraa' THEN
+    nullif(regexp_extract(regexp_replace(_n, '[-_ ]', '', 'g'),
+      '^((W81XWH|DAMD[0-9]{2}|HT[0-9]{4})[0-9]{2}[A-Z0-9]{3,9})$', 1), '')
   ELSE
     CASE
       WHEN regexp_matches(_sq, '[0-9]$')
@@ -630,7 +742,7 @@ ORDER BY family, key_len
     tables=("orders",),
 )
 def udf_award_family_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The per-family award normalizers — 36 funder families spanning
+    """The per-family award normalizers — 53 funder families spanning
     AwardNormKey.sql's works-count-ordered table (NIH institute+serial,
     NSF 7-digit, ERC grant agreement, UKRI council codes, ... through
     the round-7 additions NSFC/DFG/FCT/NSERC/SNSF/CIHR/AHA/Shandong/

@@ -406,18 +406,21 @@ def test_parse_human_name_trailing_v_ambiguity():
 
 
 def test_award_family_battery_every_family_fires(spark_udfs):
-    """Every one of the 36 funder families in the battery fixture must
-    FIRE — produce a non-null normalized key for its own synthetic
-    deposited format. Guards the silent failure mode where a pattern is
-    broken identically in both dialects (both produce NULL, the oracle
-    hash still matches)."""
+    """Every funder family in the battery fixture must FIRE — produce a
+    non-null normalized key for its own synthetic deposited format.
+    Guards the silent failure mode where a pattern is broken identically
+    in both dialects (both produce NULL, the oracle hash still matches).
+    The family count is derived from award_family_key's CASE branches,
+    so adding a family without a firing fixture format fails here."""
+    from openalex_walden_spark.functions import sql_udfs
     from openalex_walden_spark.queries.sqludf import (
         _FAMILY_NAME,
         _FAMILY_RAW_SPARK,
     )
 
+    n_fam = sql_udfs._AWARD_FAMILY_KEY.count("WHEN family = '")
     spark = spark_udfs
-    df = spark.range(1, 2000).selectExpr("id AS o_orderkey").selectExpr(
+    df = spark.range(1, 4000).selectExpr("id AS o_orderkey").selectExpr(
         f"({_FAMILY_NAME}) AS family",
         f"award_family_key(({_FAMILY_NAME}), ({_FAMILY_RAW_SPARK})) AS k",
     )
@@ -425,7 +428,7 @@ def test_award_family_battery_every_family_fires(spark_udfs):
         F.count("*").alias("n"), F.count("k").alias("n_keyed")
     ).collect()
     by_family = {r["family"]: r for r in rows}
-    assert len(by_family) == 37  # 36 named + generic
+    assert len(by_family) == n_fam + 1  # every named family + generic
     for fam, r in by_family.items():
         assert r["n_keyed"] > 0, f"family {fam!r} never fires"
         assert r["n_keyed"] == r["n"], f"family {fam!r} fixture only partially fires"
