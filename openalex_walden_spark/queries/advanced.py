@@ -1505,3 +1505,222 @@ def ann_srp_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cos_q") >= _SRP_TAU_Q)
         .select(F.col("va").alias("vec_a"), F.col("vb").alias("vec_b"), "cos_q")
     )
+
+
+# --------------------------------------------------------------------------
+# S6b: authors-snapshot export shape (export_authors.ipynb)
+# --------------------------------------------------------------------------
+# The reference exports ELEVEN entity shapes; works is covered by
+# s6_json_export_shape + sinks/json_export.py.  This is the authors
+# shape (notebooks/snapshot/export_authors.ipynb): URL-prefixed ids,
+# topics sliced to the elastic-sync cap of 5, the x_concepts array
+# repaired in place (URL-prefix the id, rename the misnamed col4 ->
+# level) via a HOF transform, every nullable array coalesced to [],
+# and an explicit serving field whitelist.  Supplier plays the author
+# (the d11 convention); its lineitems are authorship seats and part
+# brands its topics.
+_S6A_SQL = """
+WITH seats AS (
+  SELECT l_suppkey, l_orderkey, p_brand,
+         year(o_orderdate)::BIGINT AS yr
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN part ON p_partkey = l_partkey
+),
+topic_counts AS (
+  SELECT l_suppkey, p_brand, count(*)::BIGINT AS n
+  FROM seats GROUP BY l_suppkey, p_brand
+),
+topics AS (
+  SELECT l_suppkey,
+         list_transform(
+           list_sort(list(struct_pack(neg_n := -n, brand := p_brand))),
+           t -> struct_pack(display_name := t.brand, cnt := -t.neg_n)) AS ts
+  FROM topic_counts GROUP BY l_suppkey
+),
+year_counts AS (
+  SELECT l_suppkey, yr, count(DISTINCT l_orderkey)::BIGINT AS n
+  FROM seats GROUP BY l_suppkey, yr
+),
+years AS (
+  SELECT l_suppkey,
+         list_sort(list(struct_pack(year := yr, works := n))) AS cby
+  FROM year_counts GROUP BY l_suppkey
+),
+totals AS (
+  SELECT l_suppkey, count(DISTINCT l_orderkey)::BIGINT AS works_count,
+         count(*)::BIGINT AS cited_by_count
+  FROM seats GROUP BY l_suppkey
+)
+SELECT concat('https://openalex.org/A', CAST(s.s_suppkey AS VARCHAR)) AS id,
+       s.s_name AS display_name,
+       COALESCE(array_to_string(
+         CASE WHEN s.s_suppkey % 3 = 0 THEN [upper(s.s_name)]
+              ELSE []::VARCHAR[] END, '|'), '')
+         AS display_name_alternatives,
+       COALESCE(t.works_count, 0)::BIGINT AS works_count,
+       COALESCE(t.cited_by_count, 0)::BIGINT AS cited_by_count,
+       COALESCE(array_to_string(list_transform(
+         COALESCE(list_slice(tp.ts, 1, 5),
+                  []::STRUCT(display_name VARCHAR, cnt BIGINT)[]),
+         e -> concat(e.display_name, ':', CAST(e.cnt AS VARCHAR))), '|'), '')
+         AS topics,
+       COALESCE(array_to_string(list_transform(
+         list_transform(
+           [struct_pack(id := s.s_nationkey::BIGINT, display_name := n.n_name,
+                        col4 := (s.s_nationkey % 3)::BIGINT)],
+           c -> struct_pack(
+             id := concat('https://openalex.org/C', CAST(c.id AS VARCHAR)),
+             display_name := c.display_name,
+             level := c.col4)),
+         e -> concat(e.id, '@', e.display_name, '@', CAST(e.level AS VARCHAR))),
+         '|'), '') AS x_concepts,
+       COALESCE(array_to_string(list_transform(
+         COALESCE(y.cby, []::STRUCT(year BIGINT, works BIGINT)[]),
+         e -> concat(CAST(e.year AS VARCHAR), ':', CAST(e.works AS VARCHAR))),
+         '|'), '') AS counts_by_year,
+       concat('https://api.openalex.org/works?filter=author.id:A',
+              CAST(s.s_suppkey AS VARCHAR)) AS works_api_url,
+       strftime(DATE '2024-01-01' + INTERVAL ((s.s_suppkey % 400)::INT) DAY,
+                '%Y-%m-%d') AS updated_date
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+LEFT JOIN totals t ON t.l_suppkey = s.s_suppkey
+LEFT JOIN topics tp ON tp.l_suppkey = s.s_suppkey
+LEFT JOIN years y ON y.l_suppkey = s.s_suppkey
+"""
+
+
+@register(
+    "s6_export_authors_shape",
+    oracle=_S6A_SQL,
+    tags=("sink", "S6", "export", "authors"),
+    tables=("supplier", "lineitem", "orders", "part", "nation"),
+)
+def s6_export_authors_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The authors-snapshot export transform (see block comment).
+
+    Scale shape: seats aggregate once per (author, topic) and once per
+    (author, year) — both partial-aggregable — then three LEFT joins
+    back to the author dimension on the author key (one shuffle key
+    throughout, AQE-coalesced); nation broadcasts; the slice / HOF
+    repair / coalesce layer is pure map-side column work."""
+    li, o, p = spark.table("lineitem"), spark.table("orders"), spark.table("part")
+    s, n = spark.table("supplier"), spark.table("nation")
+    seats = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            "l_suppkey", "l_orderkey", "p_brand",
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+        )
+    )
+    topics = (
+        seats.groupBy("l_suppkey", "p_brand")
+        .agg(F.count("*").alias("n"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct((-F.col("n")).alias("neg_n"), F.col("p_brand").alias("brand"))
+                    )
+                ),
+                lambda t: F.struct(
+                    t["brand"].alias("display_name"), (-t["neg_n"]).alias("cnt")
+                ),
+            ).alias("ts")
+        )
+    )
+    years = (
+        seats.groupBy("l_suppkey", "yr")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("yr").alias("year"), F.col("n").alias("works")))
+            ).alias("cby")
+        )
+    )
+    totals = seats.groupBy("l_suppkey").agg(
+        F.countDistinct("l_orderkey").alias("works_count"),
+        F.count("*").alias("cited_by_count"),
+    )
+    raw_concepts = F.array(
+        F.struct(
+            F.col("s_nationkey").cast("bigint").alias("id"),
+            F.col("n_name").alias("display_name"),
+            (F.col("s_nationkey") % 3).cast("bigint").alias("col4"),
+        )
+    )
+    return (
+        s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(totals, totals.l_suppkey == s.s_suppkey, "left").drop("l_suppkey")
+        .join(topics, topics.l_suppkey == s.s_suppkey, "left").drop("l_suppkey")
+        .join(years, years.l_suppkey == s.s_suppkey, "left").drop("l_suppkey")
+        .select(
+            F.concat(F.lit("https://openalex.org/A"), F.col("s_suppkey").cast("string")).alias("id"),
+            F.col("s_name").alias("display_name"),
+            # Arrays are serialized to canonical '|'-joined strings at
+            # the comparison surface (the oracle harness compares
+            # scalars); the slice / HOF repair / coalesce transforms
+            # all run on the ARRAYS first, exactly as the export does.
+            F.array_join(
+                F.when(F.col("s_suppkey") % 3 == 0, F.array(F.upper("s_name")))
+                .otherwise(F.array().cast("array<string>")),
+                "|",
+            ).alias("display_name_alternatives"),
+            F.coalesce("works_count", F.lit(0)).cast("bigint").alias("works_count"),
+            F.coalesce("cited_by_count", F.lit(0)).cast("bigint").alias("cited_by_count"),
+            F.array_join(
+                F.transform(
+                    F.coalesce(
+                        F.slice("ts", 1, 5),
+                        F.array().cast("array<struct<display_name:string,cnt:bigint>>"),
+                    ),
+                    lambda e: F.concat(
+                        e["display_name"], F.lit(":"), e["cnt"].cast("string")
+                    ),
+                ),
+                "|",
+            ).alias("topics"),
+            F.array_join(
+                F.transform(
+                    F.transform(
+                        raw_concepts,
+                        lambda c: F.struct(
+                            F.concat(
+                                F.lit("https://openalex.org/C"), c["id"].cast("string")
+                            ).alias("id"),
+                            c["display_name"].alias("display_name"),
+                            c["col4"].alias("level"),
+                        ),
+                    ),
+                    lambda e: F.concat(
+                        e["id"], F.lit("@"), e["display_name"], F.lit("@"),
+                        e["level"].cast("string"),
+                    ),
+                ),
+                "|",
+            ).alias("x_concepts"),
+            F.array_join(
+                F.transform(
+                    F.coalesce(
+                        "cby", F.array().cast("array<struct<year:bigint,works:bigint>>")
+                    ),
+                    lambda e: F.concat(
+                        e["year"].cast("string"), F.lit(":"), e["works"].cast("string")
+                    ),
+                ),
+                "|",
+            ).alias("counts_by_year"),
+            F.concat(
+                F.lit("https://api.openalex.org/works?filter=author.id:A"),
+                F.col("s_suppkey").cast("string"),
+            ).alias("works_api_url"),
+            F.date_format(
+                F.expr("date_add(date'2024-01-01', cast(s_suppkey % 400 as int))"),
+                "yyyy-MM-dd",
+            ).alias("updated_date"),
+        )
+    )

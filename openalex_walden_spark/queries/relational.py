@@ -646,3 +646,79 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for col, _ in cols
     ]
     return wide.select(F.explode(F.array(*profile_rows)).alias("p")).select("p.*")
+
+
+# --------------------------------------------------------------------------
+# Snapshot smoke report: the §5-layer-3 health battery as ONE aggregate
+# --------------------------------------------------------------------------
+# The reference's snapshot smoke tests (notebooks/snapshot/
+# smoke_tests.ipynb, 27 cells) fold their scan-shaped checks — id
+# format (T1), null checks (T7), duplicate ids (T8), population rates
+# (T5/T13), updated-date recency (T12) — into per-table aggregates.
+# operators/smoke.py:smoke_aggregate compiles the same battery into a
+# single one-row scan; this query runs it over the documents table
+# dressed as a works-snapshot plane (openalex W-ids, a synthetic
+# updated_date lattice) so the whole battery is hash-checked against
+# DuckDB.  The directory- and schema-shaped checks (manifest T9,
+# partition paths T10, JSON validity T11, structure T3/T6) have no
+# relational form and are covered by tests/test_io.py breach tests.
+_SMOKE_AS_OF = "2025-06-01"
+
+_SMOKE_SQL = f"""
+WITH plane AS (
+  SELECT concat('https://openalex.org/W', CAST(doc_id AS VARCHAR)) AS id,
+         text AS title, lang, n_chars,
+         DATE '2024-01-01' + INTERVAL ((doc_id % 400)::INT) DAY AS updated_date
+  FROM documents
+)
+SELECT
+  count(*)::BIGINT AS n_total,
+  count_if(id IS NULL)::BIGINT AS n_null_id,
+  count_if(id IS NOT NULL
+           AND NOT regexp_matches(id, '^https://openalex[.]org/W[0-9]+$'))::BIGINT
+    AS n_bad_id_format,
+  (count(id) - count(DISTINCT id))::BIGINT AS n_dup_ids,
+  count_if(title IS NULL)::BIGINT AS n_null_title,
+  count_if(lang IS NULL)::BIGINT AS n_null_lang,
+  count_if(n_chars >= 200)::BIGINT AS n_long_text,
+  count_if(lang = 'en')::BIGINT AS n_english,
+  datediff('day', max(updated_date), DATE '{_SMOKE_AS_OF}')::BIGINT AS days_stale
+FROM plane
+"""
+
+
+@register(
+    "snapshot_smoke_report",
+    oracle=_SMOKE_SQL,
+    tags=("smoke", "quality", "aggregation"),
+    tables=("documents",),
+)
+def snapshot_smoke_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot health battery (see block comment) as one shuffle-
+    free aggregate: at 100 TB the battery costs exactly one pass over
+    the serving-shaped table; every counter combines map-side and the
+    exchange carries a single row."""
+    from openalex_walden_spark.operators.smoke import smoke_aggregate
+
+    plane = spark.table("documents").select(
+        F.concat(
+            F.lit("https://openalex.org/W"), F.col("doc_id").cast("string")
+        ).alias("id"),
+        F.col("text").alias("title"),
+        "lang",
+        "n_chars",
+        F.expr("date_add(date'2024-01-01', cast(doc_id % 400 as int))").alias(
+            "updated_date"
+        ),
+    )
+    return smoke_aggregate(
+        plane,
+        id_pattern=r"^https://openalex[.]org/W[0-9]+$",
+        required_fields=("title", "lang"),
+        populated={
+            "long_text": F.col("n_chars") >= 200,
+            "english": F.col("lang") == "en",
+        },
+        updated_col="updated_date",
+        as_of=_SMOKE_AS_OF,
+    )

@@ -430,6 +430,121 @@ def d9_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# D9 composition: the Wunpaywall-style changed-rows data feed
+# --------------------------------------------------------------------------
+# The reference's data feed (notebooks/end2end/WunpaywallDataFeed.py)
+# ships ONLY rows whose updated_date passed the last-run watermark; the
+# updated_date itself is maintained by the D9 content-hash discipline
+# (a rebuild that reproduces identical business fields must NOT touch
+# updated_date, or unchanged rows leak into every feed batch).  This
+# query pins that composition end-to-end: hash-diff current vs next-day
+# snapshot, advance updated_date ONLY on hash change, then export the
+# watermark window as serving JSON docs — so the oracle proves that
+# exactly the changed rows ship, never the touched-but-identical ones.
+# The file/watermark/metadata plumbing around this shape lives in
+# sinks/datafeed.py (tested in test_io.py).
+_FEED_WATERMARK = "2025-05-17"
+_FEED_CHANGE_DAY = "2025-05-20"
+
+_D9_FEED_SQL = f"""
+WITH cur AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price,
+         DATE '2025-01-01' + INTERVAL ((o_orderkey % 120)::INT) DAY AS updated_old
+  FROM orders
+),
+nxt AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 100 = 0 THEN 'X' ELSE o_orderstatus END AS status,
+         price, updated_old
+  FROM cur
+),
+joined AS (
+  SELECT c.o_orderkey,
+         md5(concat_ws('|', c.o_orderkey, c.o_orderstatus, c.price)) AS h_cur,
+         md5(concat_ws('|', n.o_orderkey, n.status, n.price)) AS h_new,
+         n.status, n.price, c.updated_old
+  FROM cur c JOIN nxt n ON n.o_orderkey = c.o_orderkey
+),
+feed AS (
+  SELECT o_orderkey,
+         CASE WHEN h_cur <> h_new THEN DATE '{_FEED_CHANGE_DAY}'
+              ELSE updated_old END AS updated,
+         status, price
+  FROM joined
+)
+SELECT o_orderkey AS orderkey,
+       strftime(updated, '%Y-%m-%d') AS updated_date,
+       to_json(struct_pack(orderkey := o_orderkey, status := status,
+                           price := price))::VARCHAR AS doc
+FROM feed
+WHERE updated > DATE '{_FEED_WATERMARK}'
+"""
+
+
+@register(
+    "d9_changed_rows_feed",
+    oracle=_D9_FEED_SQL,
+    tags=("domain", "D9", "feed", "export"),
+    tables=("orders",),
+)
+def d9_changed_rows_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changed-rows feed batch (see block comment): D9 hash-diff decides
+    which rows advance updated_date; the watermark filter then ships
+    exactly those rows as serving JSON docs.
+
+    Scale shape: the hash-diff is a co-partitioned self-join on the
+    key (one shuffle; in production the two sides are the same bucketed
+    state so it is shuffle-free), the watermark filter prunes at the
+    source when updated_date partitions the table, and the doc
+    projection is map-side."""
+    price = F.col("o_totalprice").cast("decimal(18,2)").cast("string")
+    cur = spark.table("orders").select(
+        "o_orderkey", "o_orderstatus", price.alias("price"),
+        F.expr("date_add(date'2025-01-01', cast(o_orderkey % 120 as int))").alias(
+            "updated_old"
+        ),
+    )
+    nxt = cur.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 100 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+        "price", "updated_old",
+    )
+    joined = (
+        cur.select(
+            "o_orderkey",
+            F.md5(F.concat_ws("|", "o_orderkey", "o_orderstatus", "price")).alias("h_cur"),
+        )
+        .join(
+            nxt.select(
+                "o_orderkey", "status", "price", "updated_old",
+                F.md5(F.concat_ws("|", "o_orderkey", "status", "price")).alias("h_new"),
+            ),
+            "o_orderkey",
+        )
+    )
+    feed = joined.select(
+        "o_orderkey", "status", "price",
+        F.when(
+            F.col("h_cur") != F.col("h_new"), F.lit(_FEED_CHANGE_DAY).cast("date")
+        ).otherwise(F.col("updated_old")).alias("updated"),
+    )
+    return feed.where(F.col("updated") > F.lit(_FEED_WATERMARK).cast("date")).select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.date_format("updated", "yyyy-MM-dd").alias("updated_date"),
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("orderkey"),
+                F.col("status").alias("status"),
+                F.col("price").alias("price"),
+            )
+        ).alias("doc"),
+    )
+
+
+# --------------------------------------------------------------------------
 # T1/T3: deterministic global top-k (ORDER BY + LIMIT)
 # --------------------------------------------------------------------------
 _T1_SQL = """

@@ -519,3 +519,151 @@ def test_ivf_index_loads_with_empty_stream_batches(spark, sf_dir, tmp_path):
     _, asg2, _ = load_ivf_index(spark, path, expect_quant_scale=_KM_Q)
     assert asg2.count() == base_n + extra
     assert [f.name for f in asg2.schema.fields] == ["vec_id", "cell"]
+
+
+def test_smoke_check_families_pass_and_breach(spark, tmp_path):
+    """Round-8: the ported smoke_tests.ipynb check families (T2/T3/T6/
+    T10/T11/T12/T13 shapes) each pass a healthy input AND trip on a
+    seeded breach — the harness is sensitive, not decorative."""
+    from openalex_walden_spark.operators.smoke import (
+        count_tolerance_check,
+        json_field_validity_check,
+        nested_structure_check,
+        partition_path_check,
+        population_rate_check,
+        recency_check,
+        schema_completeness_check,
+        smoke_aggregate,
+    )
+
+    # T2 count tolerance
+    assert count_tolerance_check("works", 1040, 1000, 0.05).ok
+    assert not count_tolerance_check("works", 1100, 1000, 0.05).ok
+
+    # T3 field completeness: missing canonical field is fatal, extra is not
+    assert schema_completeness_check(
+        "works", {"id", "title", "doi", "authors_count"},
+        {"id", "title", "doi"}, known_extras=frozenset({"authors_count"}),
+    ).ok
+    r = schema_completeness_check("works", {"id"}, {"id", "title"})
+    assert not r.ok and "title" in r.detail
+
+    # T6 nested structure from SCHEMA (works on an empty frame too)
+    df = spark.createDataFrame(
+        [],
+        "id string, authorships array<struct<author:string,"
+        "author_position:string,institutions:array<string>>>",
+    )
+    assert nested_structure_check(
+        df, "authorships", {"author", "author_position", "institutions"}
+    ).ok
+    assert not nested_structure_check(
+        df, "authorships", {"author", "raw_author_name"}
+    ).ok
+
+    # T10 partition path format
+    good = tmp_path / "feed"
+    (good / "updated_date=2025-06-01").mkdir(parents=True)
+    assert partition_path_check(str(good)).ok
+    (good / "updated_date=2025-06-02 00:00:00").mkdir()
+    assert not partition_path_check(str(good)).ok
+
+    # T11 truncated-JSON validity via from_json (no Python in the scan)
+    jdf = spark.createDataFrame(
+        [('{"a":[1,2]}',), ('{"a":[1',), (None,)], "abstract string"
+    )
+    bad = json_field_validity_check(jdf, "abstract")
+    assert not bad.ok and "1/2" in bad.detail
+    assert json_field_validity_check(jdf, "abstract", threshold=1).ok
+
+    # T1/T5/T7/T8/T12/T13 in one smoke_aggregate scan + threshold checks
+    plane = spark.createDataFrame(
+        [
+            ("https://openalex.org/W1", "t1", "en", 500, "2025-05-30"),
+            ("https://openalex.org/W2", None, "fr", 100, "2025-04-01"),
+            ("https://openalex.org/W2", "t3", "en", 300, "2025-01-01"),
+            ("badid", "t4", None, 50, "2024-12-01"),
+        ],
+        "id string, title string, lang string, n_chars int, updated_date string",
+    ).withColumn("updated_date", F.col("updated_date").cast("date"))
+    row = smoke_aggregate(
+        plane,
+        required_fields=("title", "lang"),
+        populated={"long_text": F.col("n_chars") >= 200},
+        updated_col="updated_date",
+        as_of="2025-06-01",
+    ).collect()[0]
+    assert row["n_total"] == 4 and row["n_bad_id_format"] == 1
+    assert row["n_dup_ids"] == 1 and row["n_null_title"] == 1
+    assert row["n_null_lang"] == 1 and row["n_long_text"] == 2
+    assert row["days_stale"] == 2
+    assert population_rate_check("long_text", row["n_long_text"], row["n_total"], 0.5).ok
+    assert not population_rate_check("long_text", row["n_long_text"], row["n_total"], 0.9).ok
+    assert recency_check(row["days_stale"], max_days=7).ok
+    assert not recency_check(row["days_stale"], max_days=1).ok
+
+
+def test_changed_rows_feed_lifecycle(spark, sf_dir, tmp_path):
+    """The Wunpaywall-shape feed sink: first run ships everything past
+    the default watermark as ONE dated file + metadata line + advanced
+    watermark; a re-run with no new changes ships NOTHING (the
+    only-changed-rows-ship contract); the safety cap refuses an
+    oversized batch unless overridden."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from openalex_walden_spark import queries as q
+    from openalex_walden_spark.sinks.datafeed import (
+        FeedSafetyError,
+        export_changed_rows,
+    )
+    from openalex_walden_spark.tables import register_views
+
+    q.load_all()
+    register_views(spark, sf_dir, ("orders",))
+    batch = q.CATALOG["d9_changed_rows_feed"].spark(spark, sf_dir)
+    n_changed = batch.count()
+    assert n_changed > 0
+
+    state = str(tmp_path / "feed_state")
+    r1 = export_changed_rows(
+        batch, updated_col="updated_date", state_dir=state,
+        now="2025-05-21", min_watermark="2025-05-17",
+    )
+    assert r1.shipped == n_changed
+    assert r1.file_name == "changed_rows_2025-05-17_to_2025-05-21.jsonl"
+    with open(r1.file_path) as fh:
+        lines = [ln for ln in fh.read().splitlines() if ln]
+    assert len(lines) == n_changed
+    assert all(_json.loads(ln)["status"] for ln in lines)
+
+    # metadata row recorded, watermark advanced
+    meta_lines = open(f"{state}/export_metadata.jsonl").read().splitlines()
+    assert len(meta_lines) == 1
+    meta = _json.loads(meta_lines[0])
+    assert meta["line_count"] == n_changed
+    assert meta["from_watermark"] == "2025-05-17"
+    assert meta["to_watermark"] == "2025-05-21"
+
+    # second run: watermark is now past every updated_date -> nothing
+    # ships, no file, watermark does not advance
+    r2 = export_changed_rows(
+        batch, updated_col="updated_date", state_dir=state, now="2025-05-22"
+    )
+    assert r2.shipped == 0 and r2.file_name is None
+    assert _json.load(open(f"{state}/watermark.json"))["watermark"] == "2025-05-21"
+    assert len(open(f"{state}/export_metadata.jsonl").read().splitlines()) == 1
+
+    # safety cap: a fresh state dir + tiny cap refuses, override ships
+    state2 = str(tmp_path / "feed_state2")
+    with _pytest.raises(FeedSafetyError):
+        export_changed_rows(
+            batch, updated_col="updated_date", state_dir=state2,
+            now="2025-05-21", safety_cap=1,
+        )
+    r3 = export_changed_rows(
+        batch, updated_col="updated_date", state_dir=state2,
+        now="2025-05-21", safety_cap=1, override=True,
+    )
+    assert r3.shipped == n_changed
