@@ -525,3 +525,481 @@ def create_sql_udfs(spark: SparkSession) -> None:
     for ddl in _ALL:
         spark.sql(ddl)
     _INSTALLED.add(spark)
+
+
+# --------------------------------------------------------------------------
+# Award grammar + verdict layer (the reference's SCORING half)
+# --------------------------------------------------------------------------
+# AwardNormKey.sql has two halves: the deposited-side normalizer
+# (award_family_key above) and the SCORING pipeline (l.227-330): a
+# per-funder GRAMMAR recognizer (grammar_pass, l.229-281), a registry
+# join counting how many registry awards a normalized key hits
+# (n_awards), and the verdict CASE (l.287-326): unscored /
+# confirmed_weak / confirmed / confirmed_ambiguous / plausible /
+# foreign_scheme / garbage.  The grammar rules below are that table
+# re-keyed by family name and re-derived lookaround-free (boolean
+# boundary devices '(^|[^0-9])...([^0-9]|$)'; the DOE lookahead strip
+# and the GACR backreference are rewritten as CASE/alternation), and
+# COMPILED FOR BOTH DIALECTS from this one table — the same
+# dual-compilation discipline as typerules.py — so the Spark UDF and
+# the DuckDB oracle can never drift apart structurally.
+#
+# Subjects available to rules (spark_expr, duck_expr):
+_GRAM_SUBJECTS: dict[str, tuple[str, str]] = {
+    # the normalized award string
+    "n": ("award_norm0(award)", "_n"),
+    # space-squashed
+    "nsp": (
+        "regexp_replace(award_norm0(award), ' ', '')",
+        "regexp_replace(_n, ' ', '', 'g')",
+    ),
+    # [ -]-squashed
+    "nhs": (
+        "regexp_replace(award_norm0(award), '[ -]', '')",
+        "regexp_replace(_n, '[ -]', '', 'g')",
+    ),
+    # [-_ ]-squashed
+    "nus": (
+        "regexp_replace(award_norm0(award), '[-_ ]', '')",
+        "regexp_replace(_n, '[-_ ]', '', 'g')",
+    ),
+    # [+ /-]-squashed (bmbf)
+    "nplus": (
+        "regexp_replace(award_norm0(award), '[+ /-]', '')",
+        "regexp_replace(_n, '[+ /-]', '', 'g')",
+    ),
+    # [ _/.-]-squashed (UKRI councils)
+    "ndot": (
+        "regexp_replace(award_norm0(award), '[ _/.-]', '')",
+        "regexp_replace(_n, '[ _/.-]', '', 'g')",
+    ),
+    # MOST/NSC/NSTC prefix stripped then [ -]-squashed
+    "tw": (
+        "regexp_replace(regexp_replace(award_norm0(award), '^(MOST|NSC|NSTC)[ -]*', ''), '[ -]', '')",
+        "regexp_replace(regexp_replace(_n, '^(MOST|NSC|NSTC)[ -]*', ''), '[ -]', '', 'g')",
+    ),
+    # VR/DNR prefix stripped
+    "vrs": (
+        "regexp_replace(award_norm0(award), '^(VR|DNR|GRANT)[ .:#-]*', '')",
+        "regexp_replace(_n, '^(VR|DNR|GRANT)[ .:#-]*', '')",
+    ),
+    # NO/GRANT prefix stripped then space-squashed (hunan/zhejiang)
+    "nog": (
+        "regexp_replace(regexp_replace(award_norm0(award), '^(NO|GRANT)[ .:#-]*', ''), ' ', '')",
+        "regexp_replace(regexp_replace(_n, '^(NO|GRANT)[ .:#-]*', ''), ' ', '', 'g')",
+    ),
+    # GACR label stack stripped then space-squashed
+    "gacrs": (
+        "regexp_replace(regexp_replace(award_norm0(award), '^((EXPRO|GA ?CR|GACR|CSF|GRANT|NO)[ .:#-]+)+', ''), ' ', '')",
+        "regexp_replace(regexp_replace(_n, '^((EXPRO|GA ?CR|GACR|CSF|GRANT|NO)[ .:#-]+)+', ''), ' ', '', 'g')",
+    ),
+    # MRC-style council prefix stripped then [ _/.-]-squashed
+    "mrcs": (
+        "regexp_replace(regexp_replace(award_norm0(award), '^(MRC|UKRI|GRANT|NO)[ .:#-]*', ''), '[ _/.-]', '')",
+        "regexp_replace(regexp_replace(_n, '^(MRC|UKRI|GRANT|NO)[ .:#-]*', ''), '[ _/.-]', '', 'g')",
+    ),
+    "bbsrcs": (
+        "regexp_replace(regexp_replace(award_norm0(award), '^(BBSRC|UKRI|GRANT|NO)[ .:#-]*', ''), '[ _/.-]', '')",
+        "regexp_replace(regexp_replace(_n, '^(BBSRC|UKRI|GRANT|NO)[ .:#-]*', ''), '[ _/.-]', '', 'g')",
+    ),
+    "nercs": (
+        "regexp_replace(regexp_replace(award_norm0(award), '^(NERC|UKRI|GRANT|NO)[ .:#-]*', ''), '[ _/.-]', '')",
+        "regexp_replace(regexp_replace(_n, '^(NERC|UKRI|GRANT|NO)[ .:#-]*', ''), '[ _/.-]', '', 'g')",
+    ),
+    "stfcs": (
+        "regexp_replace(regexp_replace(award_norm0(award), '^(STFC|UKRI|GRANT|NO)[ .:#-]*', ''), '[ _/.-]', '')",
+        "regexp_replace(regexp_replace(_n, '^(STFC|UKRI|GRANT|NO)[ .:#-]*', ''), '[ _/.-]', '', 'g')",
+    ),
+    "esrcs": (
+        "regexp_replace(regexp_replace(award_norm0(award), '^(ESRC|GRANT|NO)[ .:#-]*', ''), '[ _/.-]', '')",
+        "regexp_replace(regexp_replace(_n, '^(ESRC|GRANT|NO)[ .:#-]*', ''), '[ _/.-]', '', 'g')",
+    ),
+    "ahrcs": (
+        "regexp_replace(regexp_replace(award_norm0(award), '^(AHRC|GRANT|NO)[ .:#-]*', ''), '[ _/.-]', '')",
+        "regexp_replace(regexp_replace(_n, '^(AHRC|GRANT|NO)[ .:#-]*', ''), '[ _/.-]', '', 'g')",
+    ),
+    # NIHR prefix stripped then space-squashed
+    "nihrs": (
+        "regexp_replace(regexp_replace(award_norm0(award), 'NIHR[- ]', ''), ' ', '')",
+        "regexp_replace(regexp_replace(_n, 'NIHR[- ]', ''), ' ', '', 'g')",
+    ),
+    # DOE: [ -]-squash then strip the DE prefix only when an office code
+    # follows (the reference's lookahead '^DE(?=[A-Z]{2}[0-9])' as CASE)
+    "does": (
+        "CASE WHEN regexp_replace(award_norm0(award), '[ -]', '') rlike '^DE[A-Z]{2}[0-9]' "
+        "THEN substr(regexp_replace(award_norm0(award), '[ -]', ''), 3) "
+        "ELSE regexp_replace(award_norm0(award), '[ -]', '') END",
+        "CASE WHEN regexp_matches(regexp_replace(_n, '[ -]', '', 'g'), '^DE[A-Z]{2}[0-9]') "
+        "THEN substr(regexp_replace(_n, '[ -]', '', 'g'), 3) "
+        "ELSE regexp_replace(_n, '[ -]', '', 'g') END",
+    ),
+}
+
+# The DoD breast/prostate/ovarian-cancer program award form shared by
+# the CDMRP-administered funders.
+_CDMRP_PROG = (
+    r"^(BC|PC|OC|KC|NF|PR|CA|AL|AR|DM|GW|MB|MS|TS|VR|PT|RA|SC|EP|LC|RH|IS|CO)"
+    r"[0-9]{6}(P[0-9])?$"
+)
+_DOD_CONTRACT = r"^(W81XWH|DAMD[0-9]{2}|HT[0-9]{4})[0-9]{2}[A-Z0-9]{3,9}$"
+
+# family -> rule(rx, OR, AND, NOT) -> boolean SQL text.
+_GRAMMAR_RULES = {
+    "nsfc": lambda rx, OR, AND, NOT: OR(
+        rx("n", r"(^|[^0-9])[0-9]{8}([^0-9]|$)"),
+        rx("n", r"(^|[^A-Z0-9])U[0-9]{7}([^0-9]|$)"),
+        rx("nsp", r"(^|[^0-9])[0-9]{8}([^0-9]|$)"),
+        rx("n", r"^8[0-9]{10}$"),
+    ),
+    "nih": lambda rx, OR, AND, NOT: OR(
+        rx("n", r"[A-Z][0-9]{2} ?-?[A-Z]{2} ?-?[0-9]{5,6}"),
+        rx("n", r"^[A-Z]{2} ?-?[0-9]{5,6}"),
+    ),
+    "nsf": lambda rx, OR, AND, NOT: OR(
+        rx("n", r"^([A-Z]{2,5}[ -]?)?[0-9]{7}$"),
+        rx("n", r"^[A-Z]{2,5}[ -]?[0-9]{2}[ -][0-9]{5}$"),
+    ),
+    "kakenhi": lambda rx, OR, AND, NOT: OR(
+        rx("n", r"^(KAKENHI|JP|NO[.]?|GRANT)?[ -]*([0-9]{2}[A-Z][0-9]{5}|[0-9]{8})$"),
+        rx("nsp", r"^(KAKENHI|JP|NO[.]?|GRANT)?([0-9]{2}[A-Z][0-9]{5}|[0-9]{8})$"),
+    ),
+    "dfg": lambda rx, OR, AND, NOT: OR(
+        rx("n", r"^(SFB|TRR|CRC|EXC|GRK|RTG|FOR|SPP|INST|NFDI|KFO|FZT) ?/?-?[0-9]+"),
+        rx("n", r"^(DFG[ -])?[A-Z]{1,4} ?[0-9]{2,4}(/[0-9]+)?(-[0-9]+)?( .*)?$"),
+        rx("n", r"(^|[^0-9])[0-9]{9}([^0-9]|$)"),
+    ),
+    "most_tw": lambda rx, OR, AND, NOT: OR(
+        rx("tw", r"^[0-9]{6,7}[A-Z][0-9]{6}(MY[0-9])?E?[0-9]?$"),
+        rx("n", r"^(MOST|NSC|NSTC)?[ -]*[0-9]{2,3}[ -]+[0-9]{4}[ -]+[A-Z0-9][ -]+[A-Z0-9]{3,4}[ -]+[0-9]{3}([ -]+MY[0-9])?([ -]+[A-Z0-9]{1,3})?[ -]*$"),
+    ),
+    "fapesp": lambda rx, OR, AND, NOT: rx(
+        "n", r"(^|[^0-9])[0-9]{2,4}/[0-9]{4,5}-[0-9]([^0-9]|$)"
+    ),
+    "fct": lambda rx, OR, AND, NOT: AND(
+        rx("n", r"^[A-Z0-9 ./-]+$"),
+        OR(rx("n", r"/"), rx("n", r"^[0-9]{4}[.][0-9]{5}[.]")),
+    ),
+    "ec": lambda rx, OR, AND, NOT: OR(
+        rx("n", "^(GA ?N?°? ?)?[0-9]{6}$"),
+        rx("n", r"^101[0-9]{6}$"),
+        rx("n", r"-CT-[0-9]{4}-"),
+        rx("n", "(FP[567]|H2020|HORIZON|MSCA|ERC|GA) ?N?°? ?-?[0-9]{6}"),
+    ),
+    "nserc": lambda rx, OR, AND, NOT: OR(
+        rx("n", r"^[A-Z]{3,7}[ /-]?[0-9]{4}[ -]?[0-9]{4,6}$"),
+        rx("n", r"^[A-Z]{3,7}[ -]?[0-9]{4,6}([ -]{1,3}[0-9]{2,4})?$"),
+        rx("n", r"^[0-9]{5,6}([ -]?[0-9]{2,4})?$"),
+    ),
+    "anr": lambda rx, OR, AND, NOT: rx(
+        "nsp", r"(ANR[-_]?)?[0-9]{2}[-_]?[A-Z0-9]{2,6}[-_][0-9]{1,4}"
+    ),
+    "snsf": lambda rx, OR, AND, NOT: OR(
+        rx("n", r"^[0-9A-Z]{0,8}[_-]?[0-9]{4,6}$"), rx("n", r"^[0-9]{12}$")
+    ),
+    "wellcome": lambda rx, OR, AND, NOT: rx(
+        "n", r"^[0-9]{5,6}([/_ ][A-Z][/_ ][0-9]{2}[/_ ][A-Z])?$"
+    ),
+    "epsrc": lambda rx, OR, AND, NOT: OR(
+        rx("nsp", r"^EP/[A-Z0-9]{6,7}(/[0-9])?$"), rx("n", r"^[0-9]{7}$")
+    ),
+    "nstc_tw": lambda rx, OR, AND, NOT: OR(
+        rx("tw", r"^[0-9]{6,7}[A-Z][0-9]{6}(MY[0-9])?E?[0-9]?$"),
+        rx("n", r"^(MOST|NSC|NSTC)?[ -]*[0-9]{2,3}[ -]+[0-9]{4}[ -]+[A-Z0-9][ -]+[A-Z0-9]{3,4}[ -]+[0-9]{3}([ -]+MY[0-9])?([ -]+[A-Z0-9]{1,3})?[ -]*$"),
+    ),
+    "cihr": lambda rx, OR, AND, NOT: rx(
+        "n", r"^#? ?(950[- ])?([A-Z]{2,4}[0-9]?[- ]?)?[0-9]{4,6}([-_][0-9]+)?$"
+    ),
+    "aha": lambda rx, OR, AND, NOT: OR(
+        rx("nsp", r"^[0-9]{2}[A-Z]{2,10}[0-9]{4,9}$"), rx("n", r"^[0-9]{6,9}$")
+    ),
+    "capes": lambda rx, OR, AND, NOT: OR(
+        rx("nsp", r"^(8888[0-9]|99999)[.][0-9]{6}/[0-9]{4}-[0-9]{2}$"),
+        rx("nsp", r"^(BEX|PDSE|PNPD|PROEX|DS|AUX)-?[0-9]{3,7}([-/.][0-9]{1,4}){0,3}$"),
+        rx("n", r"^[0-9]{1,4}/(19|20)[0-9]{2}$"),
+    ),
+    "ncn": lambda rx, OR, AND, NOT: OR(
+        rx("nsp", r"^(UMO-?|DEC-?)?20[0-9]{2}/[0-9]{2}/[A-Z]{1,2}/[A-Z]{2,3}[0-9]{1,2}/[0-9]{5}$"),
+        rx("n", r"^N ?N[A-Z]?[0-9]{3} ?[0-9]{6}$"),
+    ),
+    "doe": lambda rx, OR, AND, NOT: rx(
+        "does",
+        r"^((SC|EE|FE|AR|NE|NA|EM|OE|IA|PI|BI|CF|ET|SF|HS|DP|EW)[0-9]{7}|(FG|FC|AC|AI|GO|PS|EV|ER|AA)[0-9]{4}[A-Z]{1,2}[0-9]{4,6})$",
+    ),
+    "shandong": lambda rx, OR, AND, NOT: rx(
+        "nhs", r"^(ZR(19|20)[0-9]{2}[A-Z]{1,3}[0-9]{2,4}|[0-9]{4}ZR[A-Z][0-9A-Z]{5})$"
+    ),
+    "bmbf": lambda rx, OR, AND, NOT: OR(
+        AND(rx("nplus", r"^[0-9]{2}[0-9A-Z]{5,10}$"), rx("nplus", r"[A-Z]")),
+        rx("nplus", r"^[A-Z][0-9]{6}[A-Z0-9]{0,2}$"),
+    ),
+    "fwf": lambda rx, OR, AND, NOT: rx(
+        "nsp",
+        r"^(10[.]55776/|HTTPS?://(DX[.])?DOI[.]ORG/10[.]55776/)?[A-Z]{1,3}[0-9]{3,7}(-[A-Z][0-9]{1,3})?$",
+    ),
+    "isciii": lambda rx, OR, AND, NOT: rx(
+        "nsp", r"^[A-Z]{2,4}[0-9]{2}(CIII)?[/-][0-9]{1,5}$"
+    ),
+    "aei": lambda rx, OR, AND, NOT: rx(
+        "nsp",
+        r"^(PID|PGC|RYC|RTI|CEX|TED|SEV|BES|FPU|FJC|IJC|CNS|EUR|EQC|PLEC|PDC)[0-9]{4}-[0-9]{5,6}([A-Z0-9/-]{0,12})?$",
+    ),
+    "vr": lambda rx, OR, AND, NOT: rx("vrs", r"^(19|20)[0-9]{2}[- ][0-9]{4,5}$"),
+    "nasa": lambda rx, OR, AND, NOT: OR(
+        rx("nhs", r"^80NSSC[0-9]{2}[KM][0-9]{4}$"),
+        rx("nhs", r"^NNX[0-9]{2}[A-Z]{2}[0-9]{2,3}[A-Z]?$"),
+        rx("nhs", r"^(NAG|NAGW|NCC|NGT|NAS|NNG|NNH|NNJ)[0-9]{0,2}[A-Z]?[0-9]{3,6}[A-Z]{0,3}$"),
+    ),
+    "amed": lambda rx, OR, AND, NOT: rx(
+        "n", r"^(JP)?[0-9]{2}[A-Z]{2}[0-9]{7}(H[0-9]{4})?$"
+    ),
+    "dhhs": lambda rx, OR, AND, NOT: OR(
+        AND(
+            rx("nhs", r"^([A-Z][A-Z0-9]{4}[0-9]{6}|[0-9]{2}[A-Z][A-Z0-9][0-9]{4,5})$"),
+            NOT(rx("nhs", r"^[A-Z][0-9]{2}[A-Z]{2}[0-9]{5,6}$")),
+        ),
+        rx("nhs", r"^(75[A-Z0-9]{9,13}|HHSN[A-Z0-9]{9,15})$"),
+    ),
+    "nhmrc": lambda rx, OR, AND, NOT: OR(
+        rx("nsp", r"^(ID|NHMRC)?[.:#-]*(APP|GNT)?[0-9]{6,7}$"),
+        rx("n", r"(^|[^A-Z0-9])(APP|GNT) ?-?[0-9]{6,7}([^0-9]|$)"),
+    ),
+    # The reference's '([/-])\\d{2}\\2' backreference (same separator on
+    # both sides) is RE2-incompatible; split into the two literal forms.
+    "gacr": lambda rx, OR, AND, NOT: OR(
+        rx("gacrs", r"^(G[A-Z])?[0-9]{2}-[0-9]{5}[A-Z]$"),
+        rx("gacrs", r"^(G[A-Z])?P?[0-9]{3}/[0-9]{2}/[A-Z]?[0-9]{3,4}$"),
+        rx("gacrs", r"^(G[A-Z])?P?[0-9]{3}-[0-9]{2}-[A-Z]?[0-9]{3,4}$"),
+        rx("nsp", r"(^|[^0-9A-Z-])[0-9]{2}-[0-9]{5}[A-Z]([^0-9A-Z]|$)"),
+    ),
+    "hunan": lambda rx, OR, AND, NOT: rx(
+        "nog", r"^((19|20)[0-9]{2}|[0-9]{2})(JJ|JC|TP|RS|SK|NK|JK)[0-9]{4,5}$"
+    ),
+    "zhejiang": lambda rx, OR, AND, NOT: OR(
+        rx("nog", r"^L?[A-Z]{0,4}[0-9]{2}[A-Z][0-9]{6}$"),
+        rx("nsp", r"^Y[0-9]{7,9}$"),
+        rx("nsp", r"^(19|20)[0-9]{2}C[0-9]{5}$"),
+    ),
+    "mrc": lambda rx, OR, AND, NOT: OR(
+        rx("mrcs", r"^MR[A-Z0-9]{6,7}[0-9]{0,2}$"),
+        rx("ndot", r"^MC(UU|PC|EX|U|G|W)[A-Z0-9]{4,12}$"),
+        rx("ndot", r"^G[0-9]{6,7}$"),
+        rx("n", r"^[0-9]{7}$"),
+        rx("n", r"(^|[^A-Z0-9])MR/ ?[A-Z0-9]{6,7}(/[0-9]{1,2})?([^A-Z0-9]|$)"),
+    ),
+    "bbsrc": lambda rx, OR, AND, NOT: OR(
+        rx("bbsrcs", r"^BB[A-Z0-9]{6,7}[0-9]{0,2}$"),
+        rx("ndot", r"^BBS[A-Z]{1,3}[A-Z0-9]{7,9}$"),
+        rx("n", r"^[0-9]{7}$"),
+        rx("n", r"(^|[^A-Z0-9])BBS?/ ?[A-Z0-9/]{6,14}([^A-Z0-9]|$)"),
+    ),
+    "nerc": lambda rx, OR, AND, NOT: OR(
+        rx("nercs", r"^NE[A-Z0-9]{6,7}[0-9]{0,2}$"),
+        rx("n", r"^[0-9]{7}$"),
+        rx("n", r"(^|[^A-Z0-9])NE/ ?[A-Z0-9]{6,7}(/[0-9]{1,2})?([^A-Z0-9]|$)"),
+    ),
+    "stfc": lambda rx, OR, AND, NOT: OR(
+        rx("stfcs", r"^(ST|PP)[A-Z0-9]{6,7}[0-9]{0,2}$"),
+        rx("n", r"^[0-9]{7}$"),
+        rx("n", r"(^|[^A-Z0-9])(ST|PP)/ ?[A-Z0-9/]{6,9}(/[0-9]{1,2})?([^A-Z0-9]|$)"),
+    ),
+    "esrc": lambda rx, OR, AND, NOT: OR(
+        rx("esrcs", r"^ES[A-Z0-9]{6,7}[0-9]{0,2}$"),
+        rx("ndot", r"^(RES|PTA)[0-9]{9,12}$"),
+        rx("ndot", r"^UKRI[0-9]{3,4}$"),
+        rx("n", r"^[0-9]{7}$"),
+        rx("n", r"(^|[^A-Z0-9])ES/ ?[A-Z0-9]{6,7}(/[0-9]{1,2})?([^A-Z0-9]|$)"),
+    ),
+    "ahrc": lambda rx, OR, AND, NOT: OR(
+        rx("ahrcs", r"^AH[A-Z0-9]{6,7}[0-9]{0,2}$"),
+        rx("ndot", r"^UKRI[0-9]{3,4}$"),
+        rx("n", r"^[0-9]{7}$"),
+        rx("n", r"(^|[^A-Z0-9])AH/ ?[A-Z0-9]{6,7}(/[0-9]{1,2})?([^A-Z0-9]|$)"),
+    ),
+    # ukri is this repo's combined-council family (award_family_key folds
+    # the councils the reference keys per-funder): accept any council path.
+    "ukri": lambda rx, OR, AND, NOT: OR(
+        rx("n", r"(^|[^A-Z0-9])(EP|BBS|BB|NE|ES|AH|MR|ST|PP)/ ?[A-Z0-9]{6,7}(/[0-9]{1,2})?([^A-Z0-9]|$)"),
+        rx("n", r"^[0-9]{7}$"),
+    ),
+    "innovate_uk": lambda rx, OR, AND, NOT: rx(
+        "nsp", r"^(PROJECT|GRANT|APP|NO)?[.:#-]*([0-9]{5,8}|KTP[0-9]{6})$"
+    ),
+    "nihr": lambda rx, OR, AND, NOT: OR(
+        rx("nsp", r"^NIHR[0-9]{4,6}$"),
+        AND(
+            rx("nihrs", r"^([A-Z]{2,6})?[0-9]{2}/[0-9]{2,4}/[0-9]{2,4}$"),
+            NOT(rx("nihrs", r"^[0-9]{2}/(0[1-9]|1[0-2])/[0-9]{2,4}$")),
+        ),
+        AND(
+            rx("nihrs", r"^[A-Z][A-Z0-9]{0,5}(-[A-Z0-9]{1,6}){1,5}$"),
+            NOT(rx("nsp", r"^(H2020|HORIZON|ORCID|DOI|ISBN)")),
+            rx("n", r"[0-9]{4}"),
+        ),
+        rx("nsp", r"^[A-Z]{2,6}[0-9]{2,4}-[0-9]{2,4}$"),
+    ),
+    "dod": lambda rx, OR, AND, NOT: OR(
+        AND(
+            rx("nus", r"^[A-Z][A-Z0-9]{5}[0-9]{2}[A-Z0-9]{3,11}$"),
+            NOT(rx("nus", r"^(GRANT|AWARD|CONTRACT|PROJECT|DODWID|H2020|HORIZON)")),
+            NOT(rx("nus", r"^[A-Z]{2}[0-9]{9}$")),
+            NOT(rx("nus", r"^[0-9]?[A-Z][0-9]{2}[A-Z]{2}[0-9]{5,6}$")),
+        ),
+        rx("nus", _CDMRP_PROG),
+        rx("nhs", r"^(RC|ER|WP|MR)[0-9]{4}$"),
+    ),
+    "cdmrp": lambda rx, OR, AND, NOT: OR(
+        rx("nhs", r"(^|[^A-Z0-9])(W81XWH|DAMD[0-9]{2}|HT[0-9]{4}|CDMRPL)[0-9]{2}[A-Z0-9]{3,11}([^A-Z0-9]|$)"),
+        rx("nus", _CDMRP_PROG),
+    ),
+    "aro": lambda rx, OR, AND, NOT: rx("nus", r"^W911NF[0-9]{2}[A-Z0-9]{3,9}$"),
+    "onr": lambda rx, OR, AND, NOT: rx("nus", r"^N[0-9]{7}[A-Z0-9]{3,9}$"),
+    "afosr": lambda rx, OR, AND, NOT: rx(
+        "nus", r"^(FA9550|F49620|FA[0-9]{4})[0-9]{2}[A-Z0-9]{3,9}$"
+    ),
+    "darpa": lambda rx, OR, AND, NOT: rx(
+        "nus", r"^(HR0011|D[0-9]{2}A[CP]|N66001|W31P4Q|FA86[0-9]{2}|FA87[0-9]{2})[0-9A-Z]{5,12}$"
+    ),
+    "dtra": lambda rx, OR, AND, NOT: rx("nus", r"^HDTRA[0-9]{3}[A-Z0-9]{3,9}$"),
+    "usamrmc": lambda rx, OR, AND, NOT: OR(
+        rx("nus", _DOD_CONTRACT), rx("nus", _CDMRP_PROG)
+    ),
+    "usamrdc": lambda rx, OR, AND, NOT: OR(
+        rx("nus", _DOD_CONTRACT), rx("nus", _CDMRP_PROG)
+    ),
+    "usamraa": lambda rx, OR, AND, NOT: OR(
+        rx("nus", _DOD_CONTRACT), rx("nus", _CDMRP_PROG)
+    ),
+}
+
+# T-weak surface forms (reference l.291: checked FIRST — a bare number
+# is weak evidence regardless of how many registry awards it hits).
+_WEAK_SURFACE = {
+    "cihr": r"^[0-9]{4,6}$",
+    "wellcome": r"^[0-9]{5,6}$",
+    "snsf": r"^[0-9]{4,6}$",
+    "ec": r"^[0-9]{6}$",
+    "nsf": r"^[0-9]{7}$",
+    "nserc": r"^[0-9]{4,6}$",
+}
+
+# Foreign-scheme keep-list (reference l.300-326): a recognizable grant
+# id of a funder OUTSIDE the scored set never scores as garbage.  The
+# two lookaround arms are re-derived: the digit-boundary search uses
+# the consuming device; the negative-lookahead arm ('starts with 0,
+# 8 alnum + 2 digits, contains a letter' exclusion) is decomposed into
+# AND/NOT conjuncts.
+_FOREIGN_PLAIN = [
+    ("n", r"^(MR|BB|EP|NE|ES|AH|ST|EY|G)[0-9]{0,2}/[A-Z0-9]{6,8}/[0-9]{1,2}$"),
+    ("n", r"^(PID|PGC|RYC|RTI|CEX|TED|SEV|BES|FPU|FJC|IJC|MAT|FIS|CTQ|SAF|BFU|AGL|ECO|DPI|TIN|FFI|HAR)[0-9]{4}-[0-9A-Z-]{3,}$"),
+    ("n", r"^(PRIN|PNRR|FIRB|FISR|PON|POR)[ :-]?[0-9A-Z]{2,}$"),
+    ("n", r"^CUP[ :]?[A-Z][0-9][0-9A-Z]{8,13}$"),
+    ("n", r"^(RVO|MSM|LO|LM|LQ|GA|GX|GJ)[.:]? ?[0-9]{2,8}([./-][0-9A-Z]+)?$"),
+    ("n", r"^(POWR|POIR|POPC|POPW|RPMA)[.][0-9.]{2,12}[/-][0-9A-Z-]{2,}$"),
+    ("n", r"^(ANID|FONDECYT|FONDAP|PIA|ACT|ICN)[ /-]?[0-9]{4,8}$"),
+    ("n", r"^2[0-9]{3}[A-Z]{2,8}[0-9]{3,8}$"),
+    ("n", r"^(INST )?[A-Z]{1,4}[- ]?[0-9]{2,4}/[0-9]{1,3}(-[0-9]{1,2})?( FUGG)?$"),
+    ("n", r"^[0-9]{2}(JJ|ZR|DZ|JC|SF|SK|YF)[0-9]{4,7}$"),
+    ("n", r"^[A-Z]{2,5}-[0-9]{7}$"),
+    ("n", r"^[0-9]{6}[A-Z]?_[0-9]{6}(/[0-9])?$"),
+    ("n", r"^EFOP-[0-9][.][0-9][.][0-9]-[0-9]{2}-20[0-9]{2}-[0-9]{5}$"),
+    ("n", r"^YXJL-20[0-9]{2}-[0-9]{4}-[0-9]{4}$"),
+    ("n", r"^[0-9]{2,3}-EPA-[A-Z0-9-]{5,12}$"),
+    ("n", r"^(HTTPS?://(DX[.])?DOI[.]ORG/)?10[.]35802/[0-9]{5,6}$"),
+    ("n", r"(^|[^0-9])[0-9]{6}/[0-9]{2,4}-[0-9]([^0-9]|$)"),
+    ("n", r"^(ECS|IR|CN|PE|SOE)0{3,6}[0-9]{2,5}$"),
+    ("n", r"^(DE[- ]?)?A[CR][0-9]{2}[- ]{0,2}[0-9]{2}[- ]{0,2}[A-Z]{2,3} ?[0-9]{4,6}$"),
+    ("n", r"^W[- ]?[0-9]{2,4}([- ]?[0-9]{1,3})?[- ]?ENG[- ]?[0-9]{2}$"),
+    ("n", r"^W81XWH[- ]?[0-9]{2}[- ]?[0-9][- ]?[0-9]{4}$"),
+    ("n", r"^#? ?[0-9]{2}[A-Z0-9]{6,14}(CNA|NA)[0-9]{6}$"),
+    ("n", r"^#? ?HHSN[0-9]{9,12}[A-Z]?$"),
+    ("n", r"^[A-Z]{3,8}[0-9]{0,2}[- ]?CT[- ]?[0-9]{2}[- ]?[0-9]{4}$"),
+]
+
+
+def _compile(dialect: int):
+    """Term renderers for the given dialect column (0=Spark, 1=DuckDB)."""
+
+    def rx(subj: str, pat: str) -> str:
+        s = _GRAM_SUBJECTS[subj][dialect]
+        if dialect == 0:
+            return f"({s}) rlike '{pat}'" if s.startswith("CASE") else f"{s} rlike '{pat}'"
+        return f"regexp_matches({s}, '{pat}')"
+
+    def OR(*xs: str) -> str:
+        return "(" + " OR ".join(xs) + ")"
+
+    def AND(*xs: str) -> str:
+        return "(" + " AND ".join(xs) + ")"
+
+    def NOT(x: str) -> str:
+        return f"(NOT {x})"
+
+    return rx, OR, AND, NOT
+
+
+def compile_grammar_case(dialect: int) -> str:
+    """The full grammar_pass CASE for one dialect (keyed by family)."""
+    rx, OR, AND, NOT = _compile(dialect)
+    branches = "\n".join(
+        f"  WHEN family = '{fam}' THEN {rule(rx, OR, AND, NOT)}"
+        for fam, rule in _GRAMMAR_RULES.items()
+    )
+    return "CASE\n" + branches + "\n  ELSE FALSE\nEND"
+
+
+def compile_foreign_scheme(dialect: int) -> str:
+    """The foreign-scheme keep-list as one boolean expression."""
+    rx, OR, AND, NOT = _compile(dialect)
+    arms = [rx(s, p) for s, p in _FOREIGN_PLAIN]
+    # The negative-lookahead arm, decomposed (see comment above).
+    arms.append(
+        AND(
+            rx("n", r"^[0-9]{2}[A-Z0-9]{2,4}[0-9]{3,4}[A-Z]{0,3}$"),
+            rx("n", r"^[0-9]{2}[A-Z0-9]*[A-Z]"),
+            NOT(AND(rx("n", r"^0[A-Z0-9]{6}[0-9]{2}$"), rx("n", r"[A-Z]"))),
+        )
+    )
+    return OR(*arms)
+
+
+def compile_weak_surface(dialect: int) -> str:
+    """Boolean: family's weak bare-number surface form."""
+    rx, OR, AND, NOT = _compile(dialect)
+    return OR(
+        *[AND(f"family = '{fam}'", rx("n", pat)) for fam, pat in _WEAK_SURFACE.items()]
+    )
+
+
+_AWARD_GRAMMAR = (
+    "CREATE OR REPLACE TEMPORARY FUNCTION award_grammar_pass(\n"
+    "  family STRING, award STRING)\n"
+    "RETURNS BOOLEAN\n"
+    "RETURN " + compile_grammar_case(0)
+)
+
+# The verdict tiers (reference l.287-326), family-keyed: the caller
+# supplies n_awards (how many registry awards the normalized key hits)
+# — the registry itself is data, not engine capability.
+_AWARD_VERDICT = (
+    "CREATE OR REPLACE TEMPORARY FUNCTION award_verdict(\n"
+    "  family STRING, award STRING, n_awards BIGINT)\n"
+    "RETURNS STRING\n"
+    "RETURN CASE\n"
+    "  WHEN award IS NULL OR trim(award) = '' THEN 'garbage'\n"
+    + "  WHEN family NOT IN ("
+    + ", ".join(f"'{f}'" for f in _GRAMMAR_RULES)
+    + ") THEN 'unscored'\n"
+    + "  WHEN n_awards >= 1 AND (" + compile_weak_surface(0) + ") THEN 'confirmed_weak'\n"
+    "  WHEN n_awards = 1 THEN 'confirmed'\n"
+    "  WHEN n_awards > 1 THEN 'confirmed_ambiguous'\n"
+    "  WHEN award_grammar_pass(family, award) THEN 'plausible'\n"
+    "  WHEN award_family_key(family, award) IS NOT NULL THEN 'plausible'\n"
+    "  WHEN " + compile_foreign_scheme(0) + " THEN 'foreign_scheme'\n"
+    "  ELSE 'garbage'\n"
+    "END"
+)
+
+
+# Registered here (after their definitions) — create_sql_udfs iterates
+# _ALL at call time, so extending it below the base tuple is safe.
+_ALL = _ALL + (_AWARD_GRAMMAR, _AWARD_VERDICT)

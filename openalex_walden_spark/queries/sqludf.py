@@ -770,3 +770,117 @@ def udf_award_family_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY family, length(k)
         ORDER BY family, key_len
     """)
+
+
+# ---------------------------------------------------------------------------
+# Award SCORING battery: grammar recognizers + registry tiers -> verdict
+# ---------------------------------------------------------------------------
+# The scoring half of AwardNormKey.sql (l.227-330): per-funder grammar
+# recognizers and the verdict CASE (unscored / confirmed_weak /
+# confirmed / confirmed_ambiguous / plausible / foreign_scheme /
+# garbage).  Both dialects compile from the SAME rule table in
+# functions/sql_udfs.py (the typerules.py dual-compilation discipline),
+# so this battery hash-checks that 51 grammar branches + the weak-
+# surface list + the 25-arm foreign-scheme keep-list agree verbatim
+# across Java regex and RE2.  The fixture reuses the 54-family raw
+# generator and injects foreign-scheme and junk strings plus bare-digit
+# weak forms on deterministic orderkey lattices; n_awards (registry
+# hits of the key) is a synthetic 0/1/2 lattice — the registry itself
+# is data, not engine capability.
+from openalex_walden_spark.functions.sql_udfs import (  # noqa: E402
+    _GRAMMAR_RULES,
+    compile_foreign_scheme,
+    compile_grammar_case,
+    compile_weak_surface,
+)
+
+_WEAK_FAMS = "('cihr', 'wellcome', 'snsf', 'ec', 'nsf', 'nserc')"
+
+
+def _verdict_raw(award_expr: str) -> str:
+    """The battery's award column: the family fixture format, with
+    foreign-scheme / junk / bare-digit injections on o_orderkey
+    lattices (dialect-neutral SQL, CAST form substituted)."""
+    return f"""CASE
+      WHEN o_orderkey % 13 = 3 AND ({{fam}}) IN {_WEAK_FAMS}
+        THEN lpad(CAST(o_orderkey % 100000 AS {{str_t}}), 6, '0')
+      WHEN o_orderkey % 13 = 7 THEN 'PRIN 2017ABC123'
+      WHEN o_orderkey % 13 = 11 THEN 'SEE PAGE 12'
+      ELSE {award_expr}
+    END"""
+
+
+_N_AWARDS = """CASE CAST(o_orderkey % 5 AS INT)
+  WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 1 END"""
+
+_SCORED_SET = ", ".join(f"'{f}'" for f in _GRAMMAR_RULES)
+
+_VERDICT_DUCK = f"""CASE
+  WHEN award IS NULL OR trim(award) = '' THEN 'garbage'
+  WHEN family NOT IN ({_SCORED_SET}) THEN 'unscored'
+  WHEN n_awards >= 1 AND ({compile_weak_surface(1)}) THEN 'confirmed_weak'
+  WHEN n_awards = 1 THEN 'confirmed'
+  WHEN n_awards > 1 THEN 'confirmed_ambiguous'
+  WHEN ({compile_grammar_case(1)}) THEN 'plausible'
+  WHEN ({_FAMILY_KEY_DUCK}) IS NOT NULL THEN 'plausible'
+  WHEN ({compile_foreign_scheme(1)}) THEN 'foreign_scheme'
+  ELSE 'garbage'
+END"""
+
+_VERDICT_ORACLE = f"""
+WITH raw AS (
+  SELECT o_orderkey, {_FAMILY_NAME} AS family,
+         {_verdict_raw(_FAMILY_RAW_DUCK).format(fam=_FAMILY_NAME, str_t="VARCHAR")} AS award,
+         CAST({_N_AWARDS} AS BIGINT) AS n_awards
+  FROM orders
+),
+normed AS (
+  SELECT o_orderkey, family, award, n_awards,
+         regexp_replace(upper(trim(award)), '  +', ' ', 'g') AS _n,
+         regexp_replace(regexp_replace(upper(trim(award)), '\\s+', ' ', 'g'),
+                        '[ -]', '', 'g') AS _sq
+  FROM raw
+),
+scored AS (
+  SELECT family, {_VERDICT_DUCK} AS verdict FROM normed
+)
+SELECT family, verdict, count(*)::BIGINT AS n
+FROM scored
+GROUP BY family, verdict
+ORDER BY family, verdict
+"""
+
+
+@register(
+    "udf_award_verdict_battery",
+    oracle=_VERDICT_ORACLE,
+    tags=("sqludf", "scalar", "awards", "scoring"),
+    tables=("orders",),
+)
+def udf_award_verdict_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Award scoring verdicts over the 53-family fixture plus injected
+    foreign-scheme / junk / bare-weak strings (see block comment).
+    Every tier materializes at sf0.001+: confirmed / ambiguous /
+    weak via the n_awards lattice, plausible via grammar or a fired
+    extractor, foreign_scheme and garbage via the injections, unscored
+    via the generic family.  Macro-expanded SQL UDFs — zero Python,
+    one shuffle for the rollup; at 100 TB the scoring layer is a
+    map-side projection over the deposited table."""
+    create_sql_udfs(spark)
+    _orders_rp(spark)
+    return spark.sql(f"""
+        WITH raw AS (
+          SELECT o_orderkey, {_FAMILY_NAME} AS family,
+                 {_verdict_raw(_FAMILY_RAW_SPARK).format(fam=_FAMILY_NAME, str_t="STRING")} AS award,
+                 CAST({_N_AWARDS} AS BIGINT) AS n_awards
+          FROM orders_rp
+        ),
+        scored AS (
+          SELECT family, award_verdict(family, award, n_awards) AS verdict
+          FROM raw
+        )
+        SELECT family, verdict, count(*) AS n
+        FROM scored
+        GROUP BY family, verdict
+        ORDER BY family, verdict
+    """)

@@ -492,3 +492,79 @@ def test_award_digit_boundary_vectors_both_dialects(spark_udfs):
         assert got_duck[i] == want, (
             f"DuckDB: {fam} {award!r} -> {got_duck[i]!r}, want {want!r}"
         )
+
+
+def test_award_verdict_tiers_both_dialects(spark_udfs):
+    """The scoring layer's tier semantics, pinned per vector in BOTH
+    dialects (reference AwardNormKey.sql l.287-326): weak surface beats
+    registry count, registry count beats grammar, grammar beats the
+    fired extractor, foreign schemes never score garbage, and families
+    outside the scored set are unscored."""
+    import duckdb
+
+    from openalex_walden_spark.functions.sql_udfs import (
+        compile_foreign_scheme,
+        compile_grammar_case,
+        compile_weak_surface,
+        _GRAMMAR_RULES,
+    )
+    from openalex_walden_spark.queries.sqludf import _FAMILY_KEY_DUCK
+
+    vectors = [
+        # family, award, n_awards, expected verdict
+        ("nih", "1 R01 GM 48123-02", 1, "confirmed"),
+        ("nih", "1 R01 GM 48123-02", 2, "confirmed_ambiguous"),
+        ("cihr", "123456", 3, "confirmed_weak"),     # weak surface wins
+        ("cihr", "MOP-123456", 3, "confirmed_ambiguous"),  # decorated: not weak
+        ("nsf", "1748958", 1, "confirmed_weak"),     # bare 7-digit NSF
+        ("nsfc", "GRANT NO. 81771234", 0, "plausible"),    # grammar, no registry
+        ("fct", "PTDC/BIA-BMA/12345/2020", 0, "plausible"),  # identity extractor
+        ("nih", "PRIN 2017ABC123", 0, "foreign_scheme"),
+        ("nih", "CUP B38D19000040006", 0, "foreign_scheme"),
+        ("nih", "SEE PAGE 12", 0, "garbage"),
+        ("generic", "ANYTHING AT ALL", 9, "unscored"),
+        ("nih", None, 1, "garbage"),
+        ("dod", "W911NF-18-1-0273", 0, "plausible"),  # cross-family DoD gram
+    ]
+    spark = spark_udfs
+    sdf = spark.createDataFrame(
+        [(i, f, a, n) for i, (f, a, n, _) in enumerate(vectors)],
+        "idx INT, family STRING, award STRING, n_awards BIGINT",
+    ).selectExpr("idx", "award_verdict(family, award, n_awards) AS v")
+    got_spark = {r["idx"]: r["v"] for r in sdf.collect()}
+
+    scored = ", ".join(f"'{f}'" for f in _GRAMMAR_RULES)
+    verdict_duck = f"""CASE
+      WHEN award IS NULL OR trim(award) = '' THEN 'garbage'
+      WHEN family NOT IN ({scored}) THEN 'unscored'
+      WHEN n_awards >= 1 AND ({compile_weak_surface(1)}) THEN 'confirmed_weak'
+      WHEN n_awards = 1 THEN 'confirmed'
+      WHEN n_awards > 1 THEN 'confirmed_ambiguous'
+      WHEN ({compile_grammar_case(1)}) THEN 'plausible'
+      WHEN ({_FAMILY_KEY_DUCK}) IS NOT NULL THEN 'plausible'
+      WHEN ({compile_foreign_scheme(1)}) THEN 'foreign_scheme'
+      ELSE 'garbage'
+    END"""
+    con = duckdb.connect()
+    values = ", ".join(
+        f"({i}, '{f}', " + ("NULL" if a is None else f"'{a}'") + f", {n})"
+        for i, (f, a, n, _) in enumerate(vectors)
+    )
+    got_duck = dict(con.sql(f"""
+        WITH v(idx, family, award, n_awards) AS (VALUES {values}),
+        normed AS (
+          SELECT idx, family, award, n_awards,
+                 regexp_replace(upper(trim(award)), '  +', ' ', 'g') AS _n,
+                 regexp_replace(regexp_replace(upper(trim(award)),
+                                '\\s+', ' ', 'g'), '[ -]', '', 'g') AS _sq
+          FROM v)
+        SELECT idx, {verdict_duck} FROM normed
+    """).fetchall())
+
+    for i, (fam, award, n, want) in enumerate(vectors):
+        assert got_spark[i] == want, (
+            f"Spark: {fam} {award!r} n={n} -> {got_spark[i]!r}, want {want!r}"
+        )
+        assert got_duck[i] == want, (
+            f"DuckDB: {fam} {award!r} n={n} -> {got_duck[i]!r}, want {want!r}"
+        )

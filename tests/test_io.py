@@ -667,3 +667,76 @@ def test_changed_rows_feed_lifecycle(spark, sf_dir, tmp_path):
         now="2025-05-21", safety_cap=1, override=True,
     )
     assert r3.shipped == n_changed
+
+
+def test_sync_registry_covers_reference_fleet_and_plans_correctly(spark):
+    """The per-entity search-sync fleet as a config registry: every
+    reference sync script has a row; plan_sync applies the incremental
+    window, the URL-prefix id transform, and (for the small combined
+    entities) the content-hash gate that keeps unchanged rows out of
+    the bulk stream."""
+    import json as _json
+
+    from openalex_walden_spark.sinks.bulk_index import bulk_index
+    from openalex_walden_spark.sinks.sync_registry import (
+        SYNC_REGISTRY,
+        content_hash,
+        plan_sync,
+    )
+
+    expected = {
+        "works", "authors", "sources", "institutions", "publishers",
+        "funders", "concepts", "topics", "topic_hierarchy", "keywords",
+        "awards", "locations", "raw_affiliation_strings", "countries",
+        "continents", "languages", "licenses", "sdgs", "source_types",
+        "work_types", "institution_types",
+    }
+    assert expected <= set(SYNC_REGISTRY)
+    assert all(cfg.id_prefix.startswith("https://openalex.org/")
+               for cfg in SYNC_REGISTRY.values())
+
+    authors = spark.createDataFrame(
+        [(1, "Ada", "2025-06-01"), (2, "Grace", "2025-05-20"),
+         (3, "Edsger", "2025-06-03")],
+        "id long, display_name string, updated_date string",
+    )
+    # incremental: only rows inside the window ship, ids URL-prefix
+    plan = plan_sync(authors, SYNC_REGISTRY["authors"], since="2025-06-01")
+    rows = {r["id"]: _json.loads(r["doc"]) for r in plan.collect()}
+    assert set(rows) == {"https://openalex.org/A1", "https://openalex.org/A3"}
+    assert rows["https://openalex.org/A1"]["display_name"] == "Ada"
+    # full sync ships everything
+    assert plan_sync(authors, SYNC_REGISTRY["authors"], full=True).count() == 3
+
+    # hash gate: identical content is suppressed, changed/new rows ship
+    countries = spark.createDataFrame(
+        [("us", "United States", 10), ("fr", "France", 5), ("de", "Germany", 7)],
+        "id string, display_name string, works_count int",
+    )
+    cfg = SYNC_REGISTRY["countries"]
+    # same field set plan_sync will use (cfg.doc_fields is empty ->
+    # every column participates in the hash)
+    prev = content_hash(countries, tuple(countries.columns))
+    changed = spark.createDataFrame(
+        [("us", "United States", 11),   # changed count
+         ("fr", "France", 5),           # unchanged -> suppressed
+         ("nz", "New Zealand", 2)],     # new row
+        "id string, display_name string, works_count int",
+    )
+    gated = plan_sync(changed, cfg, full=True, prev_hashes=prev)
+    ids = {r["id"] for r in gated.collect()}
+    assert ids == {
+        "https://openalex.org/countries/us", "https://openalex.org/countries/nz",
+    }
+
+    # delivery still rides the generic bulk sink
+    shipped = spark.sparkContext.accumulator(0)
+
+    def transport():
+        def send(batch):
+            shipped.add(len(batch))
+            return len(batch)
+        return send
+
+    bulk_index(gated, "doc", transport)
+    assert shipped.value == 2
