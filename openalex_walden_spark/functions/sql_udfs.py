@@ -1003,3 +1003,102 @@ _AWARD_VERDICT = (
 # Registered here (after their definitions) — create_sql_udfs iterates
 # _ALL at call time, so extending it below the base tuple is safe.
 _ALL = _ALL + (_AWARD_GRAMMAR, _AWARD_VERDICT)
+
+
+# --------------------------------------------------------------------------
+# Garbage SALVAGE layer (the reference's rescue half)
+# --------------------------------------------------------------------------
+# After the verdict CASE, AwardNormKey.sql re-examines every 'garbage'
+# string through three salvage doors (l.372-645): S1 strips decoration
+# wrappers off the id core and re-checks it ("decorated own-id",
+# l.378-491), S2 splits multi-id concatenations and scores the parts
+# (l.492-585), S3 detects ids deposited at the WRONG funder via
+# cross-grammars (l.586-640).  The strip regex below is that file's
+# l.379-384 'stripped' CTE re-derived lookaround-free and ASCII-only
+# (the unicode-dash classes are already folded by award_norm0's
+# upstream normalization in this engine), shared verbatim by both
+# dialects: a lead label-stack strip applied once, then the trailing
+# junk strip applied twice ("12345 (ABC)." needs ')' then '.').
+_DECOR_LEAD = (
+    "^((GRANT|GRANTS|AWARD|AWARDS|PROJECT|PROJEKT|CONTRACT|AGREEMENT"
+    "|APPLICATION|REFERENCE|REF|NUMBER|NUM|NO|N0|ID|CODE|FUNDREF|UNDER"
+    "|APP|JSPS|KAKENHI|MEXT|OPUS|SONATA|PRELUDIUM|HARMONIA|MAESTRO"
+    "|ETIUDA|GRIEG|NCN|PROBRAL|PROCESSO|PROCESS|FKZ|PHD|POSTDOC"
+    "|FELLOWSHIP|STUDENTSHIP|AND)[ .:#_-]+"
+    "|GRANT [(]?NO[.]? ?"
+    "|[(][A-Z0-9]{1,3}[)] ?"
+    "|[A-Z] ?[#] ?"
+    "|[#(/:.]+ ?)+"
+)
+_DECOR_TRAIL = (
+    "([ .,;:)/]+"
+    "|[ -]*[(][^)]*[)]"
+    "|[ -]+((AWARDED )?TO|FOR) [A-Z][A-Z. ]{1,20}"
+    "|[ -]+[A-Z][.]( ?[A-Z][.]?){1,3}"
+    "|[-]{1,2})$"
+)
+
+
+def compile_decoration_strip(subject: str, dialect: int) -> str:
+    """Lead-then-trail-twice decoration strip over ``subject`` (an SQL
+    expression yielding the award_norm0-normalized string).  Anchored
+    patterns admit exactly one match, so the no-flag replace semantics
+    of both engines coincide; alternation order resolves identically
+    because Java regex and RE2 both scan leftmost-first."""
+    del dialect  # identical text in both dialects by construction
+    e = f"regexp_replace({subject}, '{_DECOR_LEAD}', '')"
+    e = f"regexp_replace({e}, '{_DECOR_TRAIL}', '')"
+    return f"regexp_replace({e}, '{_DECOR_TRAIL}', '')"
+
+
+# The reference's generic normalized key (reg_g arm, l.366): alnum-
+# squashed lowercase when >= 4 chars survive, else the trimmed lowered
+# string — the second lookup key of the two-key alias machinery.
+def compile_generic_key(subject: str, dialect: int) -> str:
+    g = ", 'g'" if dialect == 1 else ""
+    squash = f"regexp_replace(lower({subject}), '[^a-z0-9]', ''{g})"
+    return (
+        f"CASE WHEN {subject} IS NULL OR trim({subject}) = '' THEN NULL "
+        f"WHEN length({squash}) >= 4 THEN {squash} "
+        f"ELSE lower(trim({subject})) END"
+    )
+
+
+_AWARD_GENERIC_KEY = (
+    "CREATE OR REPLACE TEMPORARY FUNCTION award_generic_key(award STRING)\n"
+    "RETURNS STRING\nRETURN "
+    + compile_generic_key("award", 0)
+)
+
+_AWARD_DECOR_STRIP = (
+    "CREATE OR REPLACE TEMPORARY FUNCTION award_decoration_strip(award STRING)\n"
+    "RETURNS STRING\nRETURN "
+    + compile_decoration_strip("award_norm0(award)", 0)
+)
+
+# S1 action CASE (reference l.474-491): registry hit (either key) =
+# decorated_own_id (weak-flagged when the residue is a weak bare
+# surface); no hit but the funder's own grammar fires = decorated_
+# plausible; a foreign-scheme or bare 6-8 digit residue survives as
+# foreign_scheme_decorated (the round-2/round-3 audit arms); anything
+# else stays garbage ('unrescued' here — the reference filters these
+# rows out, this engine keeps the bucket so the rollup is total).
+_AWARD_RESCUE = (
+    "CREATE OR REPLACE TEMPORARY FUNCTION award_rescue_action(\n"
+    "  family STRING, award STRING, registry_hit BOOLEAN)\n"
+    "RETURNS STRING\n"
+    "RETURN CASE\n"
+    "  WHEN registry_hit AND (" + compile_weak_surface(0) + ")\n"
+    "    THEN 'decorated_own_id_weak'\n"
+    "  WHEN registry_hit THEN 'decorated_own_id'\n"
+    "  WHEN award_grammar_pass(family, award)\n"
+    "   AND NOT (" + compile_weak_surface(0) + ")\n"
+    "    THEN 'decorated_plausible'\n"
+    "  WHEN (" + compile_foreign_scheme(0) + ")\n"
+    "    OR award_norm0(award) rlike '^[0-9]{6,8}$'\n"
+    "    THEN 'foreign_scheme_decorated'\n"
+    "  ELSE 'unrescued'\n"
+    "END"
+)
+
+_ALL = _ALL + (_AWARD_GENERIC_KEY, _AWARD_DECOR_STRIP, _AWARD_RESCUE)

@@ -884,3 +884,181 @@ def udf_award_verdict_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY family, verdict
         ORDER BY family, verdict
     """)
+
+
+# ---------------------------------------------------------------------------
+# Award SALVAGE battery S1: decorated own-id rescue
+# ---------------------------------------------------------------------------
+# The rescue half of AwardNormKey.sql (l.372-491): every 'garbage'
+# string is re-examined after stripping decoration wrappers (lead
+# label stacks, trailing parentheticals / grantee names / punctuation:
+# "GRANT NO. 12345 (ABC)." -> "12345"), then re-keyed and checked
+# against the registry on BOTH keys (funder-specific nk and the
+# generic alias key), with the funder's own grammar and the foreign-
+# scheme keep-list as fallbacks.  The decoration strip, generic key,
+# and action CASE compile from functions/sql_udfs.py for both dialects
+# (the typerules.py dual-compilation discipline).  The fixture
+# decorates the 54-family raw generator on an o_orderkey lattice and
+# injects an unrescuable junk string; the registry is the UNDECORATED
+# generator's keys over the o_orderkey%3=0 arm, so registry hits and
+# misses both materialize deterministically.
+from openalex_walden_spark.functions.sql_udfs import (  # noqa: E402
+    compile_decoration_strip,
+    compile_generic_key,
+)
+
+_DECOR_RAW = """CASE CAST(o_orderkey % 7 AS INT)
+  WHEN 0 THEN concat('GRANT NO. ', {fmt})
+  WHEN 1 THEN concat('#', {fmt}, ').')
+  WHEN 2 THEN concat({fmt}, ' (PI: SMITH)')
+  WHEN 3 THEN concat('AWARD: ', {fmt}, ' TO J. SMITH')
+  WHEN 4 THEN concat('PROJECT ', {fmt}, ' --')
+  WHEN 5 THEN 'NO. THANKS TO EVERYONE'
+  ELSE {fmt}
+END"""
+
+_S1_NORM_DUCK = "regexp_replace(upper(trim({x})), '  +', ' ', 'g')"
+_S1_SQ_DUCK = (
+    "regexp_replace(regexp_replace(upper(trim({x})), '\\s+', ' ', 'g'),"
+    " '[ -]', '', 'g')"
+)
+
+_S1_RESCUE_DUCK = f"""CASE
+  WHEN registry_hit AND ({compile_weak_surface(1)}) THEN 'decorated_own_id_weak'
+  WHEN registry_hit THEN 'decorated_own_id'
+  WHEN ({compile_grammar_case(1)}) AND NOT ({compile_weak_surface(1)})
+    THEN 'decorated_plausible'
+  WHEN ({compile_foreign_scheme(1)}) OR regexp_matches(_n, '^[0-9]{{6,8}}$')
+    THEN 'foreign_scheme_decorated'
+  ELSE 'unrescued'
+END"""
+
+_S1_ORACLE = f"""
+WITH raw AS (
+  SELECT o_orderkey, {_FAMILY_NAME} AS family,
+         {_DECOR_RAW.format(fmt=_FAMILY_RAW_DUCK)} AS award
+  FROM orders
+),
+stripped AS (
+  SELECT o_orderkey, family,
+         {_S1_NORM_DUCK.format(x="award")} AS _n0,
+         {compile_decoration_strip(_S1_NORM_DUCK.format(x="award"), 1)} AS s
+  FROM raw
+),
+skey AS (
+  SELECT family, s,
+         {_S1_NORM_DUCK.format(x="s")} AS _n,
+         {_S1_SQ_DUCK.format(x="s")} AS _sq
+  FROM stripped WHERE s <> '' AND s <> _n0
+),
+keyed AS (
+  SELECT family, s, _n,
+         ({_FAMILY_KEY_DUCK}) AS s_nk,
+         ({compile_generic_key("s", 1)}) AS s_nk_g
+  FROM skey
+),
+bnorm AS (
+  SELECT {_FAMILY_NAME} AS family,
+         {_S1_NORM_DUCK.format(x=_FAMILY_RAW_DUCK)} AS _n,
+         {_S1_SQ_DUCK.format(x=_FAMILY_RAW_DUCK)} AS _sq
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+reg AS (
+  SELECT DISTINCT family, nk
+  FROM (SELECT family, ({_FAMILY_KEY_DUCK}) AS nk FROM bnorm)
+),
+reg_g AS (
+  SELECT DISTINCT family, nk_g
+  FROM (SELECT family, ({compile_generic_key("_n", 1)}) AS nk_g
+        FROM bnorm)
+),
+hit AS (
+  SELECT k.family, k.s, k._n,
+         (r.nk IS NOT NULL OR rg.nk_g IS NOT NULL) AS registry_hit
+  FROM keyed k
+  LEFT JOIN reg r ON r.family = k.family AND r.nk = k.s_nk
+  LEFT JOIN reg_g rg ON rg.family = k.family AND rg.nk_g = k.s_nk_g
+)
+SELECT family, {_S1_RESCUE_DUCK} AS action, count(*)::BIGINT AS n
+FROM hit
+GROUP BY family, action
+ORDER BY family, action
+"""
+
+
+@register(
+    "udf_award_salvage_s1",
+    oracle=_S1_ORACLE,
+    tags=("sqludf", "scalar", "awards", "salvage"),
+    tables=("orders",),
+)
+def udf_award_salvage_s1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 decorated own-id salvage over the 54-family fixture: strip
+    decoration (lead label stack once, trailing junk twice), re-key the
+    residue with the family normalizer AND the generic alias key, join
+    the undecorated registry on both, and classify: decorated_own_id
+    (registry hit; _weak when the residue is a weak bare surface),
+    decorated_plausible (own grammar fires), foreign_scheme_decorated
+    (foreign keep-list or bare 6-8 digit residue), unrescued.  The two
+    registry joins broadcast (the key sides are DISTINCT rollups of the
+    same table's deposited arm — at 100 TB the registry is the small
+    dimension by construction); the strip/key/grammar layer is a
+    map-side projection of macro-expanded SQL UDFs, zero Python."""
+    create_sql_udfs(spark)
+    _orders_rp(spark)
+    # Two lazy localCheckpoint barriers, not CTEs: the macro-expanded
+    # family-key CASE is ~26k chars over a COLUMN and ~1.7M chars over
+    # the composed fixture expression, and Catalyst re-composes CTEs
+    # aggressively — CollapseProject inlines the strip-of-54-branch-CASE
+    # into every grammar subject site, PushDownPredicates pushes the
+    # s <> _n0 filter through REPARTITION hints, and constraint
+    # propagation re-infers isnotnull(<key CASE>) filters on the join
+    # sides even when written without one — any of which overflows
+    # janino.  A checkpoint is a real plan leaf the optimizer cannot
+    # see through, so each layer expands exactly once; at 100 TB the
+    # equivalent is simply materializing the stripped/registry frames,
+    # which a production salvage pipeline does anyway (the reference
+    # writes award_id_salvage as a table).
+    stripped = spark.sql(f"""
+        SELECT family, s FROM (
+          SELECT family, award_norm0(award) AS _n0,
+                 award_decoration_strip(award) AS s
+          FROM (
+            SELECT {_FAMILY_NAME} AS family,
+                   {_DECOR_RAW.format(fmt=_FAMILY_RAW_SPARK)} AS award
+            FROM orders_rp
+          )
+        ) WHERE s <> '' AND s <> _n0
+    """).localCheckpoint(eager=False)
+    stripped.createOrReplaceTempView("s1_stripped")
+    regk = spark.sql(f"""
+        SELECT DISTINCT family, award_family_key(family, award) AS nk,
+               award_generic_key(award) AS nk_g
+        FROM (
+          SELECT {_FAMILY_NAME} AS family, {_FAMILY_RAW_SPARK} AS award
+          FROM orders_rp WHERE o_orderkey % 3 = 0
+        )
+    """).localCheckpoint(eager=False)
+    regk.createOrReplaceTempView("s1_regk")
+    return spark.sql("""
+        WITH reg AS (SELECT DISTINCT family, nk FROM s1_regk),
+        reg_g AS (SELECT DISTINCT family, nk_g FROM s1_regk),
+        keyed AS (
+          SELECT family, s,
+                 award_family_key(family, s) AS s_nk,
+                 award_generic_key(s) AS s_nk_g
+          FROM s1_stripped
+        ),
+        hit AS (
+          SELECT k.family, k.s,
+                 (r.nk IS NOT NULL OR rg.nk_g IS NOT NULL) AS registry_hit
+          FROM keyed k
+          LEFT JOIN reg r ON r.family = k.family AND r.nk = k.s_nk
+          LEFT JOIN reg_g rg ON rg.family = k.family AND rg.nk_g = k.s_nk_g
+        )
+        SELECT family, award_rescue_action(family, s, registry_hit) AS action,
+               count(*) AS n
+        FROM hit
+        GROUP BY family, action
+        ORDER BY family, action
+    """)

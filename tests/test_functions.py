@@ -568,3 +568,84 @@ def test_award_verdict_tiers_both_dialects(spark_udfs):
         assert got_duck[i] == want, (
             f"DuckDB: {fam} {award!r} n={n} -> {got_duck[i]!r}, want {want!r}"
         )
+
+
+def test_award_decoration_strip_vectors_both_dialects(spark_udfs):
+    """The S1 salvage strip semantics, pinned per vector in BOTH
+    dialects (reference AwardNormKey.sql l.378-384): lead label stacks
+    strip once, trailing parentheticals / grantee names / punctuation
+    strip twice ("12345 (ABC)." needs ')' then '.'), and an id whose
+    own prefix is a label loses it exactly as the reference does."""
+    import duckdb
+
+    from openalex_walden_spark.functions.sql_udfs import (
+        compile_decoration_strip,
+    )
+
+    vectors = [
+        # raw award, expected stripped residue
+        ("GRANT NO. 12345 (ABC)", "12345"),
+        # two-pass rationale: pass 1 takes ' TO J. SMITH', pass 2 the
+        # parenthetical that pass 1's $-anchor could not reach
+        ("12345 (ABC) TO J. SMITH", "12345"),
+        ("grant 01KT1801 to M.K.", "01KT1801"),
+        ("#1748958).", "1748958"),
+        ("AWARD: EP/N51001/1 TO J. SMITH", "EP/N51001/1"),
+        ("PROJECT 81771234 --", "81771234"),
+        ("R01 GM 048123 (PI: SMITH)", "R01 GM 048123"),
+        ("KAKENHI 22390400", "22390400"),
+        ("NO. THANKS TO EVERYONE", "THANKS"),
+        ("APP: 1109881", "1109881"),   # APP label + separator: lead strip
+        ("APP1109881", "APP1109881"),  # no separator: NOT a decoration
+        ("1 R01 GM 48123-02", "1 R01 GM 48123-02"),  # undecorated: unchanged
+    ]
+    spark = spark_udfs
+    sdf = spark.createDataFrame(
+        [(i, a) for i, (a, _) in enumerate(vectors)],
+        "idx INT, award STRING",
+    ).selectExpr("idx", "award_decoration_strip(award) AS s")
+    got_spark = {r["idx"]: r["s"] for r in sdf.collect()}
+
+    con = duckdb.connect()
+    values = ", ".join(f"({i}, '{a}')" for i, (a, _) in enumerate(vectors))
+    norm = "regexp_replace(upper(trim(award)), '  +', ' ', 'g')"
+    got_duck = dict(con.sql(f"""
+        WITH v(idx, award) AS (VALUES {values})
+        SELECT idx, {compile_decoration_strip(norm, 1)} AS s FROM v
+    """).fetchall())
+
+    for i, (award, want) in enumerate(vectors):
+        assert got_spark[i] == want, (
+            f"Spark: {award!r} -> {got_spark[i]!r}, want {want!r}"
+        )
+        assert got_duck[i] == want, (
+            f"DuckDB: {award!r} -> {got_duck[i]!r}, want {want!r}"
+        )
+
+
+def test_award_rescue_action_tiers(spark_udfs):
+    """S1 action precedence (reference l.474-491): registry hit beats
+    grammar (weak-flagged on a weak bare surface), grammar needs NOT
+    weak, foreign residues and bare 6-8 digit runs survive as
+    foreign_scheme_decorated, everything else stays unrescued."""
+    vectors = [
+        # family, stripped residue, registry_hit, expected action
+        ("nih", "R01 GM 048123", True, "decorated_own_id"),
+        ("cihr", "123456", True, "decorated_own_id_weak"),
+        ("nih", "R01 GM 048123", False, "decorated_plausible"),
+        ("cihr", "123456", False, "foreign_scheme_decorated"),  # weak, bare 6
+        ("nih", "PRIN 2017ABC123", False, "foreign_scheme_decorated"),
+        ("nih", "81771234", False, "foreign_scheme_decorated"),  # bare 8
+        ("nih", "THANKS", False, "unrescued"),
+        ("generic", "XYZZY", False, "unrescued"),
+    ]
+    spark = spark_udfs
+    sdf = spark.createDataFrame(
+        [(i, f, s, h) for i, (f, s, h, _) in enumerate(vectors)],
+        "idx INT, family STRING, s STRING, hit BOOLEAN",
+    ).selectExpr("idx", "award_rescue_action(family, s, hit) AS a")
+    got = {r["idx"]: r["a"] for r in sdf.collect()}
+    for i, (fam, s, hit, want) in enumerate(vectors):
+        assert got[i] == want, (
+            f"{fam} {s!r} hit={hit} -> {got[i]!r}, want {want!r}"
+        )
