@@ -1101,4 +1101,120 @@ _AWARD_RESCUE = (
     "END"
 )
 
-_ALL = _ALL + (_AWARD_GENERIC_KEY, _AWARD_DECOR_STRIP, _AWARD_RESCUE)
+# Standalone weak-surface predicate, needed by the S2 part scorer
+# (inside award_rescue_action the same expression is inlined; S2
+# aggregates per-part booleans so it needs the predicate as a value).
+_AWARD_WEAK_SURFACE = (
+    "CREATE OR REPLACE TEMPORARY FUNCTION award_weak_surface(\n"
+    "  family STRING, award STRING)\n"
+    "RETURNS BOOLEAN\n"
+    "RETURN " + compile_weak_surface(0)
+)
+
+# S3 wrong-funder CROSS-grammars (reference l.586-640 wf_keyed):
+# deliberately STRONGER than the own-grammar table — only funders with
+# a distinctive lettered token structure are cross-targets at all
+# (NSFC/SNSF-style generic numeric grammars produced tens of thousands
+# of coincidental hits against dense numeric registries in the
+# reference's first build, per its own comment).  Lookarounds are
+# re-derived with consuming boundary groups as everywhere else.
+_XGRAM_RULES = {
+    "nih": lambda rx, OR, AND, NOT: OR(
+        rx("n", r"(^|[^A-Z0-9])[0-9]?([A-Z][0-9]{2}|[A-Z]{2}[0-9])[ -]?[A-Z]{2}[ -]?[0-9]{5,6}([^0-9]|$)"),
+        rx("n", r"(^|[^A-Z0-9])(AA|AG|AI|AR|AT|CA|DA|DC|DE|DK|EB|ES|EY|GM|HD|HG|HL|LM|MD|MH|NR|NS|OD|RR|TR|TW)[ -]?[0-9]{6}([^0-9]|$)"),
+        rx("n", r"^(AA|AG|AI|AR|AT|DA|DC|DE|DK|EB|ES|EY|GM|HD|HG|HL|LM|MD|MH|NR|NS|OD|RR|TR|TW)[ -]?[0-9]{5}$"),
+    ),
+    "dhhs": lambda rx, OR, AND, NOT: AND(
+        rx("nhs", r"^[A-Z][A-Z0-9]{4}[0-9]{6}$"),
+        NOT(rx("nhs", r"^[A-Z][0-9]{2}[A-Z]{2}[0-9]{5,6}$")),
+    ),
+    "nsf": lambda rx, OR, AND, NOT: rx("n", r"^[A-Z]{2,5}[ -][0-9]{7}$"),
+    "kakenhi": lambda rx, OR, AND, NOT: OR(
+        rx("n", r"^(KAKENHI|JP)[ -]*([0-9]{2}[A-Z][0-9]{5}|[0-9]{8})$"),
+        rx("n", r"^[0-9]{2}[A-Z][0-9]{5}$"),
+    ),
+    "dfg": lambda rx, OR, AND, NOT: rx(
+        "n", r"^(SFB|TRR|CRC|EXC|GRK|RTG|FOR|SPP|INST|NFDI|KFO|FZT) ?/?-?[0-9]+"
+    ),
+    "most_tw": lambda rx, OR, AND, NOT: rx(
+        "tw", r"^[0-9]{6,7}[A-Z][0-9]{6}(MY[0-9])?E?[0-9]?$"
+    ),
+    "nstc_tw": lambda rx, OR, AND, NOT: rx(
+        "tw", r"^[0-9]{6,7}[A-Z][0-9]{6}(MY[0-9])?E?[0-9]?$"
+    ),
+    "fapesp": lambda rx, OR, AND, NOT: rx(
+        "n", r"(^|[^0-9])[0-9]{2,4}/[0-9]{4,5}-[0-9]([^0-9]|$)"
+    ),
+    "capes": lambda rx, OR, AND, NOT: rx(
+        "nsp", r"^(8888[0-9]|99999)[.][0-9]{6}/[0-9]{4}-[0-9]{2}$"
+    ),
+    "ncn": lambda rx, OR, AND, NOT: rx(
+        "nsp", r"(UMO-?|DEC-?)?20[0-9]{2}/[0-9]{2}/[A-Z]{1,2}/[A-Z]{2,3}[0-9]{1,2}/[0-9]{5}"
+    ),
+    "shandong": lambda rx, OR, AND, NOT: rx(
+        "nhs", r"ZR(19|20)[0-9]{2}[A-Z]{1,3}[0-9]{2,4}"
+    ),
+    "amed": lambda rx, OR, AND, NOT: rx(
+        "n", r"^JP[0-9]{2}[A-Z]{2}[0-9]{7}$"
+    ),
+    "nasa": lambda rx, OR, AND, NOT: OR(
+        rx("nhs", r"^80NSSC[0-9]{2}[KM][0-9]{4}$"),
+        rx("nhs", r"^NNX[0-9]{2}[A-Z]{2}[0-9]{2,3}[A-Z]$"),
+    ),
+    "doe": lambda rx, OR, AND, NOT: OR(
+        rx("nhs", r"(^|[^A-Z])DE(SC|EE|FE|AR|NE|NA|EM|OE|IA|PI|BI|CF|ET|SF|HS|DP|EW)[0-9]{7}"),
+        rx("nhs", r"(^|[^A-Z])DE(FG|FC|AC|AI|GO|PS|EV|ER|AA)[0-9]{4}[A-Z]{1,2}[0-9]{4,6}"),
+    ),
+    "fct": lambda rx, OR, AND, NOT: AND(
+        rx("n", r"^[A-Z0-9 ./-]+$"), rx("n", r"[A-Z]"), rx("n", r"/")
+    ),
+    "ec": lambda rx, OR, AND, NOT: OR(
+        rx("n", r"-CT-[0-9]{4}-"),
+        rx("n", r"(FP[567]|H2020|HORIZON|MSCA|ERC|GA) ?N? ?-?[0-9]{6}"),
+    ),
+    "nserc": lambda rx, OR, AND, NOT: rx(
+        "n", r"^(RGPIN|RGPAS|RGPNS|DGECR|CRDPJ|SAPIN)[ -/]?[0-9]{4}[ -]?[0-9]{4,6}$"
+    ),
+    "anr": lambda rx, OR, AND, NOT: rx(
+        "nsp", r"(ANR-?)?[0-9]{2}-[A-Z0-9]{2,6}-[0-9]{4}"
+    ),
+    "wellcome": lambda rx, OR, AND, NOT: rx(
+        "n", r"^[0-9]{5,6}[/_ ][A-Z][/_ ][0-9]{2}[/_ ][A-Z]$"
+    ),
+    "epsrc": lambda rx, OR, AND, NOT: rx(
+        "nsp", r"^EP/[A-Z0-9]{6,7}/[0-9]$"
+    ),
+    "cihr": lambda rx, OR, AND, NOT: rx(
+        "n", r"^#? ?(950|MOP|PJT|FDN|FRN|CIHR)[- ]?[0-9]{4,6}([-_][0-9]+)?$"
+    ),
+    "aha": lambda rx, OR, AND, NOT: rx(
+        "nsp", r"^[0-9]{2}[A-Z]{2,10}[0-9]{4,9}$"
+    ),
+}
+
+
+def compile_xgram_case(dialect: int, fam_col: str = "family") -> str:
+    """The wrong-funder cross-grammar CASE, dispatched on ``fam_col``
+    (the TARGET family column of the candidate x target join)."""
+    rx, OR, AND, NOT = _compile(dialect)
+    branches = "\n".join(
+        f"  WHEN {fam_col} = '{fam}' THEN {rule(rx, OR, AND, NOT)}"
+        for fam, rule in _XGRAM_RULES.items()
+    )
+    return "CASE\n" + branches + "\n  ELSE FALSE\nEND"
+
+
+_AWARD_XGRAM = (
+    "CREATE OR REPLACE TEMPORARY FUNCTION award_xgram_pass(\n"
+    "  family STRING, award STRING)\n"
+    "RETURNS BOOLEAN\n"
+    "RETURN " + compile_xgram_case(0)
+)
+
+_ALL = _ALL + (
+    _AWARD_GENERIC_KEY,
+    _AWARD_DECOR_STRIP,
+    _AWARD_RESCUE,
+    _AWARD_WEAK_SURFACE,
+    _AWARD_XGRAM,
+)

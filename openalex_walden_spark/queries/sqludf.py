@@ -1062,3 +1062,344 @@ def udf_award_salvage_s1(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY family, action
         ORDER BY family, action
     """)
+
+
+# ---------------------------------------------------------------------------
+# Award SALVAGE battery S2: multi-id concatenation split
+# ---------------------------------------------------------------------------
+# Reference AwardNormKey.sql l.492-585: a garbage string containing
+# separators ([,;&+] or a spelled-out AND) and at least 3 digits is
+# split into parts; each part is decoration-stripped, re-keyed (both
+# keys), grammar- and weak-checked, and the source row is rescued as
+# 'multi_id_split' when at least one part is registry-confirmed or
+# plausible.  Registry-hit parts count even when weak — multi-id
+# context corroborates (rescue-only, never merging).  The fixture
+# concatenates the 54-family generator with itself at +54/+108
+# orderkey offsets (same family lattice, different serials), so real
+# multi-id rows, junk-bearing rows, and all-junk parts materialize.
+
+_MULTI_RAW_SPARK = """CASE CAST(o_orderkey % 5 AS INT)
+  WHEN 0 THEN concat({f1}, '; ', {f2})
+  WHEN 1 THEN concat({f1}, ' AND ', {f2})
+  WHEN 2 THEN concat('GRANTS: ', {f1}, ', ', {f2}, ', ', {f3})
+  WHEN 3 THEN concat({f1}, ' & ACKNOWLEDGED SUPPORT')
+  ELSE concat({f1}, '; SEE TEXT')
+END""".format(
+    f1=_FAMILY_RAW_SPARK,
+    f2=_FAMILY_RAW_SPARK.replace("o_orderkey", "(o_orderkey + 54)"),
+    f3=_FAMILY_RAW_SPARK.replace("o_orderkey", "(o_orderkey + 108)"),
+)
+
+_MULTI_RAW_DUCK = _MULTI_RAW_SPARK.replace("AS STRING", "AS VARCHAR")
+
+_S2_SPLIT = "[,;&+]| AND "
+
+_S2_ORACLE = f"""
+WITH raw AS (
+  SELECT o_orderkey, {_FAMILY_NAME} AS family,
+         {_S1_NORM_DUCK.format(x=_MULTI_RAW_DUCK)} AS _n
+  FROM orders
+),
+multi AS (
+  SELECT o_orderkey, family, _n FROM raw
+  WHERE (regexp_matches(_n, '[,;&+]') OR regexp_matches(_n, ' AND '))
+    AND regexp_matches(_n, '[0-9]{{3}}')
+),
+parts0 AS (
+  SELECT o_orderkey, family,
+         trim(unnest(string_split_regex(_n, '{_S2_SPLIT}'))) AS p0
+  FROM multi
+),
+parts AS (
+  SELECT o_orderkey, family,
+         {compile_decoration_strip(_S1_NORM_DUCK.format(x="p0"), 1)} AS part
+  FROM parts0 WHERE p0 <> ''
+),
+pkey AS (
+  SELECT o_orderkey, family, part,
+         {_S1_NORM_DUCK.format(x="part")} AS _n,
+         {_S1_SQ_DUCK.format(x="part")} AS _sq
+  FROM parts WHERE part <> ''
+),
+keyed AS (
+  SELECT o_orderkey, family,
+         ({_FAMILY_KEY_DUCK}) AS p_nk,
+         ({compile_generic_key("part", 1)}) AS p_nk_g,
+         ({compile_grammar_case(1)}) AS p_gram,
+         ({compile_weak_surface(1)}) AS p_weak
+  FROM pkey
+),
+bnorm AS (
+  SELECT {_FAMILY_NAME} AS family,
+         {_S1_NORM_DUCK.format(x=_FAMILY_RAW_DUCK)} AS _n,
+         {_S1_SQ_DUCK.format(x=_FAMILY_RAW_DUCK)} AS _sq
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+reg AS (
+  SELECT DISTINCT family, nk
+  FROM (SELECT family, ({_FAMILY_KEY_DUCK}) AS nk FROM bnorm)
+),
+reg_g AS (
+  SELECT DISTINCT family, nk_g
+  FROM (SELECT family, ({compile_generic_key("_n", 1)}) AS nk_g FROM bnorm)
+),
+scored AS (
+  SELECT o_orderkey, family,
+         count(*) AS n_parts,
+         sum(CASE WHEN hit THEN 1 ELSE 0 END) AS n_confirmed_parts,
+         sum(CASE WHEN NOT hit AND p_gram AND NOT p_weak
+                  THEN 1 ELSE 0 END) AS n_plausible_parts
+  FROM (
+    SELECT k.o_orderkey, k.family, k.p_gram, k.p_weak,
+           (r.nk IS NOT NULL OR rg.nk_g IS NOT NULL) AS hit
+    FROM keyed k
+    LEFT JOIN reg r ON r.family = k.family AND r.nk = k.p_nk
+    LEFT JOIN reg_g rg ON rg.family = k.family AND rg.nk_g = k.p_nk_g
+  )
+  GROUP BY o_orderkey, family
+)
+SELECT family,
+       (n_confirmed_parts >= 1 OR n_plausible_parts >= 1) AS rescued,
+       CAST(n_parts AS BIGINT) AS n_parts,
+       CAST(n_confirmed_parts AS BIGINT) AS n_confirmed_parts,
+       CAST(n_plausible_parts AS BIGINT) AS n_plausible_parts,
+       count(*)::BIGINT AS n
+FROM scored
+GROUP BY family, rescued, n_parts, n_confirmed_parts, n_plausible_parts
+ORDER BY family, rescued, n_parts, n_confirmed_parts, n_plausible_parts
+"""
+
+
+@register(
+    "udf_award_salvage_s2_multiid",
+    oracle=_S2_ORACLE,
+    tags=("sqludf", "scalar", "awards", "salvage"),
+    tables=("orders",),
+)
+def udf_award_salvage_s2_multiid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 multi-id split salvage: explode separator-bearing garbage
+    strings into parts, decoration-strip and re-key each part against
+    the registry (both keys), score parts by grammar/weak, and roll up
+    per source row into (n_parts, n_confirmed, n_plausible) with the
+    rescue decision.  Same localCheckpoint barriers as S1 (see that
+    docstring); the explode is a flatMap (no shuffle), the registry
+    joins broadcast, and the two aggregations shuffle on (o_orderkey)
+    then (family, counts) — at 100 TB the fan-out is bounded by the
+    separator count per string, never the corpus."""
+    create_sql_udfs(spark)
+    _orders_rp(spark)
+    multi = spark.sql(f"""
+        SELECT o_orderkey, {_FAMILY_NAME} AS family,
+               award_norm0({_MULTI_RAW_SPARK}) AS _n
+        FROM orders_rp
+    """).localCheckpoint(eager=False)
+    multi.createOrReplaceTempView("s2_multi")
+    regk = spark.sql(f"""
+        SELECT DISTINCT family, award_family_key(family, award) AS nk,
+               award_generic_key(award) AS nk_g
+        FROM (
+          SELECT {_FAMILY_NAME} AS family, {_FAMILY_RAW_SPARK} AS award
+          FROM orders_rp WHERE o_orderkey % 3 = 0
+        )
+    """).localCheckpoint(eager=False)
+    regk.createOrReplaceTempView("s2_regk")
+    return spark.sql(f"""
+        WITH reg AS (SELECT DISTINCT family, nk FROM s2_regk),
+        reg_g AS (SELECT DISTINCT family, nk_g FROM s2_regk),
+        multi AS (
+          SELECT o_orderkey, family, _n FROM s2_multi
+          WHERE (_n rlike '[,;&+]' OR _n rlike ' AND ')
+            AND _n rlike '[0-9]{{3}}'
+        ),
+        parts0 AS (
+          SELECT o_orderkey, family, trim(p) AS p0
+          FROM multi LATERAL VIEW explode(split(_n, '{_S2_SPLIT}')) t AS p
+        ),
+        parts AS (
+          SELECT o_orderkey, family, award_decoration_strip(p0) AS part
+          FROM parts0 WHERE p0 <> ''
+        ),
+        keyed AS (
+          SELECT o_orderkey, family,
+                 award_family_key(family, part) AS p_nk,
+                 award_generic_key(part) AS p_nk_g,
+                 award_grammar_pass(family, part) AS p_gram,
+                 award_weak_surface(family, part) AS p_weak
+          FROM parts WHERE part <> ''
+        ),
+        scored AS (
+          SELECT o_orderkey, family,
+                 count(*) AS n_parts,
+                 sum(CASE WHEN hit THEN 1 ELSE 0 END) AS n_confirmed_parts,
+                 sum(CASE WHEN NOT hit AND p_gram AND NOT p_weak
+                          THEN 1 ELSE 0 END) AS n_plausible_parts
+          FROM (
+            SELECT k.o_orderkey, k.family, k.p_gram, k.p_weak,
+                   (r.nk IS NOT NULL OR rg.nk_g IS NOT NULL) AS hit
+            FROM keyed k
+            LEFT JOIN reg r ON r.family = k.family AND r.nk = k.p_nk
+            LEFT JOIN reg_g rg
+              ON rg.family = k.family AND rg.nk_g = k.p_nk_g
+          )
+          GROUP BY o_orderkey, family
+        )
+        SELECT family,
+               (n_confirmed_parts >= 1 OR n_plausible_parts >= 1) AS rescued,
+               n_parts, n_confirmed_parts, n_plausible_parts,
+               count(*) AS n
+        FROM scored
+        GROUP BY family, rescued, n_parts, n_confirmed_parts,
+                 n_plausible_parts
+        ORDER BY family, rescued, n_parts, n_confirmed_parts,
+                 n_plausible_parts
+    """)
+
+
+# ---------------------------------------------------------------------------
+# Award SALVAGE battery S3: wrong-funder detection via cross-grammars
+# ---------------------------------------------------------------------------
+# Reference AwardNormKey.sql l.586-640: a letter-bearing garbage string
+# (or the FAPESP numeric chassis — structured punctuation, not a bare
+# number) is checked against every OTHER scored funder's STRONG
+# cross-grammar; a grammar hit that also keys into the target funder's
+# registry is rescued as 'wrong_funder' with the target identity.  The
+# fixture deposits family(o+6)'s format at family(o) on one lattice arm
+# (a true wrong-funder deposit — the +6 shift changes the family while
+# keeping the string on the registry arm's %3=0 lattice, so the foreign
+# id really exists at its home funder), junk on another, and the own id
+# on the third, so hits, misses, and coincidental cross-hits all
+# materialize.
+from openalex_walden_spark.functions.sql_udfs import (  # noqa: E402
+    _XGRAM_RULES,
+    compile_xgram_case,
+)
+
+# Lattice moduli are chosen coprime to the 54-family cycle (7 for the
+# candidate arm, 5 for the S3 registry arm) so every XGRAM family is
+# both a wrong-funder target and a registry holder; a %3 arm would
+# couple with the family lattice (3 | 54) and restrict targets to a
+# third of the families.
+_S3_RAW_SPARK = """CASE WHEN o_orderkey % 7 < 3 THEN {f1}
+  WHEN o_orderkey % 7 = 3 THEN 'SEE PAGE 12'
+  ELSE {f0}
+END""".format(
+    f0=_FAMILY_RAW_SPARK,
+    f1=_FAMILY_RAW_SPARK.replace("o_orderkey", "(o_orderkey + 6)"),
+)
+
+_S3_RAW_DUCK = _S3_RAW_SPARK.replace("AS STRING", "AS VARCHAR")
+
+_XGRAM_FAMS = ", ".join(f"'{f}'" for f in _XGRAM_RULES)
+
+_S3_ORACLE = f"""
+WITH cand AS (
+  SELECT o_orderkey, {_FAMILY_NAME} AS family,
+         {_S1_NORM_DUCK.format(x=_S3_RAW_DUCK)} AS _n
+  FROM orders
+),
+cand_f AS (
+  SELECT o_orderkey, family, _n FROM cand
+  WHERE regexp_matches(_n, '[A-Z]')
+     OR regexp_matches(_n, '(^|[^0-9])[0-9]{{2,4}}/[0-9]{{4,5}}-[0-9]([^0-9]|$)')
+),
+targets AS (SELECT unnest([{_XGRAM_FAMS}]) AS t_family),
+wf0 AS (
+  SELECT c.o_orderkey, c.family, c._n, t.t_family
+  FROM cand_f c CROSS JOIN targets t
+  WHERE t.t_family <> c.family
+),
+wf_gram AS (
+  SELECT o_orderkey, family, t_family, _n,
+         {_S1_SQ_DUCK.format(x="_n")} AS _sq
+  FROM wf0
+  WHERE ({compile_xgram_case(1, "t_family")})
+),
+wf_keyed AS (
+  SELECT w.o_orderkey, w.family AS source_family, w.t_family,
+         ({_FAMILY_KEY_DUCK.replace("family =", "t_family =")}) AS f_nk
+  FROM wf_gram w
+),
+bnorm AS (
+  SELECT {_FAMILY_NAME} AS family,
+         {_S1_NORM_DUCK.format(x=_FAMILY_RAW_DUCK)} AS _n,
+         {_S1_SQ_DUCK.format(x=_FAMILY_RAW_DUCK)} AS _sq
+  FROM orders WHERE o_orderkey % 5 = 0
+),
+reg AS (
+  SELECT DISTINCT family, nk
+  FROM (SELECT family, ({_FAMILY_KEY_DUCK}) AS nk FROM bnorm)
+)
+SELECT k.source_family, k.t_family AS target_family,
+       count(*)::BIGINT AS n,
+       count(DISTINCT k.f_nk)::BIGINT AS n_keys
+FROM wf_keyed k
+JOIN reg r ON r.family = k.t_family AND r.nk = k.f_nk
+GROUP BY k.source_family, k.t_family
+ORDER BY k.source_family, k.t_family
+"""
+
+
+@register(
+    "udf_award_salvage_s3_wrong_funder",
+    oracle=_S3_ORACLE,
+    tags=("sqludf", "scalar", "awards", "salvage"),
+    tables=("orders",),
+)
+def udf_award_salvage_s3_wrong_funder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """S3 wrong-funder salvage: letter-bearing garbage strings are
+    cross-checked against the 22 XGRAM families' strong grammars
+    (broadcast seed CROSS JOIN — cost is the family count, never the
+    corpus), keyed with the TARGET family's normalizer, and confirmed
+    against the target registry; confirmed (source, target) pairs roll
+    up with hit and distinct-key counts.  The xgram filter runs BEFORE
+    keying so the 22x fan-out collapses immediately; the registry join
+    broadcasts.  Same localCheckpoint barriers as S1."""
+    create_sql_udfs(spark)
+    _orders_rp(spark)
+    cand = spark.sql(f"""
+        SELECT o_orderkey, {_FAMILY_NAME} AS family,
+               award_norm0({_S3_RAW_SPARK}) AS _n
+        FROM orders_rp
+    """).localCheckpoint(eager=False)
+    cand.createOrReplaceTempView("s3_cand")
+    regk = spark.sql(f"""
+        SELECT DISTINCT family, award_family_key(family, award) AS nk
+        FROM (
+          SELECT {_FAMILY_NAME} AS family, {_FAMILY_RAW_SPARK} AS award
+          FROM orders_rp WHERE o_orderkey % 5 = 0
+        )
+    """).localCheckpoint(eager=False)
+    regk.createOrReplaceTempView("s3_regk")
+    return spark.sql(f"""
+        WITH cand_f AS (
+          SELECT o_orderkey, family, _n FROM s3_cand
+          WHERE _n rlike '[A-Z]'
+             OR _n rlike '(^|[^0-9])[0-9]{{2,4}}/[0-9]{{4,5}}-[0-9]([^0-9]|$)'
+        ),
+        targets AS (
+          SELECT explode(array({_XGRAM_FAMS})) AS t_family
+        ),
+        wf0 AS (
+          SELECT c.o_orderkey, c.family, c._n, t.t_family
+          FROM cand_f c CROSS JOIN targets t
+          WHERE t.t_family <> c.family
+        ),
+        wf_gram AS (
+          SELECT o_orderkey, family, t_family, _n
+          FROM wf0 WHERE award_xgram_pass(t_family, _n)
+        ),
+        wf_keyed AS (
+          SELECT o_orderkey, family AS source_family, t_family,
+                 award_family_key(t_family, _n) AS f_nk
+          FROM wf_gram
+        ),
+        reg AS (SELECT DISTINCT family, nk FROM s3_regk)
+        SELECT k.source_family, k.t_family AS target_family,
+               count(*) AS n, count(DISTINCT k.f_nk) AS n_keys
+        FROM wf_keyed k
+        JOIN reg r ON r.family = k.t_family AND r.nk = k.f_nk
+        GROUP BY k.source_family, k.t_family
+        ORDER BY k.source_family, k.t_family
+    """)

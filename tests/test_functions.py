@@ -649,3 +649,74 @@ def test_award_rescue_action_tiers(spark_udfs):
         assert got[i] == want, (
             f"{fam} {s!r} hit={hit} -> {got[i]!r}, want {want!r}"
         )
+
+
+def test_award_xgram_vectors_both_dialects(spark_udfs):
+    """One firing vector per XGRAM family (reference AwardNormKey.sql
+    l.586-640 wf_keyed), pinned in BOTH dialects — the S3 battery's
+    fixture lattice leaves a few cross-grammar branches unfired at
+    small SF, so every branch is pinned here, plus negatives showing
+    the STRONG grammars reject weakly-structured strings."""
+    import duckdb
+
+    from openalex_walden_spark.functions.sql_udfs import compile_xgram_case
+
+    vectors = [
+        # target family, candidate string, expected xgram verdict
+        ("nih", "1 R01 GM 48123-02", True),
+        ("nih", "48123", False),
+        ("dhhs", "HHSN2632013", True),           # A+4 alnum+6 digits
+        ("dhhs", "R01GM48123", False),           # NIH shape excluded
+        ("nsf", "DMS 1748958", True),
+        ("nsf", "1748958", False),               # bare number: not strong
+        ("kakenhi", "JP 22390400", True),
+        ("dfg", "SFB 1234", True),
+        # the tw subject squashes the path form into the compact form,
+        # so BOTH fire (the reference's wf_keyed does the same)
+        ("most_tw", "MOST 110-2221-E-033-044", True),
+        ("most_tw", "1102221E033044", True),
+        ("most_tw", "110-2221", False),          # fragment: rejected
+        ("fapesp", "2019/12345-6", True),
+        ("capes", "88887.123456/2019-00", True),
+        ("ncn", "UMO-2019/33/B/ST6/00123", True),
+        ("shandong", "ZR2021MH123", True),
+        ("amed", "JP21DK0310104", True),
+        ("nasa", "80NSSC21K0123", True),
+        ("doe", "DE-SC0012345", True),
+        ("fct", "PTDC/BIA-BMA/12345/2020", True),
+        ("ec", "H2020 GA 654321", True),
+        ("ec", "654321", False),
+        ("nserc", "RGPIN-2019-05634", True),
+        ("anr", "ANR-19-CE45-0012", True),
+        ("wellcome", "107337/Z/15/Z", True),
+        ("epsrc", "EP/N510129/1", True),
+        ("cihr", "MOP-123456", True),
+        ("aha", "19TPA34890015", True),
+    ]
+    spark = spark_udfs
+    sdf = spark.createDataFrame(
+        [(i, f, a) for i, (f, a, _) in enumerate(vectors)],
+        "idx INT, family STRING, award STRING",
+    ).selectExpr("idx", "award_xgram_pass(family, award_norm0(award)) AS g")
+    got_spark = {r["idx"]: r["g"] for r in sdf.collect()}
+
+    con = duckdb.connect()
+    values = ", ".join(
+        f"({i}, '{f}', '{a}')" for i, (f, a, _) in enumerate(vectors)
+    )
+    got_duck = dict(con.sql(f"""
+        WITH v(idx, family, award) AS (VALUES {values}),
+        normed AS (
+          SELECT idx, family,
+                 regexp_replace(upper(trim(award)), '  +', ' ', 'g') AS _n
+          FROM v)
+        SELECT idx, {compile_xgram_case(1)} AS g FROM normed
+    """).fetchall())
+
+    for i, (fam, award, want) in enumerate(vectors):
+        assert got_spark[i] == want, (
+            f"Spark xgram {fam} {award!r} -> {got_spark[i]}, want {want}"
+        )
+        assert got_duck[i] == want, (
+            f"DuckDB xgram {fam} {award!r} -> {got_duck[i]}, want {want}"
+        )
