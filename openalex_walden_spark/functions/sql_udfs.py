@@ -1218,3 +1218,206 @@ _ALL = _ALL + (
     _AWARD_WEAK_SURFACE,
     _AWARD_XGRAM,
 )
+
+
+# --------------------------------------------------------------------------
+# Guard decision layer (the reference's award_id_guard table)
+# --------------------------------------------------------------------------
+# AwardNormKey.sql l.647-766: the single checkpoint the ingest doors
+# consume at mint time.  DESIGN FLIP (the reference's recalibration
+# round 1): suppression requires POSITIVE junk classification — "failed
+# to verify" alone is NOT junk (64.8% of failed-to-verify suppressions
+# audited as real grants in mangled dialects); unclassifiable strings
+# default to KEEP.  A string is junk only if the decoration-stripped
+# core ALSO classifies as junk (strip-and-retest), a string CONTAINING
+# a complete structural id core can never be junk (chassis-anywhere
+# keep-list), and funder-scoped keeps carve out real id shapes that are
+# unsafe as global chassis.  All arms re-derived lookaround-free and
+# ASCII-only (the unicode-dash folds live upstream of award_norm0
+# here); the URL negative-lookahead and the '0 + letter' lookahead are
+# decomposed into AND/NOT conjuncts.
+
+# Positive-junk arms, each a rule(rx_on_subject) — evaluated over BOTH
+# the normalized string and its junk-stripped core.
+_JUNK_PROGRAM_LIST = (
+    "HORIZON ?2020|HORIZON ?EUROPE|H2020|FP[4-7]|ERASMUS([+]| ?PLUS)?"
+    "|MSCA|COST( ACTION)?|PRELUDIUM ?[0-9]{0,2}|OPUS ?[0-9]{0,2}"
+    "|SONATA( BIS)? ?[0-9]{0,2}|CAREER|EPSCOR|CREST|INSPIRE|SBIR|STTR"
+    "|R&D|COVID(-?19)?|RESEARCH ?4 ?COVID.*|FRANCE ?2030|STI ?2030.*"
+    "|EDCTP2?|PT ?2020|COMPETE ?2020?|NORTE ?2020|CENTRO ?2020"
+    "|LISBOA ?2020|POCI|FEDER|NSFC|973( PROGRAM)?|863( PROGRAM)?"
+    "|111( PROJECT)?|NIH|NSF|DFG|ANR|AHA|ERC|GACR|MOST|JSPS|KAKENHI"
+    "|CNPQ|CAPES|FCT|N/?A"
+)
+
+_JUNK_PLAIN = [
+    f"^({_JUNK_PROGRAM_LIST})$",
+    r"^(19|20)[0-9]{2}[-/ ]{1,3}(19|20)[0-9]{2}$",
+    r"^(19|20)[0-9]{2}$",
+    r"^10[.]13039/[0-9]{6,12}$",
+    r"^[^0-9]*10[.]13039/[0-9]{6,12}[^0-9]*$",
+    r"^0000-000[0-9]-[0-9]{4}-[0-9X]{4}$",
+    r"^(N/?A|NA|NONE|NIL|NOT APPLICABLE|UNKNOWN|TBD|PENDING|NULL|XXX+|[-.,;:/#*+ ]+)$",
+    r"^[(]?(FINANCE|FINANCIAL)? ?CODE[ :]*0*1[)]?[.]?$",
+    r"^0*1$",
+    r"^.{1,3}$",
+    r"^( ?[A-Z]{2,}){4,}$",
+    r"^[0-9]{1,5}$",
+    r"^(JAN|FEB|MAR|APR|MAY|JUN|JUL|AUG|SEP|OCT|NOV|DEC)[A-Z]* (19|20)[0-9]{2}$",
+    r"^[0-9]{1,2}[./][0-9]{1,2}[./](19|20)?[0-9]{2}$",
+    r"[-/_.]$",
+    r"^[-/_.]",
+    r"^(ANR|MOST|NSC|NSTC|RGPIN|MOP|PJT|UMO|DEC|FP[4-7]|H2020|GRANT|AWARD|PROJECT|NO|REF)[- _]?[0-9]{0,4}$",
+    r"^(19|20)[0-9]{2}[-/](19|20)?[0-9]{1,2}$",
+]
+
+# Chassis-anywhere keep-list (reference's non-DOE n=400 audit): a
+# string CONTAINING a complete structural id core is never junk,
+# whatever the wrapper.  Representative arms covering every family
+# group; boundary lookarounds re-derived as consuming groups.
+_CHASSIS_ANYWHERE = [
+    r"[0-9]{2,3}[- ][0-9]{4}[- ]?[A-Z][- ][A-Z0-9]{3,4}[- ]{1,3}[0-9]{2,3}",
+    r"(RGPIN|RGPAS|RGPNS|DGECR|CRDPJ|RDCPJ|SAPIN|PGSD?[0-9]?)[ /=-]{1,3}[0-9]{5,6}([ -][0-9]{2,4})?",
+    r"(RGPIN|RGPAS|RGPNS|DGECR|CRDPJ|SAPIN)[- ]?(19|20)[0-9]{2}[- ][0-9]{4,6}",
+    r"[0-9]{6}[A-Z]?_[0-9]{6}",
+    r"(SFB|TRR?|CRC|EXC|GRK|RTG|FOR|SPP|NFDI|KFO)[ /]?[0-9]{2,4}",
+    r"[A-Z]{1,3}[ -]?[0-9]{1,4}/[0-9]{1,3}-[0-9]",
+    r"(^|[^0-9])[0-9]{2}[A-Z][0-9]{5}([^0-9]|$)",
+    r"[0-9]{5,6}/[A-Z]/[0-9]{2}(/[A-Z])?",
+    r"(^|[^0-9A-Z])(GR|WT)[0-9]{6}(MA|MAJ|MF|AIA)?([^0-9]|$)",
+    r"(^|[^0-9])(19|20)[0-9]{2}/[0-9]{4,5}-[0-9]([^0-9]|$)",
+    r"(UIDB?|UIDP|PTDC|SFRH|CEEC(IND)?|POCI|ALT[0-9]{2}|LA/P)[/ -][A-Z0-9/. -]{3,24}[0-9]",
+    r"(8888[0-9]|99999|23038)[.][0-9]{6}/[0-9]{4}",
+    r"BEX[ :]{0,2}[0-9]{4,5}/[0-9]{2}",
+    r"20[0-9]{2}/[0-9]{2}/[A-Z]{1,2}/[A-Z]{2,3}[0-9]{1,2}/[0-9]{5}",
+    r"(MOP|PJT|FDN|FRN|ROG|CPG|IAP|HHP|IRR|OV[0-9])[ #-]{1,3}[0-9]{5,6}",
+    r"HHSN[0-9]{9,13}[A-Z]?",
+    r"DE-?[A-Z]{2}[0-9]{2}-?[0-9]{2}[A-Z]{2}[0-9]{4,6}",
+    r"ANR-?[0-9]{2}-[A-Z0-9]{2,6}-[0-9]{1,4}",
+    r"(^|[^A-Z0-9])[0-9]{2}[A-Z]{1,4}[0-9]{3,5}[A-Z]([^A-Z0-9]|$)",
+    r"(PI|DTS|AC|ICI|COV)[0-9]{2}(CIII)?[/-][0-9]{4,5}",
+    r"EP/[A-Z][0-9]{5,6}[A-Z0-9]?(/[0-9])?",
+    r"AHA[ -]?[0-9]{6,9}",
+    r"(^|[^0-9])[0-9]{2}(PRE|POST|SDG|GRNT|CDA|EIA|TPA|SFRN|IPA)[0-9]{6,8}",
+    r"(^|[^0-9])[0-9]{3}[- ](19|20)[0-9]{2}[- ][0-9]{4,5}([^0-9]|$)",
+    r"(^|[^0-9/])(19|20)[0-9]{2}-[0-9]{5}([^0-9]|$)",
+    r"(^|[^A-Z0-9])(ECS|PE|CN|IR)_?[0-9]{8}([^0-9]|$)",
+    r"20[0-9]{2}ZD[0-9]{7}",
+    r"CUP[ :]{0,2}[A-Z][0-9A-Z]{10,14}",
+    r"FA[0-9]{4}-[0-9]{2}-[0-9]-[0-9]{4}",
+    r"JP ?[0-9]{2}[A-Z]{2}[0-9]{7}",
+    r"(^|[^A-Z0-9/])PI[0-9]{6}([^0-9]|$)",
+    r"80NSSC[0-9]{2}[A-Z][0-9]{4}",
+    r"[A-Z]{2,6}_[0-9]{1,2}-[0-9][- ]20[0-9]{2}-[0-9]{4}",
+    r"N N[0-9]{3} [0-9]{4} [0-9]{2}($|[^0-9])",
+    r"10[.]55776/[A-Z]{0,4}[0-9]{1,6}",
+    r"20[0-9]{2}[MT][0-9]{6}($|[^0-9])",
+]
+
+# The junk-strip for strip-and-retest (reference's _ns projection —
+# lighter than the S1 decoration strip, by design: trailing grantee,
+# then lead/trail punctuation runs).
+def compile_junk_strip(subject: str, dialect: int) -> str:
+    del dialect
+    e = f"regexp_replace({subject}, ' TO [A-Z][A-Z. ]{{0,24}}$', '')"
+    e = f"regexp_replace({e}, '^[ _./,;:()-]+', '')"
+    return f"regexp_replace({e}, '[ _./,;:()-]+$', '')"
+
+
+def _rx_on(expr: str, pat: str, dialect: int) -> str:
+    if dialect == 0:
+        return f"{expr} rlike '{pat}'"
+    return f"regexp_matches({expr}, '{pat}')"
+
+
+def compile_junk_tier(expr: str, dialect: int) -> str:
+    """The positive-junk OR over one subject expression, with the
+    URL and '0-prefixed alnum' lookahead arms decomposed."""
+    arms = [_rx_on(expr, p, dialect) for p in _JUNK_PLAIN]
+    arms.append(
+        "(" + _rx_on(expr, r"^(HTTPS?://|WWW[.])", dialect)
+        + " AND NOT " + _rx_on(expr, r"10[.](58275|54499|35802|55776)", dialect)
+        + ")"
+    )
+    arms.append(
+        "(" + _rx_on(expr, r"^0[A-Z0-9]{6}[0-9]{2}$", dialect)
+        + " AND " + _rx_on(expr, r"[A-Z]", dialect) + ")"
+    )
+    return "(" + "\n  OR ".join(arms) + ")"
+
+
+def compile_chassis_keep(expr: str, dialect: int) -> str:
+    """The chassis-anywhere keep-list OR over one subject expression."""
+    return "(" + "\n  OR ".join(
+        _rx_on(expr, p, dialect) for p in _CHASSIS_ANYWHERE
+    ) + ")"
+
+
+def compile_scoped_keeps(expr: str, dialect: int) -> str:
+    """Funder-scoped keeps: real id shapes AT this funder, unsafe as
+    global chassis (fwf letter+short-number minus H2020, nsfc W/T
+    deposit ids and 8+10-digit project ids, nserc bare-4 minus years,
+    fwf 1xxxx-3xxxx core ids)."""
+    fwf1 = "(" + _rx_on(expr, r"^[A-Z]{1,3} ?[0-9]{1,5}[.]?$", dialect) \
+        + " AND NOT " + _rx_on(expr, r"^H ?2020[.]?$", dialect) + ")"
+    nsfc1 = _rx_on(expr, r"(^|[^0-9A-Z])[WT][0-9]{7,10}([^0-9]|$)", dialect)
+    nsfc2 = _rx_on(expr, r"(^|[^0-9])8[0-9]{10}([^0-9]|$)", dialect)
+    nserc1 = "(" + _rx_on(expr, r"^[0-9]{4}[.]?$", dialect) \
+        + " AND NOT " + _rx_on(expr, r"^(19|20)[0-9]{2}[.]?$", dialect) + ")"
+    fwf2 = _rx_on(expr, r"^[1-3][0-9]{4}[.]?$", dialect)
+    return (
+        f"((family = 'fwf' AND ({fwf1} OR {fwf2}))"
+        f" OR (family = 'nsfc' AND ({nsfc1} OR {nsfc2}))"
+        f" OR (family = 'nserc' AND {nserc1}))"
+    )
+
+
+def compile_is_junk(n_expr: str, ns_expr: str, dialect: int) -> str:
+    """The full positive-junk classification: junk(_n) AND
+    (junk(_ns) OR _ns = '' OR DOE bare-6(_ns)) OR DOE bare-6(_n),
+    minus the DOE deferral, the chassis-anywhere keeps, and the
+    funder-scoped keeps.  DOE never suppresses while the reference's
+    taxonomy deferral stands — the bare-6 arms are kept for structural
+    parity and the deferral excludes the family afterwards, exactly as
+    the reference orders its clauses."""
+    doe6_n = f"(family = 'doe' AND {_rx_on(n_expr, '^[0-9]{6}$', dialect)})"
+    doe6_ns = f"(family = 'doe' AND {_rx_on(ns_expr, '^[0-9]{6}$', dialect)})"
+    return (
+        f"((({compile_junk_tier(n_expr, dialect)}\n"
+        f"  AND ({compile_junk_tier(ns_expr, dialect)} OR {ns_expr} = '' OR {doe6_ns}))\n"
+        f"  OR {doe6_n})\n"
+        f" AND family NOT IN ('doe')\n"
+        f" AND NOT {compile_chassis_keep(n_expr, dialect)}\n"
+        f" AND NOT {compile_scoped_keeps(n_expr, dialect)})"
+    )
+
+
+_AWARD_JUNK_STRIP = (
+    "CREATE OR REPLACE TEMPORARY FUNCTION award_junk_strip(award STRING)\n"
+    "RETURNS STRING\nRETURN "
+    + compile_junk_strip("award_norm0(award)", 0)
+)
+
+_AWARD_IS_JUNK = (
+    "CREATE OR REPLACE TEMPORARY FUNCTION award_is_junk(\n"
+    "  family STRING, award STRING)\n"
+    "RETURNS BOOLEAN\n"
+    "RETURN "
+    + compile_is_junk("award_norm0(award)", "award_junk_strip(award)", 0)
+)
+
+# Guard reason (decision = 'suppress' iff reason = 'junk_positive';
+# everything else mints).
+_AWARD_GUARD_REASON = (
+    "CREATE OR REPLACE TEMPORARY FUNCTION award_guard_reason(\n"
+    "  family STRING, award STRING, verdict STRING, actions STRING)\n"
+    "RETURNS STRING\n"
+    "RETURN CASE\n"
+    "  WHEN verdict <> 'garbage' THEN verdict\n"
+    "  WHEN actions IS NOT NULL THEN concat('salvaged:', actions)\n"
+    "  WHEN award_is_junk(family, award) THEN 'junk_positive'\n"
+    "  ELSE 'unclassified_kept'\n"
+    "END"
+)
+
+_ALL = _ALL + (_AWARD_JUNK_STRIP, _AWARD_IS_JUNK, _AWARD_GUARD_REASON)

@@ -1403,3 +1403,134 @@ def udf_award_salvage_s3_wrong_funder(
         GROUP BY k.source_family, k.t_family
         ORDER BY k.source_family, k.t_family
     """)
+
+
+# ---------------------------------------------------------------------------
+# Award GUARD decision battery: verdict + salvage + positive-junk -> mint/suppress
+# ---------------------------------------------------------------------------
+# Reference AwardNormKey.sql l.647-766 (award_id_guard): one row per
+# scored (funder, award) deciding mint vs suppress at ingest time.
+# Suppression requires POSITIVE junk classification (the reference's
+# recalibration DESIGN FLIP: failed-to-verify is NOT junk), junk must
+# survive strip-and-retest on the junk-stripped core, a string
+# containing a complete structural id chassis can never be junk, and
+# funder-scoped keeps + the DOE deferral carve out the rest.  The
+# salvage actions column is a deterministic lattice here (the salvage
+# table is DATA consumed by the guard — S1-S3 above verify its
+# construction); the junk/chassis/scoped tiers compile from
+# functions/sql_udfs.py for both dialects.
+from openalex_walden_spark.functions.sql_udfs import (  # noqa: E402
+    compile_is_junk,
+    compile_junk_strip,
+)
+
+_GUARD_RAW = """CASE CAST(o_orderkey % 17 AS INT)
+  WHEN 0 THEN 'H2020'
+  WHEN 1 THEN '2019 - 2020'
+  WHEN 2 THEN '10.13039/501100001711'
+  WHEN 3 THEN 'HTTPS://EXAMPLE.ORG/GRANTS/1'
+  WHEN 4 THEN 'N/A'
+  WHEN 5 THEN '_JP22390400'
+  WHEN 6 THEN 'GRANT 01KT1801 TO M.K.'
+  WHEN 7 THEN 'THANKS; SEE ANR-19-CE45-0012'
+  WHEN 8 THEN '123'
+  WHEN 9 THEN 'SEE PAGE TWELVE FOR DETAILS'
+  WHEN 10 THEN 'W12345678'
+  ELSE {fmt}
+END"""
+
+_GUARD_ACTIONS_SPARK = """CASE CAST(o_orderkey % 13 AS INT)
+  WHEN 0 THEN 'decorated_own_id'
+  WHEN 1 THEN 'multi_id_split+wrong_funder'
+  ELSE CAST(NULL AS STRING)
+END"""
+
+_GUARD_ACTIONS_DUCK = _GUARD_ACTIONS_SPARK.replace("AS STRING", "AS VARCHAR")
+
+_GUARD_ORACLE = f"""
+WITH raw AS (
+  SELECT o_orderkey, {_FAMILY_NAME} AS family,
+         {_GUARD_RAW.format(fmt=_FAMILY_RAW_DUCK)} AS award,
+         CAST({_N_AWARDS} AS BIGINT) AS n_awards,
+         {_GUARD_ACTIONS_DUCK} AS actions
+  FROM orders
+),
+normed AS (
+  SELECT o_orderkey, family, award, n_awards, actions,
+         regexp_replace(upper(trim(award)), '  +', ' ', 'g') AS _n,
+         regexp_replace(regexp_replace(upper(trim(award)), '\\s+', ' ', 'g'),
+                        '[ -]', '', 'g') AS _sq
+  FROM raw
+),
+verdicts AS (
+  SELECT o_orderkey, family, award, actions, _n,
+         {_VERDICT_DUCK} AS verdict
+  FROM normed
+),
+stripped AS (
+  SELECT family, verdict, actions, _n,
+         {compile_junk_strip("_n", 1)} AS _ns
+  FROM verdicts
+),
+reasons AS (
+  SELECT family, CASE
+    WHEN verdict <> 'garbage' THEN verdict
+    WHEN actions IS NOT NULL THEN concat('salvaged:', actions)
+    WHEN {compile_is_junk("_n", "_ns", 1)} THEN 'junk_positive'
+    ELSE 'unclassified_kept'
+  END AS reason
+  FROM stripped
+)
+SELECT family, reason,
+       CASE WHEN reason = 'junk_positive' THEN 'suppress' ELSE 'mint' END
+         AS decision,
+       count(*)::BIGINT AS n
+FROM reasons
+GROUP BY family, reason, decision
+ORDER BY family, reason, decision
+"""
+
+
+@register(
+    "udf_award_guard_decision",
+    oracle=_GUARD_ORACLE,
+    tags=("sqludf", "scalar", "awards", "scoring"),
+    tables=("orders",),
+)
+def udf_award_guard_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guard decision battery: verdict tiers flow through unchanged,
+    salvaged rows mint with their action trail, and only positive-junk
+    rows suppress — with strip-and-retest ('_JP22390400' rescues),
+    chassis-anywhere keeps ('THANKS; SEE ANR-19-CE45-0012' can never
+    be junk), funder-scoped keeps (NSFC 'W12345678'), and the DOE
+    deferral all exercised by the fixture lattice.  One localCheckpoint
+    barrier then a map-side reason projection + one rollup shuffle; at
+    100 TB the guard is a single pass over the scored table."""
+    create_sql_udfs(spark)
+    _orders_rp(spark)
+    scored = spark.sql(f"""
+        SELECT family, award, actions,
+               award_verdict(family, award, n_awards) AS verdict
+        FROM (
+          SELECT o_orderkey, {_FAMILY_NAME} AS family,
+                 {_GUARD_RAW.format(fmt=_FAMILY_RAW_SPARK)} AS award,
+                 CAST({_N_AWARDS} AS BIGINT) AS n_awards,
+                 {_GUARD_ACTIONS_SPARK} AS actions
+          FROM orders_rp
+        )
+    """).localCheckpoint(eager=False)
+    scored.createOrReplaceTempView("guard_scored")
+    return spark.sql("""
+        WITH reasons AS (
+          SELECT family,
+                 award_guard_reason(family, award, verdict, actions) AS reason
+          FROM guard_scored
+        )
+        SELECT family, reason,
+               CASE WHEN reason = 'junk_positive' THEN 'suppress'
+                    ELSE 'mint' END AS decision,
+               count(*) AS n
+        FROM reasons
+        GROUP BY family, reason, decision
+        ORDER BY family, reason, decision
+    """)

@@ -720,3 +720,74 @@ def test_award_xgram_vectors_both_dialects(spark_udfs):
         assert got_duck[i] == want, (
             f"DuckDB xgram {fam} {award!r} -> {got_duck[i]}, want {want}"
         )
+
+
+def test_award_is_junk_vectors_both_dialects(spark_udfs):
+    """Positive-junk semantics pinned per vector in BOTH dialects
+    (reference award_id_guard, incl. its audit examples): program
+    names, years, funder DOIs, ORCIDs and URLs are junk; wrapped clean
+    ids rescue via strip-and-retest; chassis-bearing strings can never
+    be junk; funder-scoped keeps carve out real shapes; DOE never
+    suppresses under the taxonomy deferral."""
+    import duckdb
+
+    from openalex_walden_spark.functions.sql_udfs import (
+        compile_is_junk,
+        compile_junk_strip,
+    )
+
+    vectors = [
+        # family, award, expected is_junk
+        ("nih", "H2020", True),
+        ("nih", "2019 - 2020", True),
+        ("nih", "2019", True),
+        ("nih", "10.13039/501100001711", True),
+        ("nih", "HTTPS://EXAMPLE.ORG/X", True),
+        ("nih", "0000-0002-1825-0097", True),          # ORCID
+        ("nih", "N/A", True),
+        ("nih", "FINANCE CODE 001", True),
+        ("nih", "123", True),
+        ("nih", "THIS WORK WAS SUPPORTED BY", True),   # all-caps run
+        ("nih", "SEE PAGE TWELVE FOR DETAILS", True),   # all-caps run too
+        ("nih", "JAN 2020", True),
+        ("snsf", "_JP22390400", False),    # audit: strip-and-retest rescue
+        ("snsf", "U21B2041.", False),      # audit: core survives strip... via trailing-dot junk + retest
+        ("bmbf", "GRANT 01KT1801 TO M.K.", False),  # audit: wrapper strips
+        ("nih", "THANKS TO ANR-19-CE45-0012", False),  # chassis-anywhere
+        ("nsfc", "W12345678", False),      # scoped keep
+        ("fwf", "P 301", False),           # scoped keep: letter+short number
+        ("nserc", "4634", False),          # scoped keep: bare-4 non-year
+        ("cihr", "2020", True),            # year stays junk at nserc? cihr
+        ("doe", "123456", False),          # DOE deferral: never junk
+        ("nih", "SEE PAGE 12", False),    # unclassifiable: default KEEP
+    ]
+    spark = spark_udfs
+    sdf = spark.createDataFrame(
+        [(i, f, a) for i, (f, a, _) in enumerate(vectors)],
+        "idx INT, family STRING, award STRING",
+    ).selectExpr("idx", "award_is_junk(family, award) AS j")
+    got_spark = {r["idx"]: r["j"] for r in sdf.collect()}
+
+    con = duckdb.connect()
+    values = ", ".join(
+        f"({i}, '{f}', '{a}')" for i, (f, a, _) in enumerate(vectors)
+    )
+    got_duck = dict(con.sql(f"""
+        WITH v(idx, family, award) AS (VALUES {values}),
+        normed AS (
+          SELECT idx, family,
+                 regexp_replace(upper(trim(award)), '  +', ' ', 'g') AS _n
+          FROM v),
+        stripped AS (
+          SELECT idx, family, _n, {compile_junk_strip("_n", 1)} AS _ns
+          FROM normed)
+        SELECT idx, {compile_is_junk("_n", "_ns", 1)} AS j FROM stripped
+    """).fetchall())
+
+    for i, (fam, award, want) in enumerate(vectors):
+        assert got_spark[i] == want, (
+            f"Spark is_junk {fam} {award!r} -> {got_spark[i]}, want {want}"
+        )
+        assert got_duck[i] == want, (
+            f"DuckDB is_junk {fam} {award!r} -> {got_duck[i]}, want {want}"
+        )
