@@ -1534,3 +1534,163 @@ def udf_award_guard_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY family, reason, decision
         ORDER BY family, reason, decision
     """)
+
+
+# ---------------------------------------------------------------------------
+# Award label-entanglement hold-back
+# ---------------------------------------------------------------------------
+# Reference AwardNormKey.sql l.768-830 (award_id_label_entangled): a
+# suppressed junk id whose work_awards links are some (work, funder)
+# pair's ONLY funder connection — no alternative source covers the
+# pair — is HELD BACK from suppression until direct paper->funder legs
+# exist; zero papers lose funder attribution at any point.  The shape
+# is a three-stage anti-join composition: all-links-suppressed pairs,
+# minus pairs covered by any alternative source, joined back to the
+# suppressed ids.  Fixture: lineitem as work_awards (orderkey=work,
+# suppkey-lattice funder, partkey-lattice award), a deterministic
+# suppressed subset, and two alternative coverage sources on disjoint
+# lattices so covered and uncovered at-risk pairs both materialize.
+
+_LE_ORACLE = """
+WITH work_awards AS (
+  SELECT l_orderkey AS work_id,
+         CAST(l_suppkey % 20 AS BIGINT) AS funder_id,
+         concat('AWD-', CAST(l_partkey % 50 AS VARCHAR)) AS award_id
+  FROM lineitem
+),
+sup AS (
+  SELECT DISTINCT funder_id, award_id FROM work_awards
+  WHERE (funder_id * 7 + CAST(l_partkey_num AS BIGINT)) % 3 = 0
+),
+covered AS (
+  SELECT o_orderkey AS work_id, CAST(o_custkey % 20 AS BIGINT) AS funder_id
+  FROM orders WHERE o_orderkey % 4 = 0
+  UNION
+  SELECT l_orderkey AS work_id, CAST(l_suppkey % 20 AS BIGINT) AS funder_id
+  FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 2 = 1
+),
+at_risk AS (
+  SELECT work_id, funder_id FROM (
+    SELECT wa.work_id, wa.funder_id,
+           MAX(CASE WHEN s.award_id IS NULL THEN 1 ELSE 0 END) AS has_kept
+    FROM work_awards wa
+    LEFT JOIN sup s ON s.funder_id = wa.funder_id
+                   AND s.award_id = wa.award_id
+    GROUP BY wa.work_id, wa.funder_id
+  ) t WHERE has_kept = 0
+),
+sole_path AS (
+  SELECT a.work_id, a.funder_id FROM at_risk a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM covered c
+    WHERE c.work_id = a.work_id AND c.funder_id = a.funder_id
+  )
+),
+entangled AS (
+  SELECT DISTINCT s.funder_id, s.award_id
+  FROM work_awards wa
+  JOIN sole_path sp ON wa.work_id = sp.work_id
+                   AND wa.funder_id = sp.funder_id
+  JOIN sup s ON s.funder_id = wa.funder_id AND s.award_id = wa.award_id
+)
+SELECT funder_id, count(*)::BIGINT AS n_held_awards
+FROM entangled
+GROUP BY funder_id
+ORDER BY funder_id
+"""
+
+# DuckDB can't reference l_partkey from the work_awards projection in
+# sup's WHERE; give both dialects the same explicit numeric column.
+_LE_ORACLE = _LE_ORACLE.replace(
+    """work_awards AS (
+  SELECT l_orderkey AS work_id,
+         CAST(l_suppkey % 20 AS BIGINT) AS funder_id,
+         concat('AWD-', CAST(l_partkey % 50 AS VARCHAR)) AS award_id
+  FROM lineitem
+),""",
+    """work_awards AS (
+  SELECT l_orderkey AS work_id,
+         CAST(l_suppkey % 20 AS BIGINT) AS funder_id,
+         concat('AWD-', CAST(l_partkey % 50 AS VARCHAR)) AS award_id,
+         CAST(l_partkey % 50 AS BIGINT) AS l_partkey_num
+  FROM lineitem
+),""",
+)
+
+
+@register(
+    "award_label_entangled_holdback",
+    oracle=_LE_ORACLE,
+    tags=("awards", "join", "antijoin"),
+    tables=("lineitem", "orders"),
+)
+def award_label_entangled_holdback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Label-entanglement hold-back: suppressed award ids that are a
+    (work, funder) pair's sole funder connection are held from
+    suppression.  All-links-suppressed detection is a broadcast join
+    against the suppressed set + one grouped MAX; the coverage check is
+    a LEFT ANTI join (never materializes the complement); the final
+    DISTINCT bounds output by the suppressed-id space.  At 100 TB every
+    join key is (work_id, funder_id) — co-partitioned end to end, and
+    AQE turns the sup/covered sides into broadcasts."""
+    wa = (
+        spark.table("lineitem")
+        .selectExpr(
+            "l_orderkey AS work_id",
+            "CAST(l_suppkey % 20 AS BIGINT) AS funder_id",
+            "concat('AWD-', CAST(l_partkey % 50 AS STRING)) AS award_id",
+            "CAST(l_partkey % 50 AS BIGINT) AS awd_num",
+        )
+    )
+    sup = (
+        wa.where("(funder_id * 7 + awd_num) % 3 = 0")
+        .select("funder_id", "award_id")
+        .distinct()
+    )
+    covered = (
+        spark.table("orders")
+        .where("o_orderkey % 4 = 0")
+        .selectExpr("o_orderkey AS work_id",
+                    "CAST(o_custkey % 20 AS BIGINT) AS funder_id")
+        .union(
+            spark.table("lineitem")
+            .where("l_linenumber = 1 AND l_orderkey % 2 = 1")
+            .selectExpr("l_orderkey AS work_id",
+                        "CAST(l_suppkey % 20 AS BIGINT) AS funder_id")
+        )
+        .distinct()
+    )
+    s = sup.selectExpr("funder_id AS s_funder", "award_id AS s_award")
+    at_risk = (
+        wa.join(
+            F.broadcast(s),
+            (wa.funder_id == s.s_funder) & (wa.award_id == s.s_award),
+            "left",
+        )
+        .groupBy("work_id", "funder_id")
+        .agg(
+            F.max(
+                F.when(F.col("s_award").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("has_kept")
+        )
+        .where("has_kept = 0")
+        .select("work_id", "funder_id")
+    )
+    sole_path = at_risk.join(covered, ["work_id", "funder_id"], "left_anti")
+    entangled = (
+        wa.join(sole_path, ["work_id", "funder_id"])
+        .join(
+            F.broadcast(s),
+            (F.col("funder_id") == s.s_funder)
+            & (F.col("award_id") == s.s_award),
+        )
+        .select("funder_id", "award_id")
+        .distinct()
+    )
+    return (
+        entangled.groupBy("funder_id")
+        .agg(F.count(F.lit(1)).alias("n_held_awards"))
+        .orderBy("funder_id")
+    )
