@@ -1724,3 +1724,399 @@ def s6_export_authors_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("updated_date"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# S6c: snapshot export salting ladder (_utils.py _apply_salting)
+# --------------------------------------------------------------------------
+# The reference's snapshot export partitions by updated_date; one date
+# can hold 100M+ records, so the salt modulus SCALES with the date's
+# record count (ladder up to %1400 at 100M+).  The battery runs the
+# same ladder machinery at fixture-scale thresholds so every tier
+# fires at sf0.001 AND sf0.01: a 60% hot date (-> %10), a 30% date
+# (-> %3), and a scattered tail (-> unsalted).  Hash is the
+# engine-portable stable_hash64 (md5-derived), never Murmur3 — file
+# assignment must replay identically in any engine.
+from openalex_walden_spark.functions.hashing import (  # noqa: E402
+    stable_hash64_duckdb,
+)
+
+_SALT_DATE_SPARK = """date_add(DATE '2024-01-01', CAST(
+  CASE WHEN o_orderkey % 10 < 6 THEN 0
+       WHEN o_orderkey % 10 < 9 THEN 1
+       ELSE 2 + CAST(o_orderkey % 3 AS INT) END AS INT))"""
+
+_SALT_DATE_DUCK = """(DATE '2024-01-01' + INTERVAL (
+  CASE WHEN o_orderkey % 10 < 6 THEN 0
+       WHEN o_orderkey % 10 < 9 THEN 1
+       ELSE 2 + CAST(o_orderkey % 3 AS INT) END) DAY)"""
+
+_SALT_TEST_LADDER = ((600, 10), (250, 3), (120, 2))
+
+_S6SALT_H = stable_hash64_duckdb("CAST(o_orderkey AS VARCHAR)")
+
+_S6SALT_SQL = f"""
+WITH rows_ AS (
+  SELECT o_orderkey, {_SALT_DATE_DUCK} AS partition_date FROM orders
+),
+counts AS (
+  SELECT partition_date, count(*)::BIGINT AS date_count
+  FROM rows_ GROUP BY partition_date
+),
+salted AS (
+  SELECT r.o_orderkey, r.partition_date, c.date_count,
+         CASE WHEN c.date_count > 600 THEN {_S6SALT_H} % 10
+              WHEN c.date_count > 250 THEN {_S6SALT_H} % 3
+              WHEN c.date_count > 120 THEN {_S6SALT_H} % 2
+              ELSE 0 END AS salt
+  FROM rows_ r JOIN counts c USING (partition_date)
+)
+SELECT strftime(partition_date, '%Y-%m-%d') AS partition_day,
+       max(date_count) AS date_count,
+       count(DISTINCT salt)::BIGINT AS n_salts,
+       min(salt)::BIGINT AS min_salt,
+       max(salt)::BIGINT AS max_salt
+FROM salted
+GROUP BY partition_date
+ORDER BY partition_day
+"""
+
+
+@register(
+    "s6_export_salt_ladder",
+    oracle=_S6SALT_SQL,
+    tags=("sink", "S6", "export", "salting"),
+    tables=("orders",),
+)
+def s6_export_salt_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-scaled export salting ladder (see block comment).
+
+    Scale shape: one tiny groupBy for the date counts (rows = distinct
+    dates), broadcast back onto the entity frame, then a pure map-side
+    salt projection — the 500M-row frame never shuffles; the write's
+    repartition key becomes (date, salt), which is exactly the
+    reference's balanced-file-size contract."""
+    from openalex_walden_spark.sinks.json_export import apply_salting
+
+    rows = spark.table("orders").selectExpr(
+        "o_orderkey AS id", f"{_SALT_DATE_SPARK} AS partition_date"
+    )
+    salted = apply_salting(rows, ladder=_SALT_TEST_LADDER)
+    counts = rows.groupBy("partition_date").agg(
+        F.count(F.lit(1)).alias("date_count")
+    )
+    return (
+        salted.join(F.broadcast(counts), "partition_date")
+        .groupBy("partition_date")
+        .agg(
+            F.max("date_count").alias("date_count"),
+            F.countDistinct("salt").alias("n_salts"),
+            F.min("salt").alias("min_salt"),
+            F.max("salt").alias("max_salt"),
+        )
+        .select(
+            F.date_format("partition_date", "yyyy-MM-dd").alias(
+                "partition_day"
+            ),
+            "date_count", "n_salts", "min_salt", "max_salt",
+        )
+        .orderBy("partition_day")
+    )
+
+
+# --------------------------------------------------------------------------
+# S6d/S6e: funders + sources snapshot export shapes
+# --------------------------------------------------------------------------
+# The remaining thin-wrapper entity exports (export_funders.ipynb,
+# export_sources.ipynb): URL-prefix the numeric id with the entity
+# letter, coalesce every nullable array to [], attach counts_by_year
+# and the works API url, and whitelist the serving fields.  Customer
+# plays the funder (its orders are funded works); part plays the
+# source (its lineitems are hosted works).  Arrays serialize to
+# canonical '|'-joined strings at the comparison surface, as in the
+# authors shape.
+
+_S6F_SQL = """
+WITH year_counts AS (
+  SELECT o_custkey, year(o_orderdate)::BIGINT AS yr, count(*)::BIGINT AS n
+  FROM orders GROUP BY o_custkey, yr
+),
+years AS (
+  SELECT o_custkey,
+         list_sort(list(struct_pack(year := yr, works := n))) AS cby,
+         sum(n)::BIGINT AS works_count
+  FROM year_counts GROUP BY o_custkey
+)
+SELECT concat('https://openalex.org/F', CAST(c.c_custkey AS VARCHAR)) AS id,
+       c.c_name AS display_name,
+       COALESCE(array_to_string(
+         CASE WHEN c.c_custkey % 4 = 0 THEN [upper(c.c_name), c.c_mktsegment]
+              ELSE []::VARCHAR[] END, '|'), '') AS alternate_titles,
+       n.n_name AS country_code,
+       COALESCE(array_to_string(list_transform(
+         CASE WHEN c.c_acctbal > 0
+              THEN [struct_pack(role := 'funder', works := y.works_count),
+                    struct_pack(role := 'institution',
+                                works := (c.c_custkey % 7)::BIGINT)]
+              ELSE [struct_pack(role := 'funder', works := y.works_count)]
+         END,
+         r -> concat(r.role, ':', CAST(COALESCE(r.works, 0) AS VARCHAR))),
+         '|'), '') AS roles,
+       COALESCE(y.works_count, 0)::BIGINT AS grants_count,
+       COALESCE(array_to_string(list_transform(
+         COALESCE(y.cby, []::STRUCT(year BIGINT, works BIGINT)[]),
+         e -> concat(CAST(e.year AS VARCHAR), ':', CAST(e.works AS VARCHAR))),
+         '|'), '') AS counts_by_year,
+       concat('https://api.openalex.org/works?filter=grants.funder:F',
+              CAST(c.c_custkey AS VARCHAR)) AS works_api_url,
+       strftime(DATE '2024-01-01' + INTERVAL ((c.c_custkey % 365)::INT) DAY,
+                '%Y-%m-%d') AS updated_date
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+LEFT JOIN years y ON y.o_custkey = c.c_custkey
+"""
+
+
+@register(
+    "s6_export_funders_shape",
+    oracle=_S6F_SQL,
+    tags=("sink", "S6", "export", "funders"),
+    tables=("customer", "orders", "nation"),
+)
+def s6_export_funders_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funders-snapshot export shape (export_funders.ipynb): F-prefixed
+    URL ids, alternate_titles/roles/counts_by_year coalesced to [],
+    the conditional two-role array, and the works API url.  One
+    partial-aggregable rollup on the funder key, nation broadcasts,
+    everything else map-side."""
+    c = spark.table("customer")
+    n = spark.table("nation")
+    years = (
+        spark.table("orders")
+        .groupBy("o_custkey", F.year("o_orderdate").cast("bigint").alias("yr"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("o_custkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("yr").alias("year"), F.col("n").alias("works"))
+                )
+            ).alias("cby"),
+            F.sum("n").alias("works_count"),
+        )
+    )
+    role = lambda name, works: F.struct(  # noqa: E731
+        F.lit(name).alias("role"), works.cast("bigint").alias("works")
+    )
+    return (
+        c.join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(years, years.o_custkey == c.c_custkey, "left")
+        .select(
+            F.concat(F.lit("https://openalex.org/F"),
+                     F.col("c_custkey").cast("string")).alias("id"),
+            F.col("c_name").alias("display_name"),
+            F.array_join(
+                F.when(
+                    F.col("c_custkey") % 4 == 0,
+                    F.array(F.upper("c_name"), F.col("c_mktsegment")),
+                ).otherwise(F.array().cast("array<string>")),
+                "|",
+            ).alias("alternate_titles"),
+            F.col("n_name").alias("country_code"),
+            F.array_join(
+                F.transform(
+                    F.when(
+                        F.col("c_acctbal") > 0,
+                        F.array(
+                            role("funder", F.col("works_count")),
+                            role("institution", F.col("c_custkey") % 7),
+                        ),
+                    ).otherwise(F.array(role("funder", F.col("works_count")))),
+                    lambda r: F.concat(
+                        r["role"], F.lit(":"),
+                        F.coalesce(r["works"], F.lit(0)).cast("string"),
+                    ),
+                ),
+                "|",
+            ).alias("roles"),
+            F.coalesce("works_count", F.lit(0)).cast("bigint")
+            .alias("grants_count"),
+            F.array_join(
+                F.transform(
+                    F.coalesce(
+                        "cby",
+                        F.array().cast("array<struct<year:bigint,works:bigint>>"),
+                    ),
+                    lambda e: F.concat(
+                        e["year"].cast("string"), F.lit(":"),
+                        e["works"].cast("string"),
+                    ),
+                ),
+                "|",
+            ).alias("counts_by_year"),
+            F.concat(
+                F.lit("https://api.openalex.org/works?filter=grants.funder:F"),
+                F.col("c_custkey").cast("string"),
+            ).alias("works_api_url"),
+            F.date_format(
+                F.date_add(F.lit("2024-01-01").cast("date"),
+                           (F.col("c_custkey") % 365).cast("int")),
+                "yyyy-MM-dd",
+            ).alias("updated_date"),
+        )
+    )
+
+
+_S6S_SQL = """
+WITH hosted AS (
+  SELECT l_partkey, year(o_orderdate)::BIGINT AS yr,
+         count(*)::BIGINT AS n
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY l_partkey, yr
+),
+years AS (
+  SELECT l_partkey,
+         list_sort(list(struct_pack(year := yr, works := n))) AS cby,
+         sum(n)::BIGINT AS works_count
+  FROM hosted GROUP BY l_partkey
+)
+SELECT concat('https://openalex.org/S', CAST(p.p_partkey AS VARCHAR)) AS id,
+       p.p_name AS display_name,
+       COALESCE(array_to_string(
+         CASE WHEN p.p_partkey % 5 = 0
+              THEN [concat(lpad(CAST(p.p_partkey % 10000 AS VARCHAR), 4, '0'),
+                           '-', lpad(CAST(p.p_partkey % 9973 AS VARCHAR), 4, '0'))]
+              ELSE []::VARCHAR[] END, '|'), '') AS issn,
+       (p.p_partkey % 3 = 0) AS is_oa,
+       p.p_type AS host_organization_name,
+       COALESCE(array_to_string(
+         CASE WHEN p.p_partkey % 2 = 0 THEN [p.p_type, p.p_brand]
+              ELSE [p.p_type] END, '|'), '') AS host_organization_lineage,
+       COALESCE(array_to_string(list_transform(
+         CASE WHEN p.p_retailprice > 1500
+              THEN [struct_pack(price := CAST(p.p_retailprice AS BIGINT),
+                                currency := 'USD')]
+              ELSE []::STRUCT(price BIGINT, currency VARCHAR)[] END,
+         a -> concat(CAST(a.price AS VARCHAR), a.currency)), '|'), '')
+         AS apc_prices,
+       COALESCE(y.works_count, 0)::BIGINT AS works_count,
+       COALESCE(array_to_string(list_transform(
+         COALESCE(y.cby, []::STRUCT(year BIGINT, works BIGINT)[]),
+         e -> concat(CAST(e.year AS VARCHAR), ':', CAST(e.works AS VARCHAR))),
+         '|'), '') AS counts_by_year,
+       concat('https://api.openalex.org/works?filter=primary_location.source.id:S',
+              CAST(p.p_partkey AS VARCHAR)) AS works_api_url,
+       strftime(DATE '2024-01-01' + INTERVAL ((p.p_partkey % 365)::INT) DAY,
+                '%Y-%m-%d') AS updated_date
+FROM part p
+LEFT JOIN years y ON y.l_partkey = p.p_partkey
+"""
+
+
+@register(
+    "s6_export_sources_shape",
+    oracle=_S6S_SQL,
+    tags=("sink", "S6", "export", "sources"),
+    tables=("part", "lineitem", "orders"),
+)
+def s6_export_sources_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sources-snapshot export shape (export_sources.ipynb): S-prefixed
+    URL ids, issn/host_organization_lineage/apc_prices coalesced to [],
+    counts_by_year, the works API url.  One partial-aggregable rollup
+    on the source key; the shape layer is map-side."""
+    p = spark.table("part")
+    years = (
+        spark.table("lineitem")
+        .join(
+            spark.table("orders"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("l_partkey", F.year("o_orderdate").cast("bigint").alias("yr"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("l_partkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("yr").alias("year"), F.col("n").alias("works"))
+                )
+            ).alias("cby"),
+            F.sum("n").alias("works_count"),
+        )
+    )
+    return (
+        p.join(years, years.l_partkey == p.p_partkey, "left")
+        .select(
+            F.concat(F.lit("https://openalex.org/S"),
+                     F.col("p_partkey").cast("string")).alias("id"),
+            F.col("p_name").alias("display_name"),
+            F.array_join(
+                F.when(
+                    F.col("p_partkey") % 5 == 0,
+                    F.array(
+                        F.concat(
+                            F.lpad((F.col("p_partkey") % 10000).cast("string"),
+                                   4, "0"),
+                            F.lit("-"),
+                            F.lpad((F.col("p_partkey") % 9973).cast("string"),
+                                   4, "0"),
+                        )
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+                "|",
+            ).alias("issn"),
+            (F.col("p_partkey") % 3 == 0).alias("is_oa"),
+            F.col("p_type").alias("host_organization_name"),
+            F.array_join(
+                F.when(
+                    F.col("p_partkey") % 2 == 0,
+                    F.array(F.col("p_type"), F.col("p_brand")),
+                ).otherwise(F.array(F.col("p_type"))),
+                "|",
+            ).alias("host_organization_lineage"),
+            F.array_join(
+                F.transform(
+                    F.when(
+                        F.col("p_retailprice") > 1500,
+                        F.array(
+                            F.struct(
+                                F.col("p_retailprice").cast("bigint")
+                                .alias("price"),
+                                F.lit("USD").alias("currency"),
+                            )
+                        ),
+                    ).otherwise(
+                        F.array().cast(
+                            "array<struct<price:bigint,currency:string>>"
+                        )
+                    ),
+                    lambda a: F.concat(a["price"].cast("string"), a["currency"]),
+                ),
+                "|",
+            ).alias("apc_prices"),
+            F.coalesce("works_count", F.lit(0)).cast("bigint")
+            .alias("works_count"),
+            F.array_join(
+                F.transform(
+                    F.coalesce(
+                        "cby",
+                        F.array().cast("array<struct<year:bigint,works:bigint>>"),
+                    ),
+                    lambda e: F.concat(
+                        e["year"].cast("string"), F.lit(":"),
+                        e["works"].cast("string"),
+                    ),
+                ),
+                "|",
+            ).alias("counts_by_year"),
+            F.concat(
+                F.lit("https://api.openalex.org/works?filter="
+                      "primary_location.source.id:S"),
+                F.col("p_partkey").cast("string"),
+            ).alias("works_api_url"),
+            F.date_format(
+                F.date_add(F.lit("2024-01-01").cast("date"),
+                           (F.col("p_partkey") % 365).cast("int")),
+                "yyyy-MM-dd",
+            ).alias("updated_date"),
+        )
+    )

@@ -79,3 +79,50 @@ def write_clustered(
     cols = [F.col(c) for c in cluster_cols]
     out = df.repartitionByRange(*([n_files] if n_files else []), *cols)
     out.sortWithinPartitions(*cols).write.format(fmt).mode("overwrite").save(path)
+
+
+# Snapshot-scale salting ladder (reference notebooks/snapshot/_utils.py
+# ``_apply_salting``): the snapshot export partitions by updated_date,
+# and one date can hold 100M+ records (works ~500M total), so the salt
+# modulus SCALES with the partition's record count — tiny dates get one
+# file, the 100M+ date gets 1400 salts.  The date counts are computed
+# ONCE per entity and broadcast back (the reference collects them to
+# the driver for the same reason: a handful of rows steering a 500M-row
+# write).  The hash is the engine-portable stable_hash64, not Spark's
+# Murmur3, so oracle replays and cross-engine consumers agree on file
+# assignment.
+_SALT_LADDER = (
+    (100_000_000, 1400),
+    (40_000_000, 160),
+    (10_000_000, 50),
+    (5_000_000, 25),
+    (2_000_000, 10),
+    (800_000, 3),
+)
+
+
+def apply_salting(
+    df: DataFrame,
+    id_col: str = "id",
+    date_col: str = "partition_date",
+    ladder: tuple[tuple[int, int], ...] = _SALT_LADDER,
+) -> DataFrame:
+    """Add a ``salt`` column whose modulus scales with the partition
+    date's record count, per the reference's ladder.  ``ladder`` is
+    (threshold, modulus) pairs, highest threshold first — the battery
+    passes small thresholds to exercise every tier at fixture scale;
+    production uses the default (the reference's exact ladder)."""
+    from openalex_walden_spark.functions.hashing import stable_hash64
+
+    counts = df.groupBy(date_col).agg(F.count(F.lit(1)).alias("date_count"))
+    h = stable_hash64(F.col(id_col).cast("string"))
+    expr = F.lit(0)
+    for threshold, modulus in sorted(ladder):
+        expr = F.when(F.col("date_count") > threshold, h % modulus).otherwise(
+            expr
+        )
+    return (
+        df.join(F.broadcast(counts), date_col)
+        .withColumn("salt", expr.cast("bigint"))
+        .drop("date_count")
+    )
