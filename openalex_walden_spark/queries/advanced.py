@@ -2120,3 +2120,132 @@ def s6_export_sources_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("updated_date"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# S6f: topic-hierarchy export shape (export_topic_hierarchy.ipynb)
+# --------------------------------------------------------------------------
+# The reference exports the 4-level topic hierarchy (domains ->
+# fields -> subfields -> topics) as separate entities sharing one
+# transform: per-level URL-prefix style ('T' for topics, path-style
+# for the others), null arrays coalesced to [], and per-node sibling
+# arrays (the other children of the same parent, self excluded).
+# Region -> nation -> supplier plays the 3-level fixture hierarchy;
+# siblings are computed with one grouped collect per level and an
+# array_remove/sort repair — never a self-join per node.
+
+_S6H_SQL = """
+WITH domains AS (
+  SELECT concat('https://openalex.org/domains/', CAST(r_regionkey AS VARCHAR)) AS id,
+         r_name AS display_name,
+         CAST(NULL AS VARCHAR) AS parent_id,
+         r_regionkey AS me, CAST(NULL AS BIGINT) AS parent_key
+  FROM region
+),
+fields AS (
+  SELECT concat('https://openalex.org/fields/', CAST(n_nationkey AS VARCHAR)) AS id,
+         n_name AS display_name,
+         concat('https://openalex.org/domains/', CAST(n_regionkey AS VARCHAR)) AS parent_id,
+         n_nationkey AS me, n_regionkey AS parent_key
+  FROM nation
+),
+topics AS (
+  SELECT concat('https://openalex.org/T', CAST(s_suppkey AS VARCHAR)) AS id,
+         s_name AS display_name,
+         concat('https://openalex.org/fields/', CAST(s_nationkey AS VARCHAR)) AS parent_id,
+         s_suppkey AS me, s_nationkey AS parent_key
+  FROM supplier
+),
+lvl AS (
+  SELECT 'domain' AS level, * FROM domains
+  UNION ALL SELECT 'field', * FROM fields
+  UNION ALL SELECT 'topic', * FROM topics
+),
+sib AS (
+  SELECT level, COALESCE(parent_key, -1) AS pk,
+         list_sort(list(display_name)) AS names
+  FROM lvl GROUP BY level, pk
+)
+SELECT l.level, l.id, l.display_name, l.parent_id,
+       COALESCE(array_to_string(
+         list_filter(s.names, x -> x <> l.display_name), '|'), '')
+         AS siblings,
+       CASE WHEN l.level = 'topic'
+            THEN array_to_string([lower(l.display_name),
+                                  CAST(l.me % 7 AS VARCHAR)], '|')
+            ELSE '' END AS keywords
+FROM lvl l
+JOIN sib s ON s.level = l.level AND s.pk = COALESCE(l.parent_key, -1)
+ORDER BY l.level, l.id
+"""
+
+
+@register(
+    "s6_export_topic_hierarchy_shape",
+    oracle=_S6H_SQL,
+    tags=("sink", "S6", "export", "hierarchy"),
+    tables=("region", "nation", "supplier"),
+)
+def s6_export_topic_hierarchy_shape(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Topic-hierarchy export shape (see block comment).  Siblings per
+    node come from ONE grouped collect per (level, parent) joined back
+    on the parent key and repaired map-side with array_remove-style
+    filtering — at 100 TB this is a broadcast of the tiny hierarchy
+    spine, never a per-node self-join."""
+    dom = spark.table("region").selectExpr(
+        "'domain' AS level",
+        "concat('https://openalex.org/domains/', CAST(r_regionkey AS STRING)) AS id",
+        "r_name AS display_name",
+        "CAST(NULL AS STRING) AS parent_id",
+        "CAST(r_regionkey AS BIGINT) AS me",
+        "CAST(NULL AS BIGINT) AS parent_key",
+    )
+    fld = spark.table("nation").selectExpr(
+        "'field' AS level",
+        "concat('https://openalex.org/fields/', CAST(n_nationkey AS STRING)) AS id",
+        "n_name AS display_name",
+        "concat('https://openalex.org/domains/', CAST(n_regionkey AS STRING)) AS parent_id",
+        "CAST(n_nationkey AS BIGINT) AS me",
+        "CAST(n_regionkey AS BIGINT) AS parent_key",
+    )
+    top = spark.table("supplier").selectExpr(
+        "'topic' AS level",
+        "concat('https://openalex.org/T', CAST(s_suppkey AS STRING)) AS id",
+        "s_name AS display_name",
+        "concat('https://openalex.org/fields/', CAST(s_nationkey AS STRING)) AS parent_id",
+        "CAST(s_suppkey AS BIGINT) AS me",
+        "CAST(s_nationkey AS BIGINT) AS parent_key",
+    )
+    lvl = dom.unionByName(fld).unionByName(top).withColumn(
+        "pk", F.coalesce("parent_key", F.lit(-1))
+    )
+    sib = (
+        lvl.groupBy("level", "pk")
+        .agg(F.array_sort(F.collect_list("display_name")).alias("names"))
+    )
+    return (
+        lvl.join(F.broadcast(sib), ["level", "pk"])
+        .select(
+            "level", "id", "display_name", "parent_id",
+            F.array_join(
+                F.filter(
+                    "names",
+                    lambda x: x != F.col("display_name"),
+                ),
+                "|",
+            ).alias("siblings"),
+            F.when(
+                F.col("level") == "topic",
+                F.array_join(
+                    F.array(
+                        F.lower("display_name"),
+                        (F.col("me") % 7).cast("string"),
+                    ),
+                    "|",
+                ),
+            ).otherwise(F.lit("")).alias("keywords"),
+        )
+        .orderBy("level", "id")
+    )

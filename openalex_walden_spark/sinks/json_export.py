@@ -126,3 +126,68 @@ def apply_salting(
         .withColumn("salt", expr.cast("bigint"))
         .drop("date_count")
     )
+
+
+def finalize_snapshot_meta(
+    base_dir: str,
+    date_str: str,
+    entities: Sequence[str],
+    formats: Sequence[str] = ("jsonl", "parquet"),
+) -> dict:
+    """Snapshot finalizer (reference ``update_meta.ipynb``): merge the
+    per-entity ``_meta/{format}/{entity}.json`` files written by the
+    export tasks into one combined ``{format}/manifest.json`` per
+    format (plus a per-entity manifest beside each entity's files),
+    then remove the ``_meta``/``_temp`` working directories.  A missing
+    per-entity meta degrades to a zero entry with a warning flag, never
+    a failure — the reference logs and continues, because a partial
+    manifest that names what IS there beats an aborted finalize.
+    Returns ``{format: combined_manifest}``.  Runs on the driver: the
+    inputs are one small JSON per entity, by construction."""
+    import shutil
+
+    out: dict[str, dict] = {}
+    root = os.path.join(base_dir, date_str)
+    for fmt in formats:
+        combined = []
+        for entity in entities:
+            meta_path = os.path.join(root, "_meta", fmt, f"{entity}.json")
+            missing = not os.path.exists(meta_path)
+            if missing:
+                meta = {"record_count": 0, "content_length": 0, "files": []}
+            else:
+                with open(meta_path) as fh:
+                    meta = json.load(fh)
+            entry = {
+                "entity": entity,
+                "record_count": meta.get("record_count", 0),
+                "content_length": meta.get("content_length", 0),
+                "files": meta.get("files", []),
+            }
+            if missing:
+                entry["missing_meta"] = True
+            ent_dir = os.path.join(root, fmt, entity)
+            os.makedirs(ent_dir, exist_ok=True)
+            with open(os.path.join(ent_dir, "manifest.json"), "w") as fh:
+                json.dump(
+                    {"date": date_str, "format": fmt, **entry},
+                    fh, indent=2, sort_keys=True,
+                )
+            combined.append(entry)
+        manifest = {
+            "date": date_str,
+            "format": fmt,
+            "entities": combined,
+            "record_count": sum(e["record_count"] for e in combined),
+            "content_length": sum(e["content_length"] for e in combined),
+        }
+        fmt_dir = os.path.join(root, fmt)
+        os.makedirs(fmt_dir, exist_ok=True)
+        with open(os.path.join(fmt_dir, "manifest.json"), "w") as fh:
+            json.dump(manifest, fh, indent=2, sort_keys=True)
+        out[fmt] = manifest
+    for dirname in ("_meta", "_temp"):
+        p = os.path.join(root, dirname)
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+    return out

@@ -740,3 +740,43 @@ def test_sync_registry_covers_reference_fleet_and_plans_correctly(spark):
 
     bulk_index(gated, "doc", transport)
     assert shipped.value == 2
+
+
+def test_finalize_snapshot_meta(tmp_path):
+    """update_meta parity: per-entity metas merge into per-format
+    combined manifests, missing metas degrade to flagged zero entries,
+    and the _meta/_temp working dirs are removed."""
+    import json
+    import os
+
+    from openalex_walden_spark.sinks.json_export import finalize_snapshot_meta
+
+    base = str(tmp_path)
+    date = "2026-08-15"
+    for fmt in ("jsonl", "parquet"):
+        d = os.path.join(base, date, "_meta", fmt)
+        os.makedirs(d)
+        with open(os.path.join(d, "works.json"), "w") as fh:
+            json.dump({"record_count": 10, "content_length": 1000,
+                       "files": ["part_0000.gz"]}, fh)
+        # authors meta deliberately missing
+    os.makedirs(os.path.join(base, date, "_temp"))
+
+    out = finalize_snapshot_meta(base, date, ["works", "authors"])
+
+    for fmt in ("jsonl", "parquet"):
+        m = out[fmt]
+        assert m["record_count"] == 10 and m["content_length"] == 1000
+        assert [e["entity"] for e in m["entities"]] == ["works", "authors"]
+        assert m["entities"][1]["missing_meta"] is True
+        assert m["entities"][1]["record_count"] == 0
+        combined = json.load(
+            open(os.path.join(base, date, fmt, "manifest.json"))
+        )
+        assert combined["record_count"] == 10
+        per_entity = json.load(
+            open(os.path.join(base, date, fmt, "works", "manifest.json"))
+        )
+        assert per_entity["entity"] == "works" and per_entity["date"] == date
+    assert not os.path.exists(os.path.join(base, date, "_meta"))
+    assert not os.path.exists(os.path.join(base, date, "_temp"))
