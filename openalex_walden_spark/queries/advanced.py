@@ -2249,3 +2249,271 @@ def s6_export_topic_hierarchy_shape(
         )
         .orderBy("level", "id")
     )
+
+
+# --------------------------------------------------------------------------
+# S6g/S6h/S6i: institutions, publishers, keywords export shapes
+# --------------------------------------------------------------------------
+# The remaining per-entity snapshot exports are the same thin
+# transform with entity-specific prefixes and array columns
+# (export_institutions / export_publishers / export_keywords.ipynb):
+# I/P-prefixed URL ids (keywords use a slug path), lineage arrays
+# (publisher parent chains, institution lineage incl. the ROR-style
+# self link), and nullable arrays coalesced to [].  Customer plays
+# the institution (geo from its nation/region), part brands play
+# publishers (lineage brand -> type root), and p_name tokens play
+# keywords (the reference's keywords_api is a token-level rollup).
+
+_S6I_SQL = """
+WITH year_counts AS (
+  SELECT o_custkey, year(o_orderdate)::BIGINT AS yr, count(*)::BIGINT AS n
+  FROM orders GROUP BY o_custkey, yr
+),
+years AS (
+  SELECT o_custkey,
+         list_sort(list(struct_pack(year := yr, works := n))) AS cby,
+         sum(n)::BIGINT AS works_count
+  FROM year_counts GROUP BY o_custkey
+)
+SELECT concat('https://openalex.org/I', CAST(c.c_custkey AS VARCHAR)) AS id,
+       c.c_name AS display_name,
+       n.n_name AS country_code,
+       concat(n.n_name, '|', r.r_name) AS geo,
+       COALESCE(array_to_string(
+         [concat('https://openalex.org/I', CAST(c.c_custkey AS VARCHAR))] ||
+         CASE WHEN c.c_custkey % 3 = 0
+              THEN [concat('https://openalex.org/I',
+                           CAST(9000000 + n.n_nationkey AS VARCHAR))]
+              ELSE []::VARCHAR[] END, '|'), '') AS lineage,
+       COALESCE(array_to_string(
+         CASE WHEN c.c_custkey % 6 = 0
+              THEN [upper(substr(c.c_name, 1, 3))] ELSE []::VARCHAR[] END,
+         '|'), '') AS display_name_acronyms,
+       COALESCE(y.works_count, 0)::BIGINT AS works_count,
+       COALESCE(array_to_string(list_transform(
+         COALESCE(y.cby, []::STRUCT(year BIGINT, works BIGINT)[]),
+         e -> concat(CAST(e.year AS VARCHAR), ':', CAST(e.works AS VARCHAR))),
+         '|'), '') AS counts_by_year,
+       strftime(DATE '2024-01-01' + INTERVAL ((c.c_custkey % 365)::INT) DAY,
+                '%Y-%m-%d') AS updated_date
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+LEFT JOIN years y ON y.o_custkey = c.c_custkey
+"""
+
+
+@register(
+    "s6_export_institutions_shape",
+    oracle=_S6I_SQL,
+    tags=("sink", "S6", "export", "institutions"),
+    tables=("customer", "orders", "nation", "region"),
+)
+def s6_export_institutions_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Institutions-snapshot export shape: I-prefixed ids, the lineage
+    array always containing the self link plus a conditional parent
+    system, geo from the broadcast nation/region dims, acronyms and
+    counts_by_year coalesced to []."""
+    c = spark.table("customer")
+    n, r = spark.table("nation"), spark.table("region")
+    years = (
+        spark.table("orders")
+        .groupBy("o_custkey", F.year("o_orderdate").cast("bigint").alias("yr"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("o_custkey")
+        .agg(
+            F.array_sort(F.collect_list(
+                F.struct(F.col("yr").alias("year"), F.col("n").alias("works"))
+            )).alias("cby"),
+            F.sum("n").alias("works_count"),
+        )
+    )
+    self_link = F.concat(F.lit("https://openalex.org/I"),
+                         F.col("c_custkey").cast("string"))
+    return (
+        c.join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(years, years.o_custkey == c.c_custkey, "left")
+        .select(
+            self_link.alias("id"),
+            F.col("c_name").alias("display_name"),
+            F.col("n_name").alias("country_code"),
+            F.concat(F.col("n_name"), F.lit("|"), F.col("r_name")).alias("geo"),
+            F.array_join(
+                F.concat(
+                    F.array(self_link),
+                    F.when(
+                        F.col("c_custkey") % 3 == 0,
+                        F.array(F.concat(
+                            F.lit("https://openalex.org/I"),
+                            (F.lit(9000000) + F.col("n_nationkey"))
+                            .cast("string"),
+                        )),
+                    ).otherwise(F.array().cast("array<string>")),
+                ),
+                "|",
+            ).alias("lineage"),
+            F.array_join(
+                F.when(F.col("c_custkey") % 6 == 0,
+                       F.array(F.upper(F.substring("c_name", 1, 3))))
+                .otherwise(F.array().cast("array<string>")),
+                "|",
+            ).alias("display_name_acronyms"),
+            F.coalesce("works_count", F.lit(0)).cast("bigint")
+            .alias("works_count"),
+            F.array_join(
+                F.transform(
+                    F.coalesce("cby",
+                               F.array().cast(
+                                   "array<struct<year:bigint,works:bigint>>")),
+                    lambda e: F.concat(e["year"].cast("string"), F.lit(":"),
+                                       e["works"].cast("string")),
+                ),
+                "|",
+            ).alias("counts_by_year"),
+            F.date_format(
+                F.date_add(F.lit("2024-01-01").cast("date"),
+                           (F.col("c_custkey") % 365).cast("int")),
+                "yyyy-MM-dd",
+            ).alias("updated_date"),
+        )
+    )
+
+
+_S6P_SQL = """
+WITH pubs AS (
+  SELECT p_brand, min(p_type) AS root_type,
+         count(*)::BIGINT AS n_sources
+  FROM part GROUP BY p_brand
+),
+works AS (
+  SELECT p.p_brand, count(*)::BIGINT AS works_count
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_brand
+)
+SELECT concat('https://openalex.org/P',
+              CAST(hash_id AS VARCHAR)) AS id,
+       p_brand AS display_name,
+       array_to_string(
+         [concat('https://openalex.org/P', CAST(hash_id AS VARCHAR)),
+          concat('https://openalex.org/P',
+                 CAST(8000000 + length(root_type) AS VARCHAR))], '|')
+         AS lineage,
+       2::BIGINT AS hierarchy_level,
+       n_sources,
+       COALESCE(w.works_count, 0)::BIGINT AS works_count
+FROM (SELECT p_brand, root_type, n_sources,
+             ('0x' || substr(md5(p_brand), 1, 15))::BIGINT AS hash_id
+      FROM pubs) p
+LEFT JOIN works w USING (p_brand)
+ORDER BY display_name
+"""
+
+
+@register(
+    "s6_export_publishers_shape",
+    oracle=_S6P_SQL,
+    tags=("sink", "S6", "export", "publishers"),
+    tables=("part", "lineitem"),
+)
+def s6_export_publishers_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publishers-snapshot export shape: P-prefixed ids (string keys
+    hashed with the engine-portable stable_hash64 — publishers have no
+    numeric key in the fixture, exactly the slug situation the portable
+    hash exists for), the two-level lineage chain self -> root, and
+    source/work counts from two partial-aggregable rollups."""
+    from openalex_walden_spark.functions.hashing import stable_hash64
+
+    pubs = (
+        spark.table("part")
+        .groupBy("p_brand")
+        .agg(F.min("p_type").alias("root_type"),
+             F.count(F.lit(1)).alias("n_sources"))
+        .withColumn("hash_id", stable_hash64(F.col("p_brand")))
+    )
+    works = (
+        spark.table("lineitem")
+        .join(spark.table("part"),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("works_count"))
+    )
+    self_link = F.concat(F.lit("https://openalex.org/P"),
+                         F.col("hash_id").cast("string"))
+    return (
+        pubs.join(works, "p_brand", "left")
+        .select(
+            self_link.alias("id"),
+            F.col("p_brand").alias("display_name"),
+            F.array_join(
+                F.array(
+                    self_link,
+                    F.concat(F.lit("https://openalex.org/P"),
+                             (F.lit(8000000) + F.length("root_type"))
+                             .cast("string")),
+                ),
+                "|",
+            ).alias("lineage"),
+            F.lit(2).cast("bigint").alias("hierarchy_level"),
+            F.col("n_sources"),
+            F.coalesce("works_count", F.lit(0)).cast("bigint")
+            .alias("works_count"),
+        )
+        .orderBy("display_name")
+    )
+
+
+_S6K_SQL = """
+WITH tokens AS (
+  SELECT lower(unnest(string_split(p_name, ' '))) AS tok, p_partkey
+  FROM part
+),
+counts AS (
+  SELECT tok, count(*)::BIGINT AS works_count,
+         count(DISTINCT p_partkey)::BIGINT AS n_parts
+  FROM tokens WHERE length(tok) >= 3
+  GROUP BY tok
+)
+SELECT concat('https://openalex.org/keywords/',
+              regexp_replace(tok, '[^a-z0-9]', '-', 'g')) AS id,
+       tok AS display_name,
+       works_count, n_parts
+FROM counts
+ORDER BY display_name
+"""
+
+
+@register(
+    "s6_export_keywords_shape",
+    oracle=_S6K_SQL,
+    tags=("sink", "S6", "export", "keywords"),
+    tables=("part",),
+)
+def s6_export_keywords_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keywords-snapshot export shape: slug-path ids built from the
+    token (export_keywords.ipynb keeps string ids, no numeric prefix),
+    token-level rollup with length floor — explode is a flatMap, one
+    partial-aggregable shuffle on the token."""
+    toks = (
+        spark.table("part")
+        .select(
+            F.explode(F.split("p_name", " ")).alias("tok0"),
+            "p_partkey",
+        )
+        .select(F.lower("tok0").alias("tok"), "p_partkey")
+        .where(F.length("tok") >= 3)
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("works_count"),
+             F.countDistinct("p_partkey").alias("n_parts"))
+        .select(
+            F.concat(
+                F.lit("https://openalex.org/keywords/"),
+                F.regexp_replace("tok", "[^a-z0-9]", "-"),
+            ).alias("id"),
+            F.col("tok").alias("display_name"),
+            "works_count", "n_parts",
+        )
+        .orderBy("display_name")
+    )
