@@ -2517,3 +2517,263 @@ def s6_export_keywords_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("display_name")
     )
+
+
+# --------------------------------------------------------------------------
+# S6j/S6k/S6l: awards, concepts, common-entities export shapes
+# --------------------------------------------------------------------------
+# The last three of the reference's ELEVEN snapshot entities
+# (export_awards / export_concepts / export_common_entities.ipynb).
+# Awards: G-prefixed ids, investigators/funded_outputs coalesced to
+# [], the internal funder_id dropped in favor of the funder struct
+# (here a funder URL + name pair).  Concepts: path ids, level ladder,
+# ancestors array built from the level chain.  Common entities:
+# countries/continents/work-types/licenses unioned with path-style
+# ids — continents carry their countries array.
+
+_S6G_SQL = """
+SELECT concat('https://openalex.org/G', CAST(o.o_orderkey AS VARCHAR)) AS id,
+       concat('AWD-', CAST(o.o_orderkey % 100000 AS VARCHAR))
+         AS display_name,
+       concat('https://openalex.org/F', CAST(o.o_custkey AS VARCHAR), '|',
+              c.c_name) AS funder,
+       CAST(round(o.o_totalprice)::BIGINT AS BIGINT) AS amount,
+       'USD' AS currency,
+       COALESCE(array_to_string(
+         CASE WHEN o.o_orderkey % 4 = 0
+              THEN [concat('https://openalex.org/A',
+                           CAST(o.o_custkey * 7 AS VARCHAR))]
+              ELSE []::VARCHAR[] END, '|'), '') AS investigators,
+       COALESCE(array_to_string(
+         CASE WHEN o.o_orderkey % 3 = 0
+              THEN [concat('https://openalex.org/W',
+                           CAST(o.o_orderkey * 3 AS VARCHAR)),
+                    concat('https://openalex.org/W',
+                           CAST(o.o_orderkey * 3 + 1 AS VARCHAR))]
+              WHEN o.o_orderkey % 3 = 1
+              THEN [concat('https://openalex.org/W',
+                           CAST(o.o_orderkey * 3 AS VARCHAR))]
+              ELSE []::VARCHAR[] END, '|'), '') AS funded_outputs,
+       strftime(DATE '2024-01-01' + INTERVAL ((o.o_orderkey % 365)::INT) DAY,
+                '%Y-%m-%d') AS updated_date
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+@register(
+    "s6_export_awards_shape",
+    oracle=_S6G_SQL,
+    tags=("sink", "S6", "export", "awards"),
+    tables=("orders", "customer"),
+)
+def s6_export_awards_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Awards-snapshot export shape: G-prefixed ids, the funder struct
+    replacing the dropped internal funder_id, investigators and
+    funded_outputs coalesced to [] (the salted entity at snapshot
+    scale — awards churn daily).  Pure map-side after one broadcast
+    join to the funder dim."""
+    o, c = spark.table("orders"), spark.table("customer")
+    return (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            F.concat(F.lit("https://openalex.org/G"),
+                     F.col("o_orderkey").cast("string")).alias("id"),
+            F.concat(F.lit("AWD-"),
+                     (F.col("o_orderkey") % 100000).cast("string"))
+            .alias("display_name"),
+            F.concat(
+                F.lit("https://openalex.org/F"),
+                F.col("o_custkey").cast("string"),
+                F.lit("|"), F.col("c_name"),
+            ).alias("funder"),
+            F.round("o_totalprice").cast("bigint").alias("amount"),
+            F.lit("USD").alias("currency"),
+            F.array_join(
+                F.when(
+                    F.col("o_orderkey") % 4 == 0,
+                    F.array(F.concat(F.lit("https://openalex.org/A"),
+                                     (F.col("o_custkey") * 7).cast("string"))),
+                ).otherwise(F.array().cast("array<string>")),
+                "|",
+            ).alias("investigators"),
+            F.array_join(
+                F.when(
+                    F.col("o_orderkey") % 3 == 0,
+                    F.array(
+                        F.concat(F.lit("https://openalex.org/W"),
+                                 (F.col("o_orderkey") * 3).cast("string")),
+                        F.concat(F.lit("https://openalex.org/W"),
+                                 (F.col("o_orderkey") * 3 + 1).cast("string")),
+                    ),
+                ).when(
+                    F.col("o_orderkey") % 3 == 1,
+                    F.array(
+                        F.concat(F.lit("https://openalex.org/W"),
+                                 (F.col("o_orderkey") * 3).cast("string"))
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+                "|",
+            ).alias("funded_outputs"),
+            F.date_format(
+                F.date_add(F.lit("2024-01-01").cast("date"),
+                           (F.col("o_orderkey") % 365).cast("int")),
+                "yyyy-MM-dd",
+            ).alias("updated_date"),
+        )
+    )
+
+
+_S6C_SQL = """
+WITH concepts AS (
+  SELECT p_type AS name, count(*)::BIGINT AS works_count FROM part
+  GROUP BY p_type
+),
+leveled AS (
+  SELECT name, works_count,
+         (length(name) % 3)::BIGINT AS level,
+         string_split(name, ' ') AS words
+  FROM concepts
+)
+SELECT concat('https://openalex.org/C',
+              ('0x' || substr(md5(name), 1, 15))::BIGINT) AS id,
+       name AS display_name,
+       level,
+       COALESCE(array_to_string(
+         CASE WHEN level > 0 THEN [words[1]] ELSE []::VARCHAR[] END
+         || CASE WHEN level > 1 AND len(words) >= 2
+                 THEN [concat(words[1], ' ', words[2])]
+                 ELSE []::VARCHAR[] END, '|'), '') AS ancestors,
+       works_count
+FROM leveled
+ORDER BY display_name
+"""
+
+
+@register(
+    "s6_export_concepts_shape",
+    oracle=_S6C_SQL,
+    tags=("sink", "S6", "export", "concepts"),
+    tables=("part",),
+)
+def s6_export_concepts_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concepts-snapshot export shape: C-prefixed hashed ids (portable
+    stable_hash64 over the concept name), the level ladder, and the
+    ancestors array derived from the name's word-prefix chain — the
+    same prefix-chain device the reference's concept tree uses."""
+    from openalex_walden_spark.functions.hashing import stable_hash64
+
+    c = (
+        spark.table("part")
+        .groupBy(F.col("p_type").alias("name"))
+        .agg(F.count(F.lit(1)).alias("works_count"))
+        .withColumn("level", (F.length("name") % 3).cast("bigint"))
+        .withColumn("words", F.split("name", " "))
+    )
+    return c.select(
+        F.concat(F.lit("https://openalex.org/C"),
+                 stable_hash64(F.col("name")).cast("string")).alias("id"),
+        F.col("name").alias("display_name"),
+        "level",
+        F.array_join(
+            F.concat(
+                F.when(F.col("level") > 0,
+                       F.array(F.element_at("words", 1)))
+                .otherwise(F.array().cast("array<string>")),
+                F.when(
+                    (F.col("level") > 1) & (F.size("words") >= 2),
+                    F.array(F.concat_ws(" ",
+                                        F.element_at("words", 1),
+                                        F.element_at("words", 2))),
+                ).otherwise(F.array().cast("array<string>")),
+            ),
+            "|",
+        ).alias("ancestors"),
+        "works_count",
+    ).orderBy("display_name")
+
+
+_S6CE_SQL = """
+WITH countries AS (
+  SELECT concat('https://openalex.org/countries/', n_name) AS id,
+         n_name AS display_name, 'country' AS entity_type,
+         '' AS members
+  FROM nation
+),
+continents AS (
+  SELECT concat('https://openalex.org/continents/', r_name) AS id,
+         r_name AS display_name, 'continent' AS entity_type,
+         array_to_string(list_sort(list(n_name)), '|') AS members
+  FROM region JOIN nation ON n_regionkey = r_regionkey
+  GROUP BY r_name
+),
+work_types AS (
+  SELECT concat('https://openalex.org/work-types/', t) AS id,
+         t AS display_name, 'work-type' AS entity_type, '' AS members
+  FROM unnest(['article', 'book', 'book-chapter', 'dataset',
+               'dissertation', 'preprint', 'review']) AS u(t)
+),
+licenses AS (
+  SELECT concat('https://openalex.org/licenses/', t) AS id,
+         t AS display_name, 'license' AS entity_type, '' AS members
+  FROM unnest(['cc-by', 'cc-by-sa', 'cc-by-nc', 'cc-by-nc-nd',
+               'public-domain', 'mit', 'gpl']) AS u(t)
+)
+SELECT * FROM (
+  SELECT * FROM countries
+  UNION ALL SELECT * FROM continents
+  UNION ALL SELECT * FROM work_types
+  UNION ALL SELECT * FROM licenses
+) ORDER BY entity_type, id
+"""
+
+
+@register(
+    "s6_export_common_entities",
+    oracle=_S6CE_SQL,
+    tags=("sink", "S6", "export", "common"),
+    tables=("nation", "region"),
+)
+def s6_export_common_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-entities export (export_common_entities.ipynb): the small
+    static dimensions — countries, continents (with their countries
+    array), work-types, licenses — unioned into one path-id shape.
+    Everything broadcasts; the work-type and license lists mirror the
+    engine's own D7/P4 vocabularies."""
+    countries = spark.table("nation").selectExpr(
+        "concat('https://openalex.org/countries/', n_name) AS id",
+        "n_name AS display_name", "'country' AS entity_type",
+        "'' AS members",
+    )
+    continents = (
+        spark.table("region")
+        .join(spark.table("nation"),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), "|")
+             .alias("members"))
+        .selectExpr(
+            "concat('https://openalex.org/continents/', r_name) AS id",
+            "r_name AS display_name", "'continent' AS entity_type",
+            "members",
+        )
+    )
+    def _static(kind: str, vals: list[str]) -> DataFrame:
+        df = spark.createDataFrame([(v,) for v in vals], "t string")
+        return df.selectExpr(
+            f"concat('https://openalex.org/{kind}s/', t) AS id",
+            "t AS display_name", f"'{kind}' AS entity_type",
+            "'' AS members",
+        )
+    work_types = _static("work-type", [
+        "article", "book", "book-chapter", "dataset",
+        "dissertation", "preprint", "review",
+    ])
+    licenses = _static("license", [
+        "cc-by", "cc-by-sa", "cc-by-nc", "cc-by-nc-nd",
+        "public-domain", "mit", "gpl",
+    ])
+    return (
+        countries.unionByName(continents)
+        .unionByName(work_types).unionByName(licenses)
+        .orderBy("entity_type", "id")
+    )
