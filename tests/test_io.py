@@ -780,3 +780,59 @@ def test_finalize_snapshot_meta(tmp_path):
         assert per_entity["entity"] == "works" and per_entity["date"] == date
     assert not os.path.exists(os.path.join(base, date, "_meta"))
     assert not os.path.exists(os.path.join(base, date, "_temp"))
+
+
+def test_sync_snapshot_to_public(spark, tmp_path):
+    """sync_to_public parity: quarterly gate, distributed copy with
+    size verification, manifest URL repointing, and stale deletion
+    ordered LAST (a failed copy never shrinks the public prefix)."""
+    import json
+    import os
+
+    import pytest
+
+    from openalex_walden_spark.sinks.public_sync import sync_snapshot_to_public
+
+    staging = str(tmp_path / "staging")
+    public = str(tmp_path / "public")
+    for ent in ("works", "authors"):
+        d = os.path.join(staging, "jsonl", ent, "updated_date=2026-08-01")
+        os.makedirs(d)
+        with open(os.path.join(d, "part_0000.gz"), "w") as fh:
+            fh.write(f"{ent} data")
+        with open(os.path.join(staging, "jsonl", ent, "manifest.json"), "w") as fh:
+            json.dump({"url": f"{staging}/jsonl/{ent}/part_0000.gz"}, fh)
+    # pre-existing stale public object + an unrelated format dir
+    os.makedirs(os.path.join(public, "jsonl", "works"))
+    with open(os.path.join(public, "jsonl", "works", "old.gz"), "w") as fh:
+        fh.write("stale")
+
+    # monthly: gate skips, public untouched
+    out = sync_snapshot_to_public(spark, staging, public, is_quarterly=False)
+    assert out["status"] == "skipped"
+    assert os.path.exists(os.path.join(public, "jsonl", "works", "old.gz"))
+
+    # quarterly: copy + repoint + stale delete
+    out = sync_snapshot_to_public(spark, staging, public, is_quarterly=True)
+    assert out["status"] == "synced" and out["n_files"] == 2
+    assert out["n_stale_deleted"] == 1
+    assert not os.path.exists(os.path.join(public, "jsonl", "works", "old.gz"))
+    m = json.load(open(os.path.join(public, "jsonl", "works", "manifest.json")))
+    assert m["url"].startswith(public) and staging not in m["url"]
+
+    # failure ordering: a copy failure aborts BEFORE any deletion
+    with open(os.path.join(public, "jsonl", "works", "old2.gz"), "w") as fh:
+        fh.write("stale2")
+
+    def _flaky_copy(src, dst):
+        import shutil as _sh
+
+        if "authors" in src:
+            raise OSError("injected transfer failure")
+        _sh.copyfile(src, dst)
+
+    with pytest.raises(Exception):
+        sync_snapshot_to_public(
+            spark, staging, public, is_quarterly=True, copy_fn=_flaky_copy
+        )
+    assert os.path.exists(os.path.join(public, "jsonl", "works", "old2.gz"))
