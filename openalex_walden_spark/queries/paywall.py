@@ -340,3 +340,161 @@ def paywall_oa_host_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY url_host
         ORDER BY url_host
     """)
+
+
+# ---------------------------------------------------------------------------
+# Lakebase sharded doc maintenance (notebooks/lakebase/BuildLakebaseWorksDocs.py)
+# ---------------------------------------------------------------------------
+# The reference maintains pmod(work_id, 8)-sharded doc tables for
+# single-work serving lookups (synced tables recommend <= 1 TB per
+# refreshed table) plus an external-id -> work_id map, both
+# hash-gated so the serving sync sees only TRUE churn (the upstream
+# works table is CREATE-OR-REPLACE'd daily, so without the gate every
+# row would churn).  The doc hash here is the engine-portable
+# stable_hash64 over a canonical concat_ws serialization — the
+# reference hashes its exact-parity JSON; the GATE semantics (new /
+# changed / unchanged per shard, deletes by absence) are what port.
+
+_LB_DOC = """concat_ws('|', CAST({k} AS {t}),
+  o_orderstatus, CAST(CAST(o_totalprice AS DOUBLE) AS {t}),
+  CAST(o_orderdate AS {t}))"""
+
+_LB_ORACLE = f"""
+WITH curr AS (
+  SELECT o_orderkey AS work_id,
+         o_orderkey % 8 AS shard,
+         ('0x' || substr(md5({_LB_DOC.format(k="o_orderkey", t="VARCHAR")}), 1, 15))::BIGINT
+           AS doc_hash
+  FROM orders
+),
+prev AS (
+  SELECT o_orderkey AS work_id,
+         ('0x' || substr(md5(
+           concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus,
+             CAST(CASE WHEN o_orderkey % 5 = 2
+                  THEN CAST(o_totalprice AS DOUBLE) + 1.0
+                  ELSE CAST(o_totalprice AS DOUBLE) END AS VARCHAR),
+             CAST(o_orderdate AS VARCHAR))), 1, 15))::BIGINT AS doc_hash
+  FROM orders WHERE o_orderkey % 17 <> 0
+),
+gated AS (
+  SELECT c.shard,
+         CASE WHEN p.work_id IS NULL THEN 'new'
+              WHEN p.doc_hash <> c.doc_hash THEN 'changed'
+              ELSE 'unchanged' END AS churn
+  FROM curr c LEFT JOIN prev p ON p.work_id = c.work_id
+)
+SELECT shard, churn, count(*)::BIGINT AS n
+FROM gated
+GROUP BY shard, churn
+ORDER BY shard, churn
+"""
+
+
+@register(
+    "serving_sharded_doc_maintenance",
+    oracle=_LB_ORACLE,
+    tags=("serving", "lakebase", "merge"),
+    tables=("orders",),
+)
+def serving_sharded_doc_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sharded serving-doc maintenance: docs route to pmod(id, 8)
+    shards, and the hash gate classifies each as new / changed /
+    unchanged against the previous build (the fixture's prev state
+    drops the %17 arm and perturbs the %5=2 arm's price, so all three
+    churn classes materialize per shard).  At 100 TB: the gate is one
+    co-partitioned join on work_id, each shard MERGEs independently
+    (operators/merge.py), and only true churn reaches the synced
+    tables — the reference's design reason verbatim."""
+    from openalex_walden_spark.functions.hashing import stable_hash64_sql
+
+    doc = _LB_DOC.format(k="o_orderkey", t="STRING")
+    prev_doc = """concat_ws('|', CAST(o_orderkey AS STRING), o_orderstatus,
+      CAST(CASE WHEN o_orderkey % 5 = 2
+           THEN CAST(o_totalprice AS DOUBLE) + 1.0D
+           ELSE CAST(o_totalprice AS DOUBLE) END AS STRING),
+      CAST(o_orderdate AS STRING))"""
+    spark.table("orders").selectExpr(
+        "o_orderkey AS work_id",
+        "o_orderkey % 8 AS shard",
+        f"{stable_hash64_sql(doc)} AS doc_hash",
+    ).createOrReplaceTempView("lb_curr")
+    spark.table("orders").where("o_orderkey % 17 <> 0").selectExpr(
+        "o_orderkey AS work_id",
+        f"{stable_hash64_sql(prev_doc)} AS doc_hash",
+    ).createOrReplaceTempView("lb_prev")
+    return spark.sql("""
+        SELECT shard,
+               CASE WHEN p.work_id IS NULL THEN 'new'
+                    WHEN p.doc_hash <> c.doc_hash THEN 'changed'
+                    ELSE 'unchanged' END AS churn,
+               count(*) AS n
+        FROM lb_curr c LEFT JOIN lb_prev p ON p.work_id = c.work_id
+        GROUP BY shard, churn
+        ORDER BY shard, churn
+    """)
+
+
+_LBID_ORACLE = """
+WITH ids AS (
+  SELECT o_orderkey AS work_id,
+         CASE WHEN o_orderkey % 3 = 0
+              THEN concat('https://doi.org/10.1234/w', CAST(o_orderkey AS VARCHAR))
+              WHEN o_orderkey % 3 = 1
+              THEN concat('https://pubmed.ncbi.nlm.nih.gov/', CAST(o_orderkey % 100000 AS VARCHAR))
+         END AS ext_id,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'doi'
+              WHEN o_orderkey % 3 = 1 THEN 'pmid' END AS ns
+  FROM orders
+),
+dedup AS (
+  SELECT ext_id, ns, min(work_id) AS work_id
+  FROM ids WHERE ext_id IS NOT NULL
+  GROUP BY ext_id, ns
+)
+SELECT ns, count(*)::BIGINT AS n_ids,
+       count(DISTINCT work_id)::BIGINT AS n_works
+FROM dedup
+GROUP BY ns
+ORDER BY ns
+"""
+
+
+@register(
+    "serving_external_id_map",
+    oracle=_LBID_ORACLE,
+    tags=("serving", "lakebase", "idmap"),
+    tables=("orders",),
+)
+def serving_external_id_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External-id -> work_id serving map (lakebase_works_ids): URL-form
+    DOI/PMID keys, deduplicated min-id (collisions resolve
+    deterministically), namespace rollup.  One partial-aggregable
+    shuffle on the external id."""
+    return spark.sql("""
+        WITH ids AS (
+          SELECT o_orderkey AS work_id,
+                 CASE WHEN o_orderkey % 3 = 0
+                      THEN concat('https://doi.org/10.1234/w',
+                                  CAST(o_orderkey AS STRING))
+                      WHEN o_orderkey % 3 = 1
+                      THEN concat('https://pubmed.ncbi.nlm.nih.gov/',
+                                  CAST(o_orderkey % 100000 AS STRING))
+                 END AS ext_id,
+                 CASE WHEN o_orderkey % 3 = 0 THEN 'doi'
+                      WHEN o_orderkey % 3 = 1 THEN 'pmid' END AS ns
+          FROM orders
+        ),
+        dedup AS (
+          SELECT ext_id, ns, min(work_id) AS work_id
+          FROM ids WHERE ext_id IS NOT NULL
+          GROUP BY ext_id, ns
+        )
+        SELECT ns, count(*) AS n_ids,
+               count(DISTINCT work_id) AS n_works
+        FROM dedup
+        GROUP BY ns
+        ORDER BY ns
+    """)
