@@ -836,3 +836,76 @@ def test_sync_snapshot_to_public(spark, tmp_path):
             spark, staging, public, is_quarterly=True, copy_fn=_flaky_copy
         )
     assert os.path.exists(os.path.join(public, "jsonl", "works", "old2.gz"))
+
+
+def test_expunge_deletes_state_machine():
+    """expunge_elasticsearch_deletes parity: threshold skip, disk
+    abort, bounded bulk wait, async poll to completion, and the
+    max-runtime wait abandonment (never cancelling the merge)."""
+    import pytest
+
+    from openalex_walden_spark.sinks.index_maintenance import expunge_deletes
+
+    class Fake:
+        def __init__(self, deleted=30, disk=((("n1"), 50.0),), bulk_rounds=0,
+                     merge_polls=1):
+            self._deleted = deleted
+            self._disk = list(disk)
+            self._bulk_rounds = bulk_rounds
+            self._merge_polls = merge_polls
+            self.now = 0.0
+
+        def stats(self):
+            return {"docs": 100, "deleted": self._deleted,
+                    "store_bytes": 1, "segments": 9}
+
+        def disk_usage(self):
+            return self._disk
+
+        def active_bulk_tasks(self):
+            if self._bulk_rounds > 0:
+                self._bulk_rounds -= 1
+                return ["t1"]
+            return []
+
+        def start_forcemerge(self):
+            return "task:1"
+
+        def task_done(self, task_id):
+            self._merge_polls -= 1
+            return self._merge_polls < 0
+
+        # injectable clock/sleep
+        def clock(self):
+            return self.now
+
+        def sleep(self, s):
+            self.now += s
+
+    # 1. threshold skip
+    f = Fake(deleted=5)
+    out = expunge_deletes(f, clock=f.clock, sleep=f.sleep)
+    assert out["status"] == "skipped" and "threshold" in out["reason"]
+
+    # 2. disk abort
+    f = Fake(disk=[("n1", 85.0), ("n2", 40.0)])
+    with pytest.raises(RuntimeError, match="n1=85.0%"):
+        expunge_deletes(f, clock=f.clock, sleep=f.sleep)
+
+    # 3+4. bulk settles, merge completes
+    f = Fake(bulk_rounds=2, merge_polls=3)
+    out = expunge_deletes(f, clock=f.clock, sleep=f.sleep)
+    assert out["status"] == "completed" and out["task_id"] == "task:1"
+
+    # 3b. bulk never settles within the wait
+    f = Fake(bulk_rounds=10**9)
+    with pytest.raises(RuntimeError, match="still active"):
+        expunge_deletes(f, bulk_wait_seconds=120, clock=f.clock, sleep=f.sleep)
+
+    # 5. merge outlives max runtime: wait abandoned, not cancelled
+    f = Fake(merge_polls=10**9)
+    out = expunge_deletes(
+        f, max_runtime_seconds=600, clock=f.clock, sleep=f.sleep
+    )
+    assert out["status"] == "timed_out"
+    assert "server-side" in out["note"]
