@@ -103,3 +103,65 @@ def incremental_scan(
     if overlap is not None:
         lo = lo - overlap
     return df.where(F.col(watermark_col) > lo)
+
+
+def read_binary_gzip_ids(
+    spark: SparkSession,
+    path: str,
+    *,
+    id_pattern: str = r"<ns0:identifier[^>]*>([^<]+)</ns0:identifier>",
+    repo_from_path: str = r"/([^/]+)/[^/]+$",
+    glob: str = "*.gz",
+) -> DataFrame:
+    """Binary-file id harvest (reference ``maintenance/
+    build_native_id_repo_mapping.py``): read gzipped XML as RAW BINARY
+    (``spark.read.format("binaryFile")``), decompress + regex the
+    identifiers inside an Arrow-batched ``mapInPandas`` — the
+    reference measured this 10x faster than the XML parser for a
+    single-field extraction, because the parser materializes the whole
+    DOM to yield one tag.  The repository id comes from the folder
+    path, exactly as the reference derives it from the S3 layout.
+    Returns (repository_id, native_id) one row per identifier."""
+    import gzip as _gzip
+    import re as _re
+
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("repository_id", StringType()),
+            StructField("native_id", StringType()),
+        ]
+    )
+    id_rx = _re.compile(id_pattern.encode())
+    path_rx = _re.compile(repo_from_path)
+
+    def _extract(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_repo, out_id = [], []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                m = path_rx.search(p)
+                repo = m.group(1) if m else None
+                try:
+                    raw = _gzip.decompress(bytes(content))
+                except OSError:
+                    raw = bytes(content)  # not actually gzipped: best effort
+                for ident in id_rx.findall(raw):
+                    out_repo.append(repo)
+                    out_id.append(ident.decode("utf-8", "replace"))
+            yield pd.DataFrame({"repository_id": out_repo, "native_id": out_id})
+
+    binary = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("path", "content")
+    )
+    return binary.mapInPandas(_extract, schema)

@@ -909,3 +909,32 @@ def test_expunge_deletes_state_machine():
     )
     assert out["status"] == "timed_out"
     assert "server-side" in out["note"]
+
+
+def test_read_binary_gzip_ids(spark, tmp_path):
+    """binaryFile + gzip + regex id harvest (build_native_id_repo_
+    mapping.py): identifiers extracted per file, repository id derived
+    from the folder path, non-gzip content tolerated best-effort."""
+    import gzip
+    import os
+
+    from openalex_walden_spark.sources.files import read_binary_gzip_ids
+
+    for repo, ids in (("repoA", ["oai:a:1", "oai:a:2"]), ("repoB", ["oai:b:9"])):
+        d = tmp_path / repo
+        d.mkdir()
+        xml = "".join(
+            f"<ns0:identifier xmlns:ns0='x'>{i}</ns0:identifier>" for i in ids
+        )
+        with gzip.open(d / "page1.gz", "wb") as fh:
+            fh.write(f"<root>{xml}</root>".encode())
+    # a plain-text .gz-named file: tolerated, yields its ids too
+    with open(tmp_path / "repoA" / "page2.gz", "wb") as fh:
+        fh.write(b"<ns0:identifier>oai:a:3</ns0:identifier>")
+
+    df = read_binary_gzip_ids(spark, str(tmp_path))
+    rows = {(r["repository_id"], r["native_id"]) for r in df.collect()}
+    assert rows == {
+        ("repoA", "oai:a:1"), ("repoA", "oai:a:2"), ("repoA", "oai:a:3"),
+        ("repoB", "oai:b:9"),
+    }
