@@ -598,3 +598,45 @@ def test_hybrid_semantic_arm_is_cell_routed(spark, sf_dir):
     assert "BroadcastHashJoin [cell" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_salvage_s1_registry_joins_broadcast(spark, sf_dir):
+    """S1's two registry arms are DISTINCT key rollups — the small
+    dimension by construction — so both rescue joins must broadcast;
+    a sort-merge here would shuffle the decorated corpus twice."""
+    plan = _plan(spark, sf_dir, "udf_award_salvage_s1")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_salvage_s3_seed_broadcast_and_gram_before_key(spark, sf_dir):
+    """S3's 22-family seed must broadcast (cost = families x
+    candidates), and the strong-grammar filter must run BEFORE the
+    target keying so the fan-out collapses immediately."""
+    plan = _plan(spark, sf_dir, "udf_award_salvage_s3_wrong_funder")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_delete_feed_uses_anti_join(spark, sf_dir):
+    """The removed-docs delete feed must plan a broadcast/SM anti join
+    — never materializing the surviving side."""
+    plan = _plan(spark, sf_dir, "maint_removed_docs_delete_feed")
+    assert "LeftAnti" in plan
+
+
+def test_salt_ladder_counts_broadcast_back(spark, sf_dir):
+    """The date-count steering frame is a handful of rows; it must
+    broadcast back onto the entity frame (the 500M-row frame never
+    shuffles for salting)."""
+    plan = _plan(spark, sf_dir, "s6_export_salt_ladder")
+    assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_sharded_doc_gate_single_join(spark, sf_dir):
+    """The churn gate is ONE broadcast join on work_id (prev state
+    builds the hashed relation); a sort-merge would shuffle the full
+    doc frame for a gate that only needs the key+hash pair."""
+    plan = _plan(spark, sf_dir, "serving_sharded_doc_maintenance")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
