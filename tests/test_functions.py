@@ -791,3 +791,35 @@ def test_award_is_junk_vectors_both_dialects(spark_udfs):
         assert got_duck[i] == want, (
             f"DuckDB is_junk {fam} {award!r} -> {got_duck[i]}, want {want}"
         )
+
+
+def test_aer_names_compatible_vectors(spark_udfs):
+    """The AER 8-arg names_compatible, pinned with the REFERENCE'S OWN
+    verification vectors (EstimateNameConflictOvermerges.ipynb cell 3):
+    initial-vs-full compatible, distinct fulls incompatible, absent
+    middle info compatible, en-bloc middles exact-or-nothing."""
+    from openalex_walden_spark.queries.aer import _AER_COMPAT_DDL
+
+    spark = spark_udfs
+    spark.sql(_AER_COMPAT_DDL)
+    vectors = [
+        ("j", None, 0, "priem", "jason", None, 0, "priem", True),
+        ("jason", None, 0, "priem", "joseph", None, 0, "priem", False),
+        ("jason", "r", 1, "priem", "jason", None, 0, "priem", True),
+        ("jason", "r", 1, "priem", "jason", "m", 1, "priem", False),
+        ("j", "rr", 2, "tolkien", "john", "rr", 2, "tolkien", True),
+        ("j", "rr", 2, "tolkien", "j", "r", 1, "tolkien", False),
+        ("j", "rr", 2, "tolkien", "j", "ra", 2, "tolkien", False),
+        # engine extras: hyphen strip and surname mismatch
+        ("yi-ting", None, 0, "chen", "yiting", None, 0, "chen", True),
+        ("jason", None, 0, "priem", "jason", None, 0, "priam", False),
+        ("ml", None, 0, "smith", "maria", None, 0, "smith", True),
+    ]
+    df = spark.createDataFrame(
+        [(i, *v[:-1]) for i, v in enumerate(vectors)],
+        "idx INT, f1 STRING, m1 STRING, c1 INT, l1 STRING, "
+        "f2 STRING, m2 STRING, c2 INT, l2 STRING",
+    ).selectExpr("idx", "aer_names_compatible(f1,m1,c1,l1,f2,m2,c2,l2) AS ok")
+    got = {r["idx"]: r["ok"] for r in df.collect()}
+    for i, v in enumerate(vectors):
+        assert got[i] == v[-1], f"vector {i}: {v} -> {got[i]}"
