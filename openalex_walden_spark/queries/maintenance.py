@@ -14,7 +14,6 @@ index-admin orchestration, not a query.)
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from openalex_walden_spark.queries.registry import register
 

@@ -14,7 +14,6 @@ of the chain.  Sources: ``rebuild_cohort.sql``,
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from openalex_walden_spark.functions.hashing import (
     stable_hash64_duckdb,
