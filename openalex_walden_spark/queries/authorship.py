@@ -681,43 +681,14 @@ def affiliation_strings_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
 # two-token), id_orcid decorations, parenthesized nicknames, org
 # strings, et-al tails, surname-first initials, hyphenated doubles.
 
-_NAMES_ORACLE = r"""
-WITH sup AS (SELECT DISTINCT s_suppkey AS k FROM supplier),
-pieces AS (
-  SELECT k, k % 14 AS m,
-    (['james','maria','wei','olga','john','fatima','hans','ana','pierre','yuki','carlos','ingrid','david','chen','laura','ahmed','eva','marco','nina','paul'])[(k % 20) + 1] AS fn,
-    (['smith','oliveira','berg','zhang','garcia','muller','rossi','kim','dubois','tanaka','silva','jansen','brown','wang','lopez','haddad','novak','ricci','petrov','meyer'])[((k // 3) % 20) + 1] AS ln,
-    (['lee','ray','kai','jo'])[((k // 7) % 4) + 1] AS mn
-  FROM sup
-),
-caps AS (
-  SELECT k, m,
-    concat(upper(substr(fn, 1, 1)), substr(fn, 2)) AS cf,
-    concat(upper(substr(ln, 1, 1)), substr(ln, 2)) AS cl,
-    concat(upper(substr(mn, 1, 1)), substr(mn, 2)) AS cm
-  FROM pieces
-),
-raws AS (
-  SELECT k, CASE m
-    WHEN 0 THEN concat(cf, ' ', cl, CASE WHEN k % 2 = 0 THEN '7' ELSE '' END)
-    WHEN 1 THEN concat(cl, ', ', cf)
-    WHEN 2 THEN concat(CASE WHEN k % 2 = 1 THEN 'Dra. ' ELSE 'Dr. ' END, cf, ' van der ', cl)
-    WHEN 3 THEN concat(cf, ' de ', cl, ', PhD')
-    WHEN 4 THEN concat('Prof. Dr. ', cf, ' ', cl, ' Jr.')
-    WHEN 5 THEN concat(cl, ', ', cf, ' M.')
-    WHEN 6 THEN concat(cf, ' ', cm, ' ', cl, ', MD, MSc')
-    WHEN 7 THEN concat(cf, ' dos ', cl)
-    WHEN 8 THEN concat(cf, ' de la ', cl, ' id_orcid 0000-0001')
-    WHEN 9 THEN concat(cf, ' (Jim) ', cl)
-    WHEN 10 THEN concat('University of ', cl, ' Department')
-    WHEN 11 THEN concat(cf, ' ', cl, ' et al.')
-    WHEN 12 THEN concat(cl, ' JA')
-    ELSE concat(cf, '-Marie ', cl, '-Sarkar')
-  END AS raw_name
-  FROM caps
-),
+# Reusable DuckDB mirror of functions/nameparse.py: a CTE chain that
+# expects a CTE named ``raws`` with a ``raw_name`` column (extra columns
+# pass through) and ends in ``s13`` carrying first_name/middle_name/
+# last_name inputs plus the flags.  Other modules (authornames.py)
+# reuse it to parse their own candidate strings.
+DUCK_PARSE_CHAIN = r"""
 s1 AS (
-  SELECT k, raw_name,
+  SELECT r.*,
     trim(regexp_replace(
       regexp_replace(
         regexp_replace(
@@ -733,16 +704,16 @@ s1 AS (
           '\s+-', '-', 'g'),
         '(^\s*-\s*|\s*-\s*$)', '', 'g'),
       '\s+', ' ', 'g')) AS n1
-  FROM raws
+  FROM raws r
 ),
 s2 AS (
-  SELECT k, raw_name,
+  SELECT s1.*,
     lower(regexp_extract(n1, '[\(\[]([^\)\]]*)[\)\]]', 1)) AS nickname,
     trim(regexp_replace(regexp_replace(n1, '\s*[\(\[][^\)\]]*[\)\]]', ' ', 'g'), '\s+', ' ', 'g')) AS n2
   FROM s1
 ),
 s3 AS (
-  SELECT k, raw_name, nickname,
+  SELECT s2.* EXCLUDE (n1),
     regexp_matches(lower(n2), '(?:institute|university|ministry|society|department|academy|foundation|laboratory|council|committee|association|center|centre)') AS is_org,
     trim(regexp_replace(n2, '(?i)\bet\s+al\.?\s*$', '', 'g')) AS n3
   FROM s2
@@ -830,7 +801,11 @@ s13 AS (
          THEN regexp_replace(last_pre, '^(?i:de|da|do|dos|das|del|van|von|zu)\s+', '', 'g')
          ELSE last_pre END AS last_name
   FROM s12
-),
+)
+"""
+
+# Final projection producing the parsed/match-key columns from the chain
+DUCK_PARSE_FINAL = r"""
 final AS (
   SELECT k AS author_key, raw_name,
     CASE WHEN is_org THEN '' ELSE title0 END AS title,
@@ -842,9 +817,50 @@ final AS (
     concat(regexp_replace(last_name, '[^a-z]', '', 'g'), ';',
            substr(regexp_replace(first_name, '[^a-z]', '', 'g'), 1, 1)) AS match_key
   FROM s13
-)
-SELECT * FROM final ORDER BY author_key
+
 """
+
+_NAMES_ORACLE = (
+    r"""
+WITH sup AS (SELECT DISTINCT s_suppkey AS k FROM supplier),
+pieces AS (
+  SELECT k, k % 14 AS m,
+    (['james','maria','wei','olga','john','fatima','hans','ana','pierre','yuki','carlos','ingrid','david','chen','laura','ahmed','eva','marco','nina','paul'])[(k % 20) + 1] AS fn,
+    (['smith','oliveira','berg','zhang','garcia','muller','rossi','kim','dubois','tanaka','silva','jansen','brown','wang','lopez','haddad','novak','ricci','petrov','meyer'])[((k // 3) % 20) + 1] AS ln,
+    (['lee','ray','kai','jo'])[((k // 7) % 4) + 1] AS mn
+  FROM sup
+),
+caps AS (
+  SELECT k, m,
+    concat(upper(substr(fn, 1, 1)), substr(fn, 2)) AS cf,
+    concat(upper(substr(ln, 1, 1)), substr(ln, 2)) AS cl,
+    concat(upper(substr(mn, 1, 1)), substr(mn, 2)) AS cm
+  FROM pieces
+),
+raws AS (
+  SELECT k, CASE m
+    WHEN 0 THEN concat(cf, ' ', cl, CASE WHEN k % 2 = 0 THEN '7' ELSE '' END)
+    WHEN 1 THEN concat(cl, ', ', cf)
+    WHEN 2 THEN concat(CASE WHEN k % 2 = 1 THEN 'Dra. ' ELSE 'Dr. ' END, cf, ' van der ', cl)
+    WHEN 3 THEN concat(cf, ' de ', cl, ', PhD')
+    WHEN 4 THEN concat('Prof. Dr. ', cf, ' ', cl, ' Jr.')
+    WHEN 5 THEN concat(cl, ', ', cf, ' M.')
+    WHEN 6 THEN concat(cf, ' ', cm, ' ', cl, ', MD, MSc')
+    WHEN 7 THEN concat(cf, ' dos ', cl)
+    WHEN 8 THEN concat(cf, ' de la ', cl, ' id_orcid 0000-0001')
+    WHEN 9 THEN concat(cf, ' (Jim) ', cl)
+    WHEN 10 THEN concat('University of ', cl, ' Department')
+    WHEN 11 THEN concat(cf, ' ', cl, ' et al.')
+    WHEN 12 THEN concat(cl, ' JA')
+    ELSE concat(cf, '-Marie ', cl, '-Sarkar')
+  END AS raw_name
+  FROM caps
+),
+"""
+    + DUCK_PARSE_CHAIN + "," + DUCK_PARSE_FINAL
+    + ") SELECT * FROM final ORDER BY author_key"
+)
+
 
 
 @register(

@@ -1,0 +1,466 @@
+"""Work→award association build (reference
+``notebooks/awards/WorkAwards.ipynb`` cell 1): the normalized-key award
+lookup with its two key regimes, collapsed-shell alias recovery, and
+the multi-source priority union.
+
+Ported semantics:
+
+* **generic key** (2026-07-31 award-id-audit): punctuation/case-
+  insensitive key when the alnum residue is ≥ 4 chars, else the
+  lowercased-trimmed exact string — so citation-side spelling variants
+  attach to the direct-ingest award without over-merging short ids;
+* **sharp key** (oxjob #690): the per-funder normalized key; DEPOSITED
+  provenances contribute NO sharp key when the id form is weak (the
+  ``award_id_is_weak`` gate), registry records always key;
+* **canonical election per key**: generic regime prefers a record with
+  a display name then min id; sharp regime elects the newest registry
+  record (is_registry DESC, display DESC, end_year DESC NULLS LAST,
+  id ASC) — the MERGE_FAMILIES election;
+* **collapsed-shell aliases** (oxjob #690): keys of merged-away shells
+  resolve to their canonical award in BOTH regimes, so spellings that
+  only match a collapsed shell keep their link;
+* **regime partitioning** (review F5): a generic entry can never claim
+  a sharp key's slot — union dedup is per (funder, key, REGIME) with
+  pref generic < sharp < alias;
+* **source arms with priorities**: backfill work_funder (1), grobid
+  matches (2), funder-reported GTR-style with portable-hash minted ids
+  (3), crossref-deposit-style with the weak-gate on its sharp key (4),
+  and the oxjob #624 registry-verified wrong-funder re-link layer (4);
+  arms not verdict-covered contribute NO sharp join (review F7);
+* final dedup: one row per (work, award) at the best priority.
+
+Deviation: the sharp key here is digit-run based rather than the full
+per-funder grammar — the grammar itself is already oracle-checked by
+the ``udf_award_family_battery`` / ``udf_award_normalize`` queries;
+this query pins the LOOKUP LAYERING those keys feed.  GTR minted ids
+use the repo's md5-based portable hash (xxhash64 is Spark-only).
+
+Scale: the award lookup (dim) broadcasts to every arm — the fact side
+never shuffles until the final (work_id, award_id) dedup, which is one
+shuffle on the output key.  Explodes fan out bounded id arrays only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openalex_walden_spark.functions.hashing import (
+    stable_hash64_duckdb,
+    stable_hash64_sql,
+)
+from openalex_walden_spark.queries.registry import register
+
+
+def _gk(x: str, g: str) -> str:
+    """Generic key: alnum-strip when >=4 chars else lower-trim."""
+    return (
+        f"CASE WHEN length(regexp_replace(lower({x}), '[^a-z0-9]', ''{g})) >= 4"
+        f" THEN regexp_replace(lower({x}), '[^a-z0-9]', ''{g})"
+        f" ELSE lower(trim({x})) END"
+    )
+
+
+def _digits(x: str, g: str) -> str:
+    return f"regexp_replace({x}, '[^0-9]', ''{g})"
+
+
+def _sk(x: str, g: str, deposited: str) -> str:
+    """Sharp key with the weak gate on deposited provenances."""
+    d = _digits(x, g)
+    return (
+        f"CASE WHEN {deposited} AND length({d}) < 4 THEN NULL"
+        f" WHEN length({d}) >= 1 THEN concat('S', {d}) END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixture arithmetic (identical in both engines)
+# ---------------------------------------------------------------------------
+# awards <- part: id = p_partkey, funder = p%12+1, raw text decorated by
+#   p%5 (AW-/aw /GR// bare / suffixed forms — forms 0 and 1 collide on
+#   the generic key, exercising the election), digits weak when p%9=0;
+#   deposited when p%3=0; display NULL when p%7=0; end_year NULL p%11=0
+# aliases <- p%13=0 rows: 'OLD-'-prefixed spelling of the same digits
+#   resolves to the canonical award in both regimes
+# arms <- lineitem by l_linenumber: 1 backfill (pri 1, no sharp),
+#   2 grobid (pri 2, no sharp), 3 GTR-minted (pri 3) when l_partkey%6=0,
+#   4 crossref-deposit (pri 4, weak-gated sharp); relink <- orders %41=0
+
+_AW_BASE = """
+  SELECT p_partkey AS aid,
+         CAST(p_partkey % 12 + 1 AS BIGINT) AS funder_id,
+         CASE CAST(p_partkey % 5 AS INT)
+           WHEN 0 THEN concat('AW-', DIGTXT)
+           WHEN 1 THEN concat('aw ', DIGTXT)
+           WHEN 2 THEN concat('GR/', DIGTXT)
+           WHEN 3 THEN DIGTXT
+           ELSE concat('AW-', DIGTXT, '-X') END AS raw_id,
+         (p_partkey % 3 = 0) AS is_deposited,
+         CASE WHEN p_partkey % 7 = 0 THEN NULL
+              ELSE concat('Award ', CAST(p_partkey AS {STR})) END AS display_name,
+         CASE WHEN p_partkey % 11 = 0 THEN NULL
+              ELSE CAST(1990 + p_partkey % 30 AS BIGINT) END AS end_year,
+         concat('Funder ', CAST(p_partkey % 12 + 1 AS {STR})) AS funder_display
+  FROM part
+"""
+
+_DIGTXT = (
+    "CASE WHEN p_partkey % 9 = 0 THEN CAST(p_partkey % 90 AS {STR})"
+    " ELSE CAST(1000 + p_partkey % 9000 AS {STR}) END"
+)
+
+
+def _oracle() -> str:
+    g = ", 'g'"
+    s = "VARCHAR"
+    aw_base = _AW_BASE.replace("DIGTXT", _DIGTXT).replace("{STR}", s)
+    gk = _gk("raw_id", g)
+    sk = _sk("raw_id", g, "is_deposited")
+    arm_tpl = """
+{name} AS (
+  SELECT e.work_id,
+         concat('https://openalex.org/G', CAST(coalesce(a.aid, a2.aid) AS VARCHAR)) AS award_id,
+         coalesce(a.display_name, a2.display_name) AS display_name,
+         coalesce(a.raw_id, a2.raw_id) AS funder_award_id,
+         coalesce(a.funder_id, a2.funder_id) AS funder_id,
+         coalesce(a.funder_display, a2.funder_display) AS funder_display,
+         {pri} AS priority
+  FROM {src} e
+  LEFT JOIN (SELECT * FROM awards WHERE regime = 'g') a
+    ON e.funder_id = a.funder_id AND e.nk = a.nk
+  LEFT JOIN (SELECT * FROM awards WHERE regime = 's') a2
+    ON e.funder_id = a2.funder_id AND e.sk = a2.nk
+  WHERE coalesce(a.aid, a2.aid) IS NOT NULL
+)"""
+    return f"""
+WITH awards_base0 AS ({aw_base}),
+awards_base AS (
+  SELECT *, {gk} AS gk, {sk} AS sk FROM awards_base0
+),
+awards_g AS (
+  SELECT aid, display_name, raw_id, funder_id, funder_display, gk AS nk, 'g' AS regime
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY funder_id, gk
+      ORDER BY (display_name IS NOT NULL) DESC, aid ASC) AS rn
+    FROM awards_base
+  ) q WHERE rn = 1
+),
+awards_s AS (
+  SELECT aid, display_name, raw_id, funder_id, funder_display, sk AS nk, 's' AS regime
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY funder_id, sk
+      ORDER BY (NOT is_deposited) DESC, (display_name IS NOT NULL) DESC,
+               end_year DESC NULLS LAST, aid ASC) AS rn
+    FROM awards_base WHERE sk IS NOT NULL
+  ) q WHERE rn = 1
+),
+alias_src AS (
+  SELECT b.aid, b.display_name, b.raw_id, b.funder_id, b.funder_display,
+         concat('OLD-', {_digits("b.raw_id", g)}) AS old_id
+  FROM awards_base b WHERE b.aid % 13 = 0
+),
+awards_al AS (
+  SELECT aid, display_name, raw_id, funder_id, funder_display, nk,
+         CASE WHEN nk = k_generic THEN 'g' ELSE 's' END AS regime
+  FROM (
+    SELECT x.*, t.nk FROM (
+      SELECT aid, display_name, raw_id, funder_id, funder_display,
+             {_gk("old_id", g)} AS k_generic,
+             {_sk("old_id", g, "TRUE")} AS k_sharp
+      FROM alias_src
+    ) x, UNNEST([x.k_generic, x.k_sharp]) AS t(nk)
+    WHERE t.nk IS NOT NULL
+  ) y
+),
+awards AS (
+  SELECT aid, display_name, raw_id, funder_id, funder_display, nk, regime FROM (
+    SELECT *, row_number() OVER (PARTITION BY funder_id, nk, regime ORDER BY pref) AS rn
+    FROM (
+      SELECT *, 1 AS pref FROM awards_g
+      UNION ALL SELECT *, 2 AS pref FROM awards_s
+      UNION ALL SELECT *, 3 AS pref FROM awards_al
+    ) u
+  ) q WHERE rn = 1
+),
+backfill_src AS (
+  SELECT l_orderkey AS work_id, CAST(l_suppkey % 12 + 1 AS BIGINT) AS funder_id,
+         t.award_txt AS raw,
+         {_gk("t.award_txt", g)} AS nk, CAST(NULL AS VARCHAR) AS sk
+  FROM lineitem, UNNEST(
+    CASE WHEN l_partkey % 4 = 0 THEN
+      [concat('AW-', CAST(1000 + (l_partkey * 7) % 9000 AS VARCHAR)),
+       concat('GR/', CAST(1000 + l_partkey % 9000 AS VARCHAR))]
+    ELSE [concat('AW-', CAST(1000 + (l_partkey * 7) % 9000 AS VARCHAR))] END
+  ) AS t(award_txt)
+  WHERE l_linenumber = 1
+),
+grobid_src AS (
+  SELECT l_orderkey AS work_id, CAST(l_partkey % 12 + 1 AS BIGINT) AS funder_id,
+         CAST(1000 + (l_suppkey * 3) % 9000 AS VARCHAR) AS raw,
+         {_gk("CAST(1000 + (l_suppkey * 3) % 9000 AS VARCHAR)", g)} AS nk,
+         CAST(NULL AS VARCHAR) AS sk
+  FROM lineitem WHERE l_linenumber = 2
+),
+crossref_src AS (
+  SELECT l_orderkey AS work_id, CAST(l_suppkey % 12 + 1 AS BIGINT) AS funder_id,
+         concat('aw ', CAST(1000 + (l_partkey * 11) % 9000 AS VARCHAR)) AS raw,
+         {_gk("concat('aw ', CAST(1000 + (l_partkey * 11) % 9000 AS VARCHAR))", g)} AS nk,
+         {_sk("concat('aw ', CAST(1000 + (l_partkey * 11) % 9000 AS VARCHAR))", g, "TRUE")} AS sk
+  FROM lineitem WHERE l_linenumber = 4
+),
+relink_src AS (
+  SELECT o_orderkey AS work_id, CAST(o_orderkey % 12 + 1 AS BIGINT) AS funder_id,
+         concat('AW-', CAST(1000 + o_orderkey % 9000 AS VARCHAR)) AS raw,
+         {_gk("concat('AW-', CAST(1000 + o_orderkey % 9000 AS VARCHAR))", g)} AS nk,
+         {_sk("concat('AW-', CAST(1000 + o_orderkey % 9000 AS VARCHAR))", g, "FALSE")} AS sk
+  FROM orders WHERE o_orderkey % 41 = 0
+),
+{arm_tpl.format(name="backfill_awards", src="backfill_src", pri=1)},
+{arm_tpl.format(name="grobid_awards", src="grobid_src", pri=2)},
+gtr_awards AS (
+  SELECT l_orderkey AS work_id,
+         concat('https://openalex.org/G', CAST(
+           abs({stable_hash64_duckdb("concat('gtr:', CAST(l_orderkey AS VARCHAR), ':', CAST(l_partkey AS VARCHAR))")}) % 9000000000 AS VARCHAR)) AS award_id,
+         CAST(NULL AS VARCHAR) AS display_name,
+         concat('GTR/', CAST(l_partkey AS VARCHAR)) AS funder_award_id,
+         CAST(l_suppkey % 12 + 1 AS BIGINT) AS funder_id,
+         concat('Funder ', CAST(l_suppkey % 12 + 1 AS VARCHAR)) AS funder_display,
+         3 AS priority
+  FROM lineitem WHERE l_linenumber = 3 AND l_partkey % 6 = 0
+),
+{arm_tpl.format(name="crossref_awards", src="crossref_src", pri=4)},
+{arm_tpl.format(name="relink_awards", src="relink_src", pri=4)},
+combined AS (
+  SELECT * FROM backfill_awards
+  UNION ALL SELECT * FROM grobid_awards
+  UNION ALL SELECT * FROM gtr_awards
+  UNION ALL SELECT * FROM crossref_awards
+  UNION ALL SELECT * FROM relink_awards
+)
+SELECT work_id, award_id, display_name, funder_award_id, funder_id, funder_display
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY work_id, award_id ORDER BY priority ASC) AS rn
+  FROM combined
+) q WHERE rn = 1
+ORDER BY work_id, award_id
+"""
+
+
+@register(
+    "work_awards_build",
+    oracle=_oracle(),
+    tags=("workawards", "domain", "lookup"),
+    tables=("part", "lineitem", "orders"),
+)
+def work_awards_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The work→award association build
+    (WorkAwards.ipynb cell 1; see module docstring)."""
+    g = ""
+    s = "STRING"
+    aw_base = _AW_BASE.replace("DIGTXT", _DIGTXT).replace("{STR}", s)
+    gk = _gk("raw_id", g)
+    sk = _sk("raw_id", g, "is_deposited")
+
+    base = spark.table("part").selectExpr(*_split_select(aw_base))
+    base = base.selectExpr("*", f"{gk} AS gk", f"{sk} AS sk")
+    from pyspark.sql import Window
+
+    awards_g = (
+        base.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("funder_id", "gk").orderBy(
+                    F.expr("(display_name IS NOT NULL)").desc(), F.col("aid").asc()
+                )
+            ),
+        )
+        .where("rn = 1")
+        .selectExpr(
+            "aid", "display_name", "raw_id", "funder_id", "funder_display",
+            "gk AS nk", "'g' AS regime",
+        )
+    )
+    awards_s = (
+        base.where("sk IS NOT NULL")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("funder_id", "sk").orderBy(
+                    F.expr("(NOT is_deposited)").desc(),
+                    F.expr("(display_name IS NOT NULL)").desc(),
+                    F.col("end_year").desc_nulls_last(),
+                    F.col("aid").asc(),
+                )
+            ),
+        )
+        .where("rn = 1")
+        .selectExpr(
+            "aid", "display_name", "raw_id", "funder_id", "funder_display",
+            "sk AS nk", "'s' AS regime",
+        )
+    )
+    awards_al = (
+        base.where("aid % 13 = 0")
+        .selectExpr(
+            "aid", "display_name", "raw_id", "funder_id", "funder_display",
+            f"concat('OLD-', regexp_replace(raw_id, '[^0-9]', '')) AS old_id",
+        )
+        .selectExpr(
+            "aid", "display_name", "raw_id", "funder_id", "funder_display",
+            f"{_gk('old_id', g)} AS k_generic",
+            f"{_sk('old_id', g, 'TRUE')} AS k_sharp",
+        )
+        .select(
+            "*", F.explode(F.expr("array(k_generic, k_sharp)")).alias("nk")
+        )
+        .where("nk IS NOT NULL")
+        .selectExpr(
+            "aid", "display_name", "raw_id", "funder_id", "funder_display", "nk",
+            "CASE WHEN nk = k_generic THEN 'g' ELSE 's' END AS regime",
+        )
+    )
+    awards = (
+        awards_g.selectExpr("*", "1 AS pref")
+        .unionByName(awards_s.selectExpr("*", "2 AS pref"))
+        .unionByName(awards_al.selectExpr("*", "3 AS pref"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("funder_id", "nk", "regime").orderBy("pref")
+            ),
+        )
+        .where("rn = 1")
+        .drop("rn", "pref")
+    )
+    ag = F.broadcast(awards.where("regime = 'g'").withColumnRenamed("nk", "g_nk"))
+    as_ = F.broadcast(awards.where("regime = 's'").withColumnRenamed("nk", "s_nk"))
+
+    def arm(src: DataFrame, pri: int) -> DataFrame:
+        j = (
+            src.join(
+                ag.selectExpr(
+                    "funder_id AS gf", "g_nk", "aid AS g_aid",
+                    "display_name AS g_dn", "raw_id AS g_rid", "funder_display AS g_fd",
+                ),
+                (F.col("funder_id") == F.col("gf")) & (F.col("nk") == F.col("g_nk")),
+                "left",
+            )
+            .join(
+                as_.selectExpr(
+                    "funder_id AS sf", "s_nk", "aid AS s_aid",
+                    "display_name AS s_dn", "raw_id AS s_rid", "funder_display AS s_fd",
+                ),
+                (F.col("funder_id") == F.col("sf")) & (F.col("sk") == F.col("s_nk")),
+                "left",
+            )
+            .where("coalesce(g_aid, s_aid) IS NOT NULL")
+        )
+        return j.selectExpr(
+            "work_id",
+            "concat('https://openalex.org/G', CAST(coalesce(g_aid, s_aid) AS STRING)) AS award_id",
+            "coalesce(g_dn, s_dn) AS display_name",
+            "coalesce(g_rid, s_rid) AS funder_award_id",
+            "coalesce(gf, sf) AS funder_id",
+            "coalesce(g_fd, s_fd) AS funder_display",
+            f"{pri} AS priority",
+        )
+
+    li = spark.table("lineitem")
+    backfill_src = (
+        li.where("l_linenumber = 1")
+        .select(
+            F.col("l_orderkey").alias("work_id"),
+            F.expr("CAST(l_suppkey % 12 + 1 AS BIGINT)").alias("funder_id"),
+            F.explode(
+                F.expr(
+                    """CASE WHEN l_partkey % 4 = 0 THEN
+                         array(concat('AW-', CAST(1000 + (l_partkey * 7) % 9000 AS STRING)),
+                               concat('GR/', CAST(1000 + l_partkey % 9000 AS STRING)))
+                       ELSE array(concat('AW-', CAST(1000 + (l_partkey * 7) % 9000 AS STRING))) END"""
+                )
+            ).alias("raw"),
+        )
+        .selectExpr("work_id", "funder_id", f"{_gk('raw', g)} AS nk", "CAST(NULL AS STRING) AS sk")
+    )
+    grobid_src = li.where("l_linenumber = 2").selectExpr(
+        "l_orderkey AS work_id",
+        "CAST(l_partkey % 12 + 1 AS BIGINT) AS funder_id",
+        f"{_gk('CAST(1000 + (l_suppkey * 3) % 9000 AS STRING)', g)} AS nk",
+        "CAST(NULL AS STRING) AS sk",
+    )
+    cx_txt = "concat('aw ', CAST(1000 + (l_partkey * 11) % 9000 AS STRING))"
+    crossref_src = li.where("l_linenumber = 4").selectExpr(
+        "l_orderkey AS work_id",
+        "CAST(l_suppkey % 12 + 1 AS BIGINT) AS funder_id",
+        f"{_gk(cx_txt, g)} AS nk",
+        f"{_sk(cx_txt, g, 'TRUE')} AS sk",
+    )
+    rl_txt = "concat('AW-', CAST(1000 + o_orderkey % 9000 AS STRING))"
+    relink_src = spark.table("orders").where("o_orderkey % 41 = 0").selectExpr(
+        "o_orderkey AS work_id",
+        "CAST(o_orderkey % 12 + 1 AS BIGINT) AS funder_id",
+        f"{_gk(rl_txt, g)} AS nk",
+        f"{_sk(rl_txt, g, 'FALSE')} AS sk",
+    )
+    gtr = li.where("l_linenumber = 3 AND l_partkey % 6 = 0").selectExpr(
+        "l_orderkey AS work_id",
+        "concat('https://openalex.org/G', CAST(abs("
+        + stable_hash64_sql(
+            "concat('gtr:', CAST(l_orderkey AS STRING), ':', CAST(l_partkey AS STRING))"
+        )
+        + ") % 9000000000 AS STRING)) AS award_id",
+        "CAST(NULL AS STRING) AS display_name",
+        "concat('GTR/', CAST(l_partkey AS STRING)) AS funder_award_id",
+        "CAST(l_suppkey % 12 + 1 AS BIGINT) AS funder_id",
+        "concat('Funder ', CAST(l_suppkey % 12 + 1 AS STRING)) AS funder_display",
+        "3 AS priority",
+    )
+    combined = (
+        arm(backfill_src, 1)
+        .unionByName(arm(grobid_src, 2))
+        .unionByName(gtr)
+        .unionByName(arm(crossref_src, 4))
+        .unionByName(arm(relink_src, 4))
+    )
+    return (
+        combined.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("work_id", "award_id").orderBy("priority")
+            ),
+        )
+        .where("rn = 1")
+        .select(
+            "work_id", "award_id", "display_name", "funder_award_id",
+            "funder_id", "funder_display",
+        )
+        .orderBy("work_id", "award_id")
+    )
+
+
+def _split_select(sql_body: str) -> list[str]:
+    """Turn the shared '  SELECT a, b, c FROM part' fixture text into
+    selectExpr items (the FROM is supplied by spark.table)."""
+    body = sql_body.strip()
+    assert body.upper().startswith("SELECT")
+    body = body[6:]
+    cut = body.upper().rindex("FROM PART")
+    body = body[:cut]
+    items, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        items.append("".join(cur).strip())
+    return items
