@@ -1,0 +1,460 @@
+"""Crossref ingest parse (reference ``notebooks/ingest/Crossref.py``,
+the ``crossref_parsed`` view): the typed-id assembly, the license
+ladder, date-parts handling, and the affiliation-as-author author
+filter with its hybrid keyword-boundary regexes.
+
+Ported semantics:
+
+* ``unallowed_types`` drop (component, grant) before any parsing;
+* title: FIRST element of the title array, truncated to the 5000-char
+  cap;
+* **affiliation-as-author filter** (the false-positive-hardened form):
+  - long institution keywords match WITHOUT word boundaries (catches
+    concatenated "KazanUniversity") while short corporate keywords
+    (Inc/LLC/Ltd/Corp/GmbH/Medical/Research/…) require ``\\b`` so
+    "Vincent" never matches "Inc";
+  - School in the family field only counts when the family is exactly
+    "School" or contains "Schoolof" (Schooler/Schooling survive);
+  - Center in the family field only when it ENDS with "Center" or
+    contains "Centerof" (Centers/Centerwall survive);
+  - the full keyword set (School/Center included) applies to the given
+    field, and to the name field only when given+family are empty;
+  - works from the excluded-publisher list keep ALL authors (sub-0.1%
+    affected rate — their records must not be modified);
+* author struct: 500-char name caps, ORCID extracted by the
+  ``(\\d{{4}}-\\d{{4}}-\\d{{4}}-\\d{{3}}[\\dXx])`` pattern, affiliation
+  structs with the 1000-char cap and the ROR pick (first id whose
+  id-type is ROR);
+* **typed-id assembly**: pissn/eissn from the issn-type array,
+  pisbn/eisbn from isbn-type, the DOI as the ``self`` relationship —
+  then the empty-id filter (both '' and NULL entries drop);
+* **license ladder**: drop ``content-version = 'tdm'`` entries, prefer
+  the first URL containing ``creativecommons.org``, else the first
+  remaining URL;
+* version: posted-content ⇒ acceptedVersion, else publishedVersion;
+  ``raw_type`` keeps the source value while ``type`` is NULLed (the
+  work-type cascade owns type);
+* date-parts: ``make_date(year, month default 1, day default 1)``.
+
+Scale: everything is per-row column algebra over the ingest scan — the
+only shuffle is the seat→work fold for the author signature; the
+publisher exclusion list and keyword regexes are literals compiled into
+the plan (no dim join at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openalex_walden_spark.queries.registry import register
+
+# The reference's hybrid patterns, verbatim (Crossref.py:97-126) minus
+# the (?i) prefix (applied per-dialect).
+_KW_LONG = (
+    "University|Institute|College|Hospital|Department|{SC}Centre|"
+    "Laboratory|Faculty|Academy|"
+    "Universiteit|Universidade|Università|Uniwersytet|Üniversitesi|Universite|"
+    "Hochschule|Fakultät|Klinikum|Krankenhaus|Politecnico|Politechnika|"
+    "Consortium|Association|Collaboration|Committee|Council|Organization|Organisation|"
+    "Clinic|Museum|Library|Foundation|Polytechnic"
+)
+# {B} becomes the word-boundary escape appropriate to how each dialect
+# treats backslashes inside SQL string literals (Spark consumes one
+# level; DuckDB passes them through).
+_KW_SHORT = "{B}b(Inc|LLC|Ltd|Corp|Corporation|Company|GmbH|Medical|Research){B}b"
+
+
+def _pat_no_sc(b: str) -> str:
+    return f"(?i)({_KW_LONG.format(SC='')})|(?i){_KW_SHORT}".replace("{B}", b)
+
+
+def _pat_full(b: str) -> str:
+    return f"(?i)({_KW_LONG.format(SC='School|Center|')})|(?i){_KW_SHORT}".replace("{B}", b)
+
+_EXCLUDED_PUBLISHERS = ("Elsevier", "IEEE", "Cambridge University Press")
+
+# ---------------------------------------------------------------------------
+# Fixture arithmetic (identical in both engines)
+# ---------------------------------------------------------------------------
+# works <- orders: type by o%6 (component/grant rows DROPPED), publisher
+#   excluded when o%9=0; issn/isbn presence by o-mods; license entries
+#   0..2 with tdm/cc decoration; date parts with NULL month/day cases
+# seats <- lineitem ln<=4: author case by (l_partkey + ln) % 12:
+#   0 clean given/family            1 family 'University' (drop)
+#   2 given 'Kazan' family 'University' (drop)
+#   3 family 'Schooler' (KEEP)      4 family 'SchoolofMedicine' (drop)
+#   5 family 'ResearchCenter' (drop) 6 family 'Centerwall' (KEEP)
+#   7 name-only org (drop)          8 name-only person (keep)
+#   9 given 'Vincent' (KEEP: Inc boundary)  10 family 'KazanUniversity' (drop)
+#   11 orcid-bearing clean row
+
+_SEAT_CASE = """
+  CASE CAST((l_partkey + l_linenumber) % 12 AS INT)
+    WHEN 0 THEN named_struct('g', concat('Gv', CAST(l_suppkey % 30 AS {STR})), 'f', concat('Fam', CAST(l_suppkey % 40 AS {STR})), 'nm', CAST(NULL AS {STR}))
+    WHEN 1 THEN named_struct('g', CAST(NULL AS {STR}), 'f', 'University', 'nm', CAST(NULL AS {STR}))
+    WHEN 2 THEN named_struct('g', 'Kazan', 'f', 'University', 'nm', CAST(NULL AS {STR}))
+    WHEN 3 THEN named_struct('g', 'Jon', 'f', 'Schooler', 'nm', CAST(NULL AS {STR}))
+    WHEN 4 THEN named_struct('g', CAST(NULL AS {STR}), 'f', 'SchoolofMedicine', 'nm', CAST(NULL AS {STR}))
+    WHEN 5 THEN named_struct('g', CAST(NULL AS {STR}), 'f', 'ResearchCenter', 'nm', CAST(NULL AS {STR}))
+    WHEN 6 THEN named_struct('g', 'Amy', 'f', 'Centerwall', 'nm', CAST(NULL AS {STR}))
+    WHEN 7 THEN named_struct('g', CAST(NULL AS {STR}), 'f', CAST(NULL AS {STR}), 'nm', 'University of Professional Studies, Accra')
+    WHEN 8 THEN named_struct('g', CAST(NULL AS {STR}), 'f', CAST(NULL AS {STR}), 'nm', concat('Solo ', CAST(l_suppkey % 25 AS {STR})))
+    WHEN 9 THEN named_struct('g', 'Vincent', 'f', concat('Pr', CAST(l_suppkey % 20 AS {STR})), 'nm', CAST(NULL AS {STR}))
+    WHEN 10 THEN named_struct('g', CAST(NULL AS {STR}), 'f', 'KazanUniversity', 'nm', CAST(NULL AS {STR}))
+    ELSE named_struct('g', 'Ana', 'f', concat('Or', CAST(l_suppkey % 20 AS {STR})), 'nm', CAST(NULL AS {STR}))
+  END
+"""
+
+# named_struct is Spark syntax; DuckDB uses struct_pack — swapped below.
+
+
+def _seat_case(dialect: str) -> str:
+    if dialect == "spark":
+        return _SEAT_CASE.replace("{STR}", "STRING")
+    c = _SEAT_CASE.replace("{STR}", "VARCHAR")
+    c = c.replace("named_struct('g', ", "struct_pack(g := ")
+    c = c.replace(", 'f', ", ", f := ")
+    c = c.replace(", 'nm', ", ", nm := ")
+    return c
+
+
+def _valid_author(rx: str, b: str) -> str:
+    """is_valid_author predicate over columns g/f/nm.  ``rx`` is the
+    dialect's regex-match template '{subj} ... {pat}'; ``b`` the
+    dialect's word-boundary escape."""
+
+    def m(subj: str, pat: str) -> str:
+        return rx.format(subj=subj, pat=pat)
+
+    fam, giv, nm = "coalesce(f, '')", "coalesce(g, '')", "coalesce(nm, '')"
+    bad = " OR ".join(
+        [
+            m(fam, _pat_no_sc(b)),
+            f"({m(fam, '(?i)^School$')} OR {m(fam, '(?i)Schoolof')})",
+            f"({m(fam, '(?i)Center$')} OR {m(fam, '(?i)Centerof')})",
+            m(giv, _pat_full(b)),
+            f"(trim({giv}) = '' AND trim({fam}) = '' AND {m(nm, _pat_full(b))})",
+        ]
+    )
+    return f"NOT ({bad})"
+
+
+_SPARK_RX = "({subj} RLIKE '{pat}')"
+_DUCK_RX = "regexp_matches({subj}, '{pat}')"
+
+_WORK_FIXTURE = """
+  SELECT o_orderkey AS work_id,
+         CASE CAST(o_orderkey % 6 AS INT)
+           WHEN 0 THEN 'journal-article' WHEN 1 THEN 'posted-content'
+           WHEN 2 THEN 'proceedings-article' WHEN 3 THEN 'dataset'
+           WHEN 4 THEN 'component' ELSE 'grant' END AS raw_type,
+         (o_orderkey % 9 = 0) AS is_excluded_pub,
+         concat('T-', CAST(o_orderkey % 997 AS {STR}), ' study') AS title0,
+         CASE WHEN o_orderkey % 4 <> 1 THEN concat('08', CAST(o_orderkey % 80 + 10 AS {STR})) ELSE '' END AS pissn,
+         CASE WHEN o_orderkey % 3 <> 1 THEN concat('19', CAST(o_orderkey % 70 + 10 AS {STR})) ELSE '' END AS eissn,
+         CASE WHEN o_orderkey % 7 = 0 THEN concat('97801', CAST(o_orderkey % 100 AS {STR})) ELSE '' END AS pisbn,
+         '' AS eisbn,
+         concat('10.', CAST(o_orderkey AS {STR})) AS doi,
+         CAST(1990 + o_orderkey % 30 AS INT) AS y,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE CAST(o_orderkey % 12 + 1 AS INT) END AS mo,
+         CASE WHEN o_orderkey % 5 <= 1 THEN NULL ELSE CAST(o_orderkey % 28 + 1 AS INT) END AS dy,
+         CASE CAST(o_orderkey % 4 AS INT)
+           WHEN 0 THEN 'https://creativecommons.org/licenses/by/4.0'
+           WHEN 1 THEN 'https://pub.example/lic-a'
+           ELSE '' END AS lic1_url,
+         'vor' AS lic1_cv,
+         CASE CAST(o_orderkey % 4 AS INT)
+           WHEN 1 THEN 'https://creativecommons.org/licenses/by-nc/4.0'
+           WHEN 2 THEN 'https://pub.example/lic-b'
+           ELSE '' END AS lic2_url,
+         CASE WHEN o_orderkey % 8 < 4 THEN 'tdm' ELSE 'am' END AS lic2_cv
+  FROM orders
+  WHERE CAST(o_orderkey % 6 AS INT) NOT IN (4, 5)
+"""
+
+
+def _license_pick(first_contains: str) -> str:
+    """The ladder: entries (lic1, lic2) minus tdm, '' = absent; prefer
+    cc URL else first.  Expressed without arrays so both engines agree:
+    candidates in order are lic1 (never tdm) then lic2 (unless tdm)."""
+    l1 = "CASE WHEN lic1_url <> '' THEN lic1_url END"
+    l2 = "CASE WHEN lic2_url <> '' AND lic2_cv <> 'tdm' THEN lic2_url END"
+    cc1 = f"CASE WHEN {first_contains.format(x=l1)} THEN {l1} END"
+    cc2 = f"CASE WHEN {first_contains.format(x=l2)} THEN {l2} END"
+    return f"coalesce({cc1}, {cc2}, {l1}, {l2})"
+
+
+_CONTAINS_CC = "contains(coalesce({x}, ''), 'creativecommons.org')"
+
+
+def _ids_sig() -> str:
+    """Typed-id signature: the empty-id filter drops '' entries."""
+    parts = [
+        ("pissn", "pissn"),
+        ("eissn", "eissn"),
+        ("pisbn", "pisbn"),
+        ("eisbn", "eisbn"),
+        ("doi", "doi"),
+    ]
+    entries = ", ".join(
+        f"CASE WHEN {col} <> '' THEN concat('{ns}', ':', {col}"
+        + (", ':self'" if ns == "doi" else "")
+        + ") END"
+        for col, ns in parts
+    )
+    return f"concat_ws(';', {entries})"
+
+
+_ORACLE = None  # assembled below
+
+
+def _assemble(dialect: str) -> str:
+    str_t = "STRING" if dialect == "spark" else "VARCHAR"
+    rx = _SPARK_RX if dialect == "spark" else _DUCK_RX
+    bs = "\\\\" if dialect == "spark" else "\\"
+    seat_case = _seat_case(dialect)
+    valid = _valid_author(rx, bs)
+    wf = _WORK_FIXTURE.replace("{STR}", str_t)
+    lic = _license_pick(_CONTAINS_CC)
+    if dialect == "spark":
+        agg_sig = (
+            "array_join(transform(array_sort(collect_list(struct(seat, pk, sk, seat_sig))),"
+            " x -> x.seat_sig), '||')"
+        )
+        count_kept = "CAST(count(*) AS BIGINT)"
+    else:
+        agg_sig = "string_agg(seat_sig, '||' ORDER BY seat, pk, sk)"
+        count_kept = "CAST(count(*) AS BIGINT)"
+    orcid_src = (
+        f"CASE WHEN (l_partkey + l_linenumber) % 12 = 11"
+        f" THEN concat('https://orcid.org/0000-000', CAST(l_suppkey % 10 AS {str_t}),"
+        f" '-1234-567', CAST(l_suppkey % 9 AS {str_t}),"
+        f" CASE WHEN l_suppkey % 4 = 0 THEN 'X' ELSE '1' END) END"
+    )
+    aff_sig = (
+        f"CASE WHEN l_partkey % 3 = 0 THEN"
+        f" concat('Aff', CAST(l_partkey % 15 AS {str_t}),"
+        f" CASE WHEN l_partkey % 6 = 0 THEN concat('^ror:0r', CAST(l_partkey % 9 AS {str_t}))"
+        f" ELSE '' END)"
+        f" ELSE '' END"
+    )
+    return f"""
+WITH works AS ({wf}),
+seats0 AS (
+  SELECT l_orderkey AS work_id, l_linenumber AS seat, l_partkey AS pk, l_suppkey AS sk,
+         {seat_case} AS a,
+         {orcid_src} AS orcid_raw,
+         {aff_sig} AS aff_sig
+  FROM lineitem WHERE l_linenumber <= 4
+),
+seats AS (
+  SELECT work_id, seat, pk, sk,
+         a.g AS g, a.f AS f, a.nm AS nm, orcid_raw, aff_sig
+  FROM seats0
+),
+kept AS (
+  SELECT s.*, w.is_excluded_pub
+  FROM seats s JOIN works w ON w.work_id = s.work_id
+  WHERE w.is_excluded_pub OR ({valid})
+),
+seat_sigs AS (
+  SELECT work_id, seat, pk, sk,
+         concat(coalesce(substr(g, 1, 500), '~'), '|',
+                coalesce(substr(f, 1, 500), '~'), '|',
+                coalesce(substr(nm, 1, 500), '~'), '|',
+                coalesce(regexp_extract(coalesce(orcid_raw, ''),
+                  '([0-9]{{4}}-[0-9]{{4}}-[0-9]{{4}}-[0-9]{{3}}[0-9Xx])', 1), ''), '|',
+                coalesce(substr(aff_sig, 1, 1000), '')) AS seat_sig
+  FROM kept
+),
+per_work AS (
+  SELECT work_id, {count_kept} AS n_authors, {agg_sig} AS authors_sig
+  FROM seat_sigs GROUP BY work_id
+)
+SELECT w.work_id,
+       substr(w.title0, 1, 5000) AS title,
+       w.raw_type,
+       CAST(NULL AS {str_t}) AS type,
+       CASE WHEN w.raw_type = 'posted-content' THEN 'acceptedVersion'
+            ELSE 'publishedVersion' END AS version,
+       {_ids_sig()} AS ids_sig,
+       {lic} AS raw_license,
+       CAST(make_date(w.y, coalesce(w.mo, 1), coalesce(w.dy, 1)) AS {str_t}) AS issued,
+       coalesce(p.n_authors, 0) AS n_authors,
+       coalesce(p.authors_sig, '') AS authors_sig
+FROM works w LEFT JOIN per_work p ON p.work_id = w.work_id
+ORDER BY w.work_id
+"""
+
+
+@register(
+    "crossref_parse_ingest",
+    oracle=_assemble("duck"),
+    tags=("ingest", "crossref", "text"),
+    tables=("orders", "lineitem"),
+)
+def crossref_parse_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crossref ingest parse (Crossref.py crossref_parsed; see module
+    docstring).  The whole transform is one SQL text compiled for both
+    dialects — the Spark side runs it verbatim over the registered
+    views, so the regex battery, the excluded-publisher bypass, and the
+    ladder semantics are hash-locked against RE2."""
+    return spark.sql(_assemble("spark"))
+
+
+# ---------------------------------------------------------------------------
+# PubMed ingest parse (notebooks/ingest/PubMed.py, pubmed_parsed)
+# ---------------------------------------------------------------------------
+# Distinctive semantics ported here (Crossref covers the shared shapes):
+#
+# * consolidate_awards (PubMed.py:23-46) — the reference groups grant
+#   records by agency with a row UDF preserving first-appearance order;
+#   Spark-first this is a relational groupBy: agencies ordered by first
+#   occurrence, award ids in record order within each agency — zero
+#   Python, identical output;
+# * the full ISO 639-2/B -> 639-1 language map (PubMed.py:52-100) as a
+#   broadcast lookup JOIN (the reference pays a row-UDF dict lookup per
+#   record); bibliographic variants (alb/sq, chi/zh, dut/nl, fre/fr,
+#   ger/de ...) included, 'und' and unknown codes -> NULL;
+# * the pmid/doi/pmc/pii/mid + eissn/lissn typed-id regime with the
+#   empty-id filter; pmid is the 'self' relationship;
+# * the lenient date resolution: TRY_CAST(concat_ws('-', y, m, d)) —
+#   missing day => first of month, missing month => January 1 (the
+#   reference's to_date-over-concat_ws semantics; the oracle states it
+#   as make_date with defaults).
+
+# The reference's dict, verbatim (public ISO 639-2 standard data).
+LANG_3TO2 = {
+    'aar': 'aa', 'abk': 'ab', 'afr': 'af', 'aka': 'ak', 'alb': 'sq', 'amh': 'am',
+    'ara': 'ar', 'arg': 'an', 'arm': 'hy', 'asm': 'as', 'ava': 'av', 'ave': 'ae',
+    'aym': 'ay', 'aze': 'az', 'bak': 'ba', 'bam': 'bm', 'baq': 'eu', 'bel': 'be',
+    'ben': 'bn', 'bih': 'bh', 'bis': 'bi', 'bod': 'bo', 'bos': 'bs', 'bre': 'br',
+    'bul': 'bg', 'bur': 'my', 'cat': 'ca', 'ces': 'cs', 'cha': 'ch', 'che': 'ce',
+    'chi': 'zh', 'chu': 'cu', 'chv': 'cv', 'cor': 'kw', 'cos': 'co', 'cre': 'cr',
+    'cym': 'cy', 'cze': 'cs', 'dan': 'da', 'deu': 'de', 'div': 'dv', 'dut': 'nl',
+    'dzo': 'dz', 'ell': 'el', 'eng': 'en', 'epo': 'eo', 'est': 'et', 'eus': 'eu',
+    'ewe': 'ee', 'fao': 'fo', 'fas': 'fa', 'fij': 'fj', 'fin': 'fi', 'fra': 'fr',
+    'fre': 'fr', 'fry': 'fy', 'ful': 'ff', 'geo': 'ka', 'ger': 'de', 'gla': 'gd',
+    'gle': 'ga', 'glg': 'gl', 'glv': 'gv', 'gre': 'el', 'grn': 'gn', 'guj': 'gu',
+    'hat': 'ht', 'hau': 'ha', 'heb': 'he', 'her': 'hz', 'hin': 'hi', 'hmo': 'ho',
+    'hrv': 'hr', 'hun': 'hu', 'hye': 'hy', 'ibo': 'ig', 'ice': 'is', 'ido': 'io',
+    'iii': 'ii', 'iku': 'iu', 'ile': 'ie', 'ina': 'ia', 'ind': 'id', 'ipk': 'ik',
+    'isl': 'is', 'ita': 'it', 'jav': 'jv', 'jpn': 'ja', 'kal': 'kl', 'kan': 'kn',
+    'kas': 'ks', 'kat': 'ka', 'kau': 'kr', 'kaz': 'kk', 'khm': 'km', 'kik': 'ki',
+    'kin': 'rw', 'kir': 'ky', 'kom': 'kv', 'kon': 'kg', 'kor': 'ko', 'kua': 'kj',
+    'kur': 'ku', 'lao': 'lo', 'lat': 'la', 'lav': 'lv', 'lim': 'li', 'lin': 'ln',
+    'lit': 'lt', 'ltz': 'lb', 'lub': 'lu', 'lug': 'lg', 'mac': 'mk', 'mah': 'mh',
+    'mal': 'ml', 'mao': 'mi', 'mar': 'mr', 'may': 'ms', 'mkd': 'mk', 'mlg': 'mg',
+    'mlt': 'mt', 'mon': 'mn', 'mri': 'mi', 'msa': 'ms', 'mya': 'my', 'nau': 'na',
+    'nav': 'nv', 'nbl': 'nr', 'nde': 'nd', 'ndo': 'ng', 'nep': 'ne', 'nld': 'nl',
+    'nno': 'nn', 'nob': 'nb', 'nor': 'no', 'nya': 'ny', 'oci': 'oc', 'oji': 'oj',
+    'ori': 'or', 'orm': 'om', 'oss': 'os', 'pan': 'pa', 'per': 'fa', 'pli': 'pi',
+    'pol': 'pl', 'por': 'pt', 'pus': 'ps', 'que': 'qu', 'roh': 'rm', 'ron': 'ro',
+    'rum': 'ro', 'run': 'rn', 'rus': 'ru', 'sag': 'sg', 'san': 'sa', 'sin': 'si',
+    'slk': 'sk', 'slo': 'sk', 'slv': 'sl', 'sme': 'se', 'smo': 'sm', 'sna': 'sn',
+    'snd': 'sd', 'som': 'so', 'sot': 'st', 'spa': 'es', 'sqi': 'sq', 'srd': 'sc',
+    'srp': 'sr', 'ssw': 'ss', 'sun': 'su', 'swa': 'sw', 'swe': 'sv', 'tah': 'ty',
+    'tam': 'ta', 'tat': 'tt', 'tel': 'te', 'tgk': 'tg', 'tgl': 'tl', 'tha': 'th',
+    'tib': 'bo', 'tir': 'ti', 'ton': 'to', 'tsn': 'tn', 'tso': 'ts', 'tuk': 'tk',
+    'tur': 'tr', 'twi': 'tw', 'uig': 'ug', 'ukr': 'uk', 'urd': 'ur', 'uzb': 'uz',
+    'ven': 've', 'vie': 'vi', 'vol': 'vo', 'wel': 'cy', 'wln': 'wa', 'wol': 'wo',
+    'xho': 'xh', 'yid': 'yi', 'yor': 'yo', 'zha': 'za', 'zho': 'zh', 'zul': 'zu',
+    'und': 'und',
+}
+
+_LANG_POOL = "'eng','fre','ger','chi','jpn','rus','spa','dut','und','xxx','por','ita'"
+
+
+def _pm_assemble(dialect: str) -> str:
+    str_t = "STRING" if dialect == "spark" else "VARCHAR"
+    vals = ", ".join(f"('{k}', '{v}')" for k, v in LANG_3TO2.items())
+    if dialect == "spark":
+        lang_pick = f"element_at(array({_LANG_POOL}), CAST(o_orderkey % 12 AS INT) + 1)"
+        date_expr = "TRY_CAST(concat_ws('-', CAST(y AS STRING), CAST(mo AS STRING), CAST(dy AS STRING)) AS DATE)"
+        agg_funders = (
+            "array_join(transform(array_sort(collect_list(struct(first_seq, agency, awards_sig))),"
+            " x -> concat(x.agency, ':[', x.awards_sig, ']')), ';')"
+        )
+        agg_awards = (
+            "array_join(transform(array_sort(collect_list(struct(seq, pk2, grant_id))),"
+            " x -> x.grant_id), ',')"
+        )
+    else:
+        lang_pick = f"([{_LANG_POOL}])[CAST(o_orderkey % 12 AS INT) + 1]"
+        date_expr = "make_date(y, coalesce(mo, 1), coalesce(dy, 1))"
+        agg_funders = (
+            "string_agg(concat(agency, ':[', awards_sig, ']'), ';'"
+            " ORDER BY first_seq, agency)"
+        )
+        agg_awards = "string_agg(grant_id, ',' ORDER BY seq, pk2)"
+    return f"""
+WITH langs AS (SELECT * FROM (VALUES {vals}) t(c3, c2)),
+works AS (
+  SELECT o_orderkey AS pmid,
+         concat('PT-', CAST(o_orderkey % 883 AS {str_t})) AS title0,
+         {lang_pick} AS lang3,
+         CASE WHEN o_orderkey % 3 <> 1 THEN concat('10.', CAST(o_orderkey AS {str_t})) ELSE '' END AS doi,
+         CASE WHEN o_orderkey % 4 = 0 THEN concat('PMC', CAST(o_orderkey AS {str_t})) ELSE '' END AS pmc,
+         CASE WHEN o_orderkey % 7 = 0 THEN concat('S01-', CAST(o_orderkey % 100 AS {str_t})) ELSE '' END AS pii,
+         CASE WHEN o_orderkey % 11 = 0 THEN concat('NIHMS', CAST(o_orderkey % 1000 AS {str_t})) ELSE '' END AS mid,
+         CASE WHEN o_orderkey % 2 = 0 THEN concat('19', CAST(o_orderkey % 70 + 10 AS {str_t})) ELSE '' END AS eissn,
+         CASE WHEN o_orderkey % 6 < 3 THEN concat('08', CAST(o_orderkey % 80 + 10 AS {str_t})) ELSE '' END AS lissn,
+         CASE CAST(o_orderkey % 4 AS INT)
+           WHEN 0 THEN 'Journal Article' WHEN 1 THEN 'Review'
+           WHEN 2 THEN 'Clinical Trial' ELSE 'Letter' END AS raw_type,
+         CAST(1980 + o_orderkey % 40 AS INT) AS y,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE CAST(o_orderkey % 12 + 1 AS INT) END AS mo,
+         CASE WHEN o_orderkey % 5 <= 1 THEN NULL ELSE CAST(o_orderkey % 28 + 1 AS INT) END AS dy
+  FROM orders
+),
+grants AS (
+  SELECT l_orderkey AS pmid,
+         concat('Agy', CAST(l_suppkey % 7 AS {str_t})) AS agency,
+         concat('G', CAST(l_partkey % 60 AS {str_t})) AS grant_id,
+         l_linenumber AS seq, l_partkey AS pk2
+  FROM lineitem WHERE l_linenumber <= 6 AND l_orderkey % 5 <> 0
+),
+per_agency AS (
+  SELECT pmid, agency,
+         min(seq * 1000000 + pk2 % 1000000) AS first_seq,
+         {agg_awards} AS awards_sig
+  FROM grants GROUP BY pmid, agency
+),
+funders AS (
+  SELECT pmid, {agg_funders} AS funders_sig
+  FROM per_agency GROUP BY pmid
+)
+SELECT w.pmid AS work_id,
+       substr(w.title0, 1, 5000) AS title,
+       'pmid' AS native_id_namespace,
+       concat_ws(';',
+         CASE WHEN w.doi <> '' THEN concat('doi:', w.doi) END,
+         concat('pmid:', CAST(w.pmid AS {str_t}), ':self'),
+         CASE WHEN w.pmc <> '' THEN concat('pmcid:', w.pmc) END,
+         CASE WHEN w.pii <> '' THEN concat('pii:', w.pii) END,
+         CASE WHEN w.mid <> '' THEN concat('mid:', w.mid) END,
+         CASE WHEN w.eissn <> '' THEN concat('eissn:', w.eissn) END,
+         CASE WHEN w.lissn <> '' THEN concat('lissn:', w.lissn) END) AS ids_sig,
+       w.raw_type,
+       CASE WHEN lower(w.lang3) = 'und' THEN NULL ELSE lg.c2 END AS language,
+       CAST({date_expr} AS {str_t}) AS pub_date,
+       coalesce(f.funders_sig, '') AS funders_sig
+FROM works w
+LEFT JOIN langs lg ON lg.c3 = lower(w.lang3)
+LEFT JOIN funders f ON f.pmid = w.pmid
+ORDER BY w.pmid
+"""
+
+
+@register(
+    "pubmed_parse_ingest",
+    oracle=_pm_assemble("duck"),
+    tags=("ingest", "pubmed"),
+    tables=("orders", "lineitem"),
+)
+def pubmed_parse_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PubMed ingest parse — award consolidation, ISO-639 mapping,
+    typed ids, lenient dates (PubMed.py pubmed_parsed; see the section
+    comment above).  One SQL text, two dialects."""
+    return spark.sql(_pm_assemble("spark"))
