@@ -458,3 +458,234 @@ def pubmed_parse_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     typed ids, lenient dates (PubMed.py pubmed_parsed; see the section
     comment above).  One SQL text, two dialects."""
     return spark.sql(_pm_assemble("spark"))
+
+
+# ---------------------------------------------------------------------------
+# DataCite ingest parse (notebooks/ingest/DataCite.py, datacite_parsed)
+# ---------------------------------------------------------------------------
+# Distinctive semantics ported here:
+#
+# * the placeholder-name machine (DataCite.py:86-91): creators whose
+#   name AND givenName AND familyName are all placeholder-or-empty are
+#   DROPPED; surviving placeholder fields are NULLed individually.  The
+#   regex is the reference's, verbatim: '(:unav)' / '(:unkn) unknown' /
+#   '(:null) unassigned' forms, lowercased input, RE2-safe;
+# * ORCID only when the FIRST nameIdentifier's scheme is ORCID, then
+#   pattern-extracted; affiliation ror_id only when the scheme is
+#   (case-insensitively) 'ror';
+# * the ids regime: self DOI + relatedIdentifiers with LOWERCASED
+#   namespaces excluding url/references + the datacite_client self
+#   entry, deduped (the reference's concat+array_distinct — its
+#   array_union replacement after the 3-hour-task incident);
+# * the oxjob #476 raw_type rule: resourceTypeGeneral primary; fall
+#   back to citeproc ONLY for the generic 'Text' bucket (citeproc under
+#   Other/Collection/null is the 'article' placeholder and must NOT be
+#   trusted);
+# * the rights ladder (creativecommons-preferred, else first);
+# * the published-date ladder: min 'submitted' date, else min of all
+#   dates, else LEAST(registered, created) — then the year >= 1900
+#   sanity gate.
+
+_DC_PLACEHOLDER = r"^\s*\(:un[a-z]{2,3}\)(\s*(unknown( author)?|unassigned))?\s*$"
+
+
+def _dc_assemble(dialect: str) -> str:
+    str_t = "STRING" if dialect == "spark" else "VARCHAR"
+    if dialect == "spark":
+        _php = _DC_PLACEHOLDER.replace("\\", "\\\\")
+        rx = lambda x: f"(lower({x}) RLIKE '{_php}')"  # noqa: E731
+        agg_sig = (
+            "array_join(transform(array_sort(collect_list(struct(seat, pk, sk, seat_sig))),"
+            " x -> x.seat_sig), '||')"
+        )
+        ids_agg = "array_join(array_sort(array_distinct(collect_list(id_ent))), ';')"
+        datemin = "TRY_CAST(min(CASE WHEN lower(dtype) = 'submitted' THEN dt END) AS DATE)"
+        datemin_all = "TRY_CAST(min(dt) AS DATE)"
+    else:
+        rx = lambda x: f"regexp_matches(lower({x}), '{_DC_PLACEHOLDER}')"  # noqa: E731
+        agg_sig = "string_agg(seat_sig, '||' ORDER BY seat, pk, sk)"
+        ids_agg = "array_to_string(list_sort(list_distinct(list(id_ent))), ';')"
+        datemin = "try_cast(min(CASE WHEN lower(dtype) = 'submitted' THEN dt END) AS DATE)"
+        datemin_all = "try_cast(min(dt) AS DATE)"
+    ph = "'(:unav)'"
+    ph2 = "'(:unkn) Unknown'"
+    ph3 = "'(:null) unassigned'"
+    return f"""
+WITH works AS (
+  SELECT o_orderkey AS okey,
+         concat('10.', CAST(o_orderkey AS {str_t}), '/dc') AS native_id,
+         CASE WHEN o_orderkey % 13 = 0 THEN 'handles' ELSE 'dois' END AS dtype0,
+         concat('DT-', CAST(o_orderkey % 769 AS {str_t})) AS title0,
+         (['Dataset','Software','Text','Other','Collection'])POOLIDX1 AS rtg0,
+         CASE WHEN o_orderkey % 11 = 0 THEN NULL
+              ELSE (['Dataset','Software','Text','Other','Collection'])POOLIDX1 END AS rtg,
+         CASE WHEN o_orderkey % 6 < 4 THEN (['article-journal','book'])POOLIDX2 END AS citeproc,
+         CASE WHEN o_orderkey % 4 = 0
+              THEN 'https://creativecommons.org/licenses/by/4.0' END AS rights_cc,
+         CASE WHEN o_orderkey % 3 <> 1
+              THEN concat('https://r.test/', CAST(o_orderkey % 40 AS {str_t})) END AS rights_other,
+         CASE WHEN o_orderkey % 9 = 0 THEN '1890-01-05' ELSE
+           concat(CAST(1990 + o_orderkey % 30 AS {str_t}), '-03-0',
+                  CAST(o_orderkey % 9 + 1 AS {str_t})) END AS registered,
+         concat(CAST(1991 + o_orderkey % 28 AS {str_t}), '-06-0',
+                CAST(o_orderkey % 9 + 1 AS {str_t})) AS created,
+         concat('cl', CAST(o_orderkey % 30 AS {str_t})) AS client_id,
+         CASE WHEN o_orderkey % 10 < 8 THEN (['en','de','fr','ja'])POOLIDX3 END AS language
+  FROM orders
+),
+creators0 AS (
+  SELECT l_orderkey AS okey, l_linenumber AS seat, l_partkey AS pk, l_suppkey AS sk,
+         CASE CAST((l_partkey + l_linenumber) % 8 AS INT)
+           WHEN 0 THEN CAST(NULL AS {str_t})
+           WHEN 1 THEN {ph}
+           WHEN 2 THEN CAST(NULL AS {str_t})
+           WHEN 3 THEN concat('Org Entity ', CAST(l_suppkey % 20 AS {str_t}))
+           WHEN 4 THEN ''
+           ELSE CAST(NULL AS {str_t}) END AS nm,
+         CASE CAST((l_partkey + l_linenumber) % 8 AS INT)
+           WHEN 0 THEN concat('Gd', CAST(l_suppkey % 25 AS {str_t}))
+           WHEN 1 THEN {ph}
+           WHEN 2 THEN {ph2}
+           WHEN 5 THEN concat('Go', CAST(l_suppkey % 25 AS {str_t}))
+           WHEN 6 THEN concat('Gn', CAST(l_suppkey % 25 AS {str_t}))
+           WHEN 7 THEN concat('Ga', CAST(l_suppkey % 25 AS {str_t}))
+           ELSE CAST(NULL AS {str_t}) END AS gv,
+         CASE CAST((l_partkey + l_linenumber) % 8 AS INT)
+           WHEN 0 THEN concat('Fd', CAST(l_suppkey % 30 AS {str_t}))
+           WHEN 1 THEN {ph3}
+           WHEN 2 THEN concat('Fk', CAST(l_suppkey % 30 AS {str_t}))
+           WHEN 5 THEN concat('Fo', CAST(l_suppkey % 30 AS {str_t}))
+           WHEN 6 THEN concat('Fn', CAST(l_suppkey % 30 AS {str_t}))
+           WHEN 7 THEN concat('Fa', CAST(l_suppkey % 30 AS {str_t}))
+           ELSE CAST(NULL AS {str_t}) END AS fm,
+         CASE WHEN (l_partkey + l_linenumber) % 8 = 5 THEN 'ORCID'
+              WHEN (l_partkey + l_linenumber) % 8 = 6 THEN 'ISNI' END AS id_scheme,
+         CASE WHEN (l_partkey + l_linenumber) % 8 IN (5, 6)
+              THEN concat('https://orcid.org/0000-000', CAST(l_suppkey % 10 AS {str_t}),
+                          '-1234-567', CAST(l_suppkey % 9 AS {str_t})) END AS name_ident,
+         CASE WHEN (l_partkey + l_linenumber) % 8 = 7
+              THEN CASE WHEN l_partkey % 2 = 0 THEN 'ROR' ELSE 'GRID' END END AS aff_scheme,
+         CASE WHEN (l_partkey + l_linenumber) % 8 = 7
+              THEN concat('https://ror.org/0', CAST(l_partkey % 99 AS {str_t})) END AS aff_ident,
+         CASE WHEN (l_partkey + l_linenumber) % 8 = 7
+              THEN concat('Aff ', CAST(l_partkey % 17 AS {str_t})) END AS aff_name
+  FROM lineitem WHERE l_linenumber <= 4
+),
+kept AS (
+  SELECT * FROM creators0
+  WHERE NOT (
+    (nm IS NULL OR length(trim(nm)) = 0 OR {rx("nm")})
+    AND (gv IS NULL OR length(trim(gv)) = 0 OR {rx("gv")})
+    AND (fm IS NULL OR length(trim(fm)) = 0 OR {rx("fm")})
+  )
+),
+seat_sigs AS (
+  SELECT okey, seat, pk, sk,
+         concat(
+           coalesce(CASE WHEN gv IS NOT NULL AND {rx("gv")} THEN NULL ELSE gv END, '~'), '|',
+           coalesce(CASE WHEN fm IS NOT NULL AND {rx("fm")} THEN NULL ELSE fm END, '~'), '|',
+           coalesce(CASE WHEN nm IS NOT NULL AND {rx("nm")} THEN NULL ELSE nm END, '~'), '|',
+           coalesce(CASE WHEN id_scheme = 'ORCID' THEN
+             regexp_extract(coalesce(name_ident, ''),
+               '([0-9]{{4}}-[0-9]{{4}}-[0-9]{{4}}-[0-9]{{3}}[0-9Xx])', 1) END, ''), '|',
+           CASE WHEN aff_name IS NOT NULL THEN concat(aff_name, '^',
+             coalesce(CASE WHEN lower(coalesce(aff_scheme, '')) = 'ror'
+                           THEN aff_ident END, '~')) ELSE '' END) AS seat_sig
+  FROM kept
+),
+per_work_authors AS (
+  SELECT okey, CAST(count(*) AS BIGINT) AS n_authors, {agg_sig} AS authors_sig
+  FROM seat_sigs GROUP BY okey
+),
+rel_ids AS (
+  SELECT l_orderkey AS okey,
+         concat(lower(CASE CAST(l_partkey % 5 AS INT)
+                  WHEN 0 THEN 'DOI' WHEN 1 THEN 'Handle' WHEN 2 THEN 'URL'
+                  WHEN 3 THEN 'references' ELSE 'ISSN' END), ':',
+                'rel-', CAST(l_partkey % 200 AS {str_t}), ':',
+                CASE CAST(l_suppkey % 3 AS INT)
+                  WHEN 0 THEN 'IsPartOf' WHEN 1 THEN 'Cites' ELSE 'IsVersionOf' END) AS id_ent,
+         CASE CAST(l_partkey % 5 AS INT) WHEN 2 THEN 1 WHEN 3 THEN 1 ELSE 0 END AS excluded
+  FROM lineitem WHERE l_linenumber IN (5, 6)
+),
+per_work_ids AS (
+  SELECT okey, {ids_agg} AS rel_sig
+  FROM rel_ids WHERE excluded = 0 GROUP BY okey
+),
+work_dates AS (
+  SELECT l_orderkey AS okey,
+         concat(CAST(1992 + l_partkey % 25 AS {str_t}), '-0',
+                CAST(l_partkey % 9 + 1 AS {str_t}), '-1',
+                CAST(l_suppkey % 9 AS {str_t})) AS dt,
+         CASE CAST(l_suppkey % 4 AS INT)
+           WHEN 0 THEN 'Submitted' WHEN 1 THEN 'Issued' ELSE 'Updated' END AS dtype
+  FROM lineitem WHERE l_linenumber = 7 AND l_orderkey % 3 <> 2
+),
+per_work_dates AS (
+  SELECT okey, {datemin} AS submitted_min, {datemin_all} AS all_min
+  FROM work_dates GROUP BY okey
+)
+SELECT w.native_id,
+       CASE WHEN w.dtype0 = 'dois' THEN 'doi' ELSE w.dtype0 END AS native_id_namespace,
+       substr(w.title0, 1, 5000) AS title,
+       coalesce(
+         CASE WHEN w.rtg NOT IN ('Text', 'Other', 'Collection') THEN w.rtg END,
+         CASE WHEN w.rtg = 'Text' THEN w.citeproc END,
+         w.rtg) AS raw_type,
+       coalesce(w.rights_cc, w.rights_other) AS raw_license,
+       w.language,
+       CAST(
+         CASE WHEN year(d0.final_date) >= 1900 THEN d0.final_date END
+         AS {str_t}) AS published_date,
+       concat_ws(';',
+         concat('doi:', w.native_id, ':self'),
+         p.rel_sig,
+         concat('datacite_client:', w.client_id, ':self')) AS ids_sig,
+       coalesce(a.n_authors, 0) AS n_authors,
+       coalesce(a.authors_sig, '') AS authors_sig
+FROM works w
+LEFT JOIN per_work_authors a ON a.okey = w.okey
+LEFT JOIN per_work_ids p ON p.okey = w.okey
+LEFT JOIN (
+  SELECT w2.okey,
+         coalesce(pd.submitted_min, pd.all_min,
+                  least(try_cast(w2.registered AS DATE), try_cast(w2.created AS DATE))) AS final_date
+  FROM works w2 LEFT JOIN per_work_dates pd ON pd.okey = w2.okey
+) d0 ON d0.okey = w.okey
+ORDER BY w.native_id
+"""
+
+
+def _dc_fix(sql: str, dialect: str) -> str:
+    if dialect == "spark":
+        sql = sql.replace(
+            "(['Dataset','Software','Text','Other','Collection'])POOLIDX1",
+            "element_at(array('Dataset','Software','Text','Other','Collection'),"
+            " CAST(o_orderkey % 5 AS INT) + 1)",
+        )
+        sql = sql.replace(
+            "(['article-journal','book'])POOLIDX2",
+            "element_at(array('article-journal','book'), CAST(o_orderkey % 2 AS INT) + 1)",
+        )
+        sql = sql.replace(
+            "(['en','de','fr','ja'])POOLIDX3",
+            "element_at(array('en','de','fr','ja'), CAST(o_orderkey % 4 AS INT) + 1)",
+        )
+    else:
+        sql = sql.replace("POOLIDX1", "[CAST(o_orderkey % 5 AS INT) + 1]")
+        sql = sql.replace("POOLIDX2", "[CAST(o_orderkey % 2 AS INT) + 1]")
+        sql = sql.replace("POOLIDX3", "[CAST(o_orderkey % 4 AS INT) + 1]")
+    return sql
+
+
+@register(
+    "datacite_parse_ingest",
+    oracle=_dc_fix(_dc_assemble("duck"), "duck"),
+    tags=("ingest", "datacite"),
+    tables=("orders", "lineitem"),
+)
+def datacite_parse_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataCite ingest parse — placeholder-name machine, typed related
+    identifiers, the oxjob-476 raw_type rule, the published-date ladder
+    (DataCite.py datacite_parsed; see the section comment above)."""
+    return spark.sql(_dc_fix(_dc_assemble("spark"), "spark"))
