@@ -219,3 +219,107 @@ def particle_contaminated_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     space-anchored prefixes and the bare-compound equality list are
     the whole contract."""
     return spark.sql(_part_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Inference input gates (concepts/concepts_create_input.ipynb,
+# sdg/sdg_create_frontfill_input.ipynb)
+# ---------------------------------------------------------------------------
+# Two anti-join input builders feeding ML inference, each with its own
+# text-quality gate:
+#
+# * concepts: ((len(title) > 20 AND len(abstract) > 50) OR len(title) >
+#   50 OR len(abstract) > 150) — any leg qualifies;
+# * sdg: type whitelist + the id watermark (recent works only) + BOTH
+#   a 25-char combined-length floor AND a 5-word floor over
+#   title+abstract (split on single spaces, the reference's exact
+#   tokenization — double spaces produce empty tokens that COUNT).
+#
+# Both exclude already-processed works via LEFT ANTI JOIN on work_id —
+# the incremental frontier discipline.
+
+_GATE_FIXTURE = """
+  SELECT o_orderkey AS work_id,
+         CASE CAST(o_orderkey % 7 AS INT)
+           WHEN 0 THEN 'article' WHEN 1 THEN 'book' WHEN 2 THEN 'review'
+           WHEN 3 THEN 'dataset' WHEN 4 THEN 'preprint' WHEN 5 THEN 'paratext'
+           ELSE 'dissertation' END AS wtype,
+         CASE WHEN o_orderkey % 11 = 0 THEN NULL
+              WHEN o_orderkey % 5 = 0 THEN 'Tiny title'
+              ELSE concat('A title about topic ', CAST(o_orderkey % 163 AS {STR}),
+                          ' with sufficient descriptive length') END AS title,
+         CASE WHEN o_orderkey % 4 = 0 THEN NULL
+              WHEN o_orderkey % 6 = 0 THEN 'Short abstract.'
+              ELSE concat('This abstract describes the study of subject ',
+                          CAST(o_orderkey % 211 AS {STR}),
+                          ' in considerable detail across methods results and conclusions'
+                          ' sufficient for classification purposes and beyond') END AS abstract
+  FROM orders
+"""
+
+
+def _gates_sql(dialect: str, which: str) -> str:
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    fx = _GATE_FIXTURE.replace("{STR}", s)
+    if dialect == "spark":
+        nwords = (
+            "size(split(concat(coalesce(title, ''), ' ', coalesce(abstract, '')), ' '))"
+        )
+    else:
+        nwords = (
+            "len(string_split(concat(coalesce(title, ''), ' ', coalesce(abstract, '')), ' '))"
+        )
+    done = "o_orderkey % 3 = 1" if which == "concepts" else "o_orderkey % 4 = 2"
+    if which == "concepts":
+        gate = (
+            "((length(title) > 20 AND length(abstract) > 50)"
+            " OR length(title) > 50 OR length(abstract) > 150)"
+        )
+        extra = ""
+    else:
+        gate = (
+            "(length(title) + coalesce(length(abstract), 0)) >= 25"
+            f" AND {nwords} >= 5"
+        )
+        extra = (
+            "AND w.wtype IN ('article', 'book', 'review', 'book-chapter',"
+            " 'preprint', 'dissertation') AND w.work_id > 100"
+        )
+    return f"""
+WITH works AS ({fx}),
+done AS (SELECT o_orderkey AS work_id FROM orders WHERE {done})
+SELECT w.work_id, w.title, w.abstract
+FROM works w
+LEFT JOIN done d ON d.work_id = w.work_id
+WHERE d.work_id IS NULL
+  AND w.work_id IS NOT NULL
+  AND w.title IS NOT NULL
+  {extra}
+  AND {gate}
+ORDER BY w.work_id
+"""
+
+
+@register(
+    "concepts_input_gate",
+    oracle=_gates_sql("duck", "concepts"),
+    tags=("inference", "gate", "antijoin"),
+    tables=("orders",),
+)
+def concepts_input_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concept-inference input frontier
+    (concepts_create_input.ipynb; see the section comment)."""
+    return spark.sql(_gates_sql("spark", "concepts"))
+
+
+@register(
+    "sdg_input_gate",
+    oracle=_gates_sql("duck", "sdg"),
+    tags=("inference", "gate", "antijoin"),
+    tables=("orders",),
+)
+def sdg_input_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SDG-inference frontfill frontier — type whitelist, id watermark,
+    combined-length AND word-count floors
+    (sdg_create_frontfill_input.ipynb; see the section comment)."""
+    return spark.sql(_gates_sql("spark", "sdg"))
