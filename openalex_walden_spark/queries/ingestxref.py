@@ -689,3 +689,92 @@ def datacite_parse_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     identifiers, the oxjob-476 raw_type rule, the published-date ladder
     (DataCite.py datacite_parsed; see the section comment above)."""
     return spark.sql(_dc_fix(_dc_assemble("spark"), "spark"))
+
+
+# ---------------------------------------------------------------------------
+# Landing-page staging (notebooks/ingest/LandingPage.py, landing_page_staged)
+# ---------------------------------------------------------------------------
+# Distinctive semantics: the triple-id assembly (url self + original
+# native id + the taxicab '<id>.html.gz' docs pointer), the 'other-oa'
+# license NULLing (parseland's detection is too broad), the abstract
+# length cap, the urls union (existing ∪ url ∪ resolved_url, deduped),
+# cc-substring is_oa, and the bad-re-scrape guard: had_error rows and
+# rows with NO authors AND NO abstract AND NO license are dropped so a
+# bot-blocked re-scrape can never overwrite good data via the
+# sequence_by MERGE.
+
+def _lp_assemble(dialect: str) -> str:
+    str_t = "STRING" if dialect == "spark" else "VARCHAR"
+    if dialect == "spark":
+        url_union = (
+            "array_join(array_sort(array_distinct(concat("
+            " CASE WHEN prior_url IS NOT NULL THEN array(prior_url) ELSE array() END,"
+            " CASE WHEN url IS NOT NULL THEN array(url) ELSE array() END,"
+            " CASE WHEN resolved_url IS NOT NULL THEN array(resolved_url) ELSE array() END))), ';')"
+        )
+    else:
+        url_union = (
+            "array_to_string(list_sort(list_distinct(flatten(["
+            " CASE WHEN prior_url IS NOT NULL THEN [prior_url] ELSE [] END,"
+            " CASE WHEN url IS NOT NULL THEN [url] ELSE [] END,"
+            " CASE WHEN resolved_url IS NOT NULL THEN [resolved_url] ELSE [] END]))), ';')"
+        )
+    return f"""
+WITH parsed AS (
+  SELECT concat('https://site.test/', CAST(o_orderkey AS {str_t})) AS url,
+         concat('oai:', CAST(o_orderkey AS {str_t})) AS orig_native_id,
+         'pmh' AS orig_ns,
+         concat('txc-', CAST(o_orderkey % 5000 AS {str_t})) AS taxicab_id,
+         CAST(o_orderkey % 4 AS INT) AS n_authors,
+         CASE WHEN o_orderkey % 5 < 3
+              THEN concat('Abstract text for ', CAST(o_orderkey % 120 AS {str_t})) END AS abstract0,
+         CASE CAST(o_orderkey % 6 AS INT)
+           WHEN 0 THEN 'cc-by' WHEN 1 THEN 'other-oa' WHEN 2 THEN 'cc0'
+           WHEN 3 THEN 'publisher-specific' ELSE NULL END AS license0,
+         CASE WHEN o_orderkey % 7 <> 0
+              THEN concat('https://site.test/', CAST(o_orderkey AS {str_t})) END AS prior_url,
+         CASE WHEN o_orderkey % 3 = 0
+              THEN concat('https://resolved.test/', CAST(o_orderkey % 900 AS {str_t})) END
+           AS resolved_url,
+         (o_orderkey % 13 = 0) AS had_error
+  FROM orders
+),
+staged AS (
+  SELECT url AS native_id, 'url' AS native_id_namespace,
+         n_authors,
+         concat('url:', url, ':self;', orig_ns, ':', orig_native_id, ';',
+                'docs.html:', taxicab_id, '.html.gz') AS ids_sig,
+         CASE WHEN license0 = 'other-oa' THEN NULL ELSE license0 END AS license,
+         CASE WHEN length(abstract0) > 40 THEN substr(abstract0, 1, 40)
+              ELSE abstract0 END AS abstract,
+         {url_union} AS urls_sig,
+         CASE WHEN license0 IS NOT NULL AND lower(license0) LIKE '%cc%'
+              THEN TRUE ELSE FALSE END AS is_oa,
+         had_error, license0, abstract0
+  FROM parsed
+)
+SELECT native_id, native_id_namespace, n_authors, ids_sig, license, abstract,
+       urls_sig, is_oa
+FROM staged
+WHERE had_error = FALSE
+  AND (n_authors > 0
+       OR (abstract0 IS NOT NULL AND length(abstract0) > 0)
+       OR (license0 IS NOT NULL AND length(license0) > 0))
+ORDER BY native_id
+"""
+
+
+@register(
+    "landing_page_stage",
+    oracle=_lp_assemble("duck"),
+    tags=("ingest", "landingpage"),
+    tables=("orders",),
+)
+def landing_page_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landing-page staging — triple-id assembly, other-oa nulling, url
+    union, the bad-re-scrape guard (LandingPage.py landing_page_staged;
+    see the section comment).  NOTE the guard tests the PRE-nulling
+    license (the reference filters on F.col('license'), the raw input
+    column) — an 'other-oa'-only row still passes the guard even though
+    its staged license is NULL."""
+    return spark.sql(_lp_assemble("spark"))
