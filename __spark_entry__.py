@@ -141,11 +141,10 @@ _LAST_GREEN_R7 = [
 #     sample_order_key hash made overflow-safe for >2^31 ids (ADVICE r7).
 #   - graph_pagerank_fixedpoint: bench fixture damping 0.85 -> 0.70
 #     (same superstep plan, ~18 rounds instead of 40).
-_CHANGED_THIS_ROUND = [
-    "search_hybrid_rrf", "udf_award_family_battery", "award_family_merge",
-    "udf_award_normalize", "overmerge_density_split",
-    "overmerge_screened_density", "graph_pagerank_fixedpoint",
-]
+# Round 8 changed no existing query's plan — every touched query this
+# round is NEW (auto-fronted as never-verified), so the window's
+# remaining slots all go to the oldest-green rotation.
+_CHANGED_THIS_ROUND: list[str] = []
 
 _ROTATION = (
     _LAST_GREEN_R2 + _LAST_GREEN_R4 + _LAST_GREEN_R5 + _LAST_GREEN_R6

@@ -27,13 +27,11 @@ def main() -> int:
     order = e._driver_order()
     assert sorted(order) == sorted(_q.CATALOG), "order != catalog"
     window = set(order[:50])
-    missing = [n for n in e._R6_FRONT if n in _q.CATALOG and n not in window]
-    assert not missing, f"unverified queries outside the 50-window: {missing}"
-    retired = set(e._R2_GREEN) | set(e._R4_GREEN) | set(e._R5_GREEN)
+    retired = set(e._ROTATION)
     fresh = [
         n
         for n in _q.CATALOG
-        if n not in retired and n not in set(e._R6_FRONT)
+        if n not in retired and n not in set(e._CHANGED_THIS_ROUND)
     ]
     out = [n for n in fresh if n not in window]
     # Overflow is legitimate ONLY when the window is already saturated
