@@ -778,3 +778,80 @@ def landing_page_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     column) — an 'other-oa'-only row still passes the guard even though
     its staged license is NULL."""
     return spark.sql(_lp_assemble("spark"))
+
+
+# ---------------------------------------------------------------------------
+# MAG batch rebuild (notebooks/ingest/CreateMagWorks.py)
+# ---------------------------------------------------------------------------
+# The enrichment chain lives in the shared library (covered by the P*
+# queries); the portable rebuild semantics here are:
+# * the Deleted Journal / DOAJ source exclusion (NULL source survives);
+# * latest row per native_id — updated_date DESC NULLS LAST with a
+#   CONTENT-HASH tiebreak (the reference uses xxhash64 over all
+#   columns; the port uses the repo's md5-based portable hash);
+# * the URL-less husk filter: EXISTS(urls, x -> x.url IS NOT NULL).
+
+def _mag_assemble(dialect: str) -> str:
+    str_t = "STRING" if dialect == "spark" else "VARCHAR"
+    if dialect == "spark":
+        from openalex_walden_spark.functions.hashing import stable_hash64_sql as _h
+        hash_expr = _h("concat(native_id, '|', title, '|', coalesce(src, '~'))")
+        exists_url = "exists(urls_arr, x -> x IS NOT NULL)"
+        urls_arr = (
+            "array(CASE WHEN okey % 4 <> 1 THEN concat('https://m.test/', CAST(okey AS STRING)) END,"
+            " CASE WHEN okey % 6 = 0 THEN concat('https://m2.test/', CAST(okey AS STRING)) END)"
+        )
+    else:
+        from openalex_walden_spark.functions.hashing import stable_hash64_duckdb as _h
+        hash_expr = _h("concat(native_id, '|', title, '|', coalesce(src, '~'))")
+        exists_url = "len(list_filter(urls_arr, x -> x IS NOT NULL)) > 0"
+        urls_arr = (
+            "[CASE WHEN okey % 4 <> 1 THEN concat('https://m.test/', CAST(okey AS VARCHAR)) END,"
+            " CASE WHEN okey % 6 = 0 THEN concat('https://m2.test/', CAST(okey AS VARCHAR)) END]"
+        )
+    return f"""
+WITH raw AS (
+  SELECT l_orderkey AS okey,
+         concat('mag:', CAST(l_orderkey AS {str_t}), '.',
+                CAST(l_linenumber % 3 AS {str_t})) AS native_id,
+         concat('MT-', CAST((l_orderkey + l_partkey) % 211 AS {str_t})) AS title,
+         CASE CAST(l_suppkey % 5 AS INT)
+           WHEN 0 THEN 'Deleted Journal'
+           WHEN 1 THEN 'DOAJ (DOAJ: Directory of Open Access Journals)'
+           WHEN 2 THEN NULL
+           ELSE concat('Journal ', CAST(l_suppkey % 40 AS {str_t})) END AS src,
+         CASE WHEN l_partkey % 7 = 0 THEN NULL
+              ELSE CAST(l_partkey % 100 AS INT) END AS updated_rank
+  FROM lineitem
+),
+kept AS (
+  SELECT *, {urls_arr} AS urls_arr FROM raw
+  WHERE src IS NULL
+     OR src NOT IN ('Deleted Journal', 'DOAJ (DOAJ: Directory of Open Access Journals)')
+),
+deduped AS (
+  SELECT native_id, title, src, updated_rank, urls_arr FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY native_id
+      ORDER BY updated_rank DESC NULLS LAST, {hash_expr} DESC) AS rn
+    FROM kept
+  ) q WHERE rn = 1
+)
+SELECT native_id, title, src, updated_rank
+FROM deduped
+WHERE {exists_url}
+ORDER BY native_id
+"""
+
+
+@register(
+    "mag_works_rebuild",
+    oracle=_mag_assemble("duck"),
+    tags=("ingest", "mag", "dedup"),
+    tables=("lineitem",),
+)
+def mag_works_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAG batch rebuild — source exclusion, latest-per-native_id with
+    the content-hash tiebreak, URL-less husk filter
+    (CreateMagWorks.py; see the section comment)."""
+    return spark.sql(_mag_assemble("spark"))
