@@ -132,3 +132,87 @@ def ras_counts_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("raw_affiliation_string")
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-index grobid gap fill (notebooks/elastic/d1_antijoin_grobid.py)
+# ---------------------------------------------------------------------------
+# The oxjob #202 Track-1 reconciliation: work_ids that ARE in the
+# serving index (with a pdf_uuid) but whose grobid_uuid is NULL even
+# though locations_mapped has grobid content for them — the ~9.35%
+# BAD_404 cohort.  Two semantics carry the whole fix:
+# * the BAD-COHORT anti-join runs BEFORE the pick, so a work whose only
+#   good XML has a bad sibling keeps the good one (dropping after the
+#   pick would turn a fixable 404 into BAD_BYTE garbage);
+# * MIN(grobid_uuid) picks deterministically among surviving siblings.
+
+_GAP_ORACLE = """
+WITH lm AS (
+  SELECT l_orderkey AS work_id,
+         concat('g', CAST((l_partkey * 3 + l_linenumber) % 900 AS VARCHAR)) AS grobid_uuid
+  FROM lineitem WHERE l_linenumber <= 3 AND l_suppkey % 4 <> 0
+),
+d1 AS (
+  SELECT o_orderkey AS work_id,
+         concat('p', CAST(o_orderkey AS VARCHAR)) AS pdf_uuid,
+         CASE WHEN o_orderkey % 3 = 0 THEN NULL
+              ELSE concat('g', CAST(o_orderkey % 900 AS VARCHAR)) END AS grobid_uuid
+  FROM orders WHERE o_orderkey % 5 <> 4
+),
+bad AS (
+  SELECT concat('g', CAST(n * 7 % 900 AS VARCHAR)) AS bad_uuid FROM range(0, 60) t(n)
+  UNION
+  SELECT concat('g', CAST(n * 11 % 900 AS VARCHAR)) FROM range(0, 40) t(n)
+),
+candidates AS (
+  SELECT lm.work_id, lm.grobid_uuid
+  FROM lm
+  JOIN d1 ON d1.work_id = lm.work_id
+  WHERE d1.grobid_uuid IS NULL AND d1.pdf_uuid IS NOT NULL
+),
+good AS (
+  SELECT c.work_id, c.grobid_uuid
+  FROM candidates c
+  LEFT JOIN bad b ON b.bad_uuid = c.grobid_uuid
+  WHERE b.bad_uuid IS NULL
+)
+SELECT work_id, min(grobid_uuid) AS grobid_uuid
+FROM good GROUP BY work_id
+ORDER BY work_id
+"""
+
+
+@register(
+    "content_grobid_gap_fill",
+    oracle=_GAP_ORACLE,
+    tags=("contentindex", "antijoin", "reconcile"),
+    tables=("lineitem", "orders"),
+)
+def content_grobid_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The column-level serving-index gap set with the bad-cohort
+    anti-join ordered BEFORE the sibling pick
+    (d1_antijoin_grobid.py; see the section comment)."""
+    lm = spark.table("lineitem").where("l_linenumber <= 3 AND l_suppkey % 4 <> 0").selectExpr(
+        "l_orderkey AS work_id",
+        "concat('g', CAST((l_partkey * 3 + l_linenumber) % 900 AS STRING)) AS grobid_uuid",
+    )
+    d1 = spark.table("orders").where("o_orderkey % 5 <> 4").selectExpr(
+        "o_orderkey AS d1_work",
+        "concat('p', CAST(o_orderkey AS STRING)) AS pdf_uuid",
+        "CASE WHEN o_orderkey % 3 = 0 THEN NULL"
+        " ELSE concat('g', CAST(o_orderkey % 900 AS STRING)) END AS d1_grobid",
+    )
+    bad = (
+        spark.range(0, 60)
+        .selectExpr("concat('g', CAST(id * 7 % 900 AS STRING)) AS bad_uuid")
+        .unionByName(
+            spark.range(0, 40).selectExpr("concat('g', CAST(id * 11 % 900 AS STRING)) AS bad_uuid")
+        )
+        .distinct()
+    )
+    candidates = lm.join(
+        d1.where("d1_grobid IS NULL AND pdf_uuid IS NOT NULL"),
+        F.col("work_id") == F.col("d1_work"),
+    ).select("work_id", "grobid_uuid")
+    good = candidates.join(F.broadcast(bad), F.col("grobid_uuid") == F.col("bad_uuid"), "left_anti")
+    return good.groupBy("work_id").agg(F.min("grobid_uuid").alias("grobid_uuid")).orderBy("work_id")
