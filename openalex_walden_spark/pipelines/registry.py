@@ -18,9 +18,11 @@ external services) is environment-specific.
 
 Ported DAGs: the nightly end-to-end works pipeline
 (``jobs/walden_end2end.yaml``, 39 tasks — dependency edges verbatim),
-the authors maintenance job (``jobs/authors.yaml``), the daily metrics
-and weekly data-feed jobs.  The remaining YAMLs are single-task or
-linear wrappers around the same notebooks.
+the authors maintenance job (``jobs/authors.yaml``), the topics and
+SDG inference jobs (classifier scale-up/re-arm as the documented
+deployment seams), and the daily metrics and weekly data-feed jobs.
+The remaining YAMLs are single-task or linear wrappers around the same
+notebooks.
 
 Scale note: waves are the unit of cluster parallelism — tasks in one
 wave share no lineage, so at 1000 executors each wave saturates the
@@ -189,8 +191,35 @@ WUNPAYWALL_FEED = Pipeline(
     ),
 )
 
+TOPICS = Pipeline(
+    name="topics",
+    schedule="0 15 2 * * ?",
+    tasks=(
+        _t("topics_create_input", (), "partial:query:concepts_input_gate"),
+        _t("scale_up_topic_classifier", (), "partial:lib:functions/llm.py"),
+        _t(
+            "topics_inference",
+            ("topics_create_input", "scale_up_topic_classifier"),
+            "query:s8_model_inference",
+        ),
+        _t("rearm_topic_classifier", ("topics_inference",), "partial:lib:functions/llm.py"),
+        _t("topics_merge_output", ("topics_inference",), "query:topics_merge_output"),
+    ),
+)
+
+SDG_FRONTFILL = Pipeline(
+    name="sdg_frontfill",
+    schedule="0 45 3 * * ?",
+    tasks=(
+        _t("sdg_frontfill_input", (), "query:sdg_input_gate"),
+        _t("sdg_inference_frontfill", ("sdg_frontfill_input",), "partial:query:s8_model_inference"),
+        _t("rearm_sdg_classifier", ("sdg_inference_frontfill",), "partial:lib:functions/llm.py"),
+    ),
+)
+
 PIPELINES: dict[str, Pipeline] = {
-    p.name: p for p in (END2END, AUTHORS, DAILY_METRICS, WUNPAYWALL_FEED)
+    p.name: p
+    for p in (END2END, AUTHORS, DAILY_METRICS, WUNPAYWALL_FEED, TOPICS, SDG_FRONTFILL)
 }
 
 
