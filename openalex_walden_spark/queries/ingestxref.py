@@ -855,3 +855,114 @@ def mag_works_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     the content-hash tiebreak, URL-less husk filter
     (CreateMagWorks.py; see the section comment)."""
     return spark.sql(_mag_assemble("spark"))
+
+
+# ---------------------------------------------------------------------------
+# IRDB JPCOAR id extraction (notebooks/ingest/IRDB.py, extract_jpcoar_ids)
+# ---------------------------------------------------------------------------
+# The reference extracts typed ids with a row UDF; Spark-first this is
+# relational classification + first-wins dedup.  Rules carried:
+# * DOI: strip https?://doi.org/ and https?://dx.doi.org/ prefixes,
+#   keep ONLY values that then start with '10.' (junk DOIs drop);
+# * HDL: strip https?://hdl.handle.net/;
+# * ISSN family (ISSN/PISSN/EISSN all map to namespace 'issn'): insert
+#   the dash into 8-char dashless forms (0286861X -> 0286-861X);
+# * first-wins dedup per (namespace, id) in arrival order (identifiers
+#   before source_identifiers);
+# * the pmh self-reference is ALWAYS appended last.
+
+
+def _jp_sql(dialect: str) -> str:
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    if dialect == "spark":
+        rr = lambda x, p, r: f"regexp_replace({x}, '{p}', '{r}')"  # noqa: E731
+        agg = (
+            "array_join(transform(array_sort(collect_list("
+            "named_struct('rk', rk, 'sig', concat(ns, ':', idv)))), x -> x.sig), ';')"
+        )
+        lateral = " LATERAL VIEW explode(sequence(0, 0)) t AS z"
+    else:
+        rr = lambda x, p, r: f"regexp_replace({x}, '{p}', '{r}')"  # noqa: E731
+        agg = "string_agg(concat(ns, ':', idv), ';' ORDER BY rk)"
+        lateral = ""
+    doi_strip = rr(rr("trim(val)", "^https?://doi\\.org/", ""), "^https?://dx\\.doi\\.org/", "")
+    hdl_strip = rr("trim(val)", "^https?://hdl\\.handle\\.net/", "")
+    if dialect == "duck":
+        doi_strip = doi_strip.replace("\\\\", "\\")
+        hdl_strip = hdl_strip.replace("\\\\", "\\")
+    return f"""
+WITH entries AS (
+  SELECT l_orderkey AS rec, 1 AS phase, l_linenumber AS seat, l_partkey AS pk,
+         CASE CAST((l_partkey + l_linenumber) % 5 AS INT)
+           WHEN 0 THEN 'DOI' WHEN 1 THEN 'DOI' WHEN 2 THEN 'HDL'
+           WHEN 3 THEN 'URI' ELSE 'DOI' END AS id_type,
+         CASE CAST((l_partkey + l_linenumber) % 5 AS INT)
+           WHEN 0 THEN concat('https://doi.org/10.', CAST(l_partkey % 5000 AS {s}))
+           WHEN 1 THEN concat('http://dx.doi.org/10.', CAST(l_partkey % 5000 AS {s}))
+           WHEN 2 THEN concat('https://hdl.handle.net/2115/', CAST(l_partkey % 900 AS {s}))
+           WHEN 3 THEN concat('https://ir.test/', CAST(l_partkey AS {s}))
+           ELSE concat('junkdoi', CAST(l_partkey % 100 AS {s})) END AS val
+  FROM lineitem WHERE l_linenumber <= 3
+  UNION ALL
+  SELECT l_orderkey, 2, l_linenumber, l_partkey,
+         CASE CAST(l_partkey % 3 AS INT)
+           WHEN 0 THEN 'ISSN' WHEN 1 THEN 'PISSN' ELSE 'EISSN' END,
+         CASE WHEN l_partkey % 2 = 0
+              THEN concat('0', CAST(286860 + l_partkey % 1000 AS {s}), 'X')
+              ELSE concat('12', CAST(30 + l_partkey % 60 AS {s}), '-56',
+                          CAST(10 + l_partkey % 80 AS {s})) END
+  FROM lineitem WHERE l_linenumber IN (4, 5)
+),
+classified AS (
+  SELECT rec, phase, seat, pk,
+         CASE WHEN id_type = 'DOI' THEN 'doi'
+              WHEN id_type = 'HDL' THEN 'handle'
+              WHEN id_type IN ('ISSN', 'PISSN', 'EISSN') THEN 'issn' END AS ns,
+         CASE WHEN id_type = 'DOI' THEN {doi_strip}
+              WHEN id_type = 'HDL' THEN {hdl_strip}
+              WHEN id_type IN ('ISSN', 'PISSN', 'EISSN') THEN
+                CASE WHEN length(trim(val)) = 8 AND NOT contains(val, '-')
+                     THEN concat(substr(trim(val), 1, 4), '-', substr(trim(val), 5))
+                     ELSE trim(val) END END AS idv
+  FROM entries
+),
+usable AS (
+  SELECT * FROM classified
+  WHERE ns IS NOT NULL AND idv IS NOT NULL
+    AND (ns <> 'doi' OR idv LIKE '10.%')
+),
+first_wins AS (
+  SELECT rec, ns, idv, phase * 1000000 + seat * 10000 + pk % 10000 AS rk
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY rec, ns, idv ORDER BY phase, seat, pk) AS dd
+    FROM usable
+  ) q WHERE dd = 1
+),
+with_self AS (
+  SELECT rec, ns, idv, rk FROM first_wins
+  UNION ALL
+  SELECT o_orderkey, 'pmh', concat('oai:ir:', CAST(o_orderkey AS {s})),
+         9000000 AS rk
+  FROM orders
+)
+SELECT rec AS record_id, {agg} AS ids_sig
+FROM with_self{lateral}
+GROUP BY rec
+ORDER BY rec
+"""
+
+
+@register(
+    "irdb_jpcoar_ids",
+    oracle=_jp_sql("duck"),
+    tags=("ingest", "irdb", "ids"),
+    tables=("lineitem", "orders"),
+)
+def irdb_jpcoar_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPCOAR typed-id extraction as relational classification —
+    DOI/HDL prefix strips with the 10.-gate, ISSN dash insertion,
+    first-wins dedup in arrival order, pmh self appended last
+    (IRDB.py extract_jpcoar_ids; see the section comment).  The
+    reference pays a row UDF per record; this is JVM column algebra."""
+    return spark.sql(_jp_sql("spark"))
