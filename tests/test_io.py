@@ -686,14 +686,15 @@ def test_sync_registry_covers_reference_fleet_and_plans_correctly(spark):
 
     expected = {
         "works", "authors", "sources", "institutions", "publishers",
-        "funders", "concepts", "topics", "topic_hierarchy", "keywords",
-        "awards", "locations", "raw_affiliation_strings", "countries",
-        "continents", "languages", "licenses", "sdgs", "source_types",
-        "work_types", "institution_types",
+        "funders", "concepts", "topics", "subfields", "fields",
+        "domains", "keywords", "awards", "locations",
+        "raw_affiliation_strings", "countries", "continents",
+        "languages", "licenses", "sdgs", "source_types", "work_types",
+        "institution_types", "vector_index",
     }
     assert expected <= set(SYNC_REGISTRY)
     assert all(cfg.id_prefix.startswith("https://openalex.org/")
-               for cfg in SYNC_REGISTRY.values())
+               for cfg in SYNC_REGISTRY.values() if cfg.id_rule == "prefix")
 
     authors = spark.createDataFrame(
         [(1, "Ada", "2025-06-01"), (2, "Grace", "2025-05-20"),
@@ -938,3 +939,87 @@ def test_read_binary_gzip_ids(spark, tmp_path):
         ("repoA", "oai:a:1"), ("repoA", "oai:a:2"), ("repoA", "oai:a:3"),
         ("repoB", "oai:b:9"),
     }
+
+
+def test_entity_sync_id_rules(spark):
+    """Every registry index name is unique and versioned, and each of
+    the four _id rule kinds (prefix / composite / sha256 / raw)
+    produces the documented shape through the real Column builder."""
+    import re
+
+    from openalex_walden_spark.sinks.sync_registry import (
+        SYNC_REGISTRY,
+        doc_id_column,
+    )
+    from pyspark.sql import functions as F
+
+    indexes = [c.index_name for c in SYNC_REGISTRY.values()]
+    assert len(set(indexes)) == len(indexes), "duplicate index name"
+    assert all(re.search(r"-v\d+$", i) for i in indexes), "unversioned index"
+    by_rule = {}
+    for c in SYNC_REGISTRY.values():
+        by_rule.setdefault(c.id_rule, []).append(c)
+    assert set(by_rule) == {"prefix", "composite", "sha256", "raw"}
+    df = spark.createDataFrame(
+        [("pmid", "7")],
+        "native_id_namespace STRING, native_id STRING",
+    ).withColumn("raw_affiliation_string", F.lit("7"))
+    got = {}
+    for rule in by_rule:
+        cfg = by_rule[rule][0]
+        got[rule] = df.select(
+            doc_id_column(cfg, F.lit("7")).alias("id")
+        ).collect()[0]["id"]
+    assert got["prefix"].startswith("https://openalex.org/") and got[
+        "prefix"
+    ].endswith("7")
+    assert got["composite"] == "pmid:7"
+    assert re.fullmatch(r"[0-9a-f]{64}", got["sha256"])
+    assert got["raw"] == "7"
+
+
+def test_entity_sync_stale_cap_refusal(spark):
+    """A broken/empty API table must never mass-delete the index
+    (sync_funders.py cell 7): past the cap, stale_audit raises instead
+    of returning the delete list."""
+    import pytest as _pytest
+
+    from openalex_walden_spark.sinks.sync_registry import (
+        StaleCapExceeded,
+        stale_audit,
+    )
+
+    index_ids = spark.range(100).selectExpr("concat('F', id) AS id")
+    table_ids = spark.range(10).selectExpr("concat('F', id) AS id")
+    # 90 stale > cap 50 → refuse
+    with _pytest.raises(StaleCapExceeded):
+        stale_audit(table_ids, index_ids, max_stale=50)
+    # same diff under a roomy cap → exactly the 90 dropped ids
+    stale = stale_audit(table_ids, index_ids, max_stale=2000)
+    assert stale.count() == 90
+    assert {r["id"] for r in stale.collect()} == {f"F{i}" for i in range(10, 100)}
+
+
+def test_entity_sync_logs_account_for_every_doc(spark):
+    """sync_with_logs (sync_works.ipynb cells 7-9) returns one log row
+    per partition and the log sums reconcile: sent == input rows,
+    skipped == transport rejections."""
+    from openalex_walden_spark.sinks.sync_registry import sync_with_logs
+
+    df = spark.range(1000).selectExpr("concat('doc-', id) AS doc")
+
+    def transport_factory():
+        def send(batch):
+            # reject every 100th doc (deterministic by suffix)
+            return sum(0 if b.endswith("00") else 1 for b in batch)
+
+        return send
+
+    logs = sync_with_logs(
+        df, "doc", transport_factory, batch_size=64, rows_per_partition=250
+    )
+    rows = logs.collect()
+    assert len(rows) == 4  # 1000 rows / 250 per partition
+    assert sum(r["sent"] for r in rows) == 1000
+    assert sum(r["skipped"] for r in rows) == 9  # doc-100 .. doc-900
+    assert all(r["sent"] == r["indexed"] + r["skipped"] for r in rows)
