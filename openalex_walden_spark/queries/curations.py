@@ -306,3 +306,257 @@ def author_name_curations_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("author_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Author ORCID curations (notebooks/authors/SyncAuthorOrcidCurations.ipynb,
+# ApplyAuthorOrcidCurations.ipynb)
+# ---------------------------------------------------------------------------
+# replace events <- urgent orders: (author o_custkey, new O-<custkey*3%997>,
+#   created o_orderdate, tiebreak o_orderkey)
+# remove events  <- medium orders: removed O-<custkey> (matches organic)
+# authors        <- customer: organic O-<custkey>, NULL when custkey%3=0
+# displayed      <- customer: stale 'O-<custkey>-x' when %7=0 (previously
+#   applied curation), NULL when %11=0, else organic
+#
+# The reference's latest-wins windows order by created DESC alone — ties
+# between same-day curations would be engine-dependent, so both dialects
+# here carry the event-id tiebreak (created DESC, id DESC), the same
+# discipline work_author_curations_apply uses.
+
+_ORCID_STATE_SQL = """
+WITH latest_replace AS (
+  SELECT author_id, curated_orcid FROM (
+    SELECT o_custkey AS author_id,
+           'O-' || CAST(o_custkey * 3 % 997 AS VARCHAR) AS curated_orcid,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+  ) WHERE rn = 1
+),
+latest_remove AS (
+  SELECT author_id, removed_orcid FROM (
+    SELECT o_custkey AS author_id,
+           'O-' || CAST(o_custkey AS VARCHAR) AS removed_orcid,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders WHERE o_orderpriority = '3-MEDIUM'
+  ) WHERE rn = 1
+)
+SELECT COALESCE(r.author_id, d.author_id) AS author_id,
+       r.curated_orcid, d.removed_orcid
+FROM latest_replace r
+FULL OUTER JOIN latest_remove d ON r.author_id = d.author_id
+"""
+
+
+def _orcid_state(spark: SparkSession) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = spark.table("orders")
+    w = Window.partitionBy("author_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    rep = (
+        orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            F.col("o_custkey").alias("author_id"),
+            F.concat(
+                F.lit("O-"), ((F.col("o_custkey") * 3) % 997).cast("string")
+            ).alias("curated_orcid"),
+            "o_orderdate", "o_orderkey",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("author_id", "curated_orcid")
+    )
+    rem = (
+        orders.where(F.col("o_orderpriority") == "3-MEDIUM")
+        .select(
+            F.col("o_custkey").alias("author_id"),
+            F.concat(F.lit("O-"), F.col("o_custkey").cast("string")).alias(
+                "removed_orcid"
+            ),
+            "o_orderdate", "o_orderkey",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(F.col("author_id").alias("d_author_id"), "removed_orcid")
+    )
+    return rep.join(
+        rem, F.col("author_id") == F.col("d_author_id"), "full_outer"
+    ).select(
+        F.coalesce("author_id", "d_author_id").alias("author_id"),
+        "curated_orcid",
+        "removed_orcid",
+    )
+
+
+@register(
+    "author_orcid_curation_state",
+    oracle=_ORCID_STATE_SQL,
+    tags=("domain", "D12", "curations", "J2"),
+    tables=("orders",),
+)
+def author_orcid_curation_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-direction ORCID curation state
+    (SyncAuthorOrcidCurations.ipynb cell 6): latest-wins per author for
+    the replace log and the removal log INDEPENDENTLY, full-outer
+    joined so one author can hold both a replace and a remove (the
+    MERGE's NOT-MATCHED-BY-SOURCE delete is the j9 family, pinned
+    elsewhere).
+
+    Plan: two window dedups over priority-pruned order scans, one
+    full-outer hash join on the author key."""
+    return _orcid_state(spark)
+
+
+_ORCID_PENDING_SQL = """
+WITH state AS (""" + _ORCID_STATE_SQL + """),
+authors AS (
+  SELECT c_custkey AS id,
+         CASE WHEN c_custkey % 3 = 0 THEN NULL
+              ELSE 'O-' || CAST(c_custkey AS VARCHAR) END AS orcid
+  FROM customer
+),
+displayed AS (
+  SELECT c_custkey AS id,
+         CASE WHEN c_custkey % 11 = 0 THEN NULL
+              WHEN c_custkey % 7 = 0
+                THEN 'O-' || CAST(c_custkey AS VARCHAR) || '-x'
+              WHEN c_custkey % 3 = 0 THEN NULL
+              ELSE 'O-' || CAST(c_custkey AS VARCHAR) END AS orcid
+  FROM customer
+)
+SELECT a.id AS author_id, oa.orcid AS displayed_orcid,
+       CASE
+         WHEN oc.curated_orcid IS NOT NULL AND oc.curated_orcid <> ''
+           THEN oc.curated_orcid
+         WHEN oc.removed_orcid IS NOT NULL AND a.orcid = oc.removed_orcid
+           THEN NULL
+         ELSE a.orcid
+       END AS resolved_orcid
+FROM authors a
+JOIN displayed oa ON a.id = oa.id
+LEFT JOIN state oc ON a.id = oc.author_id
+WHERE (oc.author_id IS NOT NULL OR NOT (oa.orcid IS NOT DISTINCT FROM a.orcid))
+  AND NOT (oa.orcid IS NOT DISTINCT FROM CASE
+    WHEN oc.curated_orcid IS NOT NULL AND oc.curated_orcid <> ''
+      THEN oc.curated_orcid
+    WHEN oc.removed_orcid IS NOT NULL AND a.orcid = oc.removed_orcid THEN NULL
+    ELSE a.orcid
+  END)
+"""
+
+
+@register(
+    "author_orcid_pending_changes",
+    oracle=_ORCID_PENDING_SQL,
+    tags=("domain", "D9", "curations"),
+    tables=("orders", "customer"),
+)
+def author_orcid_pending_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which authors' DISPLAYED ORCID changes under current curations
+    (ApplyAuthorOrcidCurations.ipynb cell 2): scoped to authors with an
+    active curation OR a displayed/organic drift (the second catches
+    curation DELETIONS), minus authors whose display already equals the
+    resolution — curated wins when non-empty, a removal matching the
+    organic ORCID nulls it, else organic stands.  Null-safe equality
+    throughout (``<=>`` / IS NOT DISTINCT FROM).
+
+    Plan: curation state is order-log-sized (broadcastable dim); the
+    author/displayed join is one shuffle on the author key."""
+    c = F.col("c_custkey")
+    organic = F.when(c % 3 != 0, F.concat(F.lit("O-"), c.cast("string")))
+    authors = spark.table("customer").select(
+        c.alias("id"), organic.alias("orcid")
+    )
+    displayed = spark.table("customer").select(
+        c.alias("oa_id"),
+        F.when(c % 11 == 0, F.lit(None).cast("string"))
+        .when(c % 7 == 0, F.concat(F.lit("O-"), c.cast("string"), F.lit("-x")))
+        .otherwise(organic)
+        .alias("displayed"),
+    )
+    state = _orcid_state(spark).withColumnRenamed("author_id", "oc_id")
+    resolved = (
+        F.when(
+            F.col("curated_orcid").isNotNull()
+            & (F.col("curated_orcid") != ""),
+            F.col("curated_orcid"),
+        )
+        .when(
+            F.col("removed_orcid").isNotNull()
+            & (F.col("orcid") == F.col("removed_orcid")),
+            F.lit(None).cast("string"),
+        )
+        .otherwise(F.col("orcid"))
+    )
+    return (
+        authors.join(displayed, F.col("id") == F.col("oa_id"))
+        .join(F.broadcast(state), F.col("id") == F.col("oc_id"), "left")
+        .where(
+            (F.col("oc_id").isNotNull() | ~F.col("displayed").eqNullSafe(F.col("orcid")))
+            & ~F.col("displayed").eqNullSafe(resolved)
+        )
+        .select(
+            F.col("id").alias("author_id"),
+            F.col("displayed").alias("displayed_orcid"),
+            resolved.alias("resolved_orcid"),
+        )
+    )
+
+
+_ORCID_COLLISION_SQL = """
+WITH state AS (""" + _ORCID_STATE_SQL + """),
+authors AS (
+  SELECT c_custkey AS id,
+         CASE WHEN c_custkey % 3 = 0 THEN NULL
+              ELSE 'O-' || CAST(c_custkey AS VARCHAR) END AS orcid
+  FROM customer
+)
+SELECT c.author_id AS curated_author_id,
+       c.curated_orcid,
+       a.id AS existing_author_id
+FROM state c
+JOIN authors a
+  ON a.orcid = c.curated_orcid AND a.id <> c.author_id
+WHERE c.curated_orcid IS NOT NULL AND c.curated_orcid <> ''
+"""
+
+
+@register(
+    "author_orcid_collision_guard",
+    oracle=_ORCID_COLLISION_SQL,
+    tags=("domain", "D2", "curations", "J3"),
+    tables=("orders", "customer"),
+)
+def author_orcid_collision_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The out-of-scope-merge surfacing query
+    (SyncAuthorOrcidCurations.ipynb cell 8): a replace that sets an
+    ORCID already held by a DIFFERENT author would make the global
+    ORCID match key ambiguous on the next clustering cycle — per the
+    #410 design that is a merge, not a curation, so it is surfaced,
+    never silently applied.
+
+    Plan: curation state joins the author dim on the ORCID value (one
+    shuffle family), inequality on the id keeps self-matches out."""
+    state = _orcid_state(spark).where(
+        F.col("curated_orcid").isNotNull() & (F.col("curated_orcid") != "")
+    )
+    c = F.col("c_custkey")
+    authors = spark.table("customer").select(
+        c.alias("id"),
+        F.when(c % 3 != 0, F.concat(F.lit("O-"), c.cast("string"))).alias(
+            "orcid"
+        ),
+    )
+    return state.join(
+        authors,
+        (F.col("orcid") == F.col("curated_orcid"))
+        & (F.col("id") != F.col("author_id")),
+    ).select(
+        F.col("author_id").alias("curated_author_id"),
+        "curated_orcid",
+        F.col("id").alias("existing_author_id"),
+    )
