@@ -464,3 +464,220 @@ def _split_select(sql_body: str) -> list[str]:
     if "".join(cur).strip():
         items.append("".join(cur).strip())
     return items
+
+
+# ---------------------------------------------------------------------------
+# DataCite award `sizes` money parser (ProbeDataCiteAwardSizes.ipynb /
+# the parser inside CreateDataCiteAwards) + the raw-slice refresh
+# (InsertCrossrefAwardsToRaw.ipynb / InsertDataCiteAwardsToRaw.ipynb)
+# ---------------------------------------------------------------------------
+# size strings <- part, format by p_partkey % 6:
+#   0 '263,614 USD'-style (comma grouping + trailing ISO code)
+#   1 '$<n>.50' (symbol + decimal)
+#   2 'EUR <n>' (leading ISO code)
+#   3 'grant of <n>,000 GBP total' (ISO embedded mid-text)
+#   4 '<n> pages' (non-monetary -> no currency -> amount gated off)
+#   5 NULL (no sizes[0] at all)
+# The currency ladder: ISO three-letter code anywhere wins (case-folded),
+# else the $/EUR/GBP/JPY symbol maps; the amount only parses WHEN a
+# currency parsed (the reference's gating — a bare number is not money).
+
+_SIZES_SQL = r"""
+WITH probed AS (
+  SELECT p_partkey,
+         CASE p_partkey % 6
+           WHEN 0 THEN format('{:,}', p_partkey * 7 + 100000) || ' USD'
+           WHEN 1 THEN '$' || CAST(p_partkey % 9000 AS VARCHAR) || '.50'
+           WHEN 2 THEN 'EUR ' || CAST(p_partkey % 5000 AS VARCHAR)
+           WHEN 3 THEN 'grant of ' || CAST(p_partkey % 90 AS VARCHAR)
+                       || ',000 GBP total'
+           WHEN 4 THEN CAST(p_size AS VARCHAR) || ' pages'
+         END AS size_str
+  FROM part
+),
+parsed AS (
+  SELECT size_str,
+         CASE WHEN upper(regexp_extract(size_str, '(?i)\b([A-Za-z]{3})\b', 1)) IN ('USD','EUR','GBP','JPY')
+              THEN upper(regexp_extract(size_str, '(?i)\b([A-Za-z]{3})\b', 1))
+              WHEN regexp_extract(size_str, '([$€£¥])', 1) = '$' THEN 'USD'
+              WHEN regexp_extract(size_str, '([$€£¥])', 1) = '€' THEN 'EUR'
+              WHEN regexp_extract(size_str, '([$€£¥])', 1) = '£' THEN 'GBP'
+              WHEN regexp_extract(size_str, '([$€£¥])', 1) = '¥' THEN 'JPY'
+         END AS currency,
+         regexp_extract(size_str, '([0-9][0-9,]*(\.[0-9]+)?)', 1) AS amount_raw
+  FROM probed
+)
+SELECT COALESCE(currency,
+                CASE WHEN size_str IS NULL THEN '<no_sizes>'
+                     ELSE '<unparsed>' END) AS currency,
+       COUNT(*) AS n,
+       SUM(CASE WHEN currency IS NOT NULL AND amount_raw <> ''
+                THEN CAST(replace(amount_raw, ',', '') AS DOUBLE) END)
+         AS total_amount,
+       MIN(CASE WHEN currency IS NOT NULL AND amount_raw <> ''
+                THEN CAST(replace(amount_raw, ',', '') AS DOUBLE) END)
+         AS min_amount,
+       MAX(CASE WHEN currency IS NOT NULL AND amount_raw <> ''
+                THEN CAST(replace(amount_raw, ',', '') AS DOUBLE) END)
+         AS max_amount
+FROM parsed
+GROUP BY 1
+"""
+
+
+@register(
+    "award_size_parse_probe",
+    oracle=_SIZES_SQL,
+    tags=("domain", "awards", "P4", "A6"),
+    tables=("part",),
+)
+def award_size_parse_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataCite award money parser + its probe report
+    (ProbeDataCiteAwardSizes.ipynb cells 1-5, the parser identical to
+    CreateDataCiteAwards): ISO code anywhere in the string wins, else
+    the currency symbol maps, and the amount parses ONLY when a
+    currency did (a bare number is not money); comma grouping stripped.
+    The report rolls coverage and the per-currency distribution into
+    one grouped result ('<unparsed>' = has sizes, no parse;
+    '<no_sizes>' = no sizes[0]).
+
+    Plan: pure map-side parse (two regexp_extracts, no UDF) + one
+    partial-aggregable rollup on the currency.  Amounts in the fixture
+    are exactly-representable doubles so the SUM is order-independent.
+    """
+    k = F.col("p_partkey")
+    # format('{:,}', n) comma-grouping, re-expressed portably
+    grouped = F.regexp_replace(
+        F.format_number(k * 7 + 100000, 0), "[^0-9,]", ""
+    )
+    size_str = (
+        F.when(k % 6 == 0, F.concat(grouped, F.lit(" USD")))
+        .when(k % 6 == 1, F.concat(F.lit("$"), (k % 9000).cast("string"), F.lit(".50")))
+        .when(k % 6 == 2, F.concat(F.lit("EUR "), (k % 5000).cast("string")))
+        .when(
+            k % 6 == 3,
+            F.concat(
+                F.lit("grant of "), (k % 90).cast("string"), F.lit(",000 GBP total")
+            ),
+        )
+        .when(k % 6 == 4, F.concat(F.col("p_size").cast("string"), F.lit(" pages")))
+    )
+    probed = spark.table("part").select(size_str.alias("size_str"))
+    iso = F.upper(F.regexp_extract("size_str", r"(?i)\b([A-Za-z]{3})\b", 1))
+    symbol = F.regexp_extract("size_str", r"([$€£¥])", 1)
+    currency = (
+        F.when(iso.isin("USD", "EUR", "GBP", "JPY"), iso)
+        .when(symbol == "$", F.lit("USD"))
+        .when(symbol == "€", F.lit("EUR"))
+        .when(symbol == "£", F.lit("GBP"))
+        .when(symbol == "¥", F.lit("JPY"))
+    )
+    amount_raw = F.regexp_extract("size_str", r"([0-9][0-9,]*(\.[0-9]+)?)", 1)
+    parsed = probed.select(
+        "size_str",
+        currency.alias("currency"),
+        amount_raw.alias("amount_raw"),
+    )
+    amount = F.when(
+        F.col("currency").isNotNull() & (F.col("amount_raw") != ""),
+        F.regexp_replace("amount_raw", ",", "").cast("double"),
+    )
+    return (
+        parsed.select(
+            F.coalesce(
+                "currency",
+                F.when(F.col("size_str").isNull(), F.lit("<no_sizes>")).otherwise(
+                    F.lit("<unparsed>")
+                ),
+            ).alias("currency"),
+            amount.alias("amount"),
+        )
+        .groupBy("currency")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("amount").alias("total_amount"),
+            F.min("amount").alias("min_amount"),
+            F.max("amount").alias("max_amount"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# awards_raw slice refresh: DELETE one (provenance, priority) slice,
+# INSERT the fresh batch (InsertCrossrefAwardsToRaw.ipynb cell 1)
+# ---------------------------------------------------------------------------
+# raw state <- orders: provenance by priority bucket ('crossref_work'
+#   for urgent, 'datacite' for high, 'pdf' otherwise), batch_tag 'old'
+# fresh crossref batch <- urgent orders with the refreshed tag; refresh
+#   = (raw MINUS the crossref_work/priority=1 slice) UNION fresh.
+
+_SLICE_SQL = """
+WITH raw AS (
+  SELECT o_orderkey AS award_id,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 'crossref_work'
+              WHEN o_orderpriority = '2-HIGH' THEN 'datacite'
+              ELSE 'pdf' END AS provenance,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1
+              ELSE 2 END AS priority,
+         'old' AS batch_tag
+  FROM orders
+),
+fresh AS (
+  SELECT o_orderkey AS award_id, 'crossref_work' AS provenance,
+         1 AS priority, 'fresh' AS batch_tag
+  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 3 <> 0
+)
+SELECT award_id, provenance, priority, batch_tag FROM raw
+WHERE NOT (provenance = 'crossref_work' AND priority = 1)
+UNION ALL
+SELECT award_id, provenance, priority, batch_tag FROM fresh
+"""
+
+
+@register(
+    "awards_raw_slice_refresh",
+    oracle=_SLICE_SQL,
+    tags=("domain", "awards", "U4", "D1"),
+    tables=("orders",),
+)
+def awards_raw_slice_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source refresh discipline of the awards raw plane
+    (InsertCrossrefAwardsToRaw.ipynb / InsertDataCiteAwardsToRaw.ipynb):
+    DELETE exactly one (provenance, priority) slice, INSERT the fresh
+    DLT batch — other sources' slices never move, and a source that
+    shrank (dropped rows) shrinks in raw too, which a blind MERGE would
+    miss.
+
+    Plan: the delete is a partition-predicate filter (at scale the raw
+    table partitions by provenance so the slice drop is metadata-only);
+    the insert is an append — no shuffle anywhere."""
+    o = spark.table("orders")
+    raw = o.select(
+        F.col("o_orderkey").alias("award_id"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit("crossref_work"))
+        .when(F.col("o_orderpriority") == "2-HIGH", F.lit("datacite"))
+        .otherwise(F.lit("pdf"))
+        .alias("provenance"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+        )
+        .otherwise(F.lit(2))
+        .alias("priority"),
+        F.lit("old").alias("batch_tag"),
+    )
+    fresh = (
+        o.where(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderkey") % 3 != 0)
+        )
+        .select(
+            F.col("o_orderkey").alias("award_id"),
+            F.lit("crossref_work").alias("provenance"),
+            F.lit(1).alias("priority"),
+            F.lit("fresh").alias("batch_tag"),
+        )
+    )
+    kept = raw.where(
+        ~((F.col("provenance") == "crossref_work") & (F.col("priority") == 1))
+    )
+    return kept.unionByName(fresh)
