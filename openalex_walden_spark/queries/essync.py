@@ -159,3 +159,112 @@ def es_sync_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out.coalesce(1)
+
+
+# --------------------------------------------------------------------------
+# Content-index manifest export (export_content_manifest_to_r2.py)
+# --------------------------------------------------------------------------
+# locations <- lineitem: pdf file on every 3rd seat, grobid xml on every
+#   4th, native id per seat.  The reference's deliberate shape: ONE
+#   GROUP BY with MIN_BY structs instead of a row_number window ("much
+#   faster on single node" — and partial-aggregable on a cluster), with
+#   the invariant that native_id comes from the SAME location row as
+#   the reported pdf uuid (grobid row as fallback).
+
+_MANIFEST_SQL = """
+SELECT openalex_id, pdf_uuid, grobid_xml_id,
+       src.native_id AS native_id,
+       src.native_id_namespace AS native_id_namespace,
+       updated_date
+FROM (
+  SELECT 'W' || CAST(l_orderkey AS VARCHAR) AS openalex_id,
+         REPLACE(MIN(pdf_s3_id), '.pdf', '') AS pdf_uuid,
+         REPLACE(MIN(grobid_s3_id), '.xml.gz', '') AS grobid_xml_id,
+         COALESCE(
+           MIN_BY(struct_pack(native_id := native_id,
+                              native_id_namespace := native_id_namespace),
+                  pdf_s3_id),
+           MIN_BY(struct_pack(native_id := native_id,
+                              native_id_namespace := native_id_namespace),
+                  grobid_s3_id)
+         ) AS src,
+         MAX(updated_date) AS updated_date
+  FROM (
+    SELECT l_orderkey,
+           CASE WHEN l_linenumber % 3 = 0
+                THEN 'p' || CAST(l_partkey AS VARCHAR) || '.pdf' END
+             AS pdf_s3_id,
+           CASE WHEN l_linenumber % 4 = 0
+                THEN 'g' || CAST(l_suppkey AS VARCHAR) || '.xml.gz' END
+             AS grobid_s3_id,
+           'n' || CAST(l_linenumber AS VARCHAR) AS native_id,
+           CASE WHEN l_linenumber % 2 = 0 THEN 'doi' ELSE 'pmh' END
+             AS native_id_namespace,
+           l_shipdate AS updated_date
+    FROM lineitem
+  )
+  WHERE pdf_s3_id IS NOT NULL OR grobid_s3_id IS NOT NULL
+  GROUP BY l_orderkey
+)
+"""
+
+
+@register(
+    "content_manifest_export",
+    oracle=_MANIFEST_SQL,
+    tags=("sink", "S6", "essync", "A4"),
+    tables=("lineitem",),
+)
+def content_manifest_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partner-facing content manifest
+    (export_content_manifest_to_r2.py): work id -> pdf/grobid UUIDs +
+    the native id OF THE ROW THAT SUPPLIED THE FILE (min_by struct,
+    grobid-row fallback), written as a full-replacement parquet
+    directory.  The reference explicitly rewrote this from a
+    row_number window to one GROUP BY — the same plan Spark
+    partial-aggregates map-side, so the shuffle carries one row per
+    work, not one per location.
+
+    Plan: single scan of lineitem, one partial-aggregable rollup, no
+    window, no join."""
+    ln = F.col("l_linenumber")
+    locs = spark.table("lineitem").select(
+        "l_orderkey",
+        F.when(
+            ln % 3 == 0,
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string"), F.lit(".pdf")),
+        ).alias("pdf_s3_id"),
+        F.when(
+            ln % 4 == 0,
+            F.concat(
+                F.lit("g"), F.col("l_suppkey").cast("string"), F.lit(".xml.gz")
+            ),
+        ).alias("grobid_s3_id"),
+        F.concat(F.lit("n"), ln.cast("string")).alias("native_id"),
+        F.when(ln % 2 == 0, F.lit("doi")).otherwise(F.lit("pmh")).alias(
+            "native_id_namespace"
+        ),
+        F.col("l_shipdate").alias("updated_date"),
+    ).where(F.col("pdf_s3_id").isNotNull() | F.col("grobid_s3_id").isNotNull())
+    src = F.struct("native_id", "native_id_namespace")
+    agg = locs.groupBy("l_orderkey").agg(
+        F.regexp_replace(F.min("pdf_s3_id"), r"\.pdf", "").alias("pdf_uuid"),
+        F.regexp_replace(F.min("grobid_s3_id"), r"\.xml\.gz", "").alias(
+            "grobid_xml_id"
+        ),
+        F.coalesce(
+            F.min_by(src, F.col("pdf_s3_id")),
+            F.min_by(src, F.col("grobid_s3_id")),
+        ).alias("src"),
+        F.max("updated_date").alias("updated_date"),
+    )
+    return agg.select(
+        F.concat(F.lit("W"), F.col("l_orderkey").cast("string")).alias(
+            "openalex_id"
+        ),
+        "pdf_uuid",
+        "grobid_xml_id",
+        F.col("src.native_id").alias("native_id"),
+        F.col("src.native_id_namespace").alias("native_id_namespace"),
+        "updated_date",
+    )
