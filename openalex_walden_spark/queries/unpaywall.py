@@ -417,3 +417,250 @@ def wunpaywall_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "genre", "journal_name",
     )
     return merged.where(F.col("action") != "noop").orderBy("doi")
+
+
+# ---------------------------------------------------------------------------
+# URL-curation migration emit (qa/oxjob747_emit_staging.py)
+# ---------------------------------------------------------------------------
+# The reference migrates legacy unpaywall URL curations into the
+# mechanism's approved_curations shape through a seven-branch decision
+# table over (action, matched_field, URL evidence, OA baseline):
+#   1/2 update+matched         -> URL override on that location
+#   3   nullify via pdf        -> pdf_url NULL AND is_oa 'false' (two rows)
+#   4   nullify via landing    -> landing_page_url NULL only
+#   5   add+matched            -> is_oa 'true', GUARDED: never against a
+#                                 baseline-closed work (OA invariance)
+#   6   update+unmatched whose new_url already sits on the location
+#                              -> downgraded to mark_oa (same guard)
+#   7   rest                   -> create_new location rows: content-
+#                                 addressed entity id, pdf-vs-landing
+#                                 classification of new_url, type/source
+#                                 backfills, and the STRICT resolution
+#                                 guard (target work must itself hold
+#                                 the curated DOI — stale mag/repo
+#                                 locations can claim a DOI their work
+#                                 does not have)
+# then (entity_id, property) conflicts resolve latest-submitted-wins
+# and rows are numbered from ID_BASE in submission order.
+#
+# fixture: curations <- orders (action by priority; new_url
+# 'https://x.org/u<okey%97>' + '.pdf' when %5=0; submitted o_orderdate),
+# one resolved location per curation (matched_field by %4: 0 pdf_url,
+# 1 landing_page_url, else unmatched; entity 'ns<okey%3>:n<okey%400>' so
+# distinct curations can collide on one location and exercise the
+# conflict dedup; loc pdf url equals new_norm when %11=0 to fire the
+# downgrade), works <- customer (doi 'd<ckey%500>', type NULL when %9=0),
+# baseline closed when ckey%6=0, source when ckey%2=0.
+#
+# Deviations (documented): property_value for create_new renders as a
+# deterministic 'k=v|k=v' signature instead of TO_JSON (Spark omits
+# null JSON fields, DuckDB keeps them — the field SET and values are
+# preserved exactly); the reference's conflict ORDER BY
+# (submitted_date DESC, qa_class) is not total, so both dialects add
+# qa_doi as a final tiebreak.
+
+_EMIT_TMPL = """
+WITH eff AS (
+  SELECT 'd' || CAST(o_orderkey % 500 AS {STR}) AS doi,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+              ELSE 'https://old/u' || CAST(o_orderkey % 89 AS {STR}) END AS prev_url,
+         'https://x.org/u' || CAST(o_orderkey % 97 AS {STR})
+            || CASE WHEN o_orderkey % 5 = 0 THEN '.pdf' ELSE '' END AS new_url,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 'update'
+              WHEN o_orderpriority = '2-HIGH' THEN 'nullify'
+              WHEN o_orderpriority = '3-MEDIUM' THEN 'add_or_mark_oa' END AS action,
+         'u' || CAST(o_custkey % 20 AS {STR}) || '@x.org' AS email,
+         o_orderdate AS submitted_date,
+         o_orderkey, o_custkey
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+),
+res AS (
+  SELECT doi, prev_url, new_url, action, email, submitted_date,
+         REGEXP_REPLACE(LOWER(new_url), '^https?://', '') AS new_norm,
+         CASE WHEN o_orderkey % 4 = 0 THEN 'pdf_url'
+              WHEN o_orderkey % 4 = 1 THEN 'landing_page_url' END AS matched_field,
+         'ns' || CAST(o_orderkey % 3 AS {STR}) AS native_id_namespace,
+         'n' || CAST(o_orderkey % 400 AS {STR}) AS native_id,
+         o_custkey AS work_id,
+         CASE WHEN o_orderkey % 11 = 0
+              THEN 'http://x.org/u' || CAST(o_orderkey % 97 AS {STR})
+                   || CASE WHEN o_orderkey % 5 = 0 THEN '.pdf' ELSE '' END
+         END AS loc_pdf_url,
+         CAST(NULL AS {STR}) AS loc_landing_page_url
+  FROM eff
+),
+works AS (
+  SELECT c_custkey AS id,
+         'https://doi.org/d' || CAST(c_custkey % 500 AS {STR}) AS doi,
+         CASE WHEN c_custkey % 9 = 0 THEN NULL ELSE 'article' END AS type
+  FROM customer
+),
+baseline AS (
+  SELECT c_custkey AS work_id, c_custkey % 6 <> 0 AS is_oa,
+         CASE WHEN c_custkey % 6 = 0 THEN 'closed' ELSE 'gold' END AS oa_status
+  FROM customer
+),
+work_sources AS (
+  SELECT c_custkey AS work_id, c_custkey % 50 AS source_id
+  FROM customer WHERE c_custkey % 2 = 0
+),
+curation_matched AS (
+  SELECT doi, prev_url, action,
+         MAX(CASE WHEN matched_field IS NOT NULL THEN 1 ELSE 0 END) AS any_match
+  FROM res GROUP BY doi, prev_url, action
+),
+upd AS (
+  SELECT native_id_namespace || ':' || native_id AS entity_id,
+         matched_field AS property, new_url AS property_value,
+         FALSE AS create_new, email, submitted_date,
+         'update' AS qa_class, doi AS qa_doi, work_id AS qa_work_id
+  FROM res
+  WHERE action = 'update' AND matched_field IN ('pdf_url', 'landing_page_url')
+),
+nul_pdf AS (
+  SELECT native_id_namespace || ':' || native_id AS entity_id,
+         p.property,
+         CASE WHEN p.property = 'is_oa' THEN 'false'
+              ELSE CAST(NULL AS {STR}) END AS property_value,
+         FALSE AS create_new, email, submitted_date,
+         'nullify_pdf' AS qa_class, doi AS qa_doi, work_id AS qa_work_id
+  FROM res {EXPLODE_PROPS}
+  WHERE action = 'nullify' AND matched_field = 'pdf_url'
+),
+nul_landing AS (
+  SELECT native_id_namespace || ':' || native_id AS entity_id,
+         'landing_page_url' AS property, CAST(NULL AS {STR}) AS property_value,
+         FALSE AS create_new, email, submitted_date,
+         'nullify_landing' AS qa_class, doi AS qa_doi, work_id AS qa_work_id
+  FROM res
+  WHERE action = 'nullify' AND matched_field = 'landing_page_url'
+),
+mark_oa AS (
+  SELECT native_id_namespace || ':' || native_id AS entity_id,
+         'is_oa' AS property, 'true' AS property_value,
+         FALSE AS create_new, email, submitted_date,
+         'mark_oa' AS qa_class, doi AS qa_doi, work_id AS qa_work_id
+  FROM res r
+  WHERE action = 'add_or_mark_oa' AND matched_field IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM baseline b
+                    WHERE b.work_id = r.work_id AND b.is_oa = FALSE)
+),
+upd_as_mark_oa AS (
+  SELECT r.native_id_namespace || ':' || r.native_id AS entity_id,
+         'is_oa' AS property, 'true' AS property_value,
+         FALSE AS create_new, r.email, r.submitted_date,
+         'update_unmatched_mark_oa' AS qa_class, r.doi AS qa_doi,
+         r.work_id AS qa_work_id
+  FROM res r
+  JOIN curation_matched m
+    ON m.doi = r.doi AND COALESCE(m.prev_url, '') = COALESCE(r.prev_url, '')
+   AND m.action = r.action
+  WHERE r.action = 'update' AND m.any_match = 0 AND r.work_id IS NOT NULL
+    AND (REGEXP_REPLACE(LOWER(COALESCE(r.loc_pdf_url, '')), '^https?://', '')
+           = r.new_norm
+      OR REGEXP_REPLACE(LOWER(COALESCE(r.loc_landing_page_url, '')),
+                        '^https?://', '') = r.new_norm)
+    AND NOT EXISTS (SELECT 1 FROM baseline b
+                    WHERE b.work_id = r.work_id AND b.is_oa = FALSE)
+),
+create_new_pairs AS (
+  SELECT r.doi, r.new_url, r.email, r.submitted_date, r.work_id
+  FROM res r
+  JOIN curation_matched m
+    ON m.doi = r.doi AND COALESCE(m.prev_url, '') = COALESCE(r.prev_url, '')
+   AND m.action = r.action
+  WHERE m.any_match = 0 AND r.work_id IS NOT NULL
+    AND (r.action = 'add_or_mark_oa'
+         OR (r.action = 'update'
+             AND NOT EXISTS (SELECT 1 FROM upd_as_mark_oa u
+                             WHERE u.qa_doi = r.doi)))
+  GROUP BY r.doi, r.new_url, r.email, r.submitted_date, r.work_id
+),
+create_new_rows AS (
+  SELECT
+    'openalex_curation:oxjob747-' || CAST(p.work_id AS {STR}) || '-'
+      || SUBSTRING(MD5(p.doi || p.new_url), 1, 12) AS entity_id,
+    CAST(NULL AS {STR}) AS property,
+    'work=https://openalex.org/W' || CAST(p.work_id AS {STR})
+      || '|pdf=' || CASE WHEN LOWER(p.new_url) LIKE '%.pdf%'
+                           OR LOWER(p.new_url) LIKE '%/pdf/%'
+                         THEN p.new_url ELSE '' END
+      || '|landing=' || CASE WHEN NOT (LOWER(p.new_url) LIKE '%.pdf%'
+                                        OR LOWER(p.new_url) LIKE '%/pdf/%')
+                             THEN p.new_url ELSE '' END
+      || '|is_oa=true|version=publishedVersion'
+      || '|type=' || COALESCE(w.type, 'article')
+      || '|source=' || CASE WHEN ws.source_id IS NOT NULL
+                            THEN 'https://openalex.org/S'
+                                 || CAST(ws.source_id AS {STR})
+                            ELSE '' END AS property_value,
+    TRUE AS create_new, p.email, p.submitted_date,
+    'create_new' AS qa_class, p.doi AS qa_doi, p.work_id AS qa_work_id
+  FROM create_new_pairs p
+  JOIN works w
+    ON w.id = p.work_id
+   AND LOWER(REGEXP_REPLACE(w.doi, '^https?://(dx\\.)?doi\\.org/', '')) = p.doi
+  LEFT JOIN baseline b ON b.work_id = p.work_id
+  LEFT JOIN work_sources ws ON ws.work_id = p.work_id
+  WHERE COALESCE(b.is_oa, TRUE) = TRUE OR b.oa_status IS NULL
+),
+unioned AS (
+  SELECT * FROM upd
+  UNION ALL SELECT * FROM nul_pdf
+  UNION ALL SELECT * FROM nul_landing
+  UNION ALL SELECT * FROM mark_oa
+  UNION ALL SELECT * FROM upd_as_mark_oa
+  UNION ALL SELECT * FROM create_new_rows
+),
+deduped AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY entity_id, COALESCE(property, '~create~')
+    ORDER BY submitted_date DESC NULLS LAST, qa_class, qa_doi
+  ) AS conflict_rn
+  FROM unioned
+)
+SELECT
+  CAST(100000 + ROW_NUMBER() OVER (
+    ORDER BY submitted_date ASC NULLS FIRST, entity_id,
+             COALESCE(property, '~create~')) AS INT) AS id,
+  'approved' AS status, 'locations' AS entity,
+  entity_id, property, property_value, create_new,
+  email AS submitter_email, submitted_date,
+  'oxjob747-migration' AS moderator_email,
+  qa_class, qa_doi, qa_work_id
+FROM deduped WHERE conflict_rn = 1
+"""
+
+_EMIT_DUCK = _EMIT_TMPL.format(
+    STR="VARCHAR",
+    EXPLODE_PROPS="CROSS JOIN (SELECT UNNEST(['pdf_url', 'is_oa']) AS property) p",
+)
+_EMIT_SPARK = _EMIT_TMPL.format(
+    STR="STRING",
+    EXPLODE_PROPS="LATERAL VIEW EXPLODE(ARRAY('pdf_url', 'is_oa')) p AS property",
+)
+
+
+@register(
+    "unpaywall_curation_emit",
+    oracle=_EMIT_DUCK,
+    tags=("domain", "D12", "unpaywall", "U2"),
+    tables=("orders", "customer"),
+)
+def unpaywall_curation_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The URL-curation migration decision table
+    (qa/oxjob747_emit_staging.py): seven action/evidence branches
+    (update override, two-property pdf nullify, landing nullify,
+    OA-invariance-guarded mark_oa, the unmatched-update downgrade,
+    content-addressed create_new with the strict DOI-resolution guard),
+    latest-submitted-wins conflict dedup, stable id numbering.
+
+    One SQL template compiles to both dialects (only the explode
+    syntax and the string type differ), so the oracle checks the exact
+    branch logic, not a reimplementation.
+
+    Plan: the branch CTEs are filtered projections of one resolved
+    scan; the guards are broadcast-sized semi/anti joins on the work
+    key; the only windows run on the bounded emit set."""
+    return spark.sql(_EMIT_SPARK)
