@@ -640,3 +640,42 @@ def test_sharded_doc_gate_single_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "serving_sharded_doc_maintenance")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_funder_roles_no_nested_loop(spark, sf_dir):
+    """The bidirectional entity-link expansion is two hash equi-joins,
+    never the reference's OR-join nested loop (funders x edges dies at
+    scale)."""
+    plan = _plan(spark, sf_dir, "funder_roles_entity_links")
+    assert "NestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_collab_pairs_no_cartesian(spark, sf_dir):
+    """The pair self-join runs on the 5-university edge subset with an
+    equi-key on l_orderkey — a cartesian anywhere here would square the
+    corpus."""
+    plan = _plan(spark, sf_dir, "impact_collab_pairs")
+    assert "CartesianProduct" not in plan
+
+
+def test_downstream_reach_broadcasts_corpus(spark, sf_dir):
+    """The corpus part list and both dims broadcast into the lineitem
+    scan — the fact table never shuffles to build the citation edges."""
+    plan = _plan(spark, sf_dir, "impact_downstream_reach")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_stale_audit_anti_join(spark, sf_dir):
+    """The index-minus-table reconciliation is a hash anti-join, not a
+    driver-side set diff."""
+    plan = _plan(spark, sf_dir, "es_sync_stale_audit")
+    assert "LeftAnti" in plan
+
+
+def test_content_manifest_partial_agg(spark, sf_dir):
+    """The min_by/min rollup partial-aggregates map-side, so the
+    shuffle carries one row per work, not one per location."""
+    plan = _plan(spark, sf_dir, "content_manifest_export")
+    assert "partial_" in plan
+    assert "Window" not in plan  # the reference's row_number rewrite held
