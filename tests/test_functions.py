@@ -823,3 +823,40 @@ def test_aer_names_compatible_vectors(spark_udfs):
     got = {r["idx"]: r["ok"] for r in df.collect()}
     for i, v in enumerate(vectors):
         assert got[i] == v[-1], f"vector {i}: {v} -> {got[i]}"
+
+
+def test_affiliation_rules_python_matches_vectors():
+    """The expression-tree evaluator reproduces every generated test
+    vector (the vectors were gated against the reference function at
+    generation time, so this transitively pins reference parity —
+    including the state-dependent Hong-Kong guards and the USTH/VAST
+    removal)."""
+    from openalex_walden_spark.functions import affrules
+    from openalex_walden_spark.functions.affrules_data import (
+        EXAMPLES,
+        RULES,
+        VECTORS,
+    )
+
+    assert len(RULES) >= 1170
+    assert len(affrules.MEMBERS) >= 820
+    assert len(EXAMPLES) >= 1000
+    for _, s, expected in VECTORS:
+        assert affrules.match_python(s) == expected
+
+
+def test_affiliation_rules_state_guards_expanded():
+    """No 'matched' primitive survives expansion — every compiled form
+    is stateless (the 100 TB single-projection claim)."""
+    from openalex_walden_spark.functions import affrules
+
+    def scan(e):
+        if e[0] == "matched":
+            return True
+        if e[0] in ("and", "or"):
+            return any(scan(x) for x in e[1])
+        if e[0] == "not":
+            return scan(e[1])
+        return False
+
+    assert not any(scan(g) for g in affrules.MEMBERS.values())
