@@ -169,7 +169,9 @@ def es_sync_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   GROUP BY with MIN_BY structs instead of a row_number window ("much
 #   faster on single node" — and partial-aggregable on a cluster), with
 #   the invariant that native_id comes from the SAME location row as
-#   the reported pdf uuid (grobid row as fallback).
+#   the reported pdf uuid (grobid row as fallback).  The reference's
+#   MIN_BY key (the s3 id alone) ties when two locations share a file;
+#   both dialects here append native_id so the pick is total.
 
 _MANIFEST_SQL = """
 SELECT openalex_id, pdf_uuid, grobid_xml_id,
@@ -183,10 +185,10 @@ FROM (
          COALESCE(
            MIN_BY(struct_pack(native_id := native_id,
                               native_id_namespace := native_id_namespace),
-                  pdf_s3_id),
+                  pdf_s3_id || ':' || native_id),
            MIN_BY(struct_pack(native_id := native_id,
                               native_id_namespace := native_id_namespace),
-                  grobid_s3_id)
+                  grobid_s3_id || ':' || native_id)
          ) AS src,
          MAX(updated_date) AS updated_date
   FROM (
@@ -253,8 +255,12 @@ def content_manifest_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             "grobid_xml_id"
         ),
         F.coalesce(
-            F.min_by(src, F.col("pdf_s3_id")),
-            F.min_by(src, F.col("grobid_s3_id")),
+            # F.concat propagates NULL (a null s3 id must stay invisible
+            # to min_by, matching || in the oracle); concat_ws would not
+            F.min_by(src, F.concat("pdf_s3_id", F.lit(":"), "native_id")),
+            F.min_by(
+                src, F.concat("grobid_s3_id", F.lit(":"), "native_id")
+            ),
         ).alias("src"),
         F.max("updated_date").alias("updated_date"),
     )
