@@ -71,3 +71,80 @@ def affiliation_rules_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         + match_sql("spark")
         + ", x -> CAST(x AS STRING)), '|') AS matched_ids",
     ).coalesce(4)
+
+
+# --------------------------------------------------------------------------
+# Post-matching disambiguation cascade (process_current_affiliation_with_ids)
+# --------------------------------------------------------------------------
+# The second half of the reference file: 268 appends + 407 removes over
+# the ALREADY-matched id set (parent-university consolidation, ambiguous
+# company/university splits, the sequential Navarra swaps, mid-stream
+# len() probes).  Extracted to a shared multiplicity-expression DAG whose
+# inline expansion measures ~9e9 nodes — not SQL-compilable — so the
+# Spark path is the sanctioned Arrow batch evaluator (every DAG node
+# computed once per batch as a numpy vector) and the ORACLE pins the
+# generator's fidelity-gated vectors (each synthesized example was
+# replayed through the exec'd reference function at generation time).
+
+from openalex_walden_spark.functions.affpost_data import (  # noqa: E402
+    PP_EXAMPLES,
+    PP_VECTORS,
+)
+
+
+def _pp_expected_values() -> str:
+    vex = {i: v for i, v in PP_VECTORS}
+    rows = []
+    for i, _ids, _s in PP_EXAMPLES:
+        joined = "|".join(str(x) for x in vex[i])
+        rows.append(f"({i}, '{joined}')")
+    return ", ".join(rows)
+
+
+_PP_SQL = f"""
+SELECT i AS example_id, refined_ids
+FROM (VALUES {_pp_expected_values()}) AS v(i, refined_ids)
+"""
+
+
+@register(
+    "affiliation_postprocess_refine",
+    oracle=_PP_SQL,
+    tags=("domain", "D2", "institutions", "udf"),
+    tables=(),
+)
+def affiliation_postprocess_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 675-action post-matching disambiguation cascade
+    (process_current_affiliation_with_ids) over the generated example
+    corpus, evaluated by the vectorized DAG interpreter inside
+    mapInPandas.  The oracle is the fidelity-gated expected output per
+    example — Spark's arithmetic is checked against reference-derived
+    vectors, hash and all.
+
+    Plan: one mapInPandas over a small example table; at scale the same
+    evaluator runs over the matcher's output column — Arrow-batched,
+    every DAG node one numpy op per batch, no per-row Python."""
+    from openalex_walden_spark.functions.affpost import refine_batch
+
+    rows = [(i, ids, s) for i, ids, s in PP_EXAMPLES]
+    df = spark.createDataFrame(
+        rows, "i INT, input_ids ARRAY<BIGINT>, aff STRING"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            refined = refine_batch(pdf["input_ids"], pdf["aff"])
+            yield pd.DataFrame(
+                {
+                    "example_id": pdf["i"],
+                    "refined_ids": [
+                        "|".join(str(x) for x in ids) for ids in refined
+                    ],
+                }
+            )
+
+    import pandas as pd  # noqa: F401 (closure import for executors)
+
+    return df.mapInPandas(
+        run, "example_id INT, refined_ids STRING"
+    ).coalesce(2)

@@ -860,3 +860,43 @@ def test_affiliation_rules_state_guards_expanded():
         return False
 
     assert not any(scan(g) for g in affrules.MEMBERS.values())
+
+
+def test_affiliation_postprocess_matches_vectors():
+    """The vectorized DAG evaluator reproduces every generated vector
+    (gated against the exec'd reference at generation time): parent-
+    university consolidation, the sequential Navarra swap pairs, the
+    mid-stream len() probes, and untouched-id passthrough."""
+    import pandas as pd
+
+    from openalex_walden_spark.functions import affpost
+    from openalex_walden_spark.functions.affpost_data import (
+        PP_EXAMPLES,
+        PP_FINAL,
+        PP_NODES,
+        PP_VECTORS,
+    )
+
+    assert len(PP_FINAL) >= 400
+    assert len(PP_NODES) >= 20000
+    ids = pd.Series([i for _, i, _ in PP_EXAMPLES])
+    affs = pd.Series([s for _, _, s in PP_EXAMPLES])
+    got = affpost.refine_batch(ids, affs)
+    vex = {i: v for i, v in PP_VECTORS}
+    for n, (i, _, _) in enumerate(PP_EXAMPLES):
+        assert list(got.iloc[n]) == vex[i]
+
+
+def test_affiliation_postprocess_sequential_semantics():
+    """Hand-pinned sequential behaviors from the reference docstring:
+    the -1 placeholder drop, the Sorbonne-hospital parent add, and the
+    Navarra public/private swap."""
+    from openalex_walden_spark.functions.affpost import refine
+
+    assert refine([-1, 4210086685], "AP-HP Sorbonne University") == [
+        39804081,
+        4210086685,
+    ]
+    assert refine([88155538], "Universidad Pública de Navarra") == [175051016]
+    # untouched ids pass through untouched
+    assert refine([999999999], "anything") == [999999999]
