@@ -856,3 +856,192 @@ def funder_roles_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("roles")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 06_citations.py: citation-impact profile vs the world baseline
+# --------------------------------------------------------------------------
+# Corpus = urgent orders of nation-5 customers (the funded works).
+# FWCI plays as price over the cohort mean (the w4 device); top-1%/10%
+# flags come from the world percentile ranks; the profile is one row of
+# the reference's metrics dict (mean/median citations, mean/median
+# FWCI, share above 1, top-percentile counts).
+
+_CITE_PROFILE_SQL = """
+WITH world AS (
+  SELECT o.o_orderkey, o.o_custkey,
+         CAST(l.cnt AS BIGINT) AS cited_by_count,
+         o.o_totalprice
+           / (CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                   OVER (PARTITION BY o.o_orderpriority) AS DOUBLE)
+              / COUNT(*) OVER (PARTITION BY o.o_orderpriority)) AS fwci,
+         PERCENT_RANK() OVER (ORDER BY l.cnt) AS cite_pr,
+         o.o_orderpriority
+  FROM orders o
+  JOIN (SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey) l
+    ON l.l_orderkey = o.o_orderkey
+),
+corpus AS (
+  SELECT w.* FROM world w
+  JOIN customer c ON c.c_custkey = w.o_custkey
+  WHERE c.c_nationkey = 5 AND w.o_orderpriority = '1-URGENT'
+)
+SELECT COUNT(*) AS n_works,
+       CAST(SUM(cited_by_count) AS BIGINT) AS total_citations,
+       CAST(SUM(cited_by_count) AS DOUBLE) / COUNT(*) AS mean_citations,
+       CAST(MEDIAN(cited_by_count) AS DOUBLE) AS median_citations,
+       COUNT(CASE WHEN fwci > 1 THEN 1 END) AS n_fwci_above_1,
+       COUNT(CASE WHEN cite_pr >= 0.99 THEN 1 END) AS n_top_1pct,
+       COUNT(CASE WHEN cite_pr >= 0.90 THEN 1 END) AS n_top_10pct
+FROM corpus
+"""
+
+
+@register(
+    "impact_citation_profile",
+    oracle=_CITE_PROFILE_SQL,
+    tags=("analytics", "funder-impact", "W3", "A5"),
+    tables=("orders", "lineitem", "customer"),
+)
+def impact_citation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus citation-impact profile (06_citations.py): total/mean/
+    median citations, FWCI-above-1 count, and top-1%/top-10% counts
+    where the percentile is ranked against the WORLD, not the corpus
+    (the reference's explicit baseline choice).
+
+    Plan: citation counts are one rollup on the order key; the world
+    percentile is one window; the corpus filter applies AFTER ranking
+    (a corpus-side rank would inflate every share).  The final profile
+    is a single-row aggregate.  MEDIAN over bigint agrees bit-for-bit
+    in both engines (both interpolate halves of exact integers)."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        spark.table("lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wp = Window.partitionBy("o_orderpriority")
+    mean = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(wp).cast(
+        "double"
+    ) / F.count("*").over(wp)
+    world = (
+        spark.table("orders")
+        .join(counts, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "o_orderkey", "o_custkey", "o_orderpriority",
+            F.col("cnt").cast("bigint").alias("cited_by_count"),
+            (F.col("o_totalprice") / mean).alias("fwci"),
+            F.percent_rank().over(Window.orderBy("cnt")).alias("cite_pr"),
+        )
+    )
+    corpus = world.join(
+        F.broadcast(
+            spark.table("customer")
+            .where(F.col("c_nationkey") == 5)
+            .select("c_custkey")
+        ),
+        F.col("c_custkey") == F.col("o_custkey"),
+    ).where(F.col("o_orderpriority") == "1-URGENT")
+    return corpus.agg(
+        F.count(F.lit(1)).alias("n_works"),
+        F.sum("cited_by_count").alias("total_citations"),
+        (F.sum("cited_by_count").cast("double") / F.count(F.lit(1))).alias(
+            "mean_citations"
+        ),
+        F.median("cited_by_count").alias("median_citations"),
+        F.count(F.when(F.col("fwci") > 1, 1)).alias("n_fwci_above_1"),
+        F.count(F.when(F.col("cite_pr") >= 0.99, 1)).alias("n_top_1pct"),
+        F.count(F.when(F.col("cite_pr") >= 0.90, 1)).alias("n_top_10pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 12_top_fwci_stories.py: top works by FWCI with the consortium flag
+# --------------------------------------------------------------------------
+
+_TOP_FWCI_SQL = """
+WITH world AS (
+  SELECT o.o_orderkey AS work_id,
+         o.o_totalprice
+           / (CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                   OVER (PARTITION BY o.o_orderpriority) AS DOUBLE)
+              / COUNT(*) OVER (PARTITION BY o.o_orderpriority)) AS fwci,
+         CAST(l.cnt AS BIGINT) AS cited_by_count,
+         CAST(l.nsup AS BIGINT) AS n_authors,
+         o.o_custkey, o.o_orderpriority
+  FROM orders o
+  JOIN (SELECT l_orderkey, COUNT(*) AS cnt,
+               COUNT(DISTINCT l_suppkey) AS nsup
+        FROM lineitem GROUP BY l_orderkey) l
+    ON l.l_orderkey = o.o_orderkey
+),
+corpus AS (
+  SELECT w.* FROM world w
+  JOIN customer c ON c.c_custkey = w.o_custkey
+  WHERE c.c_nationkey = 5 AND w.o_orderpriority = '1-URGENT'
+)
+SELECT work_id, fwci, cited_by_count, n_authors,
+       n_authors >= 5 AS mega_consortium
+FROM corpus
+ORDER BY fwci DESC, work_id ASC
+LIMIT 50
+"""
+
+
+@register(
+    "impact_top_fwci_stories",
+    oracle=_TOP_FWCI_SQL,
+    tags=("analytics", "funder-impact", "T1", "W4"),
+    tables=("orders", "lineitem", "customer"),
+)
+def impact_top_fwci_stories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top corpus works by FWCI with the mega-consortium flag
+    (12_top_fwci_stories.py: huge author lists mark works where the
+    funder is one of many contributors, separated from funder-central
+    breakthroughs before storytelling).
+
+    Plan: FWCI is the cohort-mean window (exact decimal sum / count);
+    the top-50 is a TakeOrderedAndProject with a total tiebreak."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        spark.table("lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("l_suppkey").alias("nsup"),
+        )
+    )
+    wp = Window.partitionBy("o_orderpriority")
+    mean = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(wp).cast(
+        "double"
+    ) / F.count("*").over(wp)
+    world = (
+        spark.table("orders")
+        .join(counts, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_orderkey").alias("work_id"),
+            (F.col("o_totalprice") / mean).alias("fwci"),
+            F.col("cnt").cast("bigint").alias("cited_by_count"),
+            F.col("nsup").cast("bigint").alias("n_authors"),
+            "o_custkey", "o_orderpriority",
+        )
+    )
+    return (
+        world.join(
+            F.broadcast(
+                spark.table("customer")
+                .where(F.col("c_nationkey") == 5)
+                .select("c_custkey")
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "work_id", "fwci", "cited_by_count", "n_authors",
+            (F.col("n_authors") >= 5).alias("mega_consortium"),
+        )
+        .orderBy(F.col("fwci").desc(), F.col("work_id").asc())
+        .limit(50)
+    )
