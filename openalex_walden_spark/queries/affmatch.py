@@ -148,3 +148,91 @@ def affiliation_postprocess_refine(spark: SparkSession, sf_dir: str) -> DataFram
     return df.mapInPandas(
         run, "example_id INT, refined_ids STRING"
     ).coalesce(2)
+
+
+# --------------------------------------------------------------------------
+# Model-score threshold with first-prediction fallback
+# (institution_batch_inference.ipynb cell 12)
+# --------------------------------------------------------------------------
+# The inference post-step: keep predictions with score > 0.1, but when
+# the filter empties the list keep the FIRST (highest-ranked) model id
+# anyway — an empty assignment is worse than a low-confidence one.
+# model_response <- embeddings: vec_id keys a synthetic ranked
+# prediction list (3 entries, scores descending from a doc-keyed
+# lattice so some rows lose every entry to the threshold).
+
+_SCORE_FALLBACK_SQL = """
+WITH model AS (
+  SELECT vec_id,
+         [struct_pack(id := (vec_id * 7) % 1000,
+                      score := CAST((vec_id % 13) AS DOUBLE) / 40),
+          struct_pack(id := (vec_id * 11) % 1000,
+                      score := CAST((vec_id % 7) AS DOUBLE) / 80),
+          struct_pack(id := (vec_id * 13) % 1000,
+                      score := CAST((vec_id % 3) AS DOUBLE) / 100)]
+           AS model_response
+  FROM embeddings
+),
+inst_ids AS (
+  SELECT vec_id,
+         list_transform(
+           list_filter(model_response, x -> x.score > 0.1), x -> x.id)
+           AS scored_ids,
+         list_transform(model_response, x -> x.id) AS model_ids
+  FROM model
+)
+SELECT vec_id,
+       array_to_string(
+         list_transform(
+           CASE WHEN len(scored_ids) < 1 THEN model_ids[1:1]
+                ELSE scored_ids END,
+           x -> CAST(x AS VARCHAR)), '|') AS institution_ids
+FROM inst_ids
+"""
+
+
+@register(
+    "inference_score_fallback",
+    oracle=_SCORE_FALLBACK_SQL,
+    tags=("domain", "S8", "institutions", "P11"),
+    tables=("embeddings",),
+)
+def inference_score_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inference post-selection rule
+    (institution_batch_inference.ipynb cell 12): score > 0.1 filter
+    with the keep-first fallback when the filter empties the ranked
+    list.  Pure higher-order functions — no explode, no UDF.
+
+    Plan: map-side transform/filter/slice over the prediction arrays;
+    nothing shuffles."""
+    model = spark.table("embeddings").select(
+        "vec_id",
+        F.array(
+            F.struct(
+                ((F.col("vec_id") * 7) % 1000).alias("id"),
+                ((F.col("vec_id") % 13).cast("double") / 40).alias("score"),
+            ),
+            F.struct(
+                ((F.col("vec_id") * 11) % 1000).alias("id"),
+                ((F.col("vec_id") % 7).cast("double") / 80).alias("score"),
+            ),
+            F.struct(
+                ((F.col("vec_id") * 13) % 1000).alias("id"),
+                ((F.col("vec_id") % 3).cast("double") / 100).alias("score"),
+            ),
+        ).alias("model_response"),
+    )
+    scored = F.transform(
+        F.filter("model_response", lambda x: x["score"] > 0.1),
+        lambda x: x["id"],
+    )
+    model_ids = F.transform("model_response", lambda x: x["id"])
+    picked = F.when(
+        F.size(scored) < 1, F.slice(model_ids, 1, 1)
+    ).otherwise(scored)
+    return model.select(
+        "vec_id",
+        F.array_join(
+            F.transform(picked, lambda x: x.cast("string")), "|"
+        ).alias("institution_ids"),
+    )
