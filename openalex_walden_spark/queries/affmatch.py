@@ -24,12 +24,11 @@ from openalex_walden_spark.queries.registry import register
 
 
 def _examples_values(dialect: str) -> str:
+    # only the DuckDB oracle embeds the corpus as VALUES; the Spark side
+    # ships the same rows through createDataFrame
     rows = []
     for i, s in EXAMPLES:
-        if dialect == "spark":
-            lit = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
-        else:
-            lit = "'" + s.replace("'", "''") + "'"
+        lit = "'" + s.replace("'", "''") + "'"
         rows.append(f"({i}, {lit})")
     return ", ".join(rows)
 
