@@ -187,7 +187,7 @@ profiles AS (
            || ' L' || CAST(c_custkey % 50 AS {{STR}}) AS display_name,
          lower('L' || CAST(c_custkey % 50 AS {{STR}})) AS p_last,
          lower('F' || CAST(c_custkey % 20 AS {{STR}})) AS p_first
-  FROM customer WHERE c_custkey % 400 + 1 <= 400
+  FROM customer
 ),
 profile1 AS (
   SELECT id, MIN(display_name) AS display_name,
