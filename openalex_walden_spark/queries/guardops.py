@@ -28,12 +28,17 @@ One SQL template compiles to both dialects (CJK regex spelling, explode
 syntax, and the names_compatible macro differ), so the oracle checks
 the decision cascade itself.
 
-Fixture: seats from lineitem (3 per order), names 'F<j> L<i>' with a
-mechanical parse rule; i%9==7 names are absent from the parse table
-(unparsed), i%9==8 carry a CJK char; incoming names change per
-(okey+seq)%4 with a second changed seat on okey%5==0 works so
-corroboration fires; claims on okey%7==0, removes on okey%11==0,
-legacy rows for the fallback tiers.
+Fixture: seats from lineitem (3 per order, deduped — the synthetic
+data repeats seat keys), names 'F<j> L<i>' with a name-pure parse rule
+(i%9==7 buckets and CJK names do not parse); binding ids derive from
+the name buckets so a freed donor's profile display name reconstructs
+exactly; incoming names change per (okey+seq)%4, a second seat changes
+on okey%5==0 works (corroboration), and okey%45==0 works shift seat
+2's name onto seat 1 so the freed-donor exact realign fires; claims on
+okey%7==0, removes on okey%11==0; legacy rows carry the binding id on
+even works so the legacy fallback tiers fire.  Every telemetry class
+is non-zero at sf0.01 (realign 19, legacy 40, curated 52, both
+abstains, isolated holds).
 """
 
 from __future__ import annotations
@@ -74,10 +79,13 @@ def _batch_sql(d: str) -> str:
     cur_j = "(l_orderkey + l_linenumber) % 20"
     return f"""
 WITH seats AS (
-  SELECT l_orderkey AS work_id, l_linenumber AS seq,
+  -- the synthetic lineitem repeats (orderkey, linenumber) pairs; the
+  -- derived seat rows are identical, so DISTINCT restores seat keys
+  SELECT DISTINCT l_orderkey AS work_id, l_linenumber AS seq,
          {cur_i} AS ci, {cur_j} AS cj,
          CASE WHEN (l_orderkey + l_linenumber) % 13 = 0 THEN NULL
-              ELSE (l_orderkey * 3 + l_linenumber) % 400 + 1 END AS author_id
+              ELSE ((l_orderkey * 3 + l_linenumber) % 50) * 20
+                   + ((l_orderkey + l_linenumber) % 20) + 1 END AS author_id
   FROM lineitem WHERE l_linenumber <= 3
 ),
 named AS (
@@ -92,6 +100,9 @@ named AS (
 incoming AS (
   SELECT work_id, seq, ci, cj,
          CASE
+           WHEN work_id % 45 = 0 AND seq = 1
+             THEN 'F' || CAST((work_id + 2) % 20 AS {{STR}})
+                  || ' L' || CAST((work_id * 3 + 2) % 50 AS {{STR}})
            WHEN (work_id + seq) % 4 = 0 OR (work_id % 5 = 0 AND seq <= 2)
            THEN CASE
              WHEN work_id % 8 < 3
@@ -105,20 +116,25 @@ incoming AS (
          END AS incoming_name
   FROM named
 ),
--- the mechanical parse table: a name 'A B' parses to (last=lower(B),
--- first=lower(A)) unless the last bucket is the unparsed class (i%9=7)
--- or the name carries a non-latin char (frozen parser)
+-- the mechanical parse table — a PURE function of the name string so
+-- one name parses one way regardless of which seat mentions it: a name
+-- 'A B' parses to (last=lower(B), first=lower(A)); single-token 'X...'
+-- names and CJK names do not parse; 'L' buckets in the unparsed class
+-- (i%9=7) do not parse (the frozen-parser gap)
 parse AS (
   SELECT name,
-         CASE WHEN unparsed OR {regex}(name, '{cjk}') THEN NULL
+         CASE WHEN {regex}(name, '{cjk}') OR name NOT LIKE '% %' THEN NULL
+              WHEN name LIKE '% L%'
+               AND CAST(split_part(name, ' L', 2) AS INT) % 9 = 7 THEN NULL
               ELSE lower(split_part(name, ' ', 2)) END AS match_last,
-         CASE WHEN unparsed OR {regex}(name, '{cjk}') THEN NULL
+         CASE WHEN {regex}(name, '{cjk}') OR name NOT LIKE '% %' THEN NULL
+              WHEN name LIKE '% L%'
+               AND CAST(split_part(name, ' L', 2) AS INT) % 9 = 7 THEN NULL
               ELSE lower(split_part(name, ' ', 1)) END AS match_first
   FROM (
-    SELECT DISTINCT current_name AS name, ci % 9 = 7 AS unparsed
-    FROM named
+    SELECT DISTINCT current_name AS name FROM named
     UNION
-    SELECT DISTINCT incoming_name, ci % 9 = 7 FROM incoming
+    SELECT DISTINCT incoming_name FROM incoming
     WHERE incoming_name IS NOT NULL
   )
 ),
@@ -182,11 +198,15 @@ flagged AS (
 -- authors dim: a profile's display name derives from its id, so a
 -- freed donor's profile parses compatibly iff the id buckets align
 profiles AS (
-  SELECT c_custkey % 400 + 1 AS id,
-         'F' || CAST(c_custkey % 20 AS {{STR}})
-           || ' L' || CAST(c_custkey % 50 AS {{STR}}) AS display_name,
-         lower('L' || CAST(c_custkey % 50 AS {{STR}})) AS p_last,
-         lower('F' || CAST(c_custkey % 20 AS {{STR}})) AS p_first
+  SELECT c_custkey % 1000 + 1 AS id,
+         'F' || CAST((c_custkey % 1000) % 20 AS {{STR}})
+           || ' L' || CAST(CAST(((c_custkey % 1000)
+                                 - (c_custkey % 1000) % 20) / 20 AS INT)
+                           AS {{STR}}) AS display_name,
+         lower('L' || CAST(CAST(((c_custkey % 1000)
+                                 - (c_custkey % 1000) % 20) / 20 AS INT)
+                           AS {{STR}})) AS p_last,
+         lower('F' || CAST((c_custkey % 1000) % 20 AS {{STR}})) AS p_first
   FROM customer
 ),
 profile1 AS (
@@ -237,12 +257,16 @@ realign_unique AS (
   ) WHERE chosen_id IS NOT NULL
 ),
 legacy AS (
-  SELECT l_orderkey AS work_id,
+  SELECT DISTINCT l_orderkey AS work_id,
          CASE WHEN l_orderkey % 3 = 0
               THEN 'F' || CAST((l_orderkey + l_linenumber + 7) % 20 AS {{STR}})
                    || ' Q' || CAST(((l_orderkey * 3 + l_linenumber) % 50 + 31) % 50 AS {{STR}})
               ELSE 'Z' || CAST(l_linenumber AS {{STR}}) END AS raw_author_name,
-         (l_orderkey * 7 + l_linenumber) % 400 + 1 AS author_id
+         CASE WHEN l_orderkey % 2 = 0
+              THEN ((l_orderkey * 3 + l_linenumber) % 50) * 20
+                   + ((l_orderkey + l_linenumber) % 20) + 1
+              ELSE (l_orderkey * 7 + l_linenumber) % 400 + 1
+         END AS author_id
   FROM lineitem WHERE l_linenumber <= 2
 ),
 legacy_ok AS (
