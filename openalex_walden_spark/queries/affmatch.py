@@ -123,8 +123,10 @@ def affiliation_postprocess_refine(spark: SparkSession, sf_dir: str) -> DataFram
     Plan: one mapInPandas over a small example table; at scale the same
     evaluator runs over the matcher's output column — Arrow-batched,
     every DAG node one numpy op per batch, no per-row Python."""
+    from openalex_walden_spark.deploy import ensure_shipped
     from openalex_walden_spark.functions.affpost import refine_batch
 
+    ensure_shipped(spark)
     rows = [(i, ids, s) for i, ids, s in PP_EXAMPLES]
     df = spark.createDataFrame(
         rows, "i INT, input_ids ARRAY<BIGINT>, aff STRING"
