@@ -679,3 +679,19 @@ def test_content_manifest_partial_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "content_manifest_export")
     assert "partial_" in plan
     assert "Window" not in plan  # the reference's row_number rewrite held
+
+
+def test_affiliation_battery_single_projection(spark, sf_dir):
+    """The 1,174-rule matcher is ONE map-side projection — no shuffle,
+    no UDF, no join (the 100 TB claim: the cascade runs inside the
+    scan)."""
+    plan = _plan(spark, sf_dir, "affiliation_rules_match")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_guard_batch_no_cartesian(spark, sf_dir):
+    """The rebind cascade is seat-keyed hash joins throughout."""
+    plan = _plan(spark, sf_dir, "guard_verdict_batch")
+    assert "CartesianProduct" not in plan
