@@ -217,9 +217,96 @@ SDG_FRONTFILL = Pipeline(
     ),
 )
 
+# The per-funder award-scraper fan-out (jobs/create_funder_sourced_awards
+# .yaml): 312 tasks, 308 independent scraper roots feeding the
+# Create_Awards consolidation barrier, the Crossref/DataCite insert
+# chains, and the Work_Awards tail — generated data, see
+# funder_awards_tasks.py.
+from openalex_walden_spark.pipelines.funder_awards_tasks import (  # noqa: E402
+    FUNDER_AWARD_TASKS,
+)
+
+FUNDER_AWARDS = Pipeline(
+    name="create_funder_sourced_awards",
+    schedule="manual",  # run on demand; the yaml carries no trigger
+    tasks=tuple(
+        Task(name=n, deps=d, capability=cap)
+        for n, d, _nb, cap in FUNDER_AWARD_TASKS
+    ),
+)
+
+# jobs/snapshot_full.yaml: the 11 entity exports fan out, update_meta
+# barriers on ALL of them, smoke_tests gate sync_to_public.
+SNAPSHOT_FULL = Pipeline(
+    name="snapshot_full",
+    schedule="manual",
+    tasks=(
+        _t("export_works", (), "query:s6_json_export_shape"),
+        _t("export_authors", (), "query:s6_export_authors_shape"),
+        _t("export_publishers", (), "query:s6_export_publishers_shape"),
+        _t("export_institutions", (), "query:s6_export_institutions_shape"),
+        _t("export_sources", (), "query:s6_export_sources_shape"),
+        _t("export_topic_hierarchy", (), "query:s6_export_topic_hierarchy_shape"),
+        _t("export_funders", (), "query:s6_export_funders_shape"),
+        _t("export_awards", (), "query:s6_export_awards_shape"),
+        _t("export_keywords", (), "query:s6_export_keywords_shape"),
+        _t("export_concepts", (), "query:s6_export_concepts_shape"),
+        _t("export_common_entities", (), "query:s6_export_common_entities"),
+        _t("update_meta", ("export_works", "export_authors",
+                           "export_publishers", "export_institutions",
+                           "export_sources", "export_topic_hierarchy",
+                           "export_funders", "export_awards",
+                           "export_keywords", "export_concepts",
+                           "export_common_entities"),
+           "lib:sinks/json_export.py"),
+        _t("smoke_tests", ("update_meta",), "lib:operators/smoke.py"),
+        _t("sync_to_public", ("smoke_tests",), "lib:sinks/json_export.py"),
+    ),
+)
+
+# jobs/institutions.yaml / concepts.yaml / award_topics.yaml: the three
+# small chains (ROR sync, concepts inference, award-topics inference).
+INSTITUTIONS = Pipeline(
+    name="institutions",
+    schedule="0 0 2 * * ?",
+    tasks=(
+        _t("create_update_institutions", (), "query:institutions_from_ror_sync"),
+        _t("ror_derived_tables", ("create_update_institutions",),
+           "query:ror_derived_tables"),
+        _t("institution_ancestors", ("ror_derived_tables",),
+           "query:institution_ancestors_lineage"),
+    ),
+)
+
+CONCEPTS = Pipeline(
+    name="concepts",
+    schedule="manual",
+    tasks=(
+        _t("concepts_create_input", (), "query:concepts_input_gate"),
+        _t("concepts_inference", ("concepts_create_input",),
+           "query:s8_model_inference"),
+        _t("concepts_merge_output", ("concepts_inference",),
+           "query:topics_merge_output"),
+    ),
+)
+
+AWARD_TOPICS = Pipeline(
+    name="award_topics",
+    schedule="manual",
+    tasks=(
+        _t("award_topics_create_input", (), "query:topics_inference_frontier"),
+        _t("award_topics_inference", ("award_topics_create_input",),
+           "query:s8_model_inference"),
+        _t("award_topics_merge_output", ("award_topics_inference",),
+           "query:topics_merge_output"),
+    ),
+)
+
 PIPELINES: dict[str, Pipeline] = {
     p.name: p
-    for p in (END2END, AUTHORS, DAILY_METRICS, WUNPAYWALL_FEED, TOPICS, SDG_FRONTFILL)
+    for p in (END2END, AUTHORS, DAILY_METRICS, WUNPAYWALL_FEED, TOPICS,
+              SDG_FRONTFILL, FUNDER_AWARDS, SNAPSHOT_FULL, INSTITUTIONS,
+              CONCEPTS, AWARD_TOPICS)
 }
 
 

@@ -71,3 +71,40 @@ def test_end2end_critical_path_runs_ingest_to_ras_sync():
     for a, b in zip(cp, cp[1:]):
         task = next(t for t in END2END.tasks if t.name == b)
         assert a in task.deps
+
+
+def test_funder_awards_dag_shape():
+    """The per-funder scraper fan-out (jobs/create_funder_sourced_awards
+    .yaml): 312 tasks, 308 independent roots in wave 1, the
+    Crossref/DataCite inserts chained, Create_Awards barriers on the
+    scraper fleet, Work_Awards last."""
+    from openalex_walden_spark.pipelines.registry import (
+        PIPELINES,
+        execution_waves,
+    )
+
+    p = PIPELINES["create_funder_sourced_awards"]
+    assert len(p.tasks) == 312
+    waves = execution_waves(p)
+    assert len(waves[0]) == 308
+    assert "Create_Awards" not in waves[0]
+    assert waves[-1] == ["Work_Awards"]
+    ca = next(t for t in p.tasks if t.name == "Create_Awards")
+    assert len(ca.deps) > 250  # the consolidation barrier
+
+
+def test_snapshot_full_dag_gates_public_sync():
+    """snapshot_full: 11 exports fan out, update_meta barriers on all,
+    smoke_tests gate sync_to_public — publishing is impossible without
+    the QA pass."""
+    from openalex_walden_spark.pipelines.registry import (
+        PIPELINES,
+        execution_waves,
+    )
+
+    p = PIPELINES["snapshot_full"]
+    waves = execution_waves(p)
+    assert len(waves[0]) == 11
+    assert waves[1] == ["update_meta"]
+    assert waves[2] == ["smoke_tests"]
+    assert waves[3] == ["sync_to_public"]
