@@ -900,3 +900,33 @@ def test_affiliation_postprocess_sequential_semantics():
     assert refine([88155538], "Universidad Pública de Navarra") == [175051016]
     # untouched ids pass through untouched
     assert refine([999999999], "anything") == [999999999]
+
+
+def test_affiliation_generators_in_sync_with_reference():
+    """The committed rules-as-data modules match a fresh extraction
+    from the reference (drift guard for the generated ports); skipped
+    where the reference checkout is absent."""
+    import os
+    import subprocess
+    import sys
+
+    import pytest as _pytest
+
+    ref = "/root/reference/notebooks/institutions/affiliation_string_parsing.py"
+    if not os.path.exists(ref):
+        _pytest.skip("reference checkout not available")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for script, data in (
+        ("scripts/gen_affiliation_rules.py",
+         "openalex_walden_spark/functions/affrules_data.py"),
+        ("scripts/gen_affiliation_postprocess.py",
+         "openalex_walden_spark/functions/affpost_data.py"),
+    ):
+        before = open(os.path.join(root, data), encoding="utf-8").read()
+        r = subprocess.run(
+            [sys.executable, script], cwd=root,
+            capture_output=True, text=True, timeout=600,
+        )
+        assert r.returncode == 0, f"{script} failed:\n{r.stdout[-2000:]}"
+        after = open(os.path.join(root, data), encoding="utf-8").read()
+        assert before == after, f"{data} drifted from the generator output"
