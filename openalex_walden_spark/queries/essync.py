@@ -274,3 +274,111 @@ def content_manifest_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src.native_id_namespace").alias("native_id_namespace"),
         "updated_date",
     )
+
+
+# --------------------------------------------------------------------------
+# Snapshot retention plan (export_wunpaywall.ipynb cell 1)
+# --------------------------------------------------------------------------
+# After each weekly export the reference lists the snapshot prefix,
+# parses the timestamp out of 'unpaywall_snapshot_<ts>.jsonl.gz' names
+# (files that do not match the pattern are never deletion candidates),
+# keeps the newest 5, and deletes the rest.  Listing <- orders: one
+# dated snapshot name per day-bucket plus non-matching manifest noise;
+# the plan marks keep/delete per file.
+
+_RETENTION_SQL = """
+WITH listing AS (
+  SELECT DISTINCT
+    CASE WHEN o_orderkey % 9 = 0 THEN 'manifest_' || CAST(o_orderkey AS VARCHAR) || '.json'
+         ELSE 'unpaywall_snapshot_' || strftime(o_orderdate, '%Y-%m-%d')
+              || 'T' || lpad(CAST(o_orderkey % 240000 AS VARCHAR), 6, '0')
+              || '.jsonl.gz'
+    END AS file_key
+  FROM orders WHERE o_orderkey % 151 = 0
+),
+parsed AS (
+  SELECT file_key,
+         regexp_extract(file_key,
+           'unpaywall_snapshot_([0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{6})\\.jsonl\\.gz$',
+           1) AS snap_ts
+  FROM listing
+),
+ranked AS (
+  SELECT file_key, snap_ts,
+         CASE WHEN snap_ts <> '' THEN
+           ROW_NUMBER() OVER (PARTITION BY (snap_ts <> '')
+                              ORDER BY snap_ts DESC, file_key)
+         END AS recency
+  FROM parsed
+)
+SELECT file_key,
+       CASE WHEN snap_ts = '' THEN 'not_a_snapshot'
+            WHEN recency <= 5 THEN 'keep'
+            ELSE 'delete' END AS action
+FROM ranked
+"""
+
+
+@register(
+    "snapshot_retention_plan",
+    oracle=_RETENTION_SQL,
+    tags=("sink", "S6", "essync", "T4"),
+    tables=("orders",),
+)
+def snapshot_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekly-export retention pass (export_wunpaywall.ipynb):
+    parse the timestamp out of conforming snapshot names, keep the
+    newest five, schedule the rest for deletion — files that do not
+    match the pattern are never candidates (the reference's guard
+    against deleting manifests).
+
+    Plan: the listing is object-store-metadata-sized; one window ranks
+    conforming names by the embedded timestamp."""
+    from pyspark.sql.window import Window
+
+    listing = (
+        spark.table("orders")
+        .where(F.col("o_orderkey") % 151 == 0)
+        .select(
+            F.when(
+                F.col("o_orderkey") % 9 == 0,
+                F.concat(
+                    F.lit("manifest_"),
+                    F.col("o_orderkey").cast("string"), F.lit(".json"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("unpaywall_snapshot_"),
+                    F.date_format("o_orderdate", "yyyy-MM-dd"),
+                    F.lit("T"),
+                    F.lpad((F.col("o_orderkey") % 240000).cast("string"), 6, "0"),
+                    F.lit(".jsonl.gz"),
+                )
+            )
+            .alias("file_key")
+        )
+        .distinct()
+    )
+    parsed = listing.select(
+        "file_key",
+        F.regexp_extract(
+            "file_key",
+            r"unpaywall_snapshot_([0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{6})\.jsonl\.gz$",
+            1,
+        ).alias("snap_ts"),
+    )
+    w = Window.partitionBy(F.col("snap_ts") != "").orderBy(
+        F.col("snap_ts").desc(), F.col("file_key")
+    )
+    ranked = parsed.withColumn(
+        "recency",
+        F.when(F.col("snap_ts") != "", F.row_number().over(w)),
+    )
+    return ranked.select(
+        "file_key",
+        F.when(F.col("snap_ts") == "", F.lit("not_a_snapshot"))
+        .when(F.col("recency") <= 5, F.lit("keep"))
+        .otherwise(F.lit("delete"))
+        .alias("action"),
+    )
