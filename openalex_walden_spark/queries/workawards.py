@@ -899,3 +899,172 @@ def award_truncated_tail_canonical(spark: SparkSession, sf_dir: str) -> DataFram
     and cross-funder gates are grouped rollups — no similarity scan,
     no cartesian."""
     return spark.sql(_ttail_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# institution_awarded extraction (CreateAwardsAPI.ipynb, oxjob #123.2)
+# ---------------------------------------------------------------------------
+# The awards-API enrichment that links grants to grantee institutions:
+# collect distinct affiliation strings across the lead / co-lead /
+# investigators[] slots (KAKEN sourced from its raw projects table
+# instead of the messy composite; provenances with no usable
+# investigator structure excluded; known junk strings dropped), then
+# disambiguate via the affiliation lookup — the rule-parser override
+# wins when present and not the [-1] sentinel, else the model response
+# is score-filtered with a PER-SOURCE threshold (0.1 for NIH/NSF/KAKEN
+# whose strings deviate from the works-author distribution, 0.3
+# elsewhere) — then explode, dedupe by institution (multi-site grants
+# keep multi-element arrays), hydrate, and collect per award.
+#
+# fixture: awards <- orders (provenance by o%6 incl. two excluded
+# sources), slot strings 'aff<j>' with junk injections, a KAKEN raw
+# projects join, a lookup whose override/sentinel/model arms cycle by
+# j%5, and an institutions dim keyed by the id arithmetic.
+
+def _ia_sql(d: str) -> str:
+    str_t = "VARCHAR" if d == "duckdb" else "STRING"
+    arr = "list_value" if d == "duckdb" else "ARRAY"
+    if d == "duckdb":
+        explode_inv = ("CROSS JOIN (SELECT UNNEST(range(0, 2)) AS slot) t")
+        arr_sig = (
+            "COALESCE(array_to_string(list_sort(list_transform(ids_h, "
+            "x -> x)), '|'), '')"
+        )
+    else:
+        explode_inv = "LATERAL VIEW explode(sequence(0, 1)) t AS slot"
+        arr_sig = (
+            "COALESCE(array_join(array_sort(transform(ids_h, x -> x)), "
+            "'|'), '')"
+        )
+    return f"""
+WITH awards AS (
+  SELECT o_orderkey AS id,
+         CASE CAST(o_orderkey % 6 AS INT)
+           WHEN 0 THEN 'nih_exporter' WHEN 1 THEN 'nsf_award_search'
+           WHEN 2 THEN 'other_src' WHEN 3 THEN 'kaken'
+           WHEN 4 THEN 'crossref_work_funders' ELSE 'usaspending'
+         END AS provenance,
+         'k' || CAST(o_orderkey % 500 AS {str_t}) AS funder_award_id,
+         CASE CAST(o_orderkey % 7 AS INT)
+           WHEN 0 THEN 'grantee'
+           WHEN 1 THEN 'Institution abroad (somewhere)'
+           ELSE 'aff' || CAST(o_orderkey % 30 AS {str_t}) END AS lead_raw,
+         CASE WHEN o_orderkey % 3 = 0
+              THEN 'aff' || CAST((o_orderkey + 3) % 30 AS {str_t}) END
+           AS colead_raw
+  FROM orders
+),
+inv_slots AS (
+  SELECT id, provenance,
+         'aff' || CAST((id + slot + 11) % 30 AS {str_t}) AS raw
+  FROM awards {explode_inv}
+  WHERE id % 4 < 2 + slot  -- 0-2 investigators per award
+),
+kaken_raw AS (
+  SELECT DISTINCT 'k' || CAST(o_orderkey % 500 AS {str_t}) AS project_id,
+         'kaff' || CAST(o_orderkey % 20 AS {str_t}) AS institution
+  FROM orders WHERE o_orderkey % 12 = 3  -- half the kaken awards match
+),
+all_strings AS (
+  SELECT DISTINCT award_id, provenance, raw,
+         CASE WHEN provenance IN ('nih_exporter', 'nsf_award_search', 'kaken')
+              THEN 0.1 ELSE 0.3 END AS thresh
+  FROM (
+    SELECT id AS award_id, provenance, lead_raw AS raw FROM awards
+    WHERE provenance NOT IN ('kaken', 'crossref_work_funders', 'usaspending')
+      AND lead_raw IS NOT NULL
+    UNION ALL
+    SELECT id, provenance, colead_raw FROM awards
+    WHERE provenance NOT IN ('kaken', 'crossref_work_funders', 'usaspending')
+      AND colead_raw IS NOT NULL
+    UNION ALL
+    SELECT id, provenance, raw FROM inv_slots
+    WHERE provenance NOT IN ('kaken', 'crossref_work_funders', 'usaspending')
+    UNION ALL
+    SELECT a.id, a.provenance, k.institution
+    FROM awards a JOIN kaken_raw k ON a.funder_award_id = k.project_id
+    WHERE a.provenance = 'kaken'
+  )
+  WHERE raw IS NOT NULL
+    AND raw NOT LIKE 'Institution abroad%'
+    AND LOWER(TRIM(raw)) NOT IN ('grantee', 'n/a', 'unknown', 'none', 'other')
+),
+lookup AS (
+  SELECT raw_affiliation_string, override, model_ids, model_scores FROM (
+    SELECT 'aff' || CAST(j AS {str_t}) AS raw_affiliation_string,
+           CASE WHEN j % 5 = 0 THEN {arr}(CAST(j + 100 AS BIGINT))
+                WHEN j % 5 = 1 THEN {arr}(CAST(-1 AS BIGINT))
+                ELSE {arr}(CAST(NULL AS BIGINT))
+           END AS override,
+           {arr}(CAST(j + 200 AS BIGINT), CAST(j + 300 AS BIGINT)) AS model_ids,
+           {arr}(CAST(0.05 + (j % 4) * 0.1 AS DOUBLE),
+                 CAST(0.25 AS DOUBLE)) AS model_scores
+    FROM (SELECT DISTINCT CAST(c_custkey % 30 AS INT) AS j FROM customer)
+    UNION ALL
+    SELECT 'kaff' || CAST(j AS {str_t}),
+           {arr}(CAST(NULL AS BIGINT)), {arr}(CAST(j + 400 AS BIGINT)),
+           {arr}(CAST(0.2 AS DOUBLE))
+    FROM (SELECT DISTINCT CAST(c_custkey % 20 AS INT) AS j FROM customer)
+  )
+),
+disambiguated AS (
+  SELECT s.award_id,
+    CASE
+      WHEN {("len(list_filter(l.override, x -> x IS NOT NULL)) > 0" if d == "duckdb" else "SIZE(FILTER(l.override, x -> x IS NOT NULL)) > 0")}
+           AND NOT {("list_contains(l.override, -1)" if d == "duckdb" else "ARRAY_CONTAINS(l.override, CAST(-1 AS BIGINT))")}
+        THEN l.override
+      ELSE {("list_transform(list_filter(list_zip(l.model_ids, l.model_scores), x -> x[2] >= s.thresh), x -> x[1])" if d == "duckdb" else "TRANSFORM(FILTER(arrays_zip(l.model_ids, l.model_scores), x -> x.model_scores >= s.thresh), x -> x.model_ids)")}
+    END AS ids
+  FROM all_strings s
+  JOIN lookup l ON s.raw = l.raw_affiliation_string
+),
+exploded AS (
+  SELECT award_id, institution_id
+  FROM (
+    SELECT award_id, {("UNNEST(ids)" if d == "duckdb" else "EXPLODE(ids)")} AS institution_id
+    FROM disambiguated
+  ) WHERE institution_id IS NOT NULL
+),
+deduped AS (SELECT DISTINCT award_id, institution_id FROM exploded),
+institutions AS (
+  SELECT DISTINCT CAST(c_custkey % 800 AS BIGINT) AS iid,
+         'Inst ' || CAST(c_custkey % 800 AS {str_t}) AS display_name,
+         'https://ror.org/0' || CAST(c_custkey % 800 AS {str_t}) AS ror
+  FROM customer
+),
+hydrated AS (
+  SELECT d.award_id,
+         'I' || CAST(i.iid AS {str_t}) || ':' || i.display_name
+           || ':' || i.ror AS sig
+  FROM deduped d JOIN institutions i ON d.institution_id = i.iid
+),
+per_award AS (
+  SELECT award_id,
+         {("list_sort(list(sig))" if d == "duckdb" else "array_sort(collect_list(sig))")} AS ids_h
+  FROM hydrated GROUP BY award_id
+)
+SELECT a.id AS award_id, a.provenance,
+       {arr_sig} AS institution_awarded
+FROM awards a
+LEFT JOIN per_award p ON a.id = p.award_id
+"""
+
+
+@register(
+    "award_institution_awarded",
+    oracle=_ia_sql("duckdb"),
+    tags=("domain", "awards", "P8", "A2"),
+    tables=("orders", "customer"),
+)
+def award_institution_awarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grants -> grantee-institution enrichment
+    (CreateAwardsAPI.ipynb, oxjob #123.2): multi-slot string collection
+    with the KAKEN raw-table swap and the excluded-provenance list,
+    junk-string filtering, override-beats-model disambiguation with the
+    [-1] sentinel carve, PER-SOURCE score thresholds, multi-site
+    dedupe, hydrate + per-award collect; awards whose sources carry no
+    usable structure surface with empty arrays via the left join.
+
+    Plan: slot collection is a union of projections (one scan family);
+    the lookup and institutions dims broadcast; one rollup per award."""
+    return spark.sql(_ia_sql("spark"))
