@@ -1068,3 +1068,119 @@ def award_institution_awarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: slot collection is a union of projections (one scan family);
     the lookup and institutions dims broadcast; one rollup per award."""
     return spark.sql(_ia_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Crossref grant-record parser (CreateCrossrefAwards.ipynb)
+# ---------------------------------------------------------------------------
+# Crossref items of type 'grant' (a different record shape from works —
+# the works parser DROPS them) become award rows: latest-indexed dedup
+# per DOI, funder resolution through the TYPED id (ROR-type ids join
+# the funder dim's ror, DOI-type ids its doi; the reference writes one
+# OR-join against the broadcast dim — here two equi-joins with the DOI
+# arm winning, same answer without the double-match duplication), the
+# day-GUARDED make_date (a grant with year-month-only parts keeps
+# start_year but a NULL start_date — the works parser's default-to-1
+# ladder is deliberately NOT used here), and the minted id
+# hash(funder:lower(award)) % 9e9 (reference: xxhash64; the engine's
+# portable md5 hash per functions/hashing.py so the oracle can mint the
+# same ids).
+#
+# fixture: grants <- orders (duplicate DOIs on okey%3000 exercise the
+# dedup; typed funder id alternates ROR/DOI/absent by okey%3; day part
+# NULL on okey%5=0), funder dim <- customer keyed by c%200.
+
+def _cg_sql(d: str) -> str:
+    str_t = "VARCHAR" if d == "duckdb" else "STRING"
+    if d == "duckdb":
+        h = ("(('0x' || substr(md5('{x}'), 1, 15))::BIGINT)")
+        rn = "ROW_NUMBER() OVER (PARTITION BY doi ORDER BY indexed_ts DESC, k DESC)"
+    else:
+        h = "cast(conv(substr(md5('{x}'), 1, 15), 16, 10) as bigint)"
+        rn = "ROW_NUMBER() OVER (PARTITION BY doi ORDER BY indexed_ts DESC, k DESC)"
+    # the mint expression over a column expression (not a literal)
+    mint_d = "(('0x' || substr(md5(mint_key), 1, 15))::BIGINT) % 9000000000"
+    mint_s = "cast(conv(substr(md5(mint_key), 1, 15), 16, 10) as bigint) % 9000000000"
+    mint = mint_d if d == "duckdb" else mint_s
+    return f"""
+WITH grants AS (
+  SELECT o_orderkey AS k,
+         'g/' || CAST(o_orderkey % 3000 AS {str_t}) AS doi,
+         o_orderdate AS indexed_ts,
+         'AW-' || CAST(o_orderkey % 700 AS {str_t}) AS award,
+         'Grant ' || CAST(o_orderkey % 700 AS {str_t}) AS title,
+         CASE CAST(o_orderkey % 3 AS INT)
+           WHEN 0 THEN 'ROR' WHEN 1 THEN 'DOI' END AS funder_id_type,
+         CASE CAST(o_orderkey % 3 AS INT)
+           WHEN 0 THEN 'https://ror.org/0' || CAST(o_orderkey % 200 AS {str_t})
+           WHEN 1 THEN '10.13039/5' || CAST(o_orderkey % 200 AS {str_t})
+         END AS funder_typed_id,
+         year(o_orderdate) AS sy,
+         CAST(o_orderkey % 12 + 1 AS INT) AS sm,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL
+              ELSE CAST(o_orderkey % 28 + 1 AS INT) END AS sd,
+         CAST(o_orderkey % 900000 AS INT) AS amount,
+         CASE WHEN o_orderkey % 4 = 0 THEN 'EUR' ELSE 'USD' END AS currency
+  FROM orders
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, {rn} AS rn FROM grants
+  ) WHERE rn = 1
+),
+funders AS (
+  SELECT DISTINCT CAST(c_custkey % 200 AS BIGINT) AS f_funder_id,
+         'Funder ' || CAST(c_custkey % 200 AS {str_t}) AS f_display_name,
+         'https://ror.org/0' || CAST(c_custkey % 200 AS {str_t}) AS f_ror_id,
+         '10.13039/5' || CAST(c_custkey % 200 AS {str_t}) AS f_doi
+  FROM customer
+),
+resolved AS (
+  SELECT g.*,
+         COALESCE(fd.f_funder_id, fr.f_funder_id) AS funder_id,
+         COALESCE(fd.f_display_name, fr.f_display_name) AS funder_name
+  FROM deduped g
+  LEFT JOIN funders fd
+    ON g.funder_id_type = 'DOI' AND g.funder_typed_id = fd.f_doi
+  LEFT JOIN funders fr
+    ON g.funder_id_type = 'ROR' AND g.funder_typed_id = fr.f_ror_id
+),
+minted AS (
+  SELECT *,
+         CAST(funder_id AS {str_t}) || ':' || lower(award) AS mint_key
+  FROM resolved
+)
+SELECT {mint} AS id,
+       title AS display_name,
+       funder_id, award AS funder_award_id,
+       amount, currency,
+       CASE WHEN funder_id IS NOT NULL
+            THEN 'https://openalex.org/F' || CAST(funder_id AS {str_t})
+                 || '|' || funder_name END AS funder_sig,
+       'crossref_work' AS provenance,
+       CAST(CASE WHEN sd IS NOT NULL THEN make_date(sy, sm, sd) END
+            AS {str_t}) AS start_date,
+       CAST(sy AS INT) AS start_year,
+       'https://api.openalex.org/works?filter=awards.id:G'
+         || CAST({mint} AS {str_t}) AS works_api_url
+FROM minted
+"""
+
+
+@register(
+    "crossref_grant_awards_build",
+    oracle=_cg_sql("duckdb"),
+    tags=("domain", "awards", "S1", "J2"),
+    tables=("orders", "customer"),
+)
+def crossref_grant_awards_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Crossref grant-record parser (CreateCrossrefAwards.ipynb):
+    latest-indexed dedup per DOI, typed-id funder resolution (ROR-type
+    ids against the dim's ror, DOI-type against its doi — two equi-
+    joins replacing the reference's OR-join, DOI arm winning), the
+    day-GUARDED make_date (year-month-only grants keep start_year with
+    a NULL start_date), and the portable hash-minted award id.
+
+    Plan: the funder dim broadcasts; dedup is one window on the DOI;
+    everything else is map-side projection."""
+    return spark.sql(_cg_sql("spark"))
