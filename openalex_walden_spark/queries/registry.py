@@ -20,6 +20,8 @@ class QuerySpec:
     tags: tuple[str, ...] = ()
     doc: str = ""
     tables: tuple[str, ...] = TABLES
+    module: str = ""  # defining module — the unit of change for the
+    #                   driver-window freshness audit (test_driver_window)
 
 
 CATALOG: dict[str, QuerySpec] = {}
@@ -51,6 +53,7 @@ def register(
             tags=tags,
             doc=doc or (fn.__doc__ or ""),
             tables=tables,
+            module=fn.__module__,
         )
         return run
 

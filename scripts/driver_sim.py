@@ -28,20 +28,31 @@ def main() -> int:
     assert sorted(order) == sorted(_q.CATALOG), "order != catalog"
     window = set(order[:50])
     retired = set(e._ROTATION)
-    fresh = [
-        n
-        for n in _q.CATALOG
-        if n not in retired and n not in set(e._CHANGED_THIS_ROUND)
-    ]
+    changed = [n for n in e._CHANGED_THIS_ROUND if n in _q.CATALOG]
+    # Changed-since-last-green queries MUST occupy window slots ahead of
+    # never-verified ones: a stale green looks verified, an unchecked
+    # new query doesn't (round-8 verdict, What's wrong #1).
+    missing_changed = [n for n in changed if n not in window]
+    assert not missing_changed, (
+        f"_CHANGED_THIS_ROUND entries outside the 50-slot window: "
+        f"{missing_changed}"
+    )
+    fresh = [n for n in _q.CATALOG if n not in retired and n not in set(changed)]
     out = [n for n in fresh if n not in window]
     # Overflow is legitimate ONLY when the window is already saturated
-    # with never-verified queries — then later additions queue for the
-    # next round's rotation instead of displacing a priority slot.  What
+    # with changed + never-verified queries — then later additions queue
+    # for the next round instead of displacing a priority slot.  What
     # must never happen is a half-empty window while fresh queries wait.
     if out:
         assert all(n not in retired for n in order[:50]) and len(order) > 50, (
             f"window not saturated yet these queries sit outside it: {out}"
         )
+        print(
+            f"VERIFICATION DEBT: {len(out)} never-verified queries overflow "
+            f"this round's 50-slot window and wait for the next round:"
+        )
+        for n in out:
+            print(f"  overflow: {n}")
 
     spark = (
         SparkSession.builder.master("local[8]")

@@ -1,0 +1,142 @@
+"""Mechanical freshness audit for the driver verification window.
+
+Round-8 verdict (What's wrong #1): ``_CHANGED_THIS_ROUND`` was
+maintained by hand and shipped empty over seven plan-changing commits,
+so the driver's green rows vouched for superseded plans.  This test
+derives the changed set from git instead: any catalog query whose
+defining module changed since the last round-boundary commit must be
+
+  * in ``_CHANGED_THIS_ROUND`` (fronted for re-verification), or
+  * never driver-verified (the window already fronts those), or
+  * in ``_WINDOW_EXEMPT`` with a written reason (module touched, this
+    query's plan provably untouched — e.g. a sibling query was added).
+
+Granularity note: the unit of change is the query's *defining module*
+(``QuerySpec.module``).  Changes to shared dependency modules
+(``functions/``, ``operators/``) are NOT caught mechanically — those
+still rely on the maintainer adding the affected queries to
+``_CHANGED_THIS_ROUND`` — but every round-8 miss would have been caught
+at this granularity (all seven changed queries' own modules changed).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+import sys  # noqa: E402
+
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+import __spark_entry__ as e  # noqa: E402
+from openalex_walden_spark import queries as _q  # noqa: E402
+
+WINDOW = 50
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=REPO, capture_output=True, text=True, check=True
+    ).stdout
+
+
+def _round_boundary_commit() -> str:
+    """The driver's last 'round N: verdict/...' commit = round start."""
+    return _git(
+        "log", "--grep", "^round [0-9]*: verdict", "-n", "1", "--format=%H"
+    ).strip()
+
+
+def _changed_query_modules(boundary: str) -> set[str]:
+    """Short module names under queries/ changed since the boundary,
+    including uncommitted working-tree edits (diff vs the commit)."""
+    diff = _git(
+        "diff", "--name-only", boundary, "--",
+        "openalex_walden_spark/queries",
+    )
+    mods = set()
+    for line in diff.splitlines():
+        base = os.path.basename(line.strip())
+        if base.endswith(".py") and base not in ("__init__.py", "registry.py"):
+            mods.add(base[: -len(".py")])
+    return mods
+
+
+@pytest.fixture(scope="module")
+def boundary() -> str:
+    try:
+        commit = _round_boundary_commit()
+    except (OSError, subprocess.CalledProcessError) as ex:  # pragma: no cover
+        pytest.fail(f"git unavailable for the window audit: {ex}")
+    assert commit, "no round-boundary commit found (driver always writes one)"
+    return commit
+
+
+def test_changed_query_modules_are_fronted(boundary: str) -> None:
+    changed_mods = _changed_query_modules(boundary)
+    rotation = set(e._ROTATION)
+    fronted = set(e._CHANGED_THIS_ROUND)
+    exempt = set(e._WINDOW_EXEMPT)
+    stale = []
+    for name, spec in _q.CATALOG.items():
+        mod = spec.module.rsplit(".", 1)[-1]
+        if mod not in changed_mods:
+            continue
+        if name in fronted or name in exempt or name not in rotation:
+            continue
+        stale.append((name, mod))
+    assert not stale, (
+        "queries with a green driver row whose defining module changed "
+        "this round, yet not fronted in _CHANGED_THIS_ROUND (or "
+        f"explicitly exempted with a reason): {stale}"
+    )
+
+
+def test_exemptions_carry_reasons() -> None:
+    for name, reason in e._WINDOW_EXEMPT.items():
+        assert name in _q.CATALOG, f"exemption for unknown query {name!r}"
+        assert len(reason.strip()) >= 20, (
+            f"exemption for {name!r} needs a checkable reason, got {reason!r}"
+        )
+        assert name not in e._CHANGED_THIS_ROUND, (
+            f"{name!r} is both fronted and exempted — pick one"
+        )
+
+
+def test_changed_front_occupies_window_slots() -> None:
+    """A changed green must win a slot over never-verified queries."""
+    order = e._driver_order()
+    window = set(order[:WINDOW])
+    missing = [
+        n for n in e._CHANGED_THIS_ROUND if n in _q.CATALOG and n not in window
+    ]
+    assert not missing, f"_CHANGED_THIS_ROUND outside the window: {missing}"
+
+
+def test_order_covers_catalog_exactly_once() -> None:
+    order = e._driver_order()
+    assert sorted(order) == sorted(_q.CATALOG)
+    assert len(order) == len(set(order))
+
+
+def test_rotation_lists_are_disjoint() -> None:
+    """A query's last-green round must be recorded exactly once, and the
+    never-verified backlog must not claim a green query."""
+    lists = [
+        e._LAST_GREEN_R2, e._LAST_GREEN_R4, e._LAST_GREEN_R5,
+        e._LAST_GREEN_R6, e._LAST_GREEN_R7, e._LAST_GREEN_R8,
+    ]
+    seen: set[str] = set()
+    for lst in lists:
+        dupes = seen & set(lst)
+        assert not dupes, f"query in two last-green lists: {dupes}"
+        seen |= set(lst)
+    backlog_greens = set(e._NEVER_VERIFIED_BACKLOG) & seen
+    assert not backlog_greens, (
+        f"backlog entries that already have a green row: {backlog_greens}"
+    )
