@@ -381,8 +381,11 @@ def refine(final, touched, input_ids, s):
     return sorted(out)
 
 
-def main():
+def main(out_path=None):
+    out_path = out_path or (sys.argv[1] if len(sys.argv) > 1 else OUT)
     src = open(REF, encoding="utf-8").read()
+    import hashlib
+    source_sha = hashlib.sha256(src.encode("utf-8")).hexdigest()
     tree = ast.parse(src)
     fns = {n.name: n for n in tree.body if isinstance(n, ast.FunctionDef)}
     fpp = fns["process_current_affiliation_with_ids"]
@@ -503,7 +506,7 @@ def main():
 
     final_idx = [(iid, enc(expr)) for iid, expr in final]
     print(f"node table: {len(nodes)} rows")
-    with open(OUT, "w", encoding="utf-8") as fh:
+    with open(out_path, "w", encoding="utf-8") as fh:
         fh.write(
             '"""GENERATED by scripts/gen_affiliation_postprocess.py — the\n'
             "reference's post-matching disambiguation cascade\n"
@@ -511,13 +514,14 @@ def main():
             "DAG (node table with index references; the inline expansion\n"
             'is ~9e9 nodes).  Behavioral data port; do not edit."""\n\n'
         )
+        fh.write(f"SOURCE_SHA256 = {source_sha!r}\n\n")
         fh.write(f"PP_TOUCHED = {sorted(touched)!r}\n\n")
         fh.write(f"PP_NODES = {nodes!r}\n\n")
         fh.write(f"PP_FINAL = {final_idx!r}\n\n")
         ex_rows = [(i, ids, s) for i, (ids, s) in enumerate(examples)]
         fh.write(f"PP_EXAMPLES = {ex_rows!r}\n\n")
         fh.write(f"PP_VECTORS = {vectors!r}\n")
-    print(f"wrote {OUT}")
+    print(f"wrote {out_path}")
     return 0
 
 

@@ -338,8 +338,11 @@ def synth(expr):
     return None
 
 
-def main():
+def main(out_path=None):
+    out_path = out_path or (sys.argv[1] if len(sys.argv) > 1 else OUT)
     src = open(REF, encoding="utf-8").read()
+    import hashlib
+    source_sha = hashlib.sha256(src.encode("utf-8")).hexdigest()
     tree = ast.parse(src)
     fns = {
         n.name: n for n in tree.body if isinstance(n, ast.FunctionDef)
@@ -407,7 +410,7 @@ def main():
     print("fidelity gate: OK")
 
     # emit the data module
-    with open(OUT, "w", encoding="utf-8") as fh:
+    with open(out_path, "w", encoding="utf-8") as fh:
         fh.write(
             '"""GENERATED by scripts/gen_affiliation_rules.py — the\n'
             "reference's affiliation-string -> institution-id rule cascade\n"
@@ -415,6 +418,7 @@ def main():
             "Behavioral data port (string literals + institution ids), same\n"
             'adjudication as typecascade.py; do not edit by hand."""\n\n'
         )
+        fh.write(f"SOURCE_SHA256 = {source_sha!r}\n\n")
         fh.write(f"RULES = {rules!r}\n\n")
         fh.write(f"REMOVALS = {removals!r}\n\n")
         ex = [(i, s) for i, s in enumerate(examples)]
@@ -423,7 +427,7 @@ def main():
             (i, s, match_ids(rules, removals, s)) for i, s in enumerate(examples)
         ]
         fh.write(f"VECTORS = {vectors!r}\n")
-    print(f"wrote {OUT}")
+    print(f"wrote {out_path}")
     return 0
 
 
