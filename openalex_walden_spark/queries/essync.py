@@ -185,10 +185,10 @@ FROM (
          COALESCE(
            MIN_BY(struct_pack(native_id := native_id,
                               native_id_namespace := native_id_namespace),
-                  pdf_s3_id || ':' || native_id),
+                  pdf_s3_id || chr(1) || native_id),
            MIN_BY(struct_pack(native_id := native_id,
                               native_id_namespace := native_id_namespace),
-                  grobid_s3_id || ':' || native_id)
+                  grobid_s3_id || chr(1) || native_id)
          ) AS src,
          MAX(updated_date) AS updated_date
   FROM (
@@ -256,10 +256,14 @@ def content_manifest_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.coalesce(
             # F.concat propagates NULL (a null s3 id must stay invisible
-            # to min_by, matching || in the oracle); concat_ws would not
-            F.min_by(src, F.concat("pdf_s3_id", F.lit(":"), "native_id")),
+            # to min_by, matching || in the oracle); concat_ws would not.
+            # \x01 separator sorts below every legal s3-id character, so
+            # native_id only breaks EXACT s3-id ties — a ':' separator
+            # flipped non-tie picks when one id prefixes another
+            # ('file12:x' < 'file1:y' though 'file1' < 'file12').
+            F.min_by(src, F.concat("pdf_s3_id", F.lit("\x01"), "native_id")),
             F.min_by(
-                src, F.concat("grobid_s3_id", F.lit(":"), "native_id")
+                src, F.concat("grobid_s3_id", F.lit("\x01"), "native_id")
             ),
         ).alias("src"),
         F.max("updated_date").alias("updated_date"),
