@@ -258,7 +258,7 @@ RETURN CASE
       '^([0-9]{2}/[0-9]{5}-[0-9])$', 1), '')
   WHEN family = 'doe' THEN
     nullif(regexp_extract(regexp_replace(award_norm0(award), '[ -]', ''),
-      '^(?:DE)?((SC|EE|FE|AR|NE|NA|EM|OE|IA|PI|BI|CF|ET|SF|HS|DP|EW)[0-9]{7}|(FG|FC|AC|AI|GO|PS|EV|ER|AA)[0-9]{2}[A-Z]{1,2}[0-9]{4,6})$',
+      '^(?:DE)?((SC|EE|FE|AR|NE|NA|EM|OE|IA|PI|BI|CF|ET|SF|HS|DP|EW)[0-9]{7}|(FG|FC|AC|AI|GO|PS|EV|ER|AA)[0-9]{4}[A-Z]{1,2}[0-9]{4,6})$',
       1), '')
   WHEN family = 'cdmrp' THEN
     nullif(regexp_extract(regexp_replace(award_norm0(award), '[-_ ]', ''),
@@ -495,6 +495,186 @@ RETURN CASE
 END
 """
 
+# REGISTRY-side keying (AwardNormKey.sql:22-73, the ``side =
+# 'registry'`` half).  Registry records are the funder's own clean
+# spellings, so these rules are STRICT: anchored full-string grammars
+# (no embedded extraction, no decoration stripping beyond the funder's
+# own canonical prefixes) — a registry key must refuse forms the
+# permissive deposited key above would salvage.  Funders whose registry
+# rule equals their deposited rule (most_tw, fct, nasa, the UKRI
+# council squashes, ...) repeat it verbatim, matching the generated
+# file.  The two repo-extension families carry the same discipline:
+# erc anchors the bare CORDIS grant number (the deposited rule's
+# trailing-extract made strict), ukri anchors the combined-council
+# path.  Non-matching strings and unconfigured families fall to the
+# generic key (AwardNormKey.sql:130), exactly like the deposited side.
+_AWARD_REGISTRY_KEY = """
+CREATE OR REPLACE TEMPORARY FUNCTION award_registry_key(
+  family STRING, award STRING)
+RETURNS STRING
+RETURN CASE
+  WHEN award IS NULL OR trim(award) = '' THEN NULL
+  WHEN family = 'nih' THEN
+    nullif(regexp_extract(award_norm0(award), '([A-Z]{2}[0-9]{6})', 1), '')
+  WHEN family = 'nsf' THEN
+    nullif(regexp_extract(award_norm0(award), '^([0-9]{7})$', 1), '')
+  WHEN family = 'erc' THEN
+    CAST(CAST(nullif(regexp_extract(award_norm0(award),
+      '^([0-9]{5,6})$', 1), '') AS BIGINT) AS STRING)
+  WHEN family = 'ukri' THEN
+    regexp_replace(nullif(regexp_extract(award_norm0(award),
+      '^((EP|BBS|BB|NE|ES|AH|MR|ST)/[A-Z0-9]{6,7}(/[0-9]{1,2})?)$', 1),
+      ''), '[/]', '')
+  WHEN family = 'wellcome' THEN
+    lpad(coalesce(
+      nullif(regexp_extract(award_norm0(award),
+                            '360G-WELLCOME-([0-9]{5,6})', 1), ''),
+      nullif(regexp_extract(award_norm0(award),
+        '^([0-9]{5,6})(?:[/_ ][A-Z](?:[/_ ][0-9]{2})?([/_ ][A-Z])?)?$', 1),
+        '')), 6, '0')
+  WHEN family = 'dod' THEN
+    nullif(regexp_extract(regexp_replace(award_norm0(award), '[-_ ]', ''),
+      '^([A-Z][A-Z0-9]{5}[0-9]{2}[A-Z0-9]{3,11})$', 1), '')
+  WHEN family = 'kakenhi' THEN
+    nullif(regexp_extract(award_norm0(award),
+      '^([0-9]{2}[A-Z][0-9]{5}|[0-9]{8})$', 1), '')
+  WHEN family = 'anr' THEN
+    CASE WHEN nullif(regexp_extract(award_norm0(award),
+           '^ANR-([0-9]{2})-([A-Z0-9]{2,6})-([0-9]{4})', 1), '') IS NOT NULL
+         THEN concat(
+           regexp_extract(award_norm0(award), '^ANR-([0-9]{2})-([A-Z0-9]{2,6})-([0-9]{4})', 1), '-',
+           regexp_extract(award_norm0(award), '^ANR-([0-9]{2})-([A-Z0-9]{2,6})-([0-9]{4})', 2), '-',
+           regexp_extract(award_norm0(award), '^ANR-([0-9]{2})-([A-Z0-9]{2,6})-([0-9]{4})', 3))
+    END
+  WHEN family = 'fapesp' THEN
+    CASE WHEN nullif(regexp_extract(award_norm0(award),
+           '^([0-9]{2})/([0-9]{5})-([0-9])$', 1), '') IS NOT NULL
+         THEN concat(
+           regexp_extract(award_norm0(award), '^([0-9]{2})/([0-9]{5})-([0-9])$', 1), '/',
+           regexp_extract(award_norm0(award), '^([0-9]{2})/([0-9]{5})-([0-9])$', 2), '-',
+           regexp_extract(award_norm0(award), '^([0-9]{2})/([0-9]{5})-([0-9])$', 3))
+    END
+  WHEN family = 'doe' THEN
+    nullif(regexp_extract(regexp_replace(award_norm0(award), '[ -]', ''),
+      '^(?:DE)?((SC|EE|FE|AR|NE|NA|EM|OE|IA|PI|BI|CF|ET|SF|HS|DP|EW)[0-9]{7}|(FG|FC|AC|AI|GO|PS|EV|ER|AA)[0-9]{4}[A-Z]{1,2}[0-9]{4,6})$',
+      1), '')
+  WHEN family = 'cdmrp' THEN
+    nullif(regexp_extract(regexp_replace(award_norm0(award), '[-_ ]', ''),
+      '^((W81XWH|DAMD[0-9]{2}|HT[0-9]{4}|W911[A-Z0-9]{2}|CDMRPL)[0-9A-Z]{5,14})$',
+      1), '')
+  WHEN family = 'aei' THEN
+    nullif(regexp_extract(regexp_replace(award_norm0(award), ' ', ''),
+      '^((PID|PGC|RYC|RTI|CEX|TED|SEV|BES|FPU|FJC|IJC|CNS|EUR|EQC|PLEC|PDC)[0-9]{4}-[0-9]{5,6}[A-Z0-9-]{0,8})$',
+      1), '')
+  WHEN family = 'most_tw' OR family = 'nstc_tw' THEN
+    nullif(regexp_replace(
+      regexp_replace(award_norm0(award), '^(MOST|NSC|NSTC)[ -]*', ''),
+      '[ -]', ''), '')
+  WHEN family = 'capes' THEN
+    nullif(regexp_extract(regexp_replace(award_norm0(award), ' ', ''),
+      '^((8888[0-9]|99999)[.][0-9]{6}/[0-9]{4}-[0-9]{2})$', 1), '')
+  WHEN family = 'ncn' THEN
+    nullif(regexp_extract(regexp_replace(award_norm0(award), ' ', ''),
+      '^(20[0-9]{2}/[0-9]{2}/[A-Z]{1,2}/[A-Z]{2,3}[0-9]{1,2}/[0-9]{5})$', 1), '')
+  WHEN family = 'gacr' THEN
+    coalesce(
+      nullif(regexp_extract(award_norm0(award), '^G[A-Z]([0-9]{2}-[0-9]{5}[A-Z])$', 1), ''),
+      nullif(regexp_extract(award_norm0(award), '^G[A-Z](P?[0-9]{3}/[0-9]{2}/[A-Z]?[0-9]{3,4})$', 1), ''))
+  WHEN family = 'nsfc' THEN
+    nullif(regexp_extract(award_norm0(award), '^(U?[0-9]{7,8})$', 1), '')
+  WHEN family = 'dfg' THEN
+    nullif(regexp_extract(award_norm0(award), '^([0-9]{9})$', 1), '')
+  WHEN family = 'fct' THEN
+    nullif(regexp_replace(award_norm0(award), ' ', ''), '')
+  WHEN family = 'nserc' THEN
+    CASE
+      WHEN award_norm0(award) rlike '^[0-9]{1,6}-[0-9]{4}$'
+        THEN concat(
+          regexp_extract(award_norm0(award), '-([0-9]{4})$', 1), '-',
+          CAST(CAST(regexp_extract(award_norm0(award), '^([0-9]{1,6})-', 1)
+                    AS BIGINT) AS STRING))
+      WHEN award_norm0(award) rlike '^[A-Z]+-[0-9]{4}-[0-9]{4,6}$'
+        THEN concat(
+          regexp_extract(award_norm0(award), '-([0-9]{4})-', 1), '-',
+          CAST(CAST(regexp_extract(award_norm0(award), '-([0-9]{4,6})$', 1)
+                    AS BIGINT) AS STRING))
+    END
+  WHEN family = 'snsf' THEN
+    CAST(CAST(nullif(regexp_extract(award_norm0(award),
+      '^([0-9]{1,6})$', 1), '') AS BIGINT) AS STRING)
+  WHEN family = 'cihr' THEN
+    CAST(CAST(nullif(regexp_extract(award_norm0(award),
+      '^([0-9]{4,6})_[0-9]+$', 1), '') AS BIGINT) AS STRING)
+  WHEN family = 'aha' OR family = 'epsrc' OR family = 'nihr' THEN
+    nullif(regexp_replace(award_norm0(award), ' ', ''), '')
+  WHEN family = 'shandong' THEN
+    nullif(regexp_extract(regexp_replace(award_norm0(award), '[ -]', ''),
+      '^(ZR(19|20)[0-9]{2}[A-Z]{1,3}[0-9]{2,4}|[0-9]{4}ZR[A-Z][0-9A-Z]{5})$',
+      1), '')
+  WHEN family = 'bmbf' THEN
+    nullif(regexp_replace(award_norm0(award), '[+ /-]', ''), '')
+  WHEN family = 'fwf' THEN
+    nullif(regexp_extract(regexp_replace(award_norm0(award), ' ', ''),
+      '^([A-Z]{1,3}[0-9]{3,7})$', 1), '')
+  WHEN family = 'isciii' THEN
+    CASE WHEN regexp_replace(award_norm0(award), ' ', '')
+              rlike '^[A-Z]{2,4}[0-9]{2}(CIII)?/[0-9]{5}$'
+         THEN concat(
+           regexp_extract(regexp_replace(award_norm0(award), ' ', ''),
+                          '^([A-Z]{2,4}[0-9]{2}(CIII)?)/', 1), '/',
+           regexp_extract(regexp_replace(award_norm0(award), ' ', ''),
+                          '/([0-9]{5})$', 1))
+    END
+  WHEN family = 'vr' THEN
+    nullif(regexp_extract(award_norm0(award),
+      '^((19|20)[0-9]{2}-[0-9]{5})$', 1), '')
+  WHEN family = 'nasa' THEN
+    nullif(regexp_replace(award_norm0(award), '[ -]', ''), '')
+  WHEN family = 'amed' THEN
+    nullif(regexp_extract(award_norm0(award),
+      '^([0-9]{2}[A-Z]{2}[0-9]{7})H[0-9]{4}$', 1), '')
+  WHEN family = 'dhhs' THEN
+    nullif(regexp_extract(regexp_replace(award_norm0(award), '[ -]', ''),
+      '^([A-Z][A-Z0-9]{4}[0-9]{6}|[0-9]{2}[A-Z][A-Z0-9][0-9]{4,5})$', 1), '')
+  WHEN family = 'nhmrc' THEN
+    nullif(regexp_extract(award_norm0(award), '^([0-9]{6,7})$', 1), '')
+  WHEN family = 'hunan' THEN
+    nullif(regexp_extract(award_norm0(award),
+      '^((19|20)[0-9]{2}JJ[0-9]{4,5})$', 1), '')
+  WHEN family = 'zhejiang' THEN
+    nullif(regexp_extract(award_norm0(award),
+      '^(L[A-Z]{0,4}[0-9]{2}[A-Z][0-9]{6})$', 1), '')
+  WHEN family = 'innovate_uk' THEN
+    nullif(regexp_extract(regexp_replace(award_norm0(award), ' ', ''),
+      '^([0-9]{5,8}|KTP[0-9]{6})$', 1), '')
+  WHEN family = 'ec' THEN
+    nullif(regexp_extract(award_norm0(award), '^([0-9]{6}|[0-9]{9})$', 1), '')
+  WHEN family = 'mrc' OR family = 'bbsrc' OR family = 'nerc'
+    OR family = 'stfc' OR family = 'esrc' OR family = 'ahrc' THEN
+    nullif(regexp_replace(award_norm0(award), '[ _/.-]', ''), '')
+  WHEN family = 'aro' THEN
+    nullif(regexp_extract(regexp_replace(award_norm0(award), '[-_ ]', ''),
+      '^(W911NF[0-9]{2}[A-Z0-9]{3,9})$', 1), '')
+  WHEN family = 'onr' THEN
+    nullif(regexp_extract(regexp_replace(award_norm0(award), '[-_ ]', ''),
+      '^(N[0-9]{7}[A-Z0-9]{3,9})$', 1), '')
+  WHEN family = 'afosr' THEN
+    nullif(regexp_extract(regexp_replace(award_norm0(award), '[-_ ]', ''),
+      '^((FA[0-9]{4}|F49620)[0-9]{2}[A-Z0-9]{3,9})$', 1), '')
+  WHEN family = 'darpa' THEN
+    nullif(regexp_extract(regexp_replace(award_norm0(award), '[-_ ]', ''),
+      '^((HR0011|D[0-9]{2}A[CP]|N66001|W31P4Q|FA86[0-9]{2}|FA87[0-9]{2})[0-9A-Z]{5,12})$',
+      1), '')
+  WHEN family = 'dtra' THEN
+    nullif(regexp_extract(regexp_replace(award_norm0(award), '[-_ ]', ''),
+      '^(HDTRA[0-9]{3}[A-Z0-9]{3,9})$', 1), '')
+  WHEN family = 'usamrmc' OR family = 'usamrdc' OR family = 'usamraa' THEN
+    nullif(regexp_extract(regexp_replace(award_norm0(award), '[-_ ]', ''),
+      '^((W81XWH|DAMD[0-9]{2}|HT[0-9]{4})[0-9]{2}[A-Z0-9]{3,9})$', 1), '')
+  ELSE award_key(award)
+END
+"""
+
 _ALL = (
     _PRIORITY_BEST,
     _NAMES_COMPATIBLE,
@@ -503,6 +683,7 @@ _ALL = (
     _AWARD_IS_WEAK,
     _AWARD_NORM0,
     _AWARD_FAMILY_KEY,
+    _AWARD_REGISTRY_KEY,
 )
 
 
@@ -515,8 +696,8 @@ def create_sql_udfs(spark: SparkSession) -> None:
     """Install the engine's SQL-UDF vocabulary into the session.
 
     Temporary functions live for the session, so re-declaring them on
-    every query invocation only burns driver round-trips (~0.4s for the
-    7 DDLs) — declare once per live session object. A WeakSet (not an
+    every query invocation only burns driver round-trips (~0.5s for the
+    8 DDLs) — declare once per live session object. A WeakSet (not an
     id() set) so a recycled address can only cause a harmless re-declare
     (CREATE OR REPLACE), never a silent skip on a fresh session.
     """

@@ -309,7 +309,12 @@ CASE CAST(o_orderkey % 54 AS INT)
   WHEN 8 THEN concat(lpad(CAST(o_orderkey % 100 AS STRING), 2, '0'), '/',
                      lpad(CAST(o_orderkey % 100000 AS STRING), 5, '0'), '-',
                      CAST(o_orderkey % 10 AS STRING))
-  WHEN 9 THEN concat('DE-SC', lpad(CAST(o_orderkey % 10000000 AS STRING), 7, '0'))
+  WHEN 9 THEN CASE WHEN o_orderkey % 2 = 0
+    THEN concat('DE-SC', lpad(CAST(o_orderkey % 10000000 AS STRING), 7, '0'))
+    ELSE concat('DE-FG', lpad(CAST(o_orderkey % 100 AS STRING), 2, '0'), '-',
+                lpad(CAST(o_orderkey % 100 AS STRING), 2, '0'), 'ER',
+                lpad(CAST(o_orderkey % 100000 AS STRING), 5, '0'))
+  END
   WHEN 10 THEN concat('HT', lpad(CAST(o_orderkey % 10000 AS STRING), 4, '0'), '-',
                       lpad(CAST(o_orderkey % 100 AS STRING), 2, '0'), '-1-',
                       lpad(CAST(o_orderkey % 10000 AS STRING), 4, '0'))
@@ -470,7 +475,7 @@ CASE
       '^([0-9]{2}/[0-9]{5}-[0-9])$', 1), '')
   WHEN family = 'doe' THEN
     nullif(regexp_extract(regexp_replace(_n, '[ -]', '', 'g'),
-      '^(?:DE)?((SC|EE|FE|AR|NE|NA|EM|OE|IA|PI|BI|CF|ET|SF|HS|DP|EW)[0-9]{7}|(FG|FC|AC|AI|GO|PS|EV|ER|AA)[0-9]{2}[A-Z]{1,2}[0-9]{4,6})$',
+      '^(?:DE)?((SC|EE|FE|AR|NE|NA|EM|OE|IA|PI|BI|CF|ET|SF|HS|DP|EW)[0-9]{7}|(FG|FC|AC|AI|GO|PS|EV|ER|AA)[0-9]{4}[A-Z]{1,2}[0-9]{4,6})$',
       1), '')
   WHEN family = 'cdmrp' THEN
     nullif(regexp_extract(regexp_replace(_n, '[-_ ]', '', 'g'),
