@@ -386,3 +386,191 @@ def snapshot_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("delete"))
         .alias("action"),
     )
+
+
+# --------------------------------------------------------------------------
+# Vector-index sync staging (sync_vector_index.ipynb)
+# --------------------------------------------------------------------------
+# The reference bulk-loads embeddings + 14 flat filter fields into the
+# dedicated kNN index (works-vectors-v1): embeddings JOIN works on the
+# work id, a HOF projection flattens authorship arrays into id lists,
+# and the staged frame is hash-bucketed into batch_id partitions so an
+# interrupted 413M-row full sync resumes per batch from a checkpoint
+# table.  DEVIATION (documented): the reference buckets with
+# F.abs(F.hash(id)) — Spark's Murmur3, which no oracle engine
+# reproduces — so the engine buckets with the Knuth multiplicative
+# hash on the numeric work id (same uniformity contract, portable).
+# embeddings <- the embeddings fixture; works <- orders; seats <-
+# lineitem (author/institution id lists via collect_set, the
+# transform/flatten/array_distinct analog).
+
+_VECTOR_BATCHES = 200
+
+_VECTOR_DOCS_SQL = """
+WITH works AS (
+  SELECT o_orderkey AS work_id,
+         CAST(o_orderkey % 30 + 1995 AS INT) AS publication_year,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'article' ELSE 'dataset' END AS type,
+         o_orderkey % 5 = 0 AS is_oa,
+         o_orderkey % 13 = 0 AS is_retracted,
+         CAST(o_orderkey % 100 AS BIGINT) AS cited_by_count,
+         o_orderkey % 7 > 0 AS has_fulltext
+  FROM orders
+),
+seats AS (
+  SELECT l_orderkey AS work_id,
+         {sorted_set}concat('A', CAST(l_suppkey AS {stype})){setclose} AS author_ids,
+         {sorted_set}concat('I', CAST(l_partkey % 997 AS {stype})){setclose}
+           AS institution_ids
+  FROM lineitem
+  GROUP BY l_orderkey
+),
+docs AS (
+  SELECT concat('https://openalex.org/W', CAST(w.work_id AS {stype})) AS id,
+         w.work_id,
+         {dims}(e.embedding) AS dims,
+         w.publication_year, w.type, w.is_oa, w.is_retracted,
+         w.cited_by_count, w.has_fulltext,
+         coalesce({asize}(s.author_ids), 0) AS n_authors,
+         coalesce({asize}(s.institution_ids), 0) AS n_institutions,
+         CAST(((w.work_id % 2147483648) * 2654435761) % 2147483648 AS BIGINT)
+           % {batches} AS batch_id
+  FROM embeddings e
+  JOIN works w ON w.work_id = e.vec_id
+  LEFT JOIN seats s ON s.work_id = w.work_id
+)
+SELECT batch_id,
+       count(*) AS n_docs,
+       CAST(sum(CAST(dims AS BIGINT)) AS BIGINT) AS sum_dims,
+       CAST(sum(cited_by_count) AS BIGINT) AS sum_cited,
+       CAST(sum(CAST(n_authors AS BIGINT)) AS BIGINT) AS sum_authors,
+       CAST(sum(CAST(n_institutions AS BIGINT)) AS BIGINT) AS sum_institutions,
+       count(IF(has_fulltext, 1, NULL)) AS n_fulltext,
+       count(IF(is_oa, 1, NULL)) AS n_oa
+FROM docs
+GROUP BY batch_id
+ORDER BY batch_id
+"""
+
+
+@register(
+    "es_sync_vector_docs",
+    oracle=_VECTOR_DOCS_SQL.format(
+        sorted_set="list_sort(list(DISTINCT ",
+        setclose="))",
+        stype="VARCHAR",
+        dims="len",
+        asize="len",
+        batches=_VECTOR_BATCHES,
+    ).replace("IF(has_fulltext, 1, NULL)", "CASE WHEN has_fulltext THEN 1 END")
+     .replace("IF(is_oa, 1, NULL)", "CASE WHEN is_oa THEN 1 END"),
+    tags=("sink", "serving", "ann"),
+    tables=("orders", "lineitem", "embeddings"),
+)
+def es_sync_vector_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN vector-index staging plan (sync_vector_index.ipynb):
+    embeddings JOIN works, flat filter-field projection (year, type,
+    OA/retraction flags, authorship id-list sizes), and the
+    batch-bucketed staging layout whose per-batch rollup this query
+    emits — the resume unit of the reference's checkpointed 413M-row
+    full sync.  Bucketing uses the portable Knuth hash instead of
+    Spark Murmur3 (documented deviation; same uniformity contract).
+
+    Plan: embeddings side is small (broadcast), the seat rollup is one
+    partial-aggregable shuffle, and the batch rollup re-uses the same
+    numeric key family — no window, no UDF, no skew."""
+    return spark.sql(
+        _VECTOR_DOCS_SQL.format(
+            sorted_set="sort_array(collect_set(",
+            setclose="))",
+            stype="STRING",
+            dims="size",
+            asize="size",
+            batches=_VECTOR_BATCHES,
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# The "indexes" vocabulary sync (sync_indexes.py)
+# --------------------------------------------------------------------------
+# The smallest combined entity: a fixed 5-key vocabulary (crossref,
+# pubmed, datacite, doaj, arxiv) whose counts come from exploding
+# works.indexed_in — CORE-corpus only (is_xpac IS NOT TRUE), because
+# expansion works are overwhelmingly datacite-indexed and the doc's
+# works_api_url resolves to the core corpus (reference NOTE, oxjob
+# #672).  works <- orders: indexed_in gets 1-2 keys by lattice, with
+# NULL entries and xpac rows mixed in to exercise both filters.
+
+_INDEXES_VOCAB_SQL = """
+WITH works AS (
+  SELECT o_orderkey AS id,
+         CAST(o_orderkey % 100 AS BIGINT) AS cited_by_count,
+         o_orderkey % 13 = 0 AS is_xpac,
+         {mkarray} AS indexed_in
+  FROM orders
+),
+exploded AS (
+  SELECT DISTINCT w.id, w.cited_by_count, ix.index_key
+  FROM works w {explode}
+  WHERE ix.index_key IS NOT NULL AND NOT w.is_xpac
+),
+index_counts AS (
+  SELECT index_key, count(*) AS works_count,
+         CAST(sum(cited_by_count) AS BIGINT) AS total_citations
+  FROM exploded
+  GROUP BY index_key
+),
+vocab AS (
+  SELECT * FROM (VALUES
+    ('crossref', 'Crossref'), ('pubmed', 'PubMed'),
+    ('datacite', 'DataCite'), ('doaj', 'DOAJ'), ('arxiv', 'arXiv')
+  ) AS t(vid, display_name)
+)
+SELECT concat('https://openalex.org/indexes/', v.vid) AS id,
+       v.display_name,
+       concat('https://api.openalex.org/works?filter=indexed_in:', v.vid)
+         AS works_api_url,
+       ic.works_count, ic.total_citations AS cited_by_count
+FROM vocab v JOIN index_counts ic ON v.vid = ic.index_key
+ORDER BY id
+"""
+
+_INDEXES_MKARRAY_SPARK = """
+array(
+  CASE CAST(o_orderkey % 5 AS INT)
+    WHEN 0 THEN 'crossref' WHEN 1 THEN 'pubmed' WHEN 2 THEN 'datacite'
+    WHEN 3 THEN 'doaj' ELSE 'arxiv' END,
+  CASE WHEN o_orderkey % 4 = 0 THEN 'crossref'
+       WHEN o_orderkey % 4 = 1 THEN CAST(NULL AS STRING) END)
+"""
+
+
+@register(
+    "indexes_api_build",
+    oracle=_INDEXES_VOCAB_SQL.format(
+        mkarray=_INDEXES_MKARRAY_SPARK.replace("AS STRING", "AS VARCHAR")
+                                      .replace("array(", "[", 1)
+                                      .replace("END)", "END]"),
+        explode=", unnest(w.indexed_in) AS ix(index_key)",
+    ),
+    tags=("sink", "serving", "aggregate"),
+    tables=("orders",),
+)
+def indexes_api_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The indexes_api table build (sync_indexes.py): explode
+    works.indexed_in, DISTINCT (work, key) so multi-listed works count
+    once, drop NULL keys and expansion-corpus (is_xpac) rows — the
+    core-corpus-only rule the reference pins to the doc's
+    works_api_url — then count + sum citations per key and join the
+    fixed 5-row vocabulary.  The engine's sync registry carries the
+    matching hash-gated 'indexes' row (indexes-v1).
+
+    Plan: explode + DISTINCT collapses map-side before the single
+    count shuffle; the vocab join is a 5-row broadcast."""
+    return spark.sql(
+        _INDEXES_VOCAB_SQL.format(
+            mkarray=_INDEXES_MKARRAY_SPARK,
+            explode="LATERAL VIEW explode(w.indexed_in) ix AS index_key",
+        )
+    )

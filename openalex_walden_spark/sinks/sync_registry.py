@@ -125,9 +125,20 @@ SYNC_REGISTRY: dict[str, SyncConfig] = {
         "institution_types", "institution-types-v1",
         "https://openalex.org/institution-types/", hash_gated=True,
     ),
-    # sync_vector_index.ipynb: the embedding index shares the W id space
+    # sync_vector_index.ipynb: the embedding kNN index shares the W id
+    # space (two-phase search: kNN here -> mget full docs from works)
     "vector_index": SyncConfig(
-        "vector_index", "works-vector-v1", "https://openalex.org/W"
+        "vector_index", "works-vectors-v1", "https://openalex.org/W"
+    ),
+    # sync_indexes.py: the fixed 5-key indexed_in vocabulary (crossref/
+    # pubmed/datacite/doaj/arxiv) — smallest combined entity, hash-gated
+    # like the other one-notebook build+sync vocabs; its table build is
+    # the catalog query ``indexes_api_build``
+    "indexes": SyncConfig(
+        "indexes", "indexes-v1", "https://openalex.org/indexes/",
+        hash_gated=True,
+        doc_fields=("display_name", "description", "works_count",
+                    "cited_by_count"),
     ),
 }
 

@@ -690,9 +690,71 @@ def test_sync_registry_covers_reference_fleet_and_plans_correctly(spark):
         "domains", "keywords", "awards", "locations",
         "raw_affiliation_strings", "countries", "continents",
         "languages", "licenses", "sdgs", "source_types", "work_types",
-        "institution_types", "vector_index",
+        "institution_types", "vector_index", "indexes",
     }
     assert expected <= set(SYNC_REGISTRY)
+    # Every script in the reference's notebooks/elastic/ fleet, each
+    # adjudicated to the engine surface that covers it: a registry row,
+    # a named catalog query, or (for pure index administration with no
+    # data compute) the transport seam.
+    fleet = {
+        "sync_works.ipynb": "registry:works",
+        "sync_authors.py": "registry:authors",
+        "sync_sources.py": "registry:sources",
+        "sync_institutions.py": "registry:institutions",
+        "sync_publishers.py": "registry:publishers",
+        "sync_funders.py": "registry:funders",
+        "sync_concepts.py": "registry:concepts",
+        # one script loops topics + the three upper hierarchy levels
+        "sync_topic_hierarchy.py":
+            "registry:topics+subfields+fields+domains",
+        "sync_keywords.py": "registry:keywords",
+        "sync_awards.ipynb": "registry:awards",
+        "sync_locations.py": "registry:locations",
+        "sync_raw_affiliation_strings.py":
+            "registry:raw_affiliation_strings",
+        "sync_countries.py": "registry:countries",
+        "sync_continents.py": "registry:continents",
+        "sync_languages.py": "registry:languages",
+        "sync_licenses.py": "registry:licenses",
+        "sync_sdgs.py": "registry:sdgs",
+        "sync_source_types.py": "registry:source_types",
+        "sync_work_types.py": "registry:work_types",
+        "sync_institution_types.py": "registry:institution_types",
+        "sync_vector_index.ipynb":
+            "registry:vector_index + query:es_sync_vector_docs",
+        "sync_indexes.py": "registry:indexes + query:indexes_api_build",
+        "sync_content_index_to_d1.py":
+            "query:content_manifest_export (manifest build; D1 PUT is "
+            "the transport seam like send_partition_to_elastic)",
+        "d1_antijoin_grobid.py": "query:content_grobid_gap_fill",
+        "export_content_manifest_to_r2.py":
+            "query:content_manifest_export",
+        "BuildAwardsV4.ipynb":
+            "index DDL only (mapping/shard admin; no data compute) — "
+            "awards row carries the sync",
+        "PatchAwardsV4Mapping.ipynb":
+            "index DDL only (mapping patch; no data compute)",
+    }
+    assert len(fleet) == 27
+    import os as _os
+
+    ref_dir = "/root/reference/notebooks/elastic"
+    if _os.path.isdir(ref_dir):
+        assert set(fleet) == set(_os.listdir(ref_dir)), (
+            "reference elastic fleet changed — re-adjudicate"
+        )
+    from openalex_walden_spark import queries as _q
+
+    _q.load_all()
+    for script, adj in fleet.items():
+        for part in adj.split(" + "):
+            if part.startswith("registry:"):
+                for ent in part.split(":", 1)[1].split("+"):
+                    assert ent in SYNC_REGISTRY, (script, ent)
+            elif part.startswith("query:"):
+                qname = part.split(":", 1)[1].split(" ")[0]
+                assert qname in _q.CATALOG, (script, qname)
     assert all(cfg.id_prefix.startswith("https://openalex.org/")
                for cfg in SYNC_REGISTRY.values() if cfg.id_rule == "prefix")
 
