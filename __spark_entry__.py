@@ -41,14 +41,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's CORRECTNESS sweep verifies the FIRST 50 entries of
 # ``queries()`` in insertion order, so the order below IS the hard
-# sf0.01 re-verification schedule.  Round-7 verdict: the window must
-# rotate OLDEST-green-first (before round 8, 50 queries' last hard
-# driver check was round 2 and 44 more round 4).  The lists below
-# record each query's most-recent green CORRECTNESS round (derived from
-# CORRECTNESS_r0{2,4,5,6,7}.json); ``_driver_order`` fronts queries
-# changed this round, then brand-new queries, then the stalest greens.
+# sf0.01 re-verification schedule.  The lists below record each
+# query's most-recent green CORRECTNESS round (derived from
+# CORRECTNESS_r0{2,4,5,6,7,8}.json); ``_driver_order`` fronts queries
+# changed since their last green, then the never-verified backlog
+# oldest-debt-first, then brand-new queries, then the stalest greens.
 # Maintenance per round: move re-verified names into the newest list,
-# refresh ``_CHANGED_THIS_ROUND``.
+# refresh ``_CHANGED_THIS_ROUND`` / ``_WINDOW_EXEMPT`` (mechanically
+# audited against git by tests/test_driver_window.py).
 
 _LAST_GREEN_R2 = [
     "agg_conditional_battery", "agg_grouping_sets",
