@@ -390,3 +390,181 @@ def gtr_parse_awards(spark: SparkSession, sf_dir: str) -> DataFrame:
                r.lead_org_name
         FROM deduped
     """)
+
+
+# ---------------------------------------------------------------------------
+# Chinese provincial award-list shared parse (_cn_province_common.py)
+# ---------------------------------------------------------------------------
+# The provincial NSF / S&T-department scrapers (zhejiang_nsf, fujian_nsf,
+# chongqing_nsf, heilongjiang_nsf, hainan_nsf, two Sichuan programmes)
+# share ONE normalize library: family-first Chinese name handling,
+# wan-yuan amount conversion, CJK date-range parsing, section-heading
+# scheme extraction, and the content-hash row key for lists without a
+# native grant number.  Porting the shared library covers the whole
+# family's parse compute at once; the per-portal download/attachment
+# walking is the network seam.
+
+_CN_NUM = "一二三四五六七八九十百"
+
+_CN_ROWS_SPARK = f"""
+SELECT o_orderkey AS rid,
+  CASE CAST(o_orderkey % 5 AS INT)
+    WHEN 0 THEN 'ZHANG Wei'
+    WHEN 1 THEN 'Maria van der Berg'
+    WHEN 2 THEN '王伟'
+    WHEN 3 THEN concat(' ·', '李娜 ')
+    ELSE NULL
+  END AS pi_raw,
+  CASE CAST(o_orderkey % 4 AS INT)
+    WHEN 0 THEN concat(CAST(o_orderkey % 900 + 100 AS STRING), '.5万元')
+    WHEN 1 THEN concat('1,', lpad(CAST(o_orderkey % 1000 AS STRING), 3, '0'),
+                       '万元')
+    WHEN 2 THEN '0'
+    ELSE NULL
+  END AS amount_raw,
+  CASE CAST(o_orderkey % 3 AS INT)
+    WHEN 0 THEN concat(CAST(o_orderkey % 6 + 2019 AS STRING), '-03-01至',
+                       CAST(o_orderkey % 6 + 2022 AS STRING), '-02-28')
+    WHEN 1 THEN concat(CAST(o_orderkey % 6 + 2019 AS STRING), '.03-',
+                       CAST(o_orderkey % 6 + 2022 AS STRING), '.02')
+    ELSE concat(CAST(o_orderkey % 6 + 2019 AS STRING), '年')
+  END AS period_raw,
+  CASE CAST(o_orderkey % 3 AS INT)
+    WHEN 0 THEN concat('（一）面上项目', CAST(o_orderkey % 200 AS STRING),
+                       '项，经费', CAST(o_orderkey % 2000 AS STRING), '万元')
+    WHEN 1 THEN '二、青年基金'
+    ELSE NULL
+  END AS heading_raw,
+  CASE WHEN o_orderkey % 7 <> 0
+    THEN concat('ZR', CAST(o_orderkey % 6 + 2019 AS STRING), 'MH',
+                lpad(CAST(o_orderkey % 1000 AS STRING), 3, '0'))
+  END AS native_id,
+  concat('Study ', CAST(o_orderkey AS STRING)) AS display_name,
+  concat('University ', CAST(o_orderkey % 97 AS STRING)) AS institution
+FROM orders
+"""
+
+# The date-range regex, verbatim from the reference (parse_date_range):
+# (\d{{4}})[-/.年]\s*(\d{{1,2}})?[-/.月]?\s*(\d{{1,2}})?
+_CN_DATE_PAT = "([0-9]{4})[-/.年] *([0-9]{1,2})?[-/.月]? *([0-9]{1,2})?"
+
+
+def _cn_parse(dialect: str) -> str:
+    """The shared-library transforms, one template per dialect."""
+    if dialect == "spark":
+        stype, xall, idx1 = "STRING", "regexp_extract_all", "[0]"
+        idx2, asize, rl = "[1]", "size", "rlike"
+    else:
+        stype, xall, idx1 = "VARCHAR", "regexp_extract_all", "[1]"
+        idx2, asize, rl = "[2]", "len", "regexp_matches"
+    return f"""
+WITH rows AS ({{rows}}),
+named AS (
+  SELECT *,
+    nullif(trim(regexp_replace(regexp_replace(coalesce(pi_raw, ''),
+      '[\\u3000\\u00a0]', ' '), '^[·.,，、 ]+|[·.,，、 ]+$', '')), '') AS pi
+  FROM rows
+),
+split_name AS (
+  SELECT *,
+    CASE WHEN pi IS NULL THEN NULL
+         WHEN {rl}(pi, '[A-Za-z]') AND {rl}(pi, ' ')
+           THEN regexp_extract(pi, '([^ ]+)$', 1)
+         ELSE pi
+    END AS family_name,
+    CASE WHEN pi IS NULL THEN NULL
+         WHEN {rl}(pi, '[A-Za-z]') AND {rl}(pi, ' ')
+           THEN regexp_extract(pi, '^(.*) [^ ]+$', 1)
+    END AS given_name
+  FROM named
+),
+amounts AS (
+  SELECT *,
+    CASE WHEN coalesce(TRY_CAST(nullif(regexp_extract(
+             replace(replace(coalesce(amount_raw, ''), ',', ''), '，', ''),
+             '(-?[0-9]+([.][0-9]+)?)', 1), '') AS DOUBLE), 0) > 0
+         THEN TRY_CAST(nullif(regexp_extract(
+             replace(replace(amount_raw, ',', ''), '，', ''),
+             '(-?[0-9]+([.][0-9]+)?)', 1), '') AS DOUBLE) * 10000
+    END AS amount_cny
+  FROM split_name
+),
+dated AS (
+  SELECT *,
+    {xall}(period_raw, '{_CN_DATE_PAT}', 0) AS dmatches
+  FROM amounts
+),
+dateparts AS (
+  SELECT *,
+    CASE WHEN {asize}(dmatches) >= 1 THEN concat(
+      regexp_extract(dmatches{idx1}, '{_CN_DATE_PAT}', 1), '-',
+      lpad(coalesce(nullif(regexp_extract(dmatches{idx1}, '{_CN_DATE_PAT}', 2), ''), '1'), 2, '0'), '-',
+      lpad(coalesce(nullif(regexp_extract(dmatches{idx1}, '{_CN_DATE_PAT}', 3), ''), '1'), 2, '0'))
+    END AS start_date,
+    CASE WHEN {asize}(dmatches) >= 2 THEN concat(
+      regexp_extract(dmatches{idx2}, '{_CN_DATE_PAT}', 1), '-',
+      lpad(coalesce(nullif(regexp_extract(dmatches{idx2}, '{_CN_DATE_PAT}', 2), ''), '1'), 2, '0'), '-',
+      lpad(coalesce(nullif(regexp_extract(dmatches{idx2}, '{_CN_DATE_PAT}', 3), ''), '1'), 2, '0'))
+    END AS end_date
+  FROM dated
+),
+schemed AS (
+  SELECT *,
+    CASE WHEN heading_raw IS NOT NULL THEN
+      nullif(trim(coalesce(
+        nullif(regexp_extract(
+          regexp_replace(heading_raw,
+            '^[（(]?[{_CN_NUM}]+[）)]?[、.．] *', ''),
+          '^(.*?)([，,（(]|[0-9]+项|共[0-9]|经费)', 1), ''),
+        regexp_replace(heading_raw,
+          '^[（(]?[{_CN_NUM}]+[）)]?[、.．] *', ''))), '')
+    END AS funder_scheme
+  FROM dateparts
+)
+SELECT
+  coalesce(lower(native_id),
+           concat('cnprov-', substr(md5(concat_ws('|',
+             coalesce(display_name, ''), coalesce(family_name, ''),
+             coalesce(institution, ''),
+             coalesce(substr(start_date, 1, 4), ''),
+             coalesce(funder_scheme, ''))), 1, 16))) AS row_key,
+  given_name, family_name, amount_cny, start_date, end_date,
+  funder_scheme, native_id AS funder_award_id,
+  display_name, institution,
+  'CN' AS country_code
+FROM schemed
+"""
+
+
+@register(
+    "cn_province_awards_parse",
+    oracle=_cn_parse("duck").replace(
+        "{rows}", _CN_ROWS_SPARK.replace("AS STRING", "AS VARCHAR")),
+    tags=("domain", "awards", "scrape"),
+    tables=("orders",),
+    doc="Chinese provincial award-list shared parse (_cn_province_common.py)",
+)
+def cn_province_awards_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The provincial scrapers' shared normalize library
+    (``scripts/local/_cn_province_common.py:74-200``) — covers the
+    zhejiang/fujian/chongqing/heilongjiang/hainan NSF + Sichuan lists'
+    parse compute:
+
+    * ``split_name``: Chinese personal names stay WHOLE in family_name
+      with given NULL (no surname-split guessing — compound surnames
+      make ``name[:1]`` wrong too often); Latin/romanised names split
+      on whitespace, last token = family; ideographic/NBSP spaces
+      normalized and leading list-index punctuation stripped;
+    * ``parse_amount_wan``: first numeric run of the 万元 cell × 10,000
+      CNY; 0/blank/negative → NULL;
+    * ``parse_date_range``: the reference's exact CJK date regex, month
+      and day defaulting to 1, first match = start, second = end;
+    * ``scheme_from_heading``: strip the CJK-numeral section prefix,
+      cut at the first count/amount clause;
+    * row key: native grant number lowered, else the md5 content hash
+      over (title|PI|institution|year|scheme) so NULL-id rows never
+      collide (the Chongqing 拟立项 device).
+
+    Plan: one scan, pure column algebra (the reference runs this
+    per-row in pandas); no shuffle at all."""
+    return spark.sql(_cn_parse("spark").replace("{rows}", _CN_ROWS_SPARK))
