@@ -695,3 +695,75 @@ def test_guard_batch_no_cartesian(spark, sf_dir):
     """The rebind cascade is seat-keyed hash joins throughout."""
     plan = _plan(spark, sf_dir, "guard_verdict_batch")
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-9 additions: scraper parse stages, registry keying, serving shapes
+# ---------------------------------------------------------------------------
+
+def test_kaken_parse_dedup_is_aggregate_not_window(spark, sf_dir):
+    """The project_id dedup-keep-first must plan as a partial-aggregable
+    min_by (one exchange), never a corpus-wide row_number window."""
+    plan = _plan(spark, sf_dir, "kaken_parse_projects")
+    assert "Window" not in plan
+    assert "partial_min_by" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gtr_parse_funds_prune_and_broadcast(spark, sf_dir):
+    """The /funds rollup filters INCOME_ACTUAL before its exchange,
+    partial-aggregates map-side, and the amounts join broadcasts the
+    rollup; the dedup is min_by, not a window."""
+    plan = _plan(spark, sf_dir, "gtr_parse_awards")
+    assert "Window" not in plan
+    assert "partial_sum" in plan and "partial_min_by" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_registry_key_battery_single_rollup(spark, sf_dir):
+    """Macro-expanded SQL UDF: zero Python, one shuffle for the
+    family rollup."""
+    plan = _plan(spark, sf_dir, "udf_award_registry_key_battery")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+
+
+def test_cn_province_parse_is_shuffle_free(spark, sf_dir):
+    """The shared provincial normalize library is pure column algebra:
+    one scan, no exchange, no Python in the plan (the reference runs
+    per-row pandas)."""
+    plan = _plan(spark, sf_dir, "cn_province_awards_parse")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lakebase_doc_shape_is_shuffle_free_and_udf_free(spark, sf_dir):
+    """The abstract truncation is column algebra in whole-stage codegen —
+    the reference's row UDF eliminated."""
+    plan = _plan(spark, sf_dir, "lakebase_doc_shape")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # executedPlan().toString() marks codegen stages with '*(n)'
+    assert "*(1)" in plan
+
+
+def test_vector_docs_staging_broadcasts_embeddings(spark, sf_dir):
+    """The embeddings side broadcasts into the works join; the seat and
+    batch rollups partial-aggregate; no corpus window."""
+    plan = _plan(spark, sf_dir, "es_sync_vector_docs")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_indexes_vocab_distinct_before_count(spark, sf_dir):
+    """explode -> DISTINCT collapses map-side before the count shuffle;
+    the 5-row vocab join broadcasts."""
+    plan = _plan(spark, sf_dir, "indexes_api_build")
+    assert "Generate explode" in plan
+    assert "partial_" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
