@@ -568,3 +568,112 @@ def cn_province_awards_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one scan, pure column algebra (the reference runs this
     per-row in pandas); no shuffle at all."""
     return spark.sql(_cn_parse("spark").replace("{rows}", _CN_ROWS_SPARK))
+
+
+# ---------------------------------------------------------------------------
+# NWO (Dutch Research Council) NWOpen-API parse (nwo_to_s3.py:326-470)
+# ---------------------------------------------------------------------------
+# The API returns projects with a project_members array; the PI is
+# elected by a role CASCADE — 'Main Applicant', else 'Project leader',
+# else the first member — with ORCID placeholder cleanup and the
+# organisation hierarchy split on '||'.  The S1 JSON scan already
+# covers decoding; what ports here is the member-role election and
+# field cleanup, expressed with array HOFs (filter/element_at) instead
+# of the reference's per-member Python loops.
+
+_NWO_MEMBER = """named_struct(
+  'role', {role},
+  'orcid', {orcid},
+  'first_name', {first},
+  'last_name', {last},
+  'organisation', {org})"""
+
+_NWO_ROWS_SPARK = f"""
+SELECT concat('NWO.', CAST(o_orderkey AS STRING)) AS project_id,
+  concat('Project ', CAST(o_orderkey AS STRING)) AS title,
+  CASE WHEN o_orderkey % 3 <> 0
+       THEN concat('English summary ', CAST(o_orderkey AS STRING)) END
+    AS summary_en,
+  concat('Nederlandse samenvatting ', CAST(o_orderkey AS STRING))
+    AS summary_nl,
+  CASE CAST(o_orderkey % 4 AS INT) WHEN 0 THEN 'Open Competitie ENW'
+       WHEN 1 THEN 'Veni' WHEN 2 THEN 'Vici' ELSE 'Spinozapremie' END
+    AS funding_scheme,
+  CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE 'ENW' END AS department,
+  'Exacte Wetenschappen' AS sub_department,
+  CAST(CAST(o_orderdate AS DATE) AS STRING) AS start_date,
+  array(
+    {_NWO_MEMBER.format(
+      role="CASE WHEN o_orderkey % 7 = 0 THEN 'Researcher' ELSE 'Main Applicant' END",
+      orcid="CASE WHEN o_orderkey % 11 = 0 THEN 'https://orcid.org/-' "
+            "ELSE concat('https://orcid.org/0000-0002-', "
+            "lpad(CAST(o_orderkey % 10000 AS STRING), 4, '0'), '-0001') END",
+      first="'Anna'", last="'de Vries'",
+      org="'Universiteit Utrecht||Faculteit Betawetenschappen'")},
+    {_NWO_MEMBER.format(
+      role="CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 2 = 0 "
+           "THEN 'Project leader' ELSE 'Researcher' END",
+      orcid="NULL", first="'Jan'", last="'Jansen'",
+      org="'TU Delft'")}
+  ) AS project_members
+FROM orders
+"""
+
+
+def _nwo_sql(dialect: str) -> str:
+    if dialect == "spark":
+        flt = "try_element_at(filter(project_members, m -> m.role = '{r}'), 1)"
+        first = "try_element_at(project_members, 1)"
+    else:
+        flt = "list_filter(project_members, m -> m.role = '{r}')[1]"
+        first = "project_members[1]"
+    main = flt.format(r="Main Applicant")
+    leader = flt.format(r="Project leader")
+    return f"""
+WITH raw AS ({{rows}}),
+elected AS (
+  SELECT *, coalesce({main}, {leader}, {first}) AS pi
+  FROM raw
+)
+SELECT project_id, title,
+  coalesce(summary_en, summary_nl) AS abstract,
+  funding_scheme AS grant_category,
+  coalesce(department, sub_department) AS lead_funder,
+  start_date,
+  CASE WHEN pi.orcid IS NOT NULL AND pi.orcid <> 'https://orcid.org/-'
+       THEN pi.orcid END AS pi_id,
+  pi.first_name AS pi_given_name,
+  pi.last_name AS pi_family_name,
+  trim(split_part(pi.organisation, '||', 1)) AS lead_org_name
+FROM elected
+"""
+
+
+@register(
+    "nwo_parse_awards",
+    oracle=_nwo_sql("duck").replace(
+        "{rows}",
+        _NWO_ROWS_SPARK.replace("AS STRING", "AS VARCHAR")
+                       .replace("named_struct(\n  'role', ", "struct_pack(role := ")
+                       .replace(",\n  'orcid', ", ", orcid := ")
+                       .replace(",\n  'first_name', ", ", first_name := ")
+                       .replace(",\n  'last_name', ", ", last_name := ")
+                       .replace(",\n  'organisation', ", ", organisation := ")
+                       .replace("array(\n    ", "[")
+                       .replace("  ) AS project_members", "] AS project_members")
+                       .replace("CAST(CAST(o_orderdate AS DATE) AS VARCHAR)",
+                                "CAST(CAST(o_orderdate AS DATE) AS VARCHAR)")),
+    tags=("domain", "awards", "scrape"),
+    tables=("orders",),
+    doc="NWO NWOpen-API parse stage (scripts/local/nwo_to_s3.py)",
+)
+def nwo_parse_awards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NWO project parse (``nwo_to_s3.py:326-470``): the PI role
+    cascade (Main Applicant -> Project leader -> first member) as
+    array HOFs, ORCID placeholder ('https://orcid.org/-') nulled, the
+    English->Dutch abstract fallback, department->sub_department
+    funder fallback, and the '||'-hierarchy organisation truncated to
+    its top level.
+
+    Plan: one scan, HOF column algebra, no shuffle, no Python."""
+    return spark.sql(_nwo_sql("spark").replace("{rows}", _NWO_ROWS_SPARK))
