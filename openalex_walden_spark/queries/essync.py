@@ -574,3 +574,64 @@ def indexes_api_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             explode="LATERAL VIEW explode(w.indexed_in) ix AS index_key",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# GPU-endpoint scale plan (serving/rearm_endpoint.py)
+# --------------------------------------------------------------------------
+# Capacity control for the inference endpoints (oxjob #709): the
+# scale-to-zero timer only arms on a capacity-changing redeploy that
+# lands on a workload_size config, so the post-run 'rearm' path must
+# HOP (min0/max8 first) when the endpoint is already on a
+# workload_size, and the pre-run 'up' path is a no-op when the max
+# concurrency already matches.  The HTTP PUTs are the network seam;
+# what ports is the decision table — evaluated per endpoint over the
+# fleet state so the plan is data, not imperative branching.
+
+_REARM_SQL = """
+WITH endpoints AS (
+  SELECT concat('ep-', CAST(c_custkey AS {t})) AS endpoint,
+         CASE WHEN c_custkey % 2 = 0 THEN 'up' ELSE 'rearm' END AS mode,
+         CASE CAST(c_custkey % 3 AS INT) WHEN 0 THEN 16 ELSE 4 END
+           AS max_concurrency,
+         16 AS up_max,
+         CASE WHEN c_custkey % 5 = 0 THEN 'Scaled to zero' ELSE 'Ready' END
+           AS state_message,
+         c_custkey % 3 = 1 AS has_workload_size
+  FROM customer
+)
+SELECT endpoint, mode,
+  CASE
+    WHEN mode = 'up' AND max_concurrency = up_max THEN 'noop_already_max'
+    WHEN mode = 'up' THEN 'scale_up'
+    WHEN state_message = 'Scaled to zero' THEN 'noop_already_zero'
+    WHEN has_workload_size THEN 'rearm_hop'
+    ELSE 'rearm_single'
+  END AS action,
+  CASE
+    WHEN mode = 'up' AND max_concurrency = up_max THEN 0
+    WHEN mode = 'up' THEN 1
+    WHEN state_message = 'Scaled to zero' THEN 0
+    WHEN has_workload_size THEN 2
+    ELSE 1
+  END AS n_puts
+FROM endpoints
+"""
+
+
+@register(
+    "serving_rearm_plan",
+    oracle=_REARM_SQL.format(t="VARCHAR"),
+    tags=("serving", "plan"),
+    tables=("customer",),
+)
+def serving_rearm_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The endpoint scale-management decision table
+    (serving/rearm_endpoint.py): 'up' is a no-op at the target max and
+    one PUT otherwise; 'rearm' is a no-op when already scaled to zero,
+    a two-PUT hop (min0/max8 then workload_size Small) from a
+    workload_size config — a single capacity PUT wouldn't re-arm the
+    timer — and a single transition otherwise.  Every path must
+    produce a plan (the reference's never-fail-the-pipeline rule);
+    the PUT execution is the transport seam."""
+    return spark.sql(_REARM_SQL.format(t="STRING"))
