@@ -462,7 +462,7 @@ WITH rows AS ({{rows}}),
 named AS (
   SELECT *,
     nullif(trim(regexp_replace(regexp_replace(coalesce(pi_raw, ''),
-      '[\\u3000\\u00a0]', ' '), '^[·.,，、 ]+|[·.,，、 ]+$', '')), '') AS pi
+      '[　 ]', ' '), '^[·.,，、 ]+|[·.,，、 ]+$', '')), '') AS pi
   FROM rows
 ),
 split_name AS (
@@ -677,3 +677,178 @@ def nwo_parse_awards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one scan, HOF column algebra, no shuffle, no Python."""
     return spark.sql(_nwo_sql("spark").replace("{rows}", _NWO_ROWS_SPARK))
+
+
+# ---------------------------------------------------------------------------
+# Taiwan MOST GRB export normalize (taiwan_most_grb_to_s3.py:159-510)
+# ---------------------------------------------------------------------------
+# The GRB XLSX export rows normalize through a distinctive kit: the
+# award-id CASCADE (original plan number, else system number, else
+# 'GRB-' + grb id — rows with none are dropped), the ROC (Minguo)
+# calendar (first three digits of the squashed year-month + 1911,
+# rejected outside 1900..reference-year+1; month = digits[3:5] in
+# 1..12), thousand-TWD amounts (x1000, <=0 -> NULL), and Latin names
+# de-suffixed (Dr/Prof/PhD/Jr...) before the last-token family split —
+# Chinese names stay whole in family, like the provincial kit.
+# DEVIATIONS (documented): the validity window's "current year" is the
+# fixture's pinned 2026 (the reference calls datetime.now — not
+# oracle-deterministic), and amount is a DOUBLE rather than the
+# reference's trailing-zero-trimmed string.
+
+_GRB_ROWS_SPARK = """
+SELECT o_orderkey AS rid,
+  CASE WHEN o_orderkey % 13 = 0 THEN NULL
+       WHEN o_orderkey % 3 = 0 THEN NULL
+       ELSE concat('most ', CAST(o_orderkey % 30 + 85 AS STRING),
+                   '-2221-e-', lpad(CAST(o_orderkey % 1000 AS STRING), 3, '0'))
+  END AS original_plan_number,
+  CASE WHEN o_orderkey % 13 = 0 THEN NULL
+       ELSE concat('sys', lpad(CAST(o_orderkey % 100000 AS STRING), 6, '0'))
+  END AS system_number,
+  CASE WHEN o_orderkey % 13 = 0 THEN NULL
+       ELSE CAST(o_orderkey % 1000000 AS STRING)
+  END AS grb_id,
+  CASE WHEN o_orderkey % 4 = 0 THEN NULL
+       ELSE concat('Study of topic ', CAST(o_orderkey AS STRING))
+  END AS title_en,
+  concat('chinese title ', CAST(o_orderkey AS STRING)) AS title_zh,
+  -- ROC year-month: mostly valid 3-digit years; %11=0 rows are junk
+  CASE WHEN o_orderkey % 11 = 0 THEN 'xx'
+       ELSE concat(CAST(o_orderkey % 30 + 85 AS STRING),
+                   lpad(CAST(o_orderkey % 12 + 1 AS STRING), 2, '0'), '01')
+  END AS period_start_roc_ym,
+  concat(CAST(o_orderkey % 30 + 88 AS STRING),
+         lpad(CAST(o_orderkey % 12 + 1 AS STRING), 2, '0'), '31')
+    AS period_end_roc_ym,
+  CAST(o_orderkey % 30 + 85 AS STRING) AS plan_year_roc,
+  CASE CAST(o_orderkey % 4 AS INT)
+    WHEN 0 THEN concat(CAST(o_orderkey % 5000 AS STRING), '.5')
+    WHEN 1 THEN concat('1,', lpad(CAST(o_orderkey % 1000 AS STRING), 3, '0'))
+    WHEN 2 THEN '0'
+    ELSE NULL
+  END AS amount_thousand_twd,
+  CASE CAST(o_orderkey % 3 AS INT)
+    WHEN 0 THEN 'Dr. John A. Smith'
+    WHEN 1 THEN '王小明'
+    ELSE 'CHEN Li-hua'
+  END AS lead_name,
+  CASE WHEN o_orderkey % 5 = 0
+       THEN '李大仁；Prof. Mary K. Jones、陳美麗'
+       WHEN o_orderkey % 5 = 1 THEN '張三' END AS co_lead_names,
+  concat('National University ', CAST(o_orderkey % 150 AS STRING))
+    AS executing_institution
+FROM orders
+"""
+
+_GRB_REF_YEAR = 2026  # pinned "current year" for the validity window
+
+_GRB_SUFFIX = (
+    "(?i)\\\\b(Ph\\\\.?D\\\\.?|MD|M\\\\.?D\\\\.?|Dr\\\\.?|Prof\\\\.?|"
+    "Jr\\\\.?|Sr\\\\.?|II|III|IV)\\\\b\\\\.?"
+)
+
+
+def _grb_sql(dialect: str) -> str:
+    if dialect == "spark":
+        stype, rl, g = "STRING", "rlike", ""
+        splitfn = "filter(split({v}, '\\\\s*[;；、,，/]\\\\s*'), x -> trim(x) <> '')"
+        elem = "try_element_at({a}, 1)"
+        asize = "size"
+    else:
+        stype, rl, g = "VARCHAR", "regexp_matches", ", 'g'"
+        splitfn = ("list_filter(regexp_split_to_array({v}, '\\\\s*[;；、,，/]\\\\s*'), "
+                   "x -> trim(x) <> '')")
+        elem = "{a}[1]"
+        asize = "len"
+    def digits(col: str) -> str:
+        return f"regexp_replace(coalesce({col}, ''), '[^0-9]', ''{g})"
+    def rocyear(col: str) -> str:
+        d = digits(col)
+        return (f"CASE WHEN length({d}) >= 3 "
+                f"AND TRY_CAST(substr({d}, 1, 3) AS INT) + 1911 "
+                f"BETWEEN 1900 AND {_GRB_REF_YEAR + 1} "
+                f"THEN CAST(TRY_CAST(substr({d}, 1, 3) AS INT) + 1911 AS {stype}) END")
+    def rocmonth(col: str) -> str:
+        d = digits(col)
+        return (f"CASE WHEN length({d}) >= 5 "
+                f"AND TRY_CAST(substr({d}, 4, 2) AS INT) BETWEEN 1 AND 12 "
+                f"THEN lpad(CAST(TRY_CAST(substr({d}, 4, 2) AS INT) AS {stype}), 2, '0') END")
+    def norm_id(col: str) -> str:
+        return f"upper(regexp_replace(coalesce({col}, ''), '\\\\s+', ''{g}))"
+    def desuffix(v: str) -> str:
+        return (f"trim(BOTH ' ,' FROM regexp_replace("
+                f"regexp_replace({v}, '{_GRB_SUFFIX}', ''{g}), '\\\\s+', ' '{g}))")
+    famsplit = desuffix("lead_name")
+    return f"""
+WITH rows AS ({{rows}}),
+keyed AS (
+  SELECT *,
+    coalesce(nullif({norm_id('original_plan_number')}, ''),
+             nullif({norm_id('system_number')}, ''),
+             CASE WHEN nullif({norm_id('grb_id')}, '') IS NOT NULL
+                  THEN concat('GRB-', {norm_id('grb_id')}) END)
+      AS funder_award_id
+  FROM rows
+),
+shaped AS (
+  SELECT funder_award_id,
+    coalesce(title_en, title_zh,
+             concat('MOST project ', funder_award_id)) AS display_name,
+    coalesce({rocyear('period_start_roc_ym')}, {rocyear('plan_year_roc')})
+      AS start_year,
+    {rocyear('period_end_roc_ym')} AS end_year,
+    {rocmonth('period_start_roc_ym')} AS start_month,
+    {rocmonth('period_end_roc_ym')} AS end_month,
+    CASE WHEN coalesce(TRY_CAST(nullif(regexp_replace(
+             coalesce(amount_thousand_twd, ''), '[^0-9.\\\\-]', ''{g}), '')
+             AS DOUBLE), 0) > 0
+         THEN TRY_CAST(nullif(regexp_replace(
+             amount_thousand_twd, '[^0-9.\\\\-]', ''{g}), '') AS DOUBLE) * 1000
+    END AS amount,
+    CASE WHEN {rl}(lead_name, '^[A-Za-z][A-Za-z .,''-]+$')
+              AND {rl}(lead_name, ' ')
+         THEN nullif(regexp_extract({famsplit}, '^(.*) [^ ]+$', 1), '')
+    END AS lead_given_name,
+    CASE WHEN {rl}(lead_name, '^[A-Za-z][A-Za-z .,''-]+$')
+              AND {rl}(lead_name, ' ')
+         THEN regexp_extract({famsplit}, '([^ ]+)$', 1)
+         ELSE lead_name
+    END AS lead_family_name,
+    {elem.format(a=splitfn.format(v='co_lead_names'))} AS co_lead_raw,
+    CAST(greatest({asize}({splitfn.format(v="coalesce(co_lead_names, '')")}) - 1,
+                  0) AS BIGINT) AS n_investigators,
+    executing_institution
+  FROM keyed
+  WHERE funder_award_id IS NOT NULL
+)
+SELECT funder_award_id, display_name, start_year, end_year,
+       start_month, end_month, amount,
+       CASE WHEN amount IS NOT NULL THEN 'TWD' END AS currency,
+       lead_given_name, lead_family_name, co_lead_raw, n_investigators,
+       executing_institution
+FROM shaped
+"""
+
+
+@register(
+    "taiwan_grb_parse_awards",
+    # Spark string literals are backslash-escaped, DuckDB's are
+    # standard-SQL: halve the regex backslashes for the oracle.
+    oracle=_grb_sql("duck").replace("\\\\", "\\").replace(
+        "{rows}", _GRB_ROWS_SPARK.replace("AS STRING", "AS VARCHAR")),
+    tags=("domain", "awards", "scrape"),
+    tables=("orders",),
+    doc="Taiwan MOST GRB export normalize (scripts/local/taiwan_most_grb_to_s3.py)",
+)
+def taiwan_grb_parse_awards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GRB export normalize (``taiwan_most_grb_to_s3.py:159-510``):
+    award-id cascade with space-squash + UPPER (id-less rows dropped),
+    ROC/Minguo calendar conversion with the validity window, month
+    digits[3:5] bounds-checked, thousand-TWD amounts, the
+    Dr/Prof/PhD/Jr suffix strip before the Latin last-token family
+    split (Chinese names whole-in-family), and the co-PI people split
+    on the CJK/ASCII delimiter class with first-as-co-lead.
+
+    Plan: one scan of pure column algebra; the only row reduction is
+    the id-less filter.  No shuffle, no Python."""
+    return spark.sql(_grb_sql("spark").replace("{rows}", _GRB_ROWS_SPARK))
