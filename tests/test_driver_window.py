@@ -11,12 +11,14 @@ defining module changed since the last round-boundary commit must be
   * in ``_WINDOW_EXEMPT`` with a written reason (module touched, this
     query's plan provably untouched — e.g. a sibling query was added).
 
-Granularity note: the unit of change is the query's *defining module*
-(``QuerySpec.module``).  Changes to shared dependency modules
-(``functions/``, ``operators/``) are NOT caught mechanically — those
-still rely on the maintainer adding the affected queries to
-``_CHANGED_THIS_ROUND`` — but every round-8 miss would have been caught
-at this granularity (all seven changed queries' own modules changed).
+Granularity: the unit of change is the query's *defining module*
+(``QuerySpec.module``) PLUS that module's engine-internal imports
+(``functions/``, ``operators/``, ``sinks/``, ...), resolved statically
+from the AST — so a change to a shared dependency module (the round-8
+award fixes lived in ``functions/sql_udfs.py``) flags every query of
+every module importing it, one hop deep.  Deeper transitive chains and
+dynamic imports still rely on the maintainer, but both round-8 misses
+would have been caught at this granularity.
 """
 
 from __future__ import annotations
@@ -52,19 +54,61 @@ def _round_boundary_commit() -> str:
     ).strip()
 
 
-def _changed_query_modules(boundary: str) -> set[str]:
-    """Short module names under queries/ changed since the boundary,
+def _changed_package_files(boundary: str) -> set[str]:
+    """Package-relative dotted module names changed since the boundary,
     including uncommitted working-tree edits (diff vs the commit)."""
     diff = _git(
-        "diff", "--name-only", boundary, "--",
-        "openalex_walden_spark/queries",
+        "diff", "--name-only", boundary, "--", "openalex_walden_spark",
     )
     mods = set()
     for line in diff.splitlines():
-        base = os.path.basename(line.strip())
-        if base.endswith(".py") and base not in ("__init__.py", "registry.py"):
-            mods.add(base[: -len(".py")])
+        p = line.strip()
+        if not p.endswith(".py"):
+            continue
+        dotted = p[: -len(".py")].replace("/", ".")
+        if dotted.endswith(("__init__", ".registry")):
+            continue
+        mods.add(dotted)
     return mods
+
+
+def _module_imports(dotted: str) -> set[str]:
+    """Engine-internal modules imported by ``dotted`` (AST, one hop)."""
+    import ast
+
+    path = os.path.join(REPO, dotted.replace(".", "/") + ".py")
+    try:
+        tree = ast.parse(open(path, encoding="utf-8").read())
+    except (OSError, SyntaxError):
+        return set()
+    out: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name.startswith("openalex_walden_spark."):
+                    out.add(a.name)
+        elif isinstance(node, ast.ImportFrom) and node.module:
+            if node.module.startswith("openalex_walden_spark"):
+                out.add(node.module)
+                for a in node.names:
+                    # "from pkg.functions import sql_udfs" style
+                    out.add(f"{node.module}.{a.name}")
+    return out
+
+
+def _changed_query_modules(boundary: str) -> set[str]:
+    """Short names of query modules whose own file OR any engine-internal
+    import (one hop) changed since the boundary."""
+    changed_files = _changed_package_files(boundary)
+    flagged = set()
+    qdir = os.path.join(REPO, "openalex_walden_spark", "queries")
+    for fname in os.listdir(qdir):
+        if not fname.endswith(".py") or fname in ("__init__.py", "registry.py"):
+            continue
+        dotted = f"openalex_walden_spark.queries.{fname[:-3]}"
+        if dotted in changed_files or (_module_imports(dotted) & changed_files):
+            flagged.add(fname[: -len(".py")])
+    return flagged
 
 
 @pytest.fixture(scope="module")
