@@ -91,11 +91,19 @@ CREATE OR REPLACE TEMPORARY FUNCTION award_key(award STRING)
 RETURNS STRING
 RETURN CASE
   WHEN award IS NULL OR trim(award) = '' THEN NULL
-  WHEN award_strip(award) rlike '[0-9]$'
-    THEN concat(regexp_extract(award_strip(award), '^(.*?)([0-9]+)$', 1),
-                CAST(CAST(regexp_extract(award_strip(award), '^(.*?)([0-9]+)$', 2)
-                          AS BIGINT) AS STRING))
-  ELSE nullif(award_strip(award), '')
+  -- ONE total regexp_replace: strip the leading zeros of the trailing
+  -- digit run ('0*([0-9]+)\\z' backtracks at least one digit into the
+  -- group, so an all-zero run keys as '0'); strings without a digit
+  -- tail pass through unchanged.  The previous BIGINT-cast zero strip
+  -- had two hypothesis-found totality bugs — a >19-digit run
+  -- overflowed the cast, and a U+2028 line separator (which the
+  -- ASCII-only \\s+ strip keeps) let the '[0-9]$' guard say yes
+  -- while the dot-anchored extract said no, casting '' — and its
+  -- macro-expanded repair tripped the codegen method-size limit;
+  -- the \\z anchor (absolute end) keeps Java and RE2 agreeing on
+  -- strings with trailing line terminators, where '$' diverges.
+  -- Behavior on every well-formed id is unchanged.
+  ELSE nullif(regexp_replace(award_strip(award), '0*([0-9]+)\\\\z', '$1'), '')
 END
 """
 

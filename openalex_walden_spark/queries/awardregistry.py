@@ -319,12 +319,7 @@ CASE
   WHEN family = 'usamrmc' OR family = 'usamrdc' OR family = 'usamraa' THEN
     nullif(regexp_extract(regexp_replace(_n, '[-_ ]', '', 'g'),
       '^((W81XWH|DAMD[0-9]{2}|HT[0-9]{4})[0-9]{2}[A-Z0-9]{3,9})$', 1), '')
-  ELSE
-    CASE
-      WHEN length(regexp_replace(lower(award), '[^a-z0-9]', '', 'g')) >= 4
-        THEN regexp_replace(lower(award), '[^a-z0-9]', '', 'g')
-      ELSE lower(trim(award))
-    END
+  ELSE nullif(regexp_replace(_sq, '0*([0-9]+)\\z', '\\1'), '')
 END
 """
 
@@ -340,7 +335,9 @@ variants AS (
 ),
 normed AS (
   SELECT family, variant, award,
-         regexp_replace(upper(trim(award)), '  +', ' ', 'g') AS _n
+         regexp_replace(upper(trim(award)), '  +', ' ', 'g') AS _n,
+         regexp_replace(regexp_replace(upper(trim(award)), '\\s+', ' ', 'g'),
+                        '[ -]', '', 'g') AS _sq
   FROM variants
 ),
 keyed AS (

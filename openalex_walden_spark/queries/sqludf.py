@@ -45,12 +45,7 @@ _AWARD_RAW_DUCK = _AWARD_RAW_SPARK.replace("AS STRING", "AS VARCHAR")
 # whitespace, drop spaces+hyphens, strip leading zeros off the trailing
 # digit run.
 _AWARD_KEY_DUCK = """
-CASE
-  WHEN regexp_matches(s, '^.*[0-9]$')
-    THEN concat(regexp_extract(s, '^(.*?)([0-9]+)$', 1),
-                CAST(CAST(regexp_extract(s, '^(.*?)([0-9]+)$', 2) AS BIGINT) AS VARCHAR))
-  ELSE nullif(s, '')
-END
+nullif(regexp_replace(s, '0*([0-9]+)\\z', '\\1'), '')
 """
 
 _AWARD_ORACLE = f"""
@@ -708,12 +703,7 @@ CASE
     nullif(regexp_extract(regexp_replace(_n, '[-_ ]', '', 'g'),
       '^((W81XWH|DAMD[0-9]{2}|HT[0-9]{4})[0-9]{2}[A-Z0-9]{3,9})$', 1), '')
   ELSE
-    CASE
-      WHEN regexp_matches(_sq, '[0-9]$')
-        THEN concat(regexp_extract(_sq, '^(.*?)([0-9]+)$', 1),
-                    CAST(CAST(regexp_extract(_sq, '^(.*?)([0-9]+)$', 2) AS BIGINT) AS VARCHAR))
-      ELSE nullif(_sq, '')
-    END
+nullif(regexp_replace(_sq, '0*([0-9]+)\\z', '\\1'), '')
 END
 """
 
