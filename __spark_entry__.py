@@ -194,11 +194,14 @@ _CHANGED_THIS_ROUND: list[str] = [
 # module-changed green query that is neither here nor in
 # _CHANGED_THIS_ROUND.  Reset to {} at every round boundary.
 _SQLUDF_DOE_NOTE = (
-    "sqludf.py round-9 edit is the doe FG-arm fix ([0-9]{2} -> [0-9]{4} in "
-    "award_family_key's doe branch + the doe fixture slot); this query's "
-    "sf0.01 output hash was verified byte-identical before/after the edit "
-    "(all 12 sqludf queries compared; only doe-fixture consumers changed "
-    "and those are in _CHANGED_THIS_ROUND)"
+    "sqludf.py round-9 edits are the doe FG-arm fix ([0-9]{2} -> [0-9]{4} "
+    "in award_family_key's doe branch + the doe fixture slot) and the "
+    "generic award_key totality rewrite (zero-strip via regexp instead of "
+    "BIGINT cast); this query's sf0.01 output hash was verified "
+    "byte-identical against the pre-round-9 baseline AFTER BOTH edits "
+    "(all 12 sqludf queries compared; the only changed hash is "
+    "udf_award_family_battery's — its doe fixture — and it is in "
+    "_CHANGED_THIS_ROUND)"
 )
 _WINDOW_EXEMPT: dict[str, str] = {
     "udf_award_verdict_battery": _SQLUDF_DOE_NOTE,
