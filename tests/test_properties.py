@@ -168,3 +168,28 @@ def test_award_family_key_total_on_spark(spark_udfs, family, award):
         "SELECT award_family_key(?, ?) AS k", args=[family, award]
     ).collect()[0]["k"]
     assert out is None or (isinstance(out, str) and out != "")
+
+
+def test_award_key_totality_regressions(spark_udfs):
+    """The two hypothesis-found award_key totality bugs, pinned as
+    deterministic cases: a digit run longer than int64 must key (the
+    BIGINT-cast zero strip overflowed), and a U+2028 line separator —
+    kept by the ASCII-only whitespace strip, yet honored by Java's '$'
+    — must not desynchronize the guard from the extraction (the old
+    form cast '').  Plus the zero-run boundary semantics."""
+    cases = {
+        "99999999999999999999": "99999999999999999999",
+        "a0012345678901234567890": "A12345678901234567890",
+        "x5\u2028": "X5\u2028",
+        "x\u20285": "X\u20285",
+        "000": "0",
+        "AWARD 000": "AWARD0",
+        "awd - 0012345": "AWD12345",
+    }
+    for raw, want in cases.items():
+        got = spark_udfs.sql(
+            "SELECT award_key(?) AS k, award_family_key('generic', ?) AS f",
+            args=[raw, raw],
+        ).collect()[0]
+        assert got["k"] == want, (raw, got["k"])
+        assert got["f"] == want, (raw, got["f"])
