@@ -41,122 +41,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's CORRECTNESS sweep verifies the FIRST 50 entries of
 # ``queries()`` in insertion order, so the order below IS the hard
-# sf0.01 re-verification schedule.  The lists below record each
-# query's most-recent green CORRECTNESS round (derived from
-# CORRECTNESS_r0{2,4,5,6,7,8}.json); ``_driver_order`` fronts queries
-# changed since their last green, then the never-verified backlog
+# sf0.01 re-verification schedule.  ``driver_window_state.json``
+# records each query's most-recent green CORRECTNESS round plus the
+# ordered never-verified backlog; it is MACHINE-maintained — at round
+# start, ``python scripts/record_round.py <N>`` ingests the driver's
+# CORRECTNESS_r0N.json (green rows -> last_green=N, drained from
+# pending) so no hand-edited per-round list can drift from the driver's
+# actual artifacts (the round-8 failure mode).  ``_driver_order``
+# fronts queries changed since their last green, then the backlog
 # oldest-debt-first, then brand-new queries, then the stalest greens.
-# Maintenance per round: move re-verified names into the newest list,
-# refresh ``_CHANGED_THIS_ROUND`` / ``_WINDOW_EXEMPT`` (mechanically
-# audited against git by tests/test_driver_window.py).
+# Hand-maintained residue is only ``_CHANGED_THIS_ROUND`` /
+# ``_WINDOW_EXEMPT`` — both mechanically audited against git AND
+# against the committed output goldens by tests/test_driver_window.py.
 
-_LAST_GREEN_R2 = [
-    "agg_conditional_battery", "agg_grouping_sets",
-    "agg_having_priority_spread", "agg_max_by_order",
-    "agg_percentiles_by_segment", "agg_sorted_collect", "ann_cosine_topk",
-    "d10_authorship_fusion", "d1_priority_merge", "d2_cascade_run",
-    "d2_identity_resolution", "d5_citation_counts", "d5_counts_by_year",
-    "d9_change_detection", "dedup_exact_documents",
-    "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard", "dedup_simhash",
-    "ev_counts_by_type_day", "ev_tumbling_hourly", "j13_posexplode_seats",
-    "j6_range_window_revenue", "j7_alive_per_year",
-    "j8_blocking_fuzzy_match", "join_anti_customers_without_orders",
-    "join_full_outer_nation_counts", "join_nullsafe_band",
-    "join_semi_customers_with_urgent", "llm_embed_vectors",
-    "llm_judge_verdicts", "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume", "subquery_orders_above_cust_avg",
-    "t1_global_topk_orders", "t2_array_cap_top5", "text_lang_id",
-    "text_quality_features", "text_token_stats", "u2_union_distinct_nations",
-    "u4_except_non_urgent_customers", "w1_quality_ladder_pick",
-    "w1_top_order_per_customer", "w2_qualify_top3_orders",
-    "w3_percent_rank_cohort", "w4_fwci_ratio", "w5_running_revenue",
-    "w6_flag_propagation", "w7_count_over_partition", "w8_ntile_quartiles"
-]
+_STATE_PATH = os.path.join(_REPO_ROOT, "driver_window_state.json")
+with open(_STATE_PATH, encoding="utf-8") as _f:
+    _STATE = __import__("json").load(_f)
 
-_LAST_GREEN_R4 = [
-    "a7_histogram_zero_bucket", "a8_tall_metrics", "ann_ivf_topk",
-    "award_family_merge", "d0_works_build", "d0_works_enriched",
-    "d11_entity_aggregates", "d12_curation_overlay", "d3_best_location_pick",
-    "d4_oa_status", "d5_percentile_flags", "d6_and_cascade",
-    "d6_unique_gate_match", "d7_type_cascade", "d7_type_classification",
-    "d8_reference_resolution", "embedding_neardup_pairs",
-    "f_string_date_battery", "j9_merge_scd1_batch", "j9_merge_state_rounds",
-    "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
-    "p10_version_detect", "p11_oai_id_extract", "p12_tei_extract",
-    "p15_boolean_normalize", "p2_doi_normalize", "p3_title_normalize",
-    "p4_license_normalize", "p5_author_key_blocks", "p6_inverted_index",
-    "p7_merge_key", "p7_merge_key_badtitle", "p8_affiliation_filter",
-    "p9_langcode_map", "s4_change_feed", "s6_json_export_shape",
-    "s8_model_inference", "skew_salted_agg", "skew_salted_join",
-    "udf_award_normalize", "udf_names_compatible_pairs",
-    "udf_priority_best_fold"
-]
-
-_LAST_GREEN_R5 = [
-    "ann_sq8_topk", "d6_pattern_cascade", "dedup_segments_exact",
-    "ev_funnel_steps", "ev_gapfill_locf", "ev_hypertable_rollup",
-    "ev_scd2_history", "ev_session_window", "f_unpivot_melt",
-    "graph_triangle_count", "j14_asof_join", "j15_range_join",
-    "mixture_rebalance_sample", "pack_sequences_chunked", "pii_scrub_redact",
-    "quality_gopher_repetition", "s4_incremental_agg_maintenance",
-    "sample_importance_weighted", "search_bm25_topk",
-    "search_boolean_retrieval", "semdedup_prune", "sketch_bloom_probe",
-    "sketch_countmin_estimates", "sketch_hll_distinct"
-]
-
-_LAST_GREEN_R6 = [
-    "agg_pivot_status"
-]
-
-_LAST_GREEN_R7 = [
-    "a6_distinct_pairs", "ann_ivf_multiprobe_topk", "ann_ivf_trained_topk",
-    "ann_recall_audit", "ann_srp_bucket_pairs", "award_oa_compliance",
-    "bpe_top_merges", "chunk_documents_overlap", "crawl_drain_queue",
-    "d7_dict_fallback", "d7_ingest_type_resolution", "d7_reference_cascade",
-    "decontaminate_eval_overlap", "dedup_connected_components",
-    "dedup_prefix_filter_pairs", "ev_expectations_gate", "ev_json_extract",
-    "ev_scd1_latest_state", "ev_sessionize", "ev_sliding_30m",
-    "ev_watermark_late_drop", "f_array_map_json_battery",
-    "f_hof_predicate_battery", "f_map_battery", "f_null_setops_battery",
-    "fit_isotonic_pava", "fulltext_work_build", "graph_label_propagation",
-    "graph_pagerank_fixedpoint", "hierarchy_flatten_doubling",
-    "j12_using_join", "kmeans_lloyd_step", "layout_zorder_stats",
-    "overmerge_centroid_fit", "overmerge_density_split",
-    "overmerge_pairwise_signal", "overmerge_screened_density",
-    "profile_table_stats", "quality_filter_gate", "quality_lm_surprisal",
-    "s3_identifier_and_variables", "sample_stratified_hash",
-    "search_hybrid_rrf", "sketch_bloom_join_prune",
-    "sketch_hll_merge_rollup", "text_fingerprint_winnow", "u1_conform_union",
-    "u3_union_missing_columns", "udf_award_family_battery",
-    "w9_range_frame_trailing"
-]
-
-_LAST_GREEN_R8 = [
-    "aer_name_conflict_overmerge", "aer_pop_name_frequency",
-    "affiliation_strings_prepare", "author_names_parse",
-    "award_label_entangled_holdback", "award_missing_grants_roadmap",
-    "concepts_keywords_dynamic", "d9_changed_rows_feed", "grobid_retry_seed",
-    "institution_ancestors_lineage", "judge_apply_rollup",
-    "maint_funder_alias_merge", "maint_removed_docs_delete_feed",
-    "metatags_classifier_view", "metatags_harvest",
-    "metrics_authorship_change_events", "metrics_block_size_health",
-    "metrics_null_seat_flow", "metrics_works_daily_tall",
-    "parseland_reparse_resolve", "paywall_classify_html",
-    "paywall_oa_host_queue", "paywall_rebuild_cohort", "recrawl_stuck_rows",
-    "s6_export_authors_shape", "s6_export_awards_shape",
-    "s6_export_common_entities", "s6_export_concepts_shape",
-    "s6_export_funders_shape", "s6_export_institutions_shape",
-    "s6_export_keywords_shape", "s6_export_publishers_shape",
-    "s6_export_salt_ladder", "s6_export_sources_shape",
-    "s6_export_topic_hierarchy_shape", "scrape_candidate_select",
-    "serving_external_id_map", "serving_sharded_doc_maintenance",
-    "snapshot_smoke_report", "topics_inference_frontier",
-    "topics_merge_output", "topics_text_cleaning",
-    "udf_award_guard_decision", "udf_award_salvage_s1",
-    "udf_award_salvage_s2_multiid", "udf_award_salvage_s3_wrong_funder",
-    "udf_award_verdict_battery", "unpaywall_curation_emit",
-    "work_authorships_rebuild", "wunpaywall_build"
-]
+# query name -> round of its most recent green driver row
+_LAST_GREEN: dict[str, int] = {
+    k: int(v) for k, v in _STATE["last_green"].items()
+}
 
 # Queries whose plan or semantics changed SINCE their last green driver
 # row, so that row no longer vouches for current behavior.  These MUST
@@ -215,40 +120,16 @@ _WINDOW_EXEMPT: dict[str, str] = {
     "award_missing_grants_roadmap": _SQLUDF_DOE_NOTE,
 }
 
-_ROTATION = (
-    _LAST_GREEN_R2 + _LAST_GREEN_R4 + _LAST_GREEN_R5 + _LAST_GREEN_R6
-    + _LAST_GREEN_R7 + _LAST_GREEN_R8
-)
-
-# Round-8 additions that have NEVER had a driver sf0.01 hash check
-# (53 at round-9 start).  Kept explicit so they drain ahead of any
-# round-9 additions: fresh queries are ordered oldest-debt-first.
-_NEVER_VERIFIED_BACKLOG = [
-    "locations_source_match", "repo_super_authorships",
-    "author_name_evidence_clean", "author_full_names_update",
-    "work_awards_build", "award_size_parse_probe",
-    "awards_raw_slice_refresh", "award_truncated_tail_canonical",
-    "award_institution_awarded", "crossref_grant_awards_build",
-    "crossref_parse_ingest", "pubmed_parse_ingest", "datacite_parse_ingest",
-    "landing_page_stage", "mag_works_rebuild", "irdb_jpcoar_ids",
-    "work_author_curations_apply", "author_name_curations_diff",
-    "author_orcid_curation_state", "author_orcid_pending_changes",
-    "author_orcid_collision_guard", "ror_derived_tables",
-    "institutions_from_ror_sync", "location_curations_apply",
-    "particle_contaminated_select", "concepts_input_gate", "sdg_input_gate",
-    "ras_counts_refresh", "content_grobid_gap_fill",
-    "author_mean_embeddings", "sources_snapshot_build", "pdf_award_tagging",
-    "source_api_summary_stats", "impact_did_specialization",
-    "impact_collab_pairs", "impact_cofunders", "impact_downstream_reach",
-    "impact_precision_recall", "funder_roles_entity_links",
-    "impact_citation_profile", "impact_top_fwci_stories",
-    "es_sync_stale_audit", "es_sync_doc_ids", "content_manifest_export",
-    "snapshot_retention_plan", "namefix_counterfactual_diff",
-    "namefix_stratified_sample", "affiliation_rules_match",
-    "affiliation_postprocess_refine", "inference_score_fallback",
-    "guard_verdict_batch", "guard_telemetry_rollup",
-    "work_authors_string_drift"
+# Every query with a green driver row, stalest round first (name
+# tie-break) — the tail of the re-verification schedule.
+_ROTATION = [
+    name for name, _ in sorted(_LAST_GREEN.items(), key=lambda kv: (kv[1], kv[0]))
 ]
+
+# Ordered never-verified backlog (oldest debt first; round-9 additions
+# queue behind the round-8 overflow).  Maintained by record_round.py:
+# greens drain out, brand-new catalog entries append.
+_NEVER_VERIFIED_BACKLOG = [n for n in _STATE["pending"]]
 
 
 def _driver_order() -> list[str]:

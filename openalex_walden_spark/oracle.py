@@ -82,6 +82,43 @@ def canonical_rows(df_pandas) -> list[tuple[str, ...]]:
     return sorted(rows)
 
 
+def golden_hash(df_pandas, spark_schema=None) -> dict:
+    """Order-insensitive content fingerprint of a result frame.
+
+    The committed goldens file (``tests/goldens_sf0001.json``) pins one of
+    these per catalog query; ``test_oracle_parity`` recomputes it on every
+    run, so any output change — even one where the Spark query and its
+    DuckDB oracle move together — fails loudly and must be acknowledged by
+    regenerating the golden (``scripts/gen_goldens.py``), which in turn
+    forces the query into ``_CHANGED_THIS_ROUND`` via the boundary-diff
+    audit in ``tests/test_driver_window.py``.
+
+    ``spark_schema`` (the DataFrame's ``.schema``) is hashed alongside the
+    values: canonical value strings mask type drift (int 5 and string
+    ``'5'`` both canonicalize to ``'5'``), so the Spark-side column types
+    are pinned explicitly.
+    """
+    import hashlib
+
+    cols = sorted(str(c) for c in df_pandas.columns)
+    schema = (
+        ",".join(
+            sorted(f"{f.name}:{f.dataType.simpleString()}"
+                   for f in spark_schema.fields)
+        )
+        if spark_schema is not None
+        else ""
+    )
+    rows = canonical_rows(df_pandas)
+    payload = "\x1d".join(
+        [schema, "\x1f".join(cols)] + ["\x1f".join(r) for r in rows]
+    )
+    return {
+        "rows": len(rows),
+        "hash": hashlib.sha256(payload.encode("utf-8")).hexdigest(),
+    }
+
+
 @dataclass
 class CompareResult:
     name: str
@@ -91,6 +128,7 @@ class CompareResult:
     cols_oracle: list[str]
     match: bool
     mismatches: list[str] = field(default_factory=list)
+    spark_golden: dict | None = None
 
     @property
     def summary(self) -> str:
@@ -110,6 +148,7 @@ def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> Co
         cols_spark=sorted(spark_pd.columns),
         cols_oracle=sorted(duck_pd.columns),
         match=True,
+        spark_golden=golden_hash(spark_pd, spark_df.schema),
     )
     if res.rows_spark != res.rows_oracle:
         res.match = False

@@ -19,10 +19,19 @@ award fixes lived in ``functions/sql_udfs.py``) flags every query of
 every module importing it, one hop deep.  Deeper transitive chains and
 dynamic imports still rely on the maintainer, but both round-8 misses
 would have been caught at this granularity.
+
+Second, OUTPUT-level layer (round 9): the committed golden fingerprints
+(``tests/goldens_sf0001.json``, recomputed on every parity run) are
+diffed against their version at the round-boundary commit.  Any query
+whose output hash changed since the boundary and which holds a green
+driver row MUST be fronted — no exemption can override an output change,
+and conversely every ``_WINDOW_EXEMPT`` entry must be output-stable,
+turning the exemptions' prose evidence into a machine check.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import subprocess
 
@@ -141,6 +150,52 @@ def test_changed_query_modules_are_fronted(boundary: str) -> None:
     )
 
 
+def _goldens_at(commit: str) -> dict | None:
+    """tests/goldens_sf0001.json as of ``commit``, or None if absent."""
+    try:
+        raw = _git("show", f"{commit}:tests/goldens_sf0001.json")
+    except subprocess.CalledProcessError:
+        return None
+    return json.loads(raw)
+
+
+def _current_goldens() -> dict:
+    path = os.path.join(REPO, "tests", "goldens_sf0001.json")
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def test_output_changed_queries_are_fronted(boundary: str) -> None:
+    """Output-hash layer: a golden that moved since the round boundary
+    invalidates the query's green driver row — it must be fronted, and
+    no _WINDOW_EXEMPT prose can excuse it."""
+    base = _goldens_at(boundary)
+    if base is None:
+        # The harness was introduced this round; the boundary commit has
+        # no goldens to diff against.  The file-level audit above still
+        # covers this round; from the next round boundary on, this check
+        # is live.  (Deliberately a pass, not a skip — nothing to do.)
+        return
+    cur = _current_goldens()
+    rotation = set(e._ROTATION)
+    fronted = set(e._CHANGED_THIS_ROUND)
+    moved = sorted(
+        n for n in cur
+        if n in base and base[n] != cur[n] and n in _q.CATALOG
+    )
+    offenders = [n for n in moved if n in rotation and n not in fronted]
+    assert not offenders, (
+        "queries whose OUTPUT changed since the round boundary but which "
+        f"still hold an unfronted green driver row: {offenders} — add "
+        "them to _CHANGED_THIS_ROUND"
+    )
+    bad_exempt = sorted(set(moved) & set(e._WINDOW_EXEMPT))
+    assert not bad_exempt, (
+        "_WINDOW_EXEMPT entries whose output changed since the boundary "
+        f"(an exemption claims output stability): {bad_exempt}"
+    )
+
+
 def test_exemptions_carry_reasons() -> None:
     for name, reason in e._WINDOW_EXEMPT.items():
         assert name in _q.CATALOG, f"exemption for unknown query {name!r}"
@@ -168,19 +223,43 @@ def test_order_covers_catalog_exactly_once() -> None:
     assert len(order) == len(set(order))
 
 
-def test_rotation_lists_are_disjoint() -> None:
-    """A query's last-green round must be recorded exactly once, and the
-    never-verified backlog must not claim a green query."""
-    lists = [
-        e._LAST_GREEN_R2, e._LAST_GREEN_R4, e._LAST_GREEN_R5,
-        e._LAST_GREEN_R6, e._LAST_GREEN_R7, e._LAST_GREEN_R8,
-    ]
-    seen: set[str] = set()
-    for lst in lists:
-        dupes = seen & set(lst)
-        assert not dupes, f"query in two last-green lists: {dupes}"
-        seen |= set(lst)
-    backlog_greens = set(e._NEVER_VERIFIED_BACKLOG) & seen
-    assert not backlog_greens, (
-        f"backlog entries that already have a green row: {backlog_greens}"
+def test_window_state_invariants() -> None:
+    """driver_window_state.json must partition the catalog: every query
+    is either verified (with a round) or pending, never both, and the
+    pending order carries no duplicates."""
+    verified = set(e._LAST_GREEN)
+    pending = e._NEVER_VERIFIED_BACKLOG
+    assert len(pending) == len(set(pending)), "duplicate pending entries"
+    assert not (verified & set(pending)), (
+        f"in both verified and pending: {verified & set(pending)}"
     )
+    catalog = set(_q.CATALOG)
+    unknown = (verified | set(pending)) - catalog
+    assert not unknown, f"state entries not in the catalog: {unknown}"
+    unseen = catalog - verified - set(pending)
+    assert not unseen, (
+        f"catalog queries the state file has never seen (run "
+        f"scripts/record_round.py): {unseen}"
+    )
+    assert all(isinstance(r, int) and 2 <= r <= 99 for r in
+               e._LAST_GREEN.values())
+
+
+def test_state_greens_match_driver_artifacts() -> None:
+    """Every last_green claim must be backed by the named CORRECTNESS
+    artifact: the round-8 failure was bookkeeping drifting from the
+    driver's actual output, so pin them together."""
+    by_round: dict[int, list[str]] = {}
+    for name, rnd in e._LAST_GREEN.items():
+        by_round.setdefault(rnd, []).append(name)
+    for rnd, names in sorted(by_round.items()):
+        art = os.path.join(REPO, f"CORRECTNESS_r{rnd:02d}.json")
+        assert os.path.exists(art), f"state claims round {rnd} but {art} missing"
+        with open(art, encoding="utf-8") as f:
+            rows = json.load(f)
+        for n in names:
+            r = rows.get(n)
+            assert r, f"{n}: last_green={rnd} but no row in {art}"
+            assert r.get("rows_match") and r.get("schema_match") and r.get(
+                "hash_match"
+            ), f"{n}: last_green={rnd} but the {art} row is not green: {r}"
