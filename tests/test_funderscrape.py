@@ -93,3 +93,104 @@ def test_usaspending_parse_plan(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# IS VaVaI family (queries/isvavai.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(not os.path.isdir(_REF_DIR), reason="reference absent")
+def test_isvavai_family_matches_reference():
+    from openalex_walden_spark.queries.isvavai import _PROVIDERS
+
+    fleet = sorted(
+        f[: -len("_to_s3.py")]
+        for f in os.listdir(_REF_DIR)
+        if f.endswith("_to_s3.py") and "isvavai" in _read(f[: -len("_to_s3.py")])
+    )
+    assert fleet == ["gacr", "meys", "mpo", "mvcr", "mze"], (
+        "reference IS VaVaI fleet changed — re-adjudicate "
+        "queries/isvavai.py"
+    )
+    for slug, code in _PROVIDERS:
+        src = _read(slug)
+        m = re.search(r'^[A-Z0-9_]*PROVIDER_CODE = "([A-Z0-9]+)"', src, re.M)
+        assert m and m.group(1) == code, (slug, code)
+        # Template members share the process function verbatim.
+        assert "participant_ror" in src and "lead_ror" in src, slug
+    # meys is the adjudicated variant: own schema + clean_blank
+    # normalization, no title fallback.
+    meys = _read("meys")
+    assert "clean_blank" in meys and "participant_ror" not in meys
+
+
+def test_isvavai_parse_plan(spark, sf_dir):
+    """Provider registry broadcasts; the lead-ROR lookup is an equi
+    hash join on the project code; no Python, no cartesian."""
+    from openalex_walden_spark import queries as q
+
+    q.load_all()
+    df = q.CATALOG["isvavai_parse_projects"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# SweCRIS family (queries/swecris.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(not os.path.isdir(_REF_DIR), reason="reference absent")
+def test_swecris_family_matches_reference():
+    from openalex_walden_spark.queries.swecris import (
+        _GEN_A, _GEN_B_SINGLE, _SWEEP,
+    )
+
+    fleet = sorted(
+        f[: -len("_to_s3.py")]
+        for f in os.listdir(_REF_DIR)
+        if f.endswith("_to_s3.py")
+        and "swecris-api.vr.se" in _read(f[: -len("_to_s3.py")])
+    )
+    assert fleet == sorted(
+        [s for s, _ in _GEN_A] + [s for s, _ in _GEN_B_SINGLE] + ["swecris"]
+    ), "reference SweCRIS fleet changed — re-adjudicate queries/swecris.py"
+    for slug, nr in _GEN_A:
+        src = _read(slug)
+        assert f'SWECRIS_FUNDER_ID = "{nr}"' in src, (slug, nr)
+        # gen A: keep-first dedup, numeric amount, NO suffix strip.
+        assert 'drop_duplicates(subset=["project_id"], keep="first")' in src
+        assert "split_name" not in src, slug
+    for slug, nr in _GEN_B_SINGLE:
+        src = _read(slug)
+        assert f'SWECRIS_FUNDER_ORG_NR = "{nr}"' in src, (slug, nr)
+        # gen B: max-amount dedup (sorted before keep-first).
+        assert 'sort_values("amount", ascending=False' in src, slug
+    # energimyndigheten is the no-PI gen-B sibling.
+    assert "split_name" not in _read("energimyndigheten")
+    assert "split_name" in _read("ifau")
+    sweep = _read("swecris")
+    for nr, fid, name in _SWEEP:
+        assert f'"{nr}": ({fid}, "{name}")' in sweep, (nr, fid)
+    # vinnova reads Vinnova's own portal, not SweCRIS.
+    assert "swecris-api.vr.se" not in _read("vinnova")
+
+
+@pytest.mark.parametrize(
+    "name", ["swecris_parse_projects", "swecris_sweep_parse"]
+)
+def test_swecris_parse_plan(spark, sf_dir, name):
+    """The per-project dedup plans as a rank-limit window (map-side
+    WindowGroupLimit prune, one exchange); the org registry broadcasts;
+    the PI pick is in-row array algebra (no join, no Python)."""
+    from openalex_walden_spark import queries as q
+
+    q.load_all()
+    df = q.CATALOG[name].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
