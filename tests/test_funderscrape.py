@@ -194,3 +194,52 @@ def test_swecris_parse_plan(spark, sf_dir, name):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# FRIS family (queries/fris.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(not os.path.isdir(_REF_DIR), reason="reference absent")
+def test_fris_family_matches_reference():
+    from openalex_walden_spark.queries.fris import _MEMBERS
+
+    fleet = sorted(
+        f[: -len("_to_s3.py")]
+        for f in os.listdir(_REF_DIR)
+        if f.endswith("_to_s3.py")
+        and "frisr4.researchportal.be" in _read(f[: -len("_to_s3.py")])
+    )
+    assert fleet == sorted(s for s, _, _, _, _, _ in _MEMBERS), (
+        "reference FRIS fleet changed — re-adjudicate queries/fris.py"
+    )
+    for slug, fid, name_lc, _, _, toks in _MEMBERS:
+        src = _read(slug)
+        assert f"FUNDER_ID = {fid}" in src, (slug, fid)
+        assert f'FWO_FUNDER_NAME = "{name_lc}"' in src, (slug, name_lc)
+        if len(toks) > 1:
+            lst = ", ".join(f'"{t}"' for t in toks)
+            assert f"PREFERRED_AUTHORITIES = [{lst}]" in src, (slug, toks)
+        else:
+            # fwo: single-token substring check, no preference list.
+            assert "PREFERRED_AUTHORITIES" not in src, slug
+            assert '"FWO" in (fi.get("authority") or "").upper()' in src
+        # Membership by funding-party association, never string search.
+        assert '"funding party"' in src.lower() or "funding party" in src
+
+
+def test_fris_parse_plan(spark, sf_dir):
+    """The membership filter is an explode of the funding-party name
+    list into a broadcast equi-join (never a string scan of the whole
+    document); everything else is in-row array algebra — no window, no
+    Python, no cartesian."""
+    from openalex_walden_spark import queries as q
+
+    q.load_all()
+    df = q.CATALOG["fris_parse_projects"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "Generate explode" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
