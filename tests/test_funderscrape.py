@@ -243,3 +243,43 @@ def test_fris_parse_plan(spark, sf_dir):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# NIHR single-scraper port (queries/nihrparse.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(not os.path.isdir(_REF_DIR), reason="reference absent")
+def test_nihr_port_matches_reference_rules():
+    src = _read("nihr")
+    # DHSC exclusion mask, verbatim rule.
+    assert ('(df["programme"] == "Policy Research Programme") | '
+            '(df["funder"] == "NIHR (ODA)")') in src
+    # Title strip list and order.
+    assert ('["Dr ", "Prof ", "Professor ", "Mr ", "Mrs ", "Ms ", '
+            '"Miss "]') in src
+    # ORCID junk values.
+    assert '["not provided", "none", "null", ""]' in src
+    # The array-typed column carve-out.
+    assert 'list_cols = {"institution_country", "ukcrc_value"}' in src
+    from openalex_walden_spark.queries.nihrparse import _TITLES
+
+    assert list(_TITLES) == ["Dr ", "Prof ", "Professor ", "Mr ",
+                             "Mrs ", "Ms ", "Miss "]
+
+
+def test_nihr_parse_plan(spark, sf_dir):
+    """Keep-first dedup as a rank-limit window; exclusion filter before
+    the exchange; list columns stay arrays; no Python."""
+    from openalex_walden_spark import queries as q
+
+    q.load_all()
+    df = q.CATALOG["nihr_parse_awards"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    schema = dict((f.name, f.dataType.simpleString()) for f in df.schema)
+    assert schema["institution_country"] == "array<string>"
+    assert schema["ukcrc_value"] == "array<string>"
