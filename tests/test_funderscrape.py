@@ -283,3 +283,41 @@ def test_nihr_parse_plan(spark, sf_dir):
     schema = dict((f.name, f.dataType.simpleString()) for f in df.schema)
     assert schema["institution_country"] == "array<string>"
     assert schema["ukcrc_value"] == "array<string>"
+
+
+# ---------------------------------------------------------------------------
+# BMBF single-scraper port (queries/bmbfparse.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(not os.path.isdir(_REF_DIR), reason="reference absent")
+def test_bmbf_port_matches_reference_rules():
+    src = _read("bmbf")
+    # German amount parse: strip currency/space, dots out, comma -> dot.
+    assert "re.sub(r'[€\\s]', '', amount_str)" in src
+    assert "amount_str.replace('.', '').replace(',', '.')" in src
+    # Date-range regex, verbatim.
+    assert (r"(\d{2}\.\d{2}\.\d{4})\s*(?:bis|-)\s*(\d{2}\.\d{2}\.\d{4})"
+            in src)
+    # Encoding-robust label matches the port mirrors.
+    for marker in ("'rdersumme' in label", "'rderart' in label",
+                   "'rderprofil' in label", "'Zuwendungsempf' in label"):
+        assert marker in src, marker
+    # The stateful two-Ort assignment and the Referat extract.
+    assert "project['zuwendungsempfaenger'] and not project['ort']" in src
+    assert r"re.search(r'Referat\s+(\S+)', parts[1])" in src
+    # Keep-first FKZ dedup.
+    assert 'drop_duplicates(subset=["fkz"], keep="first")' in src
+
+
+def test_bmbf_parse_plan(spark, sf_dir):
+    """Keep-first FKZ dedup as a rank-limit window; the label lookups
+    are in-row array lambdas; no join at all, no Python."""
+    from openalex_walden_spark import queries as q
+
+    q.load_all()
+    df = q.CATALOG["bmbf_parse_projects"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
