@@ -321,3 +321,39 @@ def test_bmbf_parse_plan(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# ARC single-scraper port (queries/arcparse.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(not os.path.isdir(_REF_DIR), reason="reference absent")
+def test_arc_port_matches_reference_rules():
+    src = _read("arc")
+    # The falsy scheme-information rule with the kept empty string.
+    assert ('scheme_info.get("scheme-code", "").strip() '
+            'if scheme_info else None') in src
+    # Priorities render only when non-empty.
+    assert ('json.dumps(grant_priorities) if grant_priorities '
+            'else None') in src
+    # Keep-first dedup by grant id.
+    assert 'drop_duplicates(subset=["grant_id"], keep="first")' in src
+    # end_date identity round-trip.
+    assert 'df["end_date"].astype(str).replace("None", None)' in src
+
+
+def test_arc_parse_plan(spark, sf_dir):
+    """Keep-first dedup as a rank-limit window; no join, no Python;
+    numeric columns stay numeric (ARC is not stringify-all)."""
+    from openalex_walden_spark import queries as q
+
+    q.load_all()
+    df = q.CATALOG["arc_parse_grants"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    schema = dict((f.name, f.dataType.simpleString()) for f in df.schema)
+    assert schema["grant_value"] == "double"
+    assert schema["start_year"] == "bigint"
