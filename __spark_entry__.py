@@ -67,30 +67,11 @@ _LAST_GREEN: dict[str, int] = {
 # row, so that row no longer vouches for current behavior.  These MUST
 # win window slots even over never-verified new queries: a stale green
 # is worse than an unchecked new query because it *looks* verified.
-#
-# Round-8 changes never re-verified (round-8 shipped this list empty —
-# the round-8 VERDICT flagged that as its top defect; restored here):
-#   - search_hybrid_rrf: semantic arm re-routed through the IVF route
-#     table (was a corpus-sized window partition per query).
-#   - udf_award_family_battery / award_family_merge / udf_award_normalize:
-#     award normalizer digit-boundary fixes (ADVICE r7) + new families.
-#   - overmerge_density_split / overmerge_screened_density: the
-#     sample_order_key hash made overflow-safe for >2^31 ids (ADVICE r7).
-#   - graph_pagerank_fixedpoint: bench fixture damping 0.85 -> 0.70
-#     (same superstep plan, ~18 rounds instead of 40).
-# Round-9 changes are appended by the round as they land; membership is
-# cross-checked mechanically against git by
-# tests/test_driver_window.py (queries whose defining module changed
-# since the last round-boundary commit must be here or never-verified).
-_CHANGED_THIS_ROUND: list[str] = [
-    "search_hybrid_rrf",
-    "udf_award_family_battery",
-    "award_family_merge",
-    "udf_award_normalize",
-    "overmerge_density_split",
-    "overmerge_screened_density",
-    "graph_pagerank_fixedpoint",
-]
+# Appended by the round as changes land; membership is cross-checked
+# mechanically against git by tests/test_driver_window.py (queries whose
+# defining module changed since the last round-boundary commit must be
+# here or never-verified).
+_CHANGED_THIS_ROUND: list[str] = []
 
 # Queries whose defining MODULE changed this round but whose own plan
 # and semantics provably did not (e.g. a sibling query was added to the
@@ -98,27 +79,7 @@ _CHANGED_THIS_ROUND: list[str] = [
 # can check against the diff; tests/test_driver_window.py rejects any
 # module-changed green query that is neither here nor in
 # _CHANGED_THIS_ROUND.  Reset to {} at every round boundary.
-_SQLUDF_DOE_NOTE = (
-    "sqludf.py round-9 edits are the doe FG-arm fix ([0-9]{2} -> [0-9]{4} "
-    "in award_family_key's doe branch + the doe fixture slot) and the "
-    "generic award_key totality rewrite (zero-strip via regexp instead of "
-    "BIGINT cast); this query's sf0.01 output hash was verified "
-    "byte-identical against the pre-round-9 baseline AFTER BOTH edits "
-    "(all 12 sqludf queries compared; the only changed hash is "
-    "udf_award_family_battery's — its doe fixture — and it is in "
-    "_CHANGED_THIS_ROUND)"
-)
-_WINDOW_EXEMPT: dict[str, str] = {
-    "udf_award_verdict_battery": _SQLUDF_DOE_NOTE,
-    "udf_award_salvage_s1": _SQLUDF_DOE_NOTE,
-    "udf_award_salvage_s2_multiid": _SQLUDF_DOE_NOTE,
-    "udf_award_salvage_s3_wrong_funder": _SQLUDF_DOE_NOTE,
-    "udf_award_guard_decision": _SQLUDF_DOE_NOTE,
-    "udf_priority_best_fold": _SQLUDF_DOE_NOTE,
-    "udf_names_compatible_pairs": _SQLUDF_DOE_NOTE,
-    "award_label_entangled_holdback": _SQLUDF_DOE_NOTE,
-    "award_missing_grants_roadmap": _SQLUDF_DOE_NOTE,
-}
+_WINDOW_EXEMPT: dict[str, str] = {}
 
 # Every query with a green driver row, stalest round first (name
 # tie-break) — the tail of the re-verification schedule.
