@@ -145,6 +145,7 @@ def main() -> None:
     # those pauses OUT of the timed window instead of letting them land
     # randomly inside one.
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
@@ -158,27 +159,33 @@ def main() -> None:
             spark._jvm.System.gc()  # noqa: SLF001 - drain garbage between queries
         except Exception:  # pragma: no cover
             pass
-        best = None
+        runs: list[float] = []
         try:
             for _ in range(3):
                 spark.catalog.clearCache()  # each timed run does ALL the work
                 t0 = time.perf_counter()
                 spec.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
+                runs.append(time.perf_counter() - t0)
         except Exception as ex:  # noqa: BLE001 - one broken query must not
             # zero the whole round's numbers (round 4 lost ALL timings to
             # a single loader error); record it and keep measuring.
             errors[name] = str(ex).split("\n", 1)[0][:200]
             continue
-        timings[name] = round(best, 3)
+        timings[name] = round(min(runs), 3)
+        # Recorded per-query spread (max - min over the 3 runs): the
+        # round-9 drift triage needed to distinguish a real plan
+        # regression from host noise after the fact, which the min alone
+        # cannot do — a cross-round delta well inside that round's own
+        # spread is noise; a delta far outside it deserves a plan diff.
         total += timings[name]
+        spreads[name] = round(max(runs) - min(runs), 3)
 
     payload = {
         "metric": "headline_total_wall",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "spread": spreads,
         "sf": sf,
     }
     if errors:

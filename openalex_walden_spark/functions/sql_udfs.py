@@ -511,7 +511,10 @@ END
 # permissive deposited key above would salvage.  Funders whose registry
 # rule equals their deposited rule (most_tw, fct, nasa, the UKRI
 # council squashes, ...) repeat it verbatim, matching the generated
-# file.  The two repo-extension families carry the same discipline:
+# file.  dod anchors on the UN-squashed normalized string
+# (AwardNormKey.sql:64) — unlike its deposited rule, the registry
+# grammar refuses hyphenated contract spellings like
+# 'W81XWH-10-1-0238'; only the funder's squashed canonical form keys.  The two repo-extension families carry the same discipline:
 # erc anchors the bare CORDIS grant number (the deposited rule's
 # trailing-extract made strict), ukri anchors the combined-council
 # path.  Non-matching strings and unconfigured families fall to the
@@ -541,7 +544,7 @@ RETURN CASE
         '^([0-9]{5,6})(?:[/_ ][A-Z](?:[/_ ][0-9]{2})?([/_ ][A-Z])?)?$', 1),
         '')), 6, '0')
   WHEN family = 'dod' THEN
-    nullif(regexp_extract(regexp_replace(award_norm0(award), '[-_ ]', ''),
+    nullif(regexp_extract(award_norm0(award),
       '^([A-Z][A-Z0-9]{5}[0-9]{2}[A-Z0-9]{3,11})$', 1), '')
   WHEN family = 'kakenhi' THEN
     nullif(regexp_extract(award_norm0(award),

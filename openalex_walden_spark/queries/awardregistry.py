@@ -35,8 +35,8 @@ CASE CAST(o_orderkey % 54 AS INT)
   WHEN 2 THEN CAST(o_orderkey % 900000 + 100000 AS STRING)
   WHEN 3 THEN concat('EP/N', lpad(CAST(o_orderkey % 100000 AS STRING), 5, '0'), '1/1')
   WHEN 4 THEN concat(lpad(CAST(o_orderkey % 100000 AS STRING), 5, '0'), '/Z/04/Z')
-  WHEN 5 THEN concat('W81XWH-', lpad(CAST(o_orderkey % 100 AS STRING), 2, '0'),
-                     '-1-', lpad(CAST(o_orderkey % 10000 AS STRING), 4, '0'))
+  WHEN 5 THEN concat('W81XWH', lpad(CAST(o_orderkey % 100 AS STRING), 2, '0'),
+                     '1', lpad(CAST(o_orderkey % 10000 AS STRING), 4, '0'))
   WHEN 6 THEN concat(lpad(CAST(o_orderkey % 25 + 10 AS STRING), 2, '0'), 'H',
                      lpad(CAST(o_orderkey % 100000 AS STRING), 5, '0'))
   WHEN 7 THEN concat('ANR-', lpad(CAST(o_orderkey % 100 AS STRING), 2, '0'), '-CE',
@@ -186,7 +186,7 @@ CASE
         '^([0-9]{5,6})(?:[/_ ][A-Z](?:[/_ ][0-9]{2})?([/_ ][A-Z])?)?$', 1),
         '')), 6, '0')
   WHEN family = 'dod' THEN
-    nullif(regexp_extract(regexp_replace(_n, '[-_ ]', '', 'g'),
+    nullif(regexp_extract(_n,
       '^([A-Z][A-Z0-9]{5}[0-9]{2}[A-Z0-9]{3,11})$', 1), '')
   WHEN family = 'kakenhi' THEN
     nullif(regexp_extract(_n, '^([0-9]{2}[A-Z][0-9]{5}|[0-9]{8})$', 1), '')

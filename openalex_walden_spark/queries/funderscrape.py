@@ -85,13 +85,8 @@ concat('https://kaken.nii.ac.jp/en/grant/KAKENHI-PROJECT-',
        lpad(CAST(o_orderkey % 100000 AS STRING), 5, '0'), '/')
 """
 
-# DuckDB has no '\\uXXXX' string escapes — inline the literal chars.
 _KAKEN_URL_DUCK = _KAKEN_URL_SPARK.replace("AS STRING", "AS VARCHAR")
-_KAKEN_HTML_DUCK = (
-    _KAKEN_HTML_SPARK.replace("AS STRING", "AS VARCHAR")
-    .replace("\\u2013", chr(0x2013))
-    .replace("\\u00a5", chr(0xA5))
-)
+_KAKEN_HTML_DUCK = _KAKEN_HTML_SPARK.replace("AS STRING", "AS VARCHAR")
 
 _KAKEN_ORACLE = f"""
 WITH fetched AS (
@@ -349,6 +344,15 @@ def gtr_parse_awards(spark: SparkSession, sf_dir: str) -> DataFrame:
       carries no valuePounds;
     * dedup by grant_reference keeping the first page-order row.
 
+    DEVIATION: the dedup key is ``coalesce(grant_reference,
+    project_id)``, so every NULL-reference project survives as its own
+    row.  The reference's pandas ``drop_duplicates(subset=
+    ['grant_reference'], keep='first')`` (gtr_to_s3.py:921) treats NaN
+    as equal and collapses ALL reference-less projects to a single
+    arbitrary row (gtr_to_s3.py:932) — losing real awards.  Kept
+    intentionally: per-project survival is the correct semantics; only
+    the NULL-key arm diverges.
+
     Plan: funds rollup is a partial-aggregable groupBy (the WHERE
     prunes 2/3 of the scan before the shuffle), one equi-join on
     project_id, one min_by dedup — no window over the corpus, no UDF."""
@@ -508,18 +512,29 @@ dateparts AS (
     END AS end_date
   FROM dated
 ),
+stripped AS (
+  SELECT *,
+    regexp_replace(heading_raw,
+      '^[（(]?[{_CN_NUM}]+[）)]?[、.．] *', '') AS heading_body
+  FROM dateparts
+),
 schemed AS (
+  -- re.split(cut)[0] semantics (scheme_from_heading,
+  -- _cn_province_common.py:114-124): when a count/amount clause is
+  -- present the scheme is everything BEFORE the first one — possibly
+  -- empty (a '（一）…' heading whose numeral prefix carries no '、'
+  -- strips nothing and splits at position 0 to NULL, NOT to the whole
+  -- heading); only a clause-free heading survives whole.
   SELECT *,
     CASE WHEN heading_raw IS NOT NULL THEN
-      nullif(trim(coalesce(
-        nullif(regexp_extract(
-          regexp_replace(heading_raw,
-            '^[（(]?[{_CN_NUM}]+[）)]?[、.．] *', ''),
-          '^(.*?)([，,（(]|[0-9]+项|共[0-9]|经费)', 1), ''),
-        regexp_replace(heading_raw,
-          '^[（(]?[{_CN_NUM}]+[）)]?[、.．] *', ''))), '')
+      nullif(trim(CASE
+        WHEN {rl}(heading_body, '[，,（(]|[0-9]+项|共[0-9]|经费')
+          THEN regexp_extract(heading_body,
+                 '^(.*?)([，,（(]|[0-9]+项|共[0-9]|经费)', 1)
+        ELSE heading_body
+      END), '')
     END AS funder_scheme
-  FROM dateparts
+  FROM stripped
 )
 SELECT
   coalesce(lower(native_id),
@@ -841,7 +856,11 @@ FROM shaped
     doc="Taiwan MOST GRB export normalize (scripts/local/taiwan_most_grb_to_s3.py)",
 )
 def taiwan_grb_parse_awards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The GRB export normalize (``taiwan_most_grb_to_s3.py:159-510``):
+    """The GRB export normalize (``taiwan_most_grb_to_s3.py:159-510``;
+    ``nstc_grb_to_s3.py`` is the same template with different constants
+    — funder id, plan-organ code BT200 vs BT100, thresholds — so this
+    query covers BOTH scrapers' parse compute; the twin-ship is pinned
+    by ``tests/test_funderscrape.py::test_nstc_grb_is_the_most_grb_template``):
     award-id cascade with space-squash + UPPER (id-less rows dropped),
     ROC/Minguo calendar conversion with the validity window, month
     digits[3:5] bounds-checked, thousand-TWD amounts, the

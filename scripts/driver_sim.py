@@ -37,22 +37,38 @@ def main() -> int:
         f"_CHANGED_THIS_ROUND entries outside the 50-slot window: "
         f"{missing_changed}"
     )
-    fresh = [n for n in _q.CATALOG if n not in retired and n not in set(changed)]
-    out = [n for n in fresh if n not in window]
-    # Overflow is legitimate ONLY when the window is already saturated
-    # with changed + never-verified queries — then later additions queue
-    # for the next round instead of displacing a priority slot.  What
-    # must never happen is a half-empty window while fresh queries wait.
-    if out:
-        assert all(n not in retired for n in order[:50]) and len(order) > 50, (
-            f"window not saturated yet these queries sit outside it: {out}"
+    # The PENDING backlog (state-file never-verified) must fill the
+    # slots left after the changed front — a pending query outside the
+    # window while a slot is open is a scheduling bug.  Mid-round
+    # catalog additions (not yet in the state file) deliberately queue
+    # LAST, behind even the stale-green rotation: they enter pending at
+    # the next boundary and front the next window from there.
+    pending = [n for n in e._NEVER_VERIFIED_BACKLOG if n in _q.CATALOG]
+    slots_after_changed = 50 - len([n for n in changed if n in _q.CATALOG])
+    out_pending = [n for n in pending if n not in window]
+    if out_pending:
+        assert len(pending) > slots_after_changed, (
+            f"pending queries outside a non-full window: {out_pending}"
         )
+    midround = [n for n in _q.CATALOG
+                if n not in retired and n not in set(pending)
+                and n not in set(changed)]
+    debt = out_pending + [n for n in midround if n not in window]
+    if debt:
         print(
-            f"VERIFICATION DEBT: {len(out)} never-verified queries overflow "
-            f"this round's 50-slot window and wait for the next round:"
+            f"VERIFICATION DEBT: {len(debt)} never-verified queries wait "
+            f"for a later window ({len(out_pending)} pending overflow, "
+            f"{len(debt) - len(out_pending)} mid-round additions):"
         )
-        for n in out:
+        for n in debt:
             print(f"  overflow: {n}")
+    stale_drained = [n for n in order[:50] if n in retired]
+    if stale_drained:
+        print(
+            f"window re-verifies {len(stale_drained)} stalest greens "
+            f"(oldest round "
+            f"{min(e._LAST_GREEN[n] for n in stale_drained)})"
+        )
 
     spark = (
         SparkSession.builder.master("local[8]")

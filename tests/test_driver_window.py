@@ -236,11 +236,19 @@ def test_window_state_invariants() -> None:
     catalog = set(_q.CATALOG)
     unknown = (verified | set(pending)) - catalog
     assert not unknown, f"state entries not in the catalog: {unknown}"
+    # Catalog queries the state file has never seen are mid-round
+    # additions: allowed, but ONLY at the very end of the driver order
+    # (they must not displace the backlog/stale-green drain; they enter
+    # pending at the next boundary via record_round.py and front the
+    # next window from there).
     unseen = catalog - verified - set(pending)
-    assert not unseen, (
-        f"catalog queries the state file has never seen (run "
-        f"scripts/record_round.py): {unseen}"
-    )
+    if unseen:
+        order = e._driver_order()
+        tail = set(order[-len(unseen):])
+        assert unseen == tail, (
+            f"mid-round catalog additions must sort last in the driver "
+            f"order: {sorted(unseen - tail)} are not at the tail"
+        )
     assert all(isinstance(r, int) and 2 <= r <= 99 for r in
                e._LAST_GREEN.values())
 

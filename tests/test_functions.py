@@ -235,6 +235,29 @@ def test_sql_udf_surface(spark):
     assert row["weak_dense"] and not row["weak_sparse"]
 
 
+def test_award_registry_key_dod_refuses_hyphenated(spark):
+    """Registry-side dod anchors the UN-squashed normalized string
+    (AwardNormKey.sql:64): hyphenated deposited spellings must refuse,
+    only the funder's squashed canonical contract number keys.  Pins the
+    round-10 ADVICE fix (the port used to squash '[-_ ]' first and so
+    accepted forms the reference registry rule refuses)."""
+    from openalex_walden_spark.functions.sql_udfs import create_sql_udfs
+
+    create_sql_udfs(spark)
+    row = spark.sql("""
+      SELECT
+        award_registry_key('dod', 'W81XWH-10-1-0238') AS hyphenated,
+        award_registry_key('dod', 'W81XWH1010238') AS squashed,
+        award_registry_key('dod', 'w81xwh1010238 ') AS normcased,
+        award_registry_key('usamrmc', 'W81XWH-10-1-0238') AS cdmrp_side
+    """).collect()[0]
+    assert row["hyphenated"] is None
+    assert row["squashed"] == "W81XWH1010238"
+    assert row["normcased"] == "W81XWH1010238"
+    # the CDMRP-arm families keep their squash (AwardNormKey.sql:71)
+    assert row["cdmrp_side"] == "W81XWH1010238"
+
+
 def test_llm_cost_guard(spark, sf_dir):
     """§2.10 LLM-as-operator: guard meters a chunk and blocks over-budget
     passes BEFORE any full-scale work; non-stub backends are a clearly

@@ -357,3 +357,32 @@ def test_arc_parse_plan(spark, sf_dir):
     schema = dict((f.name, f.dataType.simpleString()) for f in df.schema)
     assert schema["grant_value"] == "double"
     assert schema["start_year"] == "bigint"
+
+
+def test_nstc_grb_is_the_most_grb_template():
+    """nstc_grb_to_s3.py is the taiwan_most_grb_to_s3.py template with
+    different constants (funder id 2461203286 vs 4320322795, plan-organ
+    BT200 vs BT100, row thresholds): the entire normalize kit —
+    roc_year/roc_month/amount_twd/normalize_award_id/split_latin_name/
+    person_from_name/split_people — must stay byte-identical between
+    the two scripts, so ``taiwan_grb_parse_awards`` covers BOTH
+    scrapers' parse compute.  If NSTC's normalize ever diverges, this
+    fails and the port needs its own branch."""
+    import re as _re
+
+    def _fn_bodies(slug: str) -> dict:
+        src = _read(slug)
+        out = {}
+        for m in _re.finditer(
+                r"^def (roc_year|roc_month|amount_twd|normalize_award_id|"
+                r"split_latin_name|person_from_name|split_people)\b.*?"
+                r"(?=^def |^class |\Z)",
+                src, _re.M | _re.S):
+            out[m.group(1)] = m.group(0)
+        return out
+
+    a = _fn_bodies("nstc_grb")
+    b = _fn_bodies("taiwan_most_grb")
+    assert set(a) == set(b) and len(a) == 7
+    for name in a:
+        assert a[name] == b[name], f"{name} diverged between the GRB twins"

@@ -766,4 +766,61 @@ def test_indexes_vocab_distinct_before_count(spark, sf_dir):
     plan = _plan(spark, sf_dir, "indexes_api_build")
     assert "Generate explode" in plan
     assert "partial_" in plan
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_twas_parse_single_scan_no_shuffle(spark, sf_dir):
+    """TWAS normalize: one scan, the layer barriers are 1:1 Generates
+    (no shuffle, no Python stage), and the plan stays bounded (the
+    chained-CTE form inlined to a 167 KB optimized plan and fell out of
+    whole-stage codegen)."""
+    plan = _plan(spark, sf_dir, "twas_parse_awards")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    df = q.CATALOG["twas_parse_awards"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 100_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_bhf_parse_single_window_dedup(spark, sf_dir):
+    """BHF normalize: the only exchange is the per-ref keep-first
+    window, and rn=1 applies as a WindowGroupLimit before the sort."""
+    plan = _plan(spark, sf_dir, "bhf_parse_awards")
+    assert plan.count("Exchange") <= 2  # dedup hashpartition (+AQE read)
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_canada_council_parse_shape(spark, sf_dir):
+    """Canada Council: two scan arms unioned, the co-author explode and
+    the layer barriers are Generates, the 10-row GG label join
+    broadcasts, and the plan stays bounded (the chained form hit a
+    70 MB optimized plan / driver OOM)."""
+    plan = _plan(spark, sf_dir, "canada_council_prizes_parse")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    df = q.CATALOG["canada_council_prizes_parse"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 100_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_isciii_parse_single_scan_no_shuffle(spark, sf_dir):
+    """ISCIII normalize: pure column algebra over one scan."""
+    plan = _plan(spark, sf_dir, "isciii_parse_awards")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_award_topics_merge_broadcast_meta(spark, sf_dir):
+    """Award-topics merge: hierarchy metadata broadcasts; the top-3
+    aggregate and the prior-state join share the award_id key; no
+    cartesian product, no Python."""
+    plan = _plan(spark, sf_dir, "award_topics_merge_state")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
