@@ -386,3 +386,26 @@ def test_nstc_grb_is_the_most_grb_template():
     assert set(a) == set(b) and len(a) == 7
     for name in a:
         assert a[name] == b[name], f"{name} diverged between the GRB twins"
+
+
+def test_sshrc_header_map_matches_reference():
+    """The SSHRC bilingual/per-era header registry
+    (openalex_walden_spark/queries/sshrcparse.py:HEADER_MAP) must equal
+    the column_mappings dict in the reference's standardize_columns
+    (sshrc_to_s3.py:305-372), re-derived here by AST so an upstream
+    mapping change fails this test instead of silently diverging."""
+    import ast
+
+    src = _read("sshrc")
+    tree = ast.parse(src)
+    mapping = None
+    for node in ast.walk(tree):
+        if (isinstance(node, ast.Assign)
+                and any(getattr(t, "id", "") == "column_mappings"
+                        for t in node.targets)):
+            mapping = ast.literal_eval(node.value)
+    assert mapping, "column_mappings not found in sshrc_to_s3.py"
+
+    from openalex_walden_spark.queries.sshrcparse import HEADER_MAP
+
+    assert dict(HEADER_MAP) == mapping

@@ -824,3 +824,24 @@ def test_award_topics_merge_broadcast_meta(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sshrc_single_aggregate_shuffle(spark, sf_dir):
+    """SSHRC rollup: exactly one hash exchange (the per-award
+    aggregate), partial aggregation map-side, no Python."""
+    plan = _plan(spark, sf_dir, "sshrc_parse_awards")
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "partial_" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rgc_hk_single_scan_no_shuffle(spark, sf_dir):
+    """RGC HK normalize: pure HOF column algebra over one scan, plan
+    bounded (the person-split expressions repeat over attributes, not
+    over inlined derivations)."""
+    plan = _plan(spark, sf_dir, "rgc_hk_parse_awards")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    df = q.CATALOG["rgc_hk_parse_awards"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 200_000, f"plan blow-up: {len(opt)} chars"

@@ -1001,3 +1001,207 @@ def test_isciii_matches_reference_semantics(spark, sf_dir, orders_rows):
                r.keywords, r.funder_scheme, r.funding_type,
                r.landing_page_url)
         assert got == exp, f"{r.project_id}: {got} != {exp}"
+
+
+# ---------------------------------------------------------------------------
+# SSHRC open-data awards (scripts/local/sshrc_to_s3.py:404-620)
+# ---------------------------------------------------------------------------
+
+def test_sshrc_matches_reference_semantics(spark, sf_dir, orders_rows):
+    """Re-runs process_data's payment rollup in Python: amount strip +
+    coerce (all-NaN group sums to 0, pandas), metadata 'first' after
+    the stable fiscal-year DESC sort, fiscal-year min/max, coerced
+    start_year, and the kept NaN file_number group."""
+    groups: dict = {}
+    for k, *_ in sorted(orders_rows):
+        fn = None if k % 29 == 0 else f"435-{k % 800}"
+        fy = k % 12 + 2012
+        amt_raw = {0: f"${k % 90 + 10},{k % 1000:03d}",
+                   1: f"{k % 50000}.50", 2: "N/A", 3: ""}.get(
+                       k % 5, str(k % 90000))
+        try:
+            amount = float(amt_raw.replace(",", "").replace("$", "").strip())
+        except ValueError:
+            amount = None
+        row = {
+            "seq": k, "fy": fy, "amount": amount,
+            "title": f"Project {k % 800} y{fy}",
+            "applicant": f"Applicant {k % 800}",
+            "institution": f"University {k % 60}",
+            "program": ["Insight Grants", "Partnership Grants",
+                        "Doctoral Fellowships"][k % 3],
+            "keywords": f"keyword{k % 17}",
+            "area": f"Area {k % 9}",
+            "comp_year": "TBD" if k % 7 == 0 else str(k % 12 + 2011),
+            "province": ["ON", "QC", "BC", "NS"][k % 4],
+        }
+        groups.setdefault(fn, []).append(row)
+
+    expected = {}
+    for fn, rows in groups.items():
+        rows_sorted = sorted(rows, key=lambda r: (-r["fy"], r["seq"]))
+        first = rows_sorted[0]
+        total = sum(r["amount"] for r in rows if r["amount"] is not None)
+        try:
+            sy = int(first["comp_year"])
+        except ValueError:
+            sy = None
+        expected[fn] = (
+            first["title"], first["applicant"], first["institution"],
+            first["program"], total, first["keywords"], "Sociology",
+            first["area"], first["comp_year"], first["province"], sy,
+            min(r["fy"] for r in rows), max(r["fy"] for r in rows))
+
+    actual = _run(spark, sf_dir, "sshrc_parse_awards")
+    assert len(actual) == len(expected)
+    for r in actual:
+        exp = expected[r.file_number]
+        got = (r.title, r.applicant_name, r.institution, r.program,
+               r.amount, r.keywords, r.discipline, r.area_of_research,
+               r.competition_year, r.province, r.start_year,
+               r.start_fiscal_year, r.latest_fiscal_year)
+        assert got == exp, f"{r.file_number}: {got} != {exp}"
+
+
+# ---------------------------------------------------------------------------
+# RGC Hong Kong project enquiry (scripts/local/rgc_hk_to_s3.py:137-478)
+# ---------------------------------------------------------------------------
+
+_RGC_HON = re.compile(r"^(Prof(?:essor)?|Dr|Mr|Mrs|Ms|Miss|Ir)\.?\s+", re.I)
+
+
+def _rgc_clean(v):  # clean_text, rgc_hk_to_s3.py:137-146
+    if v is None:
+        return None
+    t = str(v).replace("﻿", "").replace("\xa0", " ")
+    t = t.replace("\r\n", "\n").replace("\r", "\n")
+    t = re.sub(r"[ \t]+", " ", t)
+    t = re.sub(r"\n{3,}", "\n\n", t)
+    return t.strip() or None
+
+
+def _rgc_compact(v):  # compact_text, :148-152
+    t = _rgc_clean(v)
+    return re.sub(r"\s+", " ", t).strip() or None if t else None
+
+
+def _rgc_amount(v):  # amount_to_string, :155-168
+    from decimal import Decimal, InvalidOperation
+
+    t = _rgc_compact(v)
+    if t is None:
+        return None
+    t = t.replace(",", "").replace("HK$", "").replace("$", "").strip()
+    try:
+        a = Decimal(t)
+    except (InvalidOperation, ValueError):
+        return None
+    if a <= 0:
+        return None
+    n = a.normalize()
+    if n == n.to_integral():
+        return str(n.quantize(Decimal("1")))
+    return format(n, "f")
+
+
+def _rgc_split_person(raw):  # split_person_name, :203-219
+    t = _rgc_compact(raw)
+    if t is None:
+        return None, None
+    t = _RGC_HON.sub("", t).strip()
+    if "," in t:
+        family, given = [p.strip() for p in t.split(",", 1)]
+        return given or None, family or None
+    suff = {"Jr", "Jr.", "Sr", "Sr.", "II", "III", "IV"}
+    toks = [tok.strip(",") for tok in t.split() if tok.strip(",")]
+    while toks and toks[-1] in suff:
+        toks.pop()
+    if not toks:
+        return None, None
+    if len(toks) == 1:
+        return None, toks[0]
+    return " ".join(toks[:-1]), toks[-1]
+
+
+def _rgc_people(v):  # split_people, :222-231
+    t = _rgc_clean(v)
+    if t is None:
+        return []
+    parts = []
+    for line in re.split(r"\n+|;\s*", t):
+        item = _rgc_compact(line)
+        if item and item not in parts:
+            parts.append(item)
+    return parts
+
+
+def test_rgc_hk_matches_reference_semantics(spark, sf_dir, orders_rows):
+    import json as _json
+
+    expected = {}
+    for k, *_ in orders_rows:
+        pn = f"{k % 8 + 11}{k % 100000:05d}" + ["16", "21E", "22M"][k % 3]
+        pi = {0: "Prof. CHAN Tai-man", 1: "Dr Wong, Ka Ming",
+              2: "LEE Siu Ming Jr.", 3: "Ir CHEUNG Kwok",
+              4: "Einstein"}.get(k % 6)
+        co_raw = {0: f"Dr A Chan{k % 53}\nProf B Lee; Dr A Chan{k % 53}",
+                  1: "Ms C Ng"}.get(k % 3)
+        scheme = ["General Research Fund", "Early Career Scheme",
+                  "RGC Postdoctoral Fellowship Scheme",
+                  "Theme-based Research Scheme"][k % 4]
+        amt_raw = {0: f"HK${k % 900 + 100},{k % 1000:03d}",
+                   1: f"{k % 900 + 100},{k % 1000:03d}.50",
+                   2: "0", 3: "N/A"}.get(k % 5)
+        completion_raw = ("to be advised" if k % 9 == 0 else
+                          f"Completed on {k % 28 + 1}-{k % 12 + 1}-"
+                          f"{k % 25 + 2001}")
+        exercise = ("TBD" if k % 9 == 0
+                    else f"{k % 25 + 2000} / {k % 25 + 2001}")
+
+        m = re.search(r"\b(\d{1,2})-(\d{1,2})-(\d{4})\b",
+                      _rgc_compact(completion_raw) or "")
+        completion = (f"{int(m.group(3)):04d}-{int(m.group(2)):02d}-"
+                      f"{int(m.group(1)):02d}") if m else None
+        ym = re.search(r"\b(20\d{2}|19\d{2})\b", _rgc_compact(exercise) or "")
+        start_year = ym.group(1) if ym else None
+        amount = _rgc_amount(amt_raw)
+        given, family = _rgc_split_person(pi)
+        people = _rgc_people(co_raw)
+        structs = [{"raw_name": n, "given_name": _rgc_split_person(n)[0],
+                    "family_name": _rgc_split_person(n)[1]} for n in people]
+        abstract = _rgc_clean(f"First paragraph of abstract {k}."
+                              "\n\n\n\nSecond\tparagraph  here.")
+        expected[pn] = (
+            "HKUST" + str(k % 1000) if k % 11 == 0 else None,
+            scheme,
+            "fellowship" if "fellowship" in scheme.lower() else "research",
+            f"Study of topic {k}", f"chinese title {k}", abstract,
+            pi, given, family,
+            f"Department of Unit {k % 40}", f"University {k % 9}",
+            _json.dumps(people, ensure_ascii=False) if people else None,
+            (_json.dumps(structs, ensure_ascii=False, sort_keys=True)
+             if structs else None),
+            "Biology and Medicine", f"Subject {k % 23}",
+            _rgc_compact(exercise), amount,
+            "HKD" if amount else None,
+            "Completed" if k % 2 == 0 else "On-going",
+            completion, start_year,
+            completion[:4] if completion else None,
+            "Available" if k % 2 == 0 else None,
+        )
+
+    actual = _run(spark, sf_dir, "rgc_hk_parse_awards")
+    assert len(actual) == len(expected)
+    for r in actual:
+        exp = expected[r.funder_award_id]
+        got = (r.old_project_id, r.funding_scheme, r.funding_type_hint,
+               r.title, r.title_chinese, r.description,
+               r.principal_investigator, r.pi_given_name, r.pi_family_name,
+               r.department, r.institution, r.co_investigators_json,
+               r.co_investigators_struct_json, r.panel, r.subject_area,
+               r.exercise_year, r.amount, r.currency, r.project_status,
+               r.completion_date, r.start_year, r.end_year,
+               r.layman_summary_status)
+        assert got == exp, f"{r.funder_award_id}: {got} != {exp}"
+        assert r.funder_id == "4320321592"
+        assert r.source_url.endswith(f"theSubmit={r.funder_award_id}")
