@@ -845,3 +845,14 @@ def test_rgc_hk_single_scan_no_shuffle(spark, sf_dir):
     df = q.CATALOG["rgc_hk_parse_awards"].spark(spark, sf_dir)
     opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
     assert len(opt) < 200_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_blue_planet_single_scan_no_shuffle(spark, sf_dir):
+    """Blue Planet normalize: one scan through Generate layer barriers,
+    bounded plan, no shuffle, no Python."""
+    plan = _plan(spark, sf_dir, "blue_planet_parse_awards")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    df = q.CATALOG["blue_planet_parse_awards"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"

@@ -1205,3 +1205,180 @@ def test_rgc_hk_matches_reference_semantics(spark, sf_dir, orders_rows):
         assert got == exp, f"{r.funder_award_id}: {got} != {exp}"
         assert r.funder_id == "4320321592"
         assert r.source_url.endswith(f"theSubmit={r.funder_award_id}")
+
+
+# ---------------------------------------------------------------------------
+# Blue Planet Prize (scripts/local/blue_planet_prize_to_s3.py:357-637)
+# ---------------------------------------------------------------------------
+
+_BP_HON = re.compile(r"^(?:Dr\.|Prof\.|Professor|Mr\.|Ms\.|Mrs\.|Sir)\s+",
+                     re.I)
+_BP_PAREN = re.compile(r"\(([^()]+)\)")
+_BP_FOUND_P = re.compile(r"^(?:Founded|Established)\s+(?:in|on)\b", re.I)
+_BP_ACR = re.compile(r"^[A-Z][A-Z0-9]{1,5}$")
+_BP_BORN = re.compile(
+    r"Born\s+(?:in|on)\s+(?:[A-Z][a-z]+\s+\d{1,2},\s+)?(\d{4})", re.I)
+_BP_LIFE = re.compile(r"\b(\d{4})\s*[–\-—~]\s*(\d{4})\b")
+_BP_FOUNDED = re.compile(
+    r"(?:Founded|Established)\s+(?:in|on)\s+(?:[A-Z][a-z]+\s+\d{1,2},\s+)?"
+    r"(\d{4})", re.I)
+_BP_KW = (r"Pioneering|Groundbreaking|Outstanding|"
+          r"His\s+(?:research|work|contributions?)|"
+          r"Her\s+(?:research|work|contributions?)|"
+          r"Their\s+(?:research|work|contributions?)|"
+          r"In a groundbreaking|Over\s+(?:more\s+than\s+)?\d+\s+years|"
+          r"In \d{4}\b")
+_BP_INST = (r"Foundation|Institute|University|Laboratory|Center|Centre|"
+            r"Agency|Society|Department|Service")
+
+
+def _bp_split_name(full):  # split_name, :511-530
+    if not full:
+        return None, None
+    name = full.strip().replace(";", ",").split(",")[0].strip()
+    toks = name.split()
+    suff = {"PhD", "Ph.D", "MD", "M.D", "DPhil", "ScD", "Jr", "Sr", "II",
+            "III", "IV"}
+    while toks and toks[-1].rstrip(".") in suff:
+        toks.pop()
+    if not toks:
+        return None, None
+    if len(toks) == 1:
+        return None, toks[0]
+    return " ".join(toks[:-1]), toks[-1]
+
+
+def _bp_section(raw_heading, body_text):  # parse_section, :357-505
+    country = None
+    founding_paren = None
+    name_no_paren = raw_heading
+    heading_is_person = bool(_BP_HON.match(raw_heading))
+    for p in reversed(list(_BP_PAREN.finditer(raw_heading))):
+        inner = p.group(1).strip()
+        if _BP_FOUND_P.match(inner):
+            founding_paren = inner
+            name_no_paren = (name_no_paren[:p.start()]
+                             + name_no_paren[p.end():]).strip()
+        elif country is None and p.end() == len(raw_heading):
+            if heading_is_person or not _BP_ACR.match(inner):
+                country = inner
+                name_no_paren = (name_no_paren[:p.start()]
+                                 + name_no_paren[p.end():]).strip()
+    name_clean = _BP_HON.sub("", re.sub(r"\s+", " ", name_no_paren).strip()
+                             ).strip()
+
+    born = _BP_BORN.search(body_text)
+    life = _BP_LIFE.search(body_text)
+    found = _BP_FOUNDED.search(body_text)
+    death = None
+    if born:
+        kind, birth, founding, end = "individual", int(born.group(1)), None, \
+            born.end()
+    elif life:
+        kind, birth, founding, end = "individual", int(life.group(1)), None, \
+            life.end()
+        death = int(life.group(2))
+    elif found or founding_paren:
+        kind, birth = "organization", None
+        if found:
+            founding, end = int(found.group(1)), found.end()
+        else:
+            y = re.search(r"\b(1[89]\d\d|20[0-2]\d)\b", founding_paren or "")
+            founding, end = (int(y.group(1)) if y else None), 0
+    else:
+        kind, birth, founding, end = "unknown", None, None, 0
+
+    affil = contribution = None
+    if end:
+        post = body_text[end:].strip(" .,;:")
+        am = re.match(rf"(.{{5,300}}?)(?=\s+(?:{_BP_KW}))", post)
+        if am:
+            affil = am.group(1).strip(" .,;:")
+            contribution = post[am.end():].strip(" .,;:")
+        else:
+            am2 = re.match(
+                rf"(.{{5,300}}?\b(?:{_BP_INST})\b[^.]*?)(?=\s+[A-Z])", post)
+            if am2:
+                affil = am2.group(1).strip(" .,;:")
+                contribution = post[am2.end():].strip(" .,;:")
+            else:
+                affil = post[:150].strip(" .,;:") if len(post) > 30 else None
+                contribution = (post[150:].strip(" .,;:")
+                                if len(post) > 150 else None)
+    if not contribution:
+        contribution = body_text[end:].strip(" .,;:") or None
+    return (name_clean, country, founding_paren, kind, birth, death,
+            founding, affil, contribution)
+
+
+def test_blue_planet_matches_reference_semantics(spark, sf_dir, orders_rows):
+    expected = {}
+    for k, *_ in orders_rows:
+        year = k % 34 + 1992
+        heading = {
+            0: f"Dr. Syukuro Manabe{k} (USA)",
+            1: f"Professor Robert Costanza{k} (USA & Australia)",
+            2: f"International Institute{k} (IIED) (Founded in the UK)",
+            3: f"Conservation International{k} (Indonesia)",
+            4: f"Intergovernmental Science Platform{k} (IPBES)",
+            5: f"Sir David Attenborough{k}",
+        }[k % 6]
+        body = {
+            0: (f"Born in {k % 40 + 1930} Senior Meteorologist at the "
+                "Geophysical Fluid Dynamics Laboratory of NOAA Pioneering "
+                f"work on climate modelling {k}"),
+            1: (f"{k % 40 + 1920}–{k % 30 + 1990} Professor Emeritus at "
+                f"Kyoto University His research on ecosystems {k}"),
+            2: (f"Founded in {k % 60 + 1950} the Global Footprint Network "
+                "Institute based in Oakland United Nations partner "
+                f"programs {k}"),
+            3: (f"Established on March 5, {k % 40 + 1980} International "
+                f"Union branch offices worldwide coordination hub {k}"),
+            4: ("A distinguished career in marine conservation spanning "
+                f"decades of fieldwork {k}"),
+        }[k % 5]
+        if k % 7 == 0:  # card-fallback arm (:317-356)
+            anchor = f"card-0{k % 2 + 1}"
+            name_clean = _BP_HON.sub("", heading).strip()
+            row = (heading, name_clean, "Japan", "individual", None, None,
+                   None, None, None)
+        else:
+            anchor = f"text-0{k % 2 + 1}"
+            (name_clean, country, _fp, kind, birth, death, founding, affil,
+             contribution) = _bp_section(heading, body)
+            row = (heading, name_clean, country, kind, birth, death,
+                   founding, affil, contribution)
+
+        (heading_out, name_clean, country, kind, birth, death, founding,
+         affil, contribution) = row
+        if kind == "individual":
+            given, family = _bp_split_name(name_clean)
+            affil_name = affil
+        elif kind == "organization":
+            given, family = None, None
+            affil_name = name_clean
+        else:
+            given, family = _bp_split_name(name_clean)
+            affil_name = affil
+        desc_parts = ([contribution] if contribution else []) + (
+            [f"Origin: {country}"] if country else [])
+        slug = re.sub(r"[^a-z0-9]+", "-",
+                      name_clean.lower()).strip("-")[:60]
+        fid = f"blue-planet-{year}-{anchor}-{slug}"
+        expected[fid] = (
+            year, anchor, name_clean, heading_out, given, family, country,
+            kind, birth, founding, affil_name,
+            f"Blue Planet Prize {year} — {name_clean}",
+            ". ".join(desc_parts) if desc_parts else None,
+            500000.0, "USD", f"{year}-01-01", f"{year}-12-31")
+
+    actual = _run(spark, sf_dir, "blue_planet_parse_awards")
+    assert len(actual) == len(expected)
+    for r in actual:
+        exp = expected[r.funder_award_id]
+        got = (r.year, r.anchor, r.name_clean, r.raw_heading, r.given_name,
+               r.family_name, r.country, r.recipient_kind, r.birth_year,
+               r.founding_year, r.affiliation_name, r.display_name,
+               r.description, r.amount, r.currency, r.start_date, r.end_date)
+        assert got == exp, f"{r.funder_award_id}:\n  {got}\n  != {exp}"
+        assert r.declined is False
