@@ -409,3 +409,28 @@ def test_sshrc_header_map_matches_reference():
     from openalex_walden_spark.queries.sshrcparse import HEADER_MAP
 
     assert dict(HEADER_MAP) == mapping
+
+
+def test_sloan_region_tables_match_reference():
+    """The US-state and country-name tables in sloanparse must equal the
+    reference's US_STATE_CODES / COUNTRY_NAME_TO_CODE (sloan_to_s3.py:
+    169-189), re-derived by AST."""
+    import ast
+
+    src = _read("sloan")
+    tree = ast.parse(src)
+    states = countries = None
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign):
+            for t in node.targets:
+                if getattr(t, "id", "") == "US_STATE_CODES":
+                    states = ast.literal_eval(node.value)
+                if getattr(t, "id", "") == "COUNTRY_NAME_TO_CODE":
+                    countries = ast.literal_eval(node.value)
+    assert states and countries
+
+    from openalex_walden_spark.queries.sloanparse import (
+        COUNTRY_NAME_TO_CODE, US_STATE_CODES)
+
+    assert set(US_STATE_CODES) == states
+    assert dict(COUNTRY_NAME_TO_CODE) == countries

@@ -856,3 +856,13 @@ def test_blue_planet_single_scan_no_shuffle(spark, sf_dir):
     df = q.CATALOG["blue_planet_parse_awards"].spark(spark, sf_dir)
     opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
     assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_sloan_broadcast_country_map(spark, sf_dir):
+    """Sloan parse: the country map broadcasts; the only exchange is the
+    keep-first slug window; no Python."""
+    plan = _plan(spark, sf_dir, "sloan_parse_grants")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

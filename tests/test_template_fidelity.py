@@ -1382,3 +1382,100 @@ def test_blue_planet_matches_reference_semantics(spark, sf_dir, orders_rows):
                r.description, r.amount, r.currency, r.start_date, r.end_date)
         assert got == exp, f"{r.funder_award_id}:\n  {got}\n  != {exp}"
         assert r.declined is False
+
+
+# ---------------------------------------------------------------------------
+# Sloan Foundation grants database (scripts/local/sloan_to_s3.py:402-560)
+# ---------------------------------------------------------------------------
+
+_SLOAN_PREF = {"dr", "prof", "professor", "mr", "ms", "mrs"}
+_SLOAN_SUFF = {"phd", "ph.d", "md", "m.d", "sc.d", "d.o", "dphil", "jr",
+               "sr", "ii", "iii", "iv", "mph", "msc", "mba"}
+
+
+def _sloan_split(full):  # split_name, sloan_to_s3.py:402-417
+    if not full:
+        return None, None
+    toks = full.split()
+    while toks and toks[0].lower().rstrip(".") in _SLOAN_PREF:
+        toks.pop(0)
+    while toks and toks[-1].lower().rstrip(".,") in _SLOAN_SUFF:
+        toks.pop()
+    if not toks:
+        return None, None
+    if len(toks) == 1:
+        return None, toks[0]
+    return " ".join(toks[:-1]), toks[-1]
+
+
+def test_sloan_matches_reference_semantics(spark, sf_dir, orders_rows):
+    from openalex_walden_spark.queries.sloanparse import (
+        COUNTRY_NAME_TO_CODE, US_STATE_CODES)
+
+    cmap = dict(COUNTRY_NAME_TO_CODE)
+    expected = {}
+    for k, *_ in sorted(orders_rows):
+        permalink = {
+            0: None,
+            1: f"/grant-detail/g-b{k % 12 + 2010}-{k % 700}",
+            2: "/grant-detail/g-books",
+        }.get(k % 11, f"/grant-detail/g-{k % 18 + 2008}-{k % 700}"
+              + ("-econ" if k % 4 == 0 else ""))
+        m = re.search(r"/grant-detail/([^/?#\s]+)", permalink or "")
+        fid = m.group(1) if m else None
+        if not fid or fid in expected:
+            continue
+        year_field = {0: str(k % 18 + 2008), 1: "FY 2020"}.get(k % 3, "")
+        if re.fullmatch(r"(?:19|20)\d{2}", year_field):
+            year = int(year_field)
+        else:
+            ym = re.search(r"(?:19|20)\d{2}", fid)
+            year = int(ym.group(0)) if ym else None
+        grantee = (None if k % 13 == 0
+                   else f"Grantee Organization {k % 120}")
+        investigator = {0: f"Dr. Jordan Blashek{k % 89}",
+                        1: f"Maria del Carmen Lopez{k % 89} PhD",
+                        2: f"Wei{k % 89}"}.get(k % 5)
+        amt_raw = {0: f"${k % 900 + 100},{k % 1000:03d}", 1: "pending",
+                   2: "$0"}.get(k % 4, f"${k % 90000 + 1}")
+        am = re.search(r"-?\$?\s*([\d,]+)", amt_raw or "")
+        amount = None
+        if am:
+            v = int(am.group(1).replace(",", ""))
+            amount = v if v > 0 else None
+        city_raw = {0: "Arlington, VA", 1: "London, United Kingdom",
+                    2: f"Cambridge, Region {k % 7}", 3: "Brooklyn"}.get(k % 5)
+        if not city_raw:
+            city = region = None
+        else:
+            parts = [p.strip() for p in city_raw.split(",")]
+            if len(parts) == 1:
+                city, region = parts[0] or None, None
+            else:
+                city = ", ".join(parts[:-1]).strip() or None
+                region = parts[-1].strip() or None
+        country = None
+        if region:
+            country = ("US" if region.strip().upper() in set(US_STATE_CODES)
+                       else cmap.get(region.strip().lower()))
+        given, family = _sloan_split(investigator)
+        expected[fid] = (
+            year, grantee, investigator or grantee, investigator, given,
+            family, amount, "USD" if amount is not None else None,
+            city, region, country,
+            ["Research", "Higher Education", "Technology",
+             "Public Understanding of Science and Technology"][k % 4],
+            f"Sub {k % 6}" if k % 3 == 0 else None,
+            "Matter-to-Life" if k % 6 == 0 else None,
+            f"To support project {k}",
+            f"https://sloan.org{permalink}")
+
+    actual = _run(spark, sf_dir, "sloan_parse_grants")
+    assert len(actual) == len(expected)
+    for r in actual:
+        exp = expected[r.funder_award_id]
+        got = (r.year, r.grantee_org, r.lead_name, r.investigator,
+               r.given_name, r.family_name, r.amount, r.currency, r.city,
+               r.region, r.country, r.program, r.sub_program, r.initiative,
+               r.description, r.permalink_url)
+        assert got == exp, f"{r.funder_award_id}: {got} != {exp}"
