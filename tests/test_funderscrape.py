@@ -434,3 +434,37 @@ def test_sloan_region_tables_match_reference():
 
     assert set(US_STATE_CODES) == states
     assert dict(COUNTRY_NAME_TO_CODE) == countries
+
+
+def test_dreyfus_program_registry_matches_reference():
+    """The 4-scheme PROGRAM registry in dreyfusparse must match the
+    reference's PROGRAMS list (dreyfus_to_s3.py:129-170) on every
+    literal field (url_regex is the crawl seam and is skipped)."""
+    import ast
+
+    src = _read("dreyfus")
+    tree = ast.parse(src)
+    ref = None
+    for node in ast.walk(tree):
+        if (isinstance(node, ast.Assign)
+                and any(getattr(t, "id", "") == "PROGRAMS"
+                        for t in node.targets)):
+            ref = []
+            for d in node.value.elts:
+                entry = {}
+                for kn, vn in zip(d.keys, d.values):
+                    try:
+                        entry[ast.literal_eval(kn)] = ast.literal_eval(vn)
+                    except ValueError:
+                        pass  # url_regex: re.compile(...) — seam
+                ref.append(entry)
+    assert ref and len(ref) == 4
+
+    from openalex_walden_spark.queries.dreyfusparse import PROGRAMS
+
+    ours = [
+        {"scheme": s, "scheme_label": lbl, "funding_type": ft,
+         "amount": amt, "currency": cur}
+        for s, lbl, ft, amt, cur in PROGRAMS
+    ]
+    assert ours == ref

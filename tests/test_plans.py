@@ -866,3 +866,12 @@ def test_sloan_broadcast_country_map(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dreyfus_broadcast_registry(spark, sf_dir):
+    """Dreyfus parse: 4-row registry broadcasts; one keep-first window
+    exchange; no Python."""
+    plan = _plan(spark, sf_dir, "dreyfus_parse_awards")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1479,3 +1479,63 @@ def test_sloan_matches_reference_semantics(spark, sf_dir, orders_rows):
                r.region, r.country, r.program, r.sub_program, r.initiative,
                r.description, r.permalink_url)
         assert got == exp, f"{r.funder_award_id}: {got} != {exp}"
+
+
+# ---------------------------------------------------------------------------
+# Dreyfus Foundation awardees (scripts/local/dreyfus_to_s3.py:446-530)
+# ---------------------------------------------------------------------------
+
+def _dreyfus_split(full):  # split_name, :452-460 (case-sensitive sets)
+    pref = {"Dr", "Prof", "Professor"}
+    suff = {"PhD", "Ph.D", "MD", "M.D", "DPhil", "Jr", "Sr", "II", "III",
+            "IV", "MPH", "MSc"}
+    toks = full.split()
+    while toks and toks[0].rstrip(".") in pref:
+        toks.pop(0)
+    while toks and toks[-1].rstrip(".,") in suff:
+        toks.pop()
+    if not toks:
+        return ("", "")
+    if len(toks) == 1:
+        return ("", toks[0])
+    return (" ".join(toks[:-1]), toks[-1])
+
+
+def test_dreyfus_matches_reference_semantics(spark, sf_dir, orders_rows):
+    from openalex_walden_spark.queries.dreyfusparse import PROGRAMS
+
+    pmap = {s: (lbl, ft, amt, cur) for s, lbl, ft, amt, cur in PROGRAMS}
+    expected = {}
+    for k, *_ in sorted(orders_rows):
+        scheme = ["camille_dreyfus_teacher_scholar",
+                  "henry_dreyfus_teacher_scholar",
+                  "supplemental_grants_teacher_scholar",
+                  "machine_learning_chemical_sciences"][k % 4]
+        year = k % 15 + 2011
+        name = {0: f"Dr. Emily R. Chen{k % 211}",
+                1: f"Professor Luis Alvarez{k % 211} Ph.D.",
+                2: f"Priya Natarajan{k % 211} MSc",
+                3: f"Wang{k % 211}",
+                }.get(k % 5, f"Sofia Petrova{k % 211}, Jr.")
+        slug = re.sub(r"[^a-z0-9]+", "-", name.lower()).strip("-")
+        fid = f"dreyfus-{scheme}-{year}-{slug}"
+        if fid in expected:
+            continue  # keep-first dedup (:482-490)
+        given, family = _dreyfus_split(name)
+        lbl, ft, amt, cur = pmap[scheme]
+        expected[fid] = (
+            slug, scheme, lbl, ft, year, name, given or None,
+            family or None, f"College of Chemistry {k % 70}",
+            f"Catalytic mechanisms study {k}" if k % 3 != 0 else None,
+            f"https://www.dreyfus.org/awardee-{k}" if k % 2 == 0 else None,
+            amt, cur, f"https://www.dreyfus.org/{year}-awards")
+
+    actual = _run(spark, sf_dir, "dreyfus_parse_awards")
+    assert len(actual) == len(expected)
+    for r in actual:
+        exp = expected[r.funder_award_id]
+        got = (r.slug, r.scheme, r.scheme_label, r.funding_type, r.year,
+               r.name, r.given_name, r.family_name, r.institution,
+               r.research_title, r.profile_url, r.amount, r.currency,
+               r.landing_page_url)
+        assert got == exp, f"{r.funder_award_id}: {got} != {exp}"
