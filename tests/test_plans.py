@@ -875,3 +875,10 @@ def test_dreyfus_broadcast_registry(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_searle_single_window(spark, sf_dir):
+    """Searle parse: one keep-first window exchange; no Python."""
+    plan = _plan(spark, sf_dir, "searle_parse_scholars")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1539,3 +1539,42 @@ def test_dreyfus_matches_reference_semantics(spark, sf_dir, orders_rows):
                r.research_title, r.profile_url, r.amount, r.currency,
                r.landing_page_url)
         assert got == exp, f"{r.funder_award_id}: {got} != {exp}"
+
+
+# ---------------------------------------------------------------------------
+# Searle Scholars (scripts/local/searle_scholars_to_s3.py:446-519)
+# ---------------------------------------------------------------------------
+
+def test_searle_matches_reference_semantics(spark, sf_dir, orders_rows):
+    expected = {}
+    for k, *_ in sorted(orders_rows):
+        name = (None if k % 17 == 0 else
+                {0: f"Dr. Nina Okafor{k % 257}",
+                 1: f"Tomas Lindgren{k % 257} Ph.D.",
+                 2: f"Ada{k % 257}",
+                 3: f"Prof. Ravi Shankar{k % 257} MD"}[k % 4])
+        year = None if k % 19 == 0 else k % 12 + 2014
+        if not name or not year:
+            continue
+        slug = re.sub(r"[^a-z0-9]+", "-", name.lower()).strip("-")
+        fid = f"searle-{year}-{slug}"
+        if fid in expected:
+            continue  # roster/announcement overlap keep-first (:481-484)
+        given, family = _dreyfus_split(name)  # same idiom (:446-460)
+        expected[fid] = (
+            slug, year, name, given or None, family or None,
+            f"Institute {k % 80}",
+            f"Mechanisms of immune signalling {k}" if k % 3 != 0 else None,
+            f"https://searlescholars.org/scholar-{k}" if k % 2 == 0 else None,
+            300000.0, "USD", 3,
+            ("https://searlescholars.org/current-scholars/" if k % 5 == 0
+             else f"https://searlescholars.org/class-of-{year}/"))
+
+    actual = _run(spark, sf_dir, "searle_parse_scholars")
+    assert len(actual) == len(expected)
+    for r in actual:
+        exp = expected[r.funder_award_id]
+        got = (r.slug, r.year, r.name, r.given_name, r.family_name,
+               r.institution, r.research_title, r.profile_url, r.amount,
+               r.currency, r.duration_years, r.landing_page_url)
+        assert got == exp, f"{r.funder_award_id}: {got} != {exp}"
