@@ -882,3 +882,43 @@ def test_searle_single_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "searle_parse_scholars")
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_threesixty_simple_union_shape(spark, sf_dir):
+    """360Giving simple family: seven scan arms unioned; the only
+    exchanges are the garfield snapshot window, the vivensa keep-first
+    window (both WindowGroupLimit-eligible) and the maudsley DISTINCT;
+    no Python, no joins, bounded plan."""
+    plan = _plan(spark, sf_dir, "threesixty_simple_parse")
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    df = q.CATALOG["threesixty_simple_parse"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 200_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_threesixty_rich_single_scan_shapes(spark, sf_dir):
+    """Arcadia: single scan, pure column algebra, no shuffle.  Wellcome:
+    one scan + the grant_ref keep-first window.  No Python either way."""
+    plan = _plan(spark, sf_dir, "arcadia_parse_grants")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    plan = _plan(spark, sf_dir, "wellcome_parse_grants")
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_potter_dual_arm_no_shuffle(spark, sf_dir):
+    """Potter: two scan arms unioned, no shuffle at all, no Python,
+    bounded plan."""
+    plan = _plan(spark, sf_dir, "potter_parse_awards")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    df = q.CATALOG["potter_parse_awards"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 200_000, f"plan blow-up: {len(opt)} chars"
