@@ -922,3 +922,18 @@ def test_potter_dual_arm_no_shuffle(spark, sf_dir):
     df = q.CATALOG["potter_parse_awards"].spark(spark, sf_dir)
     opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
     assert len(opt) < 200_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_tinyfunder_barriered_union_shape(spark, sf_dir):
+    """Tiny-funder kit: five scan arms, heavy split/window expressions
+    behind Generate barriers, one keep-first window per member, the
+    researchnb multi-anchor explode; no Python, bounded plan."""
+    plan = _plan(spark, sf_dir, "tinyfunder_parse_awards")
+    assert plan.count("Exchange hashpartitioning") <= 5
+    assert "WindowGroupLimit" in plan
+    assert "Generate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    df = q.CATALOG["tinyfunder_parse_awards"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"

@@ -2163,3 +2163,349 @@ def test_potter_matches_reference_semantics(spark, sf_dir, orders_rows):
             got = getattr(r, col)
             assert got == want, (
                 f"{r.funder_award_id}.{col}: {got!r} != {want!r}")
+
+
+# ---------------------------------------------------------------------------
+# Tiny-funder line-scan kit (scripts/local/{bacp,bdsra,gla,
+# ons_foundation,researchnb}_to_s3.py)
+# ---------------------------------------------------------------------------
+
+def _tk_clean(v):
+    if v is None:
+        return None
+    s = re.sub(r"\s+", " ", str(v)).strip()
+    return s or None
+
+
+def _tk_slug(s):
+    return re.sub(r"[^a-z0-9]+", "-", (s or "").lower()).strip("-")[:90]
+
+
+_TK_TITLE_RE = re.compile(r"^(Dr|Prof|Professor|Mr|Mrs|Ms|Miss)\.?\s+",
+                          re.I)
+
+
+def _bacp_split(raw):
+    n = _TK_TITLE_RE.sub("", _tk_clean(raw) or "").strip()
+    n = re.split(r",|;| and ", n)[0].strip()
+    toks = n.split()
+    if len(toks) < 2 or len(toks) > 4:
+        return None, None
+    return " ".join(toks[:-1]), toks[-1]
+
+
+def _bdsra_split(raw):
+    n = _TK_TITLE_RE.sub("", _tk_clean(raw) or "").strip()
+    n = re.sub(r",?\s*(PhD|MD|Ph\.D|M\.D|DVM|MBBS).*$", "", n,
+               flags=re.I).strip()
+    toks = n.split()
+    if len(toks) < 2 or len(toks) > 4:
+        return None, None
+    return " ".join(toks[:-1]), toks[-1]
+
+
+def _gla_split(raw):
+    n = _tk_clean(raw) or ""
+    n = n.split(",")[0].strip()
+    toks = n.split()
+    if len(toks) < 2:
+        return (None, toks[0]) if toks else (None, None)
+    return " ".join(toks[:-1]), toks[-1]
+
+
+def _ons_split(raw):
+    n = _TK_TITLE_RE.sub("", _tk_clean(raw) or "").strip()
+    n = n.split(",")[0].strip()
+    toks = n.split()
+    if len(toks) < 2 or len(toks) > 4:
+        return None, None
+    return " ".join(toks[:-1]), toks[-1]
+
+
+def _rnb_split(raw):
+    n = _TK_TITLE_RE.sub("", _tk_clean(raw) or "").strip()
+    toks = n.split()
+    if not toks:
+        return None, None
+    if len(toks) == 1:
+        return None, toks[0]
+    return " ".join(toks[:-1]), toks[-1]
+
+
+_GLA_NAME_DEG = re.compile(
+    r"^(.+?),\s*(Ph\.?D|M\.?D|D\.?Phil|DVM|Sc\.?D)", re.I)
+_ONS_RECIP = re.compile(r"(20\d\d)\s+(.*?Research Grant)\s+Recipient",
+                        re.I)
+_ONS_NAME = re.compile(
+    r"^(Dr\.?\s+)?[A-Z][A-Za-z'’\-]+\s+.*"
+    r"\b(PhD|RN|MSN|BSN|DNP|MD|FAAN|MS|MPH)\b", re.I)
+_RNB_ROW_PY = re.compile(
+    r"^(?P<name>[^-–]{4,60})\s[-–]\s(?P<inst>.+?)\s[-–]\s"
+    r"\$?(?P<amt>[\d,]+)\s*$")
+
+
+def test_tinyfunder_matches_reference_semantics(spark, sf_dir,
+                                                orders_rows):
+    keys = sorted(k for k, *_ in orders_rows)
+    expected = {}
+
+    # ---- bacp: per-year pages sorted by URL, PI-anchored window scan
+    bacp_pages = []
+    for k in keys:
+        year = k % 6 + 2019
+        url = (f"https://www.bacp.co.uk/research-grants-{year}"
+               f"?p={k:07d}")
+        name = {0: f"Dr Jane Smith{k % 120}",
+                1: f"Prof A B C D E{k % 120}",
+                2: f"Mrs Ann Lee{k % 120} and Bob Roy",
+                3: "Kwame",
+                4: f"Miss Rosa Diaz-Lopez{k % 120}"}[k % 5]
+        tline = {0: f"Project title: Counselling outcomes study {k}",
+                 1: "Project title:",
+                 2: None,
+                 3: f"Project title:  Therapy  access study {k}"}[k % 4]
+        lines = [x for x in [
+            "Research grants awarded", tline,
+            (f"Continuation title line {k}" if k % 4 == 1
+             else "Funded by the BACP research programme"),
+            f"Principal Investigator: {name}",
+            (None if k % 3 == 0
+             else f"Lead institution: University {k % 60}"),
+            "Awards hub"] if x is not None]
+        bacp_pages.append((url, year, lines, k))
+    seen = set()
+    for url, year, lines, k in sorted(bacp_pages):
+        for i, line in enumerate(lines):
+            m = re.match(r"Principal Investigator\s*:\s*(.+)", line, re.I)
+            if not m:
+                continue
+            g_, f_ = _bacp_split(m.group(1))
+            title = institution = None
+            for j in range(max(0, i - 4), min(i + 5, len(lines))):
+                if re.match(r"Project title\s*:", lines[j], re.I):
+                    title = _tk_clean(re.sub(r"Project title\s*:\s*", "",
+                                             lines[j], flags=re.I)) or (
+                        _tk_clean(lines[j + 1])
+                        if j + 1 < len(lines) else None)
+                if re.match(r"Lead institution\s*:", lines[j], re.I):
+                    institution = _tk_clean(
+                        re.sub(r"Lead institution\s*:\s*", "", lines[j],
+                               flags=re.I))
+            if not f_ or not title:
+                continue
+            aid = f"bacp-{year}-{_tk_slug(f_)}"
+            if aid in seen:
+                continue
+            seen.add(aid)
+            expected[("bacp", aid)] = {
+                "title": title, "pi_given": g_, "pi_family": f_,
+                "institution": institution, "amount": None,
+                "start_year": year, "landing_page_url": url,
+            }
+
+    # ---- bdsra: CHIEF-anchored scan with amount break + continuation
+    bdsra_pages = []
+    for k in keys:
+        year = k % 5 + 2020
+        url = (f"https://battenresearch.org/grant-recipients-{year}/"
+               f"{k:07d}/")
+        pi = {0: f"Dr Maria Gonzalez{k % 150}, PhD",
+              1: f"Samuel Oduya{k % 150} MBBS and team",
+              2: f"Prof Lena Vik{k % 150}",
+              3: "Cure"}[k % 4]
+        lines = [x for x in [
+            "Funded projects announced",
+            ("AFFILIATION:" if k % 13 == 0
+             else f"Gene therapy project {k}"),
+            "CHIEF INVESTIGATORS:", pi,
+            None if k % 5 == 0 else "AFFILIATION:",
+            (None if k % 5 == 0 else
+             (f"Hospital for Sick Children USA {k % 40}" if k % 3 == 0
+              else f"University of Batten {k % 40}")),
+            (None if k % 5 == 0 or k % 7 == 0
+             else f"Dept of Neurology {k % 12}"),
+            {0: f"AMOUNT: USD ${k % 400 + 100},000",
+             1: "AMOUNT: USD", 2: None}[k % 3],
+            (f"${k % 400 + 100},500" if k % 3 == 1
+             else "More announcements below")] if x is not None]
+        bdsra_pages.append((url, year, lines))
+    seen = set()
+    for url, year, lines in sorted(bdsra_pages):
+        for i, line in enumerate(lines):
+            if not re.match(r"CHIEF INVESTIGATORS?:", line, re.I):
+                continue
+            title = lines[i - 1] if i >= 1 else None
+            pi = lines[i + 1] if i + 1 < len(lines) else None
+            institution = amount = None
+            for j in range(i + 1, min(i + 12, len(lines))):
+                if re.match(r"AFFILIATION:", lines[j], re.I):
+                    institution = (_tk_clean(lines[j + 1])
+                                   if j + 1 < len(lines) else None)
+                    if (j + 2 < len(lines)
+                            and not re.match(r"AMOUNT:", lines[j + 2],
+                                             re.I)
+                            and "USA" not in (institution or "") + "x"):
+                        institution = _tk_clean(
+                            (institution or "") + " " + lines[j + 2])
+                if re.match(r"AMOUNT:", lines[j], re.I):
+                    am = re.search(r"([\d,]+)", lines[j] + (
+                        " " + lines[j + 1] if j + 1 < len(lines) else ""))
+                    if am:
+                        amount = float(am.group(1).replace(",", ""))
+                    break
+            g_, f_ = _bdsra_split(pi)
+            if (not title or not f_
+                    or re.match(r"CHIEF|AFFIL|AMOUNT", title, re.I)):
+                continue
+            aid = (f"bdsra-{year}-{_tk_slug(f_)}-"
+                   f"{_tk_slug(title[:30])}")
+            if aid in seen:
+                continue
+            seen.add(aid)
+            expected[("bdsra", aid)] = {
+                "title": _tk_clean(title), "pi_given": g_,
+                "pi_family": f_, "institution": institution,
+                "amount": amount, "start_year": year,
+                "landing_page_url": url,
+            }
+
+    # ---- gla: degree-headed blocks, first two long following nodes
+    seen = set()
+    for k in keys:
+        heading = _tk_clean({
+            0: f"Alice Munro{k % 90}, PhD",
+            1: f"Bob Ortiz{k % 90}, M.D.",
+            2: "Our current grantees",
+            3: f"Chen Wei{k % 90} Xu, Sc.D, Professor",
+            4: f"Mononym{k % 90}, DVM"}[k % 5])
+        if not heading or not _GLA_NAME_DEG.match(heading):
+            continue
+        g_, f_ = _gla_split(heading)
+        if not f_:
+            continue
+        following = [x for x in [
+            "Read more",
+            (None if k % 7 == 0
+             else f"Study {k} tick-borne persistence mechanisms"),
+            f"Nested heading{k % 90}, Ph.D",
+            (None if k % 3 == 0
+             else f"Longitudinal immune profiling of patients {k}"),
+            "Donate"] if x is not None]
+        segs = []
+        for nx in following[:12]:
+            x = _tk_clean(nx)
+            if x and not _GLA_NAME_DEG.match(x) and len(x) > 10:
+                segs.append(x)
+            if len(segs) >= 2:
+                break
+        title = segs[0] if segs else None
+        desc = segs[1] if len(segs) > 1 else None
+        if not title:
+            continue
+        aid = f"gla-{_tk_slug(f_)}-{_tk_slug(title[:30])}"
+        if aid in seen:
+            continue
+        seen.add(aid)
+        expected[("gla", aid)] = {
+            "title": title, "pi_given": g_, "pi_family": f_,
+            "description": desc, "amount": None, "start_year": None,
+            "landing_page_url": "https://globallymealliance.org/grantees",
+        }
+
+    # ---- ons_foundation: recipient-line anchor + credentialed name
+    seen = set()
+    for k in keys:
+        name_line = {0: f"Maria Chen{k % 110}, PhD, RN",
+                     1: f"Dr. Dana Fox{k % 110} Quinn Reyes Lee, DNP",
+                     2: "Congratulations to everyone",
+                     3: f"Priya Natarajan{k % 110}, MSN, FAAN"}[k % 4]
+        recip = (f"{k % 6 + 2019} RE0{k % 4} "
+                 + ("Oncology Nursing " if k % 2 == 0 else "")
+                 + "Research Grant Recipient")
+        m = _ONS_RECIP.search(recip)
+        assert m
+        if not _ONS_NAME.match(name_line):
+            continue
+        g_, f_ = _ons_split(name_line)
+        if not f_:
+            continue
+        year = int(m.group(1))
+        scheme = _tk_clean(m.group(2))
+        aid = f"ons-{year}-{_tk_slug(f_)}-{_tk_slug(scheme)[:20]}"
+        if aid in seen:
+            continue
+        seen.add(aid)
+        expected[("ons_foundation", aid)] = {
+            "title": f"{scheme} ({year})", "pi_given": g_,
+            "pi_family": f_, "funder_scheme": scheme,
+            "start_year": year, "amount": None,
+        }
+
+    # ---- researchnb: ROW grammar + next-line title + url/prog year
+    rnb_pages = []
+    for k in keys:
+        prog = (f"Awards 20{k % 4 + 20} Round" if k % 3 == 0
+                else f"Health Research Fund cohort {k % 9}")
+        url = ("https://researchnb.ca/award-announcement-"
+               + ("spring" if k % 3 == 0 else f"20{k % 4 + 21}")
+               + f"-{k:07d}/")
+        name = {0: f"Dr. Jane Doe{k % 130}",
+                1: f"Tremblay{k % 130}",
+                2: f"Prof Luc Martin{k % 130} LeBlanc",
+                3: ("A very extremely long investigator name that "
+                    f"overruns the sixty character cap easily {k}"),
+                4: f"Ms Amy Wu{k % 130}"}[k % 5]
+        d = " - " if k % 2 == 0 else " – "
+        amt_d = " - $" if k % 2 == 0 else " – "
+        row = (f"{name}{d}University of New Brunswick, Fredericton"
+               f"{amt_d}{k % 80 + 20},000")
+        lines = [("No structured rows on this page" if k % 11 == 0
+                  else row),
+                 {0: f"Impact of rural telehealth delivery {k}",
+                  1: "Too big",
+                  2: (f"Second award row {k % 40 + 20} - Mount Allison "
+                      "University - $9,000"),
+                  3: f"Clinical outcomes in pediatric care {k}"}[k % 4],
+                 "Back to all announcements"]
+        rnb_pages.append((url, prog, lines))
+    seen = set()
+    for url, prog, lines in sorted(rnb_pages):
+        ym = re.search(r"(20\d\d)", url + " " + (prog or ""))
+        year = int(ym.group(1)) if ym else None
+        for i, line in enumerate(lines):
+            m = _RNB_ROW_PY.match(line)
+            if not m:
+                continue
+            amount = None
+            try:
+                amount = float(m.group("amt").replace(",", ""))
+            except ValueError:
+                pass
+            title = lines[i + 1] if i + 1 < len(lines) else None
+            if title and (_RNB_ROW_PY.match(title) or len(title) < 8):
+                title = None
+            g_, f_ = _rnb_split(m.group("name"))
+            if not f_:
+                continue
+            aid = (f"researchnb-{_tk_slug(m.group('name'))}-"
+                   f"{_tk_slug((title or prog or '')[:30])}")
+            if aid in seen:
+                continue
+            seen.add(aid)
+            expected[("researchnb", aid)] = {
+                "title": _tk_clean(title) or _tk_clean(prog),
+                "pi_given": g_, "pi_family": f_,
+                "institution": _tk_clean(m.group("inst")),
+                "amount": amount, "start_year": year,
+                "funder_scheme": prog, "landing_page_url": url,
+            }
+
+    actual = _run(spark, sf_dir, "tinyfunder_parse_awards")
+    assert len(actual) == len(expected), (len(actual), len(expected))
+    for r in actual:
+        exp = expected[(r.member, r.funder_award_id)]
+        for col, want in exp.items():
+            got = getattr(r, col)
+            assert got == want, (
+                f"{r.member}/{r.funder_award_id}.{col}: "
+                f"{got!r} != {want!r}")
