@@ -937,3 +937,17 @@ def test_tinyfunder_barriered_union_shape(spark, sf_dir):
     df = q.CATALOG["tinyfunder_parse_awards"].spark(spark, sf_dir)
     opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
     assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_method5_no_shuffle_union(spark, sf_dir):
+    """Method-5 family: seven scan arms behind Generate barriers,
+    unique slugs by construction so NO dedup and zero shuffle; no
+    Python; bounded plan."""
+    plan = _plan(spark, sf_dir, "method5_parse_awards")
+    assert "Exchange" not in plan
+    assert "Generate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    df = q.CATALOG["method5_parse_awards"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"
