@@ -1,0 +1,672 @@
+"""Prize-pattern scraper family
+(scripts/local/{bbva_frontiers,crafoord_prize,dan_david_prize,
+millennium_prize}_to_s3.py — 4 scripts, one prize-ingest kit).
+
+The four prize ingests share a kit — ``collapse_text`` (NBSP, ws
+collapse, space-before-punctuation fix), ``slugify`` with the
+'unknown' fallback, the tail-suffix ``split_name``, ``profile_slug``
+(last URL path part slugified), and ``add_amounts`` (share counts per
+(year, category/innovation) with the ``f"{amount:.6f}"`` rstrip-0
+rstrip-dot render).  HTTP, checkpoints, and DOM node selection are the
+seam; the fixture delivers each member's extracted card/item fields
+one record per orders key (profile element streams arrive as ordered
+(tag, text) arrays in canonical page order).  Ported compute:
+
+* **bbva_frontiers** (bbva_frontiers_to_s3.py:137-396): award_year =
+  the edition label's '(YYYY)' else the tab id; edition_label = the
+  pre-parenthesis text; ``is_org_like`` (the/un/una/el/la prefixes,
+  &/(/ chars, the 22-word ORG_HINTS token overlap) routes a laureate
+  to organization_or_group with the WHOLE name as family_name;
+  amounts: EUR 400,000 per category shared by the (year, category)
+  laureate count; profile walk: category = the first <p> drawn from
+  the official 10-category set, edition = the first
+  '\\d+(st|nd|rd|th) Edition' <p>, summary = the first <p> containing
+  'Frontiers of Knowledge Award', bio/contribution = the <p> runs
+  after the BIO / CONTRIBUTION headers up to the next mode header
+  (INTERVIEW/MORE) or the collaboration/address break;
+* **crafoord_prize** (crafoord_prize_to_s3.py:119-330): collapse_text
+  additionally html-unescapes and strips tags when the value carries
+  markup (the WP 'rendered' citation); child prize terms exclude the
+  parent PRIZE_TERM_ID, first remaining term = the category; id =
+  'crafoord-prize-{year}-{category_slug}-{row_slug}'; amounts: 2015+
+  gets SEK 6,000,000 shared per (year, category_slug) with the
+  official note, pre-2015 ships NULL amounts with the
+  verification-scope note;
+* **dan_david_prize** (dan_david_prize_to_s3.py:128-300): card text
+  parts with 'Read More' dropped and a >=4-part gate; parts =
+  name/year/topic/affiliation, the year-mismatch RAISE is validation
+  the fixture satisfies; fixed '300000' USD per laureate; profile
+  title_affiliation = the first <p>, description joins later <p>s
+  minus the card affiliation/name echoes, stopping at the
+  'Stay up to date' footer;
+* **millennium_prize** (millennium_prize_to_s3.py:113-305):
+  ``split_laureates`` strips the 'Grand Prize:'/'Winner:' label and
+  splits on ' and ' — one output row per laureate (the one arm that
+  EXPLODES); slug = '{detail slug}-{laureate slug}'; amounts: EUR
+  1,000,000 shared per (year, innovation); profile country =
+  strings[4], description = strings[5:] joined up to the
+  Share/Previous/footer terminators.
+
+Plan: 4 scan arms behind Generate barriers; the only exchanges are
+the per-member share-count windows (COUNT over (year, category)) —
+the reference's ``Counter`` — plus the millennium laureate explode.
+No Python.
+
+tests/test_template_fidelity.py re-derives all four members.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from openalex_walden_spark.queries.registry import register
+
+_ORG_HINTS = ("'academy','agency','alliance','association','center',"
+              "'centre','council','development','foundation','fund',"
+              "'initiative','institute','international','laboratory',"
+              "'lab','network','organization','programme','program',"
+              "'project','university'")
+
+_SUFFIXES = "'phd','md','dphil','dsc','scd','jr','sr','ii','iii','iv'"
+
+_BBVA_CATEGORIES = (
+    "'Basic Sciences','Biology and Biomedicine',"
+    "'Information and Communication Technologies',"
+    "'Climate Change and Environmental Sciences',"
+    "'Economics, Finance and Management','Social Sciences',"
+    "'Humanities','Music and Opera','Development Cooperation','Arts'")
+
+
+def _helpers(dialect: str):
+    if dialect == "spark":
+        g, stype = "", "STRING"
+        asize = "size"
+
+        def rl(col: str, pat: str) -> str:
+            return f"{col} RLIKE '{pat}'"
+
+        def elem(a: str, i: str) -> str:
+            return f"try_element_at({a}, {i})"
+
+        def afilter(a: str, cond: str) -> str:
+            return f"filter({a}, t -> {cond})"
+
+        def ajoin(a: str) -> str:
+            return f"array_join({a}, ' ')"
+
+        def idx_of(arr: str, cond: str) -> str:
+            return (f"array_min(zip_with({arr}, sequence(1, size({arr})), "
+                    f"(t, i) -> CASE WHEN {cond} THEN i END))")
+
+        def zipped_filter(arr: str, cond: str, val: str = "t") -> str:
+            """values of elements whose (t, i) satisfy cond."""
+            return (f"filter(zip_with({arr}, sequence(1, size({arr})), "
+                    f"(t, i) -> CASE WHEN {cond} THEN {val} END), "
+                    f"x -> x IS NOT NULL)")
+        fmt = "format_string"
+    else:
+        g, stype = ", 'g'", "VARCHAR"
+        asize = "len"
+
+        def rl(col: str, pat: str) -> str:
+            return f"regexp_matches({col}, '{pat}')"
+
+        def elem(a: str, i: str) -> str:
+            return f"{a}[{i}]"
+
+        def afilter(a: str, cond: str) -> str:
+            return f"list_filter({a}, t -> {cond})"
+
+        def ajoin(a: str) -> str:
+            return f"list_aggr({a}, 'string_agg', ' ')"
+
+        def idx_of(arr: str, cond: str) -> str:
+            return (f"list_min(list_transform({arr}, (t, i) -> "
+                    f"CASE WHEN {cond} THEN i END))")
+
+        def zipped_filter(arr: str, cond: str, val: str = "t") -> str:
+            return (f"list_filter(list_transform({arr}, (t, i) -> "
+                    f"CASE WHEN {cond} THEN {val} END), "
+                    f"x -> x IS NOT NULL)")
+        fmt = "printf"
+
+    def rx(src: str, pat: str, grp: int) -> str:
+        return f"nullif(regexp_extract({src}, '{pat}', {grp}), '')"
+
+    def collapse(x: str) -> str:
+        """collapse_text: NBSP, ws runs, space-before-punct fix."""
+        c = f"regexp_replace(replace({x}, chr(160), ' '), '\\\\s+', ' '{g})"
+        c = f"regexp_replace({c}, '\\\\s+([,;.:])', '$1'{g})" \
+            if dialect == "spark" else \
+            f"regexp_replace({c}, '\\s+([,;.:])', '\\1'{g})"
+        return f"nullif(trim({c}), '')"
+
+    def slugify(x: str) -> str:
+        s = (f"regexp_replace(lower(coalesce({x}, '')), '[^a-z0-9]+', "
+             f"'-'{g})")
+        return f"coalesce(nullif(trim(BOTH '-' FROM {s}), ''), 'unknown')"
+
+    def split_nf(raw: str):
+        """Tail-suffix split (crafoord_prize_to_s3.py:137-151)."""
+        if dialect == "spark":
+            toks = (f"filter(split(coalesce({raw}, ''), ' +'), "
+                    f"x -> x <> '')")
+            last_keep = (f"coalesce(array_max(zip_with(({toks}), "
+                         f"sequence(1, size(({toks}))), (t, i) -> "
+                         f"CASE WHEN lower(trim(BOTH '.,' FROM t)) "
+                         f"NOT IN ({_SUFFIXES}) THEN i END)), 0)")
+            head = (f"array_join(slice(({toks}), 1, ({last_keep}) - 1), "
+                    f"' ')")
+        else:
+            toks = (f"list_filter(regexp_split_to_array(coalesce({raw}, "
+                    f"''), ' +'), x -> x <> '')")
+            last_keep = (f"coalesce(list_max(list_transform(({toks}), "
+                         f"(t, i) -> CASE WHEN lower(trim(BOTH '.,' FROM "
+                         f"t)) NOT IN ({_SUFFIXES}) THEN i END)), 0)")
+            head = (f"list_aggr(list_slice(({toks}), 1, ({last_keep}) - "
+                    f"1), 'string_agg', ' ')")
+        kept_last = elem(f"({toks})", f"({last_keep})")
+        given = (f"CASE WHEN ({last_keep}) >= 2 "
+                 f"THEN nullif({head}, '') END")
+        family = f"CASE WHEN ({last_keep}) >= 1 THEN {kept_last} END"
+        return given, family
+
+    def amount_render(expr: str) -> str:
+        """f'{amount:.6f}'.rstrip('0').rstrip('.')."""
+        r = f"{fmt}('%.6f', CAST({expr} AS DOUBLE))"
+        r = f"regexp_replace({r}, '0+$', ''{g})"
+        return f"regexp_replace({r}, '[.]$', ''{g})"
+
+    return (g, stype, asize, rl, elem, afilter, ajoin, idx_of,
+            zipped_filter, fmt, rx, collapse, slugify, split_nf,
+            amount_render)
+
+
+def _sql(dialect: str) -> str:
+    (g, S, asize, rl, elem, afilter, ajoin, idx_of, zipped_filter, fmt,
+     rx, collapse, slugify, split_nf, amount_render) = _helpers(dialect)
+
+    def cs(expr: str) -> str:
+        return f"CAST({expr} AS {S})"
+
+    def nullcols(*names: str) -> str:
+        return ", ".join(f"CAST(NULL AS {S}) AS {n}" for n in names)
+
+    def bar(name: str, prev: str, passthrough: list, cols: list) -> str:
+        if dialect == "spark":
+            ns = ", ".join(f"'{c}', {e}" for c, e in cols)
+            sel = ", ".join(f"_s.{c} AS {c}" for c, _ in cols)
+            pt = ", ".join(f"_p.{c}" for c in passthrough)
+            return (f"{name} AS (\n  SELECT {pt}, {sel}\n  FROM {prev} _p\n"
+                    f"  LATERAL VIEW explode(array(named_struct({ns}))) "
+                    f"_bv AS _s\n)")
+        sel = ", ".join(f"{e} AS {c}" for c, e in cols)
+        pt = ", ".join(passthrough)
+        return (f"{name} AS MATERIALIZED (\n  SELECT {pt}, {sel}\n"
+                f"  FROM {prev}\n)")
+
+    ks = cs("o_orderkey")
+
+    # ---- bbva -------------------------------------------------------------
+    org_tokens = (f"filter(split(lower(coalesce(bb.name_raw, '')), "
+                  f"'[^a-z]+'), x -> x <> '')" if dialect == "spark" else
+                  f"list_filter(regexp_split_to_array(lower(coalesce("
+                  f"bb.name_raw, '')), '[^a-z]+'), x -> x <> '')")
+    org_hit = (f"size(array_intersect({org_tokens}, "
+               f"array({_ORG_HINTS}))) > 0" if dialect == "spark" else
+               f"len(list_intersect({org_tokens}, "
+               f"[{_ORG_HINTS}])) > 0")
+    is_org = (
+        f"(lower(bb.name_raw) LIKE 'the %' OR lower(bb.name_raw) LIKE "
+        f"'un %' OR lower(bb.name_raw) LIKE 'una %' OR lower(bb.name_raw)"
+        f" LIKE 'el %' OR lower(bb.name_raw) LIKE 'la %' "
+        f"OR contains(bb.name_raw, '&') OR contains(bb.name_raw, '/') "
+        f"OR contains(bb.name_raw, '(') OR {org_hit})")
+    bb_given, bb_family = split_nf("bb.name_raw")
+    bb_label_year = rx("bb.label_raw", "[(]([0-9]{4})[)]", 1)
+    bb_year = f"coalesce({bb_label_year}, bb.tab_year)"
+    bb_edition = collapse(rx("bb.label_raw", "^([^()]+)", 1))
+    # profile element streams (tag/text arrays in page order)
+    bb_cat_p = (f"t.tag = 'p' AND t.text IN ({_BBVA_CATEGORIES})")
+    bb_ed_p = "t.tag = 'p' AND " + rl(
+        "t.text", "^[0-9]+(st|nd|rd|th) Edition$")
+    bb_sum_p = "t.tag = 'p' AND contains(t.text, 'Frontiers of Knowledge Award')"
+    bb_break = ("(t.text LIKE 'With the collaboration of%' OR "
+                "t.text LIKE 'Edificio San%')")
+    bb_mode_hdr = "upper(t.text) IN ('BIO', 'CONTRIBUTION', 'INTERVIEW', 'MORE')"
+
+    def st(tag: str, text_expr: str) -> str:
+        """A {tag, text} element struct literal, per dialect."""
+        if dialect == "spark":
+            return f"named_struct('tag', '{tag}', 'text', {text_expr})"
+        return f"{{'tag': '{tag}', 'text': {text_expr}}}"
+
+    def arrlit(*items: str) -> str:
+        body = ",\n      ".join(items)
+        if dialect == "spark":
+            return f"array(\n      {body}\n    )"
+        return f"[\n      {body}\n    ]"
+
+    bb_cat_fixture = elem(
+        arrlit(_BBVA_CATEGORIES), "CAST(o_orderkey % 10 AS INT) + 1")
+
+    bbva = f"""
+bb_raw AS (
+  SELECT o_orderkey AS k,
+    CASE CAST(o_orderkey % 4 AS INT)
+      WHEN 0 THEN concat('Omar Yaghi', {cs('o_orderkey % 210')})
+      WHEN 1 THEN concat('The Intergovernmental Panel on Climate ',
+                         {cs('o_orderkey % 210')})
+      WHEN 2 THEN concat('World Resources Institute ',
+                         {cs('o_orderkey % 210')})
+      ELSE concat('Susan Athey', {cs('o_orderkey % 210')}, ' PhD') END
+      AS name_raw,
+    CASE WHEN o_orderkey % 3 = 0
+      THEN concat('XV', 'II Edition (20', lpad({cs('o_orderkey % 18')},
+                  2, '0'), ')')
+      ELSE 'Edition label without year' END AS label_raw,
+    concat('20', lpad({cs('o_orderkey % 18')}, 2, '0')) AS tab_year,
+    {cs('o_orderkey % 3 + 1')} AS winner_position,
+    {bb_cat_fixture} AS category,
+    concat('https://www.frontiersofknowledgeawards-fbbva.es/laureate/',
+           'laureate-', {ks}, '/') AS href,
+    {arrlit(
+        st('h1', "'Laureate name'"),
+        st('p', bb_cat_fixture),
+        st('p', f"concat({cs('o_orderkey % 18 + 1')}, 'th Edition')"),
+        st('p', f"concat('Frontiers of Knowledge Award in case ', {ks})"),
+        st('h3', "'BIO'"),
+        st('p', f"concat('Born researcher profile ', {ks})"),
+        st('p', "'Second bio paragraph.'"),
+        st('h3', "'CONTRIBUTION'"),
+        st('p', f"concat('Pioneered the field, case ', "
+                f"{cs('o_orderkey % 11')})"),
+        st('h3', "'INTERVIEW'"),
+        st('p', "'Interview text ignored'"),
+        st('p', "'With the collaboration of partners'"))} AS els
+  FROM orders
+)
+"""
+
+    bb_pos_bio = idx_of("els", "upper(t.text) = 'BIO'")
+    bb_pos_contr = idx_of("els", "upper(t.text) = 'CONTRIBUTION'")
+    bb_pos_stop = idx_of("els", "upper(t.text) IN ('INTERVIEW', 'MORE')")
+    bb_pos_break = idx_of("els", bb_break)
+
+    def bb_region(lo: str, hi: str) -> str:
+        cond = (f"t.tag = 'p' AND i > ({lo}) AND i < least(coalesce({hi},"
+                f" 100000), coalesce({bb_pos_break}, 100000))")
+        return collapse(ajoin(zipped_filter("els", cond, "t.text")))
+
+    bb_bio = bb_region(bb_pos_bio, f"coalesce({bb_pos_contr}, {bb_pos_stop})")
+    bb_contr = bb_region(bb_pos_contr, bb_pos_stop)
+    bb_cat = elem(zipped_filter(
+        "els", f"{bb_cat_p} AND i < coalesce({bb_pos_bio}, 100000)",
+        "t.text"), "1")
+    bb_ed = elem(zipped_filter(
+        "els", f"{bb_ed_p} AND i < coalesce({bb_pos_bio}, 100000)",
+        "t.text"), "1")
+    bb_sum = elem(zipped_filter(
+        "els", f"{bb_sum_p} AND i < coalesce({bb_pos_bio}, 100000)",
+        "t.text"), "1")
+
+    bbva_rest = f""",
+{bar("bb_parsed", "bb_raw",
+     ["k", "name_raw", "tab_year", "winner_position", "category",
+      "href"], [
+    ("award_year", bb_year.replace("bb.", "")),
+    ("edition_label", bb_edition.replace("bb.", "")),
+    ("laureate_type",
+     f"CASE WHEN bb.name_raw IS NULL THEN 'unknown' WHEN {is_org} "
+     f"THEN 'organization_or_group' ELSE 'person' END"
+     .replace("bb.", "")),
+    ("given_name",
+     f"CASE WHEN NOT {is_org} THEN {bb_given} END".replace("bb.", "")),
+    ("family_name",
+     f"CASE WHEN {is_org} THEN bb.name_raw ELSE {bb_family} END"
+     .replace("bb.", "")),
+    ("profile_category", bb_cat),
+    ("profile_edition", bb_ed),
+    ("award_summary", bb_sum),
+    ("bio", bb_bio), ("contribution", bb_contr),
+])},
+bb_shared AS (
+  SELECT *, count(*) OVER (PARTITION BY award_year, category)
+      AS share_count
+  FROM bb_parsed
+),
+bb_out AS (
+  SELECT 'bbva_frontiers' AS member,
+    concat('bbva-frontiers-', award_year, '-laureate-', {cs('k')})
+      AS funder_award_id,
+    award_year, name_raw AS laureate_name, laureate_type,
+    given_name, family_name, edition_label,
+    {cs('winner_position')} AS winner_position,
+    category AS award_category, {nullcols('prize_category_slug',
+    'research_topic', 'affiliation', 'laureate_title', 'citation',
+    'innovation', 'raw_laureates', 'country')},
+    profile_category, profile_edition, award_summary, bio, contribution,
+    {nullcols('profile_title_affiliation', 'profile_description')},
+    {cs('share_count')} AS award_share_count,
+    CASE WHEN share_count > 1 THEN concat('1/', {cs('share_count')})
+         ELSE '1' END AS portion,
+    '400000' AS award_total_amount,
+    {amount_render('400000.0 / share_count')} AS source_award_amount,
+    'EUR' AS currency,
+    'EUR 400,000 category amount from official conditions page, divided by laureate count for edition/category.'
+      AS amount_note,
+    href AS landing_page_url,
+    concat('laureate-', {cs('k')}) AS profile_slug,
+    {nullcols('wp_id', 'wp_slug', 'press_release_id',
+              'current_format_note')},
+    'https://www.frontiersofknowledgeawards-fbbva.es/laureates/'
+      AS source_url,
+    'https://www.frontiersofknowledgeawards-fbbva.es/conditions/'
+      AS amount_rule_url
+  FROM bb_shared
+)"""
+
+    # ---- crafoord ---------------------------------------------------------
+    cr_given, cr_family = split_nf(collapse("cr.title_raw"))
+    # collapse_text with the unescape/tag-strip arm: the fixture's
+    # citation carries markup; strip tags then collapse
+    cr_cite = ("regexp_replace(replace(cr.cite_raw, '&amp;', '&'), "
+               "'<[^>]*>', ' '" + g + ")")
+    cr_cite = collapse(cr_cite)
+
+    crafoord = f""",
+cr_raw AS (
+  SELECT o_orderkey AS k,
+    concat('Eske Willerslev', {cs('o_orderkey % 190')},
+           CASE WHEN o_orderkey % 5 = 0 THEN ' Jr.' ELSE '' END)
+      AS title_raw,
+    CAST(o_orderkey % 14 + 2011 AS INT) AS award_year,
+    {elem(f"{('array(' if dialect == 'spark' else '[')}'Astronomy','Mathematics','Geosciences','Biosciences','Polyarthritis'{(')' if dialect == 'spark' else ']')}",
+          'CAST(o_orderkey % 5 AS INT) + 1')} AS cat_name,
+    concat('laureate-', {ks}) AS row_slug,
+    CASE WHEN o_orderkey % 3 = 0 THEN NULL
+      ELSE concat('Professor of Evolutionary Genetics ',
+                  {cs('o_orderkey % 7')}) END AS laureate_title_raw,
+    CASE WHEN o_orderkey % 4 = 0 THEN NULL
+      ELSE concat('University of Copenhagen ', {cs('o_orderkey % 40')})
+      END AS univ_raw,
+    concat('<p>For pioneering  work on ancient DNA, case ', {ks},
+           ' &amp; environmental genomics.</p>') AS cite_raw,
+    {cs('o_orderkey + 9000')} AS wp_id,
+    {cs('o_orderkey % 600 + 17')} AS term_id,
+    CASE WHEN o_orderkey % 2 = 0
+      THEN {cs('o_orderkey % 4000 + 100')} END AS press_release_raw
+  FROM orders
+),
+{bar("cr_parsed", "cr_raw",
+     ["k", "award_year", "cat_name", "row_slug", "wp_id", "term_id",
+      "press_release_raw"], [
+    ("laureate_name", collapse("title_raw")),
+    ("given_name", cr_given.replace("cr.", "")),
+    ("family_name", cr_family.replace("cr.", "")),
+    ("laureate_title", collapse("laureate_title_raw")),
+    ("affiliation", collapse("univ_raw")),
+    ("citation", cr_cite.replace("cr.", "")),
+    ("cat_slug", slugify("cat_name")),
+])},
+cr_shared AS (
+  SELECT *, count(*) OVER (PARTITION BY award_year, cat_slug)
+      AS share_count
+  FROM cr_parsed
+),
+cr_out AS (
+  SELECT 'crafoord_prize' AS member,
+    concat('crafoord-prize-', {cs('award_year')}, '-', cat_slug, '-',
+           row_slug) AS funder_award_id,
+    {cs('award_year')} AS award_year, laureate_name,
+    {nullcols('laureate_type')}, given_name, family_name,
+    {nullcols('edition_label', 'winner_position')},
+    cat_name AS award_category, cat_slug AS prize_category_slug,
+    {nullcols('research_topic')}, affiliation, laureate_title, citation,
+    {nullcols('innovation', 'raw_laureates', 'country',
+              'profile_category', 'profile_edition', 'award_summary',
+              'bio', 'contribution', 'profile_title_affiliation',
+              'profile_description')},
+    {cs('share_count')} AS award_share_count,
+    CASE WHEN share_count > 1 THEN concat('1/', {cs('share_count')})
+         ELSE '1' END AS portion,
+    CASE WHEN award_year >= 2015 THEN '6000000' END
+      AS award_total_amount,
+    CASE WHEN award_year >= 2015
+         THEN {amount_render('6000000.0 / share_count')} END
+      AS source_award_amount,
+    CASE WHEN award_year >= 2015 THEN 'SEK' END AS currency,
+    CASE WHEN award_year >= 2015
+      THEN 'SEK 6,000,000 total prize amount from 2015 official press release, divided by laureate count for the year/category.'
+      ELSE 'Pre-2015 amount left NULL; official source used here only verifies the 2015-present SEK 6,000,000 rule.'
+      END AS amount_note,
+    concat('https://www.crafoordprize.se/award_winner/', row_slug, '/')
+      AS landing_page_url,
+    {nullcols('profile_slug')}, wp_id, row_slug AS wp_slug,
+    press_release_raw AS press_release_id,
+    {nullcols('current_format_note')},
+    'https://www.crafoordprize.se/wp-json/wp/v2/award_winner'
+      AS source_url,
+    {nullcols('amount_rule_url')}
+  FROM cr_shared
+)"""
+
+    # ---- dan_david ----------------------------------------------------------
+    dd_given, dd_family = split_nf("dd.name_raw")
+    dd_desc_cond = ("t <> coalesce(affiliation, chr(1)) AND "
+                    "t <> name_raw AND NOT t LIKE 'Stay up to date%'")
+
+    dan_david = f""",
+dd_raw AS (
+  SELECT o_orderkey AS k,
+    {cs('o_orderkey % 4 + 2022')} AS year,
+    concat('Karma Ben', {cs('o_orderkey % 200')}, '-Johanan'
+           ) AS name_raw,
+    CASE WHEN o_orderkey % 3 = 0 THEN NULL
+      ELSE concat('History of religions, strand ',
+                  {cs('o_orderkey % 6')}) END AS topic,
+    CASE WHEN o_orderkey % 4 = 0 THEN NULL
+      ELSE concat('Hebrew University ', {cs('o_orderkey % 30')}) END
+      AS affiliation,
+    {cs('o_orderkey % 9 + 1')} AS winner_position,
+    concat('https://dandavidprize.org/winners/winner-', {ks}, '/')
+      AS href,
+    concat('Professor of Comparative Religion, Hebrew University ',
+           {cs('o_orderkey % 30')}) AS prof_title,
+    {('array(' if dialect == 'spark' else '[')}
+      concat('Research summary paragraph one, case ', {ks}),
+      CASE WHEN o_orderkey % 4 <> 0
+        THEN concat('Hebrew University ', {cs('o_orderkey % 30')}) END,
+      concat('Karma Ben', {cs('o_orderkey % 200')}, '-Johanan'),
+      concat('Second research paragraph ', {cs('o_orderkey % 13')}),
+      'Stay up to date with the Dan David Prize newsletter'
+    {(')' if dialect == 'spark' else ']')} AS later_ps
+  FROM orders
+),
+dd_clean AS (
+  SELECT *, {afilter('later_ps', 't IS NOT NULL')} AS ps FROM dd_raw
+),
+{bar("dd_parsed", "dd_clean",
+     ["k", "year", "name_raw", "topic", "affiliation",
+      "winner_position", "href", "prof_title"], [
+    ("given_name", dd_given.replace("dd.", "")),
+    ("family_name", dd_family.replace("dd.", "")),
+    ("profile_description",
+     collapse(ajoin(afilter("ps", dd_desc_cond)))),
+])},
+dd_out AS (
+  SELECT 'dan_david_prize' AS member,
+    concat('dan-david-prize-', {cs('year')}, '-winner-', {cs('k')})
+      AS funder_award_id,
+    {cs('year')} AS award_year, name_raw AS laureate_name,
+    {nullcols('laureate_type')}, given_name, family_name,
+    {nullcols('edition_label')},
+    {cs('winner_position')} AS winner_position,
+    {nullcols('award_category', 'prize_category_slug')},
+    topic AS research_topic, affiliation,
+    {nullcols('laureate_title', 'citation', 'innovation',
+              'raw_laureates', 'country', 'profile_category',
+              'profile_edition', 'award_summary', 'bio',
+              'contribution')},
+    prof_title AS profile_title_affiliation, profile_description,
+    {nullcols('award_share_count', 'portion', 'award_total_amount')},
+    '300000' AS source_award_amount, 'USD' AS currency,
+    {nullcols('amount_note')},
+    href AS landing_page_url,
+    concat('winner-', {cs('k')}) AS profile_slug,
+    {nullcols('wp_id', 'wp_slug', 'press_release_id')},
+    'Current 2022-present Dan David Prize format; legacy 2001-2021 format excluded.'
+      AS current_format_note,
+    concat('https://dandavidprize.org/winners/?_winner_year=',
+           {cs('year')}) AS source_url,
+    {nullcols('amount_rule_url')}
+  FROM dd_parsed
+)"""
+
+    # ---- millennium ----------------------------------------------------------
+    ml_strip = ("regexp_replace(" + collapse("ml.laureates_raw")
+                + ", '^(Grand Prize|Winner):\\\\s*', ''" + g + ")")
+    if dialect == "spark":
+        ml_parts = (f"filter(transform(split({ml_strip}, ' and '), "
+                    f"x -> trim(x)), x -> x <> '')")
+        ml_lateral = "\n  LATERAL VIEW explode(parts) ml_l AS laureate"
+    else:
+        ml_parts = (f"list_filter(list_transform("
+                    f"str_split({ml_strip}, ' and '), "
+                    f"x -> trim(x)), x -> x <> '')")
+        ml_lateral = "\n  CROSS JOIN UNNEST(parts) AS ml_l(laureate)"
+    ml_given, ml_family = split_nf("laureate")
+    ml_desc_cond = ("NOT (t = 'Share' OR t LIKE '‹ Previous%' OR t IN "
+                    "('Show more', 'Laureates', 'All winners', "
+                    "'Next winner ›'))")
+    # strings[5:] up to the first terminator
+    ml_stop = idx_of("profile_tail",
+                     "t = 'Share' OR t LIKE '‹ Previous%' OR t IN "
+                     "('Show more', 'Laureates', 'All winners', "
+                     "'Next winner ›')")
+    ml_desc = collapse(ajoin(zipped_filter(
+        "profile_tail", f"i < coalesce({ml_stop}, 100000)")))
+
+    millennium = f""",
+ml_raw AS (
+  SELECT o_orderkey AS k,
+    {cs('o_orderkey % 11 * 2 + 2004')} AS year,
+    concat('Innovation ', {cs('o_orderkey % 160')}) AS innovation,
+    CASE CAST(o_orderkey % 4 AS INT)
+      WHEN 0 THEN concat('Grand Prize: Tuomo Suntola',
+                         {cs('o_orderkey % 160')})
+      WHEN 1 THEN concat('Winner: Shuji Nakamura', {cs('o_orderkey % 160')},
+                         ' and Isamu Akasaki', {cs('o_orderkey % 160')})
+      WHEN 2 THEN concat('Frances Arnold', {cs('o_orderkey % 160')})
+      ELSE concat('Stuart Parkin', {cs('o_orderkey % 160')}, ' PhD') END
+      AS laureates_raw,
+    concat('https://millenniumprize.org/winners/winner-',
+           {cs('o_orderkey % 160')}, '-', {cs('o_orderkey % 11 * 2 + 2004')},
+           '/') AS detail_url,
+    CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE 'Finland' END AS country,
+    {('array(' if dialect == 'spark' else '[')}
+      concat('Developed the core technology, case ', {ks}),
+      CASE WHEN o_orderkey % 2 = 0
+        THEN concat('Further impact paragraph ', {cs('o_orderkey % 9')})
+        END,
+      'Share',
+      'Text after the terminator never ships'
+    {(')' if dialect == 'spark' else ']')} AS profile_tail_raw
+  FROM orders
+),
+ml_parts AS (
+  SELECT *, {ml_parts.replace('ml.', '')} AS parts,
+    {afilter('profile_tail_raw', 't IS NOT NULL')} AS profile_tail
+  FROM ml_raw
+),
+ml_exploded AS (
+  SELECT * FROM ml_parts{ml_lateral}
+),
+{bar("ml_parsed", "ml_exploded",
+     ["k", "year", "innovation", "laureates_raw", "detail_url",
+      "country", "laureate"], [
+    ("given_name", ml_given),
+    ("family_name", ml_family),
+    ("profile_description", ml_desc.replace("ml.", "")),
+    ("lslug", slugify("laureate")),
+])},
+ml_shared AS (
+  SELECT *, count(*) OVER (PARTITION BY year, innovation)
+      AS share_count
+  FROM ml_parsed
+),
+ml_out AS (
+  SELECT 'millennium_prize' AS member,
+    concat('millennium-prize-', {cs('year')}, '-winner-',
+           {cs('k % 160')}, '-', {cs('year')}, '-', lslug)
+      AS funder_award_id,
+    {cs('year')} AS award_year, laureate AS laureate_name,
+    {nullcols('laureate_type')}, given_name, family_name,
+    {nullcols('edition_label', 'winner_position', 'award_category',
+              'prize_category_slug', 'research_topic', 'affiliation',
+              'laureate_title', 'citation')},
+    innovation, laureates_raw AS raw_laureates, country,
+    {nullcols('profile_category', 'profile_edition', 'award_summary',
+              'bio', 'contribution', 'profile_title_affiliation')},
+    profile_description,
+    {cs('share_count')} AS award_share_count,
+    CASE WHEN share_count > 1 THEN concat('1/', {cs('share_count')})
+         ELSE '1' END AS portion,
+    '1000000' AS award_total_amount,
+    {amount_render('1000000.0 / share_count')} AS source_award_amount,
+    'EUR' AS currency,
+    'EUR 1,000,000 prize amount from official prize story, divided by laureate count for the same winning innovation.'
+      AS amount_note,
+    detail_url AS landing_page_url,
+    concat('winner-', {cs('k % 160')}, '-', {cs('year')}, '-', lslug)
+      AS profile_slug,
+    {nullcols('wp_id', 'wp_slug', 'press_release_id',
+              'current_format_note')},
+    'https://millenniumprize.org/winners/' AS source_url,
+    'https://millenniumprize.org/prize/story/' AS amount_rule_url
+  FROM ml_shared
+)"""
+
+    cols = ("member, funder_award_id, award_year, laureate_name, "
+            "laureate_type, given_name, family_name, edition_label, "
+            "winner_position, award_category, prize_category_slug, "
+            "research_topic, affiliation, laureate_title, citation, "
+            "innovation, raw_laureates, country, profile_category, "
+            "profile_edition, award_summary, bio, contribution, "
+            "profile_title_affiliation, profile_description, "
+            "award_share_count, portion, award_total_amount, "
+            "source_award_amount, currency, amount_note, "
+            "landing_page_url, profile_slug, wp_id, wp_slug, "
+            "press_release_id, current_format_note, source_url, "
+            "amount_rule_url")
+
+    return f"""
+WITH {bbva}{bbva_rest}{crafoord}{dan_david}{millennium}
+SELECT {cols} FROM bb_out
+UNION ALL SELECT {cols} FROM cr_out
+UNION ALL SELECT {cols} FROM dd_out
+UNION ALL SELECT {cols} FROM ml_out
+"""
+
+
+def _build(dialect: str) -> str:
+    text = _sql(dialect)
+    if dialect == "duck":
+        text = text.replace("\\\\", "\\")
+        text = text.replace("AS STRING", "AS VARCHAR")
+    return text
+
+
+@register(
+    "prize_pattern_parse",
+    oracle=_build("duck"),
+    tags=("domain", "awards", "scrape"),
+    tables=("orders",),
+    doc=("Prize-pattern scraper family (scripts/local/{bbva_frontiers,"
+         "crafoord_prize,dan_david_prize,millennium_prize}_to_s3.py)"),
+)
+def prize_pattern_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four prize ingests in one union plan (module docstring has the
+    per-member semantics map).  Share-count windows are the only
+    exchanges; the millennium arm explodes multi-laureate rows."""
+    return spark.sql(_build("spark"))

@@ -951,3 +951,18 @@ def test_method5_no_shuffle_union(spark, sf_dir):
     df = q.CATALOG["method5_parse_awards"].spark(spark, sf_dir)
     opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
     assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_prize_pattern_share_windows_only(spark, sf_dir):
+    """Prize-pattern family: four scan arms behind Generate barriers;
+    the only exchanges are the three share-count windows (bbva,
+    crafoord, millennium — dan_david's amount is constant); the
+    millennium arm's laureate explode is a Generate; no Python."""
+    plan = _plan(spark, sf_dir, "prize_pattern_parse")
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "Generate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    df = q.CATALOG["prize_pattern_parse"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"

@@ -2894,3 +2894,241 @@ def test_method5_matches_reference_semantics(spark, sf_dir, orders_rows):
             assert got == want, (
                 f"{r.member}/{r.funder_award_id}.{col}: "
                 f"{got!r} != {want!r}")
+
+
+# ---------------------------------------------------------------------------
+# Prize-pattern family (scripts/local/{bbva_frontiers,crafoord_prize,
+# dan_david_prize,millennium_prize}_to_s3.py)
+# ---------------------------------------------------------------------------
+
+_PZ_ORG_HINTS = {
+    "academy", "agency", "alliance", "association", "center", "centre",
+    "council", "development", "foundation", "fund", "initiative",
+    "institute", "international", "laboratory", "lab", "network",
+    "organization", "programme", "program", "project", "university"}
+
+_PZ_CATEGORIES = [
+    "Basic Sciences", "Biology and Biomedicine",
+    "Information and Communication Technologies",
+    "Climate Change and Environmental Sciences",
+    "Economics, Finance and Management", "Social Sciences",
+    "Humanities", "Music and Opera", "Development Cooperation", "Arts"]
+
+
+def _pz_collapse(v):
+    if not v:
+        return None
+    v = v.replace("\xa0", " ")
+    v = re.sub(r"\s+", " ", v).strip()
+    v = re.sub(r"\s+([,;.:])", r"\1", v)
+    return v or None
+
+
+def _pz_slug(v):
+    v = (v or "").lower()
+    v = re.sub(r"[^a-z0-9]+", "-", v).strip("-")
+    return v or "unknown"
+
+
+def _pz_split(name):
+    if not name:
+        return None, None
+    tokens = name.split()
+    sfx = {"phd", "md", "dphil", "dsc", "scd", "jr.", "sr.", "ii", "iii",
+           "iv", "jr", "sr"}
+    while tokens and tokens[-1].lower().strip(",.") in sfx:
+        tokens.pop()
+    if not tokens:
+        return None, None
+    if len(tokens) == 1:
+        return None, tokens[0]
+    return " ".join(tokens[:-1]), tokens[-1]
+
+
+def _pz_is_org(name):
+    if not name:
+        return False
+    lower = name.lower()
+    if lower.startswith(("the ", "un ", "una ", "el ", "la ")):
+        return True
+    if any(ch in name for ch in ["&", "/", "("]):
+        return True
+    return bool(set(re.findall(r"[a-z]+", lower)) & _PZ_ORG_HINTS)
+
+
+def _pz_amount(total, share):
+    return f"{total / share:.6f}".rstrip("0").rstrip(".")
+
+
+def test_prize_pattern_matches_reference_semantics(spark, sf_dir,
+                                                   orders_rows):
+    from collections import Counter
+    keys = sorted(k for k, *_ in orders_rows)
+    expected = {}
+
+    # ---- bbva: share counts per (year, category)
+    bb_rows = []
+    for k in keys:
+        name = {0: f"Omar Yaghi{k % 210}",
+                1: f"The Intergovernmental Panel on Climate {k % 210}",
+                2: f"World Resources Institute {k % 210}",
+                3: f"Susan Athey{k % 210} PhD"}[k % 4]
+        label = (f"XVII Edition (20{k % 18:02d})" if k % 3 == 0
+                 else "Edition label without year")
+        ym = re.search(r"\((\d{4})\)", label)
+        year = ym.group(1) if ym else f"20{k % 18:02d}"
+        em = re.search(r"^([^()]+)", label)
+        edition = _pz_collapse(em.group(1)) if em else label
+        category = _PZ_CATEGORIES[k % 10]
+        if _pz_is_org(name):
+            ltype, g_, f_ = "organization_or_group", None, name
+        else:
+            g_, f_ = _pz_split(name)
+            ltype = "person"
+        bb_rows.append((k, year, category, name, ltype, g_, f_, edition))
+    shares = Counter((y, c) for _, y, c, *_ in bb_rows)
+    for k, year, category, name, ltype, g_, f_, edition in bb_rows:
+        sc = shares[(year, category)]
+        expected[("bbva_frontiers",
+                  f"bbva-frontiers-{year}-laureate-{k}")] = {
+            "award_year": year, "laureate_name": name,
+            "laureate_type": ltype, "given_name": g_, "family_name": f_,
+            "edition_label": edition, "award_category": category,
+            "award_share_count": str(sc),
+            "portion": f"1/{sc}" if sc > 1 else "1",
+            "award_total_amount": "400000",
+            "source_award_amount": _pz_amount(400000.0, sc),
+            "currency": "EUR",
+            "profile_category": category,
+            "profile_edition": f"{k % 18 + 1}th Edition",
+            "award_summary": f"Frontiers of Knowledge Award in case {k}",
+            "bio": _pz_collapse(f"Born researcher profile {k} "
+                                "Second bio paragraph."),
+            "contribution": f"Pioneered the field, case {k % 11}",
+        }
+
+    # ---- crafoord: 2015+ amounts, HTML-stripped citation
+    cr_rows = []
+    cr_cats = ["Astronomy", "Mathematics", "Geosciences", "Biosciences",
+               "Polyarthritis"]
+    for k in keys:
+        year = k % 14 + 2011
+        cat = cr_cats[k % 5]
+        cr_rows.append((k, year, cat))
+    shares = Counter((y, _pz_slug(c)) for _, y, c in cr_rows)
+    for k, year, cat in cr_rows:
+        name = (f"Eske Willerslev{k % 190}"
+                + (" Jr." if k % 5 == 0 else ""))
+        lname = _pz_collapse(name)
+        g_, f_ = _pz_split(lname)
+        cat_slug = _pz_slug(cat)
+        sc = shares[(year, cat_slug)]
+        cite_raw = (f"<p>For pioneering  work on ancient DNA, case {k}"
+                    " &amp; environmental genomics.</p>")
+        import html as _html
+        cite = _pz_collapse(
+            re.sub(r"<[^>]*>", " ", _html.unescape(cite_raw)))
+        row = {
+            "award_year": str(year), "laureate_name": lname,
+            "given_name": g_, "family_name": f_,
+            "award_category": cat, "prize_category_slug": cat_slug,
+            "citation": cite,
+            "laureate_title": (None if k % 3 == 0 else
+                               f"Professor of Evolutionary Genetics "
+                               f"{k % 7}"),
+            "affiliation": (None if k % 4 == 0 else
+                            f"University of Copenhagen {k % 40}"),
+            "award_share_count": str(sc),
+            "portion": f"1/{sc}" if sc > 1 else "1",
+        }
+        if year >= 2015:
+            row.update({"award_total_amount": "6000000",
+                        "source_award_amount": _pz_amount(6000000.0, sc),
+                        "currency": "SEK"})
+        else:
+            row.update({"award_total_amount": None,
+                        "source_award_amount": None, "currency": None})
+        expected[("crafoord_prize",
+                  f"crafoord-prize-{year}-{cat_slug}-laureate-{k}")] = row
+
+    # ---- dan_david: fixed amount, profile description joins
+    for k in keys:
+        year = k % 4 + 2022
+        name = f"Karma Ben{k % 200}-Johanan"
+        g_, f_ = _pz_split(name)
+        aff = None if k % 4 == 0 else f"Hebrew University {k % 30}"
+        ps = [f"Research summary paragraph one, case {k}"]
+        if k % 4 != 0:
+            ps.append(f"Hebrew University {k % 30}")
+        ps += [name, f"Second research paragraph {k % 13}",
+               "Stay up to date with the Dan David Prize newsletter"]
+        paragraphs = []
+        for t in ps:
+            if t == aff or t == name:
+                continue
+            if t.startswith("Stay up to date"):
+                break
+            paragraphs.append(t)
+        expected[("dan_david_prize",
+                  f"dan-david-prize-{year}-winner-{k}")] = {
+            "award_year": str(year), "laureate_name": name,
+            "given_name": g_, "family_name": f_,
+            "research_topic": (None if k % 3 == 0 else
+                               f"History of religions, strand {k % 6}"),
+            "affiliation": aff,
+            "profile_title_affiliation": (
+                f"Professor of Comparative Religion, Hebrew University "
+                f"{k % 30}"),
+            "profile_description": _pz_collapse(" ".join(paragraphs)),
+            "source_award_amount": "300000", "currency": "USD",
+        }
+
+    # ---- millennium: laureate explode + share per (year, innovation)
+    ml_rows = []
+    for k in keys:
+        year = k % 11 * 2 + 2004
+        innovation = f"Innovation {k % 160}"
+        raw = {0: f"Grand Prize: Tuomo Suntola{k % 160}",
+               1: (f"Winner: Shuji Nakamura{k % 160} and "
+                   f"Isamu Akasaki{k % 160}"),
+               2: f"Frances Arnold{k % 160}",
+               3: f"Stuart Parkin{k % 160} PhD"}[k % 4]
+        stripped = re.sub(r"^(Grand Prize|Winner):\s*", "",
+                          _pz_collapse(raw) or "").strip()
+        laureates = ([p.strip() for p in stripped.split(" and ")
+                      if p.strip()] if " and " in stripped
+                     else ([stripped] if stripped else []))
+        for lname in laureates:
+            ml_rows.append((k, year, innovation, raw, lname))
+    shares = Counter((y, i) for _, y, i, _, _ in ml_rows)
+    for k, year, innovation, raw, lname in ml_rows:
+        sc = shares[(year, innovation)]
+        g_, f_ = _pz_split(lname)
+        detail_slug = f"winner-{k % 160}-{year}"
+        slug = f"{detail_slug}-{_pz_slug(lname)}"
+        tail = [f"Developed the core technology, case {k}"]
+        if k % 2 == 0:
+            tail.append(f"Further impact paragraph {k % 9}")
+        expected[("millennium_prize",
+                  f"millennium-prize-{year}-{slug}")] = {
+            "award_year": str(year), "laureate_name": lname,
+            "given_name": g_, "family_name": f_,
+            "innovation": innovation, "raw_laureates": raw,
+            "country": None if k % 3 == 0 else "Finland",
+            "profile_description": _pz_collapse(" ".join(tail)),
+            "award_share_count": str(sc),
+            "portion": f"1/{sc}" if sc > 1 else "1",
+            "award_total_amount": "1000000",
+            "source_award_amount": _pz_amount(1000000.0, sc),
+            "currency": "EUR", "profile_slug": slug,
+        }
+
+    actual = _run(spark, sf_dir, "prize_pattern_parse")
+    assert len(actual) == len(expected), (len(actual), len(expected))
+    for r in actual:
+        exp = expected[(r.member, r.funder_award_id)]
+        for col, want in exp.items():
+            got = getattr(r, col)
+            assert got == want, (
+                f"{r.member}/{r.funder_award_id}.{col}: "
+                f"{got!r} != {want!r}")
