@@ -966,3 +966,17 @@ def test_prize_pattern_share_windows_only(spark, sf_dir):
     df = q.CATALOG["prize_pattern_parse"].spark(spark, sf_dir)
     opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
     assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_foundation_archive_no_shuffle(spark, sf_dir):
+    """Foundation-archive family: four barriered scan arms + the kirby
+    year-column explode; unique ids by construction so no shuffle at
+    all; no Python; bounded plan."""
+    plan = _plan(spark, sf_dir, "foundation_archive_parse")
+    assert "Exchange" not in plan
+    assert "Generate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    df = q.CATALOG["foundation_archive_parse"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"

@@ -3132,3 +3132,212 @@ def test_prize_pattern_matches_reference_semantics(spark, sf_dir,
             assert got == want, (
                 f"{r.member}/{r.funder_award_id}.{col}: "
                 f"{got!r} != {want!r}")
+
+
+# ---------------------------------------------------------------------------
+# Foundation-archive family (scripts/local/{ahmanson,costech,kirby,
+# lumina}_to_s3.py)
+# ---------------------------------------------------------------------------
+
+_FA_US_STATES = {
+    "AL", "AK", "AZ", "AR", "CA", "CO", "CT", "DE", "DC", "FL", "GA",
+    "HI", "ID", "IL", "IN", "IA", "KS", "KY", "LA", "ME", "MD", "MA",
+    "MI", "MN", "MS", "MO", "MT", "NE", "NV", "NH", "NJ", "NM", "NY",
+    "NC", "ND", "OH", "OK", "OR", "PA", "RI", "SC", "SD", "TN", "TX",
+    "UT", "VT", "VA", "WA", "WV", "WI", "WY"}
+
+
+def _fa_display(recip, desc):
+    if not desc:
+        return f"Grant to {recip}"
+    short = desc
+    if len(short) > 180:
+        short = short[:177].rsplit(" ", 1)[0] + "..."
+    return f"{recip}: {short}"
+
+
+def _fa_first_num(v):
+    t = _arc_clean(v)
+    if not t:
+        return None
+    m = re.search(r"([0-9][0-9,]*(?:\.[0-9]+)?)", t)
+    return m.group(1).replace(",", "") if m else None
+
+
+def test_foundation_archive_matches_reference_semantics(spark, sf_dir,
+                                                        orders_rows):
+    expected = {}
+    for k, *_ in orders_rows:
+        # ---- ahmanson
+        post_id = str(k + 40000)
+        grantee = f"Organisation {k % 280}"
+        desc = (None if k % 7 == 0 else
+                _arc_clean(
+                    "For general support of the capital campaign and the "
+                    "museum education initiative across the greater "
+                    "region, including the expansion of public "
+                    f"programming, case {k}") if k % 7 == 1 else
+                f"For program support, case {k}")
+        amt = _fa_first_num({0: None, 1: f"${k % 800 + 100},000",
+                             2: "125,000.50", 3: "undisclosed"}[k % 4])
+        loc = _arc_clean({0: None, 1: "Los Angeles, CA", 2: "Pasadena",
+                          3: "Mexico City, DF, MX",
+                          4: "Santa Monica , CA"}[k % 5])
+        if not loc or "," not in loc:
+            city, region, country = loc, None, None
+        else:
+            parts = [p.strip() for p in loc.split(",")]
+            region = parts[-1]
+            city = ", ".join(parts[:-1]).strip() or None
+            country = "US" if region in _FA_US_STATES else None
+        fy = (f"20{k % 25:02d}" if k % 5 != 0
+              else f"fy-20{k % 25:02d}")
+        expected[("ahmanson", f"ahmanson-{post_id}")] = {
+            "display_name": _fa_display(grantee, desc),
+            "description": desc, "recipient_name": grantee,
+            "amount": amt,
+            "currency": "USD" if amt else None,
+            "program_area": None if k % 3 == 0 else f"Arts {k % 4}",
+            "fiscal_year": fy,
+            "recipient_location": loc, "recipient_city": city,
+            "recipient_region": region, "recipient_country": country,
+            "source_section_total_amount": str(k % 90 + 10) + "000000",
+        }
+        # ---- costech: the dead honorific regex means titles survive
+        name = {0: f"Prof. John Mushi{k % 170}",
+                1: f"Neema Said{k % 170} PhD",
+                2: f"Baraka{k % 170}",
+                3: f"Dr. Amina Juma{k % 170} Jr."}[k % 4]
+        tokens = [t.strip(" ,") for t in name.split() if t.strip(" ,")]
+        sfx = {"PhD", "MD", "DPhil", "Jr.", "Sr.", "II", "III", "IV"}
+        while tokens and tokens[-1].rstrip(",") in sfx:
+            tokens.pop()
+        if not tokens:
+            g_, f_ = None, None
+        elif len(tokens) == 1:
+            g_, f_ = None, tokens[0]
+        else:
+            g_, f_ = " ".join(tokens[:-1]), tokens[-1]
+        budget = {0: None, 1: f"{k % 400 + 100},000,000",
+                  2: "1250000.50", 3: "tbd"}[k % 4]
+        amount = None
+        if budget:
+            try:
+                a = float(budget.replace(",", ""))
+                amount = (str(int(a)) if a.is_integer()
+                          else f"{a:.2f}".rstrip("0").rstrip("."))
+            except ValueError:
+                amount = None
+        prog = ("Research Program" if k % 3 == 0
+                else f"Innovation Program {k % 3}")
+        sub = None if k % 2 == 0 else f"Subprogram {k % 4}"
+        start = (None if k % 3 == 0
+                 else f"202{k % 4}-0{k % 9 + 1}-15")
+        expected[("costech", f"nfast-{k + 70000}")] = {
+            "display_name": f"Aflatoxin mitigation study {k}",
+            "description": (f"Background on maize value chains {k}"
+                            if k % 3 != 0 else
+                            (f"Objective: improve storage {k % 9}"
+                             if k % 2 != 0 else None)),
+            "recipient_name": name,
+            "lead_given_name": g_, "lead_family_name": f_,
+            "amount": amount,
+            "currency": "TZS" if amount is not None else None,
+            "funding_type": ("research"
+                             if prog.lower() == "research program"
+                             else "grant"),
+            "funder_scheme": " - ".join(p for p in [prog, sub] if p),
+            "start_date": start,
+            "source_year": start[:4] if start else None,
+        }
+        # ---- kirby: per-year-column explode with digest ids
+        category = {0: "MEDICAL & HEALTH", 1: "EDUCATION",
+                    2: "ENVIRONMENT"}[k % 3]
+        recipient = (f"Recipient Org {k}" if k % 4 == 0
+                     else f"Recipient Org {k % 240}")
+        desc_k = (None if k % 4 == 0
+                  else f"Support for community program {k}")
+        cells = [{0: None, 1: f"${k % 90 + 10},000", 2: "-",
+                  3: f"{k % 40 + 5}.000", 4: f"{k % 40 + 5}.000"
+                  }[k % 5],
+                 (f"${k % 60 + 15},500.50" if k % 2 == 0 else None),
+                 ("n/a" if k % 7 == 0 else None)]
+        years = ["2022", "2023", "2024"]
+        for idx, cell in enumerate(cells):
+            t = _arc_clean(cell)
+            if not t or t in {"-", "–", "—"}:
+                continue
+            m = re.search(r"([0-9][0-9,]*(?:\.[0-9]+)?)", t)
+            if not m:
+                continue
+            raw = m.group(1)
+            if "," not in raw and re.fullmatch(r"\d{1,3}(?:\.\d{3})+",
+                                               raw):
+                amount_k = raw.replace(".", "")
+            else:
+                amount_k = raw.replace(",", "")
+            year = years[idx]
+            digest_src = "|".join([year, category.lower(),
+                                   recipient.lower(),
+                                   (desc_k or "").lower()])
+            digest = hashlib.sha256(
+                digest_src.encode("utf-8")).hexdigest()[:12]
+            cat_slug = _potter_slug(category, 32)
+            rec_slug = _potter_slug(recipient, 80)
+            aid = f"kirby-{year}-{cat_slug}-{rec_slug}-{digest}"
+            expected[("kirby", aid)] = {
+                "display_name": _fa_display(recipient, desc_k),
+                "recipient_name": recipient,
+                "source_category": category,
+                "source_year": year, "amount": amount_k,
+                "currency": "AUD", "funder_scheme": category,
+                "source_amount_display": t,
+                "source_column_year": str(idx + 1),
+            }
+        # ---- lumina
+        grant_no = (None if k % 9 == 0
+                    else f"LF-{k % 10000 + 1000}-{k}")
+        url_slug = f"grant-slug-{k}"
+        amt_l = _fa_first_num({0: None, 1: f"${k % 700 + 100},000",
+                               2: "249,999.99", 3: "in kind"}[k % 4])
+        range_raw = {0: None,
+                     1: (f"{k % 12 + 1}/{k % 28 + 1}/202{k % 4} "
+                         f"through 12/31/202{k % 4 + 1}"),
+                     2: f"{k % 12 + 1}/1/201{k % 9}",
+                     3: "ongoing"}[k % 4]
+        start = end = None
+        if range_raw:
+            parts = re.split(r"\s+through\s+", range_raw, maxsplit=1,
+                             flags=re.I)
+
+            def pd_(t):
+                m = re.match(r"^(\d{1,2})/(\d{1,2})/(\d{4})$", t.strip())
+                if not m:
+                    return None
+                mo, dy, yr_ = (int(p) for p in m.groups())
+                return f"{yr_:04d}-{mo:02d}-{dy:02d}"
+            if len(parts) == 2:
+                start, end = pd_(parts[0]), pd_(parts[1])
+            else:
+                start = pd_(range_raw)
+        desc_l = None if k % 5 == 0 else f"To support attainment goal {k}"
+        recip_l = f"College Network {k % 230}"
+        expected[("lumina", grant_no or url_slug)] = {
+            "display_name": desc_l or f"Grant to {recip_l}",
+            "description": desc_l, "recipient_name": recip_l,
+            "amount": amt_l,
+            "currency": "USD" if amt_l else None,
+            "start_date": start, "end_date": end,
+            "source_year": start[:4] if start else None,
+            "recipient_location": (None if k % 4 == 0
+                                   else f"Indianapolis, IN {k % 3}"),
+        }
+    actual = _run(spark, sf_dir, "foundation_archive_parse")
+    assert len(actual) == len(expected), (len(actual), len(expected))
+    for r in actual:
+        exp = expected[(r.member, r.funder_award_id)]
+        for col, want in exp.items():
+            got = getattr(r, col)
+            assert got == want, (
+                f"{r.member}/{r.funder_award_id}.{col}: "
+                f"{got!r} != {want!r}")
