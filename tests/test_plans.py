@@ -980,3 +980,18 @@ def test_foundation_archive_no_shuffle(spark, sf_dir):
     df = q.CATALOG["foundation_archive_parse"].spark(spark, sf_dir)
     opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
     assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_microfunder_two_windows_only(spark, sf_dir):
+    """Micro-funder kit: eight barriered scan arms; the only exchanges
+    are the eruk/lcrf keep-first windows (WindowGroupLimit-eligible);
+    no Python; bounded plan."""
+    plan = _plan(spark, sf_dir, "microfunder_parse_awards")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "WindowGroupLimit" in plan
+    assert "Generate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    df = q.CATALOG["microfunder_parse_awards"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"

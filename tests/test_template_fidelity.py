@@ -3341,3 +3341,415 @@ def test_foundation_archive_matches_reference_semantics(spark, sf_dir,
             assert got == want, (
                 f"{r.member}/{r.funder_award_id}.{col}: "
                 f"{got!r} != {want!r}")
+
+
+# ---------------------------------------------------------------------------
+# Micro-funder kit (scripts/local/{eruk,lcrf,fmfc,ntap,
+# brain_research_uk,medical_research_scotland,blood_cancer_uk,
+# cirm}_to_s3.py)
+# ---------------------------------------------------------------------------
+
+def _mf_clean(v):
+    if v is None:
+        return None
+    s = re.sub(r"\s+", " ", str(v)).strip()
+    return s or None
+
+
+def _mf_slug(s):
+    return re.sub(r"[^a-z0-9]+", "-", (s or "").lower()).strip("-")[:90]
+
+
+def test_microfunder_matches_reference_semantics(spark, sf_dir,
+                                                 orders_rows):
+    keys = sorted(k for k, *_ in orders_rows)
+    expected = {}
+
+    # ---- eruk
+    seen = set()
+    for k in keys:
+        wp_slug = f"project-{k % 900}"
+        if wp_slug in seen:
+            continue
+        seen.add(wp_slug)
+        title = (None if k % 13 == 0 else _mf_clean(
+            f"Seizure prediction & forecasting study {k}"))
+        if not title:
+            continue
+        expected[("eruk", f"eruk-{wp_slug}"[:120])] = {
+            "title": title,
+            "category_ids": (None if k % 3 == 0
+                             else f"{k % 9 + 11},{k % 5 + 30}"),
+            "landing_page_url": ("https://epilepsyresearch.org.uk/"
+                                 f"research_portfolio/{wp_slug}/"),
+        }
+
+    # ---- lcrf
+    LCRF_INST = re.compile(
+        r"Universit|College|Institute|Hospital|School|Center|Centre|"
+        r"Cancer|Clinic|Foundation|Health|Medical|Laborator|NYU|MIT|"
+        r"UCLA|UCSF", re.I)
+    LCRF_DEG = re.compile(
+        r",?\s*(MD|PhD|DPhil|MPH|MSc|MS|DO|PharmD|DVM|ScD|MBBS|FRCP|RN)"
+        r"\b\.?", re.I)
+
+    def lcrf_split(raw):
+        n = _mf_clean(raw)
+        if not n:
+            return None, None
+        n = re.sub(r"^(Dr|Prof|Professor)\.?\s+", "", n, flags=re.I)
+        n = LCRF_DEG.sub("", n).strip(" .,")
+        n = n.split(",")[0].strip()
+        toks = n.split()
+        if not toks:
+            return None, None
+        if len(toks) == 1:
+            return None, toks[0]
+        return " ".join(toks[:-1]), toks[-1]
+
+    seen = set()
+    for k in keys:
+        wp_slug = f"grant-{k % 850}"
+        if wp_slug in seen:
+            continue
+        seen.add(wp_slug)
+        rendered = {
+            0: (f"20{k % 25:02d} – Career Development Award – Memorial "
+                f"Hospital {k % 60} – Dr. Maya Lin{k % 150}, MD, PhD"),
+            1: (f"20{k % 25:02d} – Pilot Grant – University Cancer "
+                f"Center {k % 60}"),
+            2: f"Research Grant – UCSF Lab {k % 60} – James Chen{k % 150}",
+            3: f"Untitled award {k}",
+            4: (f"20{k % 25:02d} - Team Science - Institute {k % 60} - "
+                f"Priya Raman{k % 150}")}[k % 5]
+        parts = [p.strip() for p in re.split(r"\s[–—-]\s", rendered)
+                 if p.strip()]
+        if len(parts) < 2:
+            year = program = institution = pi = None
+        else:
+            year = None
+            m = re.match(r"(20\d\d)", parts[0])
+            if m:
+                year = int(m.group(1))
+                parts = parts[1:]
+            pi = institution = None
+            if (parts and LCRF_INST.search(parts[-1])
+                    and not LCRF_DEG.search(parts[-1])):
+                institution = parts[-1]
+                program = " - ".join(parts[:-1])
+            elif len(parts) >= 2:
+                pi = parts[-1]
+                institution = parts[-2]
+                program = " - ".join(parts[:-2])
+            else:
+                program = parts[0]
+        g_, f_ = lcrf_split(pi)
+        expected[("lcrf", f"lcrf-{wp_slug}"[:120])] = {
+            "title": _mf_clean(rendered),
+            "pi_given": g_, "pi_family": f_,
+            "institution": _mf_clean(institution),
+            "funder_scheme": _mf_clean(program) or None,
+            "start_year": year,
+        }
+
+    # ---- fmfc
+    for k in keys:
+        appno = None if k % 7 == 0 else f"APP{k + 3000}"
+        title = f"Paediatric resilience project {k}"
+        ci = {0: f"Dr K Lycett{k % 140}",
+              1: f"Professor Anne-Louise Ponsonby{k % 140} - VIC",
+              2: f"A/Prof Sam Wood{k % 140}, PhD",
+              3: None}[k % 4]
+        g_ = f_ = None
+        if ci:
+            n = _mf_clean(ci)
+            n = re.sub(r"\s*[-–]\s*[A-Z]{2,3}$", "", n)
+            n = re.sub(r"^(Dr|Prof|Professor|Associate Professor|A/Prof"
+                       r"|Mr|Mrs|Ms|Miss|Sir|Dame)\.?\s+", "", n,
+                       flags=re.I).strip()
+            n = n.split(",")[0].strip()
+            toks = n.split()
+            if len(toks) == 1:
+                g_, f_ = None, toks[0]
+            elif toks:
+                g_, f_ = " ".join(toks[:-1]), toks[-1]
+        amt_raw = {0: None, 1: f"${k % 90 + 10},000", 2: "75,500",
+                   3: "funded"}[k % 4]
+        amount = None
+        if amt_raw:
+            m = re.search(r"\$?\s*([\d,]+)", amt_raw)
+            if m:
+                amount = float(m.group(1).replace(",", ""))
+        aid = f"fmfc-{_mf_slug(appno) if appno else _mf_slug(title)}"
+        expected[("fmfc", aid)] = {
+            "title": title, "pi_given": g_, "pi_family": f_,
+            "institution": (None if k % 4 == 0 else
+                            f"Murdoch Children's Institute {k % 40}"),
+            "amount": amount,
+            "term": None if k % 3 == 0 else f"{k % 3 + 1} years",
+        }
+
+    # ---- ntap
+    NTAP_DEG = re.compile(
+        r"\b(Ph\.?D|M\.?D|D\.?Phil|M\.?B\.?B\.?S|D\.?O|M\.?Sc|"
+        r"Pharm\.?D)\b")
+    for k in keys:
+        title = f"NF1 biomarker initiative {k}"
+        pi_full = (f"Dr. Lu Le{k % 160}, M.D., Ph.D"
+                   + (" and Kevin Shannon" if k % 6 == 0 else ""))
+        vals = [x for x in [
+            ("Preclinical study" if k % 5 != 4 else None),
+            pi_full,
+            f"University Hospital {k % 50}",
+            ("Dallas, USA" if k % 2 == 0 else "London, UK")]
+            if x is not None]
+        if len(vals) == 4:
+            study, pi, inst, loc = vals
+        else:
+            study = pi = inst = loc = None
+            LOC = re.compile(
+                r"^.+,\s*(USA|United States|Canada|UK|United Kingdom|"
+                r"Germany|France|Australia|Israel|Italy|Spain|"
+                r"Netherlands|Sweden|Switzerland|Japan|China|Belgium|"
+                r"Austria|Denmark|Finland|Norway|Ireland|[A-Z][a-z]+)"
+                r"\s*$")
+            INSTK = re.compile(
+                r"Universit|College|Institute|Hospital|School|Center|"
+                r"Centre", re.I)
+            for t in vals:
+                if pi is None and NTAP_DEG.search(t):
+                    pi = t
+                elif loc is None and LOC.match(t) and not INSTK.search(t):
+                    loc = t
+                elif inst is None and INSTK.search(t):
+                    inst = t
+                elif study is None:
+                    study = t
+        first_pi = re.split(r";| and (?=[A-Z])", pi)[0] if pi else None
+        g_ = f_ = None
+        if first_pi:
+            n = _mf_clean(first_pi)
+            n = re.sub(r"^(Dr|Prof|Professor|Mr|Mrs|Ms|Miss)\.?\s+", "",
+                       n, flags=re.I).strip()
+            n = n.split(",")[0].strip()
+            n = NTAP_DEG.sub("", n).strip(" .,")
+            toks = n.split()
+            if len(toks) == 1:
+                g_, f_ = None, toks[0]
+            elif toks:
+                g_, f_ = " ".join(toks[:-1]), toks[-1]
+        country = None
+        if loc:
+            m = re.match(
+                r"^.+,\s*(USA|United States|Canada|UK|United Kingdom|"
+                r"Germany|France|Australia|Israel|Italy|Spain|"
+                r"Netherlands|Sweden|Switzerland|Japan|China|Belgium|"
+                r"Austria|Denmark|Finland|Norway|Ireland|[A-Z][a-z]+)"
+                r"\s*$", loc)
+            if m:
+                country = {"USA": "United States",
+                           "UK": "United Kingdom"}.get(m.group(1),
+                                                       m.group(1))
+        expected[("ntap", f"ntap-{_mf_slug(title)}")] = {
+            "title": title, "pi_given": g_, "pi_family": f_,
+            "institution": inst, "country": country,
+            "funder_scheme": study,
+            "description": (None if k % 3 == 0 else _mf_clean(
+                f"Preclinical platform description {k}")),
+        }
+
+    # ---- brain_research_uk
+    MONTHS = {m: i for i, m in enumerate(
+        ["January", "February", "March", "April", "May", "June", "July",
+         "August", "September", "October", "November", "December"], 1)}
+
+    def mon_year(s):
+        m = re.search(r"([A-Za-z]+)\s+(\d{4})", s or "")
+        if m and m.group(1).title() in MONTHS:
+            return (f"{m.group(2)}-{MONTHS[m.group(1).title()]:02d}-01",
+                    m.group(2))
+        y = re.search(r"(\d{4})", s or "")
+        return (f"{y.group(1)}-01-01", y.group(1)) if y else (None, None)
+
+    for k in keys:
+        lines = [x for x in [
+            "Our research", "researcher",
+            (f"Professor Ada Byron{k % 150}"
+             + (" and Grace Hopper" if k % 6 == 0 else "")),
+            ("institute" if k % 4 == 0
+             else f"University of Leeds {k % 9}"),
+            {0: "Fellowship", 1: "Project grant",
+             2: "Our supporters"}[k % 3],
+            ("Awarded in " + (f"March 20{k % 24:02d}" if k % 2 == 0
+                              else f"20{k % 24:02d}")),
+            (f"Completed June 20{k % 24 + 2:02d}" if k % 3 != 0
+             else None),
+            "Donate now"] if x is not None]
+        pi = institution = ftype = None
+        start_date = start_year = end_year = None
+        ridx = None
+        FUND_TYPES = ("fellowship", "project grant", "phd studentship",
+                      "programme grant", "pump priming", "small grant",
+                      "studentship", "research grant")
+        for i, l in enumerate(lines):
+            low = l.lower()
+            if low == "researcher" and i + 1 < len(lines):
+                pi = pi or lines[i + 1]
+                ridx = ridx if ridx is not None else i
+            elif low in FUND_TYPES and ftype is None:
+                ftype = l
+            elif low.startswith("awarded in"):
+                tail = (l[len("awarded in"):].strip()
+                        or (lines[i + 1] if i + 1 < len(lines) else ""))
+                start_date, start_year = mon_year(tail)
+            elif low.startswith(("completed", "completion")):
+                tail = (l.split(" ", 1)[1] if " " in l
+                        else (lines[i + 1] if i + 1 < len(lines) else ""))
+                _, end_year = mon_year(tail)
+        if ridx is not None:
+            for j in range(ridx + 1, min(ridx + 6, len(lines))):
+                cand = lines[j].strip()
+                if (re.search(r"University|College|Institute|Imperial|"
+                              r"King'?s|Hospital|School of|UCL|"
+                              r"Queen Mary|Newcastle|Cardiff|Dundee|"
+                              r"Edinburgh", cand, re.I)
+                        and len(cand) < 60
+                        and cand.lower() != "institute"):
+                    institution = cand
+                    break
+        first = re.split(r";| and |&|,", pi)[0].strip()
+        first = re.sub(r"^(Professor|Prof|Doctor|Dr|Mr|Mrs|Ms|Miss|Sir"
+                       r"|Dame)\.?\s+", "", first, flags=re.I).strip()
+        parts = first.split()
+        if len(parts) < 2:
+            g_, f_ = None, first or None
+        else:
+            g_, f_ = " ".join(parts[:-1]), parts[-1]
+        expected[("brain_research_uk", f"bruk-project-{k}")] = {
+            "title": f"Mapping glioma progression {k}",
+            "pi_given": g_, "pi_family": f_,
+            "institution": institution, "funder_scheme": ftype,
+            "start_date": start_date,
+            "start_year": int(start_year) if start_year else None,
+            "end_year": end_year,
+        }
+
+    # ---- medical_research_scotland
+    for k in keys:
+        student = supervisor = None
+        if k % 3 == 0:
+            student = f"Rory Gail{k % 150}"
+            supervisor = f"Prof Ewan Muir{k % 150}"
+        elif k % 3 == 1:
+            student = f"Fiona Glen{k % 150}"  # next-line value
+            supervisor = None  # 'Supervisor' line was consumed as value
+        else:
+            supervisor = f"Prof Ewan Muir{k % 150}"
+        # reproduce: k%3==1 has 'Student:' label with next line being
+        # the supervisor-slot line 'Fiona Glen…'; the supervisor label
+        # line itself is that same text, so no Supervisor label exists
+        pi = student or supervisor
+        first = re.split(r";| and |&|,", pi)[0].strip()
+        first = re.sub(r"^(Professor|Prof|Dr|Mr|Mrs|Ms|Miss|Sir|Dame)"
+                       r"\.?\s+", "", first, flags=re.I).strip()
+        parts = first.split()
+        if len(parts) < 2:
+            g_, f_ = None, first or None
+        else:
+            g_, f_ = " ".join(parts[:-1]), parts[-1]
+        expected[("medical_research_scotland", f"mrs-award-{k}")] = {
+            "title": f"Mechanisms of fibrosis {k}",
+            "pi_given": g_, "pi_family": f_,
+            "institution": f"University of Dundee {k % 9}",
+            "supervisor": (f"Prof Ewan Muir{k % 150}"
+                           if k % 3 == 0 else None),
+            "start_year": 2000 + k % 24,
+        }
+
+    # ---- blood_cancer_uk: simulate the reference line scan
+    for k in keys:
+        lines = [x for x in [
+            "Research projects", "Lead researcher",
+            f"Professor Mhairi Copland{k % 150} PhD FRCP",
+            ("Related Conditions" if k % 4 == 0
+             else f"University of Glasgow {k % 9}"),
+            ("Related Conditions" if k % 4 != 0 else None),
+            (f"Leukaemia type {k % 4}" if k % 5 != 0
+             else "Research Type"),
+            (f"Clinical trial {k % 3}" if k % 5 == 0
+             else "Research Type"),
+            f"Discovery research {k % 3}",
+            "Region",
+            ("Scotland" if k % 2 == 0 else "London")] if x is not None]
+        LABELS = ("Related Conditions", "Research Type", "Region",
+                  "Lead researcher")
+        pi = inst = conditions = rtype = region = None
+        for i, l in enumerate(lines):
+            if l == "Lead researcher":
+                if i + 1 < len(lines):
+                    pi = lines[i + 1]
+                if (i + 2 < len(lines) and not any(
+                        lines[i + 2].startswith(x) for x in LABELS)):
+                    inst = lines[i + 2]
+            elif l == "Related Conditions" and i + 1 < len(lines):
+                conditions = lines[i + 1]
+            elif l == "Research Type" and i + 1 < len(lines):
+                rtype = lines[i + 1]
+            elif l == "Region" and i + 1 < len(lines):
+                region = lines[i + 1]
+        first = re.split(r";| and |&", pi)[0].strip()
+        first = re.sub(r"^(Professor|Prof|Dr|Mr|Mrs|Ms|Miss|Sir|Dame)"
+                       r"\.?\s+", "", first, flags=re.I).strip()
+        first = re.sub(r"\b(PhD|MD|FMedSci|OBE|MBE|CBE|FRCP|FRS)\b\.?",
+                       "", first).strip().rstrip(",")
+        parts = first.split()
+        g_, f_ = " ".join(parts[:-1]), parts[-1]
+        expected[("blood_cancer_uk", f"bcuk-project-{k}")] = {
+            "title": f"Targeting leukaemia stem cells {k}",
+            "pi_given": _mf_clean(g_), "pi_family": f_,
+            "institution": inst,
+            "conditions": conditions, "research_type": rtype,
+            "region": region,
+        }
+
+    # ---- cirm
+    for k in keys:
+        grant_no = f"DISC2-{k + 5000}"
+        award_value = ("pending" if k % 4 == 0
+                       else f"${k % 900 + 100},{k % 1000:03d}")
+        amount = None
+        m = re.search(r"[\d,]+", award_value.replace("$", ""))
+        if m:
+            amount = str(int(m.group(0).replace(",", "")))
+        scheme = (None if k % 3 == 2
+                  else {0: "Basic Biology I",
+                        1: "Translational II"}[k % 3])
+        pi_raw = f"Dr. June Park{k % 160}, PhD"
+        first = re.split(r";| and |&|,", pi_raw)[0].strip()
+        first = re.sub(r"^(Professor|Prof|Dr|Mr|Mrs|Ms|Miss|Sir|Dame)"
+                       r"\.?\s+", "", first, flags=re.I).strip()
+        first = re.sub(r"\b(PhD|MD|MBA|DVM|DPhil|ScD|FMedSci|OBE|MBE|"
+                       r"CBE|FRCP|FRS)\b\.?", "",
+                       first).strip().rstrip(",")
+        parts = first.split()
+        if len(parts) < 2:
+            g_, f_ = None, first or None
+        else:
+            g_, f_ = " ".join(parts[:-1]), parts[-1]
+        expected[("cirm", grant_no)] = {
+            "title": f"Stem cell therapy program {k}",
+            "pi_given": g_, "pi_family": f_,
+            "institution": f"Stanford University {k % 7}",
+            "amount_str": amount, "funder_scheme": scheme,
+            "status": "Active" if k % 2 == 0 else "Closed",
+        }
+
+    actual = _run(spark, sf_dir, "microfunder_parse_awards")
+    assert len(actual) == len(expected), (len(actual), len(expected))
+    for r in actual:
+        exp = expected[(r.member, r.funder_award_id)]
+        for col, want in exp.items():
+            got = getattr(r, col)
+            assert got == want, (
+                f"{r.member}/{r.funder_award_id}.{col}: "
+                f"{got!r} != {want!r}")
