@@ -3753,3 +3753,137 @@ def test_microfunder_matches_reference_semantics(spark, sf_dir,
             assert got == want, (
                 f"{r.member}/{r.funder_award_id}.{col}: "
                 f"{got!r} != {want!r}")
+
+
+# ---------------------------------------------------------------------------
+# WP-REST pair (scripts/local/gulbenkian_to_s3.py,
+# scripts/local/velux_stiftung_to_s3.py)
+# ---------------------------------------------------------------------------
+
+def _wp_strip(html_text):
+    import html as _html
+    if not html_text:
+        return ""
+    text = re.sub(r"<[^>]+>", " ", html_text)
+    text = _html.unescape(text)
+    return re.sub(r"\s+", " ", text).strip()
+
+
+def _gu_amount(s):
+    """gulbenkian parse_amount (:203-240)."""
+    if not s or not isinstance(s, str):
+        return None
+    s = s.strip().replace("€", "").replace("EUR", "").strip()
+    if not s:
+        return None
+    m = re.search(r"([\d.,]+)", s)
+    if not m:
+        return None
+    raw = m.group(1)
+    if "." in raw and "," in raw:
+        raw = raw.replace(".", "").replace(",", ".")
+    elif "," in raw:
+        raw = raw.replace(",", ".")
+    else:
+        parts = raw.split(".")
+        if len(parts) > 1 and len(parts[-1]) <= 2:
+            pass
+        else:
+            raw = raw.replace(".", "")
+    try:
+        val = float(raw)
+    except ValueError:
+        return None
+    return val if val >= 1 else None
+
+
+def _gu_year(s):
+    if s is None or s == "":
+        return None
+    s = str(s).strip()
+    if s.isdigit() and 1900 <= int(s) <= 2030:
+        return int(s)
+    m = re.search(r"\b(19\d{2}|20[0-3]\d)\b", s)
+    return int(m.group(1)) if m else None
+
+
+def test_wprest_matches_reference_semantics(spark, sf_dir, orders_rows):
+    expected = {}
+    for k, *_ in orders_rows:
+        # gulbenkian (keep-first never fires: ids carry project_id)
+        project_id = str(k + 120000)
+        slug = f"projeto-{k % 700}"
+        title = _wp_strip(f"<h2>Apoio &amp; inovação {k}</h2>")
+        excerpt = (None if k % 3 == 0
+                   else _wp_strip(f"<p>Resumo  do projeto {k}</p>"))
+        content = _wp_strip(
+            f"<div>Conteúdo integral do projeto {k} com detalhes.</div>")
+        page_date = f"201{k % 9}-0{k % 9 + 1}-12T10:00:00"
+        page_year = int(page_date[:4])
+        date_start = {0: None, 1: "2021",
+                      2: f"start of 20{k % 31:02d}",
+                      3: "por definir"}[k % 4]
+        budget = {0: None, 1: "€ 12.500,00", 2: "12500", 3: "12.500",
+                  4: "0,75", 5: "EUR 9.850,5"}[k % 6]
+        amount = _gu_amount(budget)
+        expected[("gulbenkian",
+                  f"gulbenkian-{slug}-{project_id}")] = {
+            "title": title,
+            "description": excerpt or content[:5000],
+            "content_full": content[:8000],
+            "amount": str(amount) if amount is not None else None,
+            "currency": "EUR" if amount is not None else None,
+            "start_year": str(_gu_year(date_start) or page_year),
+            "end_year": (str(_gu_year("2024"))
+                         if k % 3 != 0 else None),
+            "local_name": None if k % 2 == 0 else "Lisboa",
+            "duration": (None if k % 4 == 0
+                         else f"{k % 36 + 6} meses"),
+        }
+        # velux
+        slug_v = f"projekt-{k}"
+        page_text = {
+            0: "About the project. No funding line here. 2019",
+            1: (f"Funding amount: CHF 485,000 Period 20{k % 20:02d} - "
+                f"20{k % 20 + 3:02d}"),
+            2: "Funding amount | CHF 1'500'000 runs 2019 - 2023",
+            3: "funding amount: chf 72.50 period 2020 – 2021",
+            4: "Funding amount: CHF 9.850.5 (2018 — 2022)"}[k % 5]
+        amount_v = None
+        m = re.search(r"Funding amount\s*[:|]?\s*CHF\s*([\d',.]+)",
+                      page_text, re.I)
+        if m:
+            raw = m.group(1).replace("'", "").replace(",", "").strip()
+            if "." in raw:
+                parts = raw.split(".")
+                if len(parts[-1]) > 2:
+                    raw = raw.replace(".", "")
+            try:
+                amount_v = float(raw)
+            except ValueError:
+                amount_v = None
+        sy = ey = None
+        pm = re.search(r"\b(19\d{2}|20\d{2})\s*[-–—]\s*(19\d{2}|20\d{2})"
+                       r"\b", page_text)
+        if pm:
+            sy, ey = pm.group(1), pm.group(2)
+        expected[("velux_stiftung", f"velux-stiftung-{slug_v}")] = {
+            "title": _wp_strip(f"<h1>Daylight research project {k}</h1>"),
+            "description": _wp_strip(
+                f"<p>Understanding  circadian light exposure, case {k}."
+                "</p>")[:5000],
+            "amount": str(amount_v) if amount_v is not None else None,
+            "currency": "CHF" if amount_v is not None else None,
+            "start_year": sy, "end_year": ey,
+            "type_names": {0: None, 1: "Science / Daylight",
+                           2: "Humus"}[k % 3],
+        }
+    actual = _run(spark, sf_dir, "wprest_parse_projects")
+    assert len(actual) == len(expected), (len(actual), len(expected))
+    for r in actual:
+        exp = expected[(r.member, r.funder_award_id)]
+        for col, want in exp.items():
+            got = getattr(r, col)
+            assert got == want, (
+                f"{r.member}/{r.funder_award_id}.{col}: "
+                f"{got!r} != {want!r}")
