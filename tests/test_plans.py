@@ -1007,3 +1007,15 @@ def test_wprest_no_shuffle(spark, sf_dir):
     df = q.CATALOG["wprest_parse_projects"].spark(spark, sf_dir)
     opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
     assert len(opt) < 100_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_fellowdir_one_window(spark, sf_dir):
+    """Fellowship-directory pair: two barriered scan arms + the
+    radcliffe (slug, year) keep-first window only; no Python."""
+    plan = _plan(spark, sf_dir, "fellowship_directory_parse")
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    df = q.CATALOG["fellowship_directory_parse"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 100_000, f"plan blow-up: {len(opt)} chars"

@@ -3887,3 +3887,85 @@ def test_wprest_matches_reference_semantics(spark, sf_dir, orders_rows):
             assert got == want, (
                 f"{r.member}/{r.funder_award_id}.{col}: "
                 f"{got!r} != {want!r}")
+
+
+# ---------------------------------------------------------------------------
+# Fellowship-directory pair (scripts/local/guggenheim_to_s3.py,
+# scripts/local/radcliffe_to_s3.py)
+# ---------------------------------------------------------------------------
+
+_FD_PARTICLES = {
+    "von", "van", "der", "den", "de", "del", "della", "di", "da",
+    "dos", "das", "le", "la", "du", "do", "ten", "ter", "zu", "af",
+    "al", "bin", "ibn", "st", "st."}
+
+
+def _fd_split(full):
+    """guggenheim_to_s3.py:219-236 (radcliffe identical)."""
+    if not full:
+        return None, None
+    parts = str(full).strip().split()
+    sfx = {"phd", "md", "dphil", "dsc", "scd", "jr.", "sr.", "ii",
+           "iii", "iv", "jr", "sr"}
+    while parts and parts[-1].lower().strip(",.") in sfx:
+        parts.pop()
+    if not parts:
+        return None, None
+    if len(parts) == 1:
+        return None, parts[0]
+    fam_start = len(parts) - 1
+    while fam_start - 1 >= 1 and parts[fam_start - 1].lower() in \
+            _FD_PARTICLES:
+        fam_start -= 1
+    given = " ".join(parts[:fam_start]).strip() or None
+    family = " ".join(parts[fam_start:]).strip() or None
+    return given, family
+
+
+def test_fellowdir_matches_reference_semantics(spark, sf_dir,
+                                               orders_rows):
+    keys = sorted(k for k, *_ in orders_rows)
+    expected = {}
+
+    def name_of(k):
+        return {0: f"Maya Angelou{k % 190}",
+                1: f"Ludwig van der Rohe{k % 190}",
+                2: f"Ana de la Cruz{k % 190} PhD",
+                3: f"Björk{k % 190}",
+                4: f"Vincent St. Martin{k % 190} Jr.",
+                5: f"Omar al Farsi{k % 190}"}[k % 6]
+
+    for k in keys:
+        name = name_of(k)
+        g_, f_ = _fd_split(name)
+        year = None if k % 9 == 0 else k % 90 + 1935
+        expected[("guggenheim", f"fellow-{k}")] = {
+            "fellow_name": name, "given_name": g_, "family_name": f_,
+            "start_year": str(year) if year else None,
+            "landing_page_url": f"https://www.gf.org/fellows/fellow-{k}/",
+        }
+    seen = set()
+    for k in keys:
+        slug = f"person-{k % 800}"
+        year = None if k % 7 == 0 else k % 25 + 2000
+        if (slug, year) in seen:
+            continue
+        seen.add((slug, year))
+        name = name_of(k)
+        g_, f_ = _fd_split(name)
+        fid = f"{slug}-{year}" if year else slug
+        expected[("radcliffe", fid)] = {
+            "fellow_name": name, "given_name": g_, "family_name": f_,
+            "start_year": str(year) if year else None,
+            "landing_page_url": ("https://www.radcliffe.harvard.edu/"
+                                 f"people/{slug}"),
+        }
+    actual = _run(spark, sf_dir, "fellowship_directory_parse")
+    assert len(actual) == len(expected), (len(actual), len(expected))
+    for r in actual:
+        exp = expected[(r.member, r.funder_award_id)]
+        for col, want in exp.items():
+            got = getattr(r, col)
+            assert got == want, (
+                f"{r.member}/{r.funder_award_id}.{col}: "
+                f"{got!r} != {want!r}")
