@@ -71,7 +71,11 @@ _LAST_GREEN: dict[str, int] = {
 # mechanically against git by tests/test_driver_window.py (queries whose
 # defining module changed since the last round-boundary commit must be
 # here or never-verified).
-_CHANGED_THIS_ROUND: list[str] = []
+_CHANGED_THIS_ROUND: list[str] = [
+    # round-11 driver-contract fix: institution_country / ukcrc_value
+    # rendered as to_json strings (the driver canon crashes on lists).
+    "nihr_parse_awards",
+]
 
 # Queries whose defining MODULE changed this round but whose own plan
 # and semantics provably did not (e.g. a sibling query was added to the
@@ -79,30 +83,7 @@ _CHANGED_THIS_ROUND: list[str] = []
 # can check against the diff; tests/test_driver_window.py rejects any
 # module-changed green query that is neither here nor in
 # _CHANGED_THIS_ROUND.  Reset to {} at every round boundary.
-_SQLUDF_R10_NOTE = (
-    "sql_udfs.py round-10 edit is the registry-side dod squash drop "
-    "(award_registry_key's 'dod' branch now anchors the un-squashed "
-    "normalized string, matching AwardNormKey.sql:64 — the round-9 "
-    "ADVICE medium item).  award_registry_key is called ONLY by "
-    "udf_award_registry_key_battery (never-verified, already fronted "
-    "by the backlog); no sqludf.py query touches it, and the "
-    "output-golden diff machine-checks every exempted query below as "
-    "byte-stable across the edit."
-)
-_WINDOW_EXEMPT: dict[str, str] = {
-    "udf_award_normalize": _SQLUDF_R10_NOTE,
-    "udf_names_compatible_pairs": _SQLUDF_R10_NOTE,
-    "udf_priority_best_fold": _SQLUDF_R10_NOTE,
-    "award_family_merge": _SQLUDF_R10_NOTE,
-    "udf_award_family_battery": _SQLUDF_R10_NOTE,
-    "udf_award_verdict_battery": _SQLUDF_R10_NOTE,
-    "udf_award_salvage_s1": _SQLUDF_R10_NOTE,
-    "udf_award_salvage_s2_multiid": _SQLUDF_R10_NOTE,
-    "udf_award_salvage_s3_wrong_funder": _SQLUDF_R10_NOTE,
-    "udf_award_guard_decision": _SQLUDF_R10_NOTE,
-    "award_label_entangled_holdback": _SQLUDF_R10_NOTE,
-    "award_missing_grants_roadmap": _SQLUDF_R10_NOTE,
-}
+_WINDOW_EXEMPT: dict[str, str] = {}
 
 # Every query with a green driver row, stalest round first (name
 # tie-break) — the tail of the re-verification schedule.

@@ -28,9 +28,14 @@ Ported semantics (``parse_single_record`` :336-455 +
 * dates coerce-to-NULL → ``YYYY-MM-DD`` strings; dedup by project_id
   keeping the first record in feed order;
 * stringify-all EXCEPT ``institution_country`` / ``ukcrc_value``,
-  which stay ``array<string>`` (runbook §1.2 item 5 with the
-  CreateNIHRAwards carve-out: the notebook indexes
-  institution_country with size()/[0]);
+  which the reference keeps as ``array<string>`` (runbook §1.2 item 5
+  with the CreateNIHRAwards carve-out: the notebook indexes
+  institution_country with size()/[0]).  DEVIATION (round 11): this
+  query's OUTPUT renders both arrays as deterministic JSON strings
+  (``to_json``) because the driver's pandas canonicalizer sorts raw
+  columns and crashes on list values — the array construction and the
+  carve-out semantics upstream are unchanged, only the final
+  projection stringifies;
 * ``ingested_at`` (utcnow) is a runtime seam, not emitted.
 
 Scale: per-row column algebra over one scan; the dedup plans as a
@@ -204,9 +209,12 @@ SELECT project_id, title, acronym, plain_english_abstract,
        scientific_abstract, funder, award_amount, award_amount_m,
        funding_stream, programme, programme_type, programme_stream,
        start_date, end_date, project_status, contracted_organisation,
-       organisation_type, institution_country, award_holder_name,
+       organisation_type,
+       {tojson_ic} AS institution_country,
+       award_holder_name,
        involvement_type, pi_given_name, pi_family_name, orcid,
-       postcode, latitude, longitude, hrcs_rac_category, ukcrc_value,
+       postcode, latitude, longitude, hrcs_rac_category,
+       {tojson_uk} AS ukcrc_value,
        landing_page_url
 FROM latest WHERE rn = 1
 """
@@ -233,11 +241,17 @@ def _parse_sql(dialect: str) -> str:
     else:
         fmt_s = "strftime(try_cast(start_date AS DATE), '%Y-%m-%d')"
         fmt_e = "strftime(try_cast(end_date AS DATE), '%Y-%m-%d')"
+    if sp:
+        tj = lambda c: f"to_json({c})"  # noqa: E731
+    else:
+        tj = lambda c: f"CAST(to_json({c}) AS VARCHAR)"  # noqa: E731
     return _PARSE_TEMPLATE.format(
         rows=_rows_sql(dialect),
         strip_title=_strip_title_expr(),
         fmt_start=fmt_s, fmt_end=fmt_e,
         pi_given=given, pi_family=family,
+        tojson_ic=tj("institution_country"),
+        tojson_uk=tj("ukcrc_value"),
     )
 
 

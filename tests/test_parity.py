@@ -20,6 +20,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql.types import ArrayType, MapType, StructType
 
 from openalex_walden_spark import queries as q
 from openalex_walden_spark.oracle import compare
@@ -48,7 +49,23 @@ _GOLDENS_APPLY = (
 @pytest.mark.parametrize("name", _WITH_ORACLE)
 def test_oracle_parity(name, spark, sf_dir, duck):
     spec = q.CATALOG[name]
-    res = compare(name, spec.spark(spark, sf_dir), duck, spec.oracle)
+    sdf = spec.spark(spark, sf_dir)
+    # Driver-canon contract: the driver's canonicalizer does a raw
+    # pandas sort_values over every output column, which crashes on
+    # unhashable cell values (list/dict).  Top-level ARRAY/MAP/STRUCT
+    # columns must be rendered as deterministic strings (to_json) in
+    # BOTH dialects before they leave a query (round-10's
+    # nihr_parse_awards red row was exactly this).
+    bad = [
+        f.name for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name}: top-level complex output columns {bad} violate the "
+        f"driver-canonicalizer contract — render them with to_json in "
+        f"both dialects"
+    )
+    res = compare(name, sdf, duck, spec.oracle)
     assert res.match, res.summary
     if _GOLDENS_APPLY:
         assert name in GOLDENS, (
