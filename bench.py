@@ -1,8 +1,11 @@
 #!/usr/bin/env python
 """Headline benchmark: runs flagship catalog queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints TWO JSON lines — a full payload (with per-query spread and errors)
+first, then a compact payload LAST that always fits the driver's tail
+window:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "train": {...}, "sf": ...}
 
 Each query is fully materialized through the no-op sink (``format("noop")``)
 so the measurement covers scan→shuffle→output without driver collect cost.
@@ -147,7 +150,57 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     errors: dict[str, str] = {}
+    train: dict[str, float] = {}
     total = 0.0
+
+    # Host calibration (round-11): the r8->r10 basket drifted 10-30% on
+    # BYTE-IDENTICAL code (git-verified), and a same-session A/B showed
+    # a 4.1-7.4s spread on consecutive runs of one unchanged plan — the
+    # shared host's speed is a round-over-round variable.  Record two
+    # fixed pure-Spark workloads (no repo code) so future rounds can
+    # normalize: `cpu` = codegen-bound aggregate (scales with core
+    # throughput), `jobs` = 15 empty jobs (scales with scheduling
+    # latency, the term that dominates iterative/multi-job queries).
+    calib: dict[str, float] = {}
+    try:
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(80_000_000).selectExpr(
+                "sum(xxhash64(id * 2654435761)) AS s"
+            ).collect()
+            runs.append(time.perf_counter() - t0)
+        calib["cpu"] = round(min(runs), 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _j in range(15):
+                spark.range(32).count()
+            runs.append(time.perf_counter() - t0)
+        calib["jobs"] = round(min(runs), 3)
+    except Exception:  # pragma: no cover - calibration must never
+        pass  # break the bench
+
+    # Train/serve split (round-10 verdict): ann_ivf_trained_topk's first
+    # run pays the k-means training loop and runs 2-3 hit _TR_CACHE, so
+    # min-of-3 reports the SERVED cost and hides training entirely
+    # (r10 spread: 24.26s).  Time training once, explicitly, into its
+    # own payload field; the timed loop below then measures serve cost
+    # with a warm quantizer — the steady-state split a cluster sees
+    # (train nightly, serve per-query).
+    try:
+        from openalex_walden_spark.queries.advanced import (
+            _TR_CACHE,
+            train_ivf_centroids,
+        )
+
+        _TR_CACHE.pop(SF_DIR, None)
+        t0 = time.perf_counter()
+        train_ivf_centroids(spark, SF_DIR)
+        train["ann_ivf_trained_topk"] = round(time.perf_counter() - t0, 3)
+    except Exception as ex:  # noqa: BLE001 - training failure must not
+        errors["ann_ivf_trained_topk:train"] = str(ex).split("\n", 1)[0][:200]
+
     for name in HEADLINE:
         spec = q.CATALOG.get(name)
         if spec is None:
@@ -180,17 +233,29 @@ def main() -> None:
         total += timings[name]
         spreads[name] = round(max(runs) - min(runs), 3)
 
-    payload = {
+    # Two output lines (round-10 verdict: the single line with `spread`
+    # outgrew the driver's 2000-byte tail-capture window, so BENCH_r10
+    # recorded `parsed: null`).  Line 1 = the FULL payload (spread,
+    # errors) for humans and local archaeology; line 2 = a compact
+    # payload that is guaranteed to fit entirely inside the tail window,
+    # printed LAST so tail-capture always ends with one complete
+    # parseable JSON line.  tests/test_end2end.py pins the compact
+    # line's worst-case size against the window.
+    compact = {
         "metric": "headline_total_wall",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
-        "spread": spreads,
+        "train": train,
+        "calib": calib,
         "sf": sf,
     }
+    full = dict(compact)
+    full["spread"] = spreads
     if errors:
-        payload["errors"] = errors
-    print(json.dumps(payload))
+        full["errors"] = errors
+    print(json.dumps(full))
+    print(json.dumps(compact))
     spark.stop()
 
 

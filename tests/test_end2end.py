@@ -130,3 +130,30 @@ def test_doc_catalog_counts_match_registry():
         f"README says {m.group(1)} headline queries, bench.py has "
         f"{len(bench.HEADLINE)}"
     )
+
+
+def test_bench_compact_line_fits_tail_window():
+    """The driver tail-captures the last 2000 bytes of bench.py stdout
+    and parses the final complete JSON line.  Round 10 lost its headline
+    (`parsed: null`) because the single output line outgrew that window;
+    bench.py now prints a compact line LAST — pin its worst-case size so
+    basket growth cannot silently clip it again."""
+    import json as _json
+
+    import bench
+
+    worst = {
+        "metric": "headline_total_wall",
+        "value": 9999.999,
+        "unit": "sec",
+        # every timing at max plausible width (4 int digits + 3 decimals)
+        "queries": {name: 9999.999 for name in bench.HEADLINE},
+        "train": {"ann_ivf_trained_topk": 9999.999},
+        "calib": {"cpu": 9999.999, "jobs": 9999.999},
+        "sf": 0.1,
+    }
+    line = _json.dumps(worst)
+    assert len(line) <= 1800, (
+        f"compact bench line is {len(line)} bytes at worst case — the "
+        f"driver window is 2000; trim the basket or shorten the payload"
+    )
