@@ -1019,3 +1019,39 @@ def test_fellowdir_one_window(spark, sf_dir):
     df = q.CATALOG["fellowship_directory_parse"].spark(spark, sf_dir)
     opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
     assert len(opt) < 100_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_anr_windows_and_join_only(spark, sf_dir):
+    """ANR parse: one partner rank-limit window, one projects<-leads
+    equi-join, one cross-arm dedup window; no Python, no cartesian,
+    bounded plan."""
+    plan = _plan(spark, sf_dir, "anr_parse_projects")
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    df = q.CATALOG["anr_parse_projects"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 100_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_nhmrc_one_window(spark, sf_dir):
+    """NHMRC stack: four format arms unioned, one keep-first dedup
+    window; no Python, bounded plan."""
+    plan = _plan(spark, sf_dir, "nhmrc_parse_grants")
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    df = q.CATALOG["nhmrc_parse_grants"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 100_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_nsf_no_shuffle(spark, sf_dir):
+    """NSF flatten: one scan of pure column algebra — zero exchanges,
+    no Python, bounded plan."""
+    plan = _plan(spark, sf_dir, "nsf_parse_awards")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    df = q.CATALOG["nsf_parse_awards"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 100_000, f"plan blow-up: {len(opt)} chars"

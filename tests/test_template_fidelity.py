@@ -3969,3 +3969,431 @@ def test_fellowdir_matches_reference_semantics(spark, sf_dir,
             assert got == want, (
                 f"{r.member}/{r.funder_award_id}.{col}: "
                 f"{got!r} != {want!r}")
+
+
+# ---------------------------------------------------------------------------
+# ANR projects+partners (scripts/local/anr_to_s3.py:240-345,347-545,672-700)
+# ---------------------------------------------------------------------------
+
+_ANR_ROLE = re.compile("coord|principal|responsable|porteur")
+
+
+@pytest.fixture(scope="module")
+def lineitem_rows(spark, sf_dir):
+    register_views(spark, sf_dir, ("lineitem",))
+    return [
+        (r.l_orderkey, int(r.l_linenumber), int(r.l_suppkey),
+         int(r.l_partkey))
+        for r in spark.table("lineitem").select(
+            "l_orderkey", "l_linenumber", "l_suppkey", "l_partkey"
+        ).collect()
+    ]
+
+
+def _anr_float(raw):
+    """anr_to_s3.py:404-410 — strip spaces, ','->'.', numeric coerce."""
+    if raw is None:
+        return None
+    try:
+        return float(raw.replace(" ", "").replace(",", "."))
+    except ValueError:
+        return None
+
+
+def _anr_date(raw):
+    """pd.to_datetime(format='%Y-%m-%d', errors='coerce') then strftime."""
+    if raw is None:
+        return None
+    try:
+        return date.fromisoformat(raw).isoformat()
+    except ValueError:
+        return None
+
+
+def test_anr_matches_reference_semantics(spark, sf_dir, orders_rows,
+                                         lineitem_rows):
+    """Re-derives the lead-partner selection (role-regex keep-first /
+    arm-wide empty fallback / no-role-column fallback), the combined
+    coalesce chains, and the cross-arm keep-first dedup from the
+    reference's own rules in Python."""
+    # partners in feed order (the fixture's pinned CSV row order)
+    partners_by_proj: dict[int, list[dict]] = {}
+    for ok, ln, sk, pk in sorted(lineitem_rows,
+                                 key=lambda t: (t[0], t[1], t[2], t[3])):
+        role10 = ["Coordinateur", "Partenaire", "Porteur de projet",
+                  None, "Membre"][(ok * 3 + ln) % 5]
+        role05 = ["Partenaire", "Membre", "Autre"][ln % 3]
+        partners_by_proj.setdefault(ok, []).append({
+            "role_dgds2010": role10, "role_dgds2005": role05,
+            "pi_family_name": f"Nom{sk % 97}",
+            "pi_given_name": f"Prenom{pk % 89}",
+            "pi_orcid": (None if sk % 4 == 0
+                         else f"0000-0001-{sk % 9999:04d}-{pk % 10}"),
+            "institution": f"CNRS UMR {sk % 50}",
+            "institution_type": ["Public", "Prive", "Autre"][sk % 3],
+            "country": (None if pk % 7 == 0
+                        else "Allemagne" if pk % 5 == 0 else "France"),
+            "city": ["Paris", "Lyon", "Grenoble", "Marseille"][pk % 4],
+            "rnsr_code": f"{sk % 1000:09d}A",
+        })
+
+    def lead_for(arm: int, ok: int):
+        """anr_to_s3.py:300-330: role filter keep-first; arm 1 = the
+        arm-wide empty-filter fallback (its roles never match); arm 2 =
+        no role column -> first partner per project."""
+        plist = partners_by_proj.get(ok, [])
+        if arm == 0:
+            hits = [p for p in plist if p["role_dgds2010"] is not None
+                    and _ANR_ROLE.search(p["role_dgds2010"].lower())]
+            return hits[0] if hits else None
+        return plist[0] if plist else None
+
+    combined = []
+    for k, c, d, p, _pri in orders_rows:
+        arm = k % 3
+        price = f"{p:.2f}"
+        montant = None
+        if arm != 2:
+            montant = [None, "N/A", "1.234,56", price.replace(".", ","),
+                       f"123 {k % 900},50", price][k % 6]
+        aide = price if arm == 2 and k % 5 != 0 else None
+        t0 = (None if arm == 2 else "TBC" if k % 9 == 0
+              else None if k % 9 == 1 else d.isoformat())
+        debut = (None if arm != 2 else "en cours" if k % 8 == 0
+                 else (d + timedelta(days=90 + k % 400)).isoformat())
+        aap = (None if arm == 2 else "inconnue" if k % 8 == 0
+               else str(1995 + k % 30))
+        act_ed = str(2010 + k % 16) if arm == 2 else None
+        prog = (None if arm == 2 or k % 10 == 0 else f"PRC-{k % 12}")
+        act_ti = f"Action investissement {k % 9}" if arm == 2 else None
+        lead = lead_for(arm, k)
+        ed = _anr_float(aap)
+        if ed is None:
+            ed = _anr_float(act_ed)
+        row = {
+            "project_id": f"ANR-20-CE{c % 450:04d}",
+            "acronym": None if k % 11 == 0 else f"ACRO{k % 37}",
+            "title": ((None if k % 4 == 0 else f"English title {k % 53}")
+                      or (None if k % 6 == 5
+                          else f"Titre francais {k % 53}")),
+            "abstract": ((None if k % 5 == 0
+                          else f"English abstract {k % 71}")
+                         or (None if k % 7 == 0
+                             else f"Resume francais {k % 71}")),
+            "amount": (_anr_float(montant) if _anr_float(montant)
+                       is not None else _anr_float(aide)),
+            "start_date": _anr_date(t0) or _anr_date(debut),
+            "edition_year": ed,
+            "funding_program": prog or act_ti,
+            "institution": lead["institution"] if lead else None,
+            "institution_type": (lead["institution_type"]
+                                 if lead else None),
+            "city": lead["city"] if lead else None,
+            "country": lead["country"] if lead else None,
+            "pi_given_name": lead["pi_given_name"] if lead else None,
+            "pi_family_name": lead["pi_family_name"] if lead else None,
+            "pi_orcid": lead["pi_orcid"] if lead else None,
+            "rnsr_code": lead["rnsr_code"] if lead else None,
+            "data_source": ["dgds_2010", "dgds_2005", "dgpie"][arm],
+        }
+        combined.append((arm, k, row))
+
+    # drop_duplicates(subset=['project_id'], keep='first') over the
+    # main()-pinned arm order then feed order (anr_to_s3.py:480-484)
+    expected: dict[str, dict] = {}
+    for _arm, _k, row in sorted(combined, key=lambda t: (t[0], t[1])):
+        expected.setdefault(row["project_id"], row)
+
+    actual = _run(spark, sf_dir, "anr_parse_projects")
+    assert len(actual) == len(expected), (len(actual), len(expected))
+    for r in actual:
+        exp = expected[r.project_id]
+        for col, want in exp.items():
+            got = getattr(r, col)
+            assert got == want, (
+                f"{r.project_id}.{col}: {got!r} != {want!r}")
+
+
+# ---------------------------------------------------------------------------
+# NHMRC XLSX stack (scripts/local/nhmrc_to_s3.py:283-394,458-571)
+# ---------------------------------------------------------------------------
+
+
+def test_nhmrc_matches_reference_semantics(spark, sf_dir, orders_rows):
+    """Re-derives the year-descending stack, the blank-id drop (a row
+    with an empty grant_id is dropped, NOT back-filled from app_id),
+    the keep-first dedup, and the raw-string total quirk from the
+    reference's rules in Python."""
+    years = [2025, 2021, 2014, 2013]
+    stacked = []
+    for k, c, d, _p, _pri in orders_rows:
+        arm = k % 4
+        year = years[arm]
+        gid = {0: "", 1: None, 2: "  "}.get(
+            k % 17, f"GNT{c % 500:06d}")
+        title = f"Grant title {k % 97}"
+        simp = f"Simplified title {k % 97}"
+        row = {
+            "grant_id": gid,
+            "app_id": f"APP{k % 90000 + 1000000}",
+            "grant_title": simp if arm == 2 else title,
+            "simplified_title": simp if arm in (2, 3) else None,
+            "cia_name": (None if k % 13 == 0
+                         else f"Prof Jane Citizen {k % 61}"),
+            "cia_orcid": (None if arm != 0 or k % 5 == 0
+                          else f"0000-0002-{k % 9999:04d}-{k % 10}"),
+            "administering_institution": f"University of {c % 40}",
+            "total": {
+                0: f"${k % 900 + 100},{k % 1000:03d}",
+                1: f"{k % 2000000}.00",
+                2: f"$ {k % 999},500",
+                3: str(k % 3000000),
+            }[arm],
+            "grant_type": {
+                0: f"Investigator Grants L{k % 3}",
+                1: "Ideas Grants",
+                2: "Project Grants",
+                3: "Early Career Fellowships",
+            }[arm],
+            "grant_sub_type": (None if arm not in (0, 1) or k % 7 == 0
+                               else f"Stream {k % 4}"),
+            "start_date": d.isoformat() if arm in (0, 1) else None,
+            "start_year": str(year + k % 2) if arm == 2 else None,
+            "end_date": f"{year + 4}-12-31" if arm in (0, 1) else None,
+            "end_year": str(year + 4) if arm == 2 else None,
+            "date_announced": (f"{year - 1}-10-{k % 28 + 1:02d}"
+                               if arm == 1 else None),
+            "state_territory": ["NSW", "VIC", "QLD", "WA", "SA",
+                                "ACT"][k % 6],
+            "broad_research_area": (f"Area {k % 5}" if arm in (1, 2)
+                                    else None),
+            "fields_of_research": (f"FoR {k % 22}" if arm in (1, 2)
+                                   else None),
+            "plain_description": (f"Plain description {k % 43}"
+                                  if arm == 1 else None),
+            "sector": (("University" if c % 3 == 0 else "MRI")
+                       if arm == 0 else None),
+            "app_year": str(year) if arm in (0, 3) else None,
+            "application_round_year": year,
+        }
+        stacked.append((arm, k, row))
+
+    expected: dict[str, dict] = {}
+    for _arm, _k, row in sorted(stacked, key=lambda t: (t[0], t[1])):
+        gid = row["grant_id"]
+        if gid is None or gid.strip() == "":
+            continue  # nhmrc_to_s3.py:494-495 — dropped, never filled
+        expected.setdefault(gid, row)
+
+    actual = _run(spark, sf_dir, "nhmrc_parse_grants")
+    assert len(actual) == len(expected), (len(actual), len(expected))
+    for r in actual:
+        exp = expected[r.grant_id]
+        for col, want in exp.items():
+            got = getattr(r, col)
+            assert got == want, (
+                f"{r.grant_id}.{col}: {got!r} != {want!r}")
+
+
+# ---------------------------------------------------------------------------
+# NSF award JSON flatten (scripts/local/nsf_awards_to_s3.py:222-337)
+# ---------------------------------------------------------------------------
+
+
+def _nsf_flatten(award: dict) -> dict:
+    """flatten_award re-typed verbatim (nsf_awards_to_s3.py:222-337)."""
+    import json as _json
+
+    flat = {}
+    simple = [
+        "awd_id", "agcy_id", "tran_type", "awd_istr_txt", "awd_titl_txt",
+        "cfda_num", "org_code", "po_phone", "po_email",
+        "po_sign_block_name", "awd_eff_date", "awd_exp_date",
+        "tot_intn_awd_amt", "awd_amount", "awd_min_amd_letter_date",
+        "awd_max_amd_letter_date", "awd_abstract_narration",
+        "awd_arra_amount", "awd_agcy_code", "fund_agcy_code", "dir_abbr",
+        "div_abbr", "org_dir_long_name", "org_div_long_name", "oblg_fy",
+        "_source_file",
+    ]
+    for f in simple:
+        flat[f] = award.get(f)
+    flat.update({"inst_name": None, "inst_city": None,
+                 "inst_state_code": None, "inst_zip": None,
+                 "inst_country_code": None, "inst_country_name": None,
+                 "perf_inst_count": 0, "perf_inst_all": None})
+    perf = award.get("perf_inst")
+    if perf:
+        if isinstance(perf, dict):
+            flat["inst_name"] = perf.get("perf_inst_name")
+            flat["inst_city"] = perf.get("perf_city_name")
+            flat["inst_state_code"] = perf.get("perf_st_code")
+            flat["inst_zip"] = perf.get("perf_zip_code")
+            flat["inst_country_code"] = perf.get("perf_ctry_code")
+            flat["inst_country_name"] = perf.get("perf_ctry_name")
+            flat["perf_inst_count"] = 1
+        elif isinstance(perf, list) and perf:
+            first = perf[0]
+            flat["inst_name"] = first.get("perf_inst_name")
+            flat["inst_city"] = first.get("perf_city_name")
+            flat["inst_state_code"] = first.get("perf_st_code")
+            flat["inst_zip"] = first.get("perf_zip_code")
+            flat["inst_country_code"] = first.get("perf_ctry_code")
+            flat["inst_country_name"] = first.get("perf_ctry_name")
+            flat["perf_inst_count"] = len(perf)
+            if len(perf) > 1:
+                flat["perf_inst_all"] = _json.dumps(perf)
+    flat.update({"pi_full_name": None, "pi_first_name": None,
+                 "pi_last_name": None, "pi_email": None,
+                 "pi_count": 0, "pi_all": None})
+    pis = award.get("pi", [])
+    if isinstance(pis, list) and pis:
+        flat["pi_full_name"] = pis[0].get("pi_full_name")
+        flat["pi_first_name"] = pis[0].get("pi_first_name")
+        flat["pi_last_name"] = pis[0].get("pi_last_name")
+        flat["pi_email"] = pis[0].get("pi_email")
+        flat["pi_count"] = len(pis)
+        if len(pis) > 1:
+            flat["pi_all"] = _json.dumps(pis)
+    ele = award.get("pgm_ele", [])
+    if isinstance(ele, list) and ele:
+        flat["pgm_ele_codes"] = ",".join(
+            str(p.get("pgm_ele_code", "")) for p in ele)
+        flat["pgm_ele_text"] = "; ".join(
+            str(p.get("pgm_ele_txt", "")) for p in ele)
+        flat["pgm_ele_all"] = _json.dumps(ele)
+    refs = award.get("pgm_ref", [])
+    if isinstance(refs, list) and refs:
+        flat["pgm_ref_codes"] = ",".join(
+            str(p.get("pgm_ref_code", "")) for p in refs)
+        flat["pgm_ref_text"] = "; ".join(
+            str(p.get("pgm_ref_txt", "")) for p in refs)
+        flat["pgm_ref_all"] = _json.dumps(refs)
+    fund = award.get("app_fund", [])
+    if isinstance(fund, list) and fund:
+        flat["app_fund_all"] = _json.dumps(fund)
+    por = award.get("por", {})
+    if isinstance(por, dict):
+        flat["por_email"] = por.get("por_email")
+        flat["por_name"] = por.get("por_name")
+    return flat
+
+
+def test_nsf_matches_reference_semantics(spark, sf_dir, orders_rows):
+    """Builds each fixture award as a REAL Python dict, runs the
+    reference's flatten (re-typed above, json.dumps/str called
+    natively), applies the object-column stringify, and compares to
+    the Spark query's rows."""
+    expected = {}
+    for k, c, d, _p, _pri in orders_rows:
+        def perf_entry(j):
+            return {"perf_inst_name": f"University {j % 80}",
+                    "perf_city_name": f"City {j % 31}",
+                    "perf_st_code": f"S{j % 10}",
+                    "perf_zip_code": f"{j % 99999:05d}",
+                    "perf_ctry_code": "US",
+                    "perf_ctry_name": "United States"}
+
+        def pi_entry(j):
+            return {"pi_full_name": f"Alex Researcher {j % 200}",
+                    "pi_first_name": "Alex",
+                    "pi_last_name": f"Researcher {j % 200}",
+                    "pi_email": f"pi{j % 200}@univ.edu"}
+
+        def ele_entry(j):
+            return {"pgm_ele_code": f"{j % 9000:04d}",
+                    "pgm_ele_txt": f"Program {j % 40}"}
+
+        def ref_entry(j):
+            return {"pgm_ref_code": f"{j % 9000:04d}",
+                    "pgm_ref_txt": f"Reference {j % 40}"}
+
+        amount = [k % 2000000, str(k % 900000), k % 50000 + 0.5][k % 3]
+        award = {
+            "awd_id": f"{k % 10000000:07d}",
+            "agcy_id": "NSF",
+            "tran_type": "CoopAgrmnt" if k % 8 == 0 else "Grant",
+            "awd_istr_txt": "Standard Grant",
+            "awd_titl_txt": f"Award title {k % 503}",
+            "cfda_num": "47.049",
+            "org_code": f"{k % 9999:08d}",
+            "po_phone": (None if k % 11 == 0
+                         else f"703292{k % 9999:04d}"),
+            "po_email": (None if k % 7 == 0
+                         else f"po{k % 150}@nsf.gov"),
+            "po_sign_block_name": (None if k % 7 == 0
+                                   else f"Officer {k % 150}"),
+            "awd_eff_date": d.strftime("%m/%d/%Y"),
+            "awd_exp_date": (d + timedelta(days=365 + k % 1000)
+                             ).strftime("%m/%d/%Y"),
+            "tot_intn_awd_amt": amount,
+            "awd_amount": amount,
+            "awd_min_amd_letter_date": d.strftime("%m/%d/%Y"),
+            "awd_max_amd_letter_date": (d + timedelta(
+                days=365 + k % 1000)).strftime("%m/%d/%Y"),
+            "awd_abstract_narration": (
+                None if k % 10 == 0 else f"Abstract narration {k % 211}"),
+            "awd_arra_amount": k % 70000 if k % 9 == 0 else "0",
+            "awd_agcy_code": "4900",
+            "fund_agcy_code": "4900",
+            "dir_abbr": ["MPS", "BIO", "CSE", "ENG", "GEO", "SBE",
+                         "EDU"][k % 7],
+            "div_abbr": f"DIV{k % 20}",
+            "org_dir_long_name": f"Directorate {k % 7}",
+            "org_div_long_name": f"Division {k % 20}",
+            "oblg_fy": 1976 + k % 50,
+            "_source_file": f"{1976 + k % 50}.zip",
+            "por": ({} if k % 7 == 0 else
+                    {"por_email": f"po{k % 150}@nsf.gov",
+                     "por_name": f"Officer {k % 150}"}),
+        }
+        pform = k % 5
+        if pform == 0:
+            pass
+        elif pform in (1, 4):
+            award["perf_inst"] = perf_entry(k * 7)
+        elif pform == 2:
+            award["perf_inst"] = [perf_entry(k * 7)]
+        else:
+            award["perf_inst"] = [perf_entry(k * 7),
+                                  perf_entry(k * 7 + 3)]
+        nsize = k % 4
+        award["pi"] = ([] if nsize == 0
+                       else [pi_entry(k * 11), pi_entry(k * 11 + 5)]
+                       if nsize == 2 else [pi_entry(k * 11)])
+        if k % 3 == 2:
+            award["pgm_ele"] = [ele_entry(k * 13), ele_entry(k * 13 + 7)]
+        elif k % 3 == 1:
+            award["pgm_ele"] = [ele_entry(k * 13)]
+        if k % 6 > 1:
+            award["pgm_ref"] = [ref_entry(k * 17)]
+        if k % 2 == 1:
+            award["app_fund"] = [{
+                "app_code": "0100",
+                "app_name": "NSF RESEARCH & RELATED ACTIVIT",
+                "fund_code": f"{k % 99:02d}"}]
+        flat = _nsf_flatten(award)
+        # the object-column stringify (:441-448): mixed-type columns
+        # render via str(); uniformly-int columns (oblg_fy, counts)
+        # stay integers
+        for col in ("tot_intn_awd_amt", "awd_amount", "awd_arra_amount"):
+            if flat[col] is not None:
+                flat[col] = str(flat[col])
+        expected[(k, flat["awd_id"])] = flat
+
+    actual = _run(spark, sf_dir, "nsf_parse_awards")
+    assert len(actual) == len(expected), (len(actual), len(expected))
+    by_key = {}
+    for r in actual:
+        by_key.setdefault(r.awd_id, []).append(r)
+    for (_k, awd_id), exp in expected.items():
+        cands = by_key[awd_id]
+        best = [r for r in cands
+                if r.awd_titl_txt == exp["awd_titl_txt"]
+                and r.oblg_fy == exp["oblg_fy"]
+                and r.pi_count == exp["pi_count"]
+                and getattr(r, "pgm_ele_all") == exp.get("pgm_ele_all")]
+        assert best, f"no row for {awd_id}"
+        r = best[0]
+        for col, want in exp.items():
+            got = getattr(r, col)
+            assert got == want, (f"{awd_id}.{col}: {got!r} != {want!r}")
