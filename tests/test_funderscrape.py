@@ -468,3 +468,32 @@ def test_dreyfus_program_registry_matches_reference():
         for s, lbl, ft, amt, cur in PROGRAMS
     ]
     assert ours == ref
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF_DIR), reason="reference absent")
+def test_nhmrc_column_mapping_matches_reference():
+    """The NHMRC port ships the reference's 60-entry rename table and
+    its output-column list as data — AST-extract both from
+    nhmrc_to_s3.py and require exact equality (keys, values, order of
+    the output list)."""
+    import ast
+
+    from openalex_walden_spark.queries.nhmrcparse import (
+        NHMRC_COLUMN_MAPPING,
+        NHMRC_OUTPUT_COLUMNS,
+    )
+
+    tree = ast.parse(_read("nhmrc"))
+    found_map = found_cols = None
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and len(node.targets) == 1 \
+                and isinstance(node.targets[0], ast.Name):
+            if node.targets[0].id == "column_mapping":
+                found_map = ast.literal_eval(node.value)
+            elif node.targets[0].id == "output_columns" \
+                    and isinstance(node.value, ast.List):
+                found_cols = ast.literal_eval(node.value)
+    assert found_map is not None, "reference column_mapping not found"
+    assert found_map == NHMRC_COLUMN_MAPPING
+    assert found_cols is not None, "reference output_columns not found"
+    assert found_cols == NHMRC_OUTPUT_COLUMNS
