@@ -1055,3 +1055,28 @@ def test_nsf_no_shuffle(spark, sf_dir):
     df = q.CATALOG["nsf_parse_awards"].spark(spark, sf_dir)
     opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
     assert len(opt) < 100_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_publishers_api_no_nested_loop(spark, sf_dir):
+    """Publishers API: the OR-condition entity_link join is decomposed
+    into equi-joins — no nested loop, no cartesian; dimension joins
+    broadcast; no Python."""
+    plan = _plan(spark, sf_dir, "publishers_api_build")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    df = q.CATALOG["publishers_api_build"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_keywords_api_shape(spark, sf_dir):
+    """Keywords API: dedup window + rollup + broadcast dimension join;
+    no cartesian, no Python."""
+    plan = _plan(spark, sf_dir, "keywords_api_build")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    df = q.CATALOG["keywords_api_build"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 100_000, f"plan blow-up: {len(opt)} chars"

@@ -4397,3 +4397,161 @@ def test_nsf_matches_reference_semantics(spark, sf_dir, orders_rows):
         for col, want in exp.items():
             got = getattr(r, col)
             assert got == want, (f"{awd_id}.{col}: {got!r} != {want!r}")
+
+
+# ---------------------------------------------------------------------------
+# Publishers / Keywords API builds (notebooks/publishers/
+# CreatePublishersAPI.ipynb, notebooks/keywords/CreateKeywordsAPI.ipynb)
+# ---------------------------------------------------------------------------
+
+
+def test_publishers_api_matches_reference_semantics(spark, sf_dir,
+                                                    orders_rows,
+                                                    lineitem_rows):
+    """Re-derives pairs, counts_by_year, the summary-stats trio (incl.
+    the un-COALESCEd h_index), the top-funder-only roles dedup, and
+    the churn verdicts in Python from the notebook's rules."""
+    import json as _json
+
+    # work -> (year, cited)
+    works = {k: (1992 + k % 35, k % 83 + (40 if k % 17 == 0 else 0))
+             for k, _c, _d, _p, _pri in orders_rows}
+    pairs = set()
+    for ok, _ln, sk, _pk in lineitem_rows:
+        if sk % 7 in (0, 1):
+            continue
+        year, cited = works[ok]
+        pairs.add((ok, sk % 97, year, cited))
+    by_pub = {}
+    for wid, pub, year, cited in pairs:
+        by_pub.setdefault(pub, []).append((wid, year, cited))
+
+    # publisher dimension (part, id <= 120, merge_into_id NULL)
+    pub_ids = [p for p in range(1, 121) if p % 13 != 0]
+
+    # roles: entity_link from nation + region
+    links = []
+    for n in range(25):
+        if n % 2 == 0:
+            links.append((f"P{(n * 4) % 97}",
+                          f"F{n}" if n % 3 == 0 else f"I{n}"))
+        else:
+            links.append((f"I{n}", f"P{(n * 4) % 97}"))
+    for r in range(5):
+        links.append((f"P{(r * 8) % 97}", f"F{r + 10}"))
+        links.append((f"F{r + 15}", f"P{(r * 8) % 97}"))
+    inst_wc = {n: n * 11 % 500 for n in range(25)}
+    fund_wc = {n: n * 13 % 400 for n in range(25)}
+
+    actual = {r.id: r
+              for r in _run(spark, sf_dir, "publishers_api_build")}
+    assert sorted(actual) == sorted(pub_ids)
+
+    for pid in pub_ids:
+        r = actual[pid]
+        plist = by_pub.get(pid, [])
+        total_w = len(plist)
+        total_c = sum(c for _w, _y, c in plist)
+        assert r.works_count == total_w, (pid, "works_count")
+        assert r.cited_by_count == total_c, (pid, "cited_by_count")
+        # summary stats
+        recent = [c for _w, y, c in plist if y >= 2024]
+        want_mean = (sum(recent) / len(recent)) if recent else 0.0
+        assert abs(r.ss_2yr_mean_citedness - want_mean) < 1e-12, (
+            pid, "mean")
+        assert r.ss_i10_index == sum(
+            1 for _w, _y, c in plist if c >= 10), (pid, "i10")
+        cits = sorted((c for _w, _y, c in plist), reverse=True)
+        want_h = max(
+            (rank for rank, c in enumerate(cits, 1) if c >= rank),
+            default=0) if cits else None
+        if not plist:
+            assert r.ss_h_index is None, (pid, "h_index NULL quirk")
+        else:
+            assert r.ss_h_index == want_h, (pid, "h_index")
+        # counts_by_year
+        yearly = {}
+        for _w, y, c in plist:
+            w0, c0 = yearly.get(y, (0, 0))
+            yearly[y] = (w0 + 1, c0 + c)
+        want_cby = sorted(
+            ({"year": y, "works_count": w, "cited_by_count": c}
+             for y, (w, c) in yearly.items() if 2014 <= y <= 2026),
+            key=lambda d: -d["year"])
+        got_cby = _json.loads(r.counts_by_year_json)
+        assert got_cby == want_cby, (pid, "counts_by_year")
+        # roles: own + linked, top-funder-only dedup
+        roles = [("publisher", f"https://openalex.org/P{pid}", total_w)]
+        funders = []
+        for a, b in links:
+            partner = None
+            if a == f"P{pid}":
+                partner = b
+            elif b == f"P{pid}":
+                partner = a
+            if partner is None or partner[0] == "P":
+                continue
+            n = int(partner[1:])
+            if partner[0] == "I":
+                roles.append(("institution",
+                              f"https://openalex.org/{partner}",
+                              inst_wc[n]))
+            else:
+                funders.append(("funder",
+                                f"https://openalex.org/{partner}",
+                                fund_wc[n]))
+        if funders:
+            roles.append(max(funders, key=lambda t: (t[2], ),
+                             ) if len(funders) == 1 else
+                         sorted(funders,
+                                key=lambda t: (-t[2], t[1]))[0])
+        want_roles = sorted(
+            ({"role": ro, "id": i, "works_count": wc}
+             for ro, i, wc in roles),
+            key=lambda d: (d["role"], d["id"], d["works_count"]))
+        got_roles = _json.loads(r.roles_json)
+        assert got_roles == want_roles, (pid, "roles")
+        # churn
+        if pid % 5 == 3:
+            want_churn = "new"
+        elif pid % 9 == 0:
+            want_churn = "changed"
+        else:
+            want_churn = "unchanged"
+        assert r.churn == want_churn, (pid, "churn")
+        assert r.updated_date == (
+            "2026-08-16 00:00:00" if want_churn != "unchanged"
+            else "2026-07-01 00:00:00")
+
+
+def test_keywords_api_matches_reference_semantics(spark, sf_dir,
+                                                  orders_rows,
+                                                  lineitem_rows):
+    """Re-derives the per-work keyword dedup, the rollup, the
+    dimension inner-join drop (kw-70..79), and the churn verdicts."""
+    cited = {k: k % 131 for k, _c, _d, _p, _pri in orders_rows}
+    per_kw: dict[int, set] = {}
+    for ok, _ln, _sk, pk in lineitem_rows:
+        per_kw.setdefault(pk % 80, set()).add(ok)
+    actual = {r.id: r for r in _run(spark, sf_dir, "keywords_api_build")}
+    expected_ids = {n for n in per_kw if n < 70}
+    assert set(actual) == {
+        f"https://openalex.org/keywords/kw-{n}" for n in expected_ids}
+    for n in sorted(expected_ids):
+        r = actual[f"https://openalex.org/keywords/kw-{n}"]
+        wids = per_kw[n]
+        assert r.display_name == f"Keyword {n}"
+        assert r.works_count == len(wids), (n, "works_count")
+        assert r.cited_by_count == sum(cited[w] for w in wids), (
+            n, "cited")
+        assert r.works_api_url == (
+            "https://api.openalex.org/works?filter=keywords.id:"
+            f"keywords/kw-{n}")
+        # min created over part rows (0-based keys) with % 70 == n
+        offs = min(p for p in range(0, 200) if p % 70 == n)
+        want_day = date(2023, 1, 1) + timedelta(days=offs % 600)
+        assert r.created_date == f"{want_day.isoformat()} 00:00:00", (
+            n, "created_date")
+        want_churn = ("new" if n % 11 == 3
+                      else "changed" if n % 7 == 0 else "unchanged")
+        assert r.churn == want_churn, (n, "churn")
