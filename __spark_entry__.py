@@ -75,6 +75,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     # round-11 driver-contract fix: institution_country / ukcrc_value
     # rendered as to_json strings (the driver canon crashes on lists).
     "nihr_parse_awards",
+    # round-11 family extension: the princess_asturias arm joined the
+    # prize-pattern union (8 new columns, NULL in the legacy arms).
+    "prize_pattern_parse",
 ]
 
 # Queries whose defining MODULE changed this round but whose own plan

@@ -1,6 +1,7 @@
 """Prize-pattern scraper family
 (scripts/local/{bbva_frontiers,crafoord_prize,dan_david_prize,
-millennium_prize}_to_s3.py — 4 scripts, one prize-ingest kit).
+millennium_prize,princess_asturias}_to_s3.py — 5 scripts, one
+prize-ingest kit).
 
 The four prize ingests share a kit — ``collapse_text`` (NBSP, ws
 collapse, space-before-punctuation fix), ``slugify`` with the
@@ -47,12 +48,31 @@ one record per orders key (profile element streams arrive as ordered
   strings[4], description = strings[5:] joined up to the
   Share/Previous/footer terminators.
 
-Plan: 4 scan arms behind Generate barriers; the only exchanges are
-the per-member share-count windows (COUNT over (year, category)) —
-the reference's ``Counter`` — plus the millennium laureate explode.
-No Python.
+* **princess_asturias** (princess_asturias_to_s3.py:296-365,415-560,
+  round 11): the official-list title split ('{laureates}, {Prince|
+  Princess} of Asturias Award for {category}'), detail-title-over-
+  list-text laureate source, and the three rule tables shipped as
+  AST-pinned data — ``PA_CUSTOM_SPLITS`` (23 hand-curated splits,
+  checked FIRST, incl. the DEAD 'and and' LIGO key the pre-lookup
+  collapse makes unreachable — the generic path emits the identical
+  four laureates), ``PA_NO_SPLIT_EXACT`` (13 one-laureate strings),
+  and the generic ``,\\s+|\\s+(?:and|&)\\s+`` split with per-part
+  collapse; ``is_organization_name`` = 57-term substring hit OR the
+  all-caps single-token rule; person split strips the royal-title
+  clause then runs the kit's tail-suffix split (single token ->
+  family only); ids
+  'princess-asturias-{{year}}-{{cat}}-{{slug}}-{{idx}}-{{name}}';
+  amounts: current-FAQ EUR 50,000 as award_total_amount with NULL
+  source_award_amount and the official amount_note verbatim; share
+  count = laureate-array size (no window), portion '1/n'.
 
-tests/test_template_fidelity.py re-derives all four members.
+Plan: 5 scan arms behind Generate barriers; the only exchanges are
+the per-member share-count windows (COUNT over (year, category)) —
+the reference's ``Counter`` — plus the millennium and
+princess_asturias laureate explodes.  No Python.
+
+tests/test_template_fidelity.py re-derives all five members;
+tests/test_funderscrape.py AST-pins the PA rule tables.
 """
 
 from __future__ import annotations
@@ -75,6 +95,156 @@ _BBVA_CATEGORIES = (
     "'Climate Change and Environmental Sciences',"
     "'Economics, Finance and Management','Social Sciences',"
     "'Humanities','Music and Opera','Development Cooperation','Arts'")
+
+# ---------------------------------------------------------------------------
+# princess_asturias (scripts/local/princess_asturias_to_s3.py) — the
+# laureate-split rule tables, verbatim (AST-pinned by
+# tests/test_funderscrape.py::test_pa_split_tables_match_reference).
+# ---------------------------------------------------------------------------
+
+# :111-127 — strings with commas/'and' that are ONE official laureate
+PA_NO_SPLIT_EXACT = {
+    '"Vuelta" the Review, headed by Octavio Paz',
+    "Bill and Melinda Gates Foundation",
+    "CAMFED, Campaign for Female Education",
+    "Gavi, the Vaccine Alliance",
+    "H. M. Husein I, King of Jordan",
+    "International Red Cross and Red Crescent Movement",
+    "Organization of Ibero-American States for Education, Science and "
+    "Culture (official Spanish and Portuguese acronym, OEI)",
+    "Spanish Missions in Rwanda and Burundi",
+    "The City of Berlín, on the 20th Anniversary of the Fall of the Wall",
+    "The National Network of Youth and Children Orchestras of Venezuela",
+    "The archaeological Team of the Terra Cotta Warriors and Horses of "
+    "Xi'an",
+    "United Nations Framework Convention on Climate Change and the "
+    "Paris Agreement",
+    "Yad Vashem, the Holocaust Museum in Jerusalem",
+}
+
+# :129-235 — hand-curated splits where naive comma/'and' splitting
+# loses context.  NOTE the 'Rainer Weiss ... and and LIGO' key is DEAD
+# in the reference (split_laureate_text collapses ' and and ' BEFORE
+# the dict lookup) — kept verbatim for the AST pin; the generic split
+# path produces the identical four laureates, which the fixture's
+# case-9 proves.
+PA_CUSTOM_SPLITS = {
+    "Alliance Française, Società Dante Alighieri, British Council, "
+    "Goethe Institut, Instituto Cervantes and Instituto Camões": [
+        "Alliance Française", "Società Dante Alighieri",
+        "British Council", "Goethe Institut", "Instituto Cervantes",
+        "Instituto Camões",
+    ],
+    "Centro de Investigação em Saúde in Manhiça, Ifakara Health "
+    "Institute, in Tanzania, Malaria Research and Training Center and "
+    "Kintampo Health Research Centre": [
+        "Centro de Investigação em Saúde in Manhiça",
+        "Ifakara Health Institute in Tanzania",
+        "Malaria Research and Training Center",
+        "Kintampo Health Research Centre",
+    ],
+    'Diario "El Espectador" and Diario "El Tiempo" from Colombia': [
+        'Diario "El Espectador"', 'Diario "El Tiempo" from Colombia',
+    ],
+    "EFE Agency and José Luis López Aranguren": [
+        "EFE Agency", "José Luis López Aranguren",
+    ],
+    "El Colegio de México & Juan Iglesias Santos": [
+        "El Colegio de México", "Juan Iglesias Santos",
+    ],
+    "Government of Guatemala and Guatemalan National Revolutionary "
+    "Unity": [
+        "Government of Guatemala",
+        "Guatemalan National Revolutionary Unity",
+    ],
+    "International Union for the Conservation of Nature and Natural "
+    "Resources and the World Wide Fund for Nature": [
+        "International Union for the Conservation of Nature and "
+        "Natural Resources",
+        "World Wide Fund for Nature",
+    ],
+    "José Andrés and the NGO World Central Kitchen": [
+        "José Andrés", "World Central Kitchen",
+    ],
+    "Journals Nature and Science": ["Nature", "Science"],
+    "Lawrence Roberts, Robert Kahn, Vinton Cerf & Tim Berners-Lee": [
+        "Lawrence Roberts", "Robert Kahn", "Vinton Cerf",
+        "Tim Berners-Lee",
+    ],
+    "Manuel Losada Villasante and National Biodiversity Institute of "
+    "Costa Rica": [
+        "Manuel Losada Villasante",
+        "National Biodiversity Institute of Costa Rica",
+    ],
+    "Médicins sans Fronterières and Medicus Mundi": [
+        "Médicins sans Fronterières", "Medicus Mundi",
+    ],
+    "National Movement of Street Children, Messengers of Peace and "
+    "Save the Children": [
+        "National Movement of Street Children", "Messengers of Peace",
+        "Save the Children",
+    ],
+    "Olympic Refuge Foundation and IOC Refugee Olympic Team": [
+        "Olympic Refuge Foundation", "IOC Refugee Olympic Team",
+    ],
+    "Pau and Marc Gasol": ["Pau Gasol", "Marc Gasol"],
+    "Peter Higgs, François Englert and European Organization for "
+    "Nuclear Research CERN": [
+        "Peter Higgs", "François Englert",
+        "European Organization for Nuclear Research CERN",
+    ],
+    "Rainer Weiss, Kip S. Thorne, Barry C. Barish and and LIGO "
+    "Scientific Collaboration": [
+        "Rainer Weiss", "Kip S. Thorne", "Barry C. Barish",
+        "LIGO Scientific Collaboration",
+    ],
+    "Royal Spanish Academy and Association of Academies of the "
+    "Spanish Language": [
+        "Royal Spanish Academy",
+        "Association of Academies of the Spanish Language",
+    ],
+    "Salamanca and Coimbra Universities": [
+        "Salamanca University", "Coimbra University",
+    ],
+    "Salman Khan and the Khan Academy": ["Salman Khan", "Khan Academy"],
+    "The Guadalajara International Book Fair and The Hay Festival of "
+    "Literature & Arts": [
+        "The Guadalajara International Book Fair",
+        "The Hay Festival of Literature & Arts",
+    ],
+    "The Transplantation Society and the Spanish National Transplant "
+    "Organization": [
+        "The Transplantation Society",
+        "Spanish National Transplant Organization",
+    ],
+    "Václav Havel and Cable News Network (CNN)": [
+        "Václav Havel", "Cable News Network (CNN)",
+    ],
+}
+
+# :236-295 — substring hits that classify a laureate as an organization
+PA_ORG_TERMS = {
+    "academy", "agency", "alliance", "association", "campaign",
+    "camfed", "center", "centre", "cern", "college", "committee",
+    "council", "daughters", "diario", "fair", "festival", "fondo",
+    "foundation", "fund", "gavi", "goethe institut", "government",
+    "grupo", "health africa", "institute", "institution", "instituto",
+    "initiative", "journal", "magnum photos", "marathon",
+    "medicus mundi", "meals", "messengers of peace", "museum",
+    "nature", "network", "organization", "organisation", "orchestra",
+    "orfeón", "people", "program", "programme", "red cross", "review",
+    "save the children", "science", "society", "società", "studio",
+    "team", "union", "university", "wikipedia",
+    "world central kitchen",
+}
+
+PA_AMOUNT_NOTE = (
+    "The current FPA FAQ says each Princess of Asturias Award includes "
+    "EUR 50,000 divided among laureates when shared, but historical "
+    "per-year and per-laureate cash values are not exposed in the "
+    "official laureate source; the Databricks notebook therefore maps "
+    "amount to NULL."
+)
 
 
 def _helpers(dialect: str):
@@ -627,6 +797,188 @@ ml_out AS (
   FROM ml_shared
 )"""
 
+    # ---- princess_asturias -------------------------------------------------
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    pa_custom_branches = "\n      ".join(
+        f"WHEN laur_source = '{esc(key)}' THEN "
+        + arrlit(*(f"'{esc(v)}'" for v in vals))
+        for key, vals in PA_CUSTOM_SPLITS.items()
+    )
+    pa_no_split_in = ", ".join(
+        f"'{esc(s)}'" for s in sorted(PA_NO_SPLIT_EXACT))
+    # generic comma/and/& split with per-part collapse + empty drop
+    # (princess_asturias_to_s3.py:349-364)
+    if dialect == "spark":
+        pa_generic = (
+            "filter(transform(split(laur_source, "
+            "',\\\\s+|\\\\s+(?:and|&)\\\\s+'), x -> "
+            + collapse("x") + "), x -> x IS NOT NULL)")
+        pa_lateral = ("\n  LATERAL VIEW posexplode(parts) pa_l AS "
+                      "widx0, laureate")
+        pa_widx = "CAST(widx0 + 1 AS INT)"
+        pa_wcount = "size(parts)"
+    else:
+        pa_generic = (
+            "list_filter(list_transform(regexp_split_to_array("
+            "laur_source, ',\\s+|\\s+(?:and|&)\\s+'), x -> "
+            + collapse("x") + "), x -> x IS NOT NULL)")
+        pa_lateral = ("\n  CROSS JOIN UNNEST(list_transform(parts, "
+                      "(t, i) -> {'widx': i, 'cell': t})) AS pa_l(u)")
+        pa_widx = "CAST(u.widx AS INT)"
+        pa_wcount = "len(parts)"
+    pa_laureate = "laureate" if dialect == "spark" else "u.cell"
+    # is_organization_name (:340-347): ORG_TERMS substring hit, else
+    # the all-caps single-token rule
+    pa_org_alt = "|".join(sorted(PA_ORG_TERMS))
+    pa_caps_pat = "^[A-Z0-9&.\\\\- ]{3,}$"
+    pa_is_org = (
+        f"({rl('lower(lname)', pa_org_alt)} OR "
+        f"({rl('lname', pa_caps_pat)} AND NOT contains("
+        f"trim(BOTH '.' FROM lname), ' ')))")
+    # split_person_name (:322-338): royal-title clause strip, then the
+    # kit's tail-suffix split (same suffix set)
+    pa_royal = ("regexp_replace(lname, "
+                "',\\\\s*(King|Queen|Prince|Princess|headed by).*$', '')")
+    pa_given, pa_family = split_nf(pa_royal)
+
+    princess = f""",
+pa_raw AS (
+  SELECT o_orderkey AS k,
+    CAST(1981 + o_orderkey % 45 AS INT) AS year,
+    CASE CAST(o_orderkey % 8 AS INT)
+      WHEN 0 THEN 'Communication and Humanities'
+      WHEN 1 THEN 'Social Sciences' WHEN 2 THEN 'Arts'
+      WHEN 3 THEN 'Letters'
+      WHEN 4 THEN 'Scientific and Technical Research'
+      WHEN 5 THEN 'International Cooperation' WHEN 6 THEN 'Concord'
+      ELSE 'Sports' END AS category,
+    CASE CAST(o_orderkey % 10 AS INT)
+      WHEN 0 THEN concat('María García', {cs('o_orderkey % 300')})
+      WHEN 1 THEN 'Bill and Melinda Gates Foundation'
+      WHEN 2 THEN 'Gavi, the Vaccine Alliance'
+      WHEN 3 THEN 'Salman Khan and the Khan Academy'
+      WHEN 4 THEN concat('John', {cs('o_orderkey % 200')},
+                         ' Smith and Jane Doe', {cs('o_orderkey % 200')})
+      WHEN 5 THEN 'H. M. Husein I, King of Jordan'
+      WHEN 6 THEN 'CERN'
+      WHEN 7 THEN concat('Philharmonic Orchestra ',
+                         {cs('o_orderkey % 90')})
+      WHEN 8 THEN concat('Robert Lee', {cs('o_orderkey % 150')}, ' Jr.')
+      ELSE 'Rainer Weiss, Kip S. Thorne, Barry C. Barish and and LIGO Scientific Collaboration'
+      END AS laur_text,
+    concat('laureate-', {cs('o_orderkey')}) AS detail_slug
+  FROM orders
+),
+pa_items AS (
+  SELECT k, year, category,
+    CASE WHEN year >= 2014 THEN 'Princess' ELSE 'Prince' END
+      AS award_prefix,
+    concat(CASE WHEN year >= 2014 THEN 'Princess' ELSE 'Prince' END,
+           ' of Asturias Award for ', category) AS prize_title,
+    CASE WHEN k % 4 = 0 THEN CAST(NULL AS {S}) ELSE laur_text END
+      AS detail_title,
+    CASE WHEN k % 4 = 0 THEN laur_text
+         ELSE concat('Laureates Group ', {cs('k')}) END
+      AS official_laureate_text,
+    CASE WHEN k % 5 = 0 THEN CAST(NULL AS {S})
+         ELSE concat('For an exemplary contribution ', {cs('k % 67')})
+         END AS citation,
+    CASE WHEN k % 6 = 0 THEN CAST(NULL AS {S})
+         ELSE concat('Meta description ', {cs('k % 41')}) END
+      AS meta_description,
+    detail_slug,
+    concat('https://www.fpa.es/en/laureates/', detail_slug, '/')
+      AS detail_url
+  FROM pa_raw
+),
+{bar("pa_split", "pa_items",
+     ["k", "year", "category", "award_prefix", "prize_title",
+      "detail_title", "official_laureate_text", "citation",
+      "meta_description", "detail_slug", "detail_url"], [
+    ("laur_source",
+     "replace("
+     + collapse("coalesce(detail_title, official_laureate_text)")
+     + ", ' and and ', ' and ')"),
+])},
+pa_parts AS (
+  SELECT *,
+    CASE
+      {pa_custom_branches}
+      WHEN laur_source IN ({pa_no_split_in})
+        THEN {arrlit('laur_source')}
+      ELSE {pa_generic} END AS parts
+  FROM pa_split
+),
+pa_exploded AS (
+  SELECT *, {pa_widx} AS widx, {pa_laureate} AS lname,
+         CAST({pa_wcount} AS INT) AS wcount
+  FROM pa_parts{pa_lateral}
+),
+{bar("pa_parsed", "pa_exploded",
+     ["k", "year", "category", "award_prefix", "prize_title",
+      "detail_title", "official_laureate_text", "citation",
+      "meta_description", "detail_slug", "detail_url", "widx",
+      "lname", "wcount"], [
+    ("is_org", pa_is_org),
+    ("pa_given", pa_given),
+    ("pa_family", pa_family),
+    ("cat_slug", slugify("category")),
+    ("lslug", slugify("lname")),
+    ("dslug", slugify("detail_slug")),
+])},
+pa_out AS (
+  SELECT 'princess_asturias' AS member,
+    concat('princess-asturias-', {cs('year')}, '-', cat_slug, '-',
+           dslug, '-', {cs('widx')}, '-', lslug) AS funder_award_id,
+    {cs('year')} AS award_year, lname AS laureate_name,
+    {nullcols('laureate_type')},
+    CASE WHEN is_org THEN CAST(NULL AS {S}) ELSE pa_given END
+      AS given_name,
+    CASE WHEN is_org THEN lname ELSE pa_family END AS family_name,
+    {nullcols('edition_label', 'winner_position')},
+    category AS award_category,
+    {nullcols('prize_category_slug', 'research_topic', 'affiliation',
+              'laureate_title')},
+    citation,
+    {nullcols('innovation', 'raw_laureates', 'country',
+              'profile_category', 'profile_edition', 'award_summary',
+              'bio', 'contribution', 'profile_title_affiliation',
+              'profile_description')},
+    {cs('wcount')} AS award_share_count,
+    CASE WHEN wcount > 1 THEN concat('1/', {cs('wcount')})
+         ELSE '1' END AS portion,
+    '50000' AS award_total_amount,
+    CAST(NULL AS {S}) AS source_award_amount,
+    'EUR' AS currency,
+    '{esc(PA_AMOUNT_NOTE)}' AS amount_note,
+    detail_url AS landing_page_url,
+    dslug AS profile_slug,
+    {nullcols('wp_id', 'wp_slug', 'press_release_id',
+              'current_format_note')},
+    'https://www.fpa.es/en/cargarAplicacionPremiadoCompleto.do'
+      AS source_url,
+    'https://www.fpa.es/en/area-of-communication-and-media/faqs/princess-of-asturias-awards/'
+      AS amount_rule_url,
+    award_prefix, prize_title, prize_title AS detail_prize_title,
+    official_laureate_text, detail_title,
+    CASE WHEN is_org THEN 'true' ELSE 'false' END
+      AS laureate_is_organization,
+    {cs('widx')} AS winner_index,
+    meta_description
+  FROM pa_parsed
+)"""
+
+    pa_extras = ("award_prefix, prize_title, detail_prize_title, "
+                 "official_laureate_text, detail_title, "
+                 "laureate_is_organization, winner_index, "
+                 "meta_description")
+    pa_extra_nulls = nullcols(
+        "award_prefix", "prize_title", "detail_prize_title",
+        "official_laureate_text", "detail_title",
+        "laureate_is_organization", "winner_index", "meta_description")
+
     cols = ("member, funder_award_id, award_year, laureate_name, "
             "laureate_type, given_name, family_name, edition_label, "
             "winner_position, award_category, prize_category_slug, "
@@ -638,14 +990,16 @@ ml_out AS (
             "source_award_amount, currency, amount_note, "
             "landing_page_url, profile_slug, wp_id, wp_slug, "
             "press_release_id, current_format_note, source_url, "
-            "amount_rule_url")
+            "amount_rule_url, " + pa_extras)
+    legacy_cols = cols.rsplit(", " + pa_extras, 1)[0]
 
     return f"""
-WITH {bbva}{bbva_rest}{crafoord}{dan_david}{millennium}
-SELECT {cols} FROM bb_out
-UNION ALL SELECT {cols} FROM cr_out
-UNION ALL SELECT {cols} FROM dd_out
-UNION ALL SELECT {cols} FROM ml_out
+WITH {bbva}{bbva_rest}{crafoord}{dan_david}{millennium}{princess}
+SELECT {cols} FROM pa_out
+UNION ALL SELECT {legacy_cols}, {pa_extra_nulls} FROM bb_out
+UNION ALL SELECT {legacy_cols}, {pa_extra_nulls} FROM cr_out
+UNION ALL SELECT {legacy_cols}, {pa_extra_nulls} FROM dd_out
+UNION ALL SELECT {legacy_cols}, {pa_extra_nulls} FROM ml_out
 """
 
 

@@ -497,3 +497,33 @@ def test_nhmrc_column_mapping_matches_reference():
     assert found_map == NHMRC_COLUMN_MAPPING
     assert found_cols is not None, "reference output_columns not found"
     assert found_cols == NHMRC_OUTPUT_COLUMNS
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF_DIR), reason="reference absent")
+def test_pa_split_tables_match_reference():
+    """The princess_asturias arm ships the reference's NO_SPLIT /
+    CUSTOM_SPLITS / ORG_TERMS rule tables and the amount note as data
+    — AST-extract all four from princess_asturias_to_s3.py and require
+    exact equality."""
+    import ast
+
+    from openalex_walden_spark.queries.prizepattern import (
+        PA_AMOUNT_NOTE,
+        PA_CUSTOM_SPLITS,
+        PA_NO_SPLIT_EXACT,
+        PA_ORG_TERMS,
+    )
+
+    tree = ast.parse(_read("princess_asturias"))
+    found = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and len(node.targets) == 1 \
+                and isinstance(node.targets[0], ast.Name):
+            name = node.targets[0].id
+            if name in ("NO_SPLIT_EXACT", "CUSTOM_SPLITS", "ORG_TERMS",
+                        "AMOUNT_NOTE"):
+                found[name] = ast.literal_eval(node.value)
+    assert found["NO_SPLIT_EXACT"] == PA_NO_SPLIT_EXACT
+    assert found["CUSTOM_SPLITS"] == PA_CUSTOM_SPLITS
+    assert found["ORG_TERMS"] == PA_ORG_TERMS
+    assert found["AMOUNT_NOTE"] == PA_AMOUNT_NOTE

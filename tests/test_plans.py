@@ -954,10 +954,12 @@ def test_method5_no_shuffle_union(spark, sf_dir):
 
 
 def test_prize_pattern_share_windows_only(spark, sf_dir):
-    """Prize-pattern family: four scan arms behind Generate barriers;
+    """Prize-pattern family: five scan arms behind Generate barriers;
     the only exchanges are the three share-count windows (bbva,
-    crafoord, millennium — dan_david's amount is constant); the
-    millennium arm's laureate explode is a Generate; no Python."""
+    crafoord, millennium — dan_david's amount is constant and the
+    princess_asturias share count is the laureate-array size, no
+    window); the millennium and princess_asturias laureate explodes
+    are Generates; no Python."""
     plan = _plan(spark, sf_dir, "prize_pattern_parse")
     assert plan.count("Exchange hashpartitioning") <= 3
     assert "Generate" in plan

@@ -3123,7 +3123,10 @@ def test_prize_pattern_matches_reference_semantics(spark, sf_dir,
             "currency": "EUR", "profile_slug": slug,
         }
 
-    actual = _run(spark, sf_dir, "prize_pattern_parse")
+    # the princess_asturias arm (round 11) has its own re-derivation
+    # below — this test pins the four original members
+    actual = [r for r in _run(spark, sf_dir, "prize_pattern_parse")
+              if r.member != "princess_asturias"]
     assert len(actual) == len(expected), (len(actual), len(expected))
     for r in actual:
         exp = expected[(r.member, r.funder_award_id)]
@@ -4555,3 +4558,147 @@ def test_keywords_api_matches_reference_semantics(spark, sf_dir,
         want_churn = ("new" if n % 11 == 3
                       else "changed" if n % 7 == 0 else "unchanged")
         assert r.churn == want_churn, (n, "churn")
+
+
+# ---------------------------------------------------------------------------
+# princess_asturias arm (scripts/local/princess_asturias_to_s3.py)
+# ---------------------------------------------------------------------------
+
+
+def _pa_collapse(value):
+    if not value:
+        return None
+    value = re.sub(r"\s+", " ", value).strip()
+    value = re.sub(r"\s+([,;.:])", r"\1", value)
+    return value or None
+
+
+def _pa_split_laureates(text):
+    """split_laureate_text re-typed (princess_asturias_to_s3.py:349-364)."""
+    from openalex_walden_spark.queries.prizepattern import (
+        PA_CUSTOM_SPLITS,
+        PA_NO_SPLIT_EXACT,
+    )
+
+    text = _pa_collapse(text) or ""
+    text = text.replace(" and and ", " and ")
+    if text in PA_CUSTOM_SPLITS:
+        return PA_CUSTOM_SPLITS[text]
+    if text in PA_NO_SPLIT_EXACT:
+        return [text]
+    parts = [_pa_collapse(p) for p in re.split(r",\s+|\s+(?:and|&)\s+",
+                                               text)]
+    parts = [p for p in parts if p]
+    return parts or [text]
+
+
+def _pa_is_org(name):
+    from openalex_walden_spark.queries.prizepattern import PA_ORG_TERMS
+
+    lowered = name.lower()
+    if any(term in lowered for term in PA_ORG_TERMS):
+        return True
+    if re.fullmatch(r"[A-Z0-9&.\- ]{3,}", name) \
+            and " " not in name.strip("."):
+        return True
+    return False
+
+
+def _pa_split_person(name, is_org):
+    if not name:
+        return None, None
+    if is_org:
+        return None, name
+    src = re.sub(r",\s*(King|Queen|Prince|Princess|headed by).*$", "",
+                 name)
+    toks = src.split()
+    sufs = {"phd", "md", "dphil", "dsc", "scd", "jr.", "sr.", "ii",
+            "iii", "iv", "jr", "sr"}
+    while toks and toks[-1].lower().strip(",.") in sufs:
+        toks.pop()
+    if not toks:
+        return None, None
+    if len(toks) == 1:
+        return None, toks[0]
+    return " ".join(toks[:-1]), toks[-1]
+
+
+def _pa_slug(value):
+    value = (value or "").lower()
+    value = re.sub(r"[^a-z0-9]+", "-", value).strip("-")
+    return value or "unknown"
+
+
+def test_princess_asturias_matches_reference_semantics(spark, sf_dir,
+                                                       orders_rows):
+    """Re-derives the PA arm from the reference's own split/org/name
+    rules (re-typed above over the real dicts), including the
+    detail-title precedence and the dead 'and and' custom key."""
+    cats = ["Communication and Humanities", "Social Sciences", "Arts",
+            "Letters", "Scientific and Technical Research",
+            "International Cooperation", "Concord", "Sports"]
+    expected = {}
+    for k, _c, _d, _p, _pri in orders_rows:
+        year = 1981 + k % 45
+        category = cats[k % 8]
+        laur_text = {
+            0: f"María García{k % 300}",
+            1: "Bill and Melinda Gates Foundation",
+            2: "Gavi, the Vaccine Alliance",
+            3: "Salman Khan and the Khan Academy",
+            4: f"John{k % 200} Smith and Jane Doe{k % 200}",
+            5: "H. M. Husein I, King of Jordan",
+            6: "CERN",
+            7: f"Philharmonic Orchestra {k % 90}",
+            8: f"Robert Lee{k % 150} Jr.",
+            9: "Rainer Weiss, Kip S. Thorne, Barry C. Barish and and "
+               "LIGO Scientific Collaboration",
+        }[k % 10]
+        detail_title = None if k % 4 == 0 else laur_text
+        official = laur_text if k % 4 == 0 else f"Laureates Group {k}"
+        detail_slug = f"laureate-{k}"
+        laureates = _pa_split_laureates(detail_title or official)
+        for widx, lname in enumerate(laureates, start=1):
+            is_org = _pa_is_org(lname)
+            given, family = _pa_split_person(lname, is_org)
+            fid = "-".join([
+                "princess-asturias", str(year), _pa_slug(category),
+                _pa_slug(detail_slug), str(widx), _pa_slug(lname)])
+            expected[fid] = {
+                "award_year": str(year),
+                "award_category": category,
+                "award_prefix": "Princess" if year >= 2014 else "Prince",
+                "prize_title": (("Princess" if year >= 2014
+                                 else "Prince")
+                                + f" of Asturias Award for {category}"),
+                "laureate_name": lname,
+                "given_name": given,
+                "family_name": family,
+                "laureate_is_organization": str(is_org).lower(),
+                "winner_index": str(widx),
+                "award_share_count": str(len(laureates)),
+                "portion": (f"1/{len(laureates)}"
+                            if len(laureates) != 1 else "1"),
+                "citation": (None if k % 5 == 0
+                             else f"For an exemplary contribution "
+                                  f"{k % 67}"),
+                "meta_description": (None if k % 6 == 0
+                                     else f"Meta description {k % 41}"),
+                "detail_title": detail_title,
+                "official_laureate_text": official,
+                "award_total_amount": "50000",
+                "source_award_amount": None,
+                "currency": "EUR",
+                "landing_page_url":
+                    f"https://www.fpa.es/en/laureates/{detail_slug}/",
+                "profile_slug": _pa_slug(detail_slug),
+            }
+    actual = [r for r in _run(spark, sf_dir, "prize_pattern_parse")
+              if r.member == "princess_asturias"]
+    assert len(actual) == len(expected), (len(actual), len(expected))
+    for r in actual:
+        exp = expected[r.funder_award_id]
+        for col, want in exp.items():
+            got = getattr(r, col)
+            assert got == want, (
+                f"{r.funder_award_id}.{col}: {got!r} != {want!r}")
