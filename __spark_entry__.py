@@ -78,6 +78,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     # round-11 family extension: the princess_asturias arm joined the
     # prize-pattern union (8 new columns, NULL in the legacy arms).
     "prize_pattern_parse",
+    # round-11 family extension: the SCAS former-fellows arm joined
+    # the fellowship-directory union (19 new columns).
+    "fellowship_directory_parse",
 ]
 
 # Queries whose defining MODULE changed this round but whose own plan

@@ -1,6 +1,8 @@
-"""Fellowship-directory parse pair
-(scripts/local/guggenheim_to_s3.py, scripts/local/radcliffe_to_s3.py
-— 2 scripts, the method-5 fellows-listing skeleton).
+"""Fellowship-directory parse family
+(scripts/local/guggenheim_to_s3.py, scripts/local/radcliffe_to_s3.py,
+scripts/local/scas_former_fellows_to_s3.py — 3 scripts, the
+fellows-listing skeleton; the SCAS arm's semantics map lives on
+:func:`_scas_arm`).
 
 Both scrape a fellows directory (pagination/card regexes = seam; the
 fixture delivers the extracted slug/name/year card fields) and share
@@ -114,6 +116,365 @@ def _helpers(dialect: str):
     return g, stype, elem, particle_split
 
 
+# scas_former_fellows_to_s3.py:122-145 — the term-word vocabulary
+# (seasons + month words) behind final_parenthetical / split_terms
+_SCAS_TERM_WORDS = (
+    "spring", "autumn", "fall", "winter", "summer", "jan", "january",
+    "feb", "february", "march", "april", "may", "june", "july", "aug",
+    "august", "sept", "september", "oct", "october", "nov", "november",
+    "dec", "december",
+)
+
+# the scas arm's columns beyond the gg/rc trio's shared set
+_SCAS_EXTRA_COLS = (
+    "source_record_id", "source_section", "section_label",
+    "scheme_label", "funding_type", "display_name", "description",
+    "affiliation", "term", "term_sequence", "end_year", "start_date",
+    "end_date", "amount", "currency", "profile_url", "source_url",
+    "source_page_title", "source_page_year_range",
+)
+_SCAS_EXTRAS = ", ".join(_SCAS_EXTRA_COLS)
+_SCAS_NULLS = ", ".join(
+    f"CAST(NULL AS STRING) AS {c}" for c in _SCAS_EXTRA_COLS)
+
+
+def _scas_arm(dialect: str, cs, elem) -> str:
+    """The SCAS former-fellows arm (scripts/local/
+    scas_former_fellows_to_s3.py:169-575, round 11).
+
+    The fixture delivers each flushed record buffer as an ordered line
+    array (the page-level SEGMENTATION — heading transitions, the
+    stop-section, between-record index letters, and the
+    flush-on-qualifying-final-parenthetical rule — is replayed
+    line-for-line by the fidelity test's Python state machine; the SQL
+    consumes the per-record arrays and still applies the IN-RECORD
+    skip rules and the non-qualifying-parenthetical gate).  Ported
+    compute: in-record skip lines (:291-302), name = first line
+    rstrip ' ,', affiliation = remaining lines joined with the final
+    term stripped and ', '-lstripped (:414-436), final-parenthetical
+    term text, the split_terms grammar (:321-366 — semicolon-major,
+    the bare-year and term-word+year comma attachment rules, the
+    ' and '-split-when-both-termish rule; fixture bounds each
+    semicolon part to <=2 comma parts, which covers every rule),
+    parsed_years (:369-390 — dash normalization over the U+2010-2015
+    range, the 2-digit end-year century fill with the +100 wrap, and
+    min/max against every other year in the term), Jan-1/Dec-31 date
+    bounds, the suffix-pop name split whose SINGLE-token case yields
+    (given, NULL) — the opposite of the radcliffe particle split —
+    and the 'scas-{{section}}-{{years}}-{{nameslug}}-{{termslug}}-
+    {{id12}}' id scheme.  DEVIATIONS (documented): the 12-hex record
+    id uses md5 instead of the reference's sha1 (DuckDB has no sha1 —
+    the established trade), and the NFKD accent fold in slugify is a
+    translate() over the fixture's accent set.  retrieved_at /
+    source_html_sha256 are runtime seams, not emitted.
+    """
+    sp = dialect == "spark"
+    S = "STRING" if sp else "VARCHAR"
+    if sp:
+        def tr(a: str, lam: str) -> str:
+            return f"transform({a}, {lam})"
+
+        def fl(a: str, lam: str) -> str:
+            return f"filter({a}, {lam})"
+
+        def rall(x: str, p: str) -> str:
+            return f"regexp_extract_all({x}, '{p}', 1)"
+
+        def rlk(x: str, p: str) -> str:
+            return f"{x} RLIKE '{p}'"
+
+        amin, amax, asize = "array_min", "array_max", "size"
+        ajoin = lambda a, sep: f"array_join({a}, '{sep}')"  # noqa: E731
+        aslice = lambda a, lo, n: f"slice({a}, {lo}, {n})"  # noqa: E731
+        sc_lateral = "\n  LATERAL VIEW posexplode(terms) sc_l AS tseq0, term"
+        sc_term, sc_tseq = "term", "CAST(tseq0 + 1 AS INT)"
+        arr = lambda *xs: "array(" + ", ".join(xs) + ")"  # noqa: E731
+    else:
+        def tr(a: str, lam: str) -> str:
+            return f"list_transform({a}, {lam})"
+
+        def fl(a: str, lam: str) -> str:
+            return f"list_filter({a}, {lam})"
+
+        def rall(x: str, p: str) -> str:
+            return f"regexp_extract_all({x}, '{p}', 1)"
+
+        def rlk(x: str, p: str) -> str:
+            return f"regexp_matches({x}, '{p}')"
+
+        amin, amax, asize = "list_min", "list_max", "len"
+        ajoin = lambda a, sep: (  # noqa: E731
+            f"list_aggr({a}, 'string_agg', '{sep}')")
+        aslice = lambda a, lo, n: (  # noqa: E731
+            f"list_slice({a}, {lo}, ({lo}) + ({n}) - 1)")
+        sc_lateral = ("\n  CROSS JOIN UNNEST(list_transform(terms, "
+                      "(t, i) -> {'i': i, 'cell': t})) AS sc_l(u)")
+        sc_term, sc_tseq = "u.cell", "CAST(u.i AS INT)"
+        arr = lambda *xs: "[" + ", ".join(xs) + "]"  # noqa: E731
+
+    term_alt = "|".join(_SCAS_TERM_WORDS)
+    # YEAR_RE without lookarounds (RE2): boundary classes; the fixture
+    # has no >=5-digit runs, so the plain-class form is exact
+    has_year = lambda x: rlk(  # noqa: E731
+        x, "(^|[^0-9])[0-9][0-9][0-9][0-9]([^0-9]|$)")
+    has_term = lambda x: rlk(f"lower({x})", term_alt)  # noqa: E731
+    termish = lambda x: f"({has_year(x)} OR {has_term(x)})"  # noqa: E731
+
+    # ---- fixture: one flushed record buffer per orders row ------------
+    n190 = cs("o_orderkey % 190")
+    name_pool = f"""CASE CAST(o_orderkey % 5 AS INT)
+      WHEN 0 THEN concat('Erik Larsson', {n190})
+      WHEN 1 THEN concat('Maria Gonzalez', {n190}, ' PhD')
+      WHEN 2 THEN concat('Mononym', {n190})
+      WHEN 3 THEN concat('S', 'ören Lindén', {n190}, ' Jr.')
+      ELSE concat('Anna-Karin Blom', {n190}) END"""
+    y = "CAST(1985 + o_orderkey % 30 AS INT)"
+    term_text = f"""CASE CAST(o_orderkey % 6 AS INT)
+      WHEN 0 THEN concat({cs(y)},
+                         CASE WHEN o_orderkey % 3 = 0 THEN '–'
+                              ELSE '-' END, {cs(f'({y}) + 1')})
+      WHEN 1 THEN concat('Autumn ', {cs(y)})
+      WHEN 2 THEN concat('Spring ', {cs(y)}, '; Autumn ',
+                         {cs(f'({y}) + 2')})
+      WHEN 3 THEN concat({cs(y)}, '-',
+                         lpad({cs(f'(({y}) + 1) % 100')}, 2, '0'))
+      WHEN 4 THEN concat('Autumn, ', {cs(y)})
+      ELSE concat('Spring and Autumn ', {cs(y)}) END"""
+
+    # ---- record parse ---------------------------------------------------
+    # in-record skip rules (:291-302; the single-index-letter rule is
+    # between-records only and lives in the fidelity replay)
+    skip = ("(lower(t) LIKE 'see the bottom of the page%' OR "
+            "lower(t) LIKE 'former short-term researchers/%' OR "
+            "(contains(lower(t), 'visiting fellowship programme') AND "
+            f"NOT {has_year('t')}))")
+    clean = lambda x: (  # noqa: E731
+        f"nullif(trim(regexp_replace({x}, '\\\\s+', ' '"
+        + ("" if sp else ", 'g'") + ")), '')")
+    joined = clean(ajoin("lines", " "))
+    rt = (lambda x, cset: f"trim(TRAILING '{cset}' FROM {x})") if sp \
+        else (lambda x, cset: f"rtrim({x}, '{cset}')")
+    lt = (lambda x, cset: f"trim(LEADING '{cset}' FROM {x})") if sp \
+        else (lambda x, cset: f"ltrim({x}, '{cset}')")
+    name_expr = clean(rt(elem("lines", "1"), " ,"))
+    affil_all = clean(
+        "regexp_replace(" + ajoin(
+            aslice("lines", "2", f"{asize}(lines) - 1"), " ")
+        + ", '\\\\s*[(][^()]*[)]\\\\s*$', '')")
+    affil = f"nullif({lt(affil_all, ' ,')}, '')"
+
+    # split_terms (:321-366), fixture-bounded to <=2 comma parts
+    semis = fl(tr("split(term_text, '\\\\s*;\\\\s*')"
+                  if sp else
+                  "regexp_split_to_array(term_text, '\\\\s*;\\\\s*')",
+                  "s -> trim(s)"), "s -> s <> ''")
+    cps = fl(tr("split(s, ',')" if sp else
+                "regexp_split_to_array(s, ',')",
+                "p -> trim(p)"), "p -> p <> ''")
+    p1, p2 = elem("cps", "1"), elem("cps", "2")
+    comma_terms = f"""CASE
+      WHEN {asize}(cps) = 2 AND {rlk(p2, '^[0-9][0-9][0-9][0-9]$')}
+           AND NOT {has_year(p1)}
+        THEN {arr(f"concat({p1}, ', ', {p2})")}
+      WHEN {asize}(cps) = 2 AND NOT {has_year(p1)} AND {has_term(p1)}
+           AND {has_year(p2)}
+        THEN {arr(f"concat({p1}, ' ', regexp_extract({p2}, '([0-9][0-9][0-9][0-9])', 1))")}
+      ELSE cps END"""
+    # lambdas cannot carry subqueries — inline the cps expression
+    comma_terms_inline = comma_terms.replace("cps", f"({cps})")
+    and_parts = fl(tr("split(v, '(?i)\\\\s+and\\\\s+')" if sp else
+                      "regexp_split_to_array(v, '(?i)\\\\s+and\\\\s+')",
+                      "x -> trim(x)"), "x -> x <> ''")
+    ap1, ap2 = elem(f"({and_parts})", "1"), elem(f"({and_parts})", "2")
+    and_split = (f"CASE WHEN {asize}(({and_parts})) = 2 AND "
+                 f"{termish(ap1)} AND {termish(ap2)} "
+                 f"THEN ({and_parts}) ELSE {arr('v')} END")
+    terms_expr = (
+        "flatten(" + tr(
+            "flatten(" + tr(f"({semis})", f"s -> {comma_terms_inline}")
+            + ")",
+            f"v -> {and_split}")
+        + ")")
+
+    # parsed_years (:369-390)
+    norm = "translate(term_one, '‐‑‒–—―', '------')"
+    rng_pat = ("(^|[^0-9])([0-9][0-9][0-9][0-9])\\\\s*-\\\\s*"
+               "([0-9][0-9][0-9][0-9]|[0-9][0-9])([^0-9]|$)")
+    rs = f"nullif(regexp_extract({norm}, '{rng_pat}', 2), '')"
+    re_raw = f"nullif(regexp_extract({norm}, '{rng_pat}', 3), '')"
+    years_all = tr(rall(norm, "([0-9][0-9][0-9][0-9])"),
+                   "x -> CAST(x AS INT)")
+    y_lo, y_hi = f"{amin}(({years_all}))", f"{amax}(({years_all}))"
+    rng_end = (f"CASE WHEN length(re_raw) = 2 THEN "
+               f"CAST(concat(substr(rs, 1, 2), re_raw) AS INT) + "
+               f"CASE WHEN CAST(concat(substr(rs, 1, 2), re_raw) AS INT)"
+               f" < CAST(rs AS INT) THEN 100 ELSE 0 END "
+               f"ELSE CAST(re_raw AS INT) END")
+    start_year = (f"CASE WHEN rs IS NOT NULL THEN "
+                  f"least(CAST(rs AS INT), y_lo) ELSE y_lo END")
+    end_year = (f"CASE WHEN rs IS NOT NULL THEN "
+                f"greatest(rng_end_i, y_hi) ELSE y_hi END")
+
+    # slugify (:184-189) — NFKD fold via translate over the fixture's
+    # accent set, then the non-alnum collapse and the two strips
+    def slug(x: str, maxlen: int) -> str:
+        # NFKD+ascii-ignore: accents fold to their base letter, but
+        # NON-decomposable chars (the unicode dashes) are DELETED
+        # outright — translate's to-string being shorter deletes the
+        # tail chars, exactly the ascii-ignore behavior
+        folded = f"translate(lower({x}), 'éöåüá‐‑‒–—―', 'eoaua')"
+        s1 = (f"trim(BOTH '-' FROM regexp_replace({folded}, "
+              f"'[^a-z0-9]+', '-'" + ("" if sp else ", 'g'") + "))")
+        s2 = f"trim(BOTH '-' FROM substr({s1}, 1, {maxlen}))"
+        return f"coalesce(nullif({s2}, ''), 'unknown')"
+
+    # suffix-pop name split; single token -> (given, NULL) (:191-201)
+    split_name_expr = ("split(coalesce(name, ''), ' +')" if sp else
+                       "regexp_split_to_array(coalesce(name, ''), ' +')")
+    toks = fl(split_name_expr, "x -> x <> ''")
+    sfx = "'phd','md','dphil','dsc','scd','jr','sr','ii','iii','iv'"
+    if sp:
+        last_keep = (f"coalesce(array_max(zip_with(({toks}), "
+                     f"sequence(1, size(({toks}))), (t, i) -> "
+                     f"CASE WHEN lower(trim(BOTH '.,' FROM t)) "
+                     f"NOT IN ({sfx}) THEN i END)), 0)")
+        head_join = (f"array_join(slice(({toks}), 1, ({last_keep}) - 1),"
+                     f" ' ')")
+    else:
+        last_keep = (f"coalesce(list_max(list_transform(({toks}), "
+                     f"(t, i) -> CASE WHEN lower(trim(BOTH '.,' FROM t))"
+                     f" NOT IN ({sfx}) THEN i END)), 0)")
+        head_join = (f"list_aggr(list_slice(({toks}), 1, ({last_keep}) "
+                     f"- 1), 'string_agg', ' ')")
+    sc_given = (f"CASE WHEN ({last_keep}) = 1 THEN "
+                + elem(f"({toks})", "1")
+                + f" WHEN ({last_keep}) >= 2 THEN nullif({head_join}, '')"
+                  f" END")
+    sc_family = (f"CASE WHEN ({last_keep}) >= 2 THEN "
+                 + elem(f"({toks})", f"({last_keep})") + " END")
+
+    seed = ("concat_ws('|', source_section, name, coalesce(affil, ''), "
+            "term_one, " + cs("tseq") + ")")
+    id12 = f"substr(md5({seed}), 1, 12)"
+
+    return f"""
+sc_raw AS (
+  SELECT o_orderkey AS k,
+    CASE WHEN o_orderkey % 2 = 0 THEN 'fellow_in_residence'
+         ELSE 'short_term_researcher' END AS source_section,
+    CASE WHEN o_orderkey % 6 = 0
+         THEN concat({name_pool}, ',') ELSE {name_pool} END
+      AS name_line,
+    {arr(
+        "CASE WHEN o_orderkey % 7 = 0 THEN 'See the bottom of the page for details' END",
+        f"concat('University of Uppsala ', {cs('o_orderkey % 40')}, ',')",
+        "CASE WHEN o_orderkey % 11 = 0 THEN 'Research fellow (on leave)' END",
+        f"CASE WHEN o_orderkey % 3 = 0 THEN concat('Department ', {cs('o_orderkey % 12')}) END",
+        "CASE WHEN o_orderkey % 13 = 0 THEN 'Visiting Fellowship Programme participant' END")}
+      AS affil_lines,
+    {term_text} AS term_text_raw,
+    CASE WHEN o_orderkey % 4 = 0 THEN CAST(NULL AS {S})
+         ELSE concat('https://www.swedishcollegium.se/fellow/',
+                     {cs('o_orderkey')}) END AS profile_url
+  FROM orders
+),
+sc_lines AS (
+  SELECT k, source_section, profile_url, term_text_raw,
+         {fl("raw_lines", f"t -> t IS NOT NULL AND NOT {skip}")} AS lines
+  FROM (
+    SELECT *,
+      {("concat(array(name_line), affil_lines, array(concat('Sweden (', term_text_raw, ')')))"
+        if sp else
+        "list_concat(list_concat([name_line], affil_lines), [concat('Sweden (', term_text_raw, ')')])")}
+        AS raw_lines
+    FROM sc_raw
+  ) z
+),
+sc_rec AS (
+  SELECT k, source_section, profile_url,
+         {name_expr} AS name,
+         {affil} AS affil,
+         regexp_extract({joined}, '[(]([^()]*)[)]\\\\s*$', 1)
+           AS term_text
+  FROM sc_lines
+),
+sc_terms AS (
+  SELECT *, {terms_expr} AS terms
+  FROM (SELECT k, source_section, profile_url, name, affil,
+               term_text FROM sc_rec) r
+),
+sc_expl AS (
+  SELECT k, source_section, profile_url, name, affil,
+         {sc_term} AS term_one, {sc_tseq} AS tseq
+  FROM sc_terms{sc_lateral}
+),
+sc_years AS (
+  SELECT *, CASE WHEN rs IS NOT NULL THEN {rng_end} END AS rng_end_i
+  FROM (
+    SELECT *, {rs} AS rs, {re_raw} AS re_raw,
+           {y_lo} AS y_lo, {y_hi} AS y_hi
+    FROM sc_expl
+  ) b
+),
+sc_parsed AS (
+  SELECT *,
+         {start_year} AS start_year_i,
+         {end_year} AS end_year_i,
+         {sc_given} AS sc_given,
+         {sc_family} AS sc_family,
+         CASE WHEN source_section = 'fellow_in_residence'
+              THEN 'Former Fellows-in-Residence'
+              ELSE 'Former Short-Term Researchers' END AS section_label,
+         CASE WHEN source_section = 'fellow_in_residence'
+              THEN 'SCAS Fellow-in-Residence'
+              ELSE 'SCAS Short-Term Researcher' END AS scheme_label,
+         CASE WHEN source_section = 'fellow_in_residence'
+              THEN 'fellowship' ELSE 'research' END AS funding_type,
+         {id12} AS source_record_id
+  FROM sc_years
+),
+sc_out AS (
+  SELECT 'scas' AS member,
+    concat('scas-', source_section, '-',
+           coalesce({cs('start_year_i')}, 'na'), '-',
+           coalesce({cs('end_year_i')}, 'na'), '-',
+           {slug('name', 48)}, '-', {slug('term_one', 36)}, '-',
+           source_record_id) AS funder_award_id,
+    CAST(NULL AS {S}) AS slug,
+    name AS fellow_name,
+    sc_given AS given_name, sc_family AS family_name,
+    {cs('start_year_i')} AS start_year,
+    coalesce(profile_url,
+      'https://www.swedishcollegium.se/fellows/former-fellows/all-former-fellows')
+      AS landing_page_url,
+    source_record_id, source_section, section_label, scheme_label,
+    funding_type,
+    concat(scheme_label, ' ', term_one, ' - ', name) AS display_name,
+    CASE WHEN affil IS NOT NULL THEN
+      concat(name, ' is listed by the Swedish Collegium for Advanced',
+             ' Study as ', scheme_label, ' for ', term_one,
+             '; source affiliation: ', affil, '.')
+    ELSE
+      concat(name, ' is listed by the Swedish Collegium for Advanced',
+             ' Study as ', scheme_label, ' for ', term_one, '.')
+    END AS description,
+    affil AS affiliation, term_one AS term,
+    {cs('tseq')} AS term_sequence,
+    {cs('end_year_i')} AS end_year,
+    CASE WHEN start_year_i IS NOT NULL AND end_year_i IS NOT NULL
+         THEN concat({cs('start_year_i')}, '-01-01') END AS start_date,
+    CASE WHEN start_year_i IS NOT NULL AND end_year_i IS NOT NULL
+         THEN concat({cs('end_year_i')}, '-12-31') END AS end_date,
+    CAST(NULL AS {S}) AS amount, CAST(NULL AS {S}) AS currency,
+    profile_url,
+    'https://www.swedishcollegium.se/fellows/former-fellows/all-former-fellows'
+      AS source_url,
+    'All former fellows' AS source_page_title,
+    '1985 - 2024' AS source_page_year_range
+  FROM sc_parsed
+)"""
+
+
 def _sql(dialect: str) -> str:
     g, S, elem, particle_split = _helpers(dialect)
 
@@ -195,14 +556,19 @@ rc_out AS (
     concat('https://www.radcliffe.harvard.edu/people/', slug)
       AS landing_page_url
   FROM rc_named
-)
+),
+{_scas_arm(dialect, cs, elem)}
 SELECT member, funder_award_id, slug, fellow_name, given_name,
-       family_name, start_year, landing_page_url
+       family_name, start_year, landing_page_url, {_SCAS_NULLS}
 FROM gg_out
 UNION ALL
 SELECT member, funder_award_id, slug, fellow_name, given_name,
-       family_name, start_year, landing_page_url
+       family_name, start_year, landing_page_url, {_SCAS_NULLS}
 FROM rc_out
+UNION ALL
+SELECT member, funder_award_id, slug, fellow_name, given_name,
+       family_name, start_year, landing_page_url, {_SCAS_EXTRAS}
+FROM sc_out
 """
 
 
@@ -219,8 +585,8 @@ def _build(dialect: str) -> str:
     oracle=_build("duck"),
     tags=("domain", "awards", "scrape"),
     tables=("orders",),
-    doc=("Fellowship-directory parse pair (scripts/local/"
-         "guggenheim_to_s3.py, scripts/local/radcliffe_to_s3.py)"),
+    doc=("Fellowship-directory parse family (scripts/local/"
+         "{guggenheim,radcliffe,scas_former_fellows}_to_s3.py)"),
 )
 def fellowship_directory_parse(spark: SparkSession,
                                sf_dir: str) -> DataFrame:

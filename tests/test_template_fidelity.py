@@ -3963,7 +3963,10 @@ def test_fellowdir_matches_reference_semantics(spark, sf_dir,
             "landing_page_url": ("https://www.radcliffe.harvard.edu/"
                                  f"people/{slug}"),
         }
-    actual = _run(spark, sf_dir, "fellowship_directory_parse")
+    # the scas arm (round 11) has its own full-replay test below —
+    # this test pins the original guggenheim/radcliffe pair
+    actual = [r for r in _run(spark, sf_dir, "fellowship_directory_parse")
+              if r.member != "scas"]
     assert len(actual) == len(expected), (len(actual), len(expected))
     for r in actual:
         exp = expected[(r.member, r.funder_award_id)]
@@ -4697,6 +4700,326 @@ def test_princess_asturias_matches_reference_semantics(spark, sf_dir,
               if r.member == "princess_asturias"]
     assert len(actual) == len(expected), (len(actual), len(expected))
     for r in actual:
+        exp = expected[r.funder_award_id]
+        for col, want in exp.items():
+            got = getattr(r, col)
+            assert got == want, (
+                f"{r.funder_award_id}.{col}: {got!r} != {want!r}")
+
+
+# ---------------------------------------------------------------------------
+# SCAS former-fellows arm (scripts/local/scas_former_fellows_to_s3.py)
+# ---------------------------------------------------------------------------
+
+_SC_MONTHS = ("jan", "january", "feb", "february", "march", "april",
+              "may", "june", "july", "aug", "august", "sept",
+              "september", "oct", "october", "nov", "november", "dec",
+              "december")
+_SC_TERM_WORDS = ("spring", "autumn", "fall", "winter", "summer",
+                  *_SC_MONTHS)
+_SC_YEAR_RE = re.compile(r"(?<!\d)(\d{4})(?!\d)")
+_SC_RANGE_RE = re.compile(
+    r"(?<!\d)(\d{4})\s*[-‐-―]\s*(\d{4}|\d{2})(?!\d)")
+
+
+def _sc_clean(v):
+    if v is None:
+        return None
+    t = re.sub(r"\s+", " ", str(v)).strip()
+    return t or None
+
+
+def _sc_final_paren(text):
+    m = re.search(r"\(([^()]*)\)\s*$", text)
+    if not m:
+        return None
+    term = _sc_clean(m.group(1))
+    if not term:
+        return None
+    low = term.lower()
+    if _SC_YEAR_RE.search(term) or any(w in low for w in _SC_TERM_WORDS):
+        return term
+    return None
+
+
+def _sc_split_terms(term_text):
+    """split_terms re-typed (scas_former_fellows_to_s3.py:321-366)."""
+    def add_term(out, value):
+        value = value.strip()
+        if not value:
+            return
+        and_parts = [p.strip() for p in
+                     re.split(r"\s+and\s+", value, flags=re.IGNORECASE)
+                     if p.strip()]
+        if (len(and_parts) == 2
+                and all(_SC_YEAR_RE.search(p)
+                        or any(w in p.lower() for w in _SC_TERM_WORDS)
+                        for p in and_parts)):
+            out.extend(and_parts)
+        else:
+            out.append(value)
+
+    terms = []
+    for semi in re.split(r"\s*;\s*", term_text):
+        semi = semi.strip()
+        if not semi:
+            continue
+        cps = [p.strip() for p in semi.split(",") if p.strip()]
+        if len(cps) <= 1:
+            add_term(terms, semi)
+            continue
+        i = 0
+        while i < len(cps):
+            part = cps[i]
+            if (i + 1 < len(cps) and re.fullmatch(r"\d{4}", cps[i + 1])
+                    and not _SC_YEAR_RE.search(part)):
+                add_term(terms, f"{part}, {cps[i + 1]}")
+                i += 2
+                continue
+            if (i + 1 < len(cps) and not _SC_YEAR_RE.search(part)
+                    and any(w in part.lower() for w in _SC_TERM_WORDS)
+                    and _SC_YEAR_RE.search(cps[i + 1])):
+                add_term(terms,
+                         f"{part} {_SC_YEAR_RE.search(cps[i + 1]).group(1)}")
+                i += 1
+                continue
+            add_term(terms, part)
+            i += 1
+    return terms
+
+
+def _sc_parsed_years(term):
+    norm = re.sub(r"[‐-―]", "-", term)
+    m = _SC_RANGE_RE.search(norm)
+    if m:
+        start = int(m.group(1))
+        end_raw = m.group(2)
+        if len(end_raw) == 2:
+            end = int(str(start)[:2] + end_raw)
+            if end < start:
+                end += 100
+        else:
+            end = int(end_raw)
+        others = [int(y) for y in _SC_YEAR_RE.findall(norm)]
+        return min([start, *others]), max([end, *others])
+    years = [int(y) for y in _SC_YEAR_RE.findall(norm)]
+    if years:
+        return min(years), max(years)
+    return None, None
+
+
+def _sc_split_name(name):
+    parts = [p for p in _sc_clean(name).split(" ") if p] \
+        if _sc_clean(name) else []
+    sufs = {"phd", "md", "dphil", "dsc", "scd", "jr.", "sr.", "ii",
+            "iii", "iv", "jr", "sr"}
+    while parts and parts[-1].lower().strip(",.") in sufs:
+        parts.pop()
+    if not parts:
+        return None, None
+    if len(parts) == 1:
+        return parts[0], None
+    return " ".join(parts[:-1]), parts[-1]
+
+
+def _sc_slug(value, max_len=48):
+    import unicodedata
+    normalized = unicodedata.normalize("NFKD", value)
+    ascii_text = normalized.encode("ascii", "ignore").decode("ascii")
+    s = re.sub(r"[^a-z0-9]+", "-", ascii_text.lower()).strip("-")
+    return s[:max_len].strip("-") or "unknown"
+
+
+def _sc_should_skip(line, in_record):
+    low = line.lower()
+    if low.startswith("see the bottom of the page"):
+        return True
+    if low.startswith("former short-term researchers/"):
+        return True
+    if "visiting fellowship programme" in low \
+            and not re.search(r"\d{4}", low):
+        return True
+    if not in_record and len(line) == 1 and line.isalpha():
+        return True
+    return False
+
+
+def _sc_section(line):
+    low = line.lower()
+    if low.startswith("former fellows-in-residence"):
+        return "fellow_in_residence"
+    if low.startswith("former short-term researchers"):
+        return "short_term_researcher"
+    if low.startswith("former associated researchers"):
+        return "stop"
+    return None
+
+
+def _sc_state_machine(lines):
+    """parse_source_records' line loop re-typed (:440-495); returns
+    (section, buffer) pairs."""
+    records, section, buf = [], None, []
+
+    def flush():
+        nonlocal buf
+        if buf and section in ("fellow_in_residence",
+                               "short_term_researcher"):
+            records.append((section, list(buf)))
+        buf = []
+
+    for line in lines:
+        heading = _sc_section(line)
+        if heading:
+            if buf:
+                flush()
+            if heading == "stop":
+                section = None
+                break
+            section = heading
+            continue
+        if section is None:
+            continue
+        if _sc_should_skip(line, in_record=bool(buf)):
+            continue
+        buf.append(line)
+        joined = _sc_clean(" ".join(buf)) or ""
+        if _sc_final_paren(joined):
+            flush()
+    if buf:
+        flush()
+    return records
+
+
+def test_scas_matches_reference_semantics(spark, sf_dir, orders_rows):
+    """Reconstructs the full SCAS page from the fixture buffers, runs
+    the reference's line-scan state machine over it (headings, stop
+    section, index letters, skip rules, flush-on-qualifying-final-
+    parenthetical), then re-derives every output field from the
+    reference's parse rules and compares to the Spark rows."""
+    fixture = {}
+    for k, _c, _d, _p, _pri in orders_rows:
+        n = k % 190
+        name = {
+            0: f"Erik Larsson{n}",
+            1: f"Maria Gonzalez{n} PhD",
+            2: f"Mononym{n}",
+            3: f"Sören Lindén{n} Jr.",
+            4: f"Anna-Karin Blom{n}",
+        }[k % 5]
+        y = 1985 + k % 30
+        term_text = {
+            0: f"{y}{'–' if k % 3 == 0 else '-'}{y + 1}",
+            1: f"Autumn {y}",
+            2: f"Spring {y}; Autumn {y + 2}",
+            3: f"{y}-{(y + 1) % 100:02d}",
+            4: f"Autumn, {y}",
+            5: f"Spring and Autumn {y}",
+        }[k % 6]
+        raw_lines = [name + ("," if k % 6 == 0 else "")]
+        if k % 7 == 0:
+            raw_lines.append("See the bottom of the page for details")
+        raw_lines.append(f"University of Uppsala {k % 40},")
+        if k % 11 == 0:
+            raw_lines.append("Research fellow (on leave)")
+        if k % 3 == 0:
+            raw_lines.append(f"Department {k % 12}")
+        if k % 13 == 0:
+            raw_lines.append("Visiting Fellowship Programme participant")
+        raw_lines.append(f"Sweden ({term_text})")
+        section = ("fellow_in_residence" if k % 2 == 0
+                   else "short_term_researcher")
+        profile = (None if k % 4 == 0 else
+                   f"https://www.swedishcollegium.se/fellow/{k}")
+        fixture[k] = (section, raw_lines, profile)
+
+    # --- full-page replay: the machine must recover exactly the
+    # fixture's per-record buffers (minus skip lines) per section
+    page = ["All former fellows", "1985 - 2024",
+            "Former Fellows-in-Residence"]
+    fir = [k for k in sorted(fixture) if fixture[k][0].startswith("f")]
+    stp = [k for k in sorted(fixture) if not fixture[k][0].startswith("f")]
+    for i, k in enumerate(fir):
+        if i % 10 == 0:
+            page.append("A")  # index letter between records
+        page.extend(fixture[k][1])
+    page.append("Former Short-Term Researchers")
+    for k in stp:
+        page.extend(fixture[k][1])
+    page.append("Former Associated Researchers")
+    page.append("Junk after the stop section (Spring 2001)")
+    machine = _sc_state_machine(page)
+    want_buffers = [
+        (fixture[k][0],
+         [ln for ln in fixture[k][1]
+          if not _sc_should_skip(ln, in_record=True)])
+        for group in (fir, stp) for k in group
+    ]
+    assert machine == want_buffers
+
+    # --- per-record expectations via the reference's parse rules
+    expected = {}
+    for k, (section, raw_lines, profile) in fixture.items():
+        buf = [ln for ln in raw_lines
+               if not _sc_should_skip(ln, in_record=True)]
+        joined = _sc_clean(" ".join(buf))
+        term_text = _sc_final_paren(joined)
+        name = _sc_clean(buf[0].rstrip(" ,"))
+        affil_text = _sc_clean(" ".join(buf[1:]))
+        affil = _sc_clean(
+            re.sub(r"\s*\([^()]*\)\s*$", "", affil_text or "")
+            .lstrip(" ,"))
+        scheme = ("SCAS Fellow-in-Residence"
+                  if section == "fellow_in_residence"
+                  else "SCAS Short-Term Researcher")
+        label = ("Former Fellows-in-Residence"
+                 if section == "fellow_in_residence"
+                 else "Former Short-Term Researchers")
+        given, family = _sc_split_name(name)
+        for idx, term in enumerate(_sc_split_terms(term_text), 1):
+            term = _sc_clean(term)
+            sy, ey = _sc_parsed_years(term)
+            seed = "|".join([section, name, affil or "", term, str(idx)])
+            rid = hashlib.md5(seed.encode()).hexdigest()[:12]
+            yp = f"{sy or 'na'}-{ey or 'na'}"
+            fid = (f"scas-{section}-{yp}-{_sc_slug(name)}-"
+                   f"{_sc_slug(term, 36)}-{rid}")
+            desc = (f"{name} is listed by the Swedish Collegium for "
+                    f"Advanced Study as {scheme} for {term}"
+                    + (f"; source affiliation: {affil}." if affil
+                       else "."))
+            expected[fid] = {
+                "fellow_name": name, "given_name": given,
+                "family_name": family, "affiliation": affil,
+                "term": term, "term_sequence": str(idx),
+                "source_section": section, "section_label": label,
+                "scheme_label": scheme,
+                "funding_type": ("fellowship"
+                                 if section == "fellow_in_residence"
+                                 else "research"),
+                "display_name": f"{scheme} {term} - {name}",
+                "description": desc,
+                "start_year": str(sy) if sy else None,
+                "end_year": str(ey) if ey else None,
+                "start_date": (f"{sy:04d}-01-01"
+                               if sy is not None and ey is not None
+                               else None),
+                "end_date": (f"{ey:04d}-12-31"
+                             if sy is not None and ey is not None
+                             else None),
+                "amount": None, "currency": None,
+                "profile_url": profile,
+                "landing_page_url": profile or
+                    "https://www.swedishcollegium.se/fellows/"
+                    "former-fellows/all-former-fellows",
+                "source_page_title": "All former fellows",
+                "source_page_year_range": "1985 - 2024",
+            }
+
+    actual = [r for r in _run(spark, sf_dir, "fellowship_directory_parse")
+              if r.member == "scas"]
+    assert len(actual) == len(expected), (len(actual), len(expected))
+    for r in actual:
+        assert r.funder_award_id in expected, r.funder_award_id
         exp = expected[r.funder_award_id]
         for col, want in exp.items():
             got = getattr(r, col)
