@@ -81,6 +81,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     # round-11 family extension: the SCAS former-fellows arm joined
     # the fellowship-directory union (19 new columns).
     "fellowship_directory_parse",
+    # round-11 family extension: the hewlett FacetWP-card arm joined
+    # the WP-REST union (9 new columns).
+    "wprest_parse_projects",
 ]
 
 # Queries whose defining MODULE changed this round but whose own plan

@@ -1,6 +1,8 @@
-"""WordPress-REST project-parse pair
-(scripts/local/gulbenkian_to_s3.py, scripts/local/velux_stiftung_to_s3.py
-— 2 scripts, the method-2 WP-REST skeleton).
+"""WordPress/FacetWP card-parse family
+(scripts/local/gulbenkian_to_s3.py, scripts/local/velux_stiftung_to_s3.py,
+scripts/local/hewlett_to_s3.py — 3 scripts, the WP card skeleton;
+the hewlett arm's semantics map lives on its inline comment block in
+:func:`_sql`).
 
 Both ingests pull a WP custom-post list (HTTP/pagination = seam) and
 normalize the rendered fields.  Ported compute:
@@ -251,6 +253,207 @@ vx_out AS (
   FROM vx_parsed
 )"""
 
+    # ---- hewlett (round 11) ------------------------------------------------
+    # scripts/local/hewlett_to_s3.py:264-443 (FacetWP card grammar) +
+    # :483-566 (row assembly).  The HTML card extraction is the seam —
+    # the fixture delivers each card's meta block as the ordered text
+    # list `_parse_meta` iterates; the ROUTING (if/elif: '$'-prefix ->
+    # amount, 'Term:'-or-'month(s)'-suffix -> term with the label
+    # stripped, 'Awarded:'/'Award:' -> date with the label regexed off,
+    # LAST match wins per slot) is ported compute, as are parse_amount
+    # ($/comma strip + float coerce), parse_date (the Month D, YYYY
+    # regex anywhere in the text, case-insensitive), parse_term_months
+    # (int(float) of the first number before Month(s)), add_months
+    # (pure y/m arithmetic with the day clamped to min(d, 28)), the
+    # empty-grantee drop, the id scheme (60-char slugs, title slug cut
+    # at 30 WITHOUT re-stripping a trailing dash, 'no-date'->'nodate',
+    # empty parts skipped) and the ordered '-v{n}' collision suffix
+    # (real parallel grants — NOT an error).  declined='False' and the
+    # numeric renders match the reference's astype('string').
+    sp_ = dialect == "spark"
+    if sp_:
+        meta_last = lambda cond: (  # noqa: E731
+            f"try_element_at(filter(meta_texts, t -> {cond}), -1)")
+    else:
+        meta_last = lambda cond: (  # noqa: E731
+            f"list_filter(meta_texts, t -> {cond})[-1]")
+    amt_cond = "t LIKE '$%'"
+    term_cond = ("NOT (t LIKE '$%') AND (contains(t, 'Term:') OR "
+                 "lower(t) LIKE '%month' OR lower(t) LIKE '%months')")
+    date_cond = ("NOT (t LIKE '$%') AND NOT (contains(t, 'Term:') OR "
+                 "lower(t) LIKE '%month' OR lower(t) LIKE '%months') "
+                 "AND (contains(t, 'Awarded:') OR contains(t, 'Award:'))")
+    months_alt = ("January|February|March|April|May|June|July|August|"
+                  "September|October|November|December")
+    hw_date_m = rx("date_awarded_raw",
+                   f"(?i)({months_alt})\\\\s+([0-9]{{1,2}}),\\\\s+"
+                   f"([0-9]{{4}})", 1)
+    hw_date_d = rx("date_awarded_raw",
+                   f"(?i)({months_alt})\\\\s+([0-9]{{1,2}}),\\\\s+"
+                   f"([0-9]{{4}})", 2)
+    hw_date_y = rx("date_awarded_raw",
+                   f"(?i)({months_alt})\\\\s+([0-9]{{1,2}}),\\\\s+"
+                   f"([0-9]{{4}})", 3)
+    month_num = ("CASE lower(hw_mon) WHEN 'january' THEN 1 "
+                 "WHEN 'february' THEN 2 WHEN 'march' THEN 3 "
+                 "WHEN 'april' THEN 4 WHEN 'may' THEN 5 "
+                 "WHEN 'june' THEN 6 WHEN 'july' THEN 7 "
+                 "WHEN 'august' THEN 8 WHEN 'september' THEN 9 "
+                 "WHEN 'october' THEN 10 WHEN 'november' THEN 11 "
+                 "WHEN 'december' THEN 12 END")
+
+    def hw_slug(x: str, cut: int | None = None) -> str:
+        s = (f"substr(trim(BOTH '-' FROM regexp_replace(lower("
+             f"coalesce({x}, '')), '[^a-z0-9]+', '-'{g})), 1, 60)")
+        if cut is not None:
+            s = f"substr({s}, 1, {cut})"
+        return s
+
+    # hoisted (backslashes are banned in f-string expression parts)
+    hw_amount_expr = (
+        "try_cast(trim(replace(replace(coalesce(amount_raw, ''), '$', "
+        "''), ',', '')) AS DOUBLE)")
+    hw_term_expr = (
+        "CAST(floor(try_cast(" + rx(
+            "term_raw", "([0-9]+(?:[.][0-9]+)?)\\\\s*[Mm]onths?", 1)
+        + " AS DOUBLE)) AS INT)")
+    hw_parsed_cte = bar("hw_parsed", "hw_meta",
+        ["k", "grantee", "program", "facetwp_program_id",
+         "project_title", "status", "overview", "amount_raw",
+         "term_raw", "date_awarded_raw", "grantee_website"], [
+        ("amount_f", hw_amount_expr),
+        ("term_mo", hw_term_expr),
+        ("hw_mon", hw_date_m),
+        ("hw_day", hw_date_d),
+        ("hw_year", hw_date_y),
+    ])
+    hw_date_label_strip = (
+        "trim(regexp_replace(" + meta_last(date_cond)
+        + ", '(Awarded|Award):\\\\s*', ''" + g + "))")
+
+    hewlett = f""",
+hw_raw AS (
+  SELECT o_orderkey AS k,
+    concat('Grantee Org ', {cs('o_orderkey % 120')}) AS grantee_raw,
+    CASE CAST(o_orderkey % 9 AS INT)
+      WHEN 0 THEN 'Economy and Society' WHEN 1 THEN 'Education'
+      WHEN 2 THEN 'Effective Philanthropy' WHEN 3 THEN 'Environment'
+      WHEN 4 THEN 'Gender Equity and Governance'
+      WHEN 5 THEN 'Performing Arts' WHEN 6 THEN 'Racial Justice'
+      WHEN 7 THEN 'Special Projects' ELSE 'U.S. Democracy' END
+      AS program,
+    CASE CAST(o_orderkey % 9 AS INT)
+      WHEN 0 THEN '24372977' WHEN 1 THEN '31392' WHEN 2 THEN '31528'
+      WHEN 3 THEN '21943' WHEN 4 THEN '21300' WHEN 5 THEN '31521'
+      WHEN 6 THEN '29057789' WHEN 7 THEN '31532' ELSE '70696' END
+      AS facetwp_program_id,
+    CASE WHEN o_orderkey % 7 = 0 THEN CAST(NULL AS {S})
+      ELSE concat('For general support of project ',
+                  {cs('o_orderkey % 45')}) END AS project_title,
+    CASE WHEN o_orderkey % 2 = 0 THEN 'Active' ELSE 'Closed' END
+      AS status,
+    CASE WHEN o_orderkey % 5 = 0 THEN CAST(NULL AS {S})
+      ELSE concat('Overview of the grant, case ',
+                  {cs('o_orderkey % 71')}) END AS overview,
+    {("array(" if sp_ else "[")}
+      CASE WHEN o_orderkey % 6 <> 0
+        THEN concat('$', {cs('o_orderkey % 900 + 100')}, ',',
+                    lpad({cs('o_orderkey % 1000')}, 3, '0'), '.00') END,
+      CASE WHEN o_orderkey % 11 = 0 THEN '$corrected 2,500.00' END,
+      CASE CAST(o_orderkey % 4 AS INT)
+        WHEN 0 THEN concat('Term: ', {cs('o_orderkey % 48 + 6')},
+                           ' Months')
+        WHEN 1 THEN concat({cs('o_orderkey % 48 + 6')}, '.0 Months')
+        WHEN 2 THEN CAST(NULL AS {S})
+        ELSE '1 month' END,
+      CASE CAST(o_orderkey % 5 AS INT)
+        WHEN 0 THEN concat('Awarded: March ',
+                           {cs('o_orderkey % 28 + 1')}, ', ',
+                           {cs('2015 + o_orderkey % 10')})
+        WHEN 1 THEN concat('Award: July 1, ',
+                           {cs('2015 + o_orderkey % 10')})
+        WHEN 2 THEN 'Awarded: TBD'
+        ELSE CAST(NULL AS {S}) END
+    {(")" if sp_ else "]")} AS meta_texts_raw,
+    CASE WHEN o_orderkey % 8 = 0 THEN CAST(NULL AS {S})
+      ELSE concat('https://grantee', {cs('o_orderkey % 120')},
+                  '.example.org/') END AS grantee_website
+  FROM orders
+),
+hw_meta AS (
+  SELECT *,
+    {meta_last(amt_cond)} AS amount_raw,
+    trim(replace({meta_last(term_cond)}, 'Term:', '')) AS term_raw,
+    {hw_date_label_strip} AS date_awarded_raw,
+    trim(grantee_raw) AS grantee
+  FROM (SELECT *, {("filter(meta_texts_raw, t -> t IS NOT NULL)"
+                    if sp_ else
+                    "list_filter(meta_texts_raw, t -> t IS NOT NULL)")}
+          AS meta_texts FROM hw_raw) z
+  WHERE trim(grantee_raw) <> ''
+),
+{hw_parsed_cte},
+hw_dated AS (
+  SELECT *,
+    CASE WHEN hw_mon IS NOT NULL THEN
+      concat(hw_year, '-', lpad({cs(month_num)}, 2, '0'), '-',
+             lpad({cs('CAST(hw_day AS INT)')}, 2, '0')) END
+      AS start_iso
+  FROM hw_parsed
+),
+hw_assembled AS (
+  SELECT *,
+    CASE WHEN start_iso IS NOT NULL AND term_mo IS NOT NULL
+         AND term_mo <> 0 THEN
+      concat(
+        lpad({cs("CAST(substr(start_iso, 1, 4) AS INT) + CAST(floor((CAST(substr(start_iso, 6, 2) AS INT) + term_mo - 1) / 12.0) AS INT)")}, 4, '0'),
+        '-',
+        lpad({cs("((CAST(substr(start_iso, 6, 2) AS INT) + term_mo - 1) % 12) + 1")}, 2, '0'),
+        '-',
+        lpad({cs("least(CAST(substr(start_iso, 9, 2) AS INT), 28)")}, 2, '0'))
+    END AS end_iso,
+    concat('hewlett-',
+      concat_ws('-',
+        nullif({hw_slug('grantee')}, ''),
+        nullif({hw_slug('program')}, ''),
+        replace(coalesce(start_iso, 'no-date'), '-', ''),
+        nullif({hw_slug('project_title', 30)}, ''))) AS base_id
+  FROM hw_dated
+),
+hw_ids AS (
+  SELECT *, row_number() OVER (PARTITION BY base_id ORDER BY k) AS vrn
+  FROM hw_assembled
+),
+hw_out AS (
+  SELECT 'hewlett' AS member,
+    CASE WHEN vrn = 1 THEN base_id
+         ELSE concat(base_id, '-v', {cs('vrn')}) END AS funder_award_id,
+    {nullcols('project_id', 'slug')},
+    project_title AS title,
+    overview AS description,
+    {nullcols('content_full')},
+    {cs('amount_f')} AS amount,
+    CASE WHEN amount_f IS NOT NULL THEN 'USD' END AS currency,
+    {nullcols('start_year', 'end_year', 'page_date')},
+    start_iso AS date_start, end_iso AS date_end,
+    {nullcols('local_name', 'partners', 'duration', 'beneficiaries',
+              'type_names')},
+    grantee_website AS landing_page_url,
+    grantee, program, facetwp_program_id, status,
+    {cs('term_mo')} AS term_months,
+    amount_raw, term_raw, date_awarded_raw,
+    'False' AS declined
+  FROM hw_ids
+)"""
+
+    hw_extras = ("grantee, program, facetwp_program_id, status, "
+                 "term_months, amount_raw, term_raw, date_awarded_raw, "
+                 "declined")
+    hw_extra_nulls = nullcols(
+        "grantee", "program", "facetwp_program_id", "status",
+        "term_months", "amount_raw", "term_raw", "date_awarded_raw",
+        "declined")
+
     cols = ("member, funder_award_id, project_id, slug, title, "
             "description, content_full, amount, currency, start_year, "
             "end_year, page_date, date_start, date_end, local_name, "
@@ -258,9 +461,10 @@ vx_out AS (
             "landing_page_url")
 
     return f"""
-WITH {gulbenkian}{velux}
-SELECT {cols} FROM gu_out
-UNION ALL SELECT {cols} FROM vx_out
+WITH {gulbenkian}{velux}{hewlett}
+SELECT {cols}, {hw_extras} FROM hw_out
+UNION ALL SELECT {cols}, {hw_extra_nulls} FROM gu_out
+UNION ALL SELECT {cols}, {hw_extra_nulls} FROM vx_out
 """
 
 

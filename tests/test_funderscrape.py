@@ -534,3 +534,29 @@ def test_pa_split_tables_match_reference():
     assert found["CUSTOM_SPLITS"] == PA_CUSTOM_SPLITS
     assert found["ORG_TERMS"] == PA_ORG_TERMS
     assert found["AMOUNT_NOTE"] == PA_AMOUNT_NOTE
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF_DIR), reason="reference absent")
+def test_hewlett_programs_match_reference():
+    """The hewlett arm's program lattice must cover the reference's
+    PROGRAMS list (id, name) exactly, and its currency constant."""
+    import ast
+
+    tree = ast.parse(_read("hewlett"))
+    programs = currency = None
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and len(node.targets) == 1 \
+                and isinstance(node.targets[0], ast.Name):
+            if node.targets[0].id == "PROGRAMS":
+                programs = ast.literal_eval(node.value)
+            elif node.targets[0].id == "CURRENCY":
+                currency = ast.literal_eval(node.value)
+    assert currency == "USD"
+    want = [
+        ("24372977", "Economy and Society"), ("31392", "Education"),
+        ("31528", "Effective Philanthropy"), ("21943", "Environment"),
+        ("21300", "Gender Equity and Governance"),
+        ("31521", "Performing Arts"), ("29057789", "Racial Justice"),
+        ("31532", "Special Projects"), ("70696", "U.S. Democracy"),
+    ]
+    assert programs == want

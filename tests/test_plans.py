@@ -1000,12 +1000,14 @@ def test_microfunder_two_windows_only(spark, sf_dir):
 
 
 def test_wprest_no_shuffle(spark, sf_dir):
-    """WP-REST pair: two barriered scan arms, zero shuffle, no Python,
-    bounded plan."""
+    """WP/FacetWP card family: three barriered scan arms; the only
+    exchange is the hewlett -v{n} collision window (round 11); no
+    Python, bounded plan."""
     plan = _plan(spark, sf_dir, "wprest_parse_projects")
-    assert "Exchange" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
     assert "Generate" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
     df = q.CATALOG["wprest_parse_projects"].spark(spark, sf_dir)
     opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
     assert len(opt) < 100_000, f"plan blow-up: {len(opt)} chars"

@@ -3881,7 +3881,9 @@ def test_wprest_matches_reference_semantics(spark, sf_dir, orders_rows):
             "type_names": {0: None, 1: "Science / Daylight",
                            2: "Humus"}[k % 3],
         }
-    actual = _run(spark, sf_dir, "wprest_parse_projects")
+    # the hewlett arm (round 11) has its own re-derivation below
+    actual = [r for r in _run(spark, sf_dir, "wprest_parse_projects")
+              if r.member != "hewlett"]
     assert len(actual) == len(expected), (len(actual), len(expected))
     for r in actual:
         exp = expected[(r.member, r.funder_award_id)]
@@ -5017,6 +5019,158 @@ def test_scas_matches_reference_semantics(spark, sf_dir, orders_rows):
 
     actual = [r for r in _run(spark, sf_dir, "fellowship_directory_parse")
               if r.member == "scas"]
+    assert len(actual) == len(expected), (len(actual), len(expected))
+    for r in actual:
+        assert r.funder_award_id in expected, r.funder_award_id
+        exp = expected[r.funder_award_id]
+        for col, want in exp.items():
+            got = getattr(r, col)
+            assert got == want, (
+                f"{r.funder_award_id}.{col}: {got!r} != {want!r}")
+
+
+# ---------------------------------------------------------------------------
+# Hewlett arm (scripts/local/hewlett_to_s3.py)
+# ---------------------------------------------------------------------------
+
+_HW_MONTHS = ["January", "February", "March", "April", "May", "June",
+              "July", "August", "September", "October", "November",
+              "December"]
+_HW_DATE_RE = re.compile(
+    r'(January|February|March|April|May|June|July|August|September|'
+    r'October|November|December)\s+(\d{1,2}),\s+(\d{4})', re.IGNORECASE)
+_HW_TERM_RE = re.compile(r'(\d+(?:\.\d+)?)\s*[Mm]onths?')
+
+
+def _hw_parse_meta(pieces):
+    """_parse_meta's routing loop re-typed (hewlett_to_s3.py:285-306)."""
+    out = {"amount_raw": None, "term_raw": None, "date_awarded_raw": None}
+    for text in pieces:
+        if not text:
+            continue
+        if text.startswith("$"):
+            out["amount_raw"] = text
+        elif "Term:" in text or text.lower().endswith("month") \
+                or text.lower().endswith("months"):
+            out["term_raw"] = text.replace("Term:", "").strip()
+        elif "Awarded:" in text or "Award:" in text:
+            out["date_awarded_raw"] = re.sub(
+                r'(Awarded|Award):\s*', '', text).strip()
+    return out
+
+
+def _hw_amount(raw):
+    if not raw:
+        return None
+    try:
+        return float(raw.replace("$", "").replace(",", "").strip())
+    except ValueError:
+        return None
+
+
+def _hw_date(raw):
+    if not raw:
+        return None
+    m = _HW_DATE_RE.search(raw)
+    if not m:
+        return None
+    mon = _HW_MONTHS.index(m.group(1).capitalize()) + 1
+    return f"{m.group(3)}-{mon:02d}-{int(m.group(2)):02d}"
+
+
+def _hw_term(raw):
+    if not raw:
+        return None
+    m = _HW_TERM_RE.search(raw)
+    return int(float(m.group(1))) if m else None
+
+
+def _hw_add_months(iso, months):
+    if not iso or not months:
+        return None
+    y, mo, d = (int(x) for x in iso.split("-"))
+    new_m = mo + months
+    return (f"{y + (new_m - 1) // 12:04d}-"
+            f"{((new_m - 1) % 12) + 1:02d}-{min(d, 28):02d}")
+
+
+def _hw_slug(s):
+    return re.sub(r"[^a-z0-9]+", "-", s.lower()).strip("-")[:60]
+
+
+def test_hewlett_matches_reference_semantics(spark, sf_dir, orders_rows):
+    """Re-derives the meta routing (last match wins per slot), the
+    amount/date/term parses, add_months with the day-28 clamp, the id
+    scheme (title slug cut at 30 without re-strip, 'no-date'->'nodate',
+    empty parts skipped), and the ordered -v{n} collision suffix."""
+    programs = ["Economy and Society", "Education",
+                "Effective Philanthropy", "Environment",
+                "Gender Equity and Governance", "Performing Arts",
+                "Racial Justice", "Special Projects", "U.S. Democracy"]
+    prog_ids = ["24372977", "31392", "31528", "21943", "21300",
+                "31521", "29057789", "31532", "70696"]
+    seen = set()
+    expected = {}
+    for k, _c, _d, _p, _pri in sorted(orders_rows, key=lambda t: t[0]):
+        pieces = []
+        if k % 6 != 0:
+            pieces.append(f"${k % 900 + 100},{k % 1000:03d}.00")
+        if k % 11 == 0:
+            pieces.append("$corrected 2,500.00")
+        pieces.append({
+            0: f"Term: {k % 48 + 6} Months",
+            1: f"{k % 48 + 6}.0 Months",
+            2: None,
+            3: "1 month",
+        }[k % 4])
+        pieces.append({
+            0: f"Awarded: March {k % 28 + 1}, {2015 + k % 10}",
+            1: f"Award: July 1, {2015 + k % 10}",
+            2: "Awarded: TBD",
+            3: None, 4: None,
+        }[k % 5])
+        meta = _hw_parse_meta([p for p in pieces if p is not None])
+        grantee = f"Grantee Org {k % 120}"
+        program = programs[k % 9]
+        title = (None if k % 7 == 0
+                 else f"For general support of project {k % 45}")
+        date_iso = _hw_date(meta["date_awarded_raw"])
+        amount_f = _hw_amount(meta["amount_raw"])
+        term_mo = _hw_term(meta["term_raw"])
+        end_iso = _hw_add_months(date_iso, term_mo)
+        parts = [_hw_slug(grantee), _hw_slug(program),
+                 (date_iso or "no-date").replace("-", ""),
+                 _hw_slug(title or "")[:30]]
+        fid = "hewlett-" + "-".join(p for p in parts if p)
+        if fid in seen:
+            i = 2
+            base = fid
+            while f"{base}-v{i}" in seen:
+                i += 1
+            fid = f"{base}-v{i}"
+        seen.add(fid)
+        expected[fid] = {
+            "grantee": grantee, "program": program,
+            "facetwp_program_id": prog_ids[k % 9],
+            "title": title, "description": (
+                None if k % 5 == 0
+                else f"Overview of the grant, case {k % 71}"),
+            "status": "Active" if k % 2 == 0 else "Closed",
+            "amount": str(amount_f) if amount_f is not None else None,
+            "currency": "USD" if amount_f is not None else None,
+            "term_months": (str(term_mo) if term_mo is not None
+                            else None),
+            "date_start": date_iso, "date_end": end_iso,
+            "amount_raw": meta["amount_raw"],
+            "term_raw": meta["term_raw"],
+            "date_awarded_raw": meta["date_awarded_raw"],
+            "landing_page_url": (
+                None if k % 8 == 0
+                else f"https://grantee{k % 120}.example.org/"),
+            "declined": "False",
+        }
+    actual = [r for r in _run(spark, sf_dir, "wprest_parse_projects")
+              if r.member == "hewlett"]
     assert len(actual) == len(expected), (len(actual), len(expected))
     for r in actual:
         assert r.funder_award_id in expected, r.funder_award_id
