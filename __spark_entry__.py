@@ -84,6 +84,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     # round-11 family extension: the hewlett FacetWP-card arm joined
     # the WP-REST union (9 new columns).
     "wprest_parse_projects",
+    # round-11 family extension: the AOS research-awards arm joined
+    # the method-5 union (9 new columns).
+    "method5_parse_awards",
 ]
 
 # Queries whose defining MODULE changed this round but whose own plan

@@ -1,7 +1,8 @@
 """Method-5 static-HTML scraper family
 (scripts/local/{mott,helmsley,fritz_thyssen,mercator_fellows,
-novo_nordisk_fonden,rj_jubileumsfond,wt_grant}_to_s3.py — 7 scripts,
-one sitemap-discovery skeleton).
+novo_nordisk_fonden,rj_jubileumsfond,wt_grant,aos_research_awards}
+_to_s3.py — 8 scripts, one sitemap-discovery skeleton plus the AOS
+page-walk arm; the AOS semantics map lives on :func:`_aos_arm`).
 
 Each reference script enumerates a publisher's detail pages from
 sitemaps and parses one record per page.  The sitemap crawl, HTTP
@@ -196,6 +197,470 @@ _COLS = (
     "copi_given_name, copi_family_name, copi_org, name_slug, "
     "native_grant_id, landing_page_url"
 )
+
+
+# ---------------------------------------------------------------------------
+# AOS research-awards arm (scripts/local/aos_research_awards_to_s3.py,
+# round 11) — constants + the arm builder
+# ---------------------------------------------------------------------------
+
+AOS_KESSEL_SCHEME = "Kessel Fellowship"
+AOS_LACCR_SCHEME = "Latin American/Caribbean Conservation Research Grant"
+AOS_KESSEL_URL = ("https://americanornithology.org/awards-grants/"
+                  "research-grants/kessel-fellowships/")
+AOS_LACCR_URL = ("https://americanornithology.org/awards-grants/"
+                 "research-grants/latin-american-caribbean-conservation-"
+                 "research-grant/")
+AOS_LACCR_NOTE = (
+    "AOS LACCR pages publish an up-to-$5,000 USD program cap but not "
+    "exact per-recipient award amounts; amount/currency left NULL by "
+    "source authority."
+)
+# parse_laccr_2023's hardcoded spec list (:432-455), verbatim — the
+# third element selects joint vs individual project text
+AOS_LACCR_2023_SPECS = [
+    ("Valentina Gómez-Bahamón",
+     "Eberly Postdoctoral Fellow in the Toews Lab at The Pennsylvania "
+     "State University", "joint"),
+    ("Sergio Estrada Villegas",
+     "Junior Assistant Professor at the Universidad del Rosario, "
+     "Bogotá, Colombia", "joint"),
+    ("María Emilia Rebollo",
+     "Postdoctoral Fellow at CONICET, Argentina; ColBEC (FCEyN, "
+     "UNLPam); INCITAP (CONICET, UNLPam)", "individual"),
+]
+
+_AOS_EXTRA_COLS = (
+    "amount_note", "program_amount_text", "funder_scheme",
+    "funding_type", "program_url", "source_page_title",
+    "source_publication_date", "source_order", "source_hash",
+)
+
+# project_from_text (:244-253): lazy capture up to an Abstract: stop
+# or end, smart/straight quotes optional — RE2-safe (no lookarounds)
+_AOS_PROJ_PAT = ("(?i)(?:Joint project title|Project title|Project)"
+                 "\\\\s*:\\\\s*[“\"]?(.+?)(?:[”\"]?\\\\s+Abstract\\\\s*:"
+                 "|[”\"]?$)")
+
+
+def _aos_arm(dialect: str, g, S, cs, nullcols, rl, rx, elem) -> str:
+    """The AOS arm: three page shapes (heading walk, paragraph-Kessel
+    walk, the hardcoded laccr_2023 specs), re-expressed as exploded
+    node rows + per-page windows (the reference walks each page's
+    (tag, text) node list serially):
+
+    * heading walk (:308-396): scheme transitions ride the two
+      skip-head h2s as a running last-non-null window; record starts
+      are the qualifying h2/h3s (>=2 stripped-name tokens, not the
+      announce line, not '2025 Winners...'); the next ANY-heading
+      bounds the record; the first following <p> is the affiliation
+      and the project is the FIRST project_from_text hit after it;
+      Kessel amounts are $15,000 except the 2025 Teresa Pegan Arctic
+      fellowship ($30,000), LACCR ships NULL amounts with the official
+      cap note;
+    * paragraph walk (:396-430): 'Dr. '-prefixed comma-bearing <p>s
+      (minus the 'Dr. Brina' exclusion) with the project taken from
+      the NEXT node — a candidate without a project is dropped, and
+      the raw post-comma affiliation keeps its leading space inside
+      the description render (the emitted column is cleaned);
+    * laccr_2023 (:432-480): the three-spec constant list with
+      joint-vs-individual project routing.
+
+    strip_name_title / split_person_name (single token -> family
+    only), the 'aos-{scheme}-{year}-{name}-{hash10}' id (md5 for the
+    reference's sha1 — the documented trade), per-page source_order,
+    and the first-12-nodes publication-date scan are shared.
+    retrieved_at is a runtime seam, not emitted.
+    """
+    sp = dialect == "spark"
+    if sp:
+        node_lateral = ("\n  LATERAL VIEW posexplode(nodes) _n AS "
+                        "idx0, nd")
+        idx_expr, tag_expr, text_expr = ("CAST(idx0 + 1 AS INT)",
+                                         "nd.tag", "nd.text")
+
+        def st(tag: str, text: str) -> str:
+            return f"named_struct('tag', '{tag}', 'text', {text})"
+
+        arr = lambda *xs: "array(" + ",\n      ".join(xs) + ")"  # noqa: E731
+        afilter = lambda a, c: f"filter({a}, t -> {c})"  # noqa: E731
+    else:
+        node_lateral = ("\n  CROSS JOIN UNNEST(list_transform(nodes, "
+                        "(t, i) -> {'i': i, 'nd': t})) AS _n(u)")
+        idx_expr, tag_expr, text_expr = ("CAST(u.i AS INT)",
+                                         "u.nd.tag", "u.nd.text")
+
+        def st(tag: str, text: str) -> str:
+            return f"{{'tag': '{tag}', 'text': {text}}}"
+
+        arr = lambda *xs: "[" + ",\n      ".join(xs) + "]"  # noqa: E731
+        afilter = lambda a, c: f"list_filter({a}, t -> {c})"  # noqa: E731
+
+    # clean_text: ws collapse + trim (the HTML strip is the seam)
+    clean = lambda x: (  # noqa: E731
+        f"nullif(trim(regexp_replace(replace(coalesce({x}, ''), "
+        f"chr(160), ' '), '\\\\s+', ' '{g})), '')")
+    # strip_name_title (:164-169)
+    snt = lambda x: (  # noqa: E731
+        "trim(BOTH ' ,' FROM regexp_replace(regexp_replace("
+        + clean(x)
+        + ", '^(Drs?[.]?|Dra[.]?|Mr[.]?|Ms[.]?)\\\\s+', ''" + g + ")"
+        + ", ',?\\\\s*(Ph[.]D[.]|M[.]Sc[.]|M[.]S[.]|MSc|MS|PhD)[.]?$',"
+          " ''" + g + "))")
+    proj_hit = lambda x: (  # noqa: E731
+        f"nullif(trim(BOTH ' “”\"' FROM nullif(regexp_extract("
+        f"coalesce({x}, ''), '{_AOS_PROJ_PAT}', 1), '')), '')")
+    slug = lambda x: (  # noqa: E731
+        "coalesce(nullif(trim(BOTH '-' FROM regexp_replace(lower("
+        f"translate({x}, 'éóíáúñ', 'eoiaun')), '[^a-z0-9]+', '-'{g})), "
+        "''), 'unknown')")
+
+    y16 = cs("CAST(2016 + o_orderkey % 10 AS INT)")
+    # heading pages run on even keys, so their year rides k/2 — that
+    # way 2025 (the Teresa Pegan $30k rule) is reachable
+    half = "CAST(floor(o_orderkey / 2.0) AS INT)"
+    yh = cs(f"CAST(2016 + ({half}) % 10 AS INT)")
+    kk = cs("o_orderkey")
+    kessel_head = "'Kessel Fellowships for Ornithological Research'"
+    laccr_head = "'Latin American/Caribbean Conservation Research Grants'"
+
+    hp_name1 = (f"CASE WHEN ({half}) % 90 = 19 "
+                f"THEN 'Dr. Teresa Pegan' "
+                f"WHEN o_orderkey % 4 = 0 THEN concat('Drs. Jane "
+                f"Smith', {kk}, ', Ph.D.') "
+                f"WHEN o_orderkey % 4 = 2 THEN concat('Ms. Emily van "
+                f"Dorn', {kk}) "
+                f"ELSE concat('Jane Smith', {kk}, ' MSc') END")
+    hp_name2 = (f"CASE WHEN o_orderkey % 6 = 0 THEN 'Cher' "
+                f"ELSE concat('Carlos Mendez', {kk}) END")
+    hp_proj1 = (f"CASE WHEN o_orderkey % 3 <> 0 THEN concat('Project "
+                f"title: “Song learning ', {kk}, '” Abstract: The "
+                f"full abstract follows.') "
+                f"ELSE 'A general congratulations paragraph.' END")
+    hp_proj2 = (f"CASE WHEN o_orderkey % 5 <> 0 THEN concat('Project: "
+                f"\"Forest corridors ', {kk}, '\"') "
+                f"ELSE 'Read the announcement for details.' END")
+
+    heading_nodes = arr(
+        st("h1", "concat('AOS ', year, ' Research Awards')"),
+        st("p", "CASE WHEN o_orderkey % 5 <> 0 THEN concat('15 March '"
+                ", year) ELSE 'Announcement intro text.' END"),
+        # a record BEFORE any transition rides the page default scheme
+        "CASE WHEN o_orderkey % 8 = 0 THEN " + st(
+            "h3", f"concat('Alex Early', {kk})") + " END",
+        "CASE WHEN o_orderkey % 8 = 0 THEN " + st(
+            "p", "'Early-section recipient affiliation'") + " END",
+        st("h2", kessel_head),
+        st("h3", "name1"),
+        st("p", f"concat('PhD Candidate, University ', {kk})"),
+        st("p", "proj1"),
+        st("h3", "'Congratulations'"),
+        st("h2", laccr_head),
+        st("h3", "name2"),
+        st("p", f"concat('Conservation biologist, Reserve ', {kk})"),
+        st("p", "proj2"),
+        st("h2", "'Related Posts'"),
+        st("p", "'Some related announcements.'"),
+    )
+    # heading_nodes evaluates over aos_hp_raw, where the key is `pk`
+    heading_nodes = heading_nodes.replace("o_orderkey", "pk")
+    para_nodes = arr(
+        st("h1", f"concat('Kessel Fellowship Winners ', {y16})"),
+        st("p", f"concat('5 June ', {y16})"),
+        st("p", f"concat('Dr. Alan Turner', {kk}, ', University of "
+                f"Chicago')"),
+        st("p", f"concat('Project: “Migration genomics ', {kk}, '”')"),
+        st("p", "'Dr. Brina Montoya, Example University'"),
+        st("p", "'Project: \"An excluded project\"'"),
+        "CASE WHEN o_orderkey % 3 = 0 THEN " + st(
+            "p", f"concat('Dr. Maria Stone', {kk}, ', Cornell Lab')")
+        + " END",
+        "CASE WHEN o_orderkey % 3 = 0 THEN " + st(
+            "p", "'An unrelated closing paragraph.'") + " END",
+    )
+
+    # hoisted (backslashes are banned in f-string expression parts)
+    pub_date_gate = rl("text",
+                       "^[0-9]{1,2}\\\\s+[A-Za-z]+\\\\s+[0-9]{4}$")
+    dr_prefix_gate = rl("c.text", "^Dr[.]\\\\s")
+    proj_hit_n = proj_hit("n.text")
+    snt_text = snt("text")
+
+    # shared record assembly -------------------------------------------------
+    clean_name = snt("name_text")
+    rec_fields = f"""
+    {clean_name} AS recipient,
+    concat(funder_scheme, ' ', year, ' - ', {clean_name})
+      AS display_name,
+    concat({clean_name},
+      ' is listed by the American Ornithological Society as a ',
+      funder_scheme, ' recipient for ', year, '.',
+      CASE WHEN project_title IS NOT NULL
+           THEN concat(' Project: ', project_title, '.') ELSE '' END,
+      CASE WHEN affil_raw IS NOT NULL
+           THEN concat(' Source affiliation/role: ', affil_raw, '.')
+           ELSE '' END) AS description,
+    substr(md5(concat(year, '|', funder_scheme, '|', {clean_name},
+                      '|', coalesce(project_title, ''))), 1, 10)
+      AS source_hash"""
+
+    name_toks = afilter(
+        "split(clean_name_v, ' +')" if sp else
+        "regexp_split_to_array(clean_name_v, ' +')", "t <> ''")
+    n_toks = ("size" if sp else "len") + f"(({name_toks}))"
+    toks_head = (
+        f"array_join(slice(({name_toks}), 1, ({n_toks}) - 1), ' ')"
+        if sp else
+        f"list_aggr(list_slice(({name_toks}), 1, ({n_toks}) - 1), "
+        f"'string_agg', ' ')")
+
+    return f"""
+aos_hp_raw AS (
+  SELECT o_orderkey AS pk, {yh} AS year,
+    CASE WHEN o_orderkey % 8 = 0 THEN '{AOS_LACCR_SCHEME}'
+         ELSE '{AOS_KESSEL_SCHEME}' END AS default_scheme,
+    {hp_name1} AS name1, {hp_name2} AS name2,
+    {hp_proj1} AS proj1, {hp_proj2} AS proj2
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+aos_hp_pages AS (
+  SELECT pk, year, default_scheme,
+    concat('https://americanornithology.org/', year,
+           '-research-awards-', {cs('pk')}, '/') AS url,
+    concat(year, ' Research Awards - American Ornithological Society')
+      AS page_title,
+    {afilter("nodes_raw", "t IS NOT NULL")} AS nodes
+  FROM (SELECT *, {heading_nodes} AS nodes_raw FROM aos_hp_raw) z
+),
+aos_h_nodes AS (
+  SELECT pk, year, default_scheme, url, page_title,
+         {idx_expr} AS idx, {tag_expr} AS tag, {text_expr} AS text
+  FROM aos_hp_pages{node_lateral}
+),
+aos_h_pub AS (
+  SELECT pk, min_by(text, idx) AS pub_date
+  FROM aos_h_nodes
+  WHERE idx <= 12 AND {pub_date_gate}
+  GROUP BY pk
+),
+aos_h_marks AS (
+  SELECT *,
+    CASE WHEN text = {kessel_head} THEN '{AOS_KESSEL_SCHEME}'
+         WHEN text = {laccr_head} THEN '{AOS_LACCR_SCHEME}' END
+      AS scheme_mark,
+    (text IN ({kessel_head}, {laccr_head}, 'Related Posts',
+              'Leave a Reply Cancel reply')
+     OR text LIKE '2025 Winners%') AS is_skip,
+    {snt_text} AS stripped,
+    lead(idx) OVER (PARTITION BY pk ORDER BY idx) AS next_h_idx
+  FROM aos_h_nodes WHERE tag IN ('h2', 'h3')
+),
+aos_h_starts0 AS (
+  SELECT pk, year, default_scheme, url, page_title, idx AS start_idx,
+         coalesce(next_h_idx, 1000000) AS bound_idx,
+         stripped AS name_stripped, text AS name_text,
+         row_number() OVER (PARTITION BY pk ORDER BY idx)
+           AS source_order
+  FROM aos_h_marks
+  WHERE NOT is_skip
+    AND {("size(filter(split(stripped, ' +'), t -> t <> '')) >= 2"
+          if sp else
+          "len(list_filter(regexp_split_to_array(stripped, ' +'), "
+          "t -> t <> '')) >= 2")}
+    AND NOT contains(stripped,
+                     'American Ornithological Society announces')
+),
+aos_h_trans AS (
+  SELECT pk, idx, scheme_mark FROM aos_h_marks
+  WHERE scheme_mark IS NOT NULL
+),
+aos_h_sch AS (
+  SELECT s.pk, s.start_idx,
+         {("max_by" if sp else "arg_max")}(t.scheme_mark, t.idx)
+           AS running_scheme
+  FROM aos_h_starts0 s
+  JOIN aos_h_trans t ON t.pk = s.pk AND t.idx < s.start_idx
+  GROUP BY s.pk, s.start_idx
+),
+aos_h_starts AS (
+  SELECT s.*, coalesce(c.running_scheme, s.default_scheme)
+           AS funder_scheme
+  FROM aos_h_starts0 s
+  LEFT JOIN aos_h_sch c
+    ON c.pk = s.pk AND c.start_idx = s.start_idx
+),
+aos_h_aff AS (
+  SELECT s.*, a.text AS affil_raw
+  FROM aos_h_starts s
+  LEFT JOIN aos_h_nodes a
+    ON a.pk = s.pk AND a.idx = s.start_idx + 1 AND a.tag = 'p'
+),
+aos_h_proj AS (
+  SELECT h.pk, h.start_idx,
+         min_by({proj_hit_n}, n.idx) AS project_title
+  FROM aos_h_aff h
+  JOIN aos_h_nodes n
+    ON n.pk = h.pk
+   AND n.idx > h.start_idx
+     + CASE WHEN h.affil_raw IS NOT NULL THEN 1 ELSE 0 END
+   AND n.idx < h.bound_idx
+   AND n.tag NOT IN ('h2', 'h3')
+  WHERE {proj_hit_n} IS NOT NULL
+  GROUP BY h.pk, h.start_idx
+),
+aos_h_rows AS (
+  SELECT h.pk, h.year, h.url, h.page_title, h.funder_scheme,
+         h.name_text, h.affil_raw, h.source_order,
+         p.project_title,
+         pub.pub_date, 'heading' AS walk
+  FROM aos_h_aff h
+  LEFT JOIN aos_h_proj p
+    ON p.pk = h.pk AND p.start_idx = h.start_idx
+  LEFT JOIN aos_h_pub pub ON pub.pk = h.pk
+),
+aos_pp_pages AS (
+  SELECT o_orderkey AS pk, {y16} AS year,
+    concat('https://americanornithology.org/', {y16},
+           '-kessel-winners-', {cs('o_orderkey')}, '/') AS url,
+    concat('Kessel Fellowship Winners ', {y16},
+           ' - American Ornithological Society') AS page_title,
+    {afilter("nodes_raw", "t IS NOT NULL")} AS nodes
+  FROM (SELECT o_orderkey, {y16} AS year, {para_nodes} AS nodes_raw
+        FROM orders WHERE o_orderkey % 2 = 1) z
+),
+aos_p_nodes AS (
+  SELECT pk, year, url, page_title,
+         {idx_expr} AS idx, {tag_expr} AS tag, {text_expr} AS text
+  FROM aos_pp_pages{node_lateral}
+),
+aos_p_pub AS (
+  SELECT pk, min_by(text, idx) AS pub_date
+  FROM aos_p_nodes
+  WHERE idx <= 12 AND {pub_date_gate}
+  GROUP BY pk
+),
+aos_p_cands AS (
+  SELECT c.pk, c.year, c.url, c.page_title, c.idx,
+         substr(c.text, 1, {("instr" if sp else "strpos")}(c.text, ',')
+                - 1) AS name_text,
+         substr(c.text, {("instr" if sp else "strpos")}(c.text, ',')
+                + 1) AS affil_raw,
+         {proj_hit("n.text")} AS project_title
+  FROM aos_p_nodes c
+  LEFT JOIN aos_p_nodes n ON n.pk = c.pk AND n.idx = c.idx + 1
+  WHERE c.tag = 'p' AND {dr_prefix_gate}
+    AND contains(c.text, ',')
+    AND NOT c.text LIKE 'Dr. Brina%'
+),
+aos_p_rows AS (
+  SELECT k.pk, k.year, k.url, k.page_title,
+         '{AOS_KESSEL_SCHEME}' AS funder_scheme,
+         k.name_text, k.affil_raw,
+         row_number() OVER (PARTITION BY k.pk ORDER BY k.idx)
+           AS source_order,
+         k.project_title, pub.pub_date, 'para' AS walk
+  FROM aos_p_cands k
+  LEFT JOIN aos_p_pub pub ON pub.pk = k.pk
+  WHERE k.project_title IS NOT NULL
+),
+aos_l_page AS (
+  SELECT
+    concat('Project title: ', '“Raptor nesting in the pampas”',
+           ' Abstract: details follow.') AS ind_text,
+    concat('Joint project title: ', '“Shared migration corridors”',
+           ' Abstract: joint details.') AS joint_text
+  FROM region WHERE r_regionkey = 0
+),
+aos_l_rows AS (
+  SELECT pk, year, url, page_title, funder_scheme, name_text,
+         affil_raw, source_order, project_title, pub_date,
+         'laccr' AS walk
+  FROM (
+    {" UNION ALL ".join(
+        f'''SELECT CAST(-1 AS BIGINT) AS pk, '2023' AS year,
+        'https://americanornithology.org/2023-laccr-grantees/' AS url,
+        '2023 LACCR Grantees - American Ornithological Society'
+          AS page_title,
+        '{AOS_LACCR_SCHEME}' AS funder_scheme,
+        '{nm.replace(chr(39), chr(39) * 2)}' AS name_text,
+        '{aff.replace(chr(39), chr(39) * 2)}' AS affil_raw,
+        {i + 1} AS source_order,
+        {proj_hit("joint_text" if kind == "joint" else "ind_text")}
+          AS project_title,
+        CAST(NULL AS {S}) AS pub_date
+        FROM aos_l_page'''
+        for i, (nm, aff, kind) in enumerate(AOS_LACCR_2023_SPECS))}
+  ) u
+),
+aos_all AS (
+  SELECT * FROM aos_h_rows
+  UNION ALL SELECT * FROM aos_p_rows
+  UNION ALL SELECT * FROM aos_l_rows
+),
+aos_rec AS (
+  SELECT *, {rec_fields},
+    CASE WHEN funder_scheme = '{AOS_KESSEL_SCHEME}' THEN
+      CASE WHEN year = '2025' AND contains({clean_name},
+                                           'Teresa Pegan')
+           THEN '30000' ELSE '15000' END END AS amount,
+    CASE WHEN funder_scheme = '{AOS_KESSEL_SCHEME}' THEN 'USD' END
+      AS currency
+  FROM aos_all
+),
+aos_named AS (
+  SELECT *, recipient AS clean_name_v FROM aos_rec
+),
+aos_out AS (
+  SELECT 'aos' AS member,
+    concat('aos-', {slug("funder_scheme")}, '-', year, '-',
+           {slug("recipient")}, '-', source_hash) AS funder_award_id,
+    {nullcols('slug', 'title')},
+    display_name, recipient,
+    {nullcols('pi_raw')},
+    CASE WHEN ({n_toks}) >= 2 THEN nullif({toks_head}, '') END
+      AS given_name,
+    CASE WHEN ({n_toks}) >= 1 THEN {elem(f"({name_toks})", f"({n_toks})")} END
+      AS family_name,
+    {nullcols('credentials')},
+    {clean("affil_raw")} AS institution,
+    {nullcols('grantee_org', 'prize_name', 'program', 'initiative',
+              'funding_program', 'focus_areas', 'topics', 'subject',
+              'reference_number', 'grant_administrator',
+              'fellowship_program')},
+    amount, {nullcols('amount_raw')}, currency,
+    {nullcols('period_raw', 'date_raw', 'award_date', 'start_date',
+              'end_date', 'start_year', 'end_year')},
+    year AS award_year,
+    {nullcols('term', 'location', 'geographic_focus')},
+    project_title,
+    {nullcols('biography')},
+    description,
+    {nullcols('copi_given_name', 'copi_family_name', 'copi_org',
+              'name_slug', 'native_grant_id')},
+    url AS landing_page_url,
+    CASE WHEN funder_scheme <> '{AOS_KESSEL_SCHEME}'
+           THEN '{AOS_LACCR_NOTE}'
+         WHEN walk = 'para'
+           THEN 'AOS announcement states these Kessel Fellowships were $15,000 each.'
+         ELSE 'AOS announcement states one 2025 Arctic Kessel Fellowship was $30,000 and other Kessel Fellowships in this corpus were $15,000.'
+      END AS amount_note,
+    CASE WHEN funder_scheme <> '{AOS_KESSEL_SCHEME}'
+           THEN 'up to $5,000 USD'
+         WHEN walk = 'para' THEN '$15,000'
+         ELSE 'Kessel announcements publish exact USD amounts.'
+      END AS program_amount_text,
+    funder_scheme,
+    CASE WHEN funder_scheme = '{AOS_KESSEL_SCHEME}'
+         THEN 'fellowship' ELSE 'research' END AS funding_type,
+    CASE WHEN funder_scheme = '{AOS_KESSEL_SCHEME}'
+         THEN '{AOS_KESSEL_URL}' ELSE '{AOS_LACCR_URL}' END
+      AS program_url,
+    page_title AS source_page_title,
+    pub_date AS source_publication_date,
+    {cs('source_order')} AS source_order,
+    source_hash
+  FROM aos_named
+)"""
 
 
 def _sql(dialect: str) -> str:
@@ -882,15 +1347,20 @@ wt_out AS (
   FROM wt_parsed WHERE title IS NOT NULL
 )"""
 
+    aos = _aos_arm(dialect, g, S, cs, nullcols, rl, rx, elem)
+    aos_nulls = nullcols(*_AOS_EXTRA_COLS)
+    aos_extras = ", ".join(_AOS_EXTRA_COLS)
+
     return f"""
-WITH {mott},{helmsley},{fritz},{mercator},{novo},{rj},{wt}
-SELECT {_COLS} FROM mt_out
-UNION ALL SELECT {_COLS} FROM hm_out
-UNION ALL SELECT {_COLS} FROM ft_out
-UNION ALL SELECT {_COLS} FROM me_out
-UNION ALL SELECT {_COLS} FROM nv_out
-UNION ALL SELECT {_COLS} FROM rj_out
-UNION ALL SELECT {_COLS} FROM wt_out
+WITH {mott},{helmsley},{fritz},{mercator},{novo},{rj},{wt},{aos}
+SELECT {_COLS}, {aos_extras} FROM aos_out
+UNION ALL SELECT {_COLS}, {aos_nulls} FROM mt_out
+UNION ALL SELECT {_COLS}, {aos_nulls} FROM hm_out
+UNION ALL SELECT {_COLS}, {aos_nulls} FROM ft_out
+UNION ALL SELECT {_COLS}, {aos_nulls} FROM me_out
+UNION ALL SELECT {_COLS}, {aos_nulls} FROM nv_out
+UNION ALL SELECT {_COLS}, {aos_nulls} FROM rj_out
+UNION ALL SELECT {_COLS}, {aos_nulls} FROM wt_out
 """
 
 
@@ -906,10 +1376,10 @@ def _build(dialect: str) -> str:
     "method5_parse_awards",
     oracle=_build("duck"),
     tags=("domain", "awards", "scrape"),
-    tables=("orders",),
+    tables=("orders", "region"),
     doc=("Method-5 static-HTML scraper family (scripts/local/{mott,"
          "helmsley,fritz_thyssen,mercator_fellows,novo_nordisk_fonden,"
-         "rj_jubileumsfond,wt_grant}_to_s3.py)"),
+         "rj_jubileumsfond,wt_grant,aos_research_awards}_to_s3.py)"),
 )
 def method5_parse_awards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seven method-5 publishers in one union plan (module docstring

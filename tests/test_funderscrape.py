@@ -560,3 +560,50 @@ def test_hewlett_programs_match_reference():
         ("31532", "Special Projects"), ("70696", "U.S. Democracy"),
     ]
     assert programs == want
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF_DIR), reason="reference absent")
+def test_aos_constants_match_reference():
+    """The AOS arm ships the scheme names, program URLs, the LACCR
+    note, and parse_laccr_2023's hardcoded spec list as data —
+    AST-extract all of them from aos_research_awards_to_s3.py."""
+    import ast
+
+    from openalex_walden_spark.queries.method5 import (
+        AOS_KESSEL_SCHEME,
+        AOS_KESSEL_URL,
+        AOS_LACCR_2023_SPECS,
+        AOS_LACCR_NOTE,
+        AOS_LACCR_SCHEME,
+        AOS_LACCR_URL,
+    )
+
+    tree = ast.parse(_read("aos_research_awards"))
+    found = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and len(node.targets) == 1 \
+                and isinstance(node.targets[0], ast.Name):
+            name = node.targets[0].id
+            if name in ("KESSEL_SCHEME", "LACCR_SCHEME",
+                        "PROGRAM_URLS"):
+                found[name] = ast.literal_eval(node.value)
+            elif name == "specs" and isinstance(node.value, ast.List):
+                # tuples are (str, str, Name) — the Name routes the
+                # joint vs individual project variable
+                found[name] = [
+                    (t.elts[0].value, t.elts[1].value, t.elts[2].id)
+                    for t in node.value.elts
+                ]
+    assert found["KESSEL_SCHEME"] == AOS_KESSEL_SCHEME
+    assert found["LACCR_SCHEME"] == AOS_LACCR_SCHEME
+    assert found["PROGRAM_URLS"]["kessel"] == AOS_KESSEL_URL
+    assert found["PROGRAM_URLS"]["laccr"] == AOS_LACCR_URL
+    # the laccr_2023 specs: (name, affiliation) pairs in order; the
+    # third element of the port's tuples routes joint-vs-individual
+    want = [(n, a, "joint_project" if k == "joint"
+             else "individual_project")
+            for n, a, k in AOS_LACCR_2023_SPECS]
+    assert found["specs"] == want
+    src = _read("aos_research_awards")
+    assert AOS_LACCR_NOTE.replace("\n", "") in re.sub(
+        r'"\s*\n\s*"', "", src).replace("\n", "")

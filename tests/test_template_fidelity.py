@@ -2885,7 +2885,9 @@ def test_method5_matches_reference_semantics(spark, sf_dir, orders_rows):
                 "description": (None if k % 3 == 0 else
                                 f"How programs shape outcomes, case {k}"),
             }
-    actual = _run(spark, sf_dir, "method5_parse_awards")
+    # the aos arm (round 11) has its own re-derivation below
+    actual = [r for r in _run(spark, sf_dir, "method5_parse_awards")
+              if r.member != "aos"]
     assert len(actual) == len(expected), (len(actual), len(expected))
     for r in actual:
         exp = expected[(r.member, r.funder_award_id)]
@@ -5171,6 +5173,284 @@ def test_hewlett_matches_reference_semantics(spark, sf_dir, orders_rows):
         }
     actual = [r for r in _run(spark, sf_dir, "wprest_parse_projects")
               if r.member == "hewlett"]
+    assert len(actual) == len(expected), (len(actual), len(expected))
+    for r in actual:
+        assert r.funder_award_id in expected, r.funder_award_id
+        exp = expected[r.funder_award_id]
+        for col, want in exp.items():
+            got = getattr(r, col)
+            assert got == want, (
+                f"{r.funder_award_id}.{col}: {got!r} != {want!r}")
+
+
+# ---------------------------------------------------------------------------
+# AOS arm (scripts/local/aos_research_awards_to_s3.py)
+# ---------------------------------------------------------------------------
+
+_AOS_PROJ_RE = re.compile(
+    r"(?:Joint project title|Project title|Project)\s*:\s*[“\"]?(.+?)"
+    r"(?:[”\"]?\s+Abstract\s*:|[”\"]?$)", re.IGNORECASE)
+
+
+def _aos_clean(v):
+    if v is None:
+        return None
+    t = re.sub(r"\s+", " ", str(v).replace(" ", " ")).strip()
+    return t or None
+
+
+def _aos_snt(value):
+    name = _aos_clean(value) or ""
+    name = re.sub(r"^(Drs?\.?|Dra\.?|Mr\.?|Ms\.?)\s+", "", name)
+    name = re.sub(r",?\s*(Ph\.D\.|M\.Sc\.|M\.S\.|MSc|MS|PhD)\.?$", "",
+                  name)
+    return _aos_clean(name.strip(" ,")) or ""
+
+
+def _aos_split(value):
+    name = _aos_snt(value)
+    parts = name.split()
+    if not parts:
+        return None, None
+    if len(parts) == 1:
+        return None, parts[0]
+    return " ".join(parts[:-1]), parts[-1]
+
+
+def _aos_proj(text):
+    m = _AOS_PROJ_RE.search(text)
+    return _aos_clean(m.group(1).strip(" “”\"")) if m else None
+
+
+def _aos_slug(value):
+    import unicodedata
+    ascii_text = unicodedata.normalize("NFKD", value).encode(
+        "ascii", "ignore").decode("ascii")
+    return re.sub(r"[^a-z0-9]+", "-", ascii_text.lower()).strip("-") \
+        or "unknown"
+
+
+def _aos_pub(nodes):
+    for _tag, text in nodes[:12]:
+        if re.fullmatch(r"\d{1,2}\s+[A-Za-z]+\s+\d{4}", text):
+            return text
+    return None
+
+
+def _aos_record(name, affiliation, project_title, scheme, year,
+                amount, currency, amount_note, program_amount_text,
+                url, page_title, pub_date, order):
+    from openalex_walden_spark.queries.method5 import (
+        AOS_KESSEL_SCHEME,
+        AOS_KESSEL_URL,
+        AOS_LACCR_URL,
+    )
+
+    clean_name = _aos_snt(name)
+    given, family = _aos_split(clean_name)
+    key = f"{year}|{scheme}|{clean_name}|{project_title or ''}"
+    h = hashlib.md5(key.encode()).hexdigest()[:10]
+    parts = [f"{clean_name} is listed by the American Ornithological "
+             f"Society as a {scheme} recipient for {year}."]
+    if project_title:
+        parts.append(f"Project: {project_title}.")
+    if affiliation:
+        parts.append(f"Source affiliation/role: {affiliation}.")
+    return {
+        "funder_award_id": (f"aos-{_aos_slug(scheme)}-{year}-"
+                            f"{_aos_slug(clean_name)}-{h}"),
+        "display_name": f"{scheme} {year} - {clean_name}",
+        "description": " ".join(parts),
+        "recipient": clean_name, "given_name": given,
+        "family_name": family,
+        "institution": _aos_clean(affiliation),
+        "project_title": _aos_clean(project_title),
+        "award_year": year, "amount": amount, "currency": currency,
+        "amount_note": amount_note,
+        "program_amount_text": program_amount_text,
+        "funder_scheme": scheme,
+        "funding_type": ("fellowship" if scheme == AOS_KESSEL_SCHEME
+                         else "research"),
+        "landing_page_url": url,
+        "program_url": (AOS_KESSEL_URL if scheme == AOS_KESSEL_SCHEME
+                        else AOS_LACCR_URL),
+        "source_page_title": page_title,
+        "source_publication_date": pub_date,
+        "source_order": str(order), "source_hash": h,
+    }
+
+
+def test_aos_matches_reference_semantics(spark, sf_dir, orders_rows):
+    """Re-runs the reference's three page walks (re-typed verbatim:
+    the heading walk with scheme transitions / skip heads / i=j jumps,
+    the paragraph-Kessel walk with the Dr.-prefix gate and the
+    project-required drop, and the hardcoded laccr_2023 specs) over
+    the fixture node streams and compares every AOS row."""
+    from openalex_walden_spark.queries.method5 import (
+        AOS_KESSEL_SCHEME,
+        AOS_LACCR_2023_SPECS,
+        AOS_LACCR_NOTE,
+        AOS_LACCR_SCHEME,
+    )
+
+    kessel_head = "Kessel Fellowships for Ornithological Research"
+    laccr_head = "Latin American/Caribbean Conservation Research Grants"
+    skip_heads = {kessel_head, laccr_head, "Related Posts",
+                  "Leave a Reply Cancel reply"}
+    expected = {}
+
+    def heading_walk(nodes, default_scheme, year, url, page_title):
+        pub = _aos_pub(nodes)
+        rows = []
+        scheme = default_scheme
+        i = 0
+        while i < len(nodes):
+            tag, text = nodes[i]
+            if tag == "h2" and text in skip_heads:
+                if "Kessel" in text:
+                    scheme = AOS_KESSEL_SCHEME
+                elif "Latin American/Caribbean" in text:
+                    scheme = AOS_LACCR_SCHEME
+                i += 1
+                continue
+            if tag in ("h2", "h3") and text not in skip_heads \
+                    and not text.startswith("2025 Winners"):
+                name = _aos_snt(text)
+                if len(name.split()) < 2 or \
+                        "American Ornithological Society announces" \
+                        in name:
+                    i += 1
+                    continue
+                affiliation = None
+                project = None
+                j = i + 1
+                if j < len(nodes) and nodes[j][0] == "p":
+                    affiliation = nodes[j][1]
+                    j += 1
+                while j < len(nodes) and nodes[j][0] not in ("h2", "h3"):
+                    found = _aos_proj(nodes[j][1])
+                    if found and not project:
+                        project = found
+                    j += 1
+                if scheme == AOS_KESSEL_SCHEME:
+                    amount = ("30000" if year == "2025"
+                              and "Teresa Pegan" in name else "15000")
+                    currency = "USD"
+                    note = ("AOS announcement states one 2025 Arctic "
+                            "Kessel Fellowship was $30,000 and other "
+                            "Kessel Fellowships in this corpus were "
+                            "$15,000.")
+                    pat = ("Kessel announcements publish exact USD "
+                           "amounts.")
+                else:
+                    amount = currency = None
+                    note = AOS_LACCR_NOTE
+                    pat = "up to $5,000 USD"
+                rows.append(_aos_record(
+                    name, affiliation, project, scheme, year, amount,
+                    currency, note, pat, url, page_title, pub,
+                    len(rows) + 1))
+                i = j
+                continue
+            i += 1
+        return rows
+
+    def para_walk(nodes, year, url, page_title):
+        pub = _aos_pub(nodes)
+        rows = []
+        i = 0
+        while i < len(nodes):
+            tag, text = nodes[i]
+            if tag == "p" and re.match(r"Dr\.\s+", text) \
+                    and "," in text and not text.startswith("Dr. Brina"):
+                name_part, affiliation = text.split(",", 1)
+                project = (_aos_proj(nodes[i + 1][1])
+                           if i + 1 < len(nodes) else None)
+                if project:
+                    rows.append(_aos_record(
+                        name_part, affiliation, project,
+                        AOS_KESSEL_SCHEME, year, "15000", "USD",
+                        "AOS announcement states these Kessel "
+                        "Fellowships were $15,000 each.", "$15,000",
+                        url, page_title, pub, len(rows) + 1))
+                    i += 2
+                    continue
+            i += 1
+        return rows
+
+    for k, _c, _d, _p, _pri in orders_rows:
+        if k % 2 == 0:
+            year = str(2016 + (k // 2) % 10)
+            default = (AOS_LACCR_SCHEME if k % 8 == 0
+                       else AOS_KESSEL_SCHEME)
+            name1 = ("Dr. Teresa Pegan" if (k // 2) % 90 == 19
+                     else f"Drs. Jane Smith{k}, Ph.D." if k % 4 == 0
+                     else f"Ms. Emily van Dorn{k}" if k % 4 == 2
+                     else f"Jane Smith{k} MSc")
+            name2 = "Cher" if k % 6 == 0 else f"Carlos Mendez{k}"
+            proj1 = (f"Project title: “Song learning {k}” "
+                     f"Abstract: The full abstract follows."
+                     if k % 3 != 0
+                     else "A general congratulations paragraph.")
+            proj2 = (f'Project: "Forest corridors {k}"'
+                     if k % 5 != 0
+                     else "Read the announcement for details.")
+            nodes = [("h1", f"AOS {year} Research Awards"),
+                     ("p", f"15 March {year}" if k % 5 != 0
+                      else "Announcement intro text.")]
+            if k % 8 == 0:
+                nodes.append(("h3", f"Alex Early{k}"))
+                nodes.append(("p", "Early-section recipient "
+                                   "affiliation"))
+            nodes += [("h2", kessel_head), ("h3", name1),
+                      ("p", f"PhD Candidate, University {k}"),
+                      ("p", proj1), ("h3", "Congratulations"),
+                      ("h2", laccr_head), ("h3", name2),
+                      ("p", f"Conservation biologist, Reserve {k}"),
+                      ("p", proj2), ("h2", "Related Posts"),
+                      ("p", "Some related announcements.")]
+            url = (f"https://americanornithology.org/{year}"
+                   f"-research-awards-{k}/")
+            page_title = (f"{year} Research Awards - American "
+                          f"Ornithological Society")
+            rows = heading_walk(nodes, default, year, url, page_title)
+        else:
+            year = str(2016 + k % 10)
+            nodes = [("h1", f"Kessel Fellowship Winners {year}"),
+                     ("p", f"5 June {year}"),
+                     ("p", f"Dr. Alan Turner{k}, University of "
+                           f"Chicago"),
+                     ("p", f"Project: “Migration genomics {k}”"),
+                     ("p", "Dr. Brina Montoya, Example University"),
+                     ("p", 'Project: "An excluded project"')]
+            if k % 3 == 0:
+                nodes += [("p", f"Dr. Maria Stone{k}, Cornell Lab"),
+                          ("p", "An unrelated closing paragraph.")]
+            url = (f"https://americanornithology.org/{year}"
+                   f"-kessel-winners-{k}/")
+            page_title = (f"Kessel Fellowship Winners {year} - "
+                          f"American Ornithological Society")
+            rows = para_walk(nodes, year, url, page_title)
+        for row in rows:
+            expected[row["funder_award_id"]] = row
+
+    # laccr_2023 page (one instance)
+    joint = _aos_proj("Joint project title: “Shared migration "
+                      "corridors” Abstract: joint details.")
+    ind = _aos_proj("Project title: “Raptor nesting in the pampas” "
+                    "Abstract: details follow.")
+    for i, (nm, aff, kind) in enumerate(AOS_LACCR_2023_SPECS):
+        row = _aos_record(
+            nm, aff, joint if kind == "joint" else ind,
+            AOS_LACCR_SCHEME, "2023", None, None, AOS_LACCR_NOTE,
+            "up to $5,000 USD",
+            "https://americanornithology.org/2023-laccr-grantees/",
+            "2023 LACCR Grantees - American Ornithological Society",
+            None, i + 1)
+        expected[row["funder_award_id"]] = row
+
+    actual = [r for r in _run(spark, sf_dir, "method5_parse_awards")
+              if r.member == "aos"]
     assert len(actual) == len(expected), (len(actual), len(expected))
     for r in actual:
         assert r.funder_award_id in expected, r.funder_award_id
