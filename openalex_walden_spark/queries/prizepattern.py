@@ -1,7 +1,8 @@
 """Prize-pattern scraper family
 (scripts/local/{bbva_frontiers,crafoord_prize,dan_david_prize,
-millennium_prize,princess_asturias}_to_s3.py — 5 scripts, one
-prize-ingest kit).
+millennium_prize,princess_asturias,stockholm_water_prize}_to_s3.py —
+6 scripts, one prize-ingest kit; the stockholm_water_prize semantics
+map lives on its inline comment block in :func:`_sql`).
 
 The four prize ingests share a kit — ``collapse_text`` (NBSP, ws
 collapse, space-before-punctuation fix), ``slugify`` with the
@@ -245,6 +246,30 @@ PA_AMOUNT_NOTE = (
     "official laureate source; the Databricks notebook therefore maps "
     "amount to NULL."
 )
+
+# ---------------------------------------------------------------------------
+# stockholm_water_prize (scripts/local/stockholm_water_prize_to_s3.py,
+# round 11) — the URL-slug country vocabulary (:316-333), verbatim
+# (AST-pinned by tests/test_funderscrape.py).
+# ---------------------------------------------------------------------------
+SWP_COUNTRY_TOKENS = {
+    "usa", "uk", "canada", "australia", "switzerland", "japan",
+    "israel", "germany", "sweden", "denmark", "netherlands", "france",
+    "italy", "spain", "norway", "finland", "india", "china", "korea",
+    "brazil", "south", "africa", "great", "britain", "new", "zealand",
+    "egypt", "kenya", "iran", "iraq", "lebanon", "bangladesh",
+    "pakistan", "thailand", "vietnam", "indonesia", "philippines",
+    "mexico", "chile", "argentina", "peru", "colombia", "venezuela",
+    "uruguay", "paraguay", "bolivia", "ecuador",
+}
+# _ORG_TOKENS_RE (:402-407) alternation, verbatim
+SWP_ORG_ALT = ("Department|Institute|Foundation|University|Laboratory|"
+               "Center|Centre|Agency|Society|Association|Council|"
+               "Commission|Ministry|WaterAid|Water Aid")
+# split_name's degree suffixes (:368-369), compared CASE-SENSITIVELY
+# after rstrip('.') — 'phd' lowercase does NOT match (preserved quirk)
+SWP_DEGREES = ("PhD", "Ph.D", "MD", "M.D", "DPhil", "ScD", "Jr", "Sr",
+               "II", "III", "IV")
 
 
 def _helpers(dialect: str):
@@ -970,6 +995,263 @@ pa_out AS (
   FROM pa_parsed
 )"""
 
+    # ---- stockholm_water_prize (round 11) -----------------------------------
+    # scripts/local/stockholm_water_prize_to_s3.py:263-480.  The card
+    # regex over the listing HTML is the seam — the fixture delivers
+    # each card's (year, name, citation, url).  Ported compute: the
+    # country-from-name rule (first ' and '-split recipient's
+    # last-comma tail, validated '[A-Za-z][A-Za-z \\-]{1,40}', falling
+    # back to the WHOLE name's tail when the first recipient has no
+    # comma), name_stripped (country suffix removed, joint tail
+    # re-attached), the URL-slug parse (year-prefix strip, the
+    # LAST '-and-' segment, right-to-left COUNTRY_TOKENS pop with
+    # USA/UK-uppercase else capitalize — and the preserved QUIRK that
+    # a joint URL's slug loses the first laureate), the name-derived-
+    # country-wins precedence, the (year, lower(name)) keep-first
+    # dedup, the org detector (word-boundary token hit AND NOT a
+    # dr/prof/sir prefix), split_name (joint gate takes the FIRST
+    # recipient, honorific strip, ';'->',' first-comma-part, the
+    # CASE-SENSITIVE degree pop — lowercase 'phd' does NOT match,
+    # preserved), the 'stockholm-water-prize-{year}-{slug}' ids
+    # (collision RAISE = validation the fixture satisfies), NULL
+    # amount AND NULL currency (CURRENCY = None), Jan-1/Dec-31 year
+    # dates, and the astype('string') renders ('True'/'False' for
+    # is_joint/declined).
+    swp_first_pat = "^(.*?)\\\\s+[Aa][Nn][Dd]\\\\s+(.*)$"
+    swp_first = (f"coalesce(nullif(regexp_extract(name, "
+                 f"'{swp_first_pat}', 1), ''), name)")
+    swp_joint_tail = (f"nullif(regexp_extract(name, '{swp_first_pat}', "
+                      f"2), '')")
+    swp_tail_src = (f"CASE WHEN contains(first_rec, ',') THEN first_rec"
+                    f" ELSE name END")
+    swp_tail = f"trim(regexp_extract({swp_tail_src}, ',([^,]*)$', 1))"
+    _swp_ctry_pat = "^[A-Za-z][A-Za-z \\\\-]{1,40}$"
+    _swp_tail_gate = rl(f"({swp_tail})", _swp_ctry_pat)
+    swp_country_name = (
+        f"CASE WHEN {_swp_tail_gate} "
+        f"AND ({swp_tail}) <> '' THEN {swp_tail} END")
+    swp_stripped0 = (
+        "CASE WHEN contains(first_rec, ',') AND country_name IS NOT "
+        "NULL THEN trim(regexp_replace(first_rec, ',[^,]*$', '')) "
+        "ELSE first_rec END")
+    swp_url_tail = ("nullif(regexp_extract(coalesce(url, ''), "
+                    "'/laureates/([0-9]{4})-(.+?)/?$', 2), '')")
+    swp_base = ("CASE WHEN contains(url_tail, '-and-') THEN "
+                "regexp_extract(url_tail, '(?:.*-and-)(.*)', 1) "
+                "ELSE url_tail END")
+    if dialect == "spark":
+        swp_toks = "filter(split(base, '-'), x -> x <> '')"
+        swp_boundary = (f"coalesce(array_max(zip_with(({swp_toks}), "
+                        f"sequence(1, size(({swp_toks}))), (t, i) -> "
+                        f"CASE WHEN lower(t) NOT IN "
+                        f"({', '.join(repr(t) for t in sorted(SWP_COUNTRY_TOKENS))})"
+                        f" THEN i END)), 0)")
+        swp_ctoks = (f"slice(({swp_toks}), ({swp_boundary}) + 1, "
+                     f"size(({swp_toks})) - ({swp_boundary}))")
+        swp_slug_url = (f"CASE WHEN ({swp_boundary}) >= 1 THEN "
+                        f"array_join(slice(({swp_toks}), 1, "
+                        f"({swp_boundary})), '-') END")
+        swp_country_url = (
+            f"CASE WHEN size({swp_ctoks}) > 0 THEN array_join("
+            f"transform({swp_ctoks}, t -> CASE WHEN lower(t) IN "
+            f"('usa', 'uk') THEN upper(t) ELSE initcap(t) END), ' ') "
+            f"END")
+        swp_name_toks = "filter(split(base_name, ' +'), x -> x <> '')"
+        swp_deg_keep = (
+            f"coalesce(array_max(zip_with(({swp_name_toks}), "
+            f"sequence(1, size(({swp_name_toks}))), (t, i) -> "
+            f"CASE WHEN trim(TRAILING '.' FROM t) NOT IN "
+            f"({', '.join(repr(d) for d in SWP_DEGREES)}) THEN i END)), 0)")
+        swp_head = (f"array_join(slice(({swp_name_toks}), 1, "
+                    f"({swp_deg_keep}) - 1), ' ')")
+    else:
+        swp_toks = "list_filter(regexp_split_to_array(base, '-'), x -> x <> '')"
+        swp_boundary = (f"coalesce(list_max(list_transform(({swp_toks}),"
+                        f" (t, i) -> CASE WHEN lower(t) NOT IN "
+                        f"({', '.join(repr(t) for t in sorted(SWP_COUNTRY_TOKENS))})"
+                        f" THEN i END)), 0)")
+        swp_ctoks = (f"list_slice(({swp_toks}), ({swp_boundary}) + 1, "
+                     f"len(({swp_toks})))")
+        swp_slug_url = (f"CASE WHEN ({swp_boundary}) >= 1 THEN "
+                        f"list_aggr(list_slice(({swp_toks}), 1, "
+                        f"({swp_boundary})), 'string_agg', '-') END")
+        swp_country_url = (
+            f"CASE WHEN len({swp_ctoks}) > 0 THEN list_aggr("
+            f"list_transform({swp_ctoks}, t -> CASE WHEN lower(t) IN "
+            f"('usa', 'uk') THEN upper(t) ELSE "
+            f"concat(upper(substr(t, 1, 1)), lower(substr(t, 2))) END),"
+            f" 'string_agg', ' ') END")
+        swp_name_toks = ("list_filter(regexp_split_to_array(base_name, "
+                         "' +'), x -> x <> '')")
+        swp_deg_keep = (
+            f"coalesce(list_max(list_transform(({swp_name_toks}), "
+            f"(t, i) -> CASE WHEN trim(TRAILING '.' FROM t) NOT IN "
+            f"({', '.join(repr(d) for d in SWP_DEGREES)}) THEN i END)),"
+            f" 0)")
+        swp_head = (f"list_aggr(list_slice(({swp_name_toks}), 1, "
+                    f"({swp_deg_keep}) - 1), 'string_agg', ' ')")
+    swp_is_org = (
+        f"({rl('name', '(?i)' + chr(92) + chr(92) + 'b(' + SWP_ORG_ALT + ')' + chr(92) + chr(92) + 'b')} "
+        f"AND NOT (lower(name) LIKE 'dr%' OR lower(name) LIKE 'prof%' "
+        f"OR lower(name) LIKE 'sir%'))")
+    swp_split_src = "coalesce(name_stripped, name)"
+    swp_honor = ("trim(regexp_replace({src}, "
+                 "'^(?i)(Dr[.]?|Prof[.]?|Professor|Mr[.]?|Ms[.]?|"
+                 "Mrs[.]?|Sir|Dame)\\\\s+', ''))")
+    swp_first_of_split = (
+        f"coalesce(nullif(regexp_extract({swp_split_src}, "
+        f"'{swp_first_pat}', 1), ''), {swp_split_src})")
+    swp_base_name = (
+        "trim(" + elem(
+            ("filter(split(replace("
+             + swp_honor.format(src=swp_first_of_split)
+             + ", ';', ','), ','), x -> true)" if dialect == "spark"
+             else "list_filter(regexp_split_to_array(replace("
+             + swp_honor.format(src=swp_first_of_split)
+             + ", ';', ','), ','), x -> true)"), "1") + ")")
+    swp_nameslug = ("substr(trim(BOTH '-' FROM regexp_replace("
+                    "lower(name), '[^a-z0-9]+', '-'" + g + ")), 1, 60)")
+
+    swp = f""",
+swp_cards AS (
+  -- parse_listing's seen-set dedup (:270,:345-348): keep the FIRST
+  -- card per (year, lower(name)) in feed order
+  SELECT year, name, citation, url FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY year, lower(name) ORDER BY seq) AS srn
+    FROM (
+    SELECT o_orderkey AS seq,
+      CAST(1991 + o_orderkey % 35 AS INT) AS year,
+      CASE CAST(o_orderkey % 8 AS INT)
+        WHEN 0 THEN concat('Professor Kaveh Madani', {ks}, ', Iran')
+        WHEN 1 THEN concat('Werner Stumm', {ks},
+                           ', Switzerland and James J. Morgan', {ks},
+                           ', USA')
+        WHEN 2 THEN concat('Dr. Rita Colwell', {ks},
+                           ' and Johns Hopkins', {ks}, ', USA')
+        WHEN 3 THEN 'WaterAid'
+        WHEN 4 THEN concat('Department of Water Affairs', {ks},
+                           ', South Africa')
+        WHEN 5 THEN concat('Sir Peter Wilson', {ks}, ' PhD, UK')
+        WHEN 6 THEN concat('Madhav Chitale', {ks})
+        ELSE concat('Professor John Anthony Allan', {ks},
+                    ', Great Britain') END AS name,
+      CASE WHEN o_orderkey % 9 = 0 THEN CAST(NULL AS {S})
+        ELSE concat('for pioneering water research, case ', {ks}) END
+        AS citation,
+      CASE WHEN o_orderkey % 4 = 0 THEN CAST(NULL AS {S})
+        ELSE concat('https://siwi.org/laureates/',
+          {cs('1991 + o_orderkey % 35')}, '-',
+          CASE CAST(o_orderkey % 8 AS INT)
+            WHEN 0 THEN concat('professor-kaveh-madani', {ks}, '-iran')
+            WHEN 1 THEN concat('werner-stumm', {ks},
+                               '-switzerland-and-james-j-morgan',
+                               {ks}, '-usa')
+            WHEN 2 THEN concat('dr-rita-colwell', {ks},
+                               '-and-johns-hopkins', {ks}, '-usa')
+            WHEN 3 THEN 'wateraid'
+            WHEN 4 THEN concat('department-of-water-affairs', {ks},
+                               '-south-africa')
+            WHEN 5 THEN concat('sir-peter-wilson', {ks}, '-phd-uk')
+            WHEN 6 THEN concat('madhav-chitale', {ks})
+            ELSE concat('professor-john-anthony-allan', {ks},
+                        '-great-britain') END, '/') END AS url
+    FROM orders
+    ) raw0
+  ) ranked WHERE srn = 1
+),
+{bar("swp_c1", "swp_cards", ["year", "name", "citation", "url"], [
+    ("first_rec", swp_first),
+    ("joint_tail", swp_joint_tail),
+    ("url_tail", swp_url_tail),
+])},
+{bar("swp_c2", "swp_c1",
+     ["year", "name", "citation", "url", "first_rec", "joint_tail",
+      "url_tail"], [
+    ("country_name", swp_country_name),
+    ("base", swp_base),
+])},
+{bar("swp_c3", "swp_c2",
+     ["year", "name", "citation", "url", "first_rec", "joint_tail",
+      "country_name"], [
+    ("name_stripped0", swp_stripped0),
+    ("slug_url", swp_slug_url),
+    ("country_url", swp_country_url),
+])},
+swp_c4 AS (
+  SELECT *,
+    CASE WHEN joint_tail IS NOT NULL
+         THEN concat(name_stripped0, ' and ', trim(joint_tail))
+         ELSE name_stripped0 END AS name_stripped,
+    coalesce(country_name, country_url) AS country_final
+  FROM swp_c3
+),
+{bar("swp_c5", "swp_c4",
+     ["year", "name", "citation", "url", "country_final", "slug_url",
+      "name_stripped"], [
+    ("is_org", swp_is_org),
+    ("base_name", swp_base_name),
+])},
+{bar("swp_named", "swp_c5",
+     ["year", "name", "citation", "url", "country_final", "slug_url",
+      "name_stripped", "is_org", "base_name"], [
+    ("deg_keep", swp_deg_keep),
+])},
+swp_out AS (
+  SELECT 'stockholm_water_prize' AS member,
+    concat('stockholm-water-prize-', {cs('year')}, '-',
+           coalesce(slug_url, {swp_nameslug})) AS funder_award_id,
+    {cs('year')} AS award_year,
+    name AS laureate_name,
+    {nullcols('laureate_type')},
+    CASE WHEN is_org OR deg_keep < 2 THEN CAST(NULL AS {S})
+         ELSE nullif({swp_head}, '') END AS given_name,
+    CASE WHEN is_org THEN CAST(NULL AS {S})
+         WHEN deg_keep >= 1
+         THEN {elem(f"({swp_name_toks})", "deg_keep")} END
+      AS family_name,
+    {nullcols('edition_label', 'winner_position', 'award_category',
+              'prize_category_slug', 'research_topic', 'affiliation',
+              'laureate_title')},
+    citation,
+    {nullcols('innovation', 'raw_laureates')},
+    country_final AS country,
+    {nullcols('profile_category', 'profile_edition', 'award_summary',
+              'bio', 'contribution', 'profile_title_affiliation',
+              'profile_description', 'award_share_count', 'portion',
+              'award_total_amount', 'source_award_amount',
+              'currency')},
+    {nullcols('amount_note')},
+    url AS landing_page_url,
+    slug_url AS profile_slug,
+    {nullcols('wp_id', 'wp_slug', 'press_release_id',
+              'current_format_note', 'source_url',
+              'amount_rule_url')},
+    {nullcols('award_prefix', 'prize_title', 'detail_prize_title',
+              'official_laureate_text', 'detail_title',
+              'laureate_is_organization', 'winner_index',
+              'meta_description')},
+    concat('Stockholm Water Prize ', {cs('year')}, ' — ', name)
+      AS display_name,
+    citation AS description,
+    CASE WHEN is_org THEN 'organization' ELSE 'individual' END
+      AS recipient_kind,
+    CASE WHEN is_org THEN 'False'
+         WHEN {rl('name_stripped', '(?i)' + chr(92) + chr(92) + 's+and' + chr(92) + chr(92) + 's+')}
+         THEN 'True' ELSE 'False' END AS is_joint,
+    concat({cs('year')}, '-01-01') AS start_date,
+    concat({cs('year')}, '-12-31') AS end_date,
+    slug_url AS slug_from_url,
+    'False' AS declined
+  FROM swp_named
+)"""
+
+    swp_extra_list = ("display_name", "description", "recipient_kind",
+                      "is_joint", "start_date", "end_date",
+                      "slug_from_url", "declined")
+    swp_extras = ", ".join(swp_extra_list)
+    swp_extra_nulls = nullcols(*swp_extra_list)
+
     pa_extras = ("award_prefix, prize_title, detail_prize_title, "
                  "official_laureate_text, detail_title, "
                  "laureate_is_organization, winner_index, "
@@ -994,12 +1276,17 @@ pa_out AS (
     legacy_cols = cols.rsplit(", " + pa_extras, 1)[0]
 
     return f"""
-WITH {bbva}{bbva_rest}{crafoord}{dan_david}{millennium}{princess}
-SELECT {cols} FROM pa_out
-UNION ALL SELECT {legacy_cols}, {pa_extra_nulls} FROM bb_out
-UNION ALL SELECT {legacy_cols}, {pa_extra_nulls} FROM cr_out
-UNION ALL SELECT {legacy_cols}, {pa_extra_nulls} FROM dd_out
-UNION ALL SELECT {legacy_cols}, {pa_extra_nulls} FROM ml_out
+WITH {bbva}{bbva_rest}{crafoord}{dan_david}{millennium}{princess}{swp}
+SELECT {cols}, {swp_extra_nulls} FROM pa_out
+UNION ALL SELECT {cols}, {swp_extras} FROM swp_out
+UNION ALL SELECT {legacy_cols}, {pa_extra_nulls}, {swp_extra_nulls}
+  FROM bb_out
+UNION ALL SELECT {legacy_cols}, {pa_extra_nulls}, {swp_extra_nulls}
+  FROM cr_out
+UNION ALL SELECT {legacy_cols}, {pa_extra_nulls}, {swp_extra_nulls}
+  FROM dd_out
+UNION ALL SELECT {legacy_cols}, {pa_extra_nulls}, {swp_extra_nulls}
+  FROM ml_out
 """
 
 
@@ -1017,7 +1304,8 @@ def _build(dialect: str) -> str:
     tags=("domain", "awards", "scrape"),
     tables=("orders",),
     doc=("Prize-pattern scraper family (scripts/local/{bbva_frontiers,"
-         "crafoord_prize,dan_david_prize,millennium_prize}_to_s3.py)"),
+         "crafoord_prize,dan_david_prize,millennium_prize,"
+         "princess_asturias,stockholm_water_prize}_to_s3.py)"),
 )
 def prize_pattern_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Four prize ingests in one union plan (module docstring has the

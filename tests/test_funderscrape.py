@@ -607,3 +607,33 @@ def test_aos_constants_match_reference():
     src = _read("aos_research_awards")
     assert AOS_LACCR_NOTE.replace("\n", "") in re.sub(
         r'"\s*\n\s*"', "", src).replace("\n", "")
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF_DIR), reason="reference absent")
+def test_swp_tables_match_reference():
+    """The stockholm_water_prize arm ships the URL-slug country
+    vocabulary, the org-token alternation, and the degree-suffix set
+    as data — extract all three from the reference."""
+    import ast
+
+    from openalex_walden_spark.queries.prizepattern import (
+        SWP_COUNTRY_TOKENS,
+        SWP_DEGREES,
+        SWP_ORG_ALT,
+    )
+
+    src = _read("stockholm_water_prize")
+    tree = ast.parse(src)
+    country = degrees = None
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and len(node.targets) == 1 \
+                and isinstance(node.targets[0], ast.Name):
+            if node.targets[0].id == "COUNTRY_TOKENS":
+                country = ast.literal_eval(node.value)
+            elif node.targets[0].id == "_DEGREE_SUFFIXES":
+                degrees = ast.literal_eval(node.value)
+    assert country == SWP_COUNTRY_TOKENS
+    # the port compares rstrip('.') forms — the reference set's dotted
+    # variants collapse onto the same normalized tokens
+    assert {d.rstrip(".") for d in degrees} == set(SWP_DEGREES)
+    assert SWP_ORG_ALT.replace("|", "|") in src.replace("'\n    r'", "")

@@ -963,7 +963,8 @@ def test_prize_pattern_share_windows_only(spark, sf_dir):
     window); the millennium and princess_asturias laureate explodes
     are Generates; no Python."""
     plan = _plan(spark, sf_dir, "prize_pattern_parse")
-    assert plan.count("Exchange hashpartitioning") <= 3
+    # +1 for the stockholm_water_prize card DISTINCT (round 11)
+    assert plan.count("Exchange hashpartitioning") <= 4
     assert "Generate" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan

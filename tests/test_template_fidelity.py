@@ -3125,10 +3125,11 @@ def test_prize_pattern_matches_reference_semantics(spark, sf_dir,
             "currency": "EUR", "profile_slug": slug,
         }
 
-    # the princess_asturias arm (round 11) has its own re-derivation
-    # below — this test pins the four original members
+    # the princess_asturias and stockholm_water_prize arms (round 11)
+    # have their own re-derivations below — this pins the original four
     actual = [r for r in _run(spark, sf_dir, "prize_pattern_parse")
-              if r.member != "princess_asturias"]
+              if r.member in ("bbva_frontiers", "crafoord_prize",
+                              "dan_david_prize", "millennium_prize")]
     assert len(actual) == len(expected), (len(actual), len(expected))
     for r in actual:
         exp = expected[(r.member, r.funder_award_id)]
@@ -5451,6 +5452,144 @@ def test_aos_matches_reference_semantics(spark, sf_dir, orders_rows):
 
     actual = [r for r in _run(spark, sf_dir, "method5_parse_awards")
               if r.member == "aos"]
+    assert len(actual) == len(expected), (len(actual), len(expected))
+    for r in actual:
+        assert r.funder_award_id in expected, r.funder_award_id
+        exp = expected[r.funder_award_id]
+        for col, want in exp.items():
+            got = getattr(r, col)
+            assert got == want, (
+                f"{r.funder_award_id}.{col}: {got!r} != {want!r}")
+
+
+# ---------------------------------------------------------------------------
+# Stockholm Water Prize arm (scripts/local/stockholm_water_prize_to_s3.py)
+# ---------------------------------------------------------------------------
+
+
+def _swp_split_name(full_name):
+    """split_name re-typed (:373-397) — note the CASE-SENSITIVE degree
+    compare after rstrip('.')."""
+    degrees = {"PhD", "Ph.D.", "Ph.D", "MD", "M.D.", "DPhil", "ScD",
+               "Jr.", "Jr", "Sr.", "Sr", "II", "III", "IV"}
+    if not full_name:
+        return None, None, False
+    is_joint = bool(re.search(r'\s+and\s+', full_name, re.I))
+    name = (re.split(r'\s+and\s+', full_name, flags=re.I)[0].strip()
+            if is_joint else full_name.strip())
+    name = re.sub(r'^(?:Dr\.?|Prof\.?|Professor|Mr\.?|Ms\.?|Mrs\.?|'
+                  r'Sir|Dame)\s+', '', name, flags=re.I).strip()
+    name = [p.strip() for p in name.replace(";", ",").split(",")][0]
+    toks = name.split()
+    norm = {s.rstrip(".") for s in degrees}
+    while toks and toks[-1].rstrip(".") in norm:
+        toks.pop()
+    if not toks:
+        return None, None, is_joint
+    if len(toks) == 1:
+        return None, toks[0], is_joint
+    return " ".join(toks[:-1]), toks[-1], is_joint
+
+
+def test_swp_matches_reference_semantics(spark, sf_dir, orders_rows):
+    """Re-derives the country-from-name rule, the URL-slug token pop
+    (incl. the joint-slug quirk), the precedence, the org detector,
+    split_name, and the astype('string') renders."""
+    from openalex_walden_spark.queries.prizepattern import (
+        SWP_COUNTRY_TOKENS,
+    )
+
+    org_re = re.compile(
+        r'\b(Department|Institute|Foundation|University|Laboratory|'
+        r'Center|Centre|Agency|Society|Association|Council|Commission|'
+        r'Ministry|WaterAid|Water Aid)\b', re.I)
+    expected = {}
+    seen = set()
+    for k, _c, _d, _p, _pri in sorted(orders_rows, key=lambda t: t[0]):
+        year = 1991 + k % 35
+        name, urlslug = {
+            0: (f"Professor Kaveh Madani{k}, Iran",
+                f"professor-kaveh-madani{k}-iran"),
+            1: (f"Werner Stumm{k}, Switzerland and James J. Morgan{k}"
+                f", USA",
+                f"werner-stumm{k}-switzerland-and-james-j-morgan{k}"
+                f"-usa"),
+            2: (f"Dr. Rita Colwell{k} and Johns Hopkins{k}, USA",
+                f"dr-rita-colwell{k}-and-johns-hopkins{k}-usa"),
+            3: ("WaterAid", "wateraid"),
+            4: (f"Department of Water Affairs{k}, South Africa",
+                f"department-of-water-affairs{k}-south-africa"),
+            5: (f"Sir Peter Wilson{k} PhD, UK",
+                f"sir-peter-wilson{k}-phd-uk"),
+            6: (f"Madhav Chitale{k}", f"madhav-chitale{k}"),
+            7: (f"Professor John Anthony Allan{k}, Great Britain",
+                f"professor-john-anthony-allan{k}-great-britain"),
+        }[k % 8]
+        citation = (None if k % 9 == 0
+                    else f"for pioneering water research, case {k}")
+        url = (None if k % 4 == 0 else
+               f"https://siwi.org/laureates/{year}-{urlslug}/")
+        if (year, name.lower()) in seen:
+            continue
+        seen.add((year, name.lower()))
+        # country from name (:281-293)
+        first = re.split(r'\s+and\s+', name, maxsplit=1, flags=re.I)[0]
+        tail_source = first if "," in first else name
+        country_from_name = None
+        if "," in tail_source:
+            tail = tail_source.rsplit(",", 1)[1].strip()
+            if tail and re.fullmatch(r'[A-Za-z][A-Za-z \-]{1,40}', tail):
+                country_from_name = tail
+        name_stripped = (first.rsplit(",", 1)[0].strip()
+                         if "," in first and country_from_name
+                         else first)
+        joint = re.split(r'\s+and\s+', name, maxsplit=1, flags=re.I)
+        if len(joint) > 1:
+            name_stripped = f"{name_stripped} and {joint[1].strip()}"
+        # url slug/country (:303-344)
+        slug = country = None
+        if url:
+            m = re.search(r'/laureates/(\d{4})-(.+?)/?$', url)
+            if m:
+                t = m.group(2)
+                base = t.split("-and-")[-1] if "-and-" in t else t
+                toks = base.split("-")
+                ctoks = []
+                while toks and toks[-1].lower() in SWP_COUNTRY_TOKENS:
+                    ctoks.insert(0, toks.pop())
+                if ctoks:
+                    country = " ".join(
+                        x.upper() if x.lower() in {"usa", "uk"}
+                        else x.capitalize() for x in ctoks)
+                slug = "-".join(toks) if toks else None
+        if country_from_name:
+            country = country_from_name
+        is_org = bool(org_re.search(name)) and \
+            not name.lower().startswith(("dr", "prof", "sir"))
+        if is_org:
+            given = family = None
+            is_joint = False
+            kind = "organization"
+        else:
+            given, family, is_joint = _swp_split_name(name_stripped
+                                                      or name)
+            kind = "individual"
+        seed = slug or re.sub(r'[^a-z0-9]+', '-',
+                              name.lower()).strip('-')[:60]
+        fid = f"stockholm-water-prize-{year}-{seed}"
+        expected[fid] = {
+            "award_year": str(year), "laureate_name": name,
+            "given_name": given, "family_name": family,
+            "country": country, "recipient_kind": kind,
+            "is_joint": str(is_joint), "citation": citation,
+            "display_name": f"Stockholm Water Prize {year} — {name}",
+            "description": citation,
+            "start_date": f"{year}-01-01", "end_date": f"{year}-12-31",
+            "landing_page_url": url, "slug_from_url": slug,
+            "declined": "False",
+        }
+    actual = [r for r in _run(spark, sf_dir, "prize_pattern_parse")
+              if r.member == "stockholm_water_prize"]
     assert len(actual) == len(expected), (len(actual), len(expected))
     for r in actual:
         assert r.funder_award_id in expected, r.funder_award_id
