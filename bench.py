@@ -166,8 +166,10 @@ def main() -> None:
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
-            spark.range(80_000_000).selectExpr(
-                "sum(xxhash64(id * 2654435761)) AS s"
+            # mod keeps the ANSI sum within int64 (a raw sum of 400M
+            # full-range hashes overflows and aborts the job)
+            spark.range(400_000_000).selectExpr(
+                "sum(xxhash64(id) % 1000000007) AS s"
             ).collect()
             runs.append(time.perf_counter() - t0)
         calib["cpu"] = round(min(runs), 3)
