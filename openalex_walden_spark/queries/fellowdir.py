@@ -1,8 +1,8 @@
 """Fellowship-directory parse family
-(scripts/local/guggenheim_to_s3.py, scripts/local/radcliffe_to_s3.py,
-scripts/local/scas_former_fellows_to_s3.py — 3 scripts, the
-fellows-listing skeleton; the SCAS arm's semantics map lives on
-:func:`_scas_arm`).
+(scripts/local/{guggenheim,radcliffe,scas_former_fellows,hertz}
+_to_s3.py — 4 scripts, the fellows-listing skeleton; the SCAS and
+Hertz arms' semantics maps live on :func:`_scas_arm` /
+:func:`_hertz_arm`).
 
 Both scrape a fellows directory (pagination/card regexes = seam; the
 fixture delivers the extracted slug/name/year card fields) and share
@@ -136,6 +136,149 @@ _SCAS_EXTRA_COLS = (
 _SCAS_EXTRAS = ", ".join(_SCAS_EXTRA_COLS)
 _SCAS_NULLS = ", ".join(
     f"CAST(NULL AS STRING) AS {c}" for c in _SCAS_EXTRA_COLS)
+
+# the hertz arm's columns beyond those (round 11)
+_HZ_EXTRA_COLS = ("current_position", "expertise", "thumbnail_url",
+                  "declined")
+_HZ_EXTRAS = ", ".join(_HZ_EXTRA_COLS)
+_HZ_NULLS = ", ".join(
+    f"CAST(NULL AS STRING) AS {c}" for c in _HZ_EXTRA_COLS)
+
+# hertz_to_s3.py:393-397 — degree suffixes, compared CASE-SENSITIVELY
+# after rstrip('.') (Esq included; lowercase 'phd' does NOT match)
+HERTZ_DEGREES = ("PhD", "Ph.D", "MD", "M.D", "DPhil", "ScD", "Jr",
+                 "Sr", "II", "III", "IV", "Esq")
+HERTZ_AMOUNT_USD = 250000.0
+
+
+def _hertz_arm(dialect: str, cs, elem, bar) -> str:
+    """The Hertz Foundation fellows-directory arm
+    (scripts/local/hertz_to_s3.py:283-525, FacetWP method-3, round 11).
+
+    The FacetWP pagination and card regexes are the seam — the fixture
+    delivers each card's (slug, full_name, fellowship_year,
+    current_position, expertise tags, profile/thumbnail urls).  Ported
+    compute: the keep-first slug dedup (:437-443, feed order), the
+    runbook §2.4.1 split_name variant (';'->',' first-comma-part,
+    CASE-SENSITIVE degree pop incl. Esq, single token -> family only —
+    the OPPOSITE of the scas split), the 'hertz-{{slug}}-{{year}}' id
+    (collision RAISE = validation the fixture satisfies), the
+    'Hertz Fellowship — {{name}} ({{year}})' display render, the
+    position + 'Field(s): ' expertise description join ('|' -> ', '),
+    the constant USD 250,000 amount, the {{year}}-01-01 /
+    {{year+4}}-12-31 five-year-ceiling dates, declined='False', and
+    the astype('string') renders (amount ships '250000.0').
+    """
+    sp = dialect == "spark"
+    S = "STRING" if sp else "VARCHAR"
+    null_s = f"CAST(NULL AS {S})"
+    if sp:
+        toks = "filter(split(base_name, ' +'), x -> x <> '')"
+        keep = (f"coalesce(array_max(zip_with(({toks}), "
+                f"sequence(1, size(({toks}))), (t, i) -> "
+                f"CASE WHEN trim(TRAILING '.' FROM t) NOT IN "
+                f"({', '.join(repr(d) for d in HERTZ_DEGREES)}) "
+                f"THEN i END)), 0)")
+        head = f"array_join(slice(({toks}), 1, ({keep}) - 1), ' ')"
+    else:
+        toks = ("list_filter(regexp_split_to_array(base_name, ' +'), "
+                "x -> x <> '')")
+        keep = (f"coalesce(list_max(list_transform(({toks}), "
+                f"(t, i) -> CASE WHEN trim(TRAILING '.' FROM t) NOT IN "
+                f"({', '.join(repr(d) for d in HERTZ_DEGREES)}) "
+                f"THEN i END)), 0)")
+        head = (f"list_aggr(list_slice(({toks}), 1, ({keep}) - 1), "
+                f"'string_agg', ' ')")
+    base_name = (
+        "trim(" + elem(
+            ("filter(split(replace(full_name, ';', ','), ','), "
+             "x -> true)" if sp else
+             "list_filter(regexp_split_to_array(replace(full_name, "
+             "';', ','), ','), x -> true)"), "1") + ")")
+    amount_s = repr(str(HERTZ_AMOUNT_USD))
+    hz_display = ("concat('Hertz Fellowship — ', full_name, ' (', "
+                  + cs("fyear") + ", ')')")
+    hz_desc = (
+        "CASE WHEN current_position IS NOT NULL AND expertise IS NOT "
+        "NULL THEN concat(current_position, '. Field(s): ', "
+        "replace(expertise, '|', ', ')) "
+        "WHEN current_position IS NOT NULL THEN current_position "
+        "WHEN expertise IS NOT NULL THEN concat('Field(s): ', "
+        "replace(expertise, '|', ', ')) END")
+    hz_named = bar("hz_named", "hz_dedup",
+                   ["k", "slug", "full_name", "fyear",
+                    "current_position", "expertise", "thumbnail_url"], [
+        ("hz_base", base_name),
+        ("hz_display", hz_display),
+        ("hz_desc", hz_desc),
+    ])
+    return f"""
+hz_raw AS (
+  SELECT o_orderkey AS k,
+    concat('fellow-', {cs("o_orderkey - CASE WHEN o_orderkey % 17 = 0 THEN 1 ELSE 0 END")})
+      AS slug,
+    CASE CAST(o_orderkey % 5 AS INT)
+      WHEN 0 THEN concat('Erich Jarvis', {cs('o_orderkey')}, ', PhD')
+      WHEN 1 THEN concat('Ana María Rey', {cs('o_orderkey')})
+      WHEN 2 THEN concat('John Smith', {cs('o_orderkey')}, ' Jr.')
+      WHEN 3 THEN concat('Cher', {cs('o_orderkey')})
+      ELSE concat('Robert Oppenheimer', {cs('o_orderkey')}, ', Esq.')
+      END AS full_name,
+    CAST(1963 + o_orderkey % 62 AS INT) AS fyear,
+    CASE WHEN o_orderkey % 6 = 0 THEN {null_s}
+      ELSE concat('Professor of Physics, MIT ',
+                  {cs('o_orderkey % 30')}) END AS current_position,
+    CASE CAST(o_orderkey % 4 AS INT)
+      WHEN 0 THEN {null_s}
+      WHEN 1 THEN 'Applied Physics'
+      WHEN 2 THEN concat('Biophysics|Neuroscience ',
+                         {cs('o_orderkey % 9')})
+      ELSE 'AI|Quantum Computing|Materials' END AS expertise,
+    CASE WHEN o_orderkey % 3 = 0 THEN {null_s}
+      ELSE concat('https://cdn.hertzfoundation.org/thumb',
+                  {cs('o_orderkey')}, '.jpg') END AS thumbnail_url
+  FROM orders
+),
+hz_dedup AS (
+  -- seen_slugs keep-first in feed order (hertz_to_s3.py:437-443)
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY slug ORDER BY k) AS rn
+    FROM hz_raw
+  ) d WHERE rn = 1
+),
+{hz_named},
+hz_out AS (
+  SELECT 'hertz' AS member,
+    concat('hertz-', slug, '-', {cs('fyear')}) AS funder_award_id,
+    slug, full_name AS fellow_name,
+    CASE WHEN ({keep.replace('base_name', 'hz_base')}) >= 2
+         THEN nullif({head.replace('base_name', 'hz_base')}, '') END
+      AS given_name,
+    CASE WHEN ({keep.replace('base_name', 'hz_base')}) >= 1
+         THEN {elem(f"({toks.replace('base_name', 'hz_base')})", f"({keep.replace('base_name', 'hz_base')})")} END
+      AS family_name,
+    {cs('fyear')} AS start_year,
+    CAST(NULL AS {S}) AS landing_page_url,
+    {_SCAS_NULLS.replace(
+        "CAST(NULL AS STRING) AS display_name",
+        "hz_display AS display_name").replace(
+        "CAST(NULL AS STRING) AS description",
+        "hz_desc AS description").replace(
+        "CAST(NULL AS STRING) AS start_date",
+        "concat(" + cs("fyear") + ", '-01-01') AS start_date").replace(
+        "CAST(NULL AS STRING) AS end_date",
+        "concat(" + cs("fyear + 4") + ", '-12-31') AS end_date").replace(
+        "CAST(NULL AS STRING) AS amount",
+        amount_s + " AS amount").replace(
+        "CAST(NULL AS STRING) AS currency",
+        "'USD' AS currency").replace(
+        "CAST(NULL AS STRING) AS profile_url",
+        "concat('https://www.hertzfoundation.org/people/', slug, '/') "
+        "AS profile_url")},
+    current_position, expertise, thumbnail_url,
+    'False' AS declined
+  FROM hz_named
+)"""
 
 
 def _scas_arm(dialect: str, cs, elem) -> str:
@@ -557,18 +700,27 @@ rc_out AS (
       AS landing_page_url
   FROM rc_named
 ),
-{_scas_arm(dialect, cs, elem)}
+{_scas_arm(dialect, cs, elem)},
+{_hertz_arm(dialect, cs, elem, bar)}
 SELECT member, funder_award_id, slug, fellow_name, given_name,
-       family_name, start_year, landing_page_url, {_SCAS_NULLS}
+       family_name, start_year, landing_page_url, {_SCAS_NULLS},
+       {_HZ_NULLS}
 FROM gg_out
 UNION ALL
 SELECT member, funder_award_id, slug, fellow_name, given_name,
-       family_name, start_year, landing_page_url, {_SCAS_NULLS}
+       family_name, start_year, landing_page_url, {_SCAS_NULLS},
+       {_HZ_NULLS}
 FROM rc_out
 UNION ALL
 SELECT member, funder_award_id, slug, fellow_name, given_name,
-       family_name, start_year, landing_page_url, {_SCAS_EXTRAS}
+       family_name, start_year, landing_page_url, {_SCAS_EXTRAS},
+       {_HZ_NULLS}
 FROM sc_out
+UNION ALL
+SELECT member, funder_award_id, slug, fellow_name, given_name,
+       family_name, start_year, landing_page_url, {_SCAS_EXTRAS},
+       {_HZ_EXTRAS}
+FROM hz_out
 """
 
 
@@ -586,7 +738,7 @@ def _build(dialect: str) -> str:
     tags=("domain", "awards", "scrape"),
     tables=("orders",),
     doc=("Fellowship-directory parse family (scripts/local/"
-         "{guggenheim,radcliffe,scas_former_fellows}_to_s3.py)"),
+         "{guggenheim,radcliffe,scas_former_fellows,hertz}_to_s3.py)"),
 )
 def fellowship_directory_parse(spark: SparkSession,
                                sf_dir: str) -> DataFrame:

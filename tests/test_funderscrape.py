@@ -637,3 +637,27 @@ def test_swp_tables_match_reference():
     # variants collapse onto the same normalized tokens
     assert {d.rstrip(".") for d in degrees} == set(SWP_DEGREES)
     assert SWP_ORG_ALT.replace("|", "|") in src.replace("'\n    r'", "")
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF_DIR), reason="reference absent")
+def test_hertz_constants_match_reference():
+    """The hertz arm's degree set and fellowship amount are data —
+    AST-extract both from hertz_to_s3.py."""
+    import ast
+
+    from openalex_walden_spark.queries.fellowdir import (
+        HERTZ_AMOUNT_USD,
+        HERTZ_DEGREES,
+    )
+
+    tree = ast.parse(_read("hertz"))
+    degrees = amount = None
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and len(node.targets) == 1 \
+                and isinstance(node.targets[0], ast.Name):
+            if node.targets[0].id == "_DEGREE_SUFFIXES":
+                degrees = ast.literal_eval(node.value)
+            elif node.targets[0].id == "HERTZ_FELLOWSHIP_AMOUNT_USD":
+                amount = ast.literal_eval(node.value)
+    assert amount == HERTZ_AMOUNT_USD
+    assert {d.rstrip(".") for d in degrees} == set(HERTZ_DEGREES)

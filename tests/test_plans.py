@@ -1017,15 +1017,17 @@ def test_wprest_no_shuffle(spark, sf_dir):
 
 
 def test_fellowdir_one_window(spark, sf_dir):
-    """Fellowship-directory pair: two barriered scan arms + the
-    radcliffe (slug, year) keep-first window only; no Python."""
+    """Fellowship-directory family: four barriered scan arms + the
+    radcliffe (slug, year), scas cross-term, and hertz slug keep-first
+    windows; no Python."""
     plan = _plan(spark, sf_dir, "fellowship_directory_parse")
-    assert plan.count("Exchange hashpartitioning") <= 1
+    assert plan.count("Exchange hashpartitioning") <= 3
     assert "WindowGroupLimit" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     df = q.CATALOG["fellowship_directory_parse"].spark(spark, sf_dir)
     opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
-    assert len(opt) < 100_000, f"plan blow-up: {len(opt)} chars"
+    # linear union growth (4 arms x 31 columns), not expression blow-up
+    assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"
 
 
 def test_anr_windows_and_join_only(spark, sf_dir):

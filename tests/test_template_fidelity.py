@@ -3968,10 +3968,10 @@ def test_fellowdir_matches_reference_semantics(spark, sf_dir,
             "landing_page_url": ("https://www.radcliffe.harvard.edu/"
                                  f"people/{slug}"),
         }
-    # the scas arm (round 11) has its own full-replay test below —
+    # the scas and hertz arms (round 11) have their own tests below —
     # this test pins the original guggenheim/radcliffe pair
     actual = [r for r in _run(spark, sf_dir, "fellowship_directory_parse")
-              if r.member != "scas"]
+              if r.member in ("guggenheim", "radcliffe")]
     assert len(actual) == len(expected), (len(actual), len(expected))
     for r in actual:
         exp = expected[(r.member, r.funder_award_id)]
@@ -5590,6 +5590,94 @@ def test_swp_matches_reference_semantics(spark, sf_dir, orders_rows):
         }
     actual = [r for r in _run(spark, sf_dir, "prize_pattern_parse")
               if r.member == "stockholm_water_prize"]
+    assert len(actual) == len(expected), (len(actual), len(expected))
+    for r in actual:
+        assert r.funder_award_id in expected, r.funder_award_id
+        exp = expected[r.funder_award_id]
+        for col, want in exp.items():
+            got = getattr(r, col)
+            assert got == want, (
+                f"{r.funder_award_id}.{col}: {got!r} != {want!r}")
+
+
+# ---------------------------------------------------------------------------
+# Hertz fellows-directory arm (scripts/local/hertz_to_s3.py)
+# ---------------------------------------------------------------------------
+
+
+def _hz_split(full_name):
+    """split_name re-typed (hertz_to_s3.py:393-418) — case-sensitive
+    degree compare after rstrip('.')."""
+    degrees = {"PhD", "Ph.D.", "Ph.D", "MD", "M.D.", "DPhil", "ScD",
+               "Jr.", "Jr", "Sr.", "Sr", "II", "III", "IV", "Esq.",
+               "Esq"}
+    if not full_name:
+        return None, None
+    name = full_name.strip()
+    name = [p.strip() for p in name.replace(";", ",").split(",")][0]
+    toks = name.split()
+    norm = {s.rstrip(".") for s in degrees}
+    while toks and toks[-1].rstrip(".") in norm:
+        toks.pop()
+    if not toks:
+        return None, None
+    if len(toks) == 1:
+        return None, toks[0]
+    return " ".join(toks[:-1]), toks[-1]
+
+
+def test_hertz_matches_reference_semantics(spark, sf_dir, orders_rows):
+    """Re-derives the slug keep-first dedup (incl. the sparse-orderkey
+    duplicate lattice), the §2.4.1 split variant, the display/
+    description renders, and the constant-amount five-year dates."""
+    expected = {}
+    seen_slugs = set()
+    for k, _c, _d, _p, _pri in sorted(orders_rows, key=lambda t: t[0]):
+        slug = f"fellow-{k - 1 if k % 17 == 0 else k}"
+        if slug in seen_slugs:
+            continue
+        seen_slugs.add(slug)
+        full_name = {
+            0: f"Erich Jarvis{k}, PhD",
+            1: f"Ana María Rey{k}",
+            2: f"John Smith{k} Jr.",
+            3: f"Cher{k}",
+            4: f"Robert Oppenheimer{k}, Esq.",
+        }[k % 5]
+        year = 1963 + k % 62
+        position = (None if k % 6 == 0
+                    else f"Professor of Physics, MIT {k % 30}")
+        expertise = {
+            0: None, 1: "Applied Physics",
+            2: f"Biophysics|Neuroscience {k % 9}",
+            3: "AI|Quantum Computing|Materials",
+        }[k % 4]
+        given, family = _hz_split(full_name)
+        parts = []
+        if position:
+            parts.append(position)
+        if expertise:
+            parts.append("Field(s): " + expertise.replace("|", ", "))
+        expected[f"hertz-{slug}-{year}"] = {
+            "slug": slug, "fellow_name": full_name,
+            "given_name": given, "family_name": family,
+            "start_year": str(year),
+            "current_position": position, "expertise": expertise,
+            "display_name": f"Hertz Fellowship — {full_name} ({year})",
+            "description": ". ".join(parts) if parts else None,
+            "amount": "250000.0", "currency": "USD",
+            "start_date": f"{year}-01-01",
+            "end_date": f"{year + 4}-12-31",
+            "profile_url":
+                f"https://www.hertzfoundation.org/people/{slug}/",
+            "thumbnail_url": (
+                None if k % 3 == 0 else
+                f"https://cdn.hertzfoundation.org/thumb{k}.jpg"),
+            "landing_page_url": None,
+            "declined": "False",
+        }
+    actual = [r for r in _run(spark, sf_dir, "fellowship_directory_parse")
+              if r.member == "hertz"]
     assert len(actual) == len(expected), (len(actual), len(expected))
     for r in actual:
         assert r.funder_award_id in expected, r.funder_award_id
