@@ -71,23 +71,7 @@ _LAST_GREEN: dict[str, int] = {
 # mechanically against git by tests/test_driver_window.py (queries whose
 # defining module changed since the last round-boundary commit must be
 # here or never-verified).
-_CHANGED_THIS_ROUND: list[str] = [
-    # round-11 driver-contract fix: institution_country / ukcrc_value
-    # rendered as to_json strings (the driver canon crashes on lists).
-    "nihr_parse_awards",
-    # round-11 family extension: the princess_asturias arm joined the
-    # prize-pattern union (8 new columns, NULL in the legacy arms).
-    "prize_pattern_parse",
-    # round-11 family extension: the SCAS former-fellows arm joined
-    # the fellowship-directory union (19 new columns).
-    "fellowship_directory_parse",
-    # round-11 family extension: the hewlett FacetWP-card arm joined
-    # the WP-REST union (9 new columns).
-    "wprest_parse_projects",
-    # round-11 family extension: the AOS research-awards arm joined
-    # the method-5 union (9 new columns).
-    "method5_parse_awards",
-]
+_CHANGED_THIS_ROUND: list[str] = []
 
 # Queries whose defining MODULE changed this round but whose own plan
 # and semantics provably did not (e.g. a sibling query was added to the

@@ -150,6 +150,11 @@ def test_bench_compact_line_fits_tail_window():
         "queries": {name: 9999.999 for name in bench.HEADLINE},
         "train": {"ann_ivf_trained_topk": 9999.999},
         "calib": {"cpu": 9999.999, "jobs": 9999.999},
+        # five worst-case spread entries at the longest basket names
+        "spread5": {
+            name: 9999.999
+            for name in sorted(bench.HEADLINE, key=len, reverse=True)[:5]
+        },
         "sf": 0.1,
     }
     line = _json.dumps(worst)

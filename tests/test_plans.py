@@ -1089,3 +1089,56 @@ def test_keywords_api_shape(spark, sf_dir):
     df = q.CATALOG["keywords_api_build"].spark(spark, sf_dir)
     opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
     assert len(opt) < 100_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_pcaarrd_single_shuffle_window_dedupe(spark, sf_dir):
+    """PCAARRD: one orders scan, barrier-layered line algebra, and ONE
+    award-id shuffle — keep-latest row_number, group count, year
+    concat and GIA JSON all ride windows over the same partitioning
+    so the parse tree executes once.  No Python, bounded plan."""
+    plan = _plan(spark, sf_dir, "pcaarrd_parse_projects")
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "Generate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    df = q.CATALOG["pcaarrd_parse_projects"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_rfbr_single_shuffle_keep_earliest(spark, sf_dir):
+    """RFBR: one orders scan, listing/detail grammar behind barriers,
+    ONE grant-number exchange for the keep-earliest window (groups
+    <= 3); detail enrichment is pure column algebra on the kept row.
+    No Python, bounded plan."""
+    plan = _plan(spark, sf_dir, "rfbr_parse_projects")
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    df = q.CATALOG["rfbr_parse_projects"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_mjff_zero_shuffle_scan(spark, sf_dir):
+    """MJFF: one scan of pure column algebra — zero exchanges, no
+    joins, no Python, bounded plan."""
+    plan = _plan(spark, sf_dir, "mjff_parse_grants")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    df = q.CATALOG["mjff_parse_grants"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_carlsberg_zero_shuffle_scan(spark, sf_dir):
+    """Carlsberg: one scan of pure column algebra — zero exchanges,
+    no Python, bounded plan."""
+    plan = _plan(spark, sf_dir, "carlsberg_parse_grants")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    df = q.CATALOG["carlsberg_parse_grants"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"

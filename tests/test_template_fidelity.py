@@ -5686,3 +5686,1057 @@ def test_hertz_matches_reference_semantics(spark, sf_dir, orders_rows):
             got = getattr(r, col)
             assert got == want, (
                 f"{r.funder_award_id}.{col}: {got!r} != {want!r}")
+
+
+# ---------------------------------------------------------------------------
+# PCAARRD GIA transparency-PDF parse
+# (scripts/local/pcaarrd_to_s3.py:123-163, 209-255, 318-569)
+# ---------------------------------------------------------------------------
+
+_PC_MOJIBAKE = {
+    "Ã¢â‚¬â„¢": "'",
+    "Ã¢â‚¬œ": '"',
+    "Ã±": "n",
+    "€¢": "-",
+    "ﬁ": "fi",
+    "ﬂ": "fl",
+}
+
+_PC_DATE_AMOUNT = re.compile(
+    r"(?P<start>\d{1,2}-[A-Z][a-z]{2}-\d{2,4})\s+"
+    r"(?P<end>\d{1,2}-[A-Z][a-z]{2}-\d{2,4})\s+"
+    r"(?P<status>[A-Za-z][A-Za-z /-]*?)\s+"
+    r"(?P<total>-|\d[\d,]*(?:\.\d+)?)\s+"
+    r"(?P<gia>-|\d[\d,]*(?:\.\d+)?)\s*$")
+_PC_KRA = re.compile(
+    r"^(?:KRA\s*\d+|Rapid\b|Poverty\b|Integrity\s+of\s+the\s+environment|"
+    r"Global\s+competitiveness|Competitive\b|Human\s+capital|"
+    r"Science,\s*technology|Environmental\s+integrity|Sustainable\b|"
+    r"Good\s+governance|Climate\b)", re.IGNORECASE)
+_PC_DESC = re.compile(
+    r"^(?:The\s+(?:project|program|study)|This\s+(?:project|program|study)|"
+    r"The\s+general\s+objective|General:|Specifically,|To\s+)",
+    re.IGNORECASE)
+_PC_OUT = re.compile(
+    r"^(?:Publication|Publications|Patent|Patents|Product|Products|People|"
+    r"Place|Places|Policy|Expected|Y1|Year\s+\d|Total:)", re.IGNORECASE)
+_PC_AG_KW = re.compile(
+    r"\b(?:University|College|Institute|Center|Centre|Department|Bureau|"
+    r"School|Council|Authority|Corporation|Agency|Foundation|Research|"
+    r"DOST|UPLB|MMSU|ASSCAT|BSU|VSU|USM|CLSU|NVSU|PCA|RMC|Inc\.|Corp\.)\b",
+    re.IGNORECASE)
+_PC_BOUND = re.compile(
+    r"\b(?:Farmers|Researchers|Students|LGU|LGUs|Policy|Industry|"
+    r"Beneficiaries|Extension|Stakeholders|Communities|Women|Men)\b"
+    r"|\b(?:farmers|researchers|students|stakeholders|processors|traders)\b",
+    re.IGNORECASE)
+
+
+def _pc_clean(v):
+    if v is None:
+        return None
+    t = str(v)
+    for old, new in _PC_MOJIBAKE.items():
+        t = t.replace(old, new)
+    t = t.replace("\x0c", " ")
+    t = re.sub(r"\s+", " ", t).strip()
+    return t or None
+
+
+def _pc_strip(lines):
+    out = []
+    for raw in lines:
+        line = _pc_clean(raw)
+        if not line:
+            continue
+        if line.startswith("FY ") and "PCAARRD LIST" in line:
+            continue
+        if "Program Title Project Title Key Result Areas" in line:
+            continue
+        if line in {"December 31,", "Total Project", "Cost", "GIA"}:
+            continue
+        if re.match(r"^20\d{2}'?$", line):
+            continue
+        if re.match(r"^Page \d+ of \d+$", line):
+            continue
+        out.append(line)
+    return out
+
+
+def _pc_money(v):
+    if not v:
+        return None
+    if v.strip() == "-":
+        return None
+    cleaned = v.replace(",", "").strip()
+    try:
+        return f"{float(cleaned):.2f}".rstrip("0").rstrip(".")
+    except ValueError:
+        return _pc_clean(v)
+
+
+def _pc_date(v):
+    from datetime import datetime
+    v = v.strip()
+    for fmt in ("%d-%b-%y", "%d-%b-%Y"):
+        try:
+            return datetime.strptime(v, fmt).strftime("%Y-%m-%d")
+        except ValueError:
+            continue
+    return None
+
+
+def _pc_nk(v):
+    t = _pc_clean(v) or ""
+    t = t.casefold()
+    t = re.sub(r"[^a-z0-9]+", " ", t)
+    return re.sub(r"\s+", " ", t).strip()
+
+
+def _pc_split_prog(pre):
+    lines = [x for x in pre if x]
+    if not lines:
+        return None, None, None
+    pidx = None
+    for i, line in enumerate(lines):
+        if re.match(r"^(?:Project|Study|Component|Sub-?project)\b", line,
+                    re.I):
+            pidx = i
+            break
+
+    def strip_emb(t):
+        if not t:
+            return t
+        return _pc_clean(re.split(
+            r"\b(?:Poverty\s+reduction|Rapid,?\s+inclusive|"
+            r"Integrity\s+of\s+the\s+environment|Global\s+competitiveness|"
+            r"Competitive\s+and\s+sustainable|Human\s+capital|"
+            r"Science,\s*technology|Good\s+governance)\b",
+            t, maxsplit=1, flags=re.IGNORECASE)[0])
+
+    if pidx is not None:
+        prog = _pc_clean(" ".join(lines[:pidx]))
+        proj = strip_emb(_pc_clean(" ".join(lines[pidx:])))
+    else:
+        prog = None
+        proj = strip_emb(_pc_clean(" ".join(lines)))
+    comb = _pc_clean(" - ".join(x for x in (prog, proj) if x))
+    return prog, proj, comb
+
+
+def _pc_split_kra(lines, kidx):
+    tail = lines[kidx:]
+    if not tail:
+        return None, None, []
+    didx = None
+    for i, line in enumerate(tail):
+        if i == 0:
+            continue
+        if _PC_DESC.search(line):
+            didx = i
+            break
+    if didx is None:
+        didx = min(2, len(tail))
+    kra = _pc_clean(" ".join(tail[:didx]))
+    rem = tail[didx:]
+    oidx = None
+    for i, line in enumerate(rem):
+        if _PC_OUT.search(line):
+            oidx = i
+            break
+    if oidx is None:
+        oidx = min(len(rem), 8)
+    return kra, _pc_clean(" ".join(rem[:oidx])), rem[oidx:]
+
+
+def _pc_agency(lines):
+    if not lines:
+        return None, None
+    tail = [x for x in lines[-35:] if x]
+    best = None
+    for i in range(len(tail) - 1, -1, -1):
+        line = tail[i]
+        if _PC_OUT.search(line):
+            continue
+        if _PC_AG_KW.search(line) or re.match(r"^[A-Z][A-Z&./ -]{1,25}\b",
+                                              line):
+            best = i
+            break
+    if best is None:
+        return None, _pc_clean(" ".join(tail[-6:]))
+    parts = [tail[best]]
+    for line in tail[best + 1:best + 3]:
+        if line.startswith(("—", "-", "€¢", "•")):
+            break
+        if _PC_BOUND.search(line):
+            break
+        if _PC_OUT.search(line):
+            break
+        if len(_pc_clean(" ".join(parts + [line])) or "") <= 180:
+            parts.append(line)
+    agency = _pc_clean(" ".join(parts))
+    if agency:
+        m = re.match(r"^([A-Z][A-Z&./-]{1,20})\s+(.+)$", agency)
+        if m and _PC_BOUND.search(m.group(2)):
+            agency = m.group(1)
+        agency = re.split(r"\s+[—•]\s+|\s+€¢\s+",
+                          agency, maxsplit=1)[0]
+        agency = re.split(_PC_BOUND, agency, maxsplit=1)[0]
+        agency = _pc_clean(agency)
+        if agency and (len(agency) > 180 or re.search(
+                r"\b(?:findings|policies|programs|services|"
+                r"support sustainable|use the study)\b", agency, re.I)):
+            agency = None
+    benef = tail[best + len(parts):]
+    return agency, _pc_clean(" ".join(benef[-10:]))
+
+
+_PC_MON = ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug", "Sep",
+           "Oct", "Nov", "Dec"]
+
+
+def _pc_fixture(k):
+    c = k // 8
+    s1 = ["FY 2021  PCAARRD LIST OF GIA PROJECTS",
+          "Program Title Project Title Key Result Areas Summary",
+          "December 31,", f"Page {1 + c % 40} of 99", "2020", None][c % 6]
+    s2 = None if c % 4 == 0 else \
+        f"Program on sustainable production systems {c}"
+    s2b = ("for inclusive rural development"
+           if (c % 10 == 0 and c % 4 != 0) else None)
+    if c % 5 == 4:
+        s3 = None
+    else:
+        base = {
+            0: f"Project 1. Improving feed efficiency protocols {c}",
+            1: "Study 2. Genomic marker discovery of pata"
+               "Ã±" f"i beans {c}",
+            2: f"Sub-project on aquatic feed formulation {c}",
+        }.get(c % 5, f"Component 1 nutrient mapping survey {c}")
+        s3 = (base + " Poverty reduction and food security"
+              if c % 7 == 0 else base)
+    s4 = ["KRA 1", "Rapid, inclusive and sustained economic growth",
+          "Poverty reduction and empowerment of the poor",
+          f"Climate change adaptation track {c % 3}",
+          "Global competitiveness of Philippine products", None][c % 6]
+    s5 = {0: "The project aims to improve ﬁ" f"eld yield outcomes {c}",
+          1: f"This study evaluates \x0c field protocols {c}",
+          2: "To develop integrated ﬂ"
+             f"ood-resilient farming systems {c}",
+          3: f"Baseline profiling of smallholder farms {c}"}[c % 4]
+    s6 = f"and increase\xa0household  incomes in region {c % 15}"
+    s7 = None if c % 11 == 0 else \
+        [f"Publications: {c % 4} papers", "Expected outputs for Y1",
+         f"Total: {c % 9} outputs"][c % 3]
+    s8 = f"Patents filed and products {c % 3}" if c % 4 == 0 else None
+    s9 = ["University of the Philippines Los Banos campus consortium "
+          "with the Philippine Council for Agriculture Aquatic and "
+          "Natural Resources Research and Development regional network "
+          f"offices and stations {c}",
+          f"Research Institute providing findings to policies {c % 20}",
+          "UPLB Farmers and traders in Luzon",
+          f"Institute of Plant Breeding {c % 5} — satellite "
+          "stations cluster",
+          "Bureau of Soils serving Farmers in the uplands",
+          "no implementing agency recorded"][c % 6]
+    s10 = ["ACME R&D STATION", "Farmers and fisherfolk groups",
+           "• community partner network",
+           f"Products and policy briefs for Y{1 + c % 3}",
+           "of the northern cluster zone"][c % 5]
+    s11 = [f"Farmers and LGUs in Region {c % 12}",
+           f"smallholder processors and traders {c % 9}",
+           f"Extension workers and students {c % 7}"][c % 3]
+    yr = 2018 + k % 8
+    st = ["Ongoing", "Completed", "On-going / Extended", "Terminated"][k % 4]
+    tot = ["-", "12,345.67", "98,765", f"{1000 + k % 9000}.5",
+           "3,000,000.00"][k % 5]
+    gia = ["-", f"{500 + k % 400},000.00", "1,250.75"][k % 3]
+    meta = (("Region IV-A cooperators " if c % 9 == 0 else "")
+            + f"{10 + c % 19}-{_PC_MON[c % 12]}-{19 + c % 5} "
+            + f"{10 + (k + 3) % 19 if False else 10 + (c + 3) % 19}"
+            + f"-{_PC_MON[(c + 5) % 12]}-{2022 + c % 4}  {st} {tot}  {gia}")
+    lines = [x for x in (s1, s2, s2b, s3, s4, s5, s6, s7, s8, s9, s10, s11)
+             if x is not None]
+    return c, yr, lines, meta
+
+
+def _pc_parse_block(k):
+    """parse_raw_text (pcaarrd_to_s3.py:458-544) over one fixture block."""
+    c, yr, raw_lines, meta_raw = _pc_fixture(k)
+    stripped = _pc_strip(raw_lines + [meta_raw])
+    blocks, current = [], []
+    for line in stripped:
+        m = _PC_DATE_AMOUNT.search(line)
+        if m:
+            current.append(line[:m.start()].rstrip())
+            blocks.append((m.groupdict(), current))
+            current = []
+        else:
+            current.append(line)
+    assert len(blocks) == 1, (k, stripped)
+    meta, block_lines = blocks[0]
+    block_lines = _pc_strip(block_lines)
+    kidx = None
+    for i, line in enumerate(block_lines):
+        if _PC_KRA.search(line):
+            kidx = i
+            break
+    if kidx is None:
+        pre, kra, desc, after = block_lines[:], None, None, []
+    else:
+        pre = block_lines[:kidx]
+        kra, desc, after = _pc_split_kra(block_lines, kidx)
+    prog, proj, comb = _pc_split_prog(pre)
+    agency, benef = _pc_agency(after)
+    display = proj or comb
+    if not display:
+        return None
+    start = _pc_date(meta["start"])
+    end = _pc_date(meta["end"])
+    key = "|".join([_pc_nk(display), _pc_nk(agency), start or "", end or ""])
+    # DEVIATION mirrored from the port: sha256[:16], not sha1 (the
+    # DuckDB oracle has no sha1); the key input is byte-faithful.
+    h = hashlib.sha256(key.encode("utf-8")).hexdigest()[:16]
+    return {
+        "funder_award_id": f"pcaarrd-{h}",
+        "source_year": str(yr), "source_row_number": str(k),
+        "source_title":
+            f"{yr} DOST-PCAARRD List of Grants in Aid (GIA) Projects",
+        "source_url":
+            f"https://www.pcaarrd.dost.gov.ph/files/gia_{yr}.pdf",
+        "display_name": display, "program_title": prog,
+        "project_title": proj, "program_project_text": comb,
+        "key_result_area": kra, "description": desc,
+        "source_implementing_agency": agency, "beneficiaries": benef,
+        "start_date": start, "end_date": end,
+        "start_date_raw": meta["start"], "end_date_raw": meta["end"],
+        "status": _pc_clean(meta["status"]),
+        "amount": _pc_money(meta["total"]), "currency": "PHP",
+        "total_project_cost": _pc_money(meta["total"]),
+        "pcaarrd_gia_for_source_year": _pc_money(meta["gia"]),
+        "_yr": yr, "_k": k,
+    }
+
+
+def test_pcaarrd_matches_reference_semantics(spark, sf_dir, orders_rows):
+    import json as _json
+    rows = [r for r in (_pc_parse_block(k) for k, *_ in orders_rows)
+            if r is not None]
+    # dedupe_project_rows (pcaarrd_to_s3.py:547-569)
+    grouped = {}
+    for r in rows:
+        grouped.setdefault(r["funder_award_id"], []).append(r)
+    expected = {}
+    for aid, group in grouped.items():
+        group = sorted(group, key=lambda r: (r["_yr"], r["_k"]))
+        latest = dict(group[-1])
+        years = sorted({r["source_year"] for r in group}, key=int)
+        gia_by_year = {r["source_year"]: r["pcaarrd_gia_for_source_year"]
+                       for r in group
+                       if r.get("pcaarrd_gia_for_source_year")}
+        latest["source_years"] = ",".join(years)
+        latest["gia_by_source_year_json"] = _json.dumps(
+            gia_by_year, ensure_ascii=False, sort_keys=True)
+        latest["source_row_count_before_dedupe"] = str(len(group))
+        latest.pop("_yr"), latest.pop("_k")
+        expected[aid] = latest
+    actual = _run(spark, sf_dir, "pcaarrd_parse_projects")
+    assert len(actual) == len(expected), (len(actual), len(expected))
+    for r in actual:
+        assert r.funder_award_id in expected, r.funder_award_id
+        exp = expected[r.funder_award_id]
+        for col, want in exp.items():
+            got = getattr(r, col)
+            assert got == want, (
+                f"{r.funder_award_id}.{col}: {got!r} != {want!r}")
+
+
+def test_pcaarrd_rule_tables_match_reference():
+    """AST-pin the port's rules-as-data against pcaarrd_to_s3.py: the
+    mojibake map and the six named regex vocabularies (with the
+    documented (?i)-for-re.IGNORECASE and named-group-drop
+    transformations)."""
+    import ast
+    import os
+
+    ref = "/root/reference/scripts/local/pcaarrd_to_s3.py"
+    if not os.path.exists(ref):
+        pytest.skip("reference absent")
+    from openalex_walden_spark.queries import pcaarrd as port
+
+    with open(ref, encoding="utf-8") as f:
+        tree = ast.parse(f.read())
+    pats, moji = {}, None
+    for node in ast.walk(tree):
+        if not (isinstance(node, ast.Assign) and len(node.targets) == 1
+                and isinstance(node.targets[0], ast.Name)):
+            continue
+        name = node.targets[0].id
+        if name == "replacements":
+            moji = ast.literal_eval(node.value)
+        elif ((name.endswith("_RE") or name == "AGENCY_KEYWORDS")
+                and isinstance(node.value, ast.Call)):
+            pat = ast.literal_eval(node.value.args[0])
+            flags = ast.unparse(node.value.args[1]) \
+                if len(node.value.args) > 1 else ""
+            pats[name] = (pat, "IGNORECASE" in flags)
+
+    assert moji == dict(port._MOJIBAKE)
+
+    def unesc(s):
+        return s.replace("\\\\", "\\")
+
+    # DATE_AMOUNT: named groups dropped, no flag
+    ref_pat, ci = pats["DATE_AMOUNT_RE"]
+    assert not ci
+    assert re.sub(r"\(\?P<[^>]+>", "(", ref_pat) == \
+        unesc(port._DATE_AMOUNT)
+    for ref_name, port_pat in [
+            ("KRA_START_RE", port._KRA_START),
+            ("DESCRIPTION_START_RE", port._DESC_START),
+            ("OUTPUT_START_RE", port._OUTPUT_START),
+            ("AGENCY_KEYWORDS", port._AGENCY_KW),
+            ("BENEFICIARY_BOUNDARY_RE", port._BOUNDARY)]:
+        ref_pat, ci = pats[ref_name]
+        assert ci, ref_name
+        assert "(?i)" + ref_pat == unesc(port_pat), ref_name
+
+
+# ---------------------------------------------------------------------------
+# RFBR legacy-portal projects parse
+# (scripts/local/rfbr_to_s3.py:153, 229-321, 433-450, 457-474, 540-594)
+# ---------------------------------------------------------------------------
+
+_RF_LIST_ROW = re.compile(
+    r'<a href="/project_search/(\d+)/" class="link">(.*?)</a>'
+    r'<div class="proj_more">(.*?)</div></td><td>([^<]*)</td>', re.DOTALL)
+_RF_MORE = re.compile(r'([^:<>]+):\s*<b>(.*?)</b>', re.DOTALL)
+_RF_DET_FIELD = re.compile(
+    r'<td class="projects_th">([^<]+):</th><td>(.*?)</td>', re.DOTALL)
+_RF_DET_TITLE = re.compile(r'<h1 class="page_title"[^>]*>(.*?)</h1>',
+                           re.DOTALL)
+_RF_DET_ABS = re.compile(
+    r'<h2 class="small_title">Аннотация к заявке:</h2>'
+    r'(.*?)(?:<h2|<div class="col-lg-3|<footer|</div>)', re.DOTALL)
+_RF_DEGREE = re.compile(
+    r",\s*(?:Академик|Член-корреспондент|Доктор|Кандидат|Профессор|Доцент|"
+    r"без\s+ученой\s+степени|PhD|Ph\.D\.?).*$", re.I | re.DOTALL)
+_RF_BASE = re.compile(r"^(\d{2}-\d{2}-\d{4,6})")
+
+
+def _rf_clean(s):
+    from html import unescape
+    s = re.sub(r"<br\s*/?>", " ", s)
+    s = re.sub(r"<[^>]+>", " ", s)
+    s = unescape(s)
+    s = s.replace("\xa0", " ")
+    return re.sub(r"\s+", " ", s).strip()
+
+
+def _rf_split_pi(pi_raw):
+    if not pi_raw:
+        return None, None
+    nm = _RF_DEGREE.sub("", pi_raw).strip().strip(",").strip()
+    if not nm:
+        return None, None
+    toks = nm.split()
+    if len(toks) == 1:
+        return None, toks[0]
+    return " ".join(toks[1:]), toks[0]
+
+
+def _rf_fixture(k):
+    g = k // 3
+    seeded = g % 3 != 0
+    gn_base = f"{13 + g % 7:02d}-{1 + g % 49:02d}-{10000 + g}"
+    gn_cell = (" " if k % 19 == 0
+               else gn_base + " а" if k % 11 == 0 else gn_base)
+    title = ["Исследование процессов &laquo;синтеза&raquo; <br/> серия "
+             f"{k}",
+             f"Механизмы &amp; динамика явлений {k}",
+             f"Модели  климата&nbsp;региона {k}",
+             f"Структура <i>белков</i> группы {k}"][k % 4]
+    more = ""
+    if k % 13 != 0:
+        more += f"Год проведения: <b>{1994 + k % 26} год</b>"
+    if k % 4 != 0:
+        more += f"Область научного знания: <b>0{1 + k % 8} Биология</b>"
+    if k % 3 != 0:
+        more += f"Тип конкурса: <b>Инициативные проекты {k % 5}</b>"
+    if k % 5 == 0:
+        more += "Статус заявки: <b>не поддержана</b>"
+    elif k % 5 != 1:
+        more += "Статус заявки: <b> поддержана </b>"
+    row_html = (f'<a href="/project_search/{100000 + k}/" class="link">'
+                f'{title}</a><div class="proj_more">{more}</div></td>'
+                f'<td>{gn_cell}</td>')
+    return g, seeded, row_html
+
+
+def _rf_detail_html(k, gn):
+    if k % 17 == 0:
+        return None
+    pi = [f"Иванов Иван&nbsp;Иванович {k}",
+          "Петрова Анна Сергеевна, Доктор физико-математических наук "
+          f"{k}",
+          "Сидоров",
+          f"Кузнецов П. А., без ученой степени {k}", ""][k % 5]
+    parts = ['<h1 class="page_title">Проект</h1>',
+             f'<td class="projects_th">Номер гранта:</th><td>{gn}</td>']
+    if k % 5 != 4:
+        parts.append('<td class="projects_th">Руководитель:</th>'
+                     f'<td>{pi}</td>')
+    if k % 6 != 0:
+        parts.append('<h2 class="small_title">Аннотация к заявке:</h2>'
+                     f'<p>Работа посвящена &amp; изучению задачи {k}.</p>')
+    parts.append('<h2 class="small_title">Статус</h2>')
+    return "".join(parts)
+
+
+def test_rfbr_matches_reference_semantics(spark, sf_dir, orders_rows):
+    # parse_listing (rfbr:253-278) per fixture row
+    listed = []
+    for k, *_ in orders_rows:
+        g, seeded, row_html = _rf_fixture(k)
+        norm = re.sub(r"\s+", " ", row_html)
+        m = _RF_LIST_ROW.search(norm)
+        assert m, k
+        pid, title, more, gn = m.groups()
+        fields = {_rf_clean(lbl): _rf_clean(val)
+                  for lbl, val in _RF_MORE.findall(more)}
+        year = None
+        ym = re.search(r"(\d{4})", fields.get("Год проведения", ""))
+        if ym:
+            year = ym.group(1)
+        gn = _rf_clean(gn)
+        if not gn:
+            continue
+        listed.append({"k": k, "seeded": seeded, "id": str(100000 + k),
+                       "gn": gn, "title": _rf_clean(title), "year": year,
+                       "area": fields.get("Область научного знания")
+                       or None,
+                       "contest": fields.get("Тип конкурса") or None,
+                       "status": fields.get("Статус заявки") or None})
+    # load_listing_rows keep-earliest (rfbr:433-450); our fixture k-order
+    # is deterministic, years distinct within a grant-number group
+    best = {}
+    for row in sorted(listed, key=lambda r: r["k"]):
+        prev = best.get(row["gn"])
+        if prev is None or (row["year"] or "9999") < (prev["year"]
+                                                      or "9999"):
+            best[row["gn"]] = row
+    expected = {}
+    for gn, r in best.items():
+        if (r["status"] or "").strip() != "поддержана":
+            continue
+        det = {}
+        if r["seeded"]:
+            html = _rf_detail_html(r["k"], gn)
+            if html is not None:
+                tm = _RF_DET_TITLE.search(html)
+                fields = {_rf_clean(lbl): _rf_clean(body)
+                          for lbl, body in _RF_DET_FIELD.findall(html)}
+                if tm and fields.get("Номер гранта"):
+                    am = _RF_DET_ABS.search(html)
+                    det = {"pi_raw": fields.get("Руководитель") or None,
+                           "abstract": _rf_clean(am.group(1))
+                           if am else None}
+        given, family = _rf_split_pi(det.get("pi_raw") or "")
+        expected[gn] = {
+            "display_name": r["title"],
+            "description": det.get("abstract") or None,
+            "lead_pi_raw": det.get("pi_raw") or None,
+            "lead_given_name": given, "lead_family_name": family,
+            "research_area": r["area"], "funder_scheme": r["contest"],
+            "status": "поддержана", "start_year": r["year"],
+            "internal_id": r["id"],
+            "landing_page_url":
+                f"https://www.rfbr.ru/project_search/{r['id']}/",
+        }
+    actual = _run(spark, sf_dir, "rfbr_parse_projects")
+    assert len(actual) == len(expected), (len(actual), len(expected))
+    for row in actual:
+        assert row.funder_award_id in expected, row.funder_award_id
+        exp = expected[row.funder_award_id]
+        for col, want in exp.items():
+            got = getattr(row, col)
+            assert got == want, (
+                f"{row.funder_award_id}.{col}: {got!r} != {want!r}")
+
+
+def test_rfbr_rule_tables_match_reference():
+    """AST-pin the port's regex vocabulary against rfbr_to_s3.py."""
+    import ast
+    import os
+
+    ref = "/root/reference/scripts/local/rfbr_to_s3.py"
+    if not os.path.exists(ref):
+        pytest.skip("reference absent")
+    from openalex_walden_spark.queries import rfbr as port
+
+    with open(ref, encoding="utf-8") as f:
+        tree = ast.parse(f.read())
+    pats = {}
+    for node in ast.walk(tree):
+        if (isinstance(node, ast.Assign) and len(node.targets) == 1
+                and isinstance(node.targets[0], ast.Name)
+                and isinstance(node.value, ast.Call)
+                and getattr(node.value.func, "attr", "") == "compile"):
+            pats[node.targets[0].id] = ast.literal_eval(node.value.args[0])
+
+    def unesc(s):
+        return s.replace("\\\\", "\\")
+
+    assert pats["_LIST_ROW_RE"] == unesc(port._LIST_ROW)
+    assert pats["_DETAIL_TITLE_RE"] == unesc(port._DETAIL_TITLE)
+    assert pats["_DETAIL_ABSTRACT_RE"] == unesc(port._DETAIL_ABSTRACT)
+    assert pats["GRANT_NUM_BASE_RE"] == unesc(port._GRANT_BASE)
+    # degree tail: port carries (?is) inline for re.I | re.DOTALL
+    assert pats["_RU_DEGREE_RE"] == unesc(port._RU_DEGREE)
+    # detail-field grammar: port extracts per label from the same shape
+    assert pats["_DETAIL_FIELD_RE"] == \
+        '<td class="projects_th">([^<]+):</th><td>(.*?)</td>'
+    assert port._DETAIL_FIELD_TMPL == \
+        '<td class="projects_th">LABEL:</th><td>(.*?)</td>'
+
+
+# ---------------------------------------------------------------------------
+# MJFF funded-studies parse
+# (scripts/local/mjff_to_s3.py:131-158, 242-251, 434-446, 459-553)
+# ---------------------------------------------------------------------------
+
+_MJ_SUFFIXES = {"phd", "md", "dphil", "dsc", "scd", "jr.", "sr.", "ii",
+                "iii", "iv", "jr", "sr"}
+
+
+def _mj_clean(v):
+    from html import unescape
+    if v is None:
+        return None
+    t = unescape(str(v)).replace("\xa0", " ")
+    t = re.sub(r"\s+", " ", t).strip()
+    return t or None
+
+
+def _mj_split(name):
+    if not name:
+        return None, None
+    toks = name.split()
+    while toks and toks[-1].lower().strip(",.") in _MJ_SUFFIXES:
+        toks.pop()
+    if not toks:
+        return None, None
+    if len(toks) == 1:
+        return None, toks[0]
+    return " ".join(toks[:-1]), toks[-1]
+
+
+def _mj_prog_year(value):
+    text = _mj_clean(value)
+    if not text:
+        return None, None
+    m = re.match(r"^(?P<program>.+?),\s*(?P<year>\d{4})$", text)
+    if m:
+        return _mj_clean(m.group("program")), m.group("year")
+    year = re.search(r"\b(19|20)\d{2}\b", text)
+    program = _mj_clean(re.sub(r",?\s*\b(19|20)\d{2}\b", "", text))
+    return program, year.group(0) if year else None
+
+
+def test_mjff_matches_reference_semantics(spark, sf_dir, orders_rows):
+    import json as _json
+    B = "https://www.michaeljfox.org"
+    expected = {}
+    for k, *_ in orders_rows:
+        slug = f"lrrk2-study-{k}"
+        meta_raw = [None,
+                    f"Edmond J. Safra Core Programs, {2010 + k % 10}",
+                    f"Therapeutic Pipeline Program {2015 + k % 9} "
+                    "extension",
+                    "Priority Target Program",
+                    f"Computational  Science, {1998 + k % 4}"][k % 5]
+        meta = _mj_clean(meta_raw)
+        program0, year0 = _mj_prog_year(meta)
+        title = _mj_clean("Alpha-synuclein &amp; LRRK2&nbsp;kinase "
+                          f"study {k}")
+        summary = (None if k % 4 == 0 else _mj_clean(
+            f"This project examines tau  pathology cohort {k % 90}"))
+        name1 = ["James P. Eisenstein PhD", "Sara Lee Jr.", "Chen",
+                 "Maria del Carmen Ruiz MD", "Robert Oduya, MIT"][k % 5]
+        name2 = "Liam Ortiz PhD MD"
+        rurl1 = f"{B}/researcher/res-{k}-1"
+        rurl2 = f"{B}/researcher/res-{k}-2"
+        n_listing, n_detail = k % 3, k % 4
+        listing = ([] if n_listing == 0 else
+                   [{"name": name1, "url": rurl1, "slug": f"res-{k}-1"}]
+                   + ([] if n_listing == 1 else
+                      [{"name": name2, "url": rurl2,
+                        "slug": f"res-{k}-2"}]))
+        rloc1 = ("Boston, MA" if n_detail in (1, 3)
+                 else "Lund, Sweden" if n_detail == 2 else None)
+        if n_detail == 0:
+            detail_res = []
+        elif n_detail == 2:
+            detail_res = [
+                {"name": name1, "url": None, "slug": None,
+                 "location": rloc1},
+                {"name": name2, "url": rurl2, "slug": f"res-{k}-2",
+                 "location": "Kyoto, Japan"}]
+        else:
+            detail_res = [{"name": name1, "url": rurl1,
+                           "slug": f"res-{k}-1", "location": rloc1}]
+        detail_title = (None if k % 6 == 0
+                        else f"Updated: LRRK2 kinase study {k}")
+        sections = {}
+        obj_text = f"Rationale: inhibition of LRRK2 arm {k % 60}"
+        if k % 4 != 0:
+            sections["objective_rationale"] = obj_text
+        else:
+            sections["study_rationale"] = obj_text
+        if k % 3 != 0:
+            sections["project_description"] = \
+                f"We will enroll {10 + k % 200} participants"
+        if k % 2 == 0:
+            sections[
+                "relevance_to_diagnosis_treatment_of_parkinson_s_disease"
+            ] = f"Improved dosing for patients cohort {k % 30}"
+        if k % 5 != 1:
+            sections["anticipated_outcome"] = \
+                f"Will define kinase activity readouts {k % 70}"
+        if k % 5 == 2:
+            sections["final_outcome"] = \
+                f"Assay validated in {k % 40} samples"
+        if k % 7 == 0:
+            sections["publication_based_on_mjff_funding"] = \
+                f"Published in journal issue {k % 12}"
+        tags = {}
+        if k % 4 != 1:
+            tags["search_by_related_keywords"] = \
+                [f"alpha-synuclein {k % 5}", "biomarkers"]
+        if k % 3 == 0:
+            tags["within_the_same_funding_year"] = [str(2012 + k % 7)]
+        if k % 2 == 0:
+            tags["within_the_same_program"] = \
+                ["Edmond J. Safra Core Programs"]
+        same_program = (tags.get("within_the_same_program") or [None])[0]
+        same_year = (tags.get("within_the_same_funding_year") or
+                     [None])[0]
+        researchers = detail_res or listing
+        lead = researchers[0] if researchers else {}
+        lead_name_raw = lead.get("name")
+        lead_for_split = (lead_name_raw.split(",", 1)[0].strip()
+                          if lead_name_raw else None)
+        lead_given, lead_family = _mj_split(lead_for_split)
+        prof_position = (f"Professor of Neurology, University {k % 30}"
+                         if k % 2 == 0 else None)
+        prof_loc_line = (None if k % 5 == 0 else
+                         "location: Toronto, Canada" if k % 7 == 0 else
+                         "Location: Boston, MA")
+        prof_bio = (_mj_clean("Investigator focused on  "
+                              f"neurodegeneration {k % 25}")
+                    if k % 3 == 0 else None)
+        if lead.get("url"):
+            location = None
+            position = None
+            for line in [x for x in (prof_position, prof_loc_line) if x]:
+                if line.lower().startswith("location:"):
+                    location = _mj_clean(line.replace("Location:", "", 1))
+                elif position is None:
+                    position = line
+            prof = {"lead_profile_name": name1,
+                    "lead_profile_url": lead["url"],
+                    "lead_position_affiliation": position,
+                    "lead_location": location, "lead_bio": prof_bio}
+        else:
+            prof = {"lead_profile_name": None,
+                    "lead_profile_url": lead.get("url"),
+                    "lead_position_affiliation": None,
+                    "lead_location": lead.get("location"),
+                    "lead_bio": None}
+        source_program = same_program or program0 or "MJFF Funded Study"
+        source_year = same_year or year0
+        obj = (sections.get("objective_rationale")
+               or sections.get("study_rationale"))
+        expected[f"mjff-{slug}"] = {
+            "source_page": str(k // 6),
+            "source_page_position": str(1 + k % 6),
+            "source_program_year": meta,
+            "source_program": source_program,
+            "source_year": source_year,
+            "source_year_missing_note": (
+                None if source_year else
+                "MJFF public page does not expose funding year"),
+            "title": title, "listing_summary": summary,
+            "grant_url": f"{B}/grant/{slug}", "grant_slug": slug,
+            "listing_researchers_json":
+                _json.dumps(listing, ensure_ascii=False),
+            "detail_title": detail_title,
+            "detail_sections_json":
+                _json.dumps(sections, ensure_ascii=False, sort_keys=True),
+            "objective_rationale": obj,
+            "project_description": sections.get("project_description"),
+            "relevance_to_diagnosis_treatment": sections.get(
+                "relevance_to_diagnosis_treatment_of_parkinson_s_disease"),
+            "anticipated_outcome": sections.get("anticipated_outcome"),
+            "final_outcome": sections.get("final_outcome"),
+            "publication_based_on_mjff_funding":
+                sections.get("publication_based_on_mjff_funding"),
+            "detail_researchers_json":
+                _json.dumps(detail_res, ensure_ascii=False),
+            "detail_researcher_count": str(len(detail_res)),
+            "detail_program": same_program, "detail_year": same_year,
+            "keywords_json": _json.dumps(
+                tags.get("search_by_related_keywords") or [],
+                ensure_ascii=False),
+            "tags_json": _json.dumps(tags, ensure_ascii=False,
+                                     sort_keys=True),
+            "lead_investigator_raw": lead_name_raw,
+            "lead_given_name": lead_given,
+            "lead_family_name": lead_family,
+            "lead_researcher_url": lead.get("url"),
+            **prof,
+            "display_name": detail_title or title,
+            "description": (obj or sections.get("project_description")
+                            or sections.get("final_outcome") or summary),
+            "funder_id": "4320306136",
+            "funder_display_name":
+                "Michael J. Fox Foundation for Parkinson's Research",
+            "funder_doi": "10.13039/100000864",
+            "provenance": "mjff_funded_studies",
+            "funding_type": "research",
+            "amount": None, "currency": None,
+            "landing_page_url": f"{B}/grant/{slug}",
+        }
+    actual = _run(spark, sf_dir, "mjff_parse_grants")
+    assert len(actual) == len(expected), (len(actual), len(expected))
+    for r in actual:
+        assert r.funder_award_id in expected, r.funder_award_id
+        exp = expected[r.funder_award_id]
+        for col, want in exp.items():
+            got = getattr(r, col)
+            assert got == want, (
+                f"{r.funder_award_id}.{col}: {got!r} != {want!r}")
+
+
+def test_mjff_rule_tables_match_reference():
+    """AST-pin the suffix set and program-year regexes against
+    mjff_to_s3.py (suffixes from split_name's local assignment;
+    regexes read from the parse_program_year source segment)."""
+    import ast
+    import os
+
+    ref = "/root/reference/scripts/local/mjff_to_s3.py"
+    if not os.path.exists(ref):
+        pytest.skip("reference absent")
+    from openalex_walden_spark.queries import mjff as port
+
+    src = open(ref, encoding="utf-8").read()
+    tree = ast.parse(src)
+    suffixes = None
+    for node in ast.walk(tree):
+        if (isinstance(node, ast.Assign) and len(node.targets) == 1
+                and isinstance(node.targets[0], ast.Name)
+                and node.targets[0].id == "suffixes"):
+            suffixes = ast.literal_eval(node.value)
+    assert suffixes == set(port._SUFFIXES)
+
+    def unesc(s):
+        return s.replace("\\\\", "\\")
+
+    # named groups dropped from the anchored program-year match
+    assert re.sub(r"\(\?P<[^>]+>", "(",
+                  r"^(?P<program>.+?),\s*(?P<year>\d{4})$") == \
+        unesc(port._PROG_YEAR)
+    assert r"^(?P<program>.+?),\s*(?P<year>\d{4})$" in src
+    assert r"\b(19|20)\d{2}\b" in src            # the year search
+    assert r",?\s*\b(19|20)\d{2}\b" in src       # the year strip
+    # port equivalents: search wraps the full match in group 1 and
+    # makes the (19|20) alternation non-capturing
+    assert unesc(port._YEAR_SEARCH) == r"\b((?:19|20)\d{2})\b"
+    assert unesc(port._YEAR_STRIP) == r",?\s*\b(?:19|20)\d{2}\b"
+
+
+# ---------------------------------------------------------------------------
+# Carlsbergfondet grants parse
+# (scripts/local/carlsberg_fondet_to_s3.py:150-155, 227-300, 465-534)
+# ---------------------------------------------------------------------------
+
+_CF_PREFIXES = {"Dr", "Dr.", "Prof", "Prof.", "Professor", "Associate",
+                "Assistant"}
+_CF_SUFFIXES = {"PhD", "Ph.D.", "MD", "M.D.", "DPhil", "Dr.phil.", "Jr.",
+                "Sr.", "II", "III", "IV"}
+_CF_MARKERS = {
+    "carlsbergfondet", "fondet", "institut", "institute", "instituttet",
+    "universitet", "university", "universiteit", "selskab", "selskabs",
+    "selskabet", "society", "akademi", "academy", "royal", "kgl",
+    "kongelige", "foundation", "fond", "fonden", "fonds", "center",
+    "centre", "centeret", "centret", "museum", "museet", "school",
+    "skole", "skolen", "forskning", "forskningsråd", "forskningsraad",
+    "forum", "hospital", "sygehus", "biblioteket", "bibliotek",
+    "library", "council", "ràd", "raad", "association", "forening",
+    "foreningen", "danske", "danish", "polytechnic", "company",
+    "institution",
+}
+
+
+def _cf_clean(v):
+    from html import unescape
+    if v is None:
+        return None
+    t = re.sub(r"\s+", " ", unescape(str(v))).strip()
+    return t or None
+
+
+def _cf_amount(amount_raw):
+    if not amount_raw:
+        return None, None
+    text = _cf_clean(amount_raw) or ""
+    cm = re.search(r"\b([A-Z]{3})\b", text)
+    currency = cm.group(1) if cm else None
+    nm = re.search(r"\d[\d,.\s]*", text)
+    if not nm:
+        return None, currency
+    normalized = nm.group(0).strip().replace(",", "").replace(" ", "")
+    try:
+        return float(normalized), currency
+    except ValueError:
+        return None, currency
+
+
+def _cf_is_inst(name):
+    if not name:
+        return False
+    toks = {t.lower().strip(".,;:()[]")
+            for t in re.split(r"[\s/]+", name) if t}
+    return bool(toks & _CF_MARKERS)
+
+
+def _cf_split(full_name):
+    if not full_name:
+        return None, None
+    tokens = full_name.replace(",", " ").split()
+    pref = {t.rstrip(".") for t in _CF_PREFIXES}
+    while tokens and tokens[0].rstrip(".") in pref:
+        tokens.pop(0)
+    suf = {s.rstrip(".,") for s in _CF_SUFFIXES}
+    while tokens and tokens[-1].rstrip(".,") in suf:
+        tokens.pop()
+    if not tokens:
+        return None, None
+    if len(tokens) == 1:
+        return None, tokens[0]
+    return " ".join(tokens[:-1]), tokens[-1]
+
+
+def test_carlsberg_matches_reference_semantics(spark, sf_dir, orders_rows):
+    B = "https://www.carlsbergfondet.dk"
+    expected = {}
+    for k, *_ in orders_rows:
+        slug = f"grant-{k}-{k % 9}"
+        url = f"{B}/en/what-we-have-funded/{slug}/"
+        ok = k % 23 != 0
+        if not ok:
+            expected[f"carlsberg-fondet-{slug}"] = {
+                "slug": slug, "display_name": None, "description": None,
+                "applicant_name": None, "given_name": None,
+                "family_name": None, "institution": None, "amount": None,
+                "currency": None, "amount_raw": None, "year": None,
+                "start_date": None, "end_date": None,
+                "type_of_grant": None, "landing_page_url": url,
+                "source_url": url, "http_status": "404",
+                "year_raw": None, "declined": "False"}
+            continue
+        if k % 31 == 0:
+            h1 = f"TEST page {k}"
+        elif k % 6 == 0:
+            h1 = None
+        else:
+            h1 = f"Excavations of  settlement &amp; landscape {k}"
+        title = (_cf_clean(h1) if h1 is not None else
+                 _cf_clean(re.sub(r"\s*\|\s*Carlsbergfondet.*$", "",
+                                  f"Postdoc fellowship {k} | "
+                                  "Carlsbergfondet — the foundation")))
+        applicant = _cf_clean([
+            "Professor Anne Mette Hansen PhD", "Dr. Jens  Olsen",
+            "Videnskabernes Selskab / Royal Academy",
+            "Det Danske Institut i Rom", "Karen Blixen-Madsen", None,
+            "Associate Professor Lars Brandt Jr."][k % 7])
+        if k % 31 == 0:
+            amount_raw = "DKK 0"
+        else:
+            amount_raw = [None, f"DKK {100 + k % 900},{k % 1000:03d}",
+                          "DKK 1.234.567", f"{200 + k % 50},500 kr.",
+                          "EUR 75 000", f"DKK {k % 90}.50"][k % 6]
+        amount, currency = _cf_amount(amount_raw)
+        if title and title.upper().startswith("TEST ") and amount == 0:
+            continue
+        year_raw = [None, f"Autumn {2008 + k % 17}",
+                    str(2008 + k % 17)][min(k % 8, 2)]
+        ym = re.search(r"\b(19|20)\d{2}\b", year_raw or "")
+        year = int(ym.group(0)) if ym else None
+        if _cf_is_inst(applicant):
+            given, family = None, None
+        else:
+            given, family = _cf_split(applicant)
+        canonical = (f"{B}/en/what-we-have-funded/{slug}"
+                     if k % 4 != 0 else None)
+        expected[f"carlsberg-fondet-{slug}"] = {
+            "slug": slug, "display_name": title, "description": None,
+            "applicant_name": applicant, "given_name": given,
+            "family_name": family,
+            "institution": (None if k % 5 == 0 else
+                            f"University of Copenhagen dept {k % 20}"),
+            "amount": str(amount) if amount is not None else None,
+            "currency": currency, "amount_raw": amount_raw,
+            "year": str(year) if year is not None else None,
+            "start_date": f"{year}-01-01" if year else None,
+            "end_date": f"{year}-12-31" if year else None,
+            "type_of_grant": (
+                None if k % 3 == 0 else
+                "Research Infrastructure" if k % 3 == 1 else
+                f"Monograph Fellowship {k % 4}"),
+            "landing_page_url": canonical or url, "source_url": url,
+            "http_status": "200", "year_raw": _cf_clean(year_raw),
+            "declined": "False"}
+    actual = _run(spark, sf_dir, "carlsberg_parse_grants")
+    assert len(actual) == len(expected), (len(actual), len(expected))
+    for r in actual:
+        assert r.funder_award_id in expected, r.funder_award_id
+        exp = expected[r.funder_award_id]
+        for col, want in exp.items():
+            got = getattr(r, col)
+            assert got == want, (
+                f"{r.funder_award_id}.{col}: {got!r} != {want!r}")
+
+
+def test_carlsberg_rule_tables_match_reference():
+    """AST-pin LABEL_MAP, the institutional-marker vocabulary and the
+    prefix/suffix token sets against carlsberg_fondet_to_s3.py (the
+    port stores the post-rstrip normalized forms actually compared)."""
+    import ast
+    import os
+
+    ref = "/root/reference/scripts/local/carlsberg_fondet_to_s3.py"
+    if not os.path.exists(ref):
+        pytest.skip("reference absent")
+    from openalex_walden_spark.queries import carlsberg as port
+
+    tree = ast.parse(open(ref, encoding="utf-8").read())
+    found = {}
+    for node in ast.walk(tree):
+        if (isinstance(node, ast.Assign) and len(node.targets) == 1
+                and isinstance(node.targets[0], ast.Name)):
+            name = node.targets[0].id
+            if name in ("LABEL_MAP", "_DEGREE_SUFFIXES", "_PREFIX_TITLES",
+                        "_INSTITUTIONAL_NAME_MARKERS"):
+                found[name] = ast.literal_eval(node.value)
+    assert found["_INSTITUTIONAL_NAME_MARKERS"] == set(port._MARKERS)
+    assert {t.rstrip(".") for t in found["_PREFIX_TITLES"]} == \
+        set(port._PREFIXES)
+    assert {s.rstrip(".,") for s in found["_DEGREE_SUFFIXES"]} == \
+        set(port._SUFFIXES)
+    # the five labeled facts the template walk reads (seam contract)
+    assert found["LABEL_MAP"] == {
+        "name of applicant": "applicant_name", "institution":
+        "institution", "amount": "amount_raw", "year": "year_raw",
+        "type of grant": "type_of_grant"}
