@@ -1142,3 +1142,16 @@ def test_carlsberg_zero_shuffle_scan(spark, sf_dir):
     df = q.CATALOG["carlsberg_parse_grants"].spark(spark, sf_dir)
     opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
     assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_mmw_single_shuffle_collision_window(spark, sf_dir):
+    """MMW: one scan, barrier-layered paragraph grammar, ONE native-id
+    exchange for the ordered collision-suffix window.  No Python,
+    bounded plan."""
+    plan = _plan(spark, sf_dir, "mmw_parse_grants")
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    df = q.CATALOG["mmw_parse_grants"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"

@@ -6740,3 +6740,285 @@ def test_carlsberg_rule_tables_match_reference():
         "name of applicant": "applicant_name", "institution":
         "institution", "amount": "amount_raw", "year": "year_raw",
         "type of grant": "type_of_grant"}
+
+
+# ---------------------------------------------------------------------------
+# MMW Wallenberg grants parse
+# (scripts/local/mmw_to_s3.py:158-251, 272-331, 434-446, 471-536)
+# ---------------------------------------------------------------------------
+
+_MW_AMT = re.compile(r"SEK\s+([0-9][0-9\s.,]*)(?:\s*(million|m))?",
+                     re.IGNORECASE)
+_MW_TITLE = re.compile(
+    r"project(?:\s+entitled|:)?\s*[“”\"]([^\"“”]+)"
+    r"[“”\"]", re.IGNORECASE)
+_MW_HON = re.compile(
+    r"^(Professor|Associate Professor|Assistant Professor|Dr|Doctor)\b",
+    re.IGNORECASE)
+_MW_HON_STRIP = re.compile(
+    r"^(Professor|Associate Professor|Assistant Professor|Dr|Doctor)\s+",
+    re.IGNORECASE)
+_MW_SUFFIXES = {"PhD", "MD", "DPhil", "Jr.", "Sr.", "II", "III", "IV"}
+
+
+def _mw_clean(v):
+    if v is None:
+        return None
+    t = str(v).replace("\xa0", " ")
+    t = re.sub(r"\s+", " ", t).strip()
+    return t or None
+
+
+def _mw_quotes(v):
+    t = _mw_clean(v)
+    if not t:
+        return None
+    return _mw_clean(t.strip(" \"'“”"))
+
+
+def _mw_split(name):
+    t = _mw_clean(name)
+    if not t:
+        return None, None
+    t = _MW_HON_STRIP.sub("", t)
+    toks = [x for x in t.split() if x]
+    while toks and toks[-1].rstrip(",") in _MW_SUFFIXES:
+        toks.pop()
+    if not toks:
+        return None, None
+    if len(toks) == 1:
+        return None, toks[0]
+    return " ".join(toks[:-1]), toks[-1]
+
+
+def _mw_slug(text, max_len=80):
+    text = text.lower()
+    text = re.sub(r"[^a-z0-9]+", "-", text)
+    text = re.sub(r"-+", "-", text).strip("-")
+    return (text[:max_len].strip("-") or "row")
+
+
+def _mw_amount(text):
+    m = _MW_AMT.search(text)
+    if not m:
+        return None, None
+    number = m.group(1).replace(" ", "").replace(",", ".")
+    try:
+        value = float(number)
+    except ValueError:
+        return None, m.group(0)
+    if m.group(2):
+        value *= 1_000_000
+    return int(round(value)), _mw_clean(m.group(0))
+
+
+def _mw_inst_pi(text):
+    before = re.split(
+        r"\b(?:grant|funding|awarded grant|yearly funding|Grant)\b",
+        text, maxsplit=1, flags=re.IGNORECASE)[0]
+    before = _mw_clean(before.strip(" ,")) or ""
+    parts = [p for p in (_mw_clean(p) for p in before.split(",")) if p]
+    if not parts:
+        return None, None
+    inst = pi = None
+    if _MW_HON.search(parts[0]):
+        pi = parts[0]
+        inst = parts[1] if len(parts) > 1 else None
+    else:
+        inst = parts[0]
+        if len(parts) > 1 and _MW_HON.search(parts[1]):
+            pi = parts[1]
+    if inst:
+        inst = _mw_clean(re.sub(r"\s+Project\s*:?.*$", "", inst,
+                                flags=re.IGNORECASE))
+    return inst, pi
+
+
+def _mw_fixture(k):
+    g = k // 2
+    yr = 2019 + g % 7
+    arm = 0 if g % 11 == 0 else k % 6
+    has_detail = k % 3 == 0 and arm in (0, 1, 5)
+    detail_url = (f"https://mmw.wallenberg.org/en/project/"
+                  f"climate-adapt-{g}" if has_detail else None)
+    if has_detail:
+        link_text = f"Climate adaptation project {g}"
+    elif k % 9 == 0:
+        link_text = f"“News item {g}”"
+    else:
+        link_text = None
+    section = [None, "Earlier grants",
+               f"Grants to research projects {yr}"][min(k % 7, 2)]
+    text = [
+        f"Uppsala University, Professor Karin Lind{k % 40}, receives a "
+        f"grant of SEK {1 + k % 9} 900 000 for the project "
+        f"“Quantum materials {g}”",
+        f"Professor Olof Berg{k % 40}, Lund University, was awarded "
+        f"grant SEK {2 + k % 7},5 million for studies of enzymes {g}",
+        f"In {yr} the foundation awarded grants of SEK 230 million",
+        f"The board met to discuss grant policies {k}",
+        f"A grant of SEK about nine million was given {k}",
+        f"Research on climate adaptation {g} funding SEK "
+        f"{500 + k % 300} 000"][arm]
+    return g, yr, arm, has_detail, detail_url, link_text, section, text
+
+
+def _mw_detail(k, g):
+    dt_title = (None if k % 15 == 0
+                else f"Climate adaptation in forests {g}")
+    dt_project = (f"Adaptation mechanisms study {g}"
+                  if k % 5 != 1 else None)
+    dt_pi = {2: None, 3: "Dr Anna Ekström, PhD"}.get(
+        k % 5, f"Professor Sven Holm {g % 30}")
+    dt_inst = (f"Swedish University of Agricultural Sciences {g % 25}"
+               if k % 5 != 3 else None)
+    dt_amount_line = (
+        f"Funding Awarded: SEK {1 + k % 8}"
+        + (" million" if k % 4 == 1 else " m") if k % 2 == 1 else None)
+    co = [x for x in (
+        f"Professor Nils Åberg {g % 9}" if k % 2 == 0 else None,
+        f"Dr Eva Lund {g % 5}" if k % 4 == 0 else None) if x]
+    dps = [x for x in (
+        f"The project investigates adaptation {g}." if k % 3 != 1
+        else None,
+        f"Field trials run in region {g % 10}." if k % 4 == 0
+        else None) if x]
+    return (dt_title, dt_project, dt_pi, dt_inst, dt_amount_line,
+            "; ".join(co) or None, "\n\n".join(dps) or None)
+
+
+def test_mmw_matches_reference_semantics(spark, sf_dir, orders_rows):
+    rows = []
+    for k in sorted(r[0] for r in orders_rows):
+        (g, yr, arm, has_detail, detail_url, link_text, section,
+         text) = _mw_fixture(k)
+        text = _mw_clean(text)
+        if section in ("Earlier grants", "Projects"):
+            continue
+        if "SEK" not in text or not re.search(
+                r"\b(grant|funding|awarded)\b", text, re.IGNORECASE):
+            continue
+        if re.match(r"In\s+\d{4}.*awarded grants? of SEK", text,
+                    re.IGNORECASE):
+            continue
+        amount, amount_text = _mw_amount(text)
+        if amount is None:
+            continue
+        proj = _MW_TITLE.search(text)
+        proj_title = _mw_clean(proj.group(1)) if proj else None
+        inst, pi = _mw_inst_pi(text)
+        display = ((link_text if detail_url else None) or proj_title
+                   or _mw_quotes(link_text) or text[:140])
+        h = hashlib.sha256(f"{yr}|{text}".encode()).hexdigest()[:12]
+        row = {"k": k, "g": g, "yr": yr, "text": text,
+               "section": section, "detail_url": detail_url,
+               "amount": amount, "amount_text": amount_text,
+               "proj_title": proj_title, "inst": inst, "pi": pi,
+               "display": display, "hash": h, "descr": None,
+               "co": None}
+        if has_detail:
+            (dt_title, dt_project, dt_pi, dt_inst, dt_amount_line, co,
+             descr) = _mw_detail(k, g)
+            if dt_amount_line:
+                da, dat = _mw_amount(dt_amount_line)
+                if da is not None:
+                    row["amount"] = da
+                    row["amount_text"] = dat or row["amount_text"]
+            row["display"] = (dt_title or row["display"] or dt_project
+                              or row["proj_title"])
+            row["proj_title"] = dt_project or row["proj_title"]
+            row["inst"] = dt_inst or row["inst"]
+            row["pi"] = dt_pi or row["pi"]
+            row["descr"] = descr
+            row["co"] = co
+        rows.append(row)
+    # build_native_ids (mmw:434-446) over page order (year asc, k asc
+    # within the year page)
+    rows.sort(key=lambda r: (r["yr"], r["k"]))
+    seen = {}
+    expected = {}
+    for r in rows:
+        if r["detail_url"]:
+            base = _mw_slug(r["detail_url"].rstrip("/")
+                            .rsplit("/", 1)[-1])
+        else:
+            base = _mw_slug(r["display"] or r["proj_title"]
+                            or r["inst"] or "grant")
+        native = f"mmw-{r['yr']}-{base}"
+        if native in seen:
+            seen[native] += 1
+            native = f"{native}-{r['hash']}"
+        else:
+            seen[native] = 1
+        pi_name = _mw_clean(r["pi"])
+        given, family = _mw_split(pi_name)
+        expected[native] = {
+            "display_name": _mw_clean(r["display"]),
+            "description": _mw_clean(r["descr"]),
+            "project_title": _mw_clean(r["proj_title"]),
+            "source_year": str(r["yr"]),
+            "start_date": f"{r['yr']}-01-01",
+            "end_date": f"{r['yr']}-12-31",
+            "amount": str(r["amount"]),
+            "currency": "SEK",
+            "institution": _mw_clean(r["inst"]),
+            "lead_investigator_name": pi_name,
+            "lead_investigator_given_name": given,
+            "lead_investigator_family_name": family,
+            "co_investigators_raw": _mw_clean(r["co"]),
+            "source_section": r["section"],
+            "source_amount_text": r["amount_text"],
+            "source_page_url":
+                f"https://mmw.wallenberg.org/en/grants/{r['yr']}",
+            "detail_url": r["detail_url"],
+            "landing_page_url": r["detail_url"] or
+                f"https://mmw.wallenberg.org/en/grants/{r['yr']}",
+            "source_text": r["text"],
+            "source_row_hash": r["hash"],
+        }
+    actual = _run(spark, sf_dir, "mmw_parse_grants")
+    assert len(actual) == len(expected), (len(actual), len(expected))
+    for row in actual:
+        assert row.funder_award_id in expected, row.funder_award_id
+        exp = expected[row.funder_award_id]
+        for col, want in exp.items():
+            got = getattr(row, col)
+            assert got == want, (
+                f"{row.funder_award_id}.{col}: {got!r} != {want!r}")
+
+
+def test_mmw_rule_tables_match_reference():
+    """AST-pin the amount/title/honorific/keyword regexes and the
+    suffix set against mmw_to_s3.py source text."""
+    import os
+
+    ref = "/root/reference/scripts/local/mmw_to_s3.py"
+    if not os.path.exists(ref):
+        pytest.skip("reference absent")
+    from openalex_walden_spark.queries import mmw as port
+
+    src = open(ref, encoding="utf-8").read()
+
+    def unesc(s):
+        return s.replace("\\\\", "\\")
+
+    assert r"SEK\s+([0-9][0-9\s.,]*)(?:\s*(million|m))?" in src
+    assert unesc(port._AMT_CI) == \
+        r"(?i)SEK\s+([0-9][0-9\s.,]*)(?:\s*(million|m))?"
+    assert 'suffixes = {"PhD", "MD", "DPhil", "Jr.", "Sr.", "II", ' \
+        '"III", "IV"}' in src
+    assert set(port._SUFFIXES) == {"PhD", "MD", "DPhil", "Jr.", "Sr.",
+                                   "II", "III", "IV"}
+    assert r"(Professor|Associate Professor|Assistant Professor|" \
+        r"Dr|Doctor)" in src.replace("\n        ", "")
+    assert unesc(port._HONORIFIC) == \
+        r"(?i)^(Professor|Associate Professor|Assistant Professor|" \
+        r"Dr|Doctor)\b"
+    assert r"\b(?:grant|funding|awarded grant|yearly funding|Grant)\b" \
+        in src
+    # the port drops the case-duplicate 'Grant' alternative under (?i)
+    assert unesc(port._KEYWORD_CUT) == \
+        r"(?i)\b(?:grant|funding|awarded grant|yearly funding)\b.*$"
+    assert r"In\s+\d{4}.*awarded grants? of SEK" in src
+    assert unesc(port._AGGREGATE) == \
+        r"(?i)^In\s+\d{4}.*awarded grants? of SEK"
