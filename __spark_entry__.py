@@ -71,7 +71,12 @@ _LAST_GREEN: dict[str, int] = {
 # mechanically against git by tests/test_driver_window.py (queries whose
 # defining module changed since the last round-boundary commit must be
 # here or never-verified).
-_CHANGED_THIS_ROUND: list[str] = []
+_CHANGED_THIS_ROUND: list[str] = [
+    # round-12 family extension: the Lister Institute fellows arm
+    # joined the fellowship-directory union (no new columns — it
+    # rides the SCAS display_name/affiliation/end_year slots).
+    "fellowship_directory_parse",
+]
 
 # Queries whose defining MODULE changed this round but whose own plan
 # and semantics provably did not (e.g. a sibling query was added to the

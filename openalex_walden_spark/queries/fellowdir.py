@@ -1,8 +1,8 @@
 """Fellowship-directory parse family
-(scripts/local/{guggenheim,radcliffe,scas_former_fellows,hertz}
-_to_s3.py — 4 scripts, the fellows-listing skeleton; the SCAS and
-Hertz arms' semantics maps live on :func:`_scas_arm` /
-:func:`_hertz_arm`).
+(scripts/local/{guggenheim,radcliffe,scas_former_fellows,hertz,
+lister}_to_s3.py — 5 scripts, the fellows-listing skeleton; the SCAS,
+Hertz and Lister arms' semantics maps live on :func:`_scas_arm` /
+:func:`_hertz_arm` / :func:`_lister_arm`).
 
 Both scrape a fellows directory (pagination/card regexes = seam; the
 fixture delivers the extracted slug/name/year card fields) and share
@@ -618,6 +618,156 @@ sc_out AS (
 )"""
 
 
+
+
+# lister arm extras ride the SCAS column slots they share semantics
+# with (display_name <- title, affiliation <- institution, end_year)
+_LI_FILLS = {"display_name": "li_title", "affiliation": "li_inst",
+             "end_year": "li_end"}
+_LI_EXTRAS = ", ".join(
+    f"{_LI_FILLS.get(c, 'CAST(NULL AS STRING)')} AS {c}"
+    for c in _SCAS_EXTRA_COLS)
+
+# lister_to_s3.py:60 / :64 — title prefix + post-nominal vocabulary
+_LI_TITLE_RE = "(?i)^(Professor|Prof|Dr|Mr|Mrs|Ms|Miss|Sir|Dame)\\\\.?\\\\s+"
+_LI_DEGREES = "\\\\b(PhD|MD|FMedSci|OBE|MBE|CBE|FRCP|FRS)\\\\b\\\\.?"
+
+
+def _lister_arm(dialect: str, cs, elem, bar) -> str:
+    """The Lister Institute fellows-directory arm
+    (scripts/local/lister_to_s3.py — round 12).
+
+    Five Umbraco pages of ``.person`` cards (HTTP + selectors = seam;
+    the fixture delivers each card's name/institution/dates/interests
+    plus its page index, with the 2024/2025 prize-winner pages
+    carrying a page year).  Ported compute: the cross-page merge
+    (:142-152) — records keyed by the title-stripped name slug, FIRST
+    page-order occurrence wins and later occurrences backfill each
+    still-missing field individually (groups of <= 3 by fixture
+    construction -> two lead() steps); the
+    ``(\\d{4})\\s*[-–]\\s*(\\d{4})?`` fellowship-dates parse with
+    the page-year fallback (:96-103); ``parse_pi`` (:62-69) — ONE
+    leading title strip, post-nominal removal ANYWHERE, strip +
+    rstrip(','), <2 tokens -> family-only; title = interests else the
+    constant fellowship name; id = 'lister-{key}'(+'-{year}')
+    (:163-165 — unique by construction post-merge, so the cumcount
+    suffix branch is dead code in the reference too and is not
+    ported); amounts NULL by source design (§6.7 waiver)."""
+    sp = dialect == "spark"
+    S = "STRING" if sp else "VARCHAR"
+    g = "" if sp else ", 'g'"
+
+    def splitws(x):
+        return (f"split({x}, '\\\\s+')" if sp
+                else f"regexp_split_to_array({x}, '\\\\s+')")
+
+    def filt_ne(a):
+        return (f"filter({a}, t -> t <> '')" if sp
+                else f"list_filter({a}, t -> t <> '')")
+
+    def asize(a):
+        return f"size({a})" if sp else f"len({a})"
+
+    def jn_head(a, n):
+        return (f"array_join(slice({a}, 1, {n}), ' ')" if sp
+                else f"array_to_string(list_slice({a}, 1, {n}), ' ')")
+
+    key_expr = (f"trim(BOTH '-' FROM regexp_replace(lower("
+                f"regexp_replace(name, '{_LI_TITLE_RE}', ''{g})), "
+                f"'[^a-z0-9]+', '-'{g}))")
+    first_expr = (f"trim(BOTH ',' FROM trim(regexp_replace(trim("
+                  f"regexp_replace(name, '{_LI_TITLE_RE}', ''{g})), "
+                  f"'{_LI_DEGREES}', ''{g})))")
+    # reference order: sub(title).strip() -> sub(degrees) -> strip()
+    # -> rstrip(',') ; the trailing trim pair above composes the same
+    first_expr = f"trim({first_expr})"
+
+    dates_start = ("nullif(regexp_extract(dates_txt, "
+                   "'(\\\\d{4})\\\\s*[-–]\\\\s*(\\\\d{4})?', 1), '')")
+    dates_end = ("nullif(regexp_extract(dates_txt, "
+                 "'(\\\\d{4})\\\\s*[-–]\\\\s*(\\\\d{4})?', 2), '')")
+
+    w = "OVER (PARTITION BY key ORDER BY page, k)"
+    core = f"""CASE CAST(p % 6 AS INT)
+      WHEN 0 THEN concat('Emma Clarke', {cs('p')}, ' FMedSci')
+      WHEN 1 THEN concat('Raj Patel ', {cs('p')})
+      WHEN 2 THEN concat('Michael Owen ', {cs('p')}, ' OBE')
+      WHEN 3 THEN concat('Li Wei', {cs('p')})
+      WHEN 4 THEN concat('Aisha Bello-Ahmed ', {cs('p')}, ' PhD')
+      ELSE concat('Plate', {cs('p')}) END"""
+    title_pfx = f"""CASE CAST(k - 3 * p AS INT)
+      WHEN 0 THEN CASE CAST(p % 3 AS INT) WHEN 0 THEN 'Professor '
+        WHEN 1 THEN 'Sir ' ELSE 'Dame ' END
+      WHEN 1 THEN 'Dr. ' ELSE '' END"""
+
+    return f"""li_raw AS (
+  SELECT o_orderkey AS k,
+    CAST(floor(o_orderkey / 3.0) AS BIGINT) AS p,
+    CAST(o_orderkey % 5 AS INT) AS page
+  FROM orders
+),
+li_cards AS (
+  SELECT k, p, page,
+    concat({title_pfx}, {core}) AS name,
+    CASE WHEN k % 4 = 0 THEN NULL
+      ELSE concat('University of Oxford wing ', {cs('k % 90')}) END
+      AS inst,
+    CASE WHEN k % 5 = 2 THEN NULL
+      ELSE concat('Molecular immunology theme ', {cs('k % 40')}) END
+      AS interests,
+    CASE WHEN k % 4 = 0 THEN NULL
+      WHEN k % 8 = 1 THEN concat('Fellow ', {cs('2000 + p % 23')},
+                                 '–')
+      ELSE concat('Fellow ', {cs('2000 + p % 23')}, '-',
+                  {cs('2005 + p % 23')}) END AS dates_txt,
+    CASE WHEN page = 3 THEN '2024'
+         WHEN page = 4 THEN '2025' END AS page_year
+  FROM li_raw
+),
+li_parsed AS (
+  SELECT k, p, page, name, inst, interests,
+    coalesce({dates_start}, page_year) AS sy,
+    {dates_end} AS ey,
+    {key_expr} AS key
+  FROM li_cards
+),
+li_merged AS (
+  SELECT * FROM (
+    SELECT k, name, key,
+      row_number() {w} AS rn,
+      coalesce(inst, lead(inst, 1) {w}, lead(inst, 2) {w}) AS li_inst,
+      coalesce(interests, lead(interests, 1) {w},
+               lead(interests, 2) {w}) AS li_interests,
+      coalesce(sy, lead(sy, 1) {w}, lead(sy, 2) {w}) AS li_sy,
+      coalesce(ey, lead(ey, 1) {w}, lead(ey, 2) {w}) AS li_end
+    FROM li_parsed) x WHERE rn = 1
+),
+{bar("li_named", "li_merged",
+     ["k", "name", "key", "li_inst", "li_interests", "li_sy",
+      "li_end"], [
+    ("li_toks", filt_ne(splitws(f"coalesce({first_expr}, '')"))),
+])},
+li_out AS (
+  SELECT 'lister' AS member,
+    concat('lister-', key,
+           CASE WHEN li_sy IS NOT NULL THEN concat('-', li_sy)
+                ELSE '' END) AS funder_award_id,
+    key AS slug, name AS fellow_name,
+    CASE WHEN {asize('li_toks')} < 2 THEN NULL
+         ELSE {jn_head('li_toks', f"{asize('li_toks')} - 1")} END
+      AS given_name,
+    CASE WHEN {asize('li_toks')} = 0 THEN NULL
+         WHEN {asize('li_toks')} = 1 THEN {elem('li_toks', '1')}
+         ELSE {elem('li_toks', asize('li_toks'))} END AS family_name,
+    li_sy AS start_year,
+    CAST(NULL AS {S}) AS landing_page_url,
+    coalesce(li_interests,
+             'Lister Institute Research Prize Fellowship') AS li_title,
+    li_inst, li_end
+  FROM li_named
+)"""
+
+
 def _sql(dialect: str) -> str:
     g, S, elem, particle_split = _helpers(dialect)
 
@@ -701,7 +851,8 @@ rc_out AS (
   FROM rc_named
 ),
 {_scas_arm(dialect, cs, elem)},
-{_hertz_arm(dialect, cs, elem, bar)}
+{_hertz_arm(dialect, cs, elem, bar)},
+{_lister_arm(dialect, cs, elem, bar)}
 SELECT member, funder_award_id, slug, fellow_name, given_name,
        family_name, start_year, landing_page_url, {_SCAS_NULLS},
        {_HZ_NULLS}
@@ -721,6 +872,11 @@ SELECT member, funder_award_id, slug, fellow_name, given_name,
        family_name, start_year, landing_page_url, {_SCAS_EXTRAS},
        {_HZ_EXTRAS}
 FROM hz_out
+UNION ALL
+SELECT member, funder_award_id, slug, fellow_name, given_name,
+       family_name, start_year, landing_page_url, {_LI_EXTRAS},
+       {_HZ_NULLS}
+FROM li_out
 """
 
 
@@ -738,7 +894,8 @@ def _build(dialect: str) -> str:
     tags=("domain", "awards", "scrape"),
     tables=("orders",),
     doc=("Fellowship-directory parse family (scripts/local/"
-         "{guggenheim,radcliffe,scas_former_fellows,hertz}_to_s3.py)"),
+         "{guggenheim,radcliffe,scas_former_fellows,hertz,lister}"
+         "_to_s3.py)"),
 )
 def fellowship_directory_parse(spark: SparkSession,
                                sf_dir: str) -> DataFrame:

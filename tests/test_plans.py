@@ -1017,17 +1017,17 @@ def test_wprest_no_shuffle(spark, sf_dir):
 
 
 def test_fellowdir_one_window(spark, sf_dir):
-    """Fellowship-directory family: four barriered scan arms + the
-    radcliffe (slug, year), scas cross-term, and hertz slug keep-first
-    windows; no Python."""
+    """Fellowship-directory family: five barriered scan arms + the
+    radcliffe (slug, year), scas cross-term, hertz slug keep-first and
+    lister cross-page merge windows; no Python."""
     plan = _plan(spark, sf_dir, "fellowship_directory_parse")
-    assert plan.count("Exchange hashpartitioning") <= 3
+    assert plan.count("Exchange hashpartitioning") <= 4
     assert "WindowGroupLimit" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     df = q.CATALOG["fellowship_directory_parse"].spark(spark, sf_dir)
     opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
-    # linear union growth (4 arms x 31 columns), not expression blow-up
-    assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"
+    # linear union growth (5 arms x 31 columns), not expression blow-up
+    assert len(opt) < 170_000, f"plan blow-up: {len(opt)} chars"
 
 
 def test_anr_windows_and_join_only(spark, sf_dir):

@@ -7022,3 +7022,127 @@ def test_mmw_rule_tables_match_reference():
     assert r"In\s+\d{4}.*awarded grants? of SEK" in src
     assert unesc(port._AGGREGATE) == \
         r"(?i)^In\s+\d{4}.*awarded grants? of SEK"
+
+
+# ---------------------------------------------------------------------------
+# Lister Institute fellows-directory arm
+# (scripts/local/lister_to_s3.py:49-69, 77-117, 133-172)
+# ---------------------------------------------------------------------------
+
+_LI_TITLE = re.compile(
+    r"^(Professor|Prof|Dr|Mr|Mrs|Ms|Miss|Sir|Dame)\.?\s+", re.I)
+
+
+def _li_parse_pi(raw):
+    if not raw:
+        return None, None
+    first = _LI_TITLE.sub("", raw.strip()).strip()
+    first = re.sub(r"\b(PhD|MD|FMedSci|OBE|MBE|CBE|FRCP|FRS)\b\.?", "",
+                   first).strip().rstrip(",")
+    parts = first.split()
+    if len(parts) < 2:
+        return (None, first or None)
+    return " ".join(parts[:-1]), parts[-1]
+
+
+def _li_card(k):
+    p = k // 3
+    page = k % 5
+    core = [f"Emma Clarke{p} FMedSci", f"Raj Patel {p}",
+            f"Michael Owen {p} OBE", f"Li Wei{p}",
+            f"Aisha Bello-Ahmed {p} PhD", f"Plate{p}"][p % 6]
+    j = k - 3 * p
+    pfx = [["Professor ", "Sir ", "Dame "][p % 3], "Dr. ", ""][j]
+    name = pfx + core
+    inst = (None if k % 4 == 0
+            else f"University of Oxford wing {k % 90}")
+    interests = (None if k % 5 == 2
+                 else f"Molecular immunology theme {k % 40}")
+    if k % 4 == 0:
+        dates = None
+    elif k % 8 == 1:
+        dates = f"Fellow {2000 + p % 23}–"
+    else:
+        dates = f"Fellow {2000 + p % 23}-{2005 + p % 23}"
+    page_year = {3: "2024", 4: "2025"}.get(page)
+    start = end = None
+    if dates:
+        m = re.search(r"(\d{4})\s*[-–]\s*(\d{4})?", dates)
+        if m:
+            start, end = m.group(1), m.group(2)
+    if not start and page_year:
+        start = page_year
+    return p, page, name, inst, interests, start, end
+
+
+def test_lister_matches_reference_semantics(spark, sf_dir, orders_rows):
+    # cross-page merge (lister_to_s3.py:133-152): records keyed by the
+    # title-stripped name slug; first page-order occurrence wins, later
+    # occurrences backfill still-missing fields individually
+    cards = []
+    for k in sorted(r[0] for r in orders_rows):
+        p, page, name, inst, interests, start, end = _li_card(k)
+        key = re.sub(r"[^a-z0-9]+", "-",
+                     _LI_TITLE.sub("", name).lower()).strip("-")
+        cards.append({"k": k, "page": page, "key": key, "name": name,
+                      "institution": inst, "interests": interests,
+                      "start_year": start, "end_year": end})
+    cards.sort(key=lambda c: (c["page"], c["k"]))
+    records = {}
+    for rec in cards:
+        if rec["key"] in records:
+            old = records[rec["key"]]
+            for f in ("institution", "interests", "start_year",
+                      "end_year"):
+                if not old.get(f) and rec.get(f):
+                    old[f] = rec[f]
+            continue
+        records[rec["key"]] = dict(rec)
+    expected = {}
+    for key, rec in records.items():
+        given, family = _li_parse_pi(rec["name"])
+        yr = rec["start_year"]
+        aid = f"lister-{key}" + (f"-{yr}" if yr else "")
+        expected[aid] = {
+            "slug": key, "fellow_name": rec["name"],
+            "given_name": given, "family_name": family,
+            "start_year": yr, "end_year": rec["end_year"],
+            "display_name": rec["interests"]
+            or "Lister Institute Research Prize Fellowship",
+            "affiliation": rec["institution"],
+            "landing_page_url": None,
+        }
+    actual = [r for r in _run(spark, sf_dir, "fellowship_directory_parse")
+              if r.member == "lister"]
+    assert len(actual) == len(expected), (len(actual), len(expected))
+    for r in actual:
+        assert r.funder_award_id in expected, r.funder_award_id
+        exp = expected[r.funder_award_id]
+        for col, want in exp.items():
+            got = getattr(r, col)
+            assert got == want, (
+                f"{r.funder_award_id}.{col}: {got!r} != {want!r}")
+
+
+def test_lister_rule_tables_match_reference():
+    """Pin the title/post-nominal vocabulary against lister_to_s3.py."""
+    import os
+
+    ref = "/root/reference/scripts/local/lister_to_s3.py"
+    if not os.path.exists(ref):
+        pytest.skip("reference absent")
+    from openalex_walden_spark.queries import fellowdir as port
+
+    src = open(ref, encoding="utf-8").read()
+
+    def unesc(s):
+        return s.replace("\\\\", "\\")
+
+    assert r"^(Professor|Prof|Dr|Mr|Mrs|Ms|Miss|Sir|Dame)\.?\s+" in src
+    assert unesc(port._LI_TITLE_RE) == \
+        r"(?i)^(Professor|Prof|Dr|Mr|Mrs|Ms|Miss|Sir|Dame)\.?\s+"
+    assert r"\b(PhD|MD|FMedSci|OBE|MBE|CBE|FRCP|FRS)\b\.?" in src
+    assert unesc(port._LI_DEGREES) == \
+        r"\b(PhD|MD|FMedSci|OBE|MBE|CBE|FRCP|FRS)\b\.?"
+    assert r"(\d{4})\s*[-–]\s*(\d{4})?" in src
+    assert '"Lister Institute Research Prize Fellowship"' in src
