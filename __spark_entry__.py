@@ -76,6 +76,10 @@ _CHANGED_THIS_ROUND: list[str] = [
     # joined the fellowship-directory union (no new columns — it
     # rides the SCAS display_name/affiliation/end_year slots).
     "fellowship_directory_parse",
+    # round-12 family extension: the Health Foundation thin-listing
+    # arm joined the foundation-archive union (rides existing column
+    # slots, no new columns).
+    "foundation_archive_parse",
 ]
 
 # Queries whose defining MODULE changed this round but whose own plan

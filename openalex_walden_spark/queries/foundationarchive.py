@@ -1,6 +1,8 @@
 """Foundation-archive scraper family
-(scripts/local/{ahmanson,costech,kirby,lumina}_to_s3.py — 4 scripts,
-one official-archive-to-parquet skeleton).
+(scripts/local/{ahmanson,costech,kirby,lumina,health_foundation}
+_to_s3.py — 5 scripts, one official-archive-to-parquet skeleton; the
+Health Foundation thin-listing arm's semantics map sits inline above
+its CTEs in :func:`_sql`).
 
 Four ingests sharing the archive skeleton: ``clean_text`` (NBSP, ws
 collapse), ``make_display_name`` ('{recipient}: {description}' with
@@ -558,6 +560,83 @@ lu_out AS (
   FROM lu_parsed
 )"""
 
+
+    # ---- health foundation (thf, round 12) -----------------------------
+    # health_foundation_to_s3.py:88-113,161-183 — the Akamai/Playwright
+    # crawl and the CARD_JS DOM extraction are the seam; the fixture
+    # delivers each card's (title, href, meta, summary).  Ported
+    # compute: clean (NBSP+collapse), slug_of = last non-empty path
+    # segment, section_of = first path segment with '-'->' ' and
+    # str.capitalize() (lowercases the REST — quirk kept), year_of =
+    # the first unanchored (19|20)dd run in the meta, the
+    # href/title/slug drop gates, the keep-FIRST slug dedupe across
+    # facets (crawl order = fixture key order), description =
+    # summary[:300], id 'thf-{slug}'.  NO PI and NO amounts by source
+    # design (runbook 6.7 thin build).
+    thf_year = ("nullif(regexp_extract(meta_raw, '((?:19|20)" "\\\\d\\\\d)', 1), '')")
+    thf_sect = ("concat(upper(substr(replace(sect_seg, '-', ' '), 1, 1)),"
+                " lower(substr(replace(sect_seg, '-', ' '), 2)))")
+    thf = f""",
+thf_cards AS (
+  SELECT o_orderkey AS k,
+    CASE CAST(o_orderkey % 2 AS INT)
+      WHEN 0 THEN 'funding-and-partnerships'
+      ELSE 'funding-and-fellowships' END AS sect_seg,
+    concat('improving-access-', {cs('CAST(floor(o_orderkey / 2.0) AS BIGINT)')})
+      AS slug,
+    (o_orderkey % 19 <> 0) AS has_href,
+    CASE WHEN o_orderkey % 17 = 0 THEN NULL
+      ELSE concat('Improving  access to community care ', {ks}) END
+      AS title_raw,
+    CASE WHEN o_orderkey % 13 = 0 THEN 'Project | date TBC'
+      ELSE concat('Project | ', {cs('1 + o_orderkey % 28')},
+                  ' October ', {cs('1998 + o_orderkey % 28')}) END
+      AS meta_raw,
+    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      WHEN o_orderkey % 5 = 0 THEN concat(
+        'This programme supports local systems to improve care ',
+        'quality and outcomes across the region with partners. ',
+        'This programme supports local systems to improve care ',
+        'quality and outcomes across the region with partners. ',
+        'This programme supports local systems to improve care ',
+        'quality and outcomes across the region with partners. ',
+        'Cohort ', {ks}) ELSE concat('Evaluation of pathway ', {ks})
+      END AS summary_raw
+  FROM orders
+),
+thf_kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY slug ORDER BY k) AS rn
+    FROM thf_cards
+    WHERE has_href AND {clean('title_raw')} IS NOT NULL) x
+  WHERE rn = 1
+),
+thf_out AS (
+  SELECT 'thf' AS member,
+    concat('thf-', slug) AS funder_award_id,
+    {clean('title_raw')} AS display_name,
+    substr({clean('summary_raw')}, 1, 300) AS description,
+    {nullcols('recipient_name', 'recipient_url', 'source_record_id',
+              'amount', 'currency', 'program_area', 'fiscal_year',
+              'recipient_location', 'recipient_city',
+              'recipient_region', 'recipient_country',
+              'source_section_year', 'source_section_total_amount',
+              'source_category', 'source_amount_display')},
+    {thf_sect} AS funder_scheme,
+    CAST(NULL AS {S}) AS funding_type,
+    {nullcols('start_date', 'end_date')},
+    {thf_year} AS source_year,
+    {nullcols('lead_given_name', 'lead_family_name', 'objective',
+              'result', 'subprogram_name', 'sector_name',
+              'status_name', 'source_column_year',
+              'source_row_number')},
+    concat('https://www.health.org.uk/', sect_seg, '/projects/', slug)
+      AS landing_page_url,
+    concat('https://www.health.org.uk/', sect_seg, '/projects/', slug)
+      AS source_url
+  FROM thf_kept
+)"""
+
     cols = ("member, funder_award_id, display_name, description, "
             "recipient_name, recipient_url, source_record_id, amount, "
             "currency, program_area, fiscal_year, recipient_location, "
@@ -571,11 +650,12 @@ lu_out AS (
             "source_url")
 
     return f"""
-WITH {ahmanson}{costech}{kirby}{lumina}
+WITH {ahmanson}{costech}{kirby}{lumina}{thf}
 SELECT {cols} FROM ah_out
 UNION ALL SELECT {cols} FROM co_out
 UNION ALL SELECT {cols} FROM kb_out
 UNION ALL SELECT {cols} FROM lu_out
+UNION ALL SELECT {cols} FROM thf_out
 """
 
 

@@ -974,11 +974,11 @@ def test_prize_pattern_share_windows_only(spark, sf_dir):
 
 
 def test_foundation_archive_no_shuffle(spark, sf_dir):
-    """Foundation-archive family: four barriered scan arms + the kirby
-    year-column explode; unique ids by construction so no shuffle at
-    all; no Python; bounded plan."""
+    """Foundation-archive family: five barriered scan arms + the kirby
+    year-column explode; the only exchange is the round-12 THF
+    cross-facet slug keep-first window; no Python; bounded plan."""
     plan = _plan(spark, sf_dir, "foundation_archive_parse")
-    assert "Exchange" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
     assert "Generate" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan

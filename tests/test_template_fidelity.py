@@ -7146,3 +7146,76 @@ def test_lister_rule_tables_match_reference():
         r"\b(PhD|MD|FMedSci|OBE|MBE|CBE|FRCP|FRS)\b\.?"
     assert r"(\d{4})\s*[-–]\s*(\d{4})?" in src
     assert '"Lister Institute Research Prize Fellowship"' in src
+
+
+# ---------------------------------------------------------------------------
+# Health Foundation thin-listing arm
+# (scripts/local/health_foundation_to_s3.py:88-113, 161-183)
+# ---------------------------------------------------------------------------
+
+def test_thf_matches_reference_semantics(spark, sf_dir, orders_rows):
+    expected = {}
+    seen = set()
+    for k in sorted(r[0] for r in orders_rows):
+        sect = ("funding-and-partnerships" if k % 2 == 0
+                else "funding-and-fellowships")
+        slug = f"improving-access-{k // 2}"
+        if k % 19 == 0:
+            continue  # no href
+        title_raw = (None if k % 17 == 0
+                     else f"Improving  access to community care {k}")
+        title = (re.sub(r"\s+", " ", title_raw.replace("\xa0", " "))
+                 .strip() if title_raw else None)
+        if not title:
+            continue
+        aid = f"thf-{slug}"
+        if aid in seen:  # dedupe across facets, crawl order
+            continue
+        seen.add(aid)
+        meta = ("Project | date TBC" if k % 13 == 0 else
+                f"Project | {1 + k % 28} October {1998 + k % 28}")
+        ym = re.search(r"(?:19|20)\d\d", meta)
+        if k % 7 == 0:
+            summary = None
+        elif k % 5 == 0:
+            summary = (
+                "This programme supports local systems to improve care "
+                "quality and outcomes across the region with partners. "
+                * 3 + f"Cohort {k}")
+            summary = re.sub(r"\s+", " ", summary).strip()
+        else:
+            summary = f"Evaluation of pathway {k}"
+        href = f"https://www.health.org.uk/{sect}/projects/{slug}"
+        expected[aid] = {
+            "display_name": title,
+            "description": summary[:300] if summary else None,
+            "funder_scheme": sect.replace("-", " ").capitalize(),
+            "source_year": ym.group(0) if ym else None,
+            "landing_page_url": href, "source_url": href,
+            "recipient_name": None, "amount": None, "currency": None,
+            "funding_type": None,
+        }
+    actual = [r for r in _run(spark, sf_dir, "foundation_archive_parse")
+              if r.member == "thf"]
+    assert len(actual) == len(expected), (len(actual), len(expected))
+    for r in actual:
+        assert r.funder_award_id in expected, r.funder_award_id
+        exp = expected[r.funder_award_id]
+        for col, want in exp.items():
+            got = getattr(r, col)
+            assert got == want, (
+                f"{r.funder_award_id}.{col}: {got!r} != {want!r}")
+
+
+def test_thf_rules_match_reference():
+    """Pin the THF grammar fragments against the reference source."""
+    import os
+
+    ref = "/root/reference/scripts/local/health_foundation_to_s3.py"
+    if not os.path.exists(ref):
+        pytest.skip("reference absent")
+    src = open(ref, encoding="utf-8").read()
+    assert r'YEAR_RE = re.compile(r"(?:19|20)\d\d")' in src
+    assert 'f"thf-{slug}"' in src
+    assert '"description": (summary[:300] if summary else None)' in src
+    assert 'segs[0].replace("-", " ").capitalize()' in src
