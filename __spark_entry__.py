@@ -80,6 +80,10 @@ _CHANGED_THIS_ROUND: list[str] = [
     # arm joined the foundation-archive union (rides existing column
     # slots, no new columns).
     "foundation_archive_parse",
+    # round-12 family extension: the Templeton WP-REST passthrough arm
+    # joined the WP card family (11 verbatim ACF columns, NULL in the
+    # legacy arms).
+    "wprest_parse_projects",
 ]
 
 # Queries whose defining MODULE changed this round but whose own plan

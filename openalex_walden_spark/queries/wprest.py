@@ -1,6 +1,6 @@
 """WordPress/FacetWP card-parse family
-(scripts/local/gulbenkian_to_s3.py, scripts/local/velux_stiftung_to_s3.py,
-scripts/local/hewlett_to_s3.py — 3 scripts, the WP card skeleton;
+(scripts/local/{gulbenkian,velux_stiftung,hewlett,templeton}_to_s3.py
+— 4 scripts, the WP card skeleton;
 the hewlett arm's semantics map lives on its inline comment block in
 :func:`_sql`).
 
@@ -454,6 +454,87 @@ hw_out AS (
         "term_months", "amount_raw", "term_raw", "date_awarded_raw",
         "declined")
 
+    te_extra = ("wp_post_id, wp_date, wp_modified, grant_web_title, "
+                "grant_max_content, grant_content, grant_project_leader, "
+                "grant_grantee, grant_amount_raw, grant_start_date, "
+                "grant_end_date")
+    te_extra_nulls = nullcols(
+        "wp_post_id", "wp_date", "wp_modified", "grant_web_title",
+        "grant_max_content", "grant_content", "grant_project_leader",
+        "grant_grantee", "grant_amount_raw", "grant_start_date",
+        "grant_end_date")
+    nullcols_te = nullcols(
+        "description", "content_full", "amount", "currency",
+        "start_year", "end_year", "page_date", "date_start", "date_end",
+        "local_name", "partners", "duration", "beneficiaries",
+        "type_names") + ","
+
+    # ---- templeton (round 12) ------------------------------------------
+    # templeton_to_s3.py:60-126 — the WP REST pagination (per_page=100,
+    # X-WP-TotalPages) is the seam; normalise_record (:100-126) is a
+    # verbatim field passthrough whose ONE rule is the title fallback:
+    # rendered WP title, else acf.grant_web_title, else '' (empty
+    # STRING, not NULL — pandas ships the '').  funder_award_id carries
+    # acf.grant_id verbatim (the notebook's join key — the reference
+    # synthesizes no prefix); amounts stay RAW by design ("keep raw,
+    # parse in notebook").  No dedupe exists to port.
+    templeton = f""",
+te_raw AS (
+  SELECT o_orderkey AS k,
+    {cs('90000 + o_orderkey')} AS wp_post_id,
+    concat('grant-', {cs('o_orderkey')}) AS slug,
+    concat('https://www.templeton.org/grant/grant-', {cs('o_orderkey')})
+      AS link,
+    concat('20', lpad({cs('10 + o_orderkey % 15')}, 2, '0'),
+           '-03-0', {cs('1 + o_orderkey % 9')}, 'T08:15:00') AS wp_date,
+    concat('2025-0', {cs('1 + o_orderkey % 9')}, '-12T10:00:00')
+      AS wp_modified,
+    CASE WHEN o_orderkey % 6 = 0 THEN ''
+      ELSE concat('Science &amp; the big questions ', {cs('o_orderkey')})
+      END AS title_rendered,
+    CASE WHEN o_orderkey % 11 = 0 THEN NULL
+      ELSE concat({cs('60000 + o_orderkey % 9000')}) END AS grant_id,
+    CASE WHEN o_orderkey % 18 = 0 THEN NULL
+      ELSE concat('Foundations of complexity ', {cs('o_orderkey % 400')})
+      END AS grant_web_title,
+    CASE WHEN o_orderkey % 4 = 0 THEN NULL
+      ELSE concat('Long-form narrative for grant ', {cs('o_orderkey')})
+      END AS grant_max_content,
+    CASE WHEN o_orderkey % 3 = 0 THEN NULL
+      ELSE concat('Short summary ', {cs('o_orderkey % 50')}) END
+      AS grant_content,
+    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+      ELSE concat('Maria Duarte ', {cs('o_orderkey % 70')}) END
+      AS grant_project_leader,
+    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      ELSE concat('University of Tartu ', {cs('o_orderkey % 40')}) END
+      AS grant_grantee,
+    CASE WHEN o_orderkey % 9 = 0 THEN NULL
+      ELSE {cs('100000 + o_orderkey % 800000')} END AS grant_amount_raw,
+    CASE WHEN o_orderkey % 8 = 0 THEN NULL
+      ELSE concat({cs('2010 + o_orderkey % 14')}, '-07-01') END
+      AS grant_start_date,
+    CASE WHEN o_orderkey % 10 = 0 THEN NULL
+      ELSE concat({cs('2013 + o_orderkey % 14')}, '-06-30') END
+      AS grant_end_date
+  FROM orders
+),
+te_out AS (
+  SELECT 'templeton' AS member,
+    grant_id AS funder_award_id,
+    grant_id AS project_id,
+    slug,
+    CASE WHEN title_rendered <> '' THEN title_rendered
+         ELSE coalesce(grant_web_title, '') END AS title,
+    {nullcols_te}
+    link AS landing_page_url,
+    {cs('wp_post_id')} AS wp_post_id, wp_date, wp_modified,
+    grant_web_title, grant_max_content, grant_content,
+    grant_project_leader, grant_grantee, grant_amount_raw,
+    grant_start_date, grant_end_date
+  FROM te_raw
+)"""
+
     cols = ("member, funder_award_id, project_id, slug, title, "
             "description, content_full, amount, currency, start_year, "
             "end_year, page_date, date_start, date_end, local_name, "
@@ -461,10 +542,11 @@ hw_out AS (
             "landing_page_url")
 
     return f"""
-WITH {gulbenkian}{velux}{hewlett}
-SELECT {cols}, {hw_extras} FROM hw_out
-UNION ALL SELECT {cols}, {hw_extra_nulls} FROM gu_out
-UNION ALL SELECT {cols}, {hw_extra_nulls} FROM vx_out
+WITH {gulbenkian}{velux}{hewlett}{templeton}
+SELECT {cols}, {hw_extras}, {te_extra_nulls} FROM hw_out
+UNION ALL SELECT {cols}, {hw_extra_nulls}, {te_extra_nulls} FROM gu_out
+UNION ALL SELECT {cols}, {hw_extra_nulls}, {te_extra_nulls} FROM vx_out
+UNION ALL SELECT {cols}, {hw_extra_nulls}, {te_extra} FROM te_out
 """
 
 

@@ -1003,9 +1003,9 @@ def test_microfunder_two_windows_only(spark, sf_dir):
 
 
 def test_wprest_no_shuffle(spark, sf_dir):
-    """WP/FacetWP card family: three barriered scan arms; the only
-    exchange is the hewlett -v{n} collision window (round 11); no
-    Python, bounded plan."""
+    """WP/FacetWP card family: four barriered scan arms (templeton is
+    a zero-shuffle passthrough); the only exchange is the hewlett
+    -v{n} collision window (round 11); no Python, bounded plan."""
     plan = _plan(spark, sf_dir, "wprest_parse_projects")
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "Generate" in plan

@@ -7219,3 +7219,79 @@ def test_thf_rules_match_reference():
     assert 'f"thf-{slug}"' in src
     assert '"description": (summary[:300] if summary else None)' in src
     assert 'segs[0].replace("-", " ").capitalize()' in src
+
+
+# ---------------------------------------------------------------------------
+# Templeton WP-REST passthrough arm
+# (scripts/local/templeton_to_s3.py:100-126)
+# ---------------------------------------------------------------------------
+
+def test_templeton_matches_reference_semantics(spark, sf_dir,
+                                               orders_rows):
+    expected = {}
+    for k in sorted(r[0] for r in orders_rows):
+        rendered = ("" if k % 6 == 0
+                    else f"Science &amp; the big questions {k}")
+        acf = {
+            "grant_id": (None if k % 11 == 0
+                         else str(60000 + k % 9000)),
+            "grant_web_title": (None if k % 18 == 0 else
+                                f"Foundations of complexity {k % 400}"),
+            "grant_max_content": (None if k % 4 == 0 else
+                                  f"Long-form narrative for grant {k}"),
+            "grant_content": (None if k % 3 == 0 else
+                              f"Short summary {k % 50}"),
+            "grant_project_leader": (None if k % 5 == 0 else
+                                     f"Maria Duarte {k % 70}"),
+            "grant_grantee": (None if k % 7 == 0 else
+                              f"University of Tartu {k % 40}"),
+            "grant_amount": (None if k % 9 == 0 else
+                             str(100000 + k % 800000)),
+            "grant_start_date": (None if k % 8 == 0 else
+                                 f"{2010 + k % 14}-07-01"),
+            "grant_end_date": (None if k % 10 == 0 else
+                               f"{2013 + k % 14}-06-30"),
+        }
+        # normalise_record: title = rendered or acf.grant_web_title or ''
+        title = rendered or (acf.get("grant_web_title") or "")
+        expected[f"grant-{k}"] = {
+            "wp_post_id": str(90000 + k),
+            "funder_award_id": acf["grant_id"],
+            "project_id": acf["grant_id"],
+            "title": title,
+            "grant_web_title": acf["grant_web_title"],
+            "grant_max_content": acf["grant_max_content"],
+            "grant_content": acf["grant_content"],
+            "grant_project_leader": acf["grant_project_leader"],
+            "grant_grantee": acf["grant_grantee"],
+            "grant_amount_raw": acf["grant_amount"],
+            "grant_start_date": acf["grant_start_date"],
+            "grant_end_date": acf["grant_end_date"],
+            "wp_date": f"20{10 + k % 15:02d}-03-0{1 + k % 9}T08:15:00",
+            "wp_modified": f"2025-0{1 + k % 9}-12T10:00:00",
+            "landing_page_url":
+                f"https://www.templeton.org/grant/grant-{k}",
+            "amount": None, "currency": None, "description": None,
+        }
+    actual = [r for r in _run(spark, sf_dir, "wprest_parse_projects")
+              if r.member == "templeton"]
+    assert len(actual) == len(expected), (len(actual), len(expected))
+    for r in actual:
+        assert r.slug in expected, r.slug
+        exp = expected[r.slug]
+        for col, want in exp.items():
+            got = getattr(r, col)
+            assert got == want, (f"{r.slug}.{col}: {got!r} != {want!r}")
+
+
+def test_templeton_rules_match_reference():
+    """Pin the templeton passthrough contract fragments."""
+    import os
+
+    ref = "/root/reference/scripts/local/templeton_to_s3.py"
+    if not os.path.exists(ref):
+        pytest.skip("reference absent")
+    src = open(ref, encoding="utf-8").read()
+    assert '"title": title or (acf.get("grant_web_title") or "")' in src
+    assert '"grant_amount_raw": acf.get("grant_amount")' in src
+    assert 'wp-json/wp/v2/grants' in src
