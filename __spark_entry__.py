@@ -84,6 +84,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     # joined the WP card family (11 verbatim ACF columns, NULL in the
     # legacy arms).
     "wprest_parse_projects",
+    # round-12 family extension: the Wolf Prize winners arm joined the
+    # prize-pattern union (2 new columns, NULL in the legacy arms).
+    "prize_pattern_parse",
 ]
 
 # Queries whose defining MODULE changed this round but whose own plan

@@ -377,6 +377,208 @@ def _helpers(dialect: str):
             amount_render)
 
 
+# wolf_to_s3.py:74-84 — the 9-entry English field-category map
+WOLF_FIELD_CATEGORIES = {
+    85: "Physics", 81: "Mathematics", 87: "Medicine", 83: "Chemistry",
+    91: "Agriculture", 107: "Architecture", 114: "Music",
+    124: "Painting & Sculpture", 47: "Leadership",
+}
+
+# wolf_to_s3.py:131-132 — the mjff/wolf shared suffix set
+WOLF_SUFFIXES = ("phd", "md", "dphil", "dsc", "scd", "jr.", "sr.",
+                 "ii", "iii", "iv", "jr", "sr")
+
+
+def _wolf_arm(dialect: str, cs, nullcols, S: str, g: str) -> str:
+    """The Wolf Prize winners arm (scripts/local/wolf_to_s3.py, round
+    12).  The WP REST category fetch is the seam; the fixture delivers
+    each post's (id, slug, link, date, rendered title, categories
+    array, rendered content).  Ported compute: ``html_to_text``
+    (:115-121 — tags stripped FIRST, then entity decode over the
+    fixture-complete subset, then collapse); the wolf ``split_name``
+    (:124-139, lower+strip(',.') suffix pop); field = the FIRST post
+    category present in ``WOLF_FIELD_CATEGORIES``, scanned in the
+    post's own category order (:176); year = int(date[:4]) when the
+    prefix is digits (:179-182); the bounded-lazy AFFIL/CITATION
+    captures (:143-150) with their terminator alternations; the
+    affiliation rstrip(':') + marker cut (:160-162 — the reference's
+    lookahead split takes [0], so the port cuts from the first marker,
+    identical semantics and RE2-safe); the citation's six-step strip
+    chain (:186-188).  The reference ships NO award id (the notebook
+    derives one downstream) — funder_award_id stays NULL rather than
+    inventing one; the ``categories`` LIST ships to_json-rendered
+    (driver-canon, nihr precedent)."""
+    sp = dialect == "spark"
+    ids = ", ".join(str(i) for i in WOLF_FIELD_CATEGORIES)
+    whens = " ".join(
+        "WHEN " + str(i) + " THEN '" + n.replace("'", "''") + "'"
+        for i, n in WOLF_FIELD_CATEGORIES.items())
+    if sp:
+        first_fld = f"try_element_at(filter(cats, c -> c IN ({ids})), 1)"
+        cats_json = ("concat('[', concat_ws(', ', transform(cats, "
+                     "c -> CAST(c AS STRING))), ']')")
+        splitws = "split(wf_name, '\\\\s+')"
+        fld_arr = ("array(27, CAST(element_at(array(85, 81, 87, 83, 91, "
+                   "107, 114, 124, 47), CAST(o_orderkey % 9 AS INT) + 1)"
+                   " AS INT))")
+        one_arr, three_arr = "array(27)", "array(27, 114, 85)"
+        asz = "size"
+
+        def el(a: str, i: str) -> str:
+            return f"try_element_at({a}, {i})"
+
+        def sl1(a: str, n: str) -> str:
+            return f"slice({a}, 1, {n})"
+
+        def jn(a: str) -> str:
+            return f"array_join({a}, ' ')"
+    else:
+        first_fld = f"(list_filter(cats, c -> c IN ({ids})))[1]"
+        cats_json = ("concat('[', array_to_string(list_transform(cats, "
+                     "c -> CAST(c AS VARCHAR)), ', '), ']')")
+        splitws = "regexp_split_to_array(wf_name, '\\\\s+')"
+        fld_arr = ("[27, [85, 81, 87, 83, 91, 107, 114, 124, 47]"
+                   "[CAST(o_orderkey % 9 AS INT) + 1]]")
+        one_arr, three_arr = "[27]", "[27, 114, 85]"
+        asz = "len"
+
+        def el(a: str, i: str) -> str:
+            return f"{a}[({i})]"
+
+        def sl1(a: str, n: str) -> str:
+            return f"list_slice({a}, 1, {n})"
+
+        def jn(a: str) -> str:
+            return f"array_to_string({a}, ' ')"
+
+    def h2t(x: str) -> str:
+        e = f"regexp_replace({x}, '<[^>]+>', ' '{g})"
+        for ent, ch in (("&nbsp;", " "), ("&quot;", '\\"'),
+                        ("&#8217;", "’"), ("&amp;", "&")):
+            c = ch.replace('\\"', '"')
+            e = f"replace({e}, '{ent}', '{c}')"
+        return f"trim(regexp_replace({e}, '\\\\s+', ' '{g}))"
+
+    affil_pat = ("(?is)Affiliation at the time of the award"
+                 "\\\\s*:?\\\\s*(.{1,300}?)"
+                 "(?:Award citation|Prize share|Citation|$)")
+    cit_pat = ("(?is)Award citation\\\\s*:?\\\\s*[“\"'']?(.{1,1000}?)"
+               "[”\"'']?\\\\s*(?:Prize share|Affiliation|Bibliography|$)")
+    markers = "(Award citation|Prize share|Bibliography).*$"
+    sufs = ", ".join(f"'{x}'" for x in WOLF_SUFFIXES)
+
+    def pop(arr: str, rounds: int) -> str:
+        out = arr
+        for _ in range(rounds):
+            out = (f"CASE WHEN {asz}({out}) > 0 AND "
+                   f"trim(BOTH ',.' FROM lower({el(out, f'{asz}({out})')}))"
+                   f" IN ({sufs}) "
+                   f"THEN {sl1(out, f'{asz}({out}) - 1')} ELSE {out} END")
+        return out
+
+    year_re = "^\\\\d{4}"
+    year_ok = (f"wp_date RLIKE '{year_re}'" if sp
+               else f"regexp_matches(wp_date, '{year_re}')")
+
+    citation_chain = (
+        "nullif(trim(trim(BOTH ':' FROM trim(BOTH '' FROM "
+        "trim(BOTH '\"' FROM trim(BOTH '”' FROM "
+        "trim(BOTH '.' FROM trim(cit0))))))), '')")
+    # the strip("'") step: inject the quoted-apostrophe set safely
+    citation_chain = citation_chain.replace("BOTH ''", "BOTH ''''")
+
+    return f""",
+wf_raw AS (
+  SELECT o_orderkey AS k,
+    {cs('70000 + o_orderkey')} AS wp_post_id,
+    concat('winner-', {cs('o_orderkey')}) AS wp_slug0,
+    concat('https://wolffund.org.il/', {cs('o_orderkey')}, '/') AS link,
+    CASE WHEN o_orderkey % 29 = 0 THEN 'n.d.'
+      ELSE concat({cs('1978 + o_orderkey % 47')}, '-06-01T00:00:00')
+      END AS wp_date,
+    CASE CAST(o_orderkey % 5 AS INT)
+      WHEN 0 THEN concat('James P. Eisenstein PhD ',
+                         {cs('o_orderkey % 60')})
+      WHEN 1 THEN concat('Sara&amp;Lee Jr. ', {cs('o_orderkey % 60')})
+      WHEN 2 THEN 'Chen'
+      WHEN 3 THEN concat('<strong>Maria del Carmen Ruiz</strong> MD ',
+                         {cs('o_orderkey % 60')})
+      ELSE concat('Robert', '&#8217;', 's Oduya ',
+                  {cs('o_orderkey % 60')}) END AS title_html,
+    CASE WHEN o_orderkey % 8 = 0 THEN {one_arr}
+      WHEN o_orderkey % 12 = 0 THEN {three_arr}
+      ELSE {fld_arr} END AS cats,
+    concat('<p>Biography of the laureate ', {cs('o_orderkey')}, '.</p>',
+      CASE WHEN o_orderkey % 6 = 0 THEN ''
+        ELSE concat('<p>Affiliation at the time of the award: ',
+          'Weizmann Institute of Science, dept ',
+          {cs('o_orderkey % 30')}, '</p>') END,
+      CASE WHEN o_orderkey % 7 = 0 THEN ''
+        ELSE concat('<p>Award citation: &quot;for pioneering work on ',
+          'problem ', {cs('o_orderkey % 90')}, '.&quot;</p>') END,
+      CASE WHEN o_orderkey % 3 = 0
+        THEN '<p>Prize share: 1/2</p>' ELSE '' END) AS content_html
+  FROM orders
+),
+wf_text AS (
+  SELECT k, wp_post_id, wp_slug0, link, wp_date, cats,
+    {h2t('title_html')} AS wf_name,
+    {h2t('content_html')} AS body
+  FROM wf_raw
+),
+wf_parsed AS (
+  SELECT *,
+    CASE WHEN {year_ok}
+      THEN CAST(substr(wp_date, 1, 4) AS INT) END AS wf_year,
+    CASE CAST({first_fld} AS INT) {whens} END AS wf_field,
+    nullif(trim(regexp_extract(body, '{affil_pat}', 1)), '') AS affil0,
+    nullif(trim(regexp_extract(body, '{cit_pat}', 1)), '') AS cit0,
+    {splitws} AS toks0
+  FROM wf_text
+),
+wf_named AS (
+  SELECT *, {pop('toks0', 2)} AS wf_toks,
+    nullif(trim(regexp_replace(trim(TRAILING ':' FROM trim(affil0)),
+      '{markers}', ''{g})), '') AS wf_affil,
+    CASE WHEN cit0 IS NOT NULL THEN {citation_chain} END AS wf_citation
+  FROM wf_parsed
+),
+wf_out AS (
+  SELECT 'wolf_prize' AS member,
+    CAST(NULL AS {S}) AS funder_award_id,
+    {cs('wf_year')} AS award_year,
+    wf_name AS laureate_name,
+    CAST(NULL AS {S}) AS laureate_type,
+    CASE WHEN {asz}(wf_toks) < 2 THEN NULL
+         ELSE {jn(sl1('wf_toks', f'{asz}(wf_toks) - 1'))} END
+      AS given_name,
+    CASE WHEN {asz}(wf_toks) = 0 THEN NULL
+         ELSE {el('wf_toks', f'{asz}(wf_toks)')} END AS family_name,
+    {nullcols('edition_label', 'winner_position')},
+    wf_field AS award_category,
+    {nullcols('prize_category_slug', 'research_topic')},
+    wf_affil AS affiliation,
+    CAST(NULL AS {S}) AS laureate_title,
+    wf_citation AS citation,
+    {nullcols('innovation', 'raw_laureates', 'country',
+              'profile_category', 'profile_edition', 'award_summary',
+              'bio', 'contribution', 'profile_title_affiliation',
+              'profile_description', 'award_share_count', 'portion',
+              'award_total_amount', 'source_award_amount', 'currency',
+              'amount_note')},
+    link AS landing_page_url,
+    CAST(NULL AS {S}) AS profile_slug,
+    {cs('wp_post_id')} AS wp_id,
+    wp_slug0 AS wp_slug,
+    {nullcols('press_release_id', 'current_format_note')},
+    link AS source_url,
+    CAST(NULL AS {S}) AS amount_rule_url,
+    wp_date AS wf_wp_date,
+    {cats_json} AS wf_categories_json
+  FROM wf_named
+)"""
+
+
 def _sql(dialect: str) -> str:
     (g, S, asize, rl, elem, afilter, ajoin, idx_of, zipped_filter, fmt,
      rx, collapse, slugify, split_nf, amount_render) = _helpers(dialect)
@@ -1274,19 +1476,24 @@ swp_out AS (
             "press_release_id, current_format_note, source_url, "
             "amount_rule_url, " + pa_extras)
     legacy_cols = cols.rsplit(", " + pa_extras, 1)[0]
+    wolf = _wolf_arm(dialect, cs, nullcols, S, g)
+    wf_extras = "wf_wp_date, wf_categories_json"
+    wf_extra_nulls = nullcols("wf_wp_date", "wf_categories_json")
 
     return f"""
-WITH {bbva}{bbva_rest}{crafoord}{dan_david}{millennium}{princess}{swp}
-SELECT {cols}, {swp_extra_nulls} FROM pa_out
-UNION ALL SELECT {cols}, {swp_extras} FROM swp_out
-UNION ALL SELECT {legacy_cols}, {pa_extra_nulls}, {swp_extra_nulls}
-  FROM bb_out
-UNION ALL SELECT {legacy_cols}, {pa_extra_nulls}, {swp_extra_nulls}
-  FROM cr_out
-UNION ALL SELECT {legacy_cols}, {pa_extra_nulls}, {swp_extra_nulls}
-  FROM dd_out
-UNION ALL SELECT {legacy_cols}, {pa_extra_nulls}, {swp_extra_nulls}
-  FROM ml_out
+WITH {bbva}{bbva_rest}{crafoord}{dan_david}{millennium}{princess}{swp}{wolf}
+SELECT {cols}, {swp_extra_nulls}, {wf_extra_nulls} FROM pa_out
+UNION ALL SELECT {cols}, {swp_extras}, {wf_extra_nulls} FROM swp_out
+UNION ALL SELECT {legacy_cols}, {pa_extra_nulls}, {swp_extra_nulls},
+  {wf_extra_nulls} FROM bb_out
+UNION ALL SELECT {legacy_cols}, {pa_extra_nulls}, {swp_extra_nulls},
+  {wf_extra_nulls} FROM cr_out
+UNION ALL SELECT {legacy_cols}, {pa_extra_nulls}, {swp_extra_nulls},
+  {wf_extra_nulls} FROM dd_out
+UNION ALL SELECT {legacy_cols}, {pa_extra_nulls}, {swp_extra_nulls},
+  {wf_extra_nulls} FROM ml_out
+UNION ALL SELECT {legacy_cols}, {pa_extra_nulls}, {swp_extra_nulls},
+  {wf_extras} FROM wf_out
 """
 
 

@@ -7295,3 +7295,136 @@ def test_templeton_rules_match_reference():
     assert '"title": title or (acf.get("grant_web_title") or "")' in src
     assert '"grant_amount_raw": acf.get("grant_amount")' in src
     assert 'wp-json/wp/v2/grants' in src
+
+
+# ---------------------------------------------------------------------------
+# Wolf Prize winners arm (scripts/local/wolf_to_s3.py:115-188)
+# ---------------------------------------------------------------------------
+
+_WF_FIELDS = {85: "Physics", 81: "Mathematics", 87: "Medicine",
+              83: "Chemistry", 91: "Agriculture", 107: "Architecture",
+              114: "Music", 124: "Painting & Sculpture", 47: "Leadership"}
+_WF_AFFIL = re.compile(
+    r"Affiliation at the time of the award\s*:?\s*(.{1,300}?)"
+    r"(?:Award citation|Prize share|Citation|$)", re.I | re.S)
+_WF_CIT = re.compile(
+    r"Award citation\s*:?\s*[“\"']?(.{1,1000}?)[”\"']?\s*"
+    r"(?:Prize share|Affiliation|Bibliography|$)", re.I | re.S)
+
+
+def _wf_h2t(html):
+    from html import unescape
+    if not html:
+        return ""
+    text = re.sub(r"<[^>]+>", " ", html)
+    text = unescape(text)
+    return re.sub(r"\s+", " ", text).strip()
+
+
+def _wf_split(name):
+    if not name:
+        return None, None
+    toks = name.split()
+    sufs = {"phd", "md", "dphil", "dsc", "scd", "jr.", "sr.", "ii",
+            "iii", "iv", "jr", "sr"}
+    while toks and toks[-1].lower().strip(",.") in sufs:
+        toks.pop()
+    if not toks:
+        return None, None
+    if len(toks) == 1:
+        return None, toks[0]
+    return " ".join(toks[:-1]), toks[-1]
+
+
+def test_wolf_matches_reference_semantics(spark, sf_dir, orders_rows):
+    expected = {}
+    for k in sorted(r[0] for r in orders_rows):
+        title_html = [
+            f"James P. Eisenstein PhD {k % 60}",
+            f"Sara&amp;Lee Jr. {k % 60}", "Chen",
+            f"<strong>Maria del Carmen Ruiz</strong> MD {k % 60}",
+            f"Robert&#8217;s Oduya {k % 60}"][k % 5]
+        name = _wf_h2t(title_html)
+        given, family = _wf_split(name)
+        if k % 8 == 0:
+            cats = [27]
+        elif k % 12 == 0:
+            cats = [27, 114, 85]
+        else:
+            cats = [27, [85, 81, 87, 83, 91, 107, 114, 124, 47][k % 9]]
+        field = next((_WF_FIELDS[c] for c in cats if c in _WF_FIELDS),
+                     None)
+        d = "n.d." if k % 29 == 0 else f"{1978 + k % 47}-06-01T00:00:00"
+        year = int(d[:4]) if len(d) >= 4 and d[:4].isdigit() else None
+        content = f"<p>Biography of the laureate {k}.</p>"
+        if k % 6 != 0:
+            content += ("<p>Affiliation at the time of the award: "
+                        "Weizmann Institute of Science, dept "
+                        f"{k % 30}</p>")
+        if k % 7 != 0:
+            content += ("<p>Award citation: &quot;for pioneering work "
+                        f"on problem {k % 90}.&quot;</p>")
+        if k % 3 == 0:
+            content += "<p>Prize share: 1/2</p>"
+        text = _wf_h2t(content)
+        affil = citation = None
+        m = _WF_AFFIL.search(text)
+        if m:
+            affil = m.group(1).strip().rstrip(":").strip() or None
+            affil = re.split(
+                r"(?=Award citation|Prize share|Bibliography)",
+                affil)[0].strip()
+            affil = affil or None
+        m = _WF_CIT.search(text)
+        if m:
+            citation = m.group(1).strip() or None
+        if citation:
+            citation = (citation.strip().strip(".").strip("”")
+                        .strip("\"").strip("'").strip(":").strip())
+        expected[f"winner-{k}"] = {
+            "funder_award_id": None,
+            "award_year": str(year) if year is not None else None,
+            "laureate_name": name, "given_name": given,
+            "family_name": family, "award_category": field,
+            "affiliation": affil, "citation": citation or None,
+            "wp_id": str(70000 + k),
+            "landing_page_url": f"https://wolffund.org.il/{k}/",
+            "source_url": f"https://wolffund.org.il/{k}/",
+            "wf_wp_date": d,
+            "wf_categories_json": "[" + ", ".join(map(str, cats)) + "]",
+        }
+    actual = [r for r in _run(spark, sf_dir, "prize_pattern_parse")
+              if r.member == "wolf_prize"]
+    assert len(actual) == len(expected), (len(actual), len(expected))
+    for r in actual:
+        assert r.wp_slug in expected, r.wp_slug
+        exp = expected[r.wp_slug]
+        for col, want in exp.items():
+            got = getattr(r, col)
+            assert got == want, (f"{r.wp_slug}.{col}: {got!r} != {want!r}")
+
+
+def test_wolf_rule_tables_match_reference():
+    """AST-pin the wolf field-category map and suffix set."""
+    import ast
+    import os
+
+    ref = "/root/reference/scripts/local/wolf_to_s3.py"
+    if not os.path.exists(ref):
+        pytest.skip("reference absent")
+    from openalex_walden_spark.queries import prizepattern as port
+
+    tree = ast.parse(open(ref, encoding="utf-8").read())
+    found = {}
+    for node in ast.walk(tree):
+        if (isinstance(node, ast.Assign) and len(node.targets) == 1
+                and isinstance(node.targets[0], ast.Name)):
+            name = node.targets[0].id
+            if name in ("FIELD_CATEGORIES", "suffixes"):
+                found[name] = ast.literal_eval(node.value)
+    assert found["FIELD_CATEGORIES"] == port.WOLF_FIELD_CATEGORIES
+    assert found["suffixes"] == set(port.WOLF_SUFFIXES)
+    src = open(ref, encoding="utf-8").read()
+    assert r"Affiliation at the time of the award\s*:?\s*(.{1,300}?)" \
+        in src
+    assert r"Award citation\s*:?\s*" in src
