@@ -80,9 +80,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     # arm joined the foundation-archive union (rides existing column
     # slots, no new columns).
     "foundation_archive_parse",
-    # round-12 family extension: the Templeton WP-REST passthrough arm
-    # joined the WP card family (11 verbatim ACF columns, NULL in the
-    # legacy arms).
+    # round-12 family extensions: the Templeton passthrough arm and
+    # the Brain Tumour Charity label-walk arm joined the WP card
+    # family (11 + 4 new columns, NULL in the legacy arms).
     "wprest_parse_projects",
     # round-12 family extension: the Wolf Prize winners arm joined the
     # prize-pattern union (2 new columns, NULL in the legacy arms).

@@ -1,6 +1,6 @@
 """WordPress/FacetWP card-parse family
-(scripts/local/{gulbenkian,velux_stiftung,hewlett,templeton}_to_s3.py
-— 4 scripts, the WP card skeleton;
+(scripts/local/{gulbenkian,velux_stiftung,hewlett,templeton,
+brain_tumour_charity}_to_s3.py — 5 scripts, the WP card skeleton;
 the hewlett arm's semantics map lives on its inline comment block in
 :func:`_sql`).
 
@@ -63,6 +63,324 @@ def _helpers(dialect: str):
                 f"'')")
 
     return g, stype, rl, rx, strip_html
+
+
+# brain_tumour_charity_to_s3.py:47-52 — label (colon stripped,
+# lowercased) -> field; both researcher spellings hit pi_raw
+BTC_LABELS = {
+    "title": "detail_title",
+    "lead researcher": "pi_raw", "lead researchers": "pi_raw",
+    "where": "institution", "when": "when", "cost": "cost_raw",
+    "research type": "research_type",
+}
+BTC_TITLE_RE = ("(?i)^(Professor|Prof|Dr|Mr|Mrs|Ms|Miss|Sir|Dame)"
+                "\\\\.?\\\\s+")
+
+
+def _btc_arm(dialect: str, cs, nullcols, S: str, g: str) -> str:
+    """The Brain Tumour Charity research-projects arm
+    (scripts/local/brain_tumour_charity_to_s3.py, round 12).
+
+    The WP REST list + per-project detail fetch and the BeautifulSoup
+    DOM-to-lines step (:93-97) are the seam — the fixture delivers the
+    detail page as an ordered line array (tiny-funder precedent) plus
+    the REST record (id, slug, link, rendered title).  Ported compute:
+
+    * the label-line walk (:97-110): per field, the FIRST line whose
+      pre-colon key (lowered, ':'-stripped) is one of the field's
+      labels AND resolves a non-empty value — same-line text after the
+      first ':', else the NEXT line when that line is not itself a
+      label — with the leading ``[:\\-–—•·]`` punctuation strip;
+    * ``parse_pi`` (:58-66): first ``;|,| and |&|/`` segment, ONE
+      leading title strip, <2 tokens -> family-only;
+    * ``parse_cost`` (:69-82): commas stripped FIRST, the
+      ``£\\s*(\\d+(\\.\\d+)?)\\s*(million|m\\b|k\\b)?`` capture,
+      million/m x1e6, k x1e3, ``str(int())`` TRUNCATION (Spark CAST
+      truncates; the DuckDB side wraps trunc() — the catalog's
+      standing dialect shim);
+    * ``mon_year`` (:85-90) + the When range split (:113-118): the
+      3-letter month prefix to ``YYYY-MM-01`` else the bare-year
+      ``YYYY-01-01`` fallback, range end-year;
+    * the short-Title guard (:124-127): a detail Title under 4 chars
+      falls back to the REST title (the Tessa Jowell row);
+    * id 'tbtc-{wp id else slug}' (:139); the detail-fetch failure arm
+      ships title/link only (:134-136).  No currency column exists in
+      the reference output — none is invented."""
+    sp = dialect == "spark"
+    labels_all = ", ".join(f"'{k}'" for k in BTC_LABELS)
+
+    def lab(field: str) -> str:
+        return ", ".join(f"'{k}'" for k, v in BTC_LABELS.items()
+                         if v == field)
+
+    if sp:
+        def idx_of(arr, cond):
+            return (f"array_min(zip_with({arr}, sequence(1, "
+                    f"size({arr})), (t, i) -> CASE WHEN {cond} "
+                    f"THEN i END))")
+
+        def el(a, i):
+            return f"try_element_at({a}, {i})"
+
+        arr_open, arr_close = "array(", ")"
+        splitre = "split(pi_first_src, ';|,| and |&|/')"
+        asz = "size"
+
+        def sl1(a, n):
+            return f"slice({a}, 1, {n})"
+
+        def jn(a):
+            return f"array_join({a}, ' ')"
+    else:
+        def idx_of(arr, cond):
+            return (f"list_min(list_transform({arr}, (t, i) -> "
+                    f"CASE WHEN {cond} THEN i END))")
+
+        def el(a, i):
+            return f"{a}[({i})]"
+
+        arr_open, arr_close = "[", "]"
+        splitre = "regexp_split_to_array(pi_first_src, ';|,| and |&|/')"
+        asz = "len"
+
+        def sl1(a, n):
+            return f"list_slice({a}, 1, {n})"
+
+        def jn(a):
+            return f"array_to_string({a}, ' ')"
+
+    # pre-colon label key of a line
+    def lk(t: str) -> str:
+        return (f"lower(trim(trim(TRAILING ':' FROM "
+                f"split_part({t}, ':', 1))))")
+
+    # resolved value of line t with successor nxt (:100-108)
+    def val(t: str, nxt: str) -> str:
+        same = (f"CASE WHEN instr({t}, ':') > 0 THEN "
+                f"trim(substr({t}, instr({t}, ':') + 1)) ELSE '' END")
+        nxt_ok = (f"CASE WHEN {nxt} IS NOT NULL AND "
+                  f"{lk(nxt)} NOT IN ({labels_all}) "
+                  f"THEN trim({nxt}) ELSE '' END")
+        raw = f"CASE WHEN ({same}) <> '' THEN {same} ELSE {nxt_ok} END"
+        return (f"trim(regexp_replace({raw}, "
+                f"'^[:\\\\-–—•·]\\\\s*', ''{g}))")
+
+    def field_idx(field: str) -> str:
+        cond = (f"{lk('t')} IN ({lab(field)}) AND "
+                + val("t", el("lines", "i + 1")) + " <> ''")
+        return f"CASE WHEN detail_ok THEN {idx_of('lines', cond)} END"
+
+    def field_from_idx(i: str) -> str:
+        v = val(el("lines", f"({i})"), el("lines", f"({i}) + 1"))
+        return f"CASE WHEN {i} IS NOT NULL THEN nullif({v}, '') END"
+
+    def bar(name: str, prev: str, passthrough: list, cols: list) -> str:
+        if sp:
+            ns = ", ".join(f"'{c}', {e}" for c, e in cols)
+            sel = ", ".join(f"_s.{c} AS {c}" for c, _ in cols)
+            pt = ", ".join(f"_p.{c}" for c in passthrough)
+            return (f"{name} AS (\n  SELECT {pt}, {sel}\n"
+                    f"  FROM {prev} _p\n"
+                    f"  LATERAL VIEW explode(array(named_struct({ns}))) "
+                    f"_bv AS _s\n)")
+        sel = ", ".join(f"{e} AS {c}" for c, e in cols)
+        pt = ", ".join(passthrough)
+        return (f"{name} AS MATERIALIZED (\n  SELECT {pt}, {sel}\n"
+                f"  FROM {prev}\n)")
+
+    # parse_cost (commas stripped first; truncating int)
+    cost_num = ("try_cast(regexp_extract(replace(cost_raw, ',', ''), "
+                "'(?i)£\\\\s*(\\\\d+(?:\\\\.\\\\d+)?)"
+                "\\\\s*(million|m\\\\b|k\\\\b)?', 1) AS DOUBLE)")
+    cost_suf = ("lower(regexp_extract(replace(cost_raw, ',', ''), "
+                "'(?i)£\\\\s*(\\\\d+(?:\\\\.\\\\d+)?)"
+                "\\\\s*(million|m\\\\b|k\\\\b)?', 2))")
+    cost_val = (f"CASE WHEN {cost_suf} LIKE 'm%' THEN ({cost_num}) * "
+                f"1000000 WHEN {cost_suf} = 'k' THEN ({cost_num}) * "
+                f"1000 ELSE {cost_num} END")
+    cost_big = (f"CAST({cost_val} AS BIGINT)" if sp
+                else f"CAST(trunc({cost_val}) AS BIGINT)")
+
+    # mon_year over a token expr
+    months = "'JanFebMarAprMayJunJulAugSepOctNovDec'"
+
+    def mon_year(tok: str, part: str) -> str:
+        mon = (f"nullif(regexp_extract(trim({tok}), "
+               f"'^([A-Za-z]{{3}})[a-z]*\\\\s+(\\\\d{{4}})', 1), '')")
+        yr4 = (f"nullif(regexp_extract(trim({tok}), "
+               f"'^([A-Za-z]{{3}})[a-z]*\\\\s+(\\\\d{{4}})', 2), '')")
+        mno = (f"CAST((instr({months}, concat(upper(substr({mon}, 1, "
+               f"1)), lower(substr({mon}, 2)))) + 2) / 3 AS INT)")
+        anyy = f"nullif(regexp_extract({tok}, '(\\\\d{{4}})', 1), '')"
+        if part == "date":
+            return (f"CASE WHEN {mon} IS NOT NULL AND "
+                    f"instr({months}, concat(upper(substr({mon}, 1, 1)),"
+                    f" lower(substr({mon}, 2)))) > 0 THEN "
+                    f"concat({yr4}, '-', lpad(CAST({mno} AS {S}), 2, "
+                    f"'0'), '-01') WHEN {anyy} IS NOT NULL THEN "
+                    f"concat({anyy}, '-01-01') END")
+        return (f"CASE WHEN {mon} IS NOT NULL AND "
+                f"instr({months}, concat(upper(substr({mon}, 1, 1)), "
+                f"lower(substr({mon}, 2)))) > 0 THEN {yr4} "
+                f"ELSE {anyy} END")
+
+    rng = ("'([A-Za-z]{3,9}\\\\s+\\\\d{4})\\\\s*[-–]\\\\s*"
+           "([A-Za-z]{3,9}\\\\s+\\\\d{4})'")
+
+    # h2t for the REST title (BS get_text(' ') + entity decode)
+    def h2t(x: str) -> str:
+        e = f"regexp_replace({x}, '<[^>]+>', ' '{g})"
+        e = f"replace(replace({e}, '&amp;', '&'), '&nbsp;', ' ')"
+        return f"nullif(trim(regexp_replace({e}, '\\\\s+', ' '{g})), '')"
+
+    lines_items = ", ".join([
+        "'The Brain Tumour Charity'",
+        ("CASE CAST(k % 6 AS INT) "
+         f"WHEN 0 THEN 'Title:' "
+         f"WHEN 1 THEN 'Title: A' "
+         f"ELSE concat('Title: Mapping glioma drivers ', {cs('k')}) END"),
+        ("CASE CAST(k % 6 AS INT) "
+         f"WHEN 0 THEN concat('Mapping glioma drivers ', {cs('k')}) "
+         "ELSE 'Every mention counts' END"),
+        ("CASE CAST(k % 5 AS INT) "
+         "WHEN 0 THEN NULL "
+         f"WHEN 1 THEN concat('Lead researcher: Professor Joan Weiss',"
+         f" {cs('k % 40')}, ' and Dr Li') "
+         "WHEN 2 THEN 'Lead researchers: Dr A; Dr B' "
+         f"WHEN 3 THEN concat('Lead researcher: Dr Maya Chen',"
+         f" {cs('k % 30')}, ' & team') "
+         f"ELSE concat('Lead researcher: Sir Omar Haddad',"
+         f" {cs('k % 20')}, ' / co-leads') END"),
+        ("CASE WHEN k % 4 = 0 THEN NULL ELSE "
+         f"concat('Where: University of Leeds ', {cs('k % 30')}) END"),
+        ("CASE CAST(k % 7 AS INT) "
+         "WHEN 0 THEN NULL "
+         "WHEN 1 THEN concat('When: April ', CAST(2015 + k % 9 AS "
+         + S + "), ' - March ', CAST(2018 + k % 9 AS " + S + ")) "
+         "WHEN 2 THEN concat('When: ', CAST(2014 + k % 11 AS "
+         + S + ")) "
+         "ELSE concat('When: September ', CAST(2016 + k % 8 AS "
+         + S + ")) END"),
+        ("CASE CAST(k % 8 AS INT) "
+         "WHEN 0 THEN 'Cost: TBC' "
+         "WHEN 1 THEN concat('Cost: £', CAST(1 + k % 4 AS " + S + "), "
+         "'.2 million') "
+         "WHEN 2 THEN concat('Cost: £', CAST(100 + k % 900 AS "
+         + S + "), ',500') "
+         "WHEN 3 THEN concat('Cost: £', CAST(10 + k % 90 AS "
+         + S + "), 'k') "
+         "WHEN 4 THEN concat('Cost: £', CAST(1 + k % 3 AS " + S + "), "
+         "' m') "
+         "ELSE NULL END"),
+        ("CASE WHEN k % 3 = 0 THEN NULL ELSE "
+         f"concat('Research type: Quest for cures ', {cs('k % 5')}) "
+         "END"),
+        "'Donate now'",
+    ])
+    if sp:
+        lines_expr = (f"filter(array({lines_items}), "
+                      f"x -> x IS NOT NULL)")
+    else:
+        lines_expr = (f"list_filter([{lines_items}], "
+                      f"x -> x IS NOT NULL)")
+
+    pi_first = ("trim(regexp_replace(" + el("PISPLIT", "1")
+                + f", '{BTC_TITLE_RE}', ''{g}))")
+    pi_first = pi_first.replace("PISPLIT",
+                                "(" + splitre.replace(
+                                    "pi_first_src", "pi_raw") + ")")
+
+    return f""",
+bt_raw AS (
+  SELECT o_orderkey AS k,
+    CASE WHEN o_orderkey % 31 = 0 THEN NULL
+      ELSE {cs('40000 + o_orderkey')} END AS rest_id,
+    concat('glioma-project-', {cs('o_orderkey')}) AS bt_slug,
+    concat('https://www.thebraintumourcharity.org/research/',
+           'glioma-project-', {cs('o_orderkey')}, '/') AS link,
+    concat('<em>Quest</em> title &amp; hope ', {cs('o_orderkey')})
+      AS rest_title_html,
+    (o_orderkey % 23 <> 0) AS detail_ok,
+    {lines_expr} AS lines
+  FROM orders
+),
+{bar("bt_idx", "bt_raw",
+     ["k", "rest_id", "bt_slug", "link", "detail_ok", "lines",
+      "rest_title_html"], [
+    ("i_dt", field_idx("detail_title")),
+    ("i_pi", field_idx("pi_raw")),
+    ("i_in", field_idx("institution")),
+    ("i_wh", field_idx("when")),
+    ("i_co", field_idx("cost_raw")),
+    ("i_rt", field_idx("research_type")),
+])},
+{bar("bt_fields", "bt_idx",
+     ["k", "rest_id", "bt_slug", "link", "detail_ok"], [
+    ("rest_title", h2t("rest_title_html")),
+    ("detail_title", field_from_idx("i_dt")),
+    ("pi_raw", field_from_idx("i_pi")),
+    ("bt_institution", field_from_idx("i_in")),
+    ("when_raw", field_from_idx("i_wh")),
+    ("cost_raw", field_from_idx("i_co")),
+    ("bt_programme", field_from_idx("i_rt")),
+])},
+bt_dates AS (
+  SELECT *,
+    nullif(regexp_extract(coalesce(when_raw, ''), {rng}, 1), '')
+      AS rng_a,
+    nullif(regexp_extract(coalesce(when_raw, ''), {rng}, 2), '')
+      AS rng_b,
+    CASE WHEN pi_raw IS NOT NULL THEN {pi_first} END AS pi_head,
+    {cost_big} AS bt_amount
+  FROM bt_fields
+),
+bt_named AS (
+  SELECT *,
+    CASE WHEN rng_a IS NOT NULL THEN {mon_year('rng_a', 'date')}
+         WHEN when_raw IS NOT NULL THEN {mon_year('when_raw', 'date')}
+         END AS bt_start_date,
+    CASE WHEN rng_a IS NOT NULL THEN {mon_year('rng_a', 'year')}
+         WHEN when_raw IS NOT NULL THEN {mon_year('when_raw', 'year')}
+         END AS bt_start_year,
+    CASE WHEN rng_b IS NOT NULL THEN {mon_year('rng_b', 'year')} END
+      AS bt_end_year,
+    {('split(pi_head, ' + chr(39) + chr(92) * 2 + 's+' + chr(39) + ')'
+       if sp else 'regexp_split_to_array(pi_head, ' + chr(39)
+       + chr(92) * 2 + 's+' + chr(39) + ')')} AS bt_toks
+  FROM bt_dates
+)
+, bt_out AS (
+  SELECT 'brain_tumour_charity' AS member,
+    concat('tbtc-', coalesce({cs('rest_id')}, bt_slug))
+      AS funder_award_id,
+    CAST(NULL AS {S}) AS project_id,
+    bt_slug AS slug,
+    CASE WHEN NOT detail_ok THEN rest_title
+         WHEN detail_title IS NOT NULL
+              AND length(detail_title) >= 4 THEN detail_title
+         ELSE rest_title END AS title,
+    {nullcols('description', 'content_full')},
+    {cs('bt_amount')} AS amount,
+    CAST(NULL AS {S}) AS currency,
+    bt_start_year AS start_year,
+    bt_end_year AS end_year,
+    CAST(NULL AS {S}) AS page_date,
+    bt_start_date AS date_start,
+    {nullcols('date_end', 'local_name', 'partners', 'duration',
+              'beneficiaries', 'type_names')},
+    link AS landing_page_url,
+    CASE WHEN pi_head IS NULL OR {asz}(bt_toks) = 0 THEN NULL
+         WHEN {asz}(bt_toks) = 1 THEN NULL
+         ELSE {jn(sl1('bt_toks', f'{asz}(bt_toks) - 1'))} END
+      AS btc_pi_given,
+    CASE WHEN pi_head IS NULL OR pi_head = '' THEN NULL
+         WHEN {asz}(bt_toks) = 0 THEN NULL
+         WHEN {asz}(bt_toks) = 1 THEN {el('bt_toks', '1')}
+         ELSE {el('bt_toks', f'{asz}(bt_toks)')} END AS btc_pi_family,
+    bt_institution AS btc_institution,
+    bt_programme AS btc_programme
+  FROM bt_named
+)"""
 
 
 def _sql(dialect: str) -> str:
@@ -468,6 +786,11 @@ hw_out AS (
         "start_year", "end_year", "page_date", "date_start", "date_end",
         "local_name", "partners", "duration", "beneficiaries",
         "type_names") + ","
+    btc = _btc_arm(dialect, cs, nullcols, S, g)
+    bt_extras = ("btc_pi_given, btc_pi_family, btc_institution, "
+                 "btc_programme")
+    bt_extra_nulls = nullcols("btc_pi_given", "btc_pi_family",
+                              "btc_institution", "btc_programme")
 
     # ---- templeton (round 12) ------------------------------------------
     # templeton_to_s3.py:60-126 — the WP REST pagination (per_page=100,
@@ -542,11 +865,17 @@ te_out AS (
             "landing_page_url")
 
     return f"""
-WITH {gulbenkian}{velux}{hewlett}{templeton}
-SELECT {cols}, {hw_extras}, {te_extra_nulls} FROM hw_out
-UNION ALL SELECT {cols}, {hw_extra_nulls}, {te_extra_nulls} FROM gu_out
-UNION ALL SELECT {cols}, {hw_extra_nulls}, {te_extra_nulls} FROM vx_out
-UNION ALL SELECT {cols}, {hw_extra_nulls}, {te_extra} FROM te_out
+WITH {gulbenkian}{velux}{hewlett}{templeton}{btc}
+SELECT {cols}, {hw_extras}, {te_extra_nulls}, {bt_extra_nulls}
+  FROM hw_out
+UNION ALL SELECT {cols}, {hw_extra_nulls}, {te_extra_nulls},
+  {bt_extra_nulls} FROM gu_out
+UNION ALL SELECT {cols}, {hw_extra_nulls}, {te_extra_nulls},
+  {bt_extra_nulls} FROM vx_out
+UNION ALL SELECT {cols}, {hw_extra_nulls}, {te_extra},
+  {bt_extra_nulls} FROM te_out
+UNION ALL SELECT {cols}, {hw_extra_nulls}, {te_extra_nulls},
+  {bt_extras} FROM bt_out
 """
 
 

@@ -3884,9 +3884,10 @@ def test_wprest_matches_reference_semantics(spark, sf_dir, orders_rows):
             "type_names": {0: None, 1: "Science / Daylight",
                            2: "Humus"}[k % 3],
         }
-    # the hewlett arm (round 11) has its own re-derivation below
+    # the hewlett (round 11), templeton and brain_tumour_charity
+    # (round 12) arms have their own re-derivations below
     actual = [r for r in _run(spark, sf_dir, "wprest_parse_projects")
-              if r.member != "hewlett"]
+              if r.member in ("gulbenkian", "velux_stiftung")]
     assert len(actual) == len(expected), (len(actual), len(expected))
     for r in actual:
         exp = expected[(r.member, r.funder_award_id)]
@@ -7428,3 +7429,188 @@ def test_wolf_rule_tables_match_reference():
     assert r"Affiliation at the time of the award\s*:?\s*(.{1,300}?)" \
         in src
     assert r"Award citation\s*:?\s*" in src
+
+
+# ---------------------------------------------------------------------------
+# Brain Tumour Charity arm
+# (scripts/local/brain_tumour_charity_to_s3.py:47-140)
+# ---------------------------------------------------------------------------
+
+_BT_LABELS = {
+    "title": "detail_title",
+    "lead researcher": "pi_raw", "lead researchers": "pi_raw",
+    "where": "institution", "when": "when", "cost": "cost_raw",
+    "research type": "research_type",
+}
+_BT_TITLE = re.compile(
+    r"^(Professor|Prof|Dr|Mr|Mrs|Ms|Miss|Sir|Dame)\.?\s+", re.I)
+_BT_MONTHS = {m: i for i, m in enumerate(
+    ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug", "Sep",
+     "Oct", "Nov", "Dec"], 1)}
+
+
+def _bt_pi(raw):
+    if not raw:
+        return None, None
+    first = re.split(r";|,| and |&|/", raw)[0].strip()
+    first = _BT_TITLE.sub("", first).strip()
+    parts = first.split()
+    if len(parts) < 2:
+        return (None, first or None)
+    return " ".join(parts[:-1]), parts[-1]
+
+
+def _bt_cost(raw):
+    if not raw:
+        return None
+    s = raw.replace(",", "")
+    m = re.search(r"£\s*(\d+(?:\.\d+)?)\s*(million|m\b|k\b)?", s, re.I)
+    if not m:
+        return None
+    val = float(m.group(1))
+    suf = (m.group(2) or "").lower()
+    if suf.startswith("m"):
+        val *= 1_000_000
+    elif suf == "k":
+        val *= 1_000
+    return str(int(val))
+
+
+def _bt_mon_year(tok):
+    m = re.match(r"([A-Za-z]{3})[a-z]*\s+(\d{4})", tok.strip())
+    if m and m.group(1).title() in _BT_MONTHS:
+        return (f"{m.group(2)}-{_BT_MONTHS[m.group(1).title()]:02d}-01",
+                m.group(2))
+    y = re.search(r"(\d{4})", tok)
+    return (f"{y.group(1)}-01-01", y.group(1)) if y else (None, None)
+
+
+def _bt_lines(k):
+    t = {0: "Title:", 1: "Title: A"}.get(
+        k % 6, f"Title: Mapping glioma drivers {k}")
+    t_next = (f"Mapping glioma drivers {k}" if k % 6 == 0
+              else "Every mention counts")
+    pi = {0: None,
+          1: f"Lead researcher: Professor Joan Weiss{k % 40} and Dr Li",
+          2: "Lead researchers: Dr A; Dr B",
+          3: f"Lead researcher: Dr Maya Chen{k % 30} & team",
+          }.get(k % 5, f"Lead researcher: Sir Omar Haddad{k % 20} "
+                       "/ co-leads")
+    where = (None if k % 4 == 0
+             else f"Where: University of Leeds {k % 30}")
+    when = {0: None,
+            1: f"When: April {2015 + k % 9} - March {2018 + k % 9}",
+            2: f"When: {2014 + k % 11}",
+            }.get(k % 7, f"When: September {2016 + k % 8}")
+    cost = {0: "Cost: TBC",
+            1: f"Cost: £{1 + k % 4}.2 million",
+            2: f"Cost: £{100 + k % 900},500",
+            3: f"Cost: £{10 + k % 90}k",
+            4: f"Cost: £{1 + k % 3} m",
+            }.get(k % 8)
+    rt = (None if k % 3 == 0
+          else f"Research type: Quest for cures {k % 5}")
+    return [x for x in ("The Brain Tumour Charity", t, t_next, pi,
+                        where, when, cost, rt, "Donate now")
+            if x is not None]
+
+
+def _bt_walk(lines):
+    """The reference label-line walk (:97-110)."""
+    f = {}
+    for i, l in enumerate(lines):
+        key = l.split(":", 1)[0].rstrip(":").strip().lower()
+        norm = _BT_LABELS.get(key)
+        if not norm:
+            continue
+        val = l.split(":", 1)[1].strip() if ":" in l else ""
+        if not val and i + 1 < len(lines):
+            nxt = lines[i + 1]
+            if nxt.split(":", 1)[0].rstrip(":").strip().lower() \
+                    not in _BT_LABELS:
+                val = nxt
+        val = re.sub(r"^[:\-–—•·]\s*", "", val).strip()
+        if val and norm not in f:
+            f[norm] = val
+    return f
+
+
+def test_btc_matches_reference_semantics(spark, sf_dir, orders_rows):
+    expected = {}
+    for k in sorted(r[0] for r in orders_rows):
+        slug = f"glioma-project-{k}"
+        link = ("https://www.thebraintumourcharity.org/research/"
+                f"{slug}/")
+        rest_title = re.sub(
+            r"\s+", " ",
+            re.sub(r"<[^>]+>", " ",
+                   f"<em>Quest</em> title &amp; hope {k}")
+            .replace("&amp;", "&")).strip()
+        aid = f"tbtc-{40000 + k if k % 31 != 0 else slug}"
+        if k % 23 == 0:
+            expected[aid] = {"title": rest_title, "slug": slug,
+                             "btc_pi_given": None,
+                             "btc_pi_family": None,
+                             "btc_institution": None, "amount": None,
+                             "btc_programme": None, "date_start": None,
+                             "start_year": None, "end_year": None,
+                             "landing_page_url": link}
+            continue
+        f = _bt_walk(_bt_lines(k))
+        start_date = start_year = end_year = None
+        when = f.get("when", "")
+        dm = re.search(r"([A-Za-z]{3,9}\s+\d{4})\s*[-–]\s*"
+                       r"([A-Za-z]{3,9}\s+\d{4})", when)
+        if dm:
+            start_date, start_year = _bt_mon_year(dm.group(1))
+            _, end_year = _bt_mon_year(dm.group(2))
+        elif when:
+            start_date, start_year = _bt_mon_year(when)
+        given, family = _bt_pi(f.get("pi_raw"))
+        dt = (f.get("detail_title") or "").strip()
+        expected[aid] = {
+            "title": dt if len(dt) >= 4 else rest_title,
+            "slug": slug,
+            "btc_pi_given": given, "btc_pi_family": family,
+            "btc_institution": f.get("institution"),
+            "amount": _bt_cost(f.get("cost_raw")),
+            "btc_programme": f.get("research_type"),
+            "date_start": start_date, "start_year": start_year,
+            "end_year": end_year, "landing_page_url": link,
+        }
+    actual = [r for r in _run(spark, sf_dir, "wprest_parse_projects")
+              if r.member == "brain_tumour_charity"]
+    assert len(actual) == len(expected), (len(actual), len(expected))
+    for r in actual:
+        assert r.funder_award_id in expected, r.funder_award_id
+        exp = expected[r.funder_award_id]
+        for col, want in exp.items():
+            got = getattr(r, col)
+            assert got == want, (
+                f"{r.funder_award_id}.{col}: {got!r} != {want!r}")
+
+
+def test_btc_rule_tables_match_reference():
+    """AST-pin the BTC label map and title regex."""
+    import ast
+    import os
+
+    ref = ("/root/reference/scripts/local/"
+           "brain_tumour_charity_to_s3.py")
+    if not os.path.exists(ref):
+        pytest.skip("reference absent")
+    from openalex_walden_spark.queries import wprest as port
+
+    tree = ast.parse(open(ref, encoding="utf-8").read())
+    labels = None
+    for node in ast.walk(tree):
+        if (isinstance(node, ast.Assign) and len(node.targets) == 1
+                and isinstance(node.targets[0], ast.Name)
+                and node.targets[0].id == "LABELS"):
+            labels = ast.literal_eval(node.value)
+    assert labels == port.BTC_LABELS
+    src = open(ref, encoding="utf-8").read()
+    assert r"^(Professor|Prof|Dr|Mr|Mrs|Ms|Miss|Sir|Dame)\.?\s+" in src
+    assert port.BTC_TITLE_RE.replace("\\\\", "\\") == \
+        r"(?i)^(Professor|Prof|Dr|Mr|Mrs|Ms|Miss|Sir|Dame)\.?\s+"
+    assert r"£\s*(\d+(?:\.\d+)?)\s*(million|m\b|k\b)?" in src
