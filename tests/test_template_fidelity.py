@@ -3338,7 +3338,9 @@ def test_foundation_archive_matches_reference_semantics(spark, sf_dir,
             "recipient_location": (None if k % 4 == 0
                                    else f"Indianapolis, IN {k % 3}"),
         }
-    actual = _run(spark, sf_dir, "foundation_archive_parse")
+    # the thf arm (round 12) has its own re-derivation below
+    actual = [r for r in _run(spark, sf_dir, "foundation_archive_parse")
+              if r.member != "thf"]
     assert len(actual) == len(expected), (len(actual), len(expected))
     for r in actual:
         exp = expected[(r.member, r.funder_award_id)]
