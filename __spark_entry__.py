@@ -71,23 +71,7 @@ _LAST_GREEN: dict[str, int] = {
 # mechanically against git by tests/test_driver_window.py (queries whose
 # defining module changed since the last round-boundary commit must be
 # here or never-verified).
-_CHANGED_THIS_ROUND: list[str] = [
-    # round-12 family extension: the Lister Institute fellows arm
-    # joined the fellowship-directory union (no new columns — it
-    # rides the SCAS display_name/affiliation/end_year slots).
-    "fellowship_directory_parse",
-    # round-12 family extension: the Health Foundation thin-listing
-    # arm joined the foundation-archive union (rides existing column
-    # slots, no new columns).
-    "foundation_archive_parse",
-    # round-12 family extensions: the Templeton passthrough arm and
-    # the Brain Tumour Charity label-walk arm joined the WP card
-    # family (11 + 4 new columns, NULL in the legacy arms).
-    "wprest_parse_projects",
-    # round-12 family extension: the Wolf Prize winners arm joined the
-    # prize-pattern union (2 new columns, NULL in the legacy arms).
-    "prize_pattern_parse",
-]
+_CHANGED_THIS_ROUND: list[str] = []
 
 # Queries whose defining MODULE changed this round but whose own plan
 # and semantics provably did not (e.g. a sibling query was added to the
