@@ -110,6 +110,13 @@ def graph_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         damping_den=_PR_DEN,
         max_rounds=_PR_MAX_ROUNDS,
         check_every=2,
+        # r13 perf fix (verdict #2): shuffle-join supersteps + AQE off
+        # + 8 superstep partitions — 32 jobs / 6.5s vs the broadcast
+        # plan's 82 jobs / 10.8s same-session, bit-identical scores
+        # (scripts/ab_pagerank_jobs.py; operator docstring).
+        broadcast_scores=False,
+        adaptive=False,
+        superstep_partitions=8,
     )
     return scores.select("node", F.col("score").alias("pagerank_fp"))
 

@@ -1155,3 +1155,123 @@ def test_mmw_single_shuffle_collision_window(spark, sf_dir):
     df = q.CATALOG["mmw_parse_grants"].spark(spark, sf_dir)
     opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
     assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_holberg_zero_shuffle_scan(spark, sf_dir):
+    """Holberg: one scan of pure column algebra — zero exchanges,
+    no Python, bounded plan."""
+    plan = _plan(spark, sf_dir, "holberg_parse_laureates")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    df = q.CATALOG["holberg_parse_laureates"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_letten_zero_shuffle_scan(spark, sf_dir):
+    """Letten: one scan exploded x4 canonical winners behind Generate
+    barriers — zero exchanges, no Python, bounded plan."""
+    plan = _plan(spark, sf_dir, "letten_parse_laureates")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    df = q.CATALOG["letten_parse_laureates"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_hilton_zero_shuffle_scan(spark, sf_dir):
+    """Hilton: one scan of pure column algebra — zero exchanges, no
+    Python, bounded plan."""
+    plan = _plan(spark, sf_dir, "hilton_parse_grants")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    df = q.CATALOG["hilton_parse_grants"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_telethon_zero_shuffle_scan(spark, sf_dir):
+    """Telethon: one scan of pure column algebra — zero exchanges, no
+    Python, bounded plan."""
+    plan = _plan(spark, sf_dir, "telethon_parse_grants")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    df = q.CATALOG["telethon_parse_grants"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_vilcek_zero_shuffle_scan(spark, sf_dir):
+    """Vilcek: one scan of pure column algebra — zero exchanges, no
+    Python, bounded plan."""
+    plan = _plan(spark, sf_dir, "vilcek_parse_prizes")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    df = q.CATALOG["vilcek_parse_prizes"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_nuffield_zero_shuffle_scan(spark, sf_dir):
+    """Nuffield: one scan of pure column algebra — zero exchanges, no
+    Python, bounded plan."""
+    plan = _plan(spark, sf_dir, "nuffield_parse_projects")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    df = q.CATALOG["nuffield_parse_projects"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_acmedsci_zero_shuffle_scan(spark, sf_dir):
+    """AcMedSci: one scan of pure column algebra — zero exchanges, no
+    Python, bounded plan."""
+    plan = _plan(spark, sf_dir, "acmedsci_parse_awards")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    df = q.CATALOG["acmedsci_parse_awards"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_lasker_zero_shuffle_scan(spark, sf_dir):
+    """Lasker: one scan + one Generate explode — zero exchanges, no
+    Python, bounded plan."""
+    plan = _plan(spark, sf_dir, "lasker_parse_awards")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    df = q.CATALOG["lasker_parse_awards"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_cure_epilepsy_zero_shuffle_scan(spark, sf_dir):
+    """CURE Epilepsy: one scan of pure column algebra — zero
+    exchanges, no Python, bounded plan."""
+    plan = _plan(spark, sf_dir, "cure_epilepsy_parse_grants")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    df = q.CATALOG["cure_epilepsy_parse_grants"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_ssf_zero_shuffle_scan(spark, sf_dir):
+    """SSF: one scan of pure column algebra — zero exchanges, no
+    Python, bounded plan."""
+    plan = _plan(spark, sf_dir, "ssf_parse_grants")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    df = q.CATALOG["ssf_parse_grants"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"
