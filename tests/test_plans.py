@@ -1275,3 +1275,27 @@ def test_ssf_zero_shuffle_scan(spark, sf_dir):
     df = q.CATALOG["ssf_parse_grants"].spark(spark, sf_dir)
     opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
     assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_keck_zero_shuffle_scan(spark, sf_dir):
+    """Keck: one scan of pure column algebra — zero exchanges, no
+    Python, bounded plan."""
+    plan = _plan(spark, sf_dir, "keck_parse_grants")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    df = q.CATALOG["keck_parse_grants"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_warren_alpert_zero_shuffle_scan(spark, sf_dir):
+    """Warren Alpert: one scan + one Generate explode — zero
+    exchanges, no Python, bounded plan."""
+    plan = _plan(spark, sf_dir, "warren_alpert_parse_prizes")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    df = q.CATALOG["warren_alpert_parse_prizes"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"

@@ -9195,3 +9195,273 @@ def test_ssf_rules_match_reference():
     assert 'raw.split(",", 1)' in src
     assert r're.sub(r"[^\d]", "", raw)' in src
     assert r're.sub(r"-(\d{4})$", r" \1", slug)' in src
+
+
+# ---------------------------------------------------------------------------
+# Keck Foundation PDF grants (scripts/local/keck_to_s3.py:77-147, 155-251)
+# ---------------------------------------------------------------------------
+
+_KK_CYCLE = re.compile(r"(?:^|_)([DJ])(\d{2})(?:_|$)")
+_KK_PROG = re.compile(
+    r"(?:^|_)(MR|SE|SoCal|Socal)(?:v\d+)?(?:_\d+|_emptyheader)?(?:_|$)",
+    re.I)
+_KK_PROG_NAME = {"MR": "Medical Research", "SE": "Science & Engineering",
+                 "SoCal": "Southern California"}
+_KK_AMOUNT = re.compile(r"^\$\s*([\d,]+)\s*$")
+_KK_US = (
+    "Alabama|Alaska|Arizona|Arkansas|California|Colorado|Connecticut|"
+    "Delaware|Florida|Georgia|Hawaii|Idaho|Illinois|Indiana|Iowa|Kansas|"
+    "Kentucky|Louisiana|Maine|Maryland|Massachusetts|Michigan|Minnesota|"
+    "Mississippi|Missouri|Montana|Nebraska|Nevada|New Hampshire|"
+    "New Jersey|New Mexico|New York|North Carolina|North Dakota|Ohio|"
+    "Oklahoma|Oregon|Pennsylvania|Rhode Island|South Carolina|"
+    "South Dakota|Tennessee|Texas|Utah|Vermont|Virginia|Washington|"
+    "West Virginia|Wisconsin|Wyoming|D\\.C\\.")
+_KK_CITY = re.compile(r"^.{1,45},\s*(?:[A-Z]{2}\.?|D\.C\.|(?:%s))\.?$"
+                      % _KK_US)
+_KK_MONTHYEAR = re.compile(
+    r"^(January|February|March|April|May|June|July|August|September|"
+    r"October|November|December)\s+20\d{2}$", re.I)
+_KK_CATEGORY = re.compile(
+    r"^(Civic (and|&) Community|Arts (and|&) Culture|Heal?th( Care)?|"
+    r"Education|Precollegiate Education|Early Childhood|Community|"
+    r"Human Services|Environment|Science (and|&) Engineering|"
+    r"Medical Research)\b.*$", re.I)
+
+
+def _kk_pi(raw):
+    if not raw:
+        return None, None
+    first = re.split(r"\s*[,&]\s*", raw, maxsplit=1)[0].strip()
+    first = re.sub(r"\s+", " ", first)
+    if not first:
+        return None, None
+    parts = first.split()
+    if len(parts) < 2:
+        return None, first
+    return " ".join(parts[:-1]), parts[-1]
+
+
+def test_keck_matches_reference_semantics(spark, sf_dir, orders_rows):
+    import hashlib
+
+    expected = {}
+    for k, *_ in orders_rows:
+        stem = ["Abstracts_D25_MR", "Abstracts_J24_SE",
+                "SoCal_Abstracts_J20", "Abstracts_D22_MRv3",
+                "Abstracts_J19_Socal_emptyheader"][k % 5]
+        cm = _KK_CYCLE.search(stem)
+        year = ("20" + cm.group(2)) if cm else None
+        pm = _KK_PROG.search(stem)
+        code = {"mr": "MR", "se": "SE", "socal": "SoCal"}.get(
+            pm.group(1).lower()) if pm else None
+        amount_line = (f"$ {1 + k % 9},{k % 1000:03d},000" if k % 2 == 0
+                       else f"${100 + k % 900},000  ")
+        amount = _KK_AMOUNT.match(amount_line.strip()).group(1).replace(
+            ",", "")
+        above = [
+            [f"Harvard University {k}", "Boston, MA",
+             "Nicholas Polizzi, Edward Boyden"],
+            [f"University of California, Berkeley {k}",
+             "Berkeley, California", "Andrej Luptak & Jennifer Prescher"],
+            [f"Boys & Girls Club {k}", "Civic and Community Services",
+             "Los Angeles, CA"],
+            [f"Some Museum {k}", "Pasadena, CA", "Arts & Culture"],
+            [f"Community Org {k}", f"Downtown Branch Office {k}"],
+            ["Grand Total Summary", "Boston, MA"],
+            [f"Keck Institute {k}", "Washington, D.C.", "Cher"],
+        ][k % 7]
+        cand = [f"Engineering  quorum sensors {k % 9}",
+                f"June {2015 + k % 10}", "Abstract prose begins here and",
+                "", f"${100 + k % 50},000"][k % 5]
+        nxt = "continues on this line" if k % 5 == 2 else ""
+        if len(above) < 2:
+            continue
+        above_nc = [s for s in above if not _KK_CATEGORY.match(s.strip())]
+        city = institution = pi_line = None
+        for i, s in enumerate(above_nc):
+            if _KK_CITY.match(s):
+                city = s
+                institution = above_nc[i - 1].strip() if i >= 1 else None
+                if i + 1 < len(above_nc):
+                    pi_line = above_nc[i + 1].strip()
+                break
+        if not city:
+            institution = above_nc[0] if above_nc else None
+            pi_line = None
+        if (not institution or "total" in institution.lower()
+                or _KK_CATEGORY.match(institution)):
+            continue
+        given = family = None
+        if pi_line and code != "SoCal":
+            given, family = _kk_pi(pi_line)
+        title = None
+        cand_s, nxt_s = cand.strip(), nxt.strip()
+        if (cand_s and not nxt_s and not _KK_AMOUNT.match(cand_s)
+                and not _KK_MONTHYEAR.match(cand_s)):
+            title = re.sub(r"\s+", " ", cand_s)
+        key = f"{year}|{institution}|{pi_line or ''}|{title or ''}".lower()
+        aid = "keck-%s-%s" % (
+            year, hashlib.md5(key.encode()).hexdigest()[:10])
+        expected[aid] = {
+            "title": title, "pi_given": given, "pi_family": family,
+            "institution": institution, "city": city, "amount": amount,
+            "program": _KK_PROG_NAME.get(code), "year_awarded": year,
+            "landing_page_url":
+                "https://www.wmkeck.org/research-current-grantees/"}
+    actual = _run(spark, sf_dir, "keck_parse_grants")
+    assert len(actual) == len(expected), (len(actual), len(expected))
+    for r in actual:
+        assert r.funder_award_id in expected, r.funder_award_id
+        exp = expected[r.funder_award_id]
+        for col, want in exp.items():
+            got = getattr(r, col)
+            assert got == want, (
+                f"{r.funder_award_id}.{col}: {got!r} != {want!r}")
+
+
+def test_keck_rule_tables_match_reference():
+    """AST-pin PROG_NAME and the regex battery against keck_to_s3.py."""
+    import ast
+    import os
+
+    ref = "/root/reference/scripts/local/keck_to_s3.py"
+    if not os.path.exists(ref):
+        pytest.skip("reference absent")
+    from openalex_walden_spark.queries import keckparse as port
+
+    src = open(ref, encoding="utf-8").read()
+    tree = ast.parse(src)
+    prog = None
+    for node in ast.walk(tree):
+        if (isinstance(node, ast.Assign) and len(node.targets) == 1
+                and isinstance(node.targets[0], ast.Name)
+                and node.targets[0].id == "PROG_NAME"):
+            prog = ast.literal_eval(node.value)
+    assert prog == port._PROG_NAME
+    assert r'(?:^|_)([DJ])(\d{2})(?:_|$)' in src
+    assert r'(?:^|_)(MR|SE|SoCal|Socal)(?:v\d+)?(?:_\d+|_emptyheader)?(?:_|$)' in src
+    assert r'^\$\s*([\d,]+)\s*$' in src
+    assert r'^.{1,45},\s*(?:[A-Z]{2}\.?|D\.C\.|(?:%s))\.?$' in src
+    assert "Heal?th( Care)?" in src
+    assert r're.split(r"\s*[,&]\s*", raw, maxsplit=1)' in src
+    assert 'hexdigest()[:10]' in src
+
+
+# ---------------------------------------------------------------------------
+# Warren Alpert Prize (scripts/local/warren_alpert_prize_to_s3.py:124-236)
+# ---------------------------------------------------------------------------
+
+def _wa_text(value):
+    from html import unescape
+    if not value:
+        return None
+    text = unescape(re.sub(r"<[^>]+>", " ", value))
+    return re.sub(r"\s+", " ", text).strip() or None
+
+
+def _wa_slug(text, max_len=90):
+    text = text.lower()
+    text = re.sub(r"[^a-z0-9]+", "-", text)
+    text = re.sub(r"-+", "-", text).strip("-")
+    return (text or "unknown")[:max_len].strip("-") or "unknown"
+
+
+def test_warren_alpert_matches_reference_semantics(spark, sf_dir,
+                                                   orders_rows):
+    expected = {}
+    for k, *_ in orders_rows:
+        lk = (chr(65 + k % 26) + chr(97 + (k // 26) % 26)
+              + chr(97 + (k // 676) % 26))
+        label = [str(1990 + k % 30),
+                 f"{1990 + k % 30}-{1991 + k % 30}",
+                 f"Prize {1990 + k % 30}"][k % 3]
+        years = [int(y) for y in re.findall(r"(?:19|20)\d{2}", label)]
+        start_year, end_year = years[0], years[-1]
+        desc = (None if k % 4 == 0 else _wa_text(
+            f"<p>For discoveries in field &amp; area {k % 13}.</p>"))
+        winners = [
+            [],
+            [("w1", "Carl", f"June{lk}", "",
+              f"<p>Bio &amp; career {k}.</p>",
+              [("Professor", "Harvard Medical School")],
+              "https://img/1.jpg")],
+            None, None][min(k % 9, 3)]
+        if winners is None:
+            w1 = ("w1", "Carl", f"June{lk}", "",
+                  f"<p>Bio &amp; career {k}.</p>",
+                  [("Professor", "Harvard Medical School")],
+                  "https://img/1.jpg")
+            w2 = ("w2", "", "", f"Dr. Unnamed Honoree {k}", None,
+                  [("", ""), ("Director", f"Institute {k}")], None)
+            w3 = ("w3", f"Mary{lk}", "O'Neill", "", "<p>Short  bio.</p>",
+                  [], "https://img/3.jpg")
+            winners = [w1, w2] if k % 9 == 2 else [w1, w2, w3]
+        if not winners:
+            continue
+        per = 500_000.0 / len(winners)
+        for pos, (wid, first, last, wtitle, bio, positions,
+                  headshot) in enumerate(winners, start=1):
+            full = " ".join(p for p in [first, last] if p).strip()
+            if not full:
+                full = wtitle.strip()
+            parts = []
+            for t, loc in positions:
+                txt = " - ".join(p for p in [t.strip(), loc.strip()] if p)
+                if txt:
+                    parts.append(txt)
+            aff = next((loc.strip() for t, loc in positions
+                        if loc.strip()), None)
+            aid = "warren-alpert-prize-{}-{}-{}".format(
+                label.replace("-", "_"), pos, _wa_slug(full))
+            expected[aid] = {
+                "source_id": wid, "cohort_label": label,
+                "source_year": str(end_year),
+                "start_year_raw": str(start_year),
+                "end_year_raw": str(end_year),
+                "recipient_position": str(pos),
+                "cohort_recipient_count": str(len(winners)),
+                "recipient_name": full,
+                "given_name": first or None, "family_name": last or None,
+                "display_name":
+                    f"Warren Alpert Foundation Prize {label} - {full}",
+                "description": desc, "bio": _wa_text(bio),
+                "positions_raw": "; ".join(parts) or None,
+                "affiliation_raw": aff, "headshot_url": headshot,
+                "amount": str(per), "currency": "USD",
+                "funder_scheme": "Warren Alpert Foundation Prize",
+                "start_date": f"{start_year}-01-01",
+                "end_date": f"{end_year}-12-31",
+                "landing_page_url":
+                    "https://www.warrenalpert.org/prize-recipients/",
+                "source_api_url":
+                    "https://www.warrenalpert.org/wp-json/winners/v1/info",
+                "amount_source_url": "https://www.warrenalpert.org/prize/",
+                "provenance": "warren_alpert_prize"}
+    actual = _run(spark, sf_dir, "warren_alpert_parse_prizes")
+    assert len(actual) == len(expected), (len(actual), len(expected))
+    for r in actual:
+        assert r.funder_award_id in expected, r.funder_award_id
+        exp = expected[r.funder_award_id]
+        for col, want in exp.items():
+            got = getattr(r, col)
+            assert got == want, (
+                f"{r.funder_award_id}.{col}: {got!r} != {want!r}")
+
+
+def test_warren_alpert_rules_match_reference():
+    """Pin the Warren Alpert grammar against the reference source."""
+    import os
+
+    ref = ("/root/reference/scripts/local/"
+           "warren_alpert_prize_to_s3.py")
+    if not os.path.exists(ref):
+        pytest.skip("reference absent")
+    src = open(ref, encoding="utf-8").read()
+    assert "COHORT_AMOUNT_USD = 500_000.0" in src
+    assert r're.findall(r"(?:19|20)\d{2}"' in src
+    assert 'COHORT_AMOUNT_USD / len(winners)' in src
+    assert '"warren-alpert-prize-{}-{}-{}".format' in src
+    assert 'label.replace("-", "_")' in src
+    assert '" - ".join' in src and '"; ".join(parts)' in src
+    assert 'max_len: int = 90' in src
