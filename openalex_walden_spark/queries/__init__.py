@@ -12,7 +12,8 @@ from openalex_walden_spark.queries.registry import CATALOG, QuerySpec, register 
 _MODULES = ("relational", "windows", "walden", "llmdata", "events", "textops", "advanced", "domain2", "nested", "sqludf", "scalarbattery", "typerules", "d6cascade", "timeseries", "sketches", "graphops", "layout", "overmerge", "paywall", "metatags", "maintenance", "aer", "topicsprep", "metrics", "scrapeops", "enrichmerge", "judgeops", "authorship", "unpaywall", "locsources", "superauth", "authornames", "workawards", "ingestxref", "curations", "rorsync", "loccurations", "rascounts", "authorembed", "sourcessnap", "pdfawards", "sourcesapi", "funderimpact", "essync", "namefix", "affmatch", "guardops", "awardregistry", "funderscrape", "usaspending", "isvavai", "swecris", "fris", "nihrparse", "bmbfparse", "arcparse", "lakebase", "twasparse", "bhfparse", "ccparse", "isciiiparse", "awardtopics", "sshrcparse", "rgchk", "blueplanet", "sloanparse", "dreyfusparse", "searleparse", "threesixty", "threesixtyrich", "potterparse", "tinyfunder", "method5", "prizepattern", "foundationarchive", "microfunder", "wprest", "fellowdir", "anrparse", "nhmrcparse", "nsfparse", "publishersapi", "keywordsapi", "pcaarrd", "rfbr", "mjff", "carlsberg", "mmw", "holbergparse",
     "lettenparse", "hiltonparse", "telethonparse", "vilcekparse",
     "nuffieldparse", "acmedsciparse", "laskerparse", "cureepilepsy",
-    "ssfparse", "keckparse", "warrenalpert")
+    "ssfparse", "keckparse", "warrenalpert", "pchrdparse", "nomisparse",
+    "heinekenparse")
 
 
 def load_all() -> None:

@@ -1299,3 +1299,39 @@ def test_warren_alpert_zero_shuffle_scan(spark, sf_dir):
     df = q.CATALOG["warren_alpert_parse_prizes"].spark(spark, sf_dir)
     opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
     assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_pchrd_ongoing_zero_shuffle_scan(spark, sf_dir):
+    """PCHRD ongoing projects: one scan of pure column algebra — zero
+    exchanges, no Python, bounded plan."""
+    plan = _plan(spark, sf_dir, "pchrd_parse_projects")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    df = q.CATALOG["pchrd_parse_projects"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_nomis_zero_shuffle_scan(spark, sf_dir):
+    """NOMIS: one scan of pure column algebra — zero exchanges, no
+    Python, bounded plan."""
+    plan = _plan(spark, sf_dir, "nomis_parse_projects")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    df = q.CATALOG["nomis_parse_projects"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_heineken_zero_shuffle_scan(spark, sf_dir):
+    """Heineken: one scan of pure column algebra — zero exchanges, no
+    Python, bounded plan."""
+    plan = _plan(spark, sf_dir, "heineken_parse_prizes")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    df = q.CATALOG["heineken_parse_prizes"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"

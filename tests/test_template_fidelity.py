@@ -9465,3 +9465,374 @@ def test_warren_alpert_rules_match_reference():
     assert 'label.replace("-", "_")' in src
     assert '" - ".join' in src and '"; ".join(parts)' in src
     assert 'max_len: int = 90' in src
+
+
+# ---------------------------------------------------------------------------
+# PCHRD ongoing projects (scripts/local/pchrd_to_s3.py:130-144, 204-266)
+# ---------------------------------------------------------------------------
+
+def _pc_clean(value):
+    from html import unescape
+    if value is None:
+        return None
+    text = re.sub(r"<[^>]+>", " ", str(value))
+    text = unescape(text)
+    return re.sub(r"\s+", " ", text).strip() or None
+
+
+def _pc_date(value):
+    if not value:
+        return None
+    m = re.match(r"^(\d{4}-\d{2}-\d{2})", str(value))
+    return m.group(1) if m else None
+
+
+def test_pchrd_matches_reference_semantics(spark, sf_dir, orders_rows):
+    import json as _json
+
+    CATS = ["Drug Discovery", "OMICS & Health", "Digital Health",
+            "Nutrition"]
+    AG = ["University of the Philippines Manila", "De La Salle University",
+          "DOST Regional Office"]
+    expected = {}
+    for k, *_ in orders_rows:
+        wp_id = "" if k % 17 == 0 else str(80000 + k)
+        if not wp_id:
+            continue
+        title = (None if k % 13 == 0 else
+                 f"<span>Genomic surveillance &amp; response study "
+                 f"{k % 11}</span>")
+        content = ("" if k % 5 == 0 else
+                   f"<p>Ongoing  project content on topic {k % 19}.</p>")
+        cats = [[CATS[0]], [CATS[1], CATS[2]], [], [CATS[3]]][k % 4]
+        ags = [[AG[0], AG[1]], [AG[2]], []][k % 3]
+        wp_date = ("not a date" if k % 7 == 0 else
+                   f"{2015 + k % 11}-{k % 12 + 1:02d}-{k % 28 + 1:02d}"
+                   f"T03:14:00")
+        source_date = _pc_date(wp_date)
+        modified = _pc_date(f"{2016 + k % 10}-02-{k % 27 + 1:02d}T11:00:00")
+        page_no = (k // 50) % 20 + 1
+        expected[f"pchrd-{wp_id}"] = {
+            "wp_id": wp_id, "slug": f"project-{k}",
+            "display_name": _pc_clean(title),
+            "description": _pc_clean(content),
+            "project_category": cats[0] if cats else None,
+            "project_categories": _json.dumps(cats, ensure_ascii=False,
+                                              sort_keys=True),
+            "source_implementing_agency": ags[0] if ags else None,
+            "implementing_agencies": _json.dumps(ags, ensure_ascii=False,
+                                                 sort_keys=True),
+            "source_posted_date": source_date,
+            "source_modified_date": modified,
+            "source_year": source_date[:4] if source_date else None,
+            "landing_page_url":
+                f"https://www.pchrd.dost.gov.ph/projects/project-{k}/",
+            "source_api_url":
+                (f"https://www.pchrd.dost.gov.ph/wp-json/wp/v2/"
+                 f"ongoing_projects?per_page=50&page={page_no}"),
+            "amount": None, "currency": None,
+            "funder_id": "4320335609",
+            "funder_display_name":
+                "Philippine Council for Health Research and Development",
+            "provenance": "pchrd_ongoing_projects"}
+    actual = _run(spark, sf_dir, "pchrd_parse_projects")
+    assert len(actual) == len(expected), (len(actual), len(expected))
+    for r in actual:
+        assert r.funder_award_id in expected, r.funder_award_id
+        exp = expected[r.funder_award_id]
+        for col, want in exp.items():
+            got = getattr(r, col)
+            assert got == want, (
+                f"{r.funder_award_id}.{col}: {got!r} != {want!r}")
+
+
+def test_pchrd_rules_match_reference():
+    """Pin the PCHRD grammar against the reference source."""
+    import os
+
+    ref = "/root/reference/scripts/local/pchrd_to_s3.py"
+    if not os.path.exists(ref):
+        pytest.skip("reference absent")
+    src = open(ref, encoding="utf-8").read()
+    assert r're.match(r"^(\d{4}-\d{2}-\d{2})"' in src
+    assert 'f"pchrd-{wp_id}"' in src
+    assert 'json.dumps(cat_names, ensure_ascii=False, sort_keys=True)' in src
+    assert 'cat_names[0] if cat_names else None' in src
+    assert 'source_date[:4] if source_date else None' in src
+    assert '"amount": None' in src and '"currency": None' in src
+
+
+# ---------------------------------------------------------------------------
+# NOMIS Foundation projects (scripts/local/nomis_foundation_to_s3.py:
+# 206-267)
+# ---------------------------------------------------------------------------
+
+_NM_YEAR = re.compile(r"\b(19[5-9]\d|20[0-3]\d)\b")
+_NM_PAD = ("This project investigates the behavior of complex adaptive "
+           "systems across scales and communities with careful "
+           "longitudinal observation and rigorous theory. ") * 22
+
+
+def _nm_strip(html):
+    from html import unescape
+    if not html:
+        return ""
+    text = re.sub(r"<[^>]+>", " ", html)
+    return re.sub(r"\s+", " ", unescape(text)).strip()
+
+
+def _nm_year(text, project_year):
+    if not text:
+        return project_year
+    years = [int(m.group(1)) for m in _NM_YEAR.finditer(text[:3000])]
+    candidates = [y for y in years if 2000 <= y <= 2030]
+    if candidates:
+        return min(candidates)
+    return project_year
+
+
+def test_nomis_matches_reference_semantics(spark, sf_dir, orders_rows):
+    import json as _json
+
+    ORGS = [("ETH Zurich", "eth-zurich"),
+            ("University of Basel", "university-of-basel"),
+            ("Santa Fe Institute", "santa-fe-institute")]
+    expected = {}
+    for k, *_ in orders_rows:
+        title = ("" if k % 13 == 0 else
+                 f"<h1>Minds &amp; machines {k % 9}</h1>")
+        content = [
+            (f"<p>The Question. Starting in {2010 + k % 15} the team "
+             f"built on results first described in 1968 and the "
+             f"{2005 + k % 20} cohort of fellows.</p>"),
+            "<p>The Approach. No dates are mentioned here.</p>", "",
+            (f"<p>{_NM_PAD} The award began in {2012 + k % 12}.</p>"),
+            (f"<p>Work from 1955 and 1999 preceded the "
+             f"{2001 + k % 25} grant.</p>")][k % 5]
+        page_date = ("undated" if k % 11 == 0 else
+                     f"{2016 + k % 10}-03-{k % 28 + 1:02d}T09:30:00")
+        page_year = (int(page_date[:4]) if page_date[:4].isdigit()
+                     else None)
+        content_text = _nm_strip(content)
+        award_year = _nm_year(content_text, page_year)
+        names = [[ORGS[0][0]], [ORGS[1][0], ORGS[2][0]], [],
+                 [ORGS[2][0]]][k % 4]
+        slugs = [[ORGS[0][1]], [ORGS[1][1], ORGS[2][1]], [],
+                 [ORGS[2][1]]][k % 4]
+        expected[f"nomis-projekt-{k}"] = {
+            "project_id": str(90000 + k), "slug": f"projekt-{k}",
+            "title": _nm_strip(title),
+            "link": f"https://nomisfoundation.ch/projects/projekt-{k}/",
+            "page_date": page_date,
+            "page_year": str(page_year) if page_year else None,
+            "award_year": str(award_year) if award_year else None,
+            "description": content_text[:5000] if content_text else None,
+            "organization_names":
+                _json.dumps(names, ensure_ascii=False) if names else None,
+            "organization_slugs":
+                _json.dumps(slugs, ensure_ascii=False) if slugs else None,
+            "primary_organization": names[0] if names else None,
+            "status": "draft" if k % 19 == 0 else "publish"}
+    actual = _run(spark, sf_dir, "nomis_parse_projects")
+    assert len(actual) == len(expected), (len(actual), len(expected))
+    for r in actual:
+        assert r.funder_award_id in expected, r.funder_award_id
+        exp = expected[r.funder_award_id]
+        for col, want in exp.items():
+            got = getattr(r, col)
+            assert got == want, (
+                f"{r.funder_award_id}.{col}: {got!r} != {want!r}")
+
+
+def test_nomis_rules_match_reference():
+    """Pin the NOMIS grammar against the reference source."""
+    import os
+
+    ref = "/root/reference/scripts/local/nomis_foundation_to_s3.py"
+    if not os.path.exists(ref):
+        pytest.skip("reference absent")
+    src = open(ref, encoding="utf-8").read()
+    assert r'\b(19[5-9]\d|20[0-3]\d)\b' in src
+    assert "text[:3000]" in src
+    assert "2000 <= y <= 2030" in src
+    assert "return min(candidates)" in src
+    assert "content_text[:5000]" in src
+    assert 'json.dumps(org_names, ensure_ascii=False) if org_names else None' in src
+    assert '"nomis-" + df["slug"]' in src
+
+
+# ---------------------------------------------------------------------------
+# Heineken Prizes (scripts/local/heineken_prizes_to_s3.py:114-130,
+# 158-315)
+# ---------------------------------------------------------------------------
+
+_HK_PRIZE = {12: "Biochemistry and Biophysics", 13: "Art", 14: "Medicine",
+             15: "History", 16: "Environmental Sciences",
+             17: "Cognitive Science"}
+_HK_HYSA = {301: "Humanities", 302: "Social Sciences",
+            303: "Medical/Biomedical Sciences", 304: "Natural Sciences"}
+_HK_MAP = {**{k: v for k, v in _HK_PRIZE.items() if k != 14}, **_HK_HYSA}
+
+
+def _hk_clean(value):
+    if value is None:
+        return None
+    value = value.replace("\xa0", " ")
+    return re.sub(r"\s+", " ", value).strip() or None
+
+
+def _hk_html(value):
+    from html import unescape
+    if not value:
+        return None
+    if "<" not in value and ">" not in value:
+        return _hk_clean(value)
+    return _hk_clean(unescape(re.sub(r"<[^>]+>", " ", value)))
+
+
+def _hk_slug(text, max_len=90):
+    text = text.lower()
+    text = re.sub(r"[^a-z0-9]+", "-", text)
+    text = re.sub(r"-+", "-", text).strip("-")
+    return (text or "unknown")[:max_len].strip("-") or "unknown"
+
+
+def _hk_split(name):
+    name = _hk_clean(name)
+    if not name:
+        return None, None
+    name = re.sub(r"^(Sir|Dame|Prof\.?|Professor|Dr\.?)\s+", "", name,
+                  flags=re.I)
+    parts = name.split()
+    if len(parts) == 1:
+        return None, parts[0]
+    if (len(parts) >= 4
+            and " ".join(p.lower() for p in parts[-3:-1]) == "van der"):
+        return " ".join(parts[:-3]), " ".join(parts[-3:])
+    if len(parts) >= 3 and parts[-2].lower() in {"de", "le", "ten", "ter",
+                                                 "van", "von"}:
+        return " ".join(parts[:-2]), " ".join(parts[-2:])
+    return " ".join(parts[:-1]), parts[-1]
+
+
+def _hk_scheme_year(excerpt):
+    excerpt = _hk_clean(excerpt) or ""
+    m = re.search(r"\b((?:19|20)\d{2})\s*$", excerpt)
+    if not m:
+        m = re.search(r"\b((?:19|20)\d{2})\b", excerpt)
+    year = int(m.group(1))
+    scheme = _hk_clean(excerpt[:m.start()]) or excerpt
+    return scheme, year
+
+
+def test_heineken_matches_reference_semantics(spark, sf_dir, orders_rows):
+    expected = {}
+    for k, *_ in orders_rows:
+        cats = [[12], [13], [301], [302, 15], [999], [],
+                [14, 888]][k % 7]
+        cat_set = set(cats)
+        if not cat_set & (set(_HK_PRIZE) | set(_HK_HYSA)):
+            continue
+        if cat_set & set(_HK_PRIZE):
+            family = "heineken_prize"
+        else:
+            family = "heineken_young_scientists_award"
+        field = None
+        for cid in sorted(cat_set):
+            if cid in _HK_PRIZE:
+                field = _HK_MAP.get(cid) or _HK_PRIZE[cid]
+                break
+            if cid in _HK_HYSA:
+                field = _HK_MAP.get(cid) or _HK_HYSA[cid]
+                break
+        lk = (chr(65 + k % 26) + chr(65 + (k // 26) % 26)
+              + chr(65 + (k // 676) % 26))
+        title = [
+            f"<h2>Prof. Bernard Feringa{chr(65 + k % 26)}{k}</h2>",
+            f"Titia de Lange{k}", f"Jan van der Berg{k}",
+            f"Cher{lk}", f"Dame Janet Thompson{k}",
+            f"M&amp;M Collective{k}"][k % 6]
+        excerpt = [
+            (f"Dr H.P. Heineken Prize for Biochemistry and Biophysics "
+             f"{1990 + k % 35}"),
+            f"The {1995 + k % 30} prize for history",
+            (f"<em>Heineken Young Scientists Award</em> "
+             f"{2010 + k % 15}  "),
+            f"C.L. de Carvalho-Heineken Prize for Art {2000 + k % 25}",
+        ][k % 4]
+        content = (None if k % 5 == 0 else
+                   f"<p>Laureate portrait &amp; citation text "
+                   f"{k % 17}.</p>")
+        nm = _hk_html(title)
+        scheme, year = _hk_scheme_year(_hk_html(excerpt) or "")
+        if family == "heineken_young_scientists_award":
+            amount, currency = "15000.0", "EUR"
+            amount_url = ("https://www.heinekenprizes.org/"
+                          "heineken-young-scientists-awards/")
+        elif field == "Art":
+            amount, currency = "100000.0", "EUR"
+            amount_url = "https://www.heinekenprizes.org/heineken-prizes/"
+        else:
+            amount, currency = "250000.0", "USD"
+            amount_url = "https://www.heinekenprizes.org/heineken-prizes/"
+        given, fam = _hk_split(nm)
+        aid = f"heineken-{year}-{_hk_slug(scheme)}-{_hk_slug(nm)}"
+        expected[aid] = {
+            "source_post_id": str(60000 + k),
+            "source_post_slug": f"laureaat-{k}",
+            "display_name": f"{scheme} {year} - {nm}",
+            "description": _hk_html(content),
+            "source_year": str(year), "recipient_name": nm,
+            "given_name": given, "family_name": fam,
+            "award_family": family, "funder_scheme": scheme,
+            "research_field": field, "amount": amount,
+            "currency": currency,
+            "start_date": f"{year}-01-01", "end_date": f"{year}-12-31",
+            "landing_page_url":
+                (f"https://www.heinekenprizes.org/portfolio/"
+                 f"laureaat-{k}/"),
+            "source_list_url":
+                "https://www.heinekenprizes.org/list-of-laureates/",
+            "amount_source_url": amount_url,
+            "provenance": "heineken_prizes_wp"}
+    actual = _run(spark, sf_dir, "heineken_parse_prizes")
+    assert len(actual) == len(expected), (len(actual), len(expected))
+    for r in actual:
+        assert r.funder_award_id in expected, r.funder_award_id
+        exp = expected[r.funder_award_id]
+        for col, want in exp.items():
+            got = getattr(r, col)
+            assert got == want, (
+                f"{r.funder_award_id}.{col}: {got!r} != {want!r}")
+
+
+def test_heineken_rule_tables_match_reference():
+    """AST-pin both category tables and the grammar against
+    heineken_prizes_to_s3.py."""
+    import ast
+    import os
+
+    ref = "/root/reference/scripts/local/heineken_prizes_to_s3.py"
+    if not os.path.exists(ref):
+        pytest.skip("reference absent")
+    from openalex_walden_spark.queries import heinekenparse as port
+
+    src = open(ref, encoding="utf-8").read()
+    tree = ast.parse(src)
+    found = {}
+    for node in ast.walk(tree):
+        if (isinstance(node, ast.Assign) and len(node.targets) == 1
+                and isinstance(node.targets[0], ast.Name)):
+            name = node.targets[0].id
+            if name in ("HEINEKEN_PRIZE_CATEGORY_IDS",
+                        "HYSA_CATEGORY_IDS"):
+                found[name] = ast.literal_eval(node.value)
+    assert found["HEINEKEN_PRIZE_CATEGORY_IDS"] == port._PRIZE_IDS
+    assert found["HYSA_CATEGORY_IDS"] == port._HYSA_IDS
+    assert r'\b((?:19|20)\d{2})\s*$' in src
+    assert r'^(Sir|Dame|Prof\.?|Professor|Dr\.?)\s+' in src
+    assert '"van der"' in src
+    assert '{"de", "le", "ten", "ter", "van", "von"}' in src
+    assert '"15000.0", "EUR"' in src
+    assert '"100000.0", "EUR"' in src
+    assert '"250000.0", "USD"' in src
