@@ -9471,7 +9471,7 @@ def test_warren_alpert_rules_match_reference():
 # PCHRD ongoing projects (scripts/local/pchrd_to_s3.py:130-144, 204-266)
 # ---------------------------------------------------------------------------
 
-def _pc_clean(value):
+def _pch_clean(value):
     from html import unescape
     if value is None:
         return None
@@ -9480,7 +9480,7 @@ def _pc_clean(value):
     return re.sub(r"\s+", " ", text).strip() or None
 
 
-def _pc_date(value):
+def _pch_date(value):
     if not value:
         return None
     m = re.match(r"^(\d{4}-\d{2}-\d{2})", str(value))
@@ -9509,13 +9509,13 @@ def test_pchrd_matches_reference_semantics(spark, sf_dir, orders_rows):
         wp_date = ("not a date" if k % 7 == 0 else
                    f"{2015 + k % 11}-{k % 12 + 1:02d}-{k % 28 + 1:02d}"
                    f"T03:14:00")
-        source_date = _pc_date(wp_date)
-        modified = _pc_date(f"{2016 + k % 10}-02-{k % 27 + 1:02d}T11:00:00")
+        source_date = _pch_date(wp_date)
+        modified = _pch_date(f"{2016 + k % 10}-02-{k % 27 + 1:02d}T11:00:00")
         page_no = (k // 50) % 20 + 1
         expected[f"pchrd-{wp_id}"] = {
             "wp_id": wp_id, "slug": f"project-{k}",
-            "display_name": _pc_clean(title),
-            "description": _pc_clean(content),
+            "display_name": _pch_clean(title),
+            "description": _pch_clean(content),
             "project_category": cats[0] if cats else None,
             "project_categories": _json.dumps(cats, ensure_ascii=False,
                                               sort_keys=True),
