@@ -79,30 +79,7 @@ _CHANGED_THIS_ROUND: list[str] = []
 # can check against the diff; tests/test_driver_window.py rejects any
 # module-changed green query that is neither here nor in
 # _CHANGED_THIS_ROUND.  Reset to {} at every round boundary.
-_WINDOW_EXEMPT: dict[str, str] = {
-    # r13 pagerank perf fix (verdict #2): operators/pagerank.py moved
-    # to shuffle-join supersteps with AQE scoped off; PLAN-only —
-    # scripts/ab_pagerank_jobs.py recorded bit-identical score
-    # fingerprints across all four plan variants at sf0.1, and the
-    # committed sf0.001 golden is byte-stable (machine-checked below).
-    "graph_pagerank_fixedpoint": (
-        "plan-only: shuffle-superstep + AQE-off rewrite; fingerprints "
-        "bit-identical across variants (scripts/ab_pagerank_jobs.py), "
-        "golden unchanged"),
-    # the other graphops queries are flagged only because they share
-    # the module / its operators import; their code paths are
-    # untouched this round (git diff: only graph_pagerank_fixedpoint's
-    # call site changed) and their goldens are byte-stable.
-    "graph_triangle_count": (
-        "sibling-module flag only: graphops.py diff touches only the "
-        "pagerank call site; golden unchanged"),
-    "graph_label_propagation": (
-        "sibling-module flag only: graphops.py diff touches only the "
-        "pagerank call site; golden unchanged"),
-    "hierarchy_flatten_doubling": (
-        "sibling-module flag only: graphops.py diff touches only the "
-        "pagerank call site; golden unchanged"),
-}
+_WINDOW_EXEMPT: dict[str, str] = {}
 
 # Every query with a green driver row, stalest round first (name
 # tie-break) — the tail of the re-verification schedule.
