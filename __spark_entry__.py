@@ -71,7 +71,11 @@ _LAST_GREEN: dict[str, int] = {
 # mechanically against git by tests/test_driver_window.py (queries whose
 # defining module changed since the last round-boundary commit must be
 # here or never-verified).
-_CHANGED_THIS_ROUND: list[str] = []
+_CHANGED_THIS_ROUND: list[str] = [
+    # r14 ADVICE fix: \b year boundaries + match.start()-faithful scheme
+    # prefix, plus two adversarial fixture arms that exercise them
+    "heineken_parse_prizes",
+]
 
 # Queries whose defining MODULE changed this round but whose own plan
 # and semantics provably did not (e.g. a sibling query was added to the

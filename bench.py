@@ -104,6 +104,10 @@ MIN5 = {
     # vector for the two remaining watch-listed queries.
     "sketch_hll_distinct",
     "dedup_ngram_jaccard",
+    # round-13 verdict #2: the one r13 drift outside host calibration
+    # (2.65x raw) had NO spread record to adjudicate contention vs real;
+    # five runs makes the r14 CLEAR/KEPT decision evidence-backed.
+    "graph_triangle_count",
 }
 
 
@@ -208,16 +212,24 @@ def main() -> None:
     # own payload field; the timed loop below then measures serve cost
     # with a warm quantizer — the steady-state split a cluster sees
     # (train nightly, serve per-query).
+    # Min-of-3 with a spread record (round-13 verdict #4: the train
+    # number was the only timed figure in the artifact without min-of-N,
+    # and its r13 2.8x drift could not be adjudicated).  Each run pops
+    # the cache so all three pay the full k-means loop.
     try:
         from openalex_walden_spark.queries.advanced import (
             _TR_CACHE,
             train_ivf_centroids,
         )
 
-        _TR_CACHE.pop(SF_DIR, None)
-        t0 = time.perf_counter()
-        train_ivf_centroids(spark, SF_DIR)
-        train["ann_ivf_trained_topk"] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(3):
+            _TR_CACHE.pop(SF_DIR, None)
+            t0 = time.perf_counter()
+            train_ivf_centroids(spark, SF_DIR)
+            runs.append(time.perf_counter() - t0)
+        train["ann_ivf_trained_topk"] = round(min(runs), 3)
+        spreads["ann_ivf_trained_topk:train"] = round(max(runs) - min(runs), 3)
     except Exception as ex:  # noqa: BLE001 - training failure must not
         errors["ann_ivf_trained_topk:train"] = str(ex).split("\n", 1)[0][:200]
 

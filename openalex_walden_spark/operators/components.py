@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .checkpoints import SESSION_SCOPE_LOCK, CheckpointJanitor
+
 # 2^50 nodes is far beyond any realistic graph; the alternating-star round
 # bound is O(log^2 n) but observed convergence is ~log2(n) rounds.
 _MAX_ROUNDS = 50
@@ -108,25 +110,45 @@ def connected_components(
     """
     # Checkpoint the raw projection ONCE: both the iteration seed and the
     # node universe derive from it, so the caller's (possibly expensive)
-    # edge lineage executes exactly one time.
-    raw = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).localCheckpoint()
-    cur = _dedup(raw).localCheckpoint()
-    prev_fp = _edge_fingerprint(cur)
-    for _ in range(max_rounds):
-        # Lazy checkpoint: the fingerprint action right below both
-        # materializes the round and truncates lineage — one Spark job
-        # per round instead of two.
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
-        fp = _edge_fingerprint(cur)
-        if fp == prev_fp:
-            break
-        prev_fp = fp
-    else:  # pragma: no cover - 2^sqrt(50) nodes would be needed
-        raise RuntimeError(
-            f"alternating-star did not converge in {max_rounds} rounds"
-        )
+    # edge lineage executes exactly one time.  Intermediate rounds are
+    # released before returning (CheckpointJanitor); `raw` and the final
+    # round stay pinned because the RETURNED lazy DataFrame still reads
+    # both — the caller may unpersist them after materializing.  The
+    # lock serializes the janitor's persistent-id attribution (sound
+    # only without concurrent persists in the same session).
+    spark = edges.sparkSession
+    with SESSION_SCOPE_LOCK:
+        jan = CheckpointJanitor(spark)
+        keep: set[str] = set()
+        try:
+            raw = edges.select(
+                F.col(src).alias("u"), F.col(dst).alias("v")
+            ).localCheckpoint()
+            jan.mark("raw")
+            cur = _dedup(raw).localCheckpoint()
+            prev_fp = _edge_fingerprint(cur)
+            jan.mark("seed")
+            round_tag = "seed"
+            for rnd in range(max_rounds):
+                # Lazy checkpoint: the fingerprint action right below
+                # both materializes the round and truncates lineage —
+                # one Spark job per round instead of two.
+                cur = _small_star(_large_star(cur)).localCheckpoint(
+                    eager=False)
+                fp = _edge_fingerprint(cur)
+                round_tag = f"round-{rnd}"
+                jan.mark(round_tag)
+                if fp == prev_fp:
+                    break
+                prev_fp = fp
+            else:  # pragma: no cover - 2^sqrt(50) nodes would be needed
+                raise RuntimeError(
+                    f"alternating-star did not converge in {max_rounds} "
+                    f"rounds"
+                )
+            keep = {"raw", round_tag}
+        finally:
+            jan.release(keep=keep)
     # Fixpoint edges form stars centred on component minima: every
     # non-root points at its root. Roots label themselves.
     nodes = (

@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .checkpoints import SESSION_SCOPE_LOCK, CheckpointJanitor
+
 PR_ONE = 1_000_000_000_000  # fixed-point 1.0
 
 
@@ -108,6 +110,15 @@ def pagerank_fixedpoint(
         saved[key] = spark.conf.get(key)
         spark.conf.set(key, value)
 
+    # Session confs are session-GLOBAL: the scope/restore below is only
+    # sound while no concurrent query shares this SparkSession, so the
+    # whole call serializes on SESSION_SCOPE_LOCK (which the checkpoint
+    # janitor's id attribution also relies on).  The repo's driver and
+    # bench are sequential; concurrent callers queue here instead of
+    # racing the conf mutation.
+    SESSION_SCOPE_LOCK.acquire()
+    jan = CheckpointJanitor(spark)
+    keep: set[str] = set()
     try:
         if not adaptive:
             _scope("spark.sql.adaptive.enabled", "false")
@@ -136,13 +147,15 @@ def pagerank_fixedpoint(
         if not broadcast_scores:
             ed = ed.repartition(F.col("src"))
         ed = ed.localCheckpoint()
+        jan.mark("setup")
 
         base = (PR_ONE * (damping_den - damping_num)) // damping_den
         scores = nodes.select(
             "node", F.lit(PR_ONE).cast("bigint").alias("score")
         )
         prev_fp = None
-        for _ in range(max_rounds // check_every):
+        round_tag = "setup"
+        for rnd in range(max_rounds // check_every):
             for _ in range(check_every):
                 scores = _superstep(
                     ed, nodes, scores, base, damping_num, damping_den,
@@ -152,13 +165,21 @@ def pagerank_fixedpoint(
             # one job per check instead of two.
             scores = scores.localCheckpoint(eager=False)
             fp = _score_fingerprint(scores)
+            round_tag = f"round-{rnd}"
+            jan.mark(round_tag)
             if fp == prev_fp:
                 break
             prev_fp = fp
+        # The returned DataFrame is the final (already-materialized)
+        # checkpoint: its lineage is truncated to its own blocks, so the
+        # setup plane and every earlier round can be released now.
+        keep = {round_tag}
         return scores
     finally:
+        jan.release(keep=keep)
         for key, value in saved.items():
             spark.conf.set(key, value)
+        SESSION_SCOPE_LOCK.release()
 
 
 def _superstep(

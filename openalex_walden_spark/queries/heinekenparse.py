@@ -74,8 +74,15 @@ _PRIZES_URL = "https://www.heinekenprizes.org/heineken-prizes/"
 _HYSA_URL = ("https://www.heinekenprizes.org/"
              "heineken-young-scientists-awards/")
 
-_YEAR_TAIL = "((?:19|20)[0-9]{2})\\\\s*$"
-_YEAR_ANY = "((?:19|20)[0-9]{2})"
+# reference patterns carry \b word boundaries (heineken_prizes_to_s3.py
+# :257-259): digit-glued sequences like 'Ref20010' must NOT yield a year
+_YEAR_TAIL = "\\\\b((?:19|20)[0-9]{2})\\\\s*$"
+_YEAR_ANY = "\\\\b((?:19|20)[0-9]{2})\\\\b"
+# reference scheme = clean(excerpt[:match.start()]) — the prefix before
+# the MATCHED occurrence, not the first instr() hit of the year string.
+# Anywhere-path: lazy prefix capture = everything before the leftmost
+# boundary-delimited year (RE2-safe, no lookaround).
+_PRE_ANY = "^(.*?)\\\\b(?:19|20)[0-9]{2}\\\\b"
 _TITLE_STRIP = "(?i)^(?:Sir|Dame|Prof\\\\.?|Professor|Dr\\\\.?)\\\\s+"
 
 
@@ -203,6 +210,12 @@ def _sql(dialect: str) -> str:
 
     particles = ", ".join(f"'{p}'" for p in _PARTICLES)
 
+    # hoisted (f-string expression parts cannot carry backslashes):
+    # excerpt with the end-anchored year match removed = excerpt[:m.start()]
+    f_strip_tail = f"regexp_replace(excerpt, '{_YEAR_TAIL}', ''{g})"
+    # prefix before the leftmost \b-delimited year ('' -> clean -> NULL)
+    f_pre_any = f"regexp_extract(excerpt, '{_PRE_ANY}', 1)"
+
     def slug_of(x: str) -> str:
         s = (f"nullif(substring(trim(BOTH '-' FROM regexp_replace("
              f"regexp_replace(lower({x}), '[^a-z0-9]+', '-'{g}), "
@@ -247,15 +260,20 @@ def _sql(dialect: str) -> str:
       WHEN 4 THEN concat('Dame Janet Thompson', {cs('o_orderkey')})
       ELSE concat('M&amp;M Collective', {cs('o_orderkey')}) END
       AS title_html,
-    CASE CAST(o_orderkey % 4 AS INT)
+    CASE CAST(o_orderkey % 6 AS INT)
       WHEN 0 THEN concat('Dr H.P. Heineken Prize for Biochemistry ',
                          'and Biophysics ', {cs('1990 + o_orderkey % 35')})
       WHEN 1 THEN concat('The ', {cs('1995 + o_orderkey % 30')},
                          ' prize for history')
       WHEN 2 THEN concat('<em>Heineken Young Scientists Award</em> ',
                          {cs('2010 + o_orderkey % 15')}, '  ')
-      ELSE concat('C.L. de Carvalho-Heineken Prize for Art ',
-                  {cs('2000 + o_orderkey % 25')}) END AS excerpt_html,
+      WHEN 3 THEN concat('C.L. de Carvalho-Heineken Prize for Art ',
+                  {cs('2000 + o_orderkey % 25')})
+      WHEN 4 THEN concat({cs('1993 + o_orderkey % 30')}, ' Symposium ',
+                         {cs('1993 + o_orderkey % 30')})
+      ELSE concat('Ref', {cs('2001 + o_orderkey % 20')},
+                  '0 archaeology prize ', {cs('1991 + o_orderkey % 28')},
+                  ' edition') END AS excerpt_html,
     CASE WHEN o_orderkey % 5 = 0 THEN NULL
       ELSE concat('<p>Laureate portrait &amp; citation text ',
                   {cs('o_orderkey % 17')}, '.</p>') END AS content_html,
@@ -285,15 +303,17 @@ gated AS (
 ])},
 {bar("yeared", "famd",
      _PT + ["award_family", "field", "nm", "excerpt", "content"], [
+    ("year_tail", rx('excerpt', _YEAR_TAIL, 1)),
     ("year", f"coalesce({rx('excerpt', _YEAR_TAIL, 1)}, "
              f"{rx('excerpt', _YEAR_ANY, 1)})"),
 ])},
 {bar("schemed", "yeared",
      _PT + ["award_family", "field", "nm", "excerpt", "content",
-            "year"], [
+            "year_tail", "year"], [
     ("scheme",
-     f"coalesce({clean('substring(excerpt, 1, instr(excerpt, year) - 1)')}, "
-     f"excerpt)"),
+     f"CASE WHEN year_tail IS NOT NULL THEN coalesce("
+     f"{clean(f_strip_tail)}, excerpt) "
+     f"ELSE coalesce({clean(f_pre_any)}, excerpt) END"),
     ("toks", splitws(
         f"regexp_replace(nm, '{_TITLE_STRIP}', ''{g})")),
 ])}

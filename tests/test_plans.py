@@ -554,6 +554,35 @@ def test_pagerank_converged_beyond_unrolled_demo(spark, sf_dir):
     assert merged["pagerank_fp"].between(PR_ONE // 10, PR_ONE * 50).all()
 
 
+def test_iterative_checkpoints_are_released(spark, sf_dir):
+    """pagerank/components must not leave per-round localCheckpoint
+    blocks pinned for the session (r13 verdict #6): after the call only
+    the RDDs the RETURNED DataFrame still reads may remain persistent —
+    pagerank keeps exactly its final (materialized) score checkpoint,
+    components keeps the raw edge projection plus the final star round —
+    and the returned frames must still be actionable (the blocks they
+    read were NOT released)."""
+    from pyspark.sql import functions as F
+
+    from openalex_walden_spark.operators.components import connected_components
+    from openalex_walden_spark.operators.pagerank import pagerank_fixedpoint
+
+    def persistent() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = persistent()
+    edges = spark.range(0, 1200).select(
+        (F.col("id") % 300).alias("src"),
+        ((F.col("id") * 7 + 3) % 300).alias("dst"),
+    )
+    pr = pagerank_fixedpoint(edges, superstep_partitions=4)
+    assert persistent() == base + 1, "pagerank left intermediates pinned"
+    assert pr.count() == 300  # final checkpoint still readable
+    cc = connected_components(edges)
+    assert persistent() == base + 3, "components left intermediates pinned"
+    assert cc.count() == 300  # raw + final round still readable
+
+
 def test_funnel_collect_is_type_bounded(spark, sf_dir):
     """The per-user collect in the funnel fold must only ever see
     funnel-step event types — the In(event_type,...) filter reaches the

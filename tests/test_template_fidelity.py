@@ -9759,7 +9759,12 @@ def test_heineken_matches_reference_semantics(spark, sf_dir, orders_rows):
             (f"<em>Heineken Young Scientists Award</em> "
              f"{2010 + k % 15}  "),
             f"C.L. de Carvalho-Heineken Prize for Art {2000 + k % 25}",
-        ][k % 4]
+            # year appears twice, tail-anchored: scheme keeps the first
+            f"{1993 + k % 30} Symposium {1993 + k % 30}",
+            # digit-glued fake year (no \b) before the real mid-string one
+            (f"Ref{2001 + k % 20}0 archaeology prize "
+             f"{1991 + k % 28} edition"),
+        ][k % 6]
         content = (None if k % 5 == 0 else
                    f"<p>Laureate portrait &amp; citation text "
                    f"{k % 17}.</p>")
