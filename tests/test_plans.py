@@ -1364,3 +1364,17 @@ def test_heineken_zero_shuffle_scan(spark, sf_dir):
     df = q.CATALOG["heineken_parse_prizes"].spark(spark, sf_dir)
     opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
     assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_cifar_zero_shuffle_scan(spark, sf_dir):
+    """CIFAR: one scan + one Generate explode over the per-bio program
+    array — zero exchanges, no Python, bounded plan.  Embarrassingly
+    parallel at any corpus size (one bio never crosses a partition)."""
+    plan = _plan(spark, sf_dir, "cifar_parse_appointments")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Generate explode") >= 1  # the (bio x program) flatten
+    df = q.CATALOG["cifar_parse_appointments"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"

@@ -9841,3 +9841,168 @@ def test_heineken_rule_tables_match_reference():
     assert '"15000.0", "EUR"' in src
     assert '"100000.0", "EUR"' in src
     assert '"250000.0", "USD"' in src
+
+
+# ---------------------------------------------------------------------------
+# CIFAR appointments (scripts/local/cifar_to_s3.py:133-139, 244-298,
+# 323-331, 330-381, 512-529)
+# ---------------------------------------------------------------------------
+
+_CIF_PROGRAMS = {
+    901: ("Quantum Materials", "quantum-materials"),
+    902: ("Pan-Canadian AI Strategy", "pan-canadian-ai-strategy"),
+    903: ("Child &amp; Brain Development", "child-brain-development"),
+    904: ("Earth 4D", "earth-4d"),
+    905: ("Humanity's Urban Future", "humanitys-urban-future"),
+}
+_CIF_ROLES = {
+    801: "Fellow",
+    802: "Advisory Committee Member",
+    803: "Canada CIFAR AI Chair",
+    804: "Fellowship Advisory Board",
+    805: "Staff Liaison",
+}
+_CIF_INSTITUTIONS = {
+    701: "University of Toronto",
+    702: "MILA",
+    703: "Health &amp; Medicine Institute",
+}
+_CIF_COUNTRIES = {601: "Canada", 602: "France"}
+# the reference's rule tables verbatim (cifar_to_s3.py:133-139, :512)
+_CIF_RESEARCH = (
+    "fellow", "chair", "scholar", "researcher", "investigator",
+    "co-director", "associate director", "program director",
+    "program co-director",
+)
+_CIF_ADVISORY = ("advisor", "advisory", "committee")
+_CIF_DEGREE_SUFFIXES = {"PhD", "MD", "DPhil", "Jr.", "Sr.", "II", "III",
+                        "IV"}
+
+
+def _cif_split(full):
+    """split_name (cifar_to_s3.py:515-524): pop dot-insensitive degree
+    suffixes from the end, then (given, family); empty STRINGS."""
+    tokens = full.split()
+    bare = {s.rstrip(".") for s in _CIF_DEGREE_SUFFIXES}
+    while tokens and tokens[-1].rstrip(".") in bare:
+        tokens.pop()
+    if not tokens:
+        return ("", "")
+    if len(tokens) == 1:
+        return ("", tokens[0])
+    return (" ".join(tokens[:-1]), tokens[-1])
+
+
+def _cif_classify(role_name):
+    """classify_funding_type (:323-331): advisory beats research."""
+    if not role_name:
+        return "other"
+    lower = role_name.lower()
+    if any(k in lower for k in _CIF_ADVISORY):
+        return "other"
+    if any(k in lower for k in _CIF_RESEARCH):
+        return "research"
+    return "other"
+
+
+def test_cifar_matches_reference_semantics(spark, sf_dir, orders_rows):
+    from html import unescape
+
+    expected = {}
+    for k, *_ in orders_rows:
+        prog_ids = [[], [901], [902, 903], [999, 904], [998],
+                    [905, 901]][k % 6]
+        if not prog_ids:  # :244-247 empty-program bios skipped
+            continue
+        role_ids = [[], [801], [777, 802], [803, 801], [804],
+                    [805]][k % 6]
+        inst_ids = [[], [701], [702, 703], [777, 701]][k % 4]
+        country_ids = [[], [601], [602]][k % 3]
+        title_html = [
+            "Geoffrey Hinton", "Yoshua Bengio PhD",
+            "Sir John A. Macdonald Jr.", "Cher",
+            "Marie Curie-Sk&amp;odowska MD PhD", "PhD",
+            "Jane  Doe ",
+        ][k % 7]
+        full_name = unescape(title_html)
+        role_names = [_CIF_ROLES[r] for r in role_ids if r in _CIF_ROLES]
+        inst_names = [_CIF_INSTITUTIONS[i] for i in inst_ids
+                      if i in _CIF_INSTITUTIONS]
+        country_names = [_CIF_COUNTRIES[c] for c in country_ids
+                         if c in _CIF_COUNTRIES]
+        given, family = _cif_split(full_name)
+        bio_slug = f"bio-{k}"
+        bio_date = f"{2015 + k % 10}-0{k % 9 + 1}-1{k % 9}T08:30:00"
+        for pid in prog_ids:
+            term = _CIF_PROGRAMS.get(pid)
+            if not term:  # :273-275 unknown program ids skipped
+                continue
+            name_raw, slug = term
+            aid = f"cifar-{slug}-{bio_slug}"
+            assert aid not in expected  # :343-349 duplicate ids RAISE
+            expected[aid] = {
+                "bio_id": str(70000 + k),
+                "bio_slug": bio_slug,
+                "researcher_full_name": full_name,
+                "researcher_given": given,
+                "researcher_family": family,
+                "program_id": str(pid),
+                "program_name": unescape(name_raw),
+                "program_slug": slug,
+                # :284 role_id is the first RAW id, resolved or not
+                "role_id": str(role_ids[0]) if role_ids else None,
+                "role_name": role_names[0] if role_names else None,
+                "all_roles": "|".join(role_names) if role_names else None,
+                "institution_name":
+                    inst_names[0] if inst_names else None,
+                "all_institutions":
+                    "|".join(inst_names) if inst_names else None,
+                "country_name":
+                    country_names[0] if country_names else None,
+                "funding_type_hint":
+                    _cif_classify(role_names[0] if role_names else None),
+                "landing_page_url": f"https://cifar.ca/bios/bio-{k}/",
+                "first_seen_date": bio_date,
+                "declined": "False",
+            }
+    actual = _run(spark, sf_dir, "cifar_parse_appointments")
+    assert len(actual) == len(expected), (len(actual), len(expected))
+    for r in actual:
+        exp = expected[r.funder_award_id]
+        for col, want in exp.items():
+            assert getattr(r, col) == want, (r.funder_award_id, col,
+                                             getattr(r, col), want)
+
+
+def test_cifar_rule_tables_match_reference_source():
+    """AST-pin the keyword / suffix vocabularies against
+    scripts/local/cifar_to_s3.py (:133-139, :512)."""
+    import ast
+
+    from openalex_walden_spark.queries import cifarparse as port
+
+    ref = "/root/reference/scripts/local/cifar_to_s3.py"
+    src = open(ref, encoding="utf-8").read()
+    tree = ast.parse(src)
+    found = {}
+    for node in ast.walk(tree):
+        if (isinstance(node, ast.Assign) and len(node.targets) == 1
+                and isinstance(node.targets[0], ast.Name)):
+            name = node.targets[0].id
+            if name in ("RESEARCH_ROLE_KEYWORDS",
+                        "ADVISORY_ROLE_KEYWORDS", "_DEGREE_SUFFIXES"):
+                found[name] = ast.literal_eval(node.value)
+    assert found["RESEARCH_ROLE_KEYWORDS"] == port._RESEARCH_ROLE_KEYWORDS
+    assert found["RESEARCH_ROLE_KEYWORDS"] == _CIF_RESEARCH
+    assert found["ADVISORY_ROLE_KEYWORDS"] == port._ADVISORY_ROLE_KEYWORDS
+    assert found["ADVISORY_ROLE_KEYWORDS"] == _CIF_ADVISORY
+    assert found["_DEGREE_SUFFIXES"] == _CIF_DEGREE_SUFFIXES
+    # the port compares dot-insensitively, exactly as :514 does
+    assert ({s.rstrip(".") for s in found["_DEGREE_SUFFIXES"]}
+            == set(port._DEGREE_SUFFIXES))
+    assert 'tokens[-1].rstrip(".")' in src
+    # output schema has NO provenance/amount columns (:349-368 + header
+    # waiver); the explode skips unknown terms, not unknown-id bios
+    assert '"declined":             False' in src
+    assert "if not term:" in src
+    assert "if not programs:" in src
