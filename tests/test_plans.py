@@ -1378,3 +1378,17 @@ def test_cifar_zero_shuffle_scan(spark, sf_dir):
     df = q.CATALOG["cifar_parse_appointments"].spark(spark, sf_dir)
     opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
     assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_kauffman_single_exchange_dedupe(spark, sf_dir):
+    """Kauffman: exactly ONE exchange — the keep-first-in-walk-order
+    window dedupe on wp_id (reference :303-306).  No join-back, no
+    Python; the parse algebra stays on the window's output partitions."""
+    plan = _plan(spark, sf_dir, "kauffman_parse_grants")
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    df = q.CATALOG["kauffman_parse_grants"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"

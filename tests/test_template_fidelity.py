@@ -10006,3 +10006,124 @@ def test_cifar_rule_tables_match_reference_source():
     assert '"declined":             False' in src
     assert "if not term:" in src
     assert "if not programs:" in src
+
+
+# ---------------------------------------------------------------------------
+# Kauffman Foundation grants (scripts/local/kauffman_to_s3.py:156-160,
+# 247-251, 294-372)
+# ---------------------------------------------------------------------------
+
+_KF_STATES = {401: "MO", 402: "KS", 403: "NY"}
+_KF_STRATEGIES = {501: "Entrepreneurship", 502: "Education",
+                  503: "Heartland Civic &amp; Policy"}
+_KF_GRANT_TYPES = {601: "Grant", 602: "Program-Related Investment"}
+
+
+def _kf_strip_tags(s):
+    """_strip_tags (kauffman_to_s3.py:156-160) — reference verbatim
+    semantics: tags -> space, ws-collapse, unescape, strip."""
+    from html import unescape
+    if not s:
+        return ""
+    s = re.sub(r"<[^>]+>", " ", s)
+    return unescape(re.sub(r"\s+", " ", s)).strip()
+
+
+def test_kauffman_matches_reference_semantics(spark, sf_dir, orders_rows):
+    from html import unescape
+
+    expected = {}
+    # walk order == orders-key order: duplicates keep the FIRST key
+    for k, *_ in sorted(orders_rows):
+        if k % 11 == 0:  # :300-302 null wp_id skipped
+            continue
+        wp_id = 50000 + k % 900
+        aid = f"kauffman-{wp_id}"
+        if aid in expected:  # :303-306 silent keep-first dedupe
+            continue
+        title_raw = [
+            f'<a href="#">University of Missouri {k}</a>',
+            f"Kansas City Library &amp;amp; Archives {k}",
+            "",
+            f"Start  Up &amp; Grow {k} Inc.",
+            f"Org {k}",
+        ][k % 5]
+        content_raw = ("" if k % 4 == 0 else
+                       f"<p>Support for entrepreneurship program "
+                       f"{k % 13}.</p>")
+        amount_raw = ["", "0", "TBD", str(65000 + (k % 44) * 10000),
+                      "12500.5", str(250000 + k % 17)][k % 6]
+        approved_on = ["", "2019-06-15", "20XX-01-01", "abc",
+                       f"{2010 + k % 15}-03-0{k % 9 + 1}"][k % 5]
+        grantee_city = ["", "Kansas City", "St. Louis"][k % 3]
+        grantee_url = ("" if k % 4 == 0
+                       else f"https://grantee-{k % 50}.org")
+        state_ids = [[], [401], [402, 401], [499, 403]][k % 4]
+        strategy_ids = [[], [501], [502, 503]][k % 3]
+        gtype_ids = [[], [601], [699, 602], [601, 602]][k % 4]
+
+        # build_dataframe (:294-372), reference algorithm verbatim
+        grantee = unescape(_kf_strip_tags(title_raw)) or None
+        description = unescape(_kf_strip_tags(content_raw)) or None
+        approved = approved_on or None
+        start_year = None
+        if approved and len(approved) >= 4 and approved[:4].isdigit():
+            start_year = int(approved[:4])
+        try:
+            amount_f = (float(amount_raw)
+                        if amount_raw not in (None, "", 0, "0") else None)
+        except (TypeError, ValueError):
+            amount_f = None
+        states = [_KF_STATES[i] for i in state_ids if i in _KF_STATES]
+        strategies = [_KF_STRATEGIES[i] for i in strategy_ids
+                      if i in _KF_STRATEGIES]
+        gtypes = [_KF_GRANT_TYPES[i] for i in gtype_ids
+                  if i in _KF_GRANT_TYPES]
+        scheme = (strategies[0] if strategies
+                  else (gtypes[0] if gtypes else None))
+        expected[aid] = {
+            "wp_id": str(wp_id),
+            "slug": f"grant-{k}",
+            "grantee_org": grantee,
+            "description": description,
+            "amount": str(amount_f) if amount_f is not None else None,
+            "currency": "USD" if amount_f is not None else None,
+            "approved_on": approved,
+            "start_year": (str(start_year) if start_year is not None
+                           else None),
+            "grantee_city": grantee_city or None,
+            "grantee_state": states[0] if states else None,
+            "grantee_url": grantee_url or None,
+            "strategy": scheme,
+            "strategies_all": ", ".join(strategies) or None,
+            "grant_type": gtypes[0] if gtypes else None,
+            "grant_types_all": ", ".join(gtypes) or None,
+            "landing_page_url":
+                f"https://www.kauffman.org/grants/grant-{k}/",
+        }
+    actual = _run(spark, sf_dir, "kauffman_parse_grants")
+    assert len(actual) == len(expected), (len(actual), len(expected))
+    for r in actual:
+        exp = expected[r.funder_award_id]
+        for col, want in exp.items():
+            assert getattr(r, col) == want, (r.funder_award_id, col,
+                                             getattr(r, col), want)
+
+
+def test_kauffman_rules_match_reference_source():
+    """Pin the coercion / dedupe / double-unescape rules against
+    scripts/local/kauffman_to_s3.py."""
+    ref = "/root/reference/scripts/local/kauffman_to_s3.py"
+    src = open(ref, encoding="utf-8").read()
+    # keep-first dedupe is a silent continue, not a raise (:303-306)
+    assert "if funder_award_id in seen_ids:\n            continue" in src
+    # double unescape: _strip_tags unescapes, build unescapes again
+    assert 'unescape(re.sub(r"\\s+", " ", s)).strip()' in src
+    assert 'unescape(_strip_tags(r.get("title_raw") or "")) or None' in src
+    # year guard and float-coercion sentinels verbatim
+    assert 'approved_on[:4].isdigit()' in src
+    assert 'amount not in (None, "", 0, "0")' in src
+    # strategy falls back to grant-type; scheme fallback order pinned
+    assert ('strategies[0] if strategies else '
+            '(grant_types[0] if grant_types else None)') in src
+    assert '"currency":          "USD" if amount_f is not None else None' in src
