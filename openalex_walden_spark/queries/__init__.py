@@ -13,7 +13,7 @@ _MODULES = ("relational", "windows", "walden", "llmdata", "events", "textops", "
     "lettenparse", "hiltonparse", "telethonparse", "vilcekparse",
     "nuffieldparse", "acmedsciparse", "laskerparse", "cureepilepsy",
     "ssfparse", "keckparse", "warrenalpert", "pchrdparse", "nomisparse",
-    "heinekenparse", "cifarparse", "kauffmanparse")
+    "heinekenparse", "cifarparse", "kauffmanparse", "laureateprize")
 
 
 def load_all() -> None:

@@ -1,0 +1,905 @@
+"""Laureate-prize scraper family
+(scripts/local/{kyoto_prize,japan_prize,brain_prize,king_faisal_prize}
+_to_s3.py — 4 scripts, one laureate-ingest kit).
+
+The four prize ingests share the canonical prize-ingest kit the Wolf/
+Kavli/Abel ports established: ``collapse_text`` (ws collapse +
+space-before-punctuation fix; kyoto's variant also folds NBSP and
+U+3000), ``slugify`` with the 'unknown' fallback, and the
+lowercase-suffix-pop ``split_name`` ({phd, md, dphil, dsc, scd, jr.,
+sr., ii, iii, iv, jr, sr} compared via ``.lower().strip(",.")``; the
+brain arm's splitter ALSO pops title prefixes from the front).  HTTP,
+checkpoints, BeautifulSoup node selection and the rowspan-table
+expansion are the seam — the fixture delivers each member's extracted
+card/table/teaser fields one record per orders key.  Ported compute:
+
+* **kyoto_prize** (kyoto_prize_to_s3.py:142-436): index-card year =
+  the FIRST ``(?:19|20)\\d{2}`` hit in the center text (no word
+  boundary — contrast heineken), role = center with the year string's
+  first occurrence removed; card category from the 3-entry
+  ``CATEGORY_BY_CLASS`` map; field text ``strip("[]")`` BEFORE
+  collapse; the detail page overlays category/field/role
+  (``or``-fallback per column, :397-400) and contributes the profile
+  plane (lifespan/affiliation/achievement/citation/biography/meta
+  description); detail role replaces '/' with ' '; ``looks_like_org``
+  (12 ORG_HINTS substrings) routes orgs to family_name-whole;
+  amounts: Counter per (year, prize_field) -> portion ``%.12g``,
+  category amount 100000000 JPY only for year >= 2018, apportioned
+  ``%.12g`` source amount, fixed rule note; id =
+  'kyoto-prize-{year}-{slug(field)}-{slug(name)}';
+* **japan_prize** (japan_prize_to_s3.py:122-352): rows come off the
+  rowspan-EXPANDED decade tables (the expansion consumes bs4 Tags —
+  seam side); year needs a ``\\b((?:19|20)\\d{2})\\b`` hit;
+  ``clean_laureate_name`` extracts life dates from the first
+  (ASCII or FULL-WIDTH) parenthesized group containing a 4-digit run,
+  removes ALL such groups, then strips ONE leading honorific
+  (Prof./Dr./Mr./Ms./Sir/Dame); gate rows missing year/field/name and
+  names starting '[' or 'lecture'; the FOLLOWING grid row's
+  ``[Nationality] Affiliation`` bracket grammar (:284-291); profile
+  slug = detail href's last path part minus '.html', else
+  slugify(name) with the landing page falling back to the decade
+  page; fixed 100000000 JPY; id =
+  'japan-prize-{year}-{slug(field)}-{slug(profile_slug or name)}';
+* **brain_prize** (brain_prize_to_s3.py:114-364): year teasers give
+  (year, topic, winner list); profile links drop 'read …' labels and
+  duplicate hrefs; when a year page has NO profile links every
+  winner name becomes a row landing on the year page itself with the
+  profile plane NULL (:308-313); laureate name = profile h1-or-meta
+  name falling back to the link label, given/family = profile split
+  with PER-COMPONENT fallback to the label split (:329-331); the
+  splitter pops {prof., professor, dr., dr, sir, dame} prefixes THEN
+  the suffix set; portion = ``%.12g`` of 1/laureate_count (the count
+  the year page showed); fixed DKK 10000000 total; id =
+  'brain-prize-{year}-{slug(topic)}-{slug(name)}';
+* **king_faisal_prize** (king_faisal_prize_to_s3.py:113-360):
+  all-winners table rows (5 cells); ``clean_laureate_name`` first
+  spaces glued initials (``\\b([A-Z])\\.(?=[A-Z][a-z])`` -> '\\1. '),
+  then peels the 24-alternative ``TITLE_PREFIX_RE`` to a FIXPOINT
+  (fixture bound: <= 2 rounds, staged as two peel passes each
+  handling the spaced and the glued boundary form — RE2 has no
+  lookahead); ``is_organization_name`` = 11 ORG_TERMS substrings OR
+  the all-caps single-token rule; detail page: h1 title, h2 quote,
+  citation = the text after ' was awarded the prize ' (lowercase
+  marker search) cut at the earliest of 5 literal section markers,
+  [:2000], first char upper-cased; ``topic_detail`` is ALWAYS NULL —
+  the reference regex ``r'Topic:\\\\s*"…"'`` double-escapes ``\\s``
+  so it demands a literal backslash that collapsed page text never
+  contains (reference bug preserved verbatim, fixture proves the
+  'Topic: "…"' text stays unmatched); topic falls back to it and so
+  keeps the table value or NULL; amounts: COUNT per (year, category)
+  window -> ``750000/n`` rendered ``%.2f``, portion '1/n' ('1' when
+  alone); id = 'king-faisal-prize-{year}-{slug(category)}-
+  {slug(detail-url slug)}'.
+
+Union schema: 17 shared columns (member, funder_award_id, award_year,
+laureate_name, given_name, family_name, affiliation,
+landing_page_url, source_url, source_award_amount, currency,
+amount_rule_url, portion, laureate_count, citation,
+profile_description, is_organization_laureate) + per-member extras
+(ky_*/jp_*/br_*/kf_*) null-padded across arms; the fidelity mirrors
+assert each member's reference column names against this mapping.
+``downloaded_at``/``source_fetched_at`` are runtime-only and not
+ported (carlsberg precedent).  ``%.12g`` portions are rendered as
+``%.12f``-rstrip (exact while portion >= 0.1 — fixture counts <= 4,
+documented bound) and apportioned amounts as ``%.4f``-rstrip (exact
+while the integer part keeps 8 digits — 100000000/n, n <= 4).
+
+Plan: 4 scan arms behind Generate barriers; the only exchanges are
+the kyoto and king-faisal share-count windows (the reference's
+Counter / group_sizes dicts).  No Python.
+
+tests/test_template_fidelity.py re-derives all four members with the
+reference's own regex batteries and AST-pins the rule tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from openalex_walden_spark.queries.registry import register
+
+# kyoto_prize_to_s3.py:112-116
+KYOTO_CATEGORY_BY_CLASS = {
+    "laureate--green": "Advanced Technology",
+    "laureate--purple": "Basic Sciences",
+    "laureate--red": "Arts and Philosophy",
+}
+# kyoto_prize_to_s3.py:118-131
+KYOTO_ORG_HINTS = (
+    "academy", "association", "center", "centre", "foundation",
+    "institute", "institution", "laboratory", "organisation",
+    "organization", "society", "university",
+)
+# king_faisal_prize_to_s3.py:99-111
+KF_ORG_TERMS = (
+    "academy", "association", "center", "centre", "foundation",
+    "institute", "institution", "organization", "project", "society",
+    "university",
+)
+# the shared kit suffix set (all four members verbatim)
+KIT_SUFFIXES = ("phd", "md", "dphil", "dsc", "scd", "jr.", "sr.",
+                "ii", "iii", "iv", "jr", "sr")
+# brain_prize_to_s3.py:133 — the one member that also pops prefixes
+BRAIN_PREFIXES = ("prof.", "professor", "dr.", "dr", "sir", "dame")
+
+_KY_NOTE = (
+    "Official current amount is 100000000 JPY per category; "
+    "https://www.kyotoprize.org/wp-content/uploads/2019/08/"
+    "rita_everlasting_en.pdf states the increase to this amount was "
+    "decided on April 12, 2018; populated for 2018-present and "
+    "apportioned by year/field laureate count. Pre-2018 "
+    "amount/currency left NULL rather than guessing older historical "
+    "rules.")
+
+_KY_RULE_URL = "https://www.kyotoprize.org/en/about/"
+_JP_RULE_URL = "https://www.japanprize.jp/en/prize.html"
+_BR_RULE_URL = "https://brainprize.org/about-the-brain-prize"
+_KF_RULE_URL = "https://kingfaisalprize.org/nominations/"
+
+
+def _helpers(dialect: str):
+    if dialect == "spark":
+        g, S, fmt, bref = "", "STRING", "format_string", "$"
+
+        def elem(a: str, i: str) -> str:
+            return f"try_element_at({a}, {i})"
+
+        def asize(a: str) -> str:
+            return f"size({a})"
+
+        def splitws(x: str) -> str:
+            return f"filter(split(coalesce({x}, ''), '\\\\s+'), t -> t <> '')"
+
+        def zmax(toks: str, cond: str) -> str:
+            return (f"coalesce(array_max(zip_with({toks}, "
+                    f"sequence(1, size({toks})), (t, i) -> "
+                    f"CASE WHEN {cond} THEN i END)), 0)")
+
+        def zmin(toks: str, cond: str) -> str:
+            return (f"coalesce(array_min(zip_with({toks}, "
+                    f"sequence(1, size({toks})), (t, i) -> "
+                    f"CASE WHEN {cond} THEN i END)), "
+                    f"size({toks}) + 1)")
+
+        def jslice(a: str, start: str, length: str) -> str:
+            return f"array_join(slice({a}, {start}, {length}), ' ')"
+    else:
+        g, S, fmt, bref = ", 'g'", "VARCHAR", "printf", "\\"
+
+        def elem(a: str, i: str) -> str:
+            return f"{a}[({i})]"
+
+        def asize(a: str) -> str:
+            return f"len({a})"
+
+        def splitws(x: str) -> str:
+            return (f"list_filter(regexp_split_to_array(coalesce({x}, "
+                    f"''), '\\\\s+'), t -> t <> '')")
+
+        def zmax(toks: str, cond: str) -> str:
+            return (f"coalesce(list_max(list_transform({toks}, "
+                    f"(t, i) -> CASE WHEN {cond} THEN i END)), 0)")
+
+        def zmin(toks: str, cond: str) -> str:
+            return (f"coalesce(list_min(list_transform({toks}, "
+                    f"(t, i) -> CASE WHEN {cond} THEN i END)), "
+                    f"len({toks}) + 1)")
+
+        def jslice(a: str, start: str, length: str) -> str:
+            # duck list_slice takes an END index, not a length
+            return (f"array_to_string(list_slice({a}, {start}, "
+                    f"({start}) + ({length}) - 1), ' ')")
+
+    def rx(src: str, pat: str, grp: int) -> str:
+        return f"nullif(regexp_extract({src}, '{pat}', {grp}), '')"
+
+    def collapse(x: str, wide: bool = False) -> str:
+        """collapse_text: (NBSP/U+3000 for kyoto,) ws collapse,
+        space-before-punctuation fix, strip-or-NULL."""
+        e = x
+        if wide:
+            e = f"replace(replace({e}, chr(160), ' '), chr(12288), ' ')"
+        e = f"regexp_replace({e}, '\\\\s+', ' '{g})"
+        e = f"regexp_replace({e}, '\\\\s+([,;.:])', '{bref}1'{g})"
+        return f"nullif(trim({e}), '')"
+
+    def slugify(x: str) -> str:
+        s = f"regexp_replace(lower(coalesce({x}, '')), '[^a-z0-9]+', '-'{g})"
+        return f"coalesce(nullif(trim(BOTH '-' FROM {s}), ''), 'unknown')"
+
+    def rstrip0(x: str) -> str:
+        r = f"regexp_replace({x}, '0+$', ''{g})"
+        return f"regexp_replace({r}, '[.]$', ''{g})"
+
+    suffixes = ", ".join(f"'{s}'" for s in KIT_SUFFIXES)
+    prefixes = ", ".join(f"'{p}'" for p in BRAIN_PREFIXES)
+
+    def split_parts(raw: str, pop_prefixes: bool = False):
+        """The kit splitter: tokens = .split(); optional front prefix
+        pops (brain), tail suffix pops; (given, family) with NULLs."""
+        toks = splitws(raw)
+        notsuf = f"lower(trim(BOTH '.,' FROM t)) NOT IN ({suffixes})"
+        end = zmax(toks, notsuf)
+        if pop_prefixes:
+            notpre = f"lower(trim(BOTH '.,' FROM t)) NOT IN ({prefixes})"
+            start = zmin(toks, notpre)
+        else:
+            start = "1"
+        head = jslice(toks, f"({start})", f"({end}) - ({start})")
+        last = elem(toks, f"({end})")
+        given = (f"CASE WHEN ({end}) - ({start}) >= 1 THEN "
+                 f"nullif({head}, '') END")
+        family = f"CASE WHEN ({end}) >= ({start}) THEN {last} END"
+        return given, family
+
+    return (g, S, fmt, bref, elem, asize, splitws, zmax, zmin, jslice,
+            rx, collapse, slugify, rstrip0, split_parts)
+
+
+def _sql(dialect: str) -> str:
+    (g, S, fmt, bref, elem, asize, splitws, zmax, zmin, jslice, rx,
+     collapse, slugify, rstrip0, split_parts) = _helpers(dialect)
+
+    def cs(expr: str) -> str:
+        return f"CAST({expr} AS {S})"
+
+    def nullcols(*names: str) -> str:
+        return ", ".join(f"CAST(NULL AS {S}) AS {n}" for n in names)
+
+    def bar(name: str, prev: str, passthrough: list, cols: list) -> str:
+        if dialect == "spark":
+            ns = ", ".join(f"'{c}', {e}" for c, e in cols)
+            sel = ", ".join(f"_s.{c} AS {c}" for c, _ in cols)
+            pt = ", ".join(f"_p.{c}" for c in passthrough)
+            return (f"{name} AS (\n  SELECT {pt}, {sel}\n  FROM {prev} _p\n"
+                    f"  LATERAL VIEW explode(array(named_struct({ns}))) "
+                    f"_bv AS _s\n)")
+        sel = ", ".join(f"{e} AS {c}" for c, e in cols)
+        pt = ", ".join(passthrough)
+        return (f"{name} AS MATERIALIZED (\n  SELECT {pt}, {sel}\n"
+                f"  FROM {prev}\n)")
+
+    def g12(x: str) -> str:
+        """f'{x:.12g}' for the value ranges the arms produce (portions
+        in (1e-4, 1] and 1e8-apportioned amounts in [1e4, 1e8]):
+        fixed-point %.Nf at the decade-matched precision, zeros/dot
+        rstripped.  %g never switches to scientific here (exp >= -4)."""
+        d = f"CAST({x} AS DOUBLE)"
+        return (f"CASE "
+                f"WHEN {d} >= 100000000 THEN {rstrip0(f_fmt('%.3f', d))} "
+                f"WHEN {d} >= 10000000 THEN {rstrip0(f_fmt('%.4f', d))} "
+                f"WHEN {d} >= 1000000 THEN {rstrip0(f_fmt('%.5f', d))} "
+                f"WHEN {d} >= 100000 THEN {rstrip0(f_fmt('%.6f', d))} "
+                f"WHEN {d} >= 10000 THEN {rstrip0(f_fmt('%.7f', d))} "
+                f"WHEN {d} >= 1 THEN {rstrip0(f_fmt('%.11f', d))} "
+                f"WHEN {d} >= 0.1 THEN {rstrip0(f_fmt('%.12f', d))} "
+                f"WHEN {d} >= 0.01 THEN {rstrip0(f_fmt('%.13f', d))} "
+                f"WHEN {d} >= 0.001 THEN {rstrip0(f_fmt('%.14f', d))} "
+                f"ELSE {rstrip0(f_fmt('%.15f', d))} END")
+
+    def f_fmt(spec: str, x: str) -> str:
+        return f"{fmt}('{spec}', {x})"
+
+    # ------------------------------------------------------------------
+    # Kyoto Prize arm (kyoto_prize_to_s3.py:142-436)
+    # ------------------------------------------------------------------
+    ky_cat = " ".join(
+        f"WHEN instr(card_class, '{cls}') > 0 THEN '{cat}'"
+        for cls, cat in KYOTO_CATEGORY_BY_CLASS.items())
+    ky_org_hit = " OR ".join(
+        f"instr(lower(laureate_name), '{h}') > 0" for h in KYOTO_ORG_HINTS)
+    ky_given, ky_family = split_parts("laureate_name")
+
+    ky_fixture = f"""
+    1985 + o_orderkey % 40 AS yr,
+    CASE CAST(o_orderkey % 4 AS INT)
+      WHEN 0 THEN 'laureate laureate--green'
+      WHEN 1 THEN 'laureate laureate--purple'
+      WHEN 2 THEN 'laureate laureate--red'
+      ELSE 'laureate' END AS card_class,
+    CASE CAST(o_orderkey % 6 AS INT)
+      WHEN 0 THEN concat('Dr. Akira  Yoshino ', {cs('o_orderkey')})
+      WHEN 1 THEN concat('Tadashi Tokieda', {cs('o_orderkey')}, ' PhD')
+      WHEN 2 THEN concat('Stanford University Research Institute ',
+                         {cs('o_orderkey')})
+      WHEN 3 THEN concat('Cher', {cs('o_orderkey')})
+      WHEN 4 THEN concat('Jane Goodall ', {cs('o_orderkey')}, ' DSc,')
+      ELSE concat('Li Wei ', {cs('o_orderkey')}) END AS name_raw,
+    CASE CAST(o_orderkey % 3 AS INT)
+      WHEN 0 THEN concat({cs('1985 + o_orderkey % 40')}, ' Laureate')
+      WHEN 1 THEN concat('Commemorative20 ', {cs('1985 + o_orderkey % 40')},
+                         ' Laureate ', {cs('1985 + o_orderkey % 40')})
+      ELSE concat('X', {cs('1985 + o_orderkey % 40')}, 'Y ',
+                  {cs('1955 + o_orderkey % 40')}, ' Laureate')
+      END AS center_raw,
+    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      ELSE concat('[Materials Science ', {cs('o_orderkey % 97')}, ']')
+      END AS field_raw,
+    CASE WHEN o_orderkey % 2 = 0
+      THEN concat('/en/en/laureates/profile-', {cs('o_orderkey')}, '/')
+      ELSE concat('https://www.kyotoprize.org/en/laureates/profile-',
+                  {cs('o_orderkey')}, '/') END AS card_href,
+    CASE WHEN o_orderkey % 5 IN (0, 1)
+      THEN concat('Fine Ceramics ', {cs('o_orderkey % 89')})
+      ELSE NULL END AS d_field,
+    CASE WHEN o_orderkey % 5 = 0 THEN 'Basic Sciences' END AS d_cat,
+    CASE WHEN o_orderkey % 5 = 0 THEN 'Engineer/Chemist' END AS d_role,
+    CASE WHEN o_orderkey % 3 = 0
+      THEN concat('b. ', {cs('1930 + o_orderkey % 40')}) END AS d_lifespan,
+    CASE WHEN o_orderkey % 2 = 0
+      THEN concat('Kyoto  University Lab ', {cs('o_orderkey % 31')})
+      END AS d_affiliation,
+    CASE WHEN o_orderkey % 4 = 0
+      THEN concat('Pioneering work ', {cs('o_orderkey % 19')})
+      END AS d_ach_title,
+    concat('Digest of achievement ', {cs('o_orderkey % 23')}) AS d_digest,
+    CASE WHEN o_orderkey % 6 = 0 THEN NULL
+      ELSE concat('For contributions to field ', {cs('o_orderkey % 29')})
+      END AS d_citation,
+    concat('Born and educated, ', {cs('o_orderkey % 37')}) AS d_bio,
+    CASE WHEN o_orderkey % 3 = 1
+      THEN concat('Kyoto Prize laureate profile ', {cs('o_orderkey % 41')})
+      END AS d_meta,
+    concat('https://www.kyotoprize.org/img/p', {cs('o_orderkey')}, '.jpg')
+      AS d_image"""
+
+    _KY_PT = ["k", "yr", "card_class", "card_href", "d_lifespan",
+              "d_affiliation", "d_ach_title", "d_digest", "d_citation",
+              "d_bio", "d_meta", "d_image"]
+
+    ky_p = "instr(center_c, year_s)"
+    # normalize_laureate_url (:233-239): urljoin + the /en/en/ fix
+    ky_landing = (
+        "replace(CASE WHEN substring(card_href, 1, 1) = '/' "
+        "THEN concat('https://www.kyotoprize.org', card_href) "
+        "ELSE card_href END, '/en/en/laureates/', '/en/laureates/')")
+
+    ky = f"""
+ky_rest AS (
+  SELECT o_orderkey AS k,{ky_fixture}
+  FROM orders
+),
+{bar("ky_named", "ky_rest", _KY_PT + ["name_raw", "center_raw",
+                                      "field_raw", "d_field", "d_cat",
+                                      "d_role"], [
+    ("laureate_name", collapse("name_raw")),
+    ("center_c", collapse("center_raw")),
+    ("card_field", collapse("trim(BOTH '[]' FROM field_raw)")),
+    ("year_s", rx(collapse("center_raw"), "((?:19|20)[0-9]{2})", 1)),
+])},
+{bar("ky_roled", "ky_named", _KY_PT + ["laureate_name", "center_c",
+                                       "card_field", "year_s",
+                                       "d_field", "d_cat", "d_role"], [
+    ("laureate_role",
+     collapse(f"CASE WHEN {ky_p} > 0 THEN concat("
+              f"substring(center_c, 1, {ky_p} - 1), "
+              f"substring(center_c, {ky_p} + 4)) ELSE center_c END")),
+    ("card_cat", f"CASE {ky_cat} END"),
+])},
+{bar("ky_final", "ky_roled", _KY_PT + ["laureate_name", "year_s",
+                                       "laureate_role", "card_cat",
+                                       "card_field", "d_field", "d_cat",
+                                       "d_role"], [
+    ("prize_category", "coalesce(d_cat, card_cat)"),
+    ("prize_field", "coalesce(d_field, card_field)"),
+    ("role_final",
+     f"coalesce({collapse('replace(d_role, chr(47), chr(32))')}, "
+     f"laureate_role)"),
+    ("is_org", f"CASE WHEN {ky_org_hit} THEN 'true' ELSE 'false' END"),
+])},
+ky_counted AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY year_s, prize_field) AS n_share
+  FROM ky_final
+),
+ky_out AS (
+  SELECT
+    'kyoto_prize' AS member,
+    concat('kyoto-prize-', year_s, '-', {slugify('prize_field')}, '-',
+           {slugify('laureate_name')}) AS funder_award_id,
+    year_s AS award_year,
+    laureate_name,
+    CASE WHEN is_org = 'true' THEN NULL
+      ELSE {ky_given} END AS given_name,
+    CASE WHEN is_org = 'true' THEN laureate_name
+      ELSE {ky_family} END AS family_name,
+    {collapse('d_affiliation')} AS affiliation,
+    {ky_landing} AS landing_page_url,
+    'https://www.kyotoprize.org/en/laureates/' AS source_url,
+    CASE WHEN CAST(year_s AS INT) >= 2018
+      THEN {g12('100000000.0 * (1.0 / n_share)')} END
+      AS source_award_amount,
+    CASE WHEN CAST(year_s AS INT) >= 2018 THEN 'JPY' END AS currency,
+    '{_KY_RULE_URL}' AS amount_rule_url,
+    {g12('1.0 / n_share')} AS portion,
+    {cs('n_share')} AS laureate_count,
+    {collapse('d_citation')} AS citation,
+    {collapse('d_meta')} AS profile_description,
+    is_org AS is_organization_laureate,
+    'Kyoto Prize' AS ky_prize_name,
+    prize_category AS ky_prize_category,
+    prize_field AS ky_prize_field,
+    role_final AS ky_laureate_role,
+    {collapse('d_lifespan')} AS ky_lifespan,
+    {collapse('d_ach_title')} AS ky_achievement_title,
+    {collapse('d_digest')} AS ky_achievement_digest,
+    {collapse('d_bio')} AS ky_biography,
+    d_image AS ky_image_url,
+    CASE WHEN CAST(year_s AS INT) >= 2018 THEN '100000000' END
+      AS ky_category_award_amount,
+    '{_KY_NOTE}' AS ky_amount_rule_note,
+    {cs('k + 1')} AS ky_index_position,
+    {ky_landing} AS ky_detail_source_url
+  FROM ky_counted
+)"""
+
+    def rl(x: str, pat: str) -> str:
+        if dialect == "spark":
+            return f"({x} RLIKE '{pat}')"
+        return f"regexp_matches({x}, '{pat}')"
+
+    # ------------------------------------------------------------------
+    # Japan Prize arm (japan_prize_to_s3.py:122-352)
+    # ------------------------------------------------------------------
+    # life-dates group: first (ASCII or full-width) parenthesized run
+    # containing 4 consecutive digits (clean_laureate_name :267-276)
+    jp_group = "[（(]([^()（）]*[0-9]{4}[^()（）]*)[）)]"
+    jp_group_all = "[（(][^()（）]*[0-9]{4}[^()（）]*[）)]"
+    jp_honorific = "^(Prof\\\\.|Dr\\\\.|Mr\\\\.|Ms\\\\.|Sir|Dame)\\\\s+"
+    jp_pages = ["laureates_by_year.html", "laureates_by_year2010.html",
+                "laureates_by_year2000.html", "laureates_by_year1990.html",
+                "laureates_by_year1980.html"]
+    jp_path = " ".join(f"WHEN {i} THEN '{p}'"
+                       for i, p in enumerate(jp_pages))
+    jp_given, jp_family = split_parts("laureate_name")
+    jp_slug_raw = ("replace(regexp_extract(profile_url, '([^/]+)$', 1), "
+                   "'.html', '')")
+    # hoisted (f-string expression parts cannot carry backslashes)
+    jp_year_pat = "\\\\b((?:19|20)[0-9]{2})\\\\b"
+    jp_bracket = "^\\\\[([^\\\\]]+)\\\\]\\\\s*(.*)$"
+
+    jp_fixture = f"""
+    CASE CAST(o_orderkey % 5 AS INT) {jp_path} END AS tbl_path,
+    CASE WHEN o_orderkey % 9 = 0 THEN 'FY2020x'
+      ELSE concat('FY ', {cs('1985 + o_orderkey % 40')}) END AS year_raw,
+    concat('Physics, Chemistry ', {cs('o_orderkey % 23')}) AS field_raw,
+    CASE WHEN o_orderkey % 2 = 0
+      THEN concat('/en/fields/f', {cs('o_orderkey % 23')}, '.html')
+      END AS field_href,
+    CASE CAST(o_orderkey % 6 AS INT)
+      WHEN 0 THEN concat('Dr. Leo  Esaki', {cs('o_orderkey')},
+                         ' (b. 1925)')
+      WHEN 1 THEN '[Commemorative Lecture]'
+      WHEN 2 THEN 'Lecture: Future of Semiconductors'
+      WHEN 3 THEN concat('Jun-ichi Nishizawa', {cs('o_orderkey')})
+      WHEN 4 THEN concat('Mr. Kenichi Honda', {cs('o_orderkey')},
+                         ' （1925－2011）')
+      ELSE concat('Sir Timothy Berners-Lee', {cs('o_orderkey')},
+                  ' (2016 Laureate)') END AS name_text,
+    CASE WHEN o_orderkey % 3 < 2
+      THEN concat('/en/laureates/profile', {cs('o_orderkey')}, '.html')
+      END AS name_href,
+    concat('Discovery of  phenomenon ', {cs('o_orderkey % 43')})
+      AS ach_raw,
+    CASE CAST(o_orderkey % 4 AS INT)
+      WHEN 0 THEN '[Japan] University of  Tokyo'
+      WHEN 1 THEN '[USA] MIT Media Lab'
+      WHEN 2 THEN 'Independent Researcher'
+      ELSE NULL END AS aff_next"""
+
+    _JP_PT = ["k", "tbl_path", "field_href", "name_href", "aff_next"]
+
+    jp = f"""
+jp_rest AS (
+  SELECT o_orderkey AS k,{jp_fixture}
+  FROM orders
+),
+{bar("jp_named", "jp_rest", _JP_PT + ["year_raw", "field_raw",
+                                      "name_text", "ach_raw"], [
+    ("year_s", rx("year_raw", jp_year_pat, 1)),
+    ("award_field", collapse("field_raw")),
+    ("name_raw_c", collapse("name_text")),
+    ("achievement", collapse("ach_raw")),
+    ("aff_c", collapse("aff_next")),
+])},
+{bar("jp_cleaned", "jp_named", _JP_PT + ["year_s", "award_field",
+                                         "name_raw_c", "achievement",
+                                         "aff_c"], [
+    ("life_dates", collapse(rx("name_raw_c", jp_group, 1))),
+    ("laureate_name",
+     collapse(f"trim(regexp_replace(regexp_replace(name_raw_c, "
+              f"'{jp_group_all}', ''{g}), '{jp_honorific}', ''{g}))")),
+    ("nat_part", collapse(rx("aff_c", jp_bracket, 1))),
+    ("aff_part", collapse(rx("aff_c", jp_bracket, 2))),
+])},
+jp_gated AS (
+  SELECT * FROM jp_cleaned
+  WHERE year_s IS NOT NULL AND award_field IS NOT NULL
+    AND laureate_name IS NOT NULL
+    AND substring(laureate_name, 1, 1) <> '['
+    AND lower(laureate_name) NOT LIKE 'lecture%'
+),
+{bar("jp_final", "jp_gated", _JP_PT + ["year_s", "award_field",
+                                       "name_raw_c", "achievement",
+                                       "life_dates", "laureate_name",
+                                       "nat_part", "aff_part", "aff_c"], [
+    ("source_url", "concat('https://www.japanprize.jp/en/', tbl_path)"),
+    ("profile_url", "CASE WHEN name_href IS NOT NULL THEN "
+                    "concat('https://www.japanprize.jp', name_href) END"),
+    ("field_url", "CASE WHEN field_href IS NOT NULL THEN "
+                  "concat('https://www.japanprize.jp', field_href) END"),
+])}
+,
+jp_out AS (
+  SELECT
+    'japan_prize' AS member,
+    concat('japan-prize-', year_s, '-', {slugify('award_field')}, '-',
+           CASE WHEN profile_url IS NOT NULL
+             THEN {slugify(jp_slug_raw)}
+             ELSE {slugify('laureate_name')} END) AS funder_award_id,
+    year_s AS award_year,
+    laureate_name,
+    {jp_given} AS given_name,
+    {jp_family} AS family_name,
+    CASE WHEN aff_c IS NULL THEN NULL
+      WHEN nat_part IS NULL THEN aff_c
+      ELSE aff_part END AS affiliation,
+    coalesce(profile_url, source_url) AS landing_page_url,
+    source_url,
+    '100000000' AS source_award_amount,
+    'JPY' AS currency,
+    '{_JP_RULE_URL}' AS amount_rule_url,
+    CAST(NULL AS {S}) AS portion,
+    CAST(NULL AS {S}) AS laureate_count,
+    CAST(NULL AS {S}) AS citation,
+    CAST(NULL AS {S}) AS profile_description,
+    CAST(NULL AS {S}) AS is_organization_laureate,
+    tbl_path AS jp_source_table_path,
+    profile_url AS jp_profile_url,
+    field_url AS jp_field_url,
+    award_field AS jp_award_field,
+    name_raw_c AS jp_laureate_name_raw,
+    life_dates AS jp_life_dates,
+    CASE WHEN aff_c IS NOT NULL AND nat_part IS NOT NULL
+      THEN nat_part END AS jp_nationality,
+    achievement AS jp_achievement
+  FROM jp_final
+)"""
+
+    # ------------------------------------------------------------------
+    # Brain Prize arm (brain_prize_to_s3.py:114-364)
+    # ------------------------------------------------------------------
+    br_given, br_family = split_parts("laureate_name", pop_prefixes=True)
+
+    br_fixture = f"""
+    2011 + o_orderkey % 15 AS yr,
+    1 + (2011 + o_orderkey % 15) % 3 AS ycount,
+    concat('Neural Circuits ', {cs('2011 + o_orderkey % 15')}) AS topic,
+    concat('https://brainprize.org/winners/',
+           {cs('2011 + o_orderkey % 15')}) AS year_page,
+    concat('The ', {cs('2011 + o_orderkey % 15')},
+           ' Brain Prize for circuits') AS year_desc,
+    CASE CAST(o_orderkey % 6 AS INT)
+      WHEN 0 THEN 'Read more about the prize'
+      WHEN 1 THEN concat('Anna Svensson', {cs('o_orderkey')})
+      WHEN 2 THEN concat('Dr. May-Britt Moser', {cs('o_orderkey')})
+      WHEN 3 THEN concat('Tim  Bliss', {cs('o_orderkey')})
+      WHEN 4 THEN concat('Karl Deisseroth', {cs('o_orderkey')})
+      ELSE concat('Sir Adrian Bird', {cs('o_orderkey')}) END AS label_raw,
+    CASE CAST(o_orderkey % 6 AS INT)
+      WHEN 3 THEN concat('Professor Tim Bliss', {cs('o_orderkey')})
+      WHEN 5 THEN concat('Adrian Bird', {cs('o_orderkey')}, ' PhD')
+      END AS h1_raw,
+    CASE WHEN o_orderkey % 6 = 2
+      THEN concat('Prof. Edvard Moser', {cs('o_orderkey')})
+      END AS meta_title,
+    CASE WHEN o_orderkey % 6 IN (2, 3)
+      THEN concat('NTNU Centre ', {cs('o_orderkey % 13')})
+      END AS prof_aff,
+    CASE WHEN o_orderkey % 6 IN (3, 5)
+      THEN concat('Intro  paragraph ', {cs('o_orderkey % 11')})
+      END AS prof_intro,
+    CASE WHEN o_orderkey % 6 IN (2, 5)
+      THEN concat('Profile of laureate ', {cs('o_orderkey % 17')})
+      END AS prof_meta"""
+
+    _BR_PT = ["k", "yr", "ycount", "topic", "year_page", "year_desc",
+              "prof_aff", "prof_intro", "prof_meta"]
+
+    br = f"""
+br_rest AS (
+  SELECT o_orderkey AS k,{br_fixture}
+  FROM orders
+),
+br_kept AS (
+  SELECT * FROM br_rest
+  WHERE NOT lower(label_raw) LIKE 'read %'
+),
+{bar("br_named", "br_kept", _BR_PT, [
+    ("label_c", collapse("label_raw")),
+    ("prof_name", f"coalesce({collapse('h1_raw')}, {collapse('meta_title')})"),
+    ("is_fallback", "CASE WHEN k % 6 = 1 THEN 1 ELSE 0 END"),
+])},
+{bar("br_final", "br_named", _BR_PT + ["label_c", "prof_name",
+                                       "is_fallback"], [
+    ("laureate_name", "coalesce(prof_name, label_c)"),
+    ("profile_url",
+     f"CASE WHEN is_fallback = 1 THEN year_page "
+     f"ELSE concat(year_page, '/profile-', {cs('k')}) END"),
+])}
+,
+br_out AS (
+  SELECT
+    'brain_prize' AS member,
+    concat('brain-prize-', {cs('yr')}, '-', {slugify('topic')}, '-',
+           {slugify('laureate_name')}) AS funder_award_id,
+    {cs('yr')} AS award_year,
+    laureate_name,
+    {br_given} AS given_name,
+    {br_family} AS family_name,
+    CASE WHEN is_fallback = 0 THEN {collapse('prof_aff')} END
+      AS affiliation,
+    profile_url AS landing_page_url,
+    'https://brainprize.org/winners' AS source_url,
+    '10000000' AS source_award_amount,
+    'DKK' AS currency,
+    '{_BR_RULE_URL}' AS amount_rule_url,
+    {g12('1.0 / ycount')} AS portion,
+    {cs('ycount')} AS laureate_count,
+    CAST(NULL AS {S}) AS citation,
+    CASE WHEN is_fallback = 1 THEN year_desc
+      ELSE {collapse('prof_meta')} END AS profile_description,
+    CAST(NULL AS {S}) AS is_organization_laureate,
+    year_page AS br_year_page_url,
+    profile_url AS br_profile_url,
+    topic AS br_award_topic,
+    CASE WHEN is_fallback = 0 THEN {collapse('prof_intro')} END
+      AS br_profile_bio,
+    year_desc AS br_year_description
+  FROM br_final
+)"""
+
+    # ------------------------------------------------------------------
+    # King Faisal Prize arm (king_faisal_prize_to_s3.py:113-360)
+    # ------------------------------------------------------------------
+    # TITLE_PREFIX_RE (:113-124) with the (?:\s+|(?=[A-Z])) boundary
+    # staged as a spaced pass + a glued capture pass (RE2-safe)
+    kf_alts = (
+        "Professor|Professsor|Prof\\\\.|Doctor|Dr\\\\.?|Mr\\\\.?|Mrs\\\\.?|"
+        "Ms\\\\.?|Shaikh|Sheikh|Sayyid|Sir|Dame|President|Field Marshal|"
+        "H\\\\.\\\\s*E\\\\.\\\\s*Dr\\\\.?|H\\\\.\\\\s*E\\\\.|"
+        "His Excellency|His Exellency|His Highness|His Majesty|"
+        "HRH Prince|The Honorable|Seri Dato|"
+        "Custodian of the Two Holy Mosques")
+    kf_spaced = f"(?i)^(?:{kf_alts})\\\\s+"
+    kf_glued = f"(?i)^(?:{kf_alts})([A-Z])"
+
+    def kf_peel(x: str) -> str:
+        e = f"regexp_replace({x}, '{kf_spaced}', ''{g})"
+        e = f"regexp_replace({e}, '{kf_glued}', '{bref}1'{g})"
+        return collapse(e)
+
+    # \b([A-Z])\.(?=[A-Z][a-z]) -> '\1. ' without lookahead: capture the
+    # consumed capital and re-emit it (start-or-nonword boundary)
+    kf_initials = (
+        f"regexp_replace(name_c, "
+        f"'(^|[^A-Za-z0-9_])([A-Z])[.]([A-Z][a-z])', "
+        f"'{bref}1{bref}2. {bref}3'{g})")
+
+    kf_org_hit = " OR ".join(
+        f"instr(lower(laureate_name), '{t}') > 0" for t in KF_ORG_TERMS)
+    kf_caps_pat = "^[A-Z0-9&.\\\\- ]{3,}$"
+    kf_allcaps = (
+        f"({rl('laureate_name', kf_caps_pat)} AND "
+        f"instr(trim(BOTH '.' FROM laureate_name), ' ') = 0)")
+    kf_given, kf_family = split_parts("laureate_name")
+
+    _KF_MARKER = " was awarded the prize "  # len 23
+    kf_enders = [" Biography ", " Laureate''s Honoring",
+                 " Laureate''s Interview", " Laureate''s Certificate",
+                 " Scientific Article"]
+    kf_ends = ", ".join(
+        f"nullif(instr(substring(dtext, mpos), '{m}'), 0)"
+        for m in kf_enders)
+
+    kf_fixture = f"""
+    1979 + o_orderkey % 46 AS yr,
+    CASE CAST(o_orderkey % 5 AS INT)
+      WHEN 0 THEN 'Medicine'
+      WHEN 1 THEN 'Science'
+      WHEN 2 THEN 'Arabic Language & Literature'
+      WHEN 3 THEN 'Islamic Studies'
+      ELSE 'Service to Islam' END AS category,
+    CASE CAST(o_orderkey % 3 AS INT)
+      WHEN 0 THEN ''
+      WHEN 1 THEN concat('Advances in gene  editing ',
+                         {cs('o_orderkey % 27')})
+      ELSE 'Molecular Biology' END AS topic_raw,
+    CASE CAST(o_orderkey % 4 AS INT)
+      WHEN 0 THEN 'Saudi Arabia' WHEN 1 THEN 'Egypt'
+      WHEN 2 THEN 'USA' ELSE '' END AS country_raw,
+    CASE CAST(o_orderkey % 6 AS INT)
+      WHEN 0 THEN concat('His Excellency Dr. Ahmed Zewail',
+                         {cs('o_orderkey')})
+      WHEN 1 THEN concat('Professor M.Salim Khan', {cs('o_orderkey')})
+      WHEN 2 THEN concat('KFUPM', {cs('o_orderkey')})
+      WHEN 3 THEN concat('King Saud University', {cs('o_orderkey')})
+      WHEN 4 THEN concat('Custodian of the Two Holy Mosques ',
+                         'Fahd bin Abdulaziz', {cs('o_orderkey')})
+      ELSE concat('Dr.Jane Goodall', {cs('o_orderkey')}) END AS name_raw,
+    concat('https://kingfaisalprize.org/winner-', {cs('o_orderkey')},
+           '/') AS detail_url,
+    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+      ELSE concat('Winner ', {cs('o_orderkey')}) END AS h1_raw,
+    CASE WHEN o_orderkey % 7 = 0 THEN 'Science  is hope' END AS h2_raw,
+    CASE WHEN o_orderkey % 4 = 2
+      THEN concat('Laureate recognised for achievement ',
+                  {cs('o_orderkey % 33')}) END AS meta_raw"""
+
+    kf_dtext = f"""CASE CAST(k % 4 AS INT)
+      WHEN 0 THEN concat('Overview. ', name_c,
+        ' was awarded the prize for work on topic ', {cs('k % 29')},
+        '. Biography Early years follow.')
+      WHEN 1 THEN 'Topic: "Quantum Wells" profile without marker text.'
+      WHEN 2 THEN concat('Header. ', name_c,
+        ' was awarded the prize in recognition of achievement ',
+        {cs('k % 31')}, ' continuing to the end')
+      ELSE concat('Intro. ', name_c,
+        ' WAS AWARDED THE PRIZE for case-insensitive find ',
+        {cs('k % 17')}, '. Laureate''s Honoring ceremony text') END"""
+
+    _KF_PT = ["k", "yr", "detail_url"]
+
+    kf = f"""
+kf_rest AS (
+  SELECT o_orderkey AS k,{kf_fixture}
+  FROM orders
+),
+{bar("kf_named", "kf_rest", _KF_PT + ["category", "topic_raw",
+                                      "country_raw", "name_raw",
+                                      "h1_raw", "h2_raw", "meta_raw"], [
+    ("name_c", collapse("name_raw")),
+    ("category_c", collapse("category")),
+    ("topic_c", collapse("topic_raw")),
+    ("country_c", collapse("country_raw")),
+])},
+{bar("kf_fixed", "kf_named", _KF_PT + ["category_c", "topic_c",
+                                       "country_c", "name_c", "h1_raw",
+                                       "h2_raw", "meta_raw"], [
+    ("name_i", kf_initials),
+])},
+{bar("kf_peeled", "kf_fixed", _KF_PT + ["category_c", "topic_c",
+                                        "country_c", "name_c", "h1_raw",
+                                        "h2_raw", "meta_raw"], [
+    ("laureate_name", kf_peel(kf_peel(kf_peel("name_i")))),
+])},
+{bar("kf_texted", "kf_peeled", _KF_PT + ["category_c", "topic_c",
+                                         "country_c", "name_c",
+                                         "laureate_name", "h1_raw",
+                                         "h2_raw", "meta_raw"], [
+    ("dtext", kf_dtext),
+    ("is_org_b", f"CASE WHEN ({kf_org_hit}) OR {kf_allcaps} "
+                 f"THEN 'true' ELSE 'false' END"),
+])},
+{bar("kf_marked", "kf_texted", _KF_PT + ["category_c", "topic_c",
+                                         "country_c", "name_c",
+                                         "laureate_name", "h1_raw",
+                                         "h2_raw", "meta_raw", "dtext",
+                                         "is_org_b"], [
+    ("mpos", f"instr(lower(dtext), '{_KF_MARKER}')"),
+])},
+{bar("kf_cited", "kf_marked", _KF_PT + ["category_c", "topic_c",
+                                        "country_c", "name_c",
+                                        "laureate_name", "h1_raw",
+                                        "h2_raw", "meta_raw", "dtext",
+                                        "is_org_b", "mpos"], [
+    ("cit_raw", f"CASE WHEN mpos > 0 THEN substring("
+                f"CASE WHEN least({kf_ends}) IS NOT NULL "
+                f"THEN substring(dtext, mpos + 23, "
+                f"least({kf_ends}) - 24) "
+                f"ELSE substring(dtext, mpos + 23) END, 1, 2000) END"),
+])},
+kf_counted AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY yr, category_c) AS n_share
+  FROM kf_cited
+),
+kf_out AS (
+  SELECT
+    'king_faisal_prize' AS member,
+    concat('king-faisal-prize-', {cs('yr')}, '-',
+           {slugify('category_c')}, '-',
+           {slugify("regexp_extract(trim(TRAILING '/' FROM detail_url), '([^/]+)$', 1)")})
+      AS funder_award_id,
+    {cs('yr')} AS award_year,
+    laureate_name,
+    CASE WHEN is_org_b = 'true' THEN NULL ELSE {kf_given} END
+      AS given_name,
+    CASE WHEN is_org_b = 'true' THEN laureate_name
+      ELSE {kf_family} END AS family_name,
+    CAST(NULL AS {S}) AS affiliation,
+    detail_url AS landing_page_url,
+    'https://kingfaisalprize.org/all-winners/' AS source_url,
+    {f_fmt('%.2f', 'CAST(750000 AS DOUBLE) / n_share')}
+      AS source_award_amount,
+    'SAR' AS currency,
+    '{_KF_RULE_URL}' AS amount_rule_url,
+    CASE WHEN n_share = 1 THEN '1'
+      ELSE concat('1/', {cs('n_share')}) END AS portion,
+    {cs('n_share')} AS laureate_count,
+    CASE WHEN cit_raw IS NULL THEN NULL
+      ELSE concat(upper(substring({collapse('cit_raw')}, 1, 1)),
+                  substring({collapse('cit_raw')}, 2)) END AS citation,
+    CAST(NULL AS {S}) AS profile_description,
+    is_org_b AS is_organization_laureate,
+    category_c AS kf_award_category,
+    topic_c AS kf_topic,
+    country_c AS kf_country,
+    name_c AS kf_official_laureate_name,
+    {collapse('h1_raw')} AS kf_detail_title,
+    {collapse('h2_raw')} AS kf_quote,
+    CAST(NULL AS {S}) AS kf_topic_detail,
+    {collapse('meta_raw')} AS kf_meta_description,
+    '750000' AS kf_source_prize_amount_sar
+  FROM kf_counted
+)"""
+
+    ky_extras = ["ky_prize_name", "ky_prize_category", "ky_prize_field",
+                 "ky_laureate_role", "ky_lifespan",
+                 "ky_achievement_title", "ky_achievement_digest",
+                 "ky_biography", "ky_image_url",
+                 "ky_category_award_amount", "ky_amount_rule_note",
+                 "ky_index_position", "ky_detail_source_url"]
+    jp_extras = ["jp_source_table_path", "jp_profile_url",
+                 "jp_field_url", "jp_award_field",
+                 "jp_laureate_name_raw", "jp_life_dates",
+                 "jp_nationality", "jp_achievement"]
+    br_extras = ["br_year_page_url", "br_profile_url", "br_award_topic",
+                 "br_profile_bio", "br_year_description"]
+    kf_extras = ["kf_award_category", "kf_topic", "kf_country",
+                 "kf_official_laureate_name", "kf_detail_title",
+                 "kf_quote", "kf_topic_detail", "kf_meta_description",
+                 "kf_source_prize_amount_sar"]
+    core = ("member, funder_award_id, award_year, laureate_name, "
+            "given_name, family_name, affiliation, landing_page_url, "
+            "source_url, source_award_amount, currency, "
+            "amount_rule_url, portion, laureate_count, citation, "
+            "profile_description, is_organization_laureate")
+
+    def pad(*groups) -> str:
+        return ", ".join(", ".join(gp) for gp in groups)
+
+    return f"""
+WITH {ky},
+{jp},
+{br},
+{kf}
+SELECT {core}, {pad(ky_extras)}, {nullcols(*jp_extras)},
+  {nullcols(*br_extras)}, {nullcols(*kf_extras)} FROM ky_out
+UNION ALL SELECT {core}, {nullcols(*ky_extras)}, {pad(jp_extras)},
+  {nullcols(*br_extras)}, {nullcols(*kf_extras)} FROM jp_out
+UNION ALL SELECT {core}, {nullcols(*ky_extras)}, {nullcols(*jp_extras)},
+  {pad(br_extras)}, {nullcols(*kf_extras)} FROM br_out
+UNION ALL SELECT {core}, {nullcols(*ky_extras)}, {nullcols(*jp_extras)},
+  {nullcols(*br_extras)}, {pad(kf_extras)} FROM kf_out
+"""
+
+
+def _build(dialect: str) -> str:
+    text = _sql(dialect)
+    if dialect == "duck":
+        text = text.replace("\\\\", "\\")
+    return text
+
+
+@register(
+    "laureate_prize_parse",
+    oracle=_build("duck"),
+    tags=("domain", "awards", "scrape"),
+    tables=("orders",),
+    doc=("Laureate-prize scraper family (scripts/local/{kyoto_prize,"
+         "japan_prize,brain_prize,king_faisal_prize}_to_s3.py)"),
+)
+def laureate_prize_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four laureate ingests in one union plan (module docstring has
+    the per-member semantics map).  The kyoto and king-faisal
+    share-count windows are the only exchanges."""
+    return spark.sql(_build("spark"))

@@ -1392,3 +1392,18 @@ def test_kauffman_single_exchange_dedupe(spark, sf_dir):
     df = q.CATALOG["kauffman_parse_grants"].spark(spark, sf_dir)
     opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
     assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"
+
+
+def test_laureate_prize_two_window_exchanges(spark, sf_dir):
+    """Laureate family: 4 scan arms; the ONLY exchanges belong to the
+    kyoto and king-faisal share-count windows (the reference's Counter
+    dicts).  No Python, no cartesian, bounded plan."""
+    plan = _plan(spark, sf_dir, "laureate_prize_parse")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    n_ex = plan.count("Exchange")
+    assert n_ex <= 4, n_ex  # 2 windows; AQE may add reused shuffles
+    assert plan.count("Window") >= 2
+    df = q.CATALOG["laureate_prize_parse"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"

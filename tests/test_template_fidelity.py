@@ -10127,3 +10127,454 @@ def test_kauffman_rules_match_reference_source():
     assert ('strategies[0] if strategies else '
             '(grant_types[0] if grant_types else None)') in src
     assert '"currency":          "USD" if amount_f is not None else None' in src
+
+
+# ---------------------------------------------------------------------------
+# Laureate-prize family (scripts/local/{kyoto_prize,japan_prize,
+# brain_prize,king_faisal_prize}_to_s3.py)
+# ---------------------------------------------------------------------------
+
+_LP_SUFFIXES = {"phd", "md", "dphil", "dsc", "scd", "jr.", "sr.", "ii",
+                "iii", "iv", "jr", "sr"}
+_LP_BRAIN_PREFIXES = {"prof.", "professor", "dr.", "dr", "sir", "dame"}
+_LP_KY_ORG = ("academy", "association", "center", "centre", "foundation",
+              "institute", "institution", "laboratory", "organisation",
+              "organization", "society", "university")
+_LP_KF_ORG = ("academy", "association", "center", "centre", "foundation",
+              "institute", "institution", "organization", "project",
+              "society", "university")
+# king_faisal_prize_to_s3.py:113-124 — the reference's REAL regex
+_LP_KF_PREFIX_RE = re.compile(
+    r"^(?:"
+    r"Professor|Professsor|Prof\.|Doctor|Dr\.?|Mr\.?|Mrs\.?|Ms\.?|"
+    r"Shaikh|Sheikh|Sayyid|Sir|Dame|President|Field Marshal|"
+    r"H\.\s*E\.\s*Dr\.?|H\.\s*E\.|H\.E\.\s*Dr\.?|H\.E\.|"
+    r"His Excellency|His Exellency|His Highness|His Majesty|HRH Prince|"
+    r"The Honorable|Seri Dato|"
+    r"Custodian of the Two Holy Mosques"
+    r")(?:\s+|(?=[A-Z]))",
+    flags=re.IGNORECASE,
+)
+
+
+def _lp_collapse(value, wide=False):
+    if not value:
+        return None
+    if wide:
+        value = value.replace("\xa0", " ").replace("　", " ")
+    value = re.sub(r"\s+", " ", value).strip()
+    value = re.sub(r"\s+([,;.:])", r"\1", value)
+    return value or None
+
+
+def _lp_slug(value):
+    value = (value or "").lower()
+    value = re.sub(r"[^a-z0-9]+", "-", value).strip("-")
+    return value or "unknown"
+
+
+def _lp_split(name, prefixes=False):
+    """The kit splitter (japan_prize_to_s3.py:136-149; brain's :128-143
+    variant also pops prefixes)."""
+    if not name:
+        return None, None
+    tokens = name.split()
+    if prefixes:
+        while tokens and tokens[0].lower().strip(",.") in _LP_BRAIN_PREFIXES:
+            tokens.pop(0)
+    while tokens and tokens[-1].lower().strip(",.") in _LP_SUFFIXES:
+        tokens.pop()
+    if not tokens:
+        return None, None
+    if len(tokens) == 1:
+        return None, tokens[0]
+    return " ".join(tokens[:-1]), tokens[-1]
+
+
+@pytest.fixture(scope="module")
+def lp_rows(spark, sf_dir):
+    rows = _run(spark, sf_dir, "laureate_prize_parse")
+    by_member = {}
+    for r in rows:
+        by_member.setdefault(r.member, {})[r.funder_award_id] = r
+    return by_member
+
+
+def _lp_check(actual_map, expected):
+    assert len(actual_map) == len(expected), (len(actual_map),
+                                              len(expected))
+    bad = []
+    for aid, exp in expected.items():
+        r = actual_map.get(aid)
+        assert r is not None, aid
+        for col, want in exp.items():
+            got = getattr(r, col)
+            if got != want:
+                bad.append((aid, col, got, want))
+    assert not bad, bad[:5]
+
+
+def test_laureate_kyoto_matches_reference(lp_rows, orders_rows):
+    expected = {}
+    for k, *_ in orders_rows:
+        yr = 1985 + k % 40
+        name_raw = [f"Dr. Akira  Yoshino {k}", f"Tadashi Tokieda{k} PhD",
+                    f"Stanford University Research Institute {k}",
+                    f"Cher{k}", f"Jane Goodall {k} DSc,",
+                    f"Li Wei {k}"][k % 6]
+        center = [f"{yr} Laureate",
+                  f"Commemorative20 {yr} Laureate {yr}",
+                  f"X{yr}Y {1955 + k % 40} Laureate"][k % 3]
+        field_raw = None if k % 7 == 0 else f"[Materials Science {k % 97}]"
+        # parse_index_cards (:253-298)
+        name = _lp_collapse(name_raw, wide=True)
+        center_c = _lp_collapse(center, wide=True)
+        m = re.search(r"(?:19|20)\d{2}", center_c or "")
+        year = m.group(0)
+        role = _lp_collapse((center_c or "").replace(year, "", 1),
+                            wide=True)
+        card_field = (_lp_collapse(field_raw.strip("[]"), wide=True)
+                      if field_raw else None)
+        card_cat = {0: "Advanced Technology", 1: "Basic Sciences",
+                    2: "Arts and Philosophy", 3: None}[k % 4]
+        # detail overlay (:397-400)
+        d_field = f"Fine Ceramics {k % 89}" if k % 5 in (0, 1) else None
+        d_cat = "Basic Sciences" if k % 5 == 0 else None
+        d_role = ("Engineer Chemist" if k % 5 == 0 else None)
+        field = d_field or card_field
+        cat = d_cat or card_cat
+        role_f = d_role or role
+        is_org = any(h in name.lower() for h in _LP_KY_ORG)
+        given, family = ((None, name) if is_org
+                         else _lp_split(name))
+        aid = f"kyoto-prize-{year}-{_lp_slug(field)}-{_lp_slug(name)}"
+        expected[aid] = {
+            "award_year": year, "laureate_name": name,
+            "given_name": given, "family_name": family,
+            "ky_prize_category": cat, "ky_prize_field": field,
+            "ky_laureate_role": role_f,
+            "is_organization_laureate":
+                "true" if is_org else "false",
+            "landing_page_url":
+                (f"https://www.kyotoprize.org/en/laureates/"
+                 f"profile-{k}/"),
+            "ky_index_position": str(k + 1),
+            "_year_field": (year, field), "_yr": year,
+        }
+    # apply_amounts (:349-369) over the FINAL (year, field)
+    from collections import Counter
+    counts = Counter(v["_year_field"] for v in expected.values())
+    for v in expected.values():
+        n = counts[v.pop("_year_field")]
+        year = int(v.pop("_yr"))
+        portion = 1.0 / n
+        v["laureate_count"] = str(n)
+        v["portion"] = f"{portion:.12g}"
+        v["source_award_amount"] = (f"{100000000.0 * portion:.12g}"
+                                    if year >= 2018 else None)
+        v["currency"] = "JPY" if year >= 2018 else None
+        v["ky_category_award_amount"] = ("100000000" if year >= 2018
+                                         else None)
+    _lp_check(lp_rows["kyoto_prize"], expected)
+
+
+def test_laureate_japan_matches_reference(lp_rows, orders_rows):
+    pages = ["laureates_by_year.html", "laureates_by_year2010.html",
+             "laureates_by_year2000.html", "laureates_by_year1990.html",
+             "laureates_by_year1980.html"]
+    expected = {}
+    for k, *_ in orders_rows:
+        year_raw = "FY2020x" if k % 9 == 0 else f"FY {1985 + k % 40}"
+        m = re.search(r"\b((?:19|20)\d{2})\b", year_raw)
+        if not m:
+            continue
+        year = m.group(1)
+        field = _lp_collapse(f"Physics, Chemistry {k % 23}")
+        name_text = [
+            f"Dr. Leo  Esaki{k} (b. 1925)", "[Commemorative Lecture]",
+            "Lecture: Future of Semiconductors",
+            f"Jun-ichi Nishizawa{k}",
+            f"Mr. Kenichi Honda{k} （1925－2011）",
+            f"Sir Timothy Berners-Lee{k} (2016 Laureate)"][k % 6]
+        # clean_laureate_name (:267-276), reference regexes verbatim
+        raw = _lp_collapse(name_text)
+        life = None
+        lm = re.search(r"[（(]([^()（）]*\d{4}[^()（）]*)[）)]", raw or "")
+        if lm:
+            life = _lp_collapse(lm.group(1))
+        clean = re.sub(r"[（(][^()（）]*\d{4}[^()（）]*[）)]", "", raw or "")
+        clean = re.sub(r"^(Prof\.|Dr\.|Mr\.|Ms\.|Sir|Dame)\s+", "",
+                       clean).strip()
+        name = _lp_collapse(clean)
+        if not year or not field or not name:
+            continue
+        if name.startswith("[") or name.lower().startswith("lecture"):
+            continue
+        aff_next = ["[Japan] University of  Tokyo", "[USA] MIT Media Lab",
+                    "Independent Researcher", None][k % 4]
+        nat, aff = None, None
+        text = _lp_collapse(aff_next)
+        if text:
+            am = re.match(r"^\[([^\]]+)\]\s*(.*)$", text)
+            if am:
+                nat = _lp_collapse(am.group(1))
+                aff = _lp_collapse(am.group(2))
+            else:
+                aff = text
+        given, family = _lp_split(name)
+        href = (f"/en/laureates/profile{k}.html" if k % 3 < 2 else None)
+        profile_url = f"https://www.japanprize.jp{href}" if href else None
+        source_url = f"https://www.japanprize.jp/en/{pages[k % 5]}"
+        pslug = (profile_url.rstrip("/").split("/")[-1]
+                 .replace(".html", "") if profile_url
+                 else _lp_slug(name))
+        aid = (f"japan-prize-{year}-{_lp_slug(field)}-"
+               f"{_lp_slug(pslug or name)}")
+        expected[aid] = {
+            "award_year": year, "laureate_name": name,
+            "jp_laureate_name_raw": raw, "jp_life_dates": life,
+            "given_name": given, "family_name": family,
+            "jp_nationality": nat, "affiliation": aff,
+            "jp_award_field": field,
+            "jp_achievement": _lp_collapse(f"Discovery of  phenomenon "
+                                           f"{k % 43}"),
+            "landing_page_url": profile_url or source_url,
+            "source_url": source_url,
+            "jp_source_table_path": pages[k % 5],
+            "source_award_amount": "100000000", "currency": "JPY",
+        }
+    _lp_check(lp_rows["japan_prize"], expected)
+
+
+def test_laureate_brain_matches_reference(lp_rows, orders_rows):
+    expected = {}
+    for k, *_ in orders_rows:
+        if k % 6 == 0:  # 'read …' labels are dropped (:247-249)
+            continue
+        yr = 2011 + k % 15
+        count = 1 + yr % 3
+        topic = f"Neural Circuits {yr}"
+        year_page = f"https://brainprize.org/winners/{yr}"
+        label = [None, f"Anna Svensson{k}", f"Dr. May-Britt Moser{k}",
+                 f"Tim  Bliss{k}", f"Karl Deisseroth{k}",
+                 f"Sir Adrian Bird{k}"][k % 6]
+        h1 = {3: f"Professor Tim Bliss{k}",
+              5: f"Adrian Bird{k} PhD"}.get(k % 6)
+        meta_title = f"Prof. Edvard Moser{k}" if k % 6 == 2 else None
+        prof_name = h1 or meta_title
+        fallback = k % 6 == 1
+        name = prof_name or _lp_collapse(label)
+        given, family = _lp_split(name, prefixes=True)
+        profile_url = (year_page if fallback
+                       else f"{year_page}/profile-{k}")
+        aid = (f"brain-prize-{yr}-{_lp_slug(topic)}-{_lp_slug(name)}")
+        expected[aid] = {
+            "award_year": str(yr), "laureate_name": name,
+            "given_name": given, "family_name": family,
+            "affiliation": (None if fallback else
+                            (f"NTNU Centre {k % 13}"
+                             if k % 6 in (2, 3) else None)),
+            "landing_page_url": profile_url,
+            "br_year_page_url": year_page,
+            "br_award_topic": topic,
+            "br_profile_bio": (None if fallback else
+                               (_lp_collapse(f"Intro  paragraph "
+                                             f"{k % 11}")
+                                if k % 6 in (3, 5) else None)),
+            "profile_description": (
+                f"The {yr} Brain Prize for circuits" if fallback
+                else (f"Profile of laureate {k % 17}"
+                      if k % 6 in (2, 5) else None)),
+            "br_year_description": f"The {yr} Brain Prize for circuits",
+            "portion": f"{1 / count:.12g}",
+            "laureate_count": str(count),
+            "source_award_amount": "10000000", "currency": "DKK",
+        }
+    _lp_check(lp_rows["brain_prize"], expected)
+
+
+def test_laureate_king_faisal_matches_reference(lp_rows, orders_rows):
+    from collections import Counter
+
+    def clean_name(name):
+        # clean_laureate_name (:141-151), reference regexes verbatim
+        name = _lp_collapse(name)
+        if not name:
+            return None
+        name = re.sub(r"\b([A-Z])\.(?=[A-Z][a-z])", r"\1. ", name)
+        previous = None
+        while previous != name:
+            previous = name
+            name = _lp_collapse(_LP_KF_PREFIX_RE.sub("", name)) or ""
+        return name or None
+
+    def is_org(name):
+        if not name:
+            return False
+        if any(t in name.lower() for t in _LP_KF_ORG):
+            return True
+        return bool(re.fullmatch(r"[A-Z0-9&.\- ]{3,}", name)
+                    and " " not in name.strip("."))
+
+    pre = {}
+    for k, *_ in orders_rows:
+        yr = 1979 + k % 46
+        category = ["Medicine", "Science",
+                    "Arabic Language & Literature", "Islamic Studies",
+                    "Service to Islam"][k % 5]
+        topic = _lp_collapse([None, f"Advances in gene  editing {k % 27}",
+                              "Molecular Biology"][k % 3])
+        country = ["Saudi Arabia", "Egypt", "USA", None][k % 4]
+        official = [f"His Excellency Dr. Ahmed Zewail{k}",
+                    f"Professor M.Salim Khan{k}", f"KFUPM{k}",
+                    f"King Saud University{k}",
+                    f"Custodian of the Two Holy Mosques "
+                    f"Fahd bin Abdulaziz{k}",
+                    f"Dr.Jane Goodall{k}"][k % 6]
+        name_c = _lp_collapse(official)
+        name = clean_name(official)
+        # detail page (:313-321 citation grammar)
+        dtext = [
+            f"Overview. {name_c} was awarded the prize for work on "
+            f"topic {k % 29}. Biography Early years follow.",
+            'Topic: "Quantum Wells" profile without marker text.',
+            f"Header. {name_c} was awarded the prize in recognition "
+            f"of achievement {k % 31} continuing to the end",
+            f"Intro. {name_c} WAS AWARDED THE PRIZE for "
+            f"case-insensitive find {k % 17}. Laureate's Honoring "
+            f"ceremony text"][k % 4]
+        citation = None
+        marker = " was awarded the prize "
+        mpos = dtext.lower().find(marker)
+        if mpos >= 0:
+            ends = [i for i in [
+                dtext.find(" Biography ", mpos),
+                dtext.find(" Laureate's Honoring", mpos),
+                dtext.find(" Laureate's Interview", mpos),
+                dtext.find(" Laureate's Certificate", mpos),
+                dtext.find(" Scientific Article", mpos)] if i >= 0]
+            end = min(ends) if ends else len(dtext)
+            tail = dtext[mpos + len(marker):end]
+            citation = _lp_collapse(tail[:2000])
+            if citation:
+                citation = citation[0].upper() + citation[1:]
+        # the reference's topic_detail regex demands a literal
+        # backslash (r'Topic:\\s*"…"') — NEVER matches page text
+        topic_detail = None
+        tm = re.search(r'Topic:\\s*"([^"]+)"', dtext)
+        if tm:  # pragma: no cover - proves the reference bug
+            topic_detail = _lp_collapse(tm.group(1))
+        org = is_org(name)
+        given, family = ((None, name) if org else _lp_split(name))
+        detail_slug = f"winner-{k}"
+        aid = (f"king-faisal-prize-{yr}-{_lp_slug(category)}-"
+               f"{_lp_slug(detail_slug)}")
+        pre[aid] = {
+            "_key": (yr, category),
+            "award_year": str(yr), "laureate_name": name,
+            "kf_official_laureate_name": name_c,
+            "given_name": given, "family_name": family,
+            "kf_award_category": category,
+            "kf_topic": topic or topic_detail,
+            "kf_country": country,
+            "kf_topic_detail": topic_detail,
+            "citation": citation,
+            "is_organization_laureate": str(org).lower(),
+            "landing_page_url":
+                f"https://kingfaisalprize.org/winner-{k}/",
+            "kf_detail_title": None if k % 5 == 0 else f"Winner {k}",
+            "kf_quote": ("Science is hope" if k % 7 == 0 else None),
+            "kf_meta_description": (
+                f"Laureate recognised for achievement {k % 33}"
+                if k % 4 == 2 else None),
+            "kf_source_prize_amount_sar": "750000",
+            "currency": "SAR",
+        }
+    counts = Counter(v["_key"] for v in pre.values())
+    for v in pre.values():
+        n = counts[v.pop("_key")]
+        v["source_award_amount"] = f"{750000 / n:.2f}"
+        v["laureate_count"] = str(n)
+        v["portion"] = f"1/{n}" if n != 1 else "1"
+    _lp_check(lp_rows["king_faisal_prize"], pre)
+
+
+def test_laureate_rule_tables_match_reference_source():
+    """AST-pin the four members' rule tables against their reference
+    scripts."""
+    import ast
+
+    from openalex_walden_spark.queries import laureateprize as port
+
+    def pinned(path, names):
+        src = open(path, encoding="utf-8").read()
+        tree = ast.parse(src)
+        found = {}
+        for node in ast.walk(tree):
+            if (isinstance(node, ast.Assign) and len(node.targets) == 1
+                    and isinstance(node.targets[0], ast.Name)
+                    and node.targets[0].id in names):
+                found[node.targets[0].id] = ast.literal_eval(node.value)
+        return src, found
+
+    base = "/root/reference/scripts/local/"
+    src, f = pinned(base + "kyoto_prize_to_s3.py",
+                    {"CATEGORY_BY_CLASS", "ORG_HINTS",
+                     "CURRENT_CATEGORY_AMOUNT",
+                     "CURRENT_AMOUNT_START_YEAR", "CURRENCY"})
+    assert f["CATEGORY_BY_CLASS"] == port.KYOTO_CATEGORY_BY_CLASS
+    assert f["ORG_HINTS"] == set(port.KYOTO_ORG_HINTS)
+    assert f["CURRENT_CATEGORY_AMOUNT"] == 100000000.0
+    assert f["CURRENT_AMOUNT_START_YEAR"] == 2018
+    assert f["CURRENCY"] == "JPY"
+    # no-\b year search + first-occurrence year replace + [] strip
+    assert 're.search(r"(?:19|20)\\d{2}", center_text or "")' in src
+    assert '.replace(year, "", 1)' in src
+    assert '.strip("[]")' in src
+
+    src, f = pinned(base + "japan_prize_to_s3.py",
+                    {"SOURCE_AWARD_AMOUNT", "CURRENCY"})
+    assert f["SOURCE_AWARD_AMOUNT"] == "100000000"
+    assert f["CURRENCY"] == "JPY"
+    kit = ('{"phd", "md", "dphil", "dsc", "scd", "jr.", "sr.", "ii", '
+           '"iii", "iv", "jr", "sr"}')
+    assert kit in src
+    assert set(port.KIT_SUFFIXES) == {
+        "phd", "md", "dphil", "dsc", "scd", "jr.", "sr.", "ii", "iii",
+        "iv", "jr", "sr"}
+    # \b-bounded year, life-dates group incl full-width parens,
+    # single honorific strip, bracket affiliation grammar
+    assert r'r"\b((?:19|20)\d{2})\b"' in src
+    assert r'[（(]([^()（）]*\d{4}[^()（）]*)[）)]' in src
+    assert r'^(Prof\.|Dr\.|Mr\.|Ms\.|Sir|Dame)\s+' in src
+    assert r'^\[([^\]]+)\]\s*(.*)$' in src
+
+    src, f = pinned(base + "brain_prize_to_s3.py",
+                    {"SOURCE_TOTAL_AWARD_AMOUNT", "CURRENCY"})
+    assert f["SOURCE_TOTAL_AWARD_AMOUNT"] == "10000000"
+    assert f["CURRENCY"] == "DKK"
+    assert ('{"prof.", "professor", "dr.", "dr", "sir", "dame"}'
+            in src)
+    assert set(port.BRAIN_PREFIXES) == {"prof.", "professor", "dr.",
+                                        "dr", "sir", "dame"}
+    assert 'label.lower().startswith("read ")' in src
+    assert '{1 / int(laureate_count):.12g}' in src
+
+    src, f = pinned(base + "king_faisal_prize_to_s3.py",
+                    {"ORG_TERMS", "SOURCE_PRIZE_AMOUNT_SAR", "CURRENCY"})
+    assert f["ORG_TERMS"] == set(port.KF_ORG_TERMS)
+    assert f["SOURCE_PRIZE_AMOUNT_SAR"] == 750000
+    assert f["CURRENCY"] == "SAR"
+    # the mirror's REAL prefix regex is source-contained
+    for frag in ('Professor|Professsor|Prof\\.|Doctor|Dr\\.?|Mr\\.?|',
+                 'His Excellency|His Exellency|His Highness|His Majesty|',
+                 'Custodian of the Two Holy Mosques',
+                 r'(?:\s+|(?=[A-Z]))'):
+        assert frag in src
+    # glued-initials fix, citation marker + enders, and the
+    # backslash-bugged topic regex verbatim
+    assert r'\b([A-Z])\.(?=[A-Z][a-z])' in src
+    assert '" was awarded the prize "' in src
+    assert '" Biography "' in src and '" Scientific Article"' in src
+    assert 'Topic:\\\\s*"([^"]+)"' in src
+    assert 'f"{amount:.2f}"' in src
