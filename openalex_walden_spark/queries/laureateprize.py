@@ -1,6 +1,7 @@
 """Laureate-prize scraper family
-(scripts/local/{kyoto_prize,japan_prize,brain_prize,king_faisal_prize}
-_to_s3.py — 4 scripts, one laureate-ingest kit).
+(scripts/local/{kyoto_prize,japan_prize,brain_prize,king_faisal_prize,
+keio_medical_science_prize}_to_s3.py — 5 scripts, one laureate-ingest
+kit).
 
 The four prize ingests share the canonical prize-ingest kit the Wolf/
 Kavli/Abel ports established: ``collapse_text`` (ws collapse +
@@ -51,6 +52,22 @@ card/table/teaser fields one record per orders key.  Ported compute:
   the suffix set; portion = ``%.12g`` of 1/laureate_count (the count
   the year page showed); fixed DKK 10000000 total; id =
   'brain-prize-{year}-{slug(topic)}-{slug(name)}';
+* **keio_medical_science_prize**
+  (keio_medical_science_prize_to_s3.py:141-362): table rows carry up
+  to TWO laureates (tds[1:3] -> laureate_position 1/2); year = the
+  FIRST un-bounded ``(19|20)\\d{2}`` hit (an 'FY2006' glue matches);
+  footnote groups ``(\\*+...)`` split into nobel_note (ALL groups
+  joined) vs the name (groups removed); the detail page's h3 section
+  at details[position-1] (absent -> all-None) feeds the mode machine:
+  affiliation = first pre-header line not starting 'website', reason
+  = lines under 'Reason for selection', comments under 'Comments',
+  'Background' lines dropped (fixture header order matches the real
+  pages: reason < background < comments, so the SQL range form equals
+  the reference's running-mode machine — the mirror replays the REAL
+  machine); ``strip_degree_suffix`` is a GLOBAL case-insensitive sub
+  (not the kit's token pops) and the splitter has NO suffix set;
+  amount = str(10000000.0) -> '10000000.0'; id =
+  'keio-medical-science-prize-{year}-{position}-{slug(name)}';
 * **king_faisal_prize** (king_faisal_prize_to_s3.py:113-360):
   all-winners table rows (5 cells); ``clean_laureate_name`` first
   spaces glued initials (``\\b([A-Z])\\.(?=[A-Z][a-z])`` -> '\\1. '),
@@ -842,6 +859,235 @@ kf_out AS (
   FROM kf_counted
 )"""
 
+    # ------------------------------------------------------------------
+    # Keio Medical Science Prize arm
+    # (keio_medical_science_prize_to_s3.py:141-376)
+    # ------------------------------------------------------------------
+    # footnote groups (clean_laureate_name :156-160): notes = ALL
+    # (*...) groups joined, name = text with the groups removed
+    ke_note_pat = "([(][*]+[^)]*[)])"
+    ke_note_all = "[(][*]+[^)]*[)]"
+    # strip_degree_suffix (:163-167): global case-insensitive sub
+    ke_degree = "(?i),?\\\\s*(M\\\\.?D\\\\.?|Ph\\\\.?D\\\\.?|D\\\\.?V\\\\.?M\\\\.?|Dr\\\\.?)\\\\.?"
+
+    def ke_norm(x: str) -> str:
+        e = f"replace({x}, chr(160), ' ')"
+        return f"nullif(trim(regexp_replace({e}, '\\\\s+', ' '{g})), '')"
+
+    def ke_strip_degree(x: str) -> str:
+        return ke_norm(f"regexp_replace({x}, '{ke_degree}', ''{g})")
+
+    if dialect == "spark":
+        def ke_arr(*items: str) -> str:
+            return (f"array({', '.join(items)})" if items
+                    else "slice(array(''), 1, 0)")
+
+        def ke_pos(a: str, v: str) -> str:
+            return f"array_position(transform({a}, t -> lower(t)), {v})"
+
+        ke_filt_join_notes = (f"array_join(regexp_extract_all(nraw, "
+                              f"'{ke_note_pat}', 1), ' ')")
+    else:
+        def ke_arr(*items: str) -> str:
+            return (f"[{', '.join(items)}]" if items
+                    else "list_slice([''], 1, 0)")
+
+        def ke_pos(a: str, v: str) -> str:
+            return f"list_position(list_transform({a}, t -> lower(t)), {v})"
+
+        ke_filt_join_notes = (f"array_to_string(regexp_extract_all(nraw, "
+                              f"'{ke_note_pat}', 1), ' ')")
+
+    ke_sections = {}
+    for pos in (1, 2):
+        L = f"lines{pos}"
+        p_r = f"nullif({ke_pos(L, chr(39) + 'reason for selection' + chr(39))}, 0)"
+        p_b = f"nullif({ke_pos(L, chr(39) + 'background' + chr(39))}, 0)"
+        p_c = f"nullif({ke_pos(L, chr(39) + 'comments' + chr(39))}, 0)"
+        ke_sections[pos] = (L, p_r, p_b, p_c)
+
+    ke_fixture = f"""
+    CASE WHEN o_orderkey % 11 = 0 THEN 'TBA'
+      ELSE concat('FY', {cs('1995 + o_orderkey % 31')}) END AS year_text,
+    CASE WHEN o_orderkey % 3 < 2
+      THEN concat('https://www.ms-fund.keio.ac.jp/en/prize/winners/w',
+                  {cs('o_orderkey')}, '.html') END AS detail_url,
+    CASE CAST(o_orderkey % 5 AS INT)
+      WHEN 0 THEN concat('Shinya Yamanaka', {cs('o_orderkey')},
+                         ', M.D., Ph.D.')
+      WHEN 1 THEN concat('Svante Paabo', {cs('o_orderkey')}, ' (*)')
+      WHEN 2 THEN concat('Katalin Kariko', {cs('o_orderkey')},
+                         ' (** Nobel 2023)')
+      WHEN 3 THEN concat('Fred  Gage', {cs('o_orderkey')})
+      ELSE '' END AS name1_raw,
+    CASE WHEN o_orderkey % 4 = 0 THEN ''
+      ELSE concat('Second Winner', {cs('o_orderkey')}) END AS name2_raw,
+    CASE WHEN o_orderkey % 3 < 2
+      THEN concat('Shinya Yamanaka', {cs('o_orderkey')}, ', M.D.')
+      END AS d_name1,
+    CASE WHEN o_orderkey % 3 = 0
+      THEN concat('Second Winner', {cs('o_orderkey')}, ' Dr.')
+      END AS d_name2,
+    CASE WHEN o_orderkey % 3 = 0 THEN {ke_arr(
+        "'Website: https://lab.example'",
+        "concat('Kyoto  University ', CAST(o_orderkey % 13 AS " + S + "))",
+        "'Reason for selection'",
+        "concat('Discovered reprogramming ', CAST(o_orderkey % 17 AS " + S + "))",
+        "'of mature cells'",
+        "'Background'", "'Early career in Osaka'",
+        "'Comments'", "'Deeply honored by the prize'")}
+      WHEN o_orderkey % 3 = 1 THEN {ke_arr(
+        "concat('Stanford University ', CAST(o_orderkey % 19 AS " + S + "))",
+        "'Reason for selection'",
+        "concat('Pioneering work ', CAST(o_orderkey % 23 AS " + S + "))",
+        "'in adult neurogenesis'")}
+      ELSE {ke_arr()} END AS lines1,
+    CASE WHEN o_orderkey % 3 = 0 THEN {ke_arr(
+        "concat('MIT ', CAST(o_orderkey % 29 AS " + S + "))",
+        "'Reason for selection'", "'Neural circuit mapping'")}
+      ELSE {ke_arr()} END AS lines2"""
+
+    ke_exploded = ("ke_rest _r LATERAL VIEW explode(array(1, 2)) _pv AS pos"
+                   if dialect == "spark" else
+                   "ke_rest _r CROSS JOIN UNNEST([1, 2]) AS _pv(pos)")
+
+    _KE_PT = ["k", "pos", "year_text", "detail_url", "lines1", "lines2"]
+
+    ke_intro = []
+    for pos in (1, 2):
+        L, p_r, p_b, p_c = ke_sections[pos]
+        ke_intro.append(
+            f"CASE WHEN pos = {pos} THEN coalesce({p_r}, {p_b}, {p_c}, "
+            f"{asize(L)} + 1) END")
+
+    def ke_struct_list(pos: int) -> str:
+        L = f"lines{pos}"
+        if dialect == "spark":
+            return (f"zip_with({L}, sequence(1, size({L})), "
+                    f"(t, i) -> named_struct('t', t, 'i', i))")
+        return f"list_transform({L}, (t, i) -> {{'t': t, 'i': i}})"
+
+    def ke_aff(pos: int) -> str:
+        """First intro-mode line not starting 'website' (:248-250)."""
+        zl = ke_struct_list(pos)
+        cond = "s.i < intro_end AND lower(s.t) NOT LIKE 'website%'"
+        if dialect == "spark":
+            first = f"try_element_at(filter({zl}, s -> {cond}), 1)"
+        else:
+            first = f"(list_filter({zl}, s -> {cond}))[1]"
+        return ke_norm(f"({first}).t")
+
+    def ke_mode(pos: int, which: str) -> str:
+        """Join the lines the reference's mode machine attributes to
+        'reason' / 'comments' (:231-258; fixture header order is
+        reason < background < comments, matching the real pages)."""
+        L, p_r, p_b, p_c = ke_sections[pos]
+        zl = ke_struct_list(pos)
+        if which == "reason":
+            r_end = (f"least(coalesce({p_b}, {asize(L)} + 1), "
+                     f"coalesce({p_c}, {asize(L)} + 1))")
+            cond = f"s.i > ({p_r}) AND s.i < ({r_end})"
+        else:
+            cond = f"s.i > ({p_c})"
+        if dialect == "spark":
+            j = (f"array_join(transform(filter({zl}, s -> {cond}), "
+                 f"s -> s.t), ' ')")
+        else:
+            j = (f"array_to_string(list_transform(list_filter({zl}, "
+                 f"s -> {cond}), s -> s.t), ' ')")
+        return ke_norm(j)
+
+    # keio split_name (:170-177): degree strip, then plain head/last —
+    # NO suffix-set pops (a different splitter from the kit's)
+    ke_toks = splitws(ke_strip_degree("name_final"))
+    ke_n = asize(ke_toks)
+    ke_split_given = (f"CASE WHEN ({ke_n}) >= 2 THEN "
+                      f"{jslice(ke_toks, '1', f'({ke_n}) - 1')} END")
+    ke_split_family = (f"CASE WHEN ({ke_n}) >= 1 THEN "
+                       f"{elem(ke_toks, f'({ke_n})')} END")
+
+    ke = f"""
+ke_rest AS (
+  SELECT o_orderkey AS k,{ke_fixture}
+  FROM orders
+),
+ke_pairs AS (
+  SELECT _r.k, _r.year_text, _r.detail_url, _r.lines1, _r.lines2, pos,
+         CASE WHEN pos = 1 THEN _r.name1_raw ELSE _r.name2_raw END
+           AS name_raw,
+         CASE WHEN pos = 1 THEN _r.d_name1 ELSE _r.d_name2 END
+           AS d_name_raw,
+         CASE WHEN pos = 1 THEN {asize('_r.lines1')} > 0
+           ELSE {asize('_r.lines2')} > 0 END AS has_section
+  FROM {ke_exploded}
+),
+{bar("ke_named", "ke_pairs", _KE_PT + ["name_raw", "d_name_raw",
+                                       "has_section"], [
+    ("year_s", rx("year_text", "((?:19|20)[0-9]{2})", 1)),
+    ("nraw", ke_norm("name_raw")),
+])},
+ke_gated AS (
+  SELECT * FROM ke_named
+  WHERE year_s IS NOT NULL AND nraw IS NOT NULL
+),
+{bar("ke_cleaned", "ke_gated", _KE_PT + ["name_raw", "d_name_raw",
+                                         "has_section", "year_s",
+                                         "nraw"], [
+    ("nobel_note", f"nullif(trim({ke_filt_join_notes}), '')"),
+    ("name_final", ke_norm(f"regexp_replace(nraw, '{ke_note_all}', ''{g})")),
+    ("intro_end", f"coalesce({ke_intro[0]}, {ke_intro[1]})"),
+])},
+{bar("ke_sectioned", "ke_cleaned", _KE_PT + ["has_section", "year_s",
+                                             "d_name_raw", "nobel_note",
+                                             "name_final", "intro_end"], [
+    ("aff_raw", f"CASE WHEN has_section THEN CASE WHEN pos = 1 "
+                f"THEN {ke_aff(1)} ELSE {ke_aff(2)} END END"),
+    ("reason", f"CASE WHEN has_section THEN CASE WHEN pos = 1 "
+               f"THEN {ke_mode(1, 'reason')} "
+               f"ELSE {ke_mode(2, 'reason')} END END"),
+    ("comments_s", f"CASE WHEN has_section THEN CASE WHEN pos = 1 "
+                   f"THEN {ke_mode(1, 'comments')} "
+                   f"ELSE {ke_mode(2, 'comments')} END END"),
+])}
+,
+ke_out AS (
+  SELECT
+    'keio_medical_science_prize' AS member,
+    concat('keio-medical-science-prize-', year_s, '-', {cs('pos')},
+           '-', {slugify('name_final')}) AS funder_award_id,
+    year_s AS award_year,
+    name_final AS laureate_name,
+    {ke_split_given} AS given_name,
+    {ke_split_family} AS family_name,
+    aff_raw AS affiliation,
+    coalesce(detail_url,
+             'https://www.ms-fund.keio.ac.jp/en/prize/list.html')
+      AS landing_page_url,
+    'https://www.ms-fund.keio.ac.jp/en/prize/list.html' AS source_url,
+    '10000000.0' AS source_award_amount,
+    'JPY' AS currency,
+    'https://www.ms-fund.keio.ac.jp/en/news/a4246b3e370ad2125f9f720963fda4963f374cad.pdf'
+      AS amount_rule_url,
+    CAST(NULL AS {S}) AS portion,
+    CAST(NULL AS {S}) AS laureate_count,
+    CAST(NULL AS {S}) AS citation,
+    CAST(NULL AS {S}) AS profile_description,
+    CAST(NULL AS {S}) AS is_organization_laureate,
+    concat('Keio Medical Science Prize ', year_s, ' - ', name_final)
+      AS ke_display_name,
+    reason AS ke_description,
+    concat(year_s, '-01-01') AS ke_start_date,
+    concat(year_s, '-12-31') AS ke_end_date,
+    nobel_note AS ke_nobel_note,
+    {cs('pos')} AS ke_laureate_position,
+    {ke_strip_degree('CASE WHEN has_section THEN d_name_raw END')}
+      AS ke_source_detail_name,
+    comments_s AS ke_comments,
+    'Keio Medical Science Prize' AS ke_funder_scheme,
+    'keio_medical_science_prize' AS ke_provenance
+  FROM ke_sectioned
+)"""
+
     ky_extras = ["ky_prize_name", "ky_prize_category", "ky_prize_field",
                  "ky_laureate_role", "ky_lifespan",
                  "ky_achievement_title", "ky_achievement_digest",
@@ -867,19 +1113,32 @@ kf_out AS (
     def pad(*groups) -> str:
         return ", ".join(", ".join(gp) for gp in groups)
 
+    ke_extras = ["ke_display_name", "ke_description", "ke_start_date",
+                 "ke_end_date", "ke_nobel_note", "ke_laureate_position",
+                 "ke_source_detail_name", "ke_comments",
+                 "ke_funder_scheme", "ke_provenance"]
+
     return f"""
 WITH {ky},
 {jp},
 {br},
-{kf}
+{kf},
+{ke}
 SELECT {core}, {pad(ky_extras)}, {nullcols(*jp_extras)},
-  {nullcols(*br_extras)}, {nullcols(*kf_extras)} FROM ky_out
+  {nullcols(*br_extras)}, {nullcols(*kf_extras)},
+  {nullcols(*ke_extras)} FROM ky_out
 UNION ALL SELECT {core}, {nullcols(*ky_extras)}, {pad(jp_extras)},
-  {nullcols(*br_extras)}, {nullcols(*kf_extras)} FROM jp_out
+  {nullcols(*br_extras)}, {nullcols(*kf_extras)},
+  {nullcols(*ke_extras)} FROM jp_out
 UNION ALL SELECT {core}, {nullcols(*ky_extras)}, {nullcols(*jp_extras)},
-  {pad(br_extras)}, {nullcols(*kf_extras)} FROM br_out
+  {pad(br_extras)}, {nullcols(*kf_extras)},
+  {nullcols(*ke_extras)} FROM br_out
 UNION ALL SELECT {core}, {nullcols(*ky_extras)}, {nullcols(*jp_extras)},
-  {nullcols(*br_extras)}, {pad(kf_extras)} FROM kf_out
+  {nullcols(*br_extras)}, {pad(kf_extras)},
+  {nullcols(*ke_extras)} FROM kf_out
+UNION ALL SELECT {core}, {nullcols(*ky_extras)}, {nullcols(*jp_extras)},
+  {nullcols(*br_extras)}, {nullcols(*kf_extras)},
+  {pad(ke_extras)} FROM ke_out
 """
 
 
@@ -896,10 +1155,12 @@ def _build(dialect: str) -> str:
     tags=("domain", "awards", "scrape"),
     tables=("orders",),
     doc=("Laureate-prize scraper family (scripts/local/{kyoto_prize,"
-         "japan_prize,brain_prize,king_faisal_prize}_to_s3.py)"),
+         "japan_prize,brain_prize,king_faisal_prize,"
+         "keio_medical_science_prize}_to_s3.py)"),
 )
 def laureate_prize_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Four laureate ingests in one union plan (module docstring has
+    """Five laureate ingests in one union plan (module docstring has
     the per-member semantics map).  The kyoto and king-faisal
-    share-count windows are the only exchanges."""
+    share-count windows are the only exchanges; the keio arm explodes
+    the two per-row laureate positions."""
     return spark.sql(_build("spark"))

@@ -10578,3 +10578,146 @@ def test_laureate_rule_tables_match_reference_source():
     assert '" Biography "' in src and '" Scientific Article"' in src
     assert 'Topic:\\\\s*"([^"]+)"' in src
     assert 'f"{amount:.2f}"' in src
+
+    src, f = pinned(base + "keio_medical_science_prize_to_s3.py",
+                    {"AMOUNT_JPY", "CURRENCY", "PROVENANCE"})
+    assert f["AMOUNT_JPY"] == 10_000_000.0
+    assert f["CURRENCY"] == "JPY"
+    assert f["PROVENANCE"] == "keio_medical_science_prize"
+    # footnote grammar, global degree strip, no-\b year, the mode
+    # machine headers, and the website intro skip
+    assert r'\(\*+[^)]*\)' in src
+    assert r'(M\.?D\.?|Ph\.?D\.?|D\.?V\.?M\.?|Dr\.?)' in src
+    assert 're.search(r"(19|20)\\d{2}", year_text)' in src
+    for header in ('"reason for selection"', '"background"',
+                   '"comments"'):
+        assert f'if lower == {header}:' in src
+    assert 'lower.startswith("website")' in src
+    assert 'details[row["laureate_position"] - 1]' in src
+
+
+def test_laureate_keio_matches_reference(lp_rows, orders_rows):
+    """keio_medical_science_prize_to_s3.py:141-362 — reference
+    algorithm verbatim, including the section mode machine."""
+
+    def norm(t):
+        if t is None:
+            return None
+        c = re.sub(r"\s+", " ", t.replace("\xa0", " ")).strip()
+        return c or None
+
+    def keio_slug(text, max_len=80):
+        text = re.sub(r"\(\*+[^)]*\)", "", text)
+        text = text.lower()
+        text = re.sub(r"[^a-z0-9]+", "-", text)
+        text = re.sub(r"-+", "-", text).strip("-")
+        return (text or "unknown")[:max_len].strip("-") or "unknown"
+
+    def strip_degree(name):
+        if not name:
+            return None
+        out = re.sub(r",?\s*(M\.?D\.?|Ph\.?D\.?|D\.?V\.?M\.?|Dr\.?)\.?",
+                     "", name, flags=re.I)
+        return norm(out)
+
+    def split(name):
+        name = strip_degree(name)
+        if not name:
+            return None, None
+        parts = name.split()
+        if len(parts) == 1:
+            return None, parts[0]
+        return " ".join(parts[:-1]), parts[-1]
+
+    def section_fields(raw_lines):
+        """The reference's mode machine (:231-258) over cleaned lines."""
+        aff, mode = None, "intro"
+        reason, comments = [], []
+        for line in [norm(x) for x in raw_lines if norm(x)]:
+            lower = line.lower()
+            if lower == "reason for selection":
+                mode = "reason"
+                continue
+            if lower == "background":
+                mode = None
+                continue
+            if lower == "comments":
+                mode = "comments"
+                continue
+            if mode == "intro":
+                if aff is None and not lower.startswith("website"):
+                    aff = line
+            elif mode == "reason":
+                reason.append(line)
+            elif mode == "comments":
+                comments.append(line)
+        return aff, norm(" ".join(reason)), norm(" ".join(comments))
+
+    LIST = "https://www.ms-fund.keio.ac.jp/en/prize/list.html"
+    expected = {}
+    for k, *_ in orders_rows:
+        year_text = "TBA" if k % 11 == 0 else f"FY{1995 + k % 31}"
+        m = re.search(r"(19|20)\d{2}", year_text)
+        if not m:
+            continue
+        year = int(m.group(0))
+        detail_url = (f"https://www.ms-fund.keio.ac.jp/en/prize/winners/"
+                      f"w{k}.html" if k % 3 < 2 else None)
+        lines = {
+            1: (["Website: https://lab.example",
+                 f"Kyoto  University {k % 13}", "Reason for selection",
+                 f"Discovered reprogramming {k % 17}",
+                 "of mature cells", "Background",
+                 "Early career in Osaka", "Comments",
+                 "Deeply honored by the prize"] if k % 3 == 0 else
+                ([f"Stanford University {k % 19}",
+                  "Reason for selection", f"Pioneering work {k % 23}",
+                  "in adult neurogenesis"] if k % 3 == 1 else [])),
+            2: ([f"MIT {k % 29}", "Reason for selection",
+                 "Neural circuit mapping"] if k % 3 == 0 else []),
+        }
+        d_names = {1: (f"Shinya Yamanaka{k}, M.D." if k % 3 < 2
+                       else None),
+                   2: (f"Second Winner{k} Dr." if k % 3 == 0 else None)}
+        raw_names = {
+            1: [f"Shinya Yamanaka{k}, M.D., Ph.D.",
+                f"Svante Paabo{k} (*)",
+                f"Katalin Kariko{k} (** Nobel 2023)",
+                f"Fred  Gage{k}", ""][k % 5],
+            2: "" if k % 4 == 0 else f"Second Winner{k}",
+        }
+        for pos in (1, 2):
+            raw = norm(raw_names[pos]) or ""
+            notes = " ".join(re.findall(r"\(\*+[^)]*\)", raw)) or None
+            name = norm(re.sub(r"\(\*+[^)]*\)", "", raw))
+            if not name:
+                continue
+            has_section = bool(lines[pos])
+            aff, reason, comments = (section_fields(lines[pos])
+                                     if has_section
+                                     else (None, None, None))
+            given, family = split(name)
+            aid = (f"keio-medical-science-prize-{year}-{pos}-"
+                   f"{keio_slug(name)}")
+            expected[aid] = {
+                "award_year": str(year), "laureate_name": name,
+                "given_name": given, "family_name": family,
+                "affiliation": aff,
+                "ke_display_name":
+                    f"Keio Medical Science Prize {year} - {name}",
+                "ke_description": reason, "ke_comments": comments,
+                "ke_nobel_note": notes,
+                "ke_laureate_position": str(pos),
+                "ke_source_detail_name":
+                    (strip_degree(d_names[pos]) if has_section
+                     else None),
+                "ke_start_date": f"{year}-01-01",
+                "ke_end_date": f"{year}-12-31",
+                "landing_page_url": detail_url or LIST,
+                "source_url": LIST,
+                "source_award_amount": "10000000.0",
+                "currency": "JPY",
+                "ke_funder_scheme": "Keio Medical Science Prize",
+                "ke_provenance": "keio_medical_science_prize",
+            }
+    _lp_check(lp_rows["keio_medical_science_prize"], expected)
