@@ -75,6 +75,9 @@ _CHANGED_THIS_ROUND: list[str] = [
     # r14 ADVICE fix: \b year boundaries + match.start()-faithful scheme
     # prefix, plus two adversarial fixture arms that exercise them
     "heineken_parse_prizes",
+    # r14 schmidt_sciences arm added to the method-5 family (new member
+    # rows in the union output; legacy arms byte-identical)
+    "method5_parse_awards",
 ]
 
 # Queries whose defining MODULE changed this round but whose own plan

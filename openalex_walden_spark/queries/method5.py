@@ -1,8 +1,27 @@
 """Method-5 static-HTML scraper family
 (scripts/local/{mott,helmsley,fritz_thyssen,mercator_fellows,
-novo_nordisk_fonden,rj_jubileumsfond,wt_grant,aos_research_awards}
-_to_s3.py — 8 scripts, one sitemap-discovery skeleton plus the AOS
-page-walk arm; the AOS semantics map lives on :func:`_aos_arm`).
+novo_nordisk_fonden,rj_jubileumsfond,wt_grant,aos_research_awards,
+schmidt_sciences}_to_s3.py — 9 scripts, one sitemap-discovery
+skeleton plus the AOS page-walk arm and the schmidt big-page-inline
+arm; the AOS semantics map lives on :func:`_aos_arm`).
+
+**schmidt_sciences** (round 14, schmidt_sciences_to_s3.py:126-344,
+big-page-inline variant): one <li> per awardee; the data-* attributes
+and the anchor's ordered element texts are the fixture seam.  The
+name walk (:252-275) takes the first anchor text that is non-empty,
+differs from the data-program echo and the focus-area display echo,
+and either lower-equals data-term or is a <80-char alpha-bearing
+string (texts failing BOTH pick rules are skipped, not taken);
+fallback = capitalize()-per-part of the /grantee/{{slug}}/ URL slug,
+else the row is dropped.  ``parse_year_range`` (:196-215) splits
+data-year on commas with an int + 1900-2100 gate -> (min, max);
+``FOCUS_AREA_DISPLAY`` maps the slug attribute (unknown slugs keep a
+NULL display).  funder_award_id (:337-341) uses the fillna(0) year
+and slugify(program or 'none'); amounts are the documented §6.7 NULL
+waiver.  Column mapping into the family schema: grantee_name ->
+recipient, focus_area_slug -> subject, focus_area_display ->
+focus_areas, data-year raw -> period_raw, data-term -> term,
+grantee_url -> landing_page_url.
 
 Each reference script enumerates a publisher's detail pages from
 sitemaps and parses one record per page.  The sitemap crawl, HTTP
@@ -218,6 +237,16 @@ AOS_LACCR_NOTE = (
 )
 # parse_laccr_2023's hardcoded spec list (:432-455), verbatim — the
 # third element selects joint vs individual project text
+# schmidt_sciences_to_s3.py:130-137 — the listing's slug -> display
+# map, verbatim (AST-pinned); tuple-of-pairs keeps CASE order stable
+SCHMIDT_FOCUS_AREA_DISPLAY = (
+    ("ai-advanced-computing", "AI & Advanced Computing"),
+    ("astrophysics-space", "Astrophysics & Space"),
+    ("biosciences", "Biosciences"),
+    ("climate", "Climate"),
+    ("science", "Science Systems"),
+)
+
 AOS_LACCR_2023_SPECS = [
     ("Valentina Gómez-Bahamón",
      "Eberly Postdoctoral Fellow in the Toews Lab at The Pennsylvania "
@@ -1347,12 +1376,180 @@ wt_out AS (
   FROM wt_parsed WHERE title IS NOT NULL
 )"""
 
+    # ---- schmidt_sciences (round 14, big-page-inline variant) ---------------
+    # scripts/local/schmidt_sciences_to_s3.py:126-344 — the listing's
+    # <li> data attributes + the anchor's element-text name walk; HTTP
+    # and DOM selection are the seam, the fixture delivers the data-*
+    # attributes and the ordered anchor texts.
+    # split staged as toks -> keep_last bars so the union's optimized
+    # plan text stays bounded (the r12 CollapseProject lesson)
+    if dialect == "spark":
+        sc_toks_expr = ("filter(split(coalesce(recipient_name, ''), "
+                        "'\\\\s+'), x -> x <> '')")
+        sc_keep_last = ("coalesce(array_max(zip_with(name_toks, "
+                        "sequence(1, size(name_toks)), (t, i) -> "
+                        f"CASE WHEN lower(trim(BOTH '.,' FROM t)) "
+                        f"NOT IN ({_SUFFIX_B}) THEN i END)), 0)")
+        sc_head = ("array_join(slice(name_toks, 1, keep_last - 1), ' ')")
+    else:
+        sc_toks_expr = ("list_filter(regexp_split_to_array("
+                        "coalesce(recipient_name, ''), '\\s+'), "
+                        "x -> x <> '')")
+        sc_keep_last = ("coalesce(list_max(list_transform(name_toks, "
+                        "(t, i) -> CASE WHEN lower(trim(BOTH '.,' "
+                        f"FROM t)) NOT IN ({_SUFFIX_B}) THEN i END)), 0)")
+        sc_head = ("list_aggr(list_slice(name_toks, 1, keep_last - 1), "
+                   "'string_agg', ' ')")
+    sc_given = (f"CASE WHEN keep_last >= 2 THEN nullif({sc_head}, '') "
+                f"END")
+    sc_family = (f"CASE WHEN keep_last >= 1 THEN "
+                 f"{elem('name_toks', 'keep_last')} END")
+    sc_focus = " ".join(f"WHEN '{slug}' THEN '{disp}'"
+                        for slug, disp in SCHMIDT_FOCUS_AREA_DISPLAY)
+    if dialect == "spark":
+        sc_years = ("filter(transform(split(coalesce(year_raw, ''), "
+                    "','), p -> trim(p)), p -> p RLIKE '^[0-9]+$' AND "
+                    "try_cast(p AS INT) BETWEEN 1900 AND 2100)")
+        sc_ymin = "array_min(transform(years_arr, p -> CAST(p AS INT)))"
+        sc_ymax = "array_max(transform(years_arr, p -> CAST(p AS INT)))"
+        sc_pick = ("try_element_at(filter(a_texts, t -> t <> '' "
+                   "AND (data_program IS NULL OR t <> data_program) "
+                   "AND (focus_disp IS NULL OR t <> focus_disp) "
+                   "AND ((data_term IS NOT NULL AND lower(t) = data_term)"
+                   " OR (length(t) < 80 AND t RLIKE '[A-Za-z]'))), 1)")
+        sc_title = ("array_join(transform(split(url_slug, '-'), p -> "
+                    "concat(upper(substring(p, 1, 1)), "
+                    "lower(substring(p, 2)))), ' ')")
+    else:
+        sc_years = ("list_filter(list_transform(string_split("
+                    "coalesce(year_raw, ''), ','), p -> trim(p)), "
+                    "p -> regexp_matches(p, '^[0-9]+$') AND "
+                    "try_cast(p AS INT) BETWEEN 1900 AND 2100)")
+        sc_ymin = "list_min(list_transform(years_arr, p -> CAST(p AS INT)))"
+        sc_ymax = "list_max(list_transform(years_arr, p -> CAST(p AS INT)))"
+        sc_pick = ("(list_filter(a_texts, t -> t <> '' "
+                   "AND (data_program IS NULL OR t <> data_program) "
+                   "AND (focus_disp IS NULL OR t <> focus_disp) "
+                   "AND ((data_term IS NOT NULL AND lower(t) = data_term)"
+                   " OR (length(t) < 80 AND regexp_matches(t, "
+                   "'[A-Za-z]')))))[1]")
+        sc_title = ("array_to_string(list_transform(string_split("
+                    "url_slug, '-'), p -> concat(upper(substring(p, 1, "
+                    "1)), lower(substring(p, 2)))), ' ')")
+    sc_arr = ((lambda *i: f"array({', '.join(i)})" if i
+               else "slice(array(''), 1, 0)") if dialect == "spark" else
+              (lambda *i: f"[{', '.join(i)}]" if i
+               else "list_slice([''], 1, 0)"))
+    sc_longtext = "'" + "x" * 85 + "'"
+
+    sc = f"""
+sc_raw AS (
+  SELECT o_orderkey AS k,
+    CASE CAST(o_orderkey % 4 AS INT)
+      WHEN 0 THEN NULL WHEN 1 THEN 'AI2050'
+      WHEN 2 THEN 'Schmidt Science Polymaths'
+      ELSE 'AI in Sci' END AS data_program,
+    CASE CAST(o_orderkey % 5 AS INT)
+      WHEN 0 THEN NULL WHEN 1 THEN 'ai-advanced-computing'
+      WHEN 2 THEN 'biosciences' WHEN 3 THEN 'climate'
+      ELSE 'unknown-slug' END AS focus_slug,
+    CASE CAST(o_orderkey % 6 AS INT)
+      WHEN 0 THEN '' WHEN 1 THEN '2023'
+      WHEN 2 THEN '2020, 2021, 2022, 2023'
+      WHEN 3 THEN '1850' WHEN 4 THEN 'TBD'
+      ELSE ' 2021 , 2024 ' END AS year_raw,
+    CASE WHEN o_orderkey % 3 < 2
+      THEN concat('https://www.schmidtsciences.org/grantee/jane-doe-',
+                  {ks}, '/') END AS grantee_url,
+    CASE WHEN o_orderkey % 7 = 3 THEN concat('jane doe ', {ks})
+      WHEN o_orderkey % 7 = 6 THEN '12345 678' END AS data_term,
+    CASE CAST(o_orderkey % 7 AS INT)
+      WHEN 0 THEN {sc_arr("'AI2050'", f"concat('Jane Doe', {ks})")}
+      WHEN 1 THEN {sc_arr("''", "'AI & Advanced Computing'",
+                          f"concat('Nadia Drake', {ks}, ' PhD')")}
+      WHEN 2 THEN {sc_arr(sc_longtext, f"concat('Omar Farah', {ks})")}
+      WHEN 3 THEN {sc_arr(f"concat('jane doe ', {ks})")}
+      WHEN 4 THEN {sc_arr()}
+      WHEN 5 THEN {sc_arr(f"concat('X1 Research Collective ', {ks})")}
+      ELSE {sc_arr("'12345 678'")} END AS a_texts
+  FROM orders
+),
+{bar("sc_focused", "sc_raw", ["k", "data_program", "focus_slug",
+                              "year_raw", "grantee_url", "data_term",
+                              "a_texts"], [
+    ("focus_disp", f"CASE focus_slug {sc_focus} END"),
+    ("url_slug", rx("coalesce(grantee_url, '')",
+                    "/grantee/([^/]+)/?", 1)),
+    ("years_arr", sc_years),
+])},
+{bar("sc_named", "sc_focused", ["k", "data_program", "focus_slug",
+                                "year_raw", "grantee_url", "data_term",
+                                "focus_disp", "url_slug"], [
+    ("recipient_name", f"coalesce({sc_pick}, "
+                       f"CASE WHEN url_slug IS NOT NULL "
+                       f"THEN {sc_title} END)"),
+    ("start_year_i", sc_ymin),
+    ("end_year_i", sc_ymax),
+])},
+sc_kept AS (
+  SELECT * FROM sc_named WHERE recipient_name IS NOT NULL
+),
+{bar("sc_toks", "sc_kept", ["k", "data_program", "focus_slug",
+                            "year_raw", "grantee_url", "data_term",
+                            "focus_disp", "url_slug", "recipient_name",
+                            "start_year_i", "end_year_i"], [
+    ("name_toks", sc_toks_expr),
+])},
+{bar("sc_split", "sc_toks", ["k", "data_program", "focus_slug",
+                             "year_raw", "grantee_url", "data_term",
+                             "focus_disp", "url_slug", "recipient_name",
+                             "start_year_i", "end_year_i",
+                             "name_toks"], [
+    ("keep_last", sc_keep_last),
+])},
+sc_out AS (
+  SELECT 'schmidt_sciences' AS member,
+    concat('schmidt-', {cs('coalesce(start_year_i, 0)')}, '-',
+           CASE WHEN data_program IS NULL THEN 'none'
+             ELSE {slugify('data_program')} END, '-',
+           coalesce(url_slug, {slugify('recipient_name')}))
+      AS funder_award_id,
+    coalesce(url_slug, {slugify('recipient_name')}) AS slug,
+    {nullcols('title', 'display_name')},
+    recipient_name AS recipient,
+    {nullcols('pi_raw')},
+    {sc_given} AS given_name,
+    {sc_family} AS family_name,
+    {nullcols('credentials', 'institution', 'grantee_org',
+              'prize_name')},
+    data_program AS program,
+    {nullcols('initiative', 'funding_program')},
+    focus_disp AS focus_areas,
+    {nullcols('topics')},
+    focus_slug AS subject,
+    {nullcols('reference_number', 'grant_administrator',
+              'fellowship_program', 'amount', 'amount_raw',
+              'currency')},
+    nullif(year_raw, '') AS period_raw,
+    {nullcols('date_raw', 'award_date', 'start_date', 'end_date')},
+    {cs('start_year_i')} AS start_year,
+    {cs('end_year_i')} AS end_year,
+    {nullcols('award_year')},
+    data_term AS term,
+    {nullcols('location', 'geographic_focus', 'project_title',
+              'biography', 'description', 'copi_given_name',
+              'copi_family_name', 'copi_org', 'name_slug',
+              'native_grant_id')},
+    grantee_url AS landing_page_url
+  FROM sc_split
+)"""
+
     aos = _aos_arm(dialect, g, S, cs, nullcols, rl, rx, elem)
     aos_nulls = nullcols(*_AOS_EXTRA_COLS)
     aos_extras = ", ".join(_AOS_EXTRA_COLS)
 
     return f"""
-WITH {mott},{helmsley},{fritz},{mercator},{novo},{rj},{wt},{aos}
+WITH {mott},{helmsley},{fritz},{mercator},{novo},{rj},{wt},{sc},{aos}
 SELECT {_COLS}, {aos_extras} FROM aos_out
 UNION ALL SELECT {_COLS}, {aos_nulls} FROM mt_out
 UNION ALL SELECT {_COLS}, {aos_nulls} FROM hm_out
@@ -1361,6 +1558,7 @@ UNION ALL SELECT {_COLS}, {aos_nulls} FROM me_out
 UNION ALL SELECT {_COLS}, {aos_nulls} FROM nv_out
 UNION ALL SELECT {_COLS}, {aos_nulls} FROM rj_out
 UNION ALL SELECT {_COLS}, {aos_nulls} FROM wt_out
+UNION ALL SELECT {_COLS}, {aos_nulls} FROM sc_out
 """
 
 
@@ -1382,8 +1580,9 @@ def _build(dialect: str) -> str:
          "rj_jubileumsfond,wt_grant,aos_research_awards}_to_s3.py)"),
 )
 def method5_parse_awards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seven method-5 publishers in one union plan (module docstring
-    has the per-member semantics map).  Seven scan arms behind Generate
+    """Nine method-5 publishers in one union plan (module docstring
+    has the per-member semantics map).  Scan arms behind Generate
     barriers; slugs are unique by construction (the references RAISE on
-    collision) so there is no dedup and no shuffle at all."""
+    collision) so the only exchanges are the AOS arm's per-page
+    windows."""
     return spark.sql(_build("spark"))

@@ -969,11 +969,15 @@ def test_tinyfunder_barriered_union_shape(spark, sf_dir):
 
 
 def test_method5_no_shuffle_union(spark, sf_dir):
-    """Method-5 family: seven zero-shuffle scan arms behind Generate
+    """Method-5 family: eight zero-shuffle scan arms behind Generate
     barriers plus the AOS arm (round 11), whose page-walk is exploded
     node rows with per-page windows/joins — those exchanges partition
     on the page key and are the arm's whole cost; no Python; bounded
-    plan."""
+    plan.  Bound raised 150K -> 170K for the round-14 schmidt arm:
+    the union is 9 linear barrier-staged arms at ~150K in a fresh
+    session (plus a few KB of attribute-id width in a long-lived one)
+    — the bound still catches the 2-10x CollapseProject blow-up class
+    it exists for (tinyfunder measured 270K pre-barrier)."""
     plan = _plan(spark, sf_dir, "method5_parse_awards")
     assert plan.count("Exchange hashpartitioning") <= 14
     assert "Generate" in plan
@@ -981,7 +985,7 @@ def test_method5_no_shuffle_union(spark, sf_dir):
     assert "CartesianProduct" not in plan
     df = q.CATALOG["method5_parse_awards"].spark(spark, sf_dir)
     opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
-    assert len(opt) < 150_000, f"plan blow-up: {len(opt)} chars"
+    assert len(opt) < 170_000, f"plan blow-up: {len(opt)} chars"
 
 
 def test_prize_pattern_share_windows_only(spark, sf_dir):

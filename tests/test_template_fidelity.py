@@ -2885,9 +2885,10 @@ def test_method5_matches_reference_semantics(spark, sf_dir, orders_rows):
                 "description": (None if k % 3 == 0 else
                                 f"How programs shape outcomes, case {k}"),
             }
-    # the aos arm (round 11) has its own re-derivation below
+    # the aos (round 11) and schmidt (round 14) arms have their own
+    # re-derivations below
     actual = [r for r in _run(spark, sf_dir, "method5_parse_awards")
-              if r.member != "aos"]
+              if r.member not in ("aos", "schmidt_sciences")]
     assert len(actual) == len(expected), (len(actual), len(expected))
     for r in actual:
         exp = expected[(r.member, r.funder_award_id)]
@@ -10721,3 +10722,159 @@ def test_laureate_keio_matches_reference(lp_rows, orders_rows):
                 "ke_provenance": "keio_medical_science_prize",
             }
     _lp_check(lp_rows["keio_medical_science_prize"], expected)
+
+
+# ---------------------------------------------------------------------------
+# Schmidt Sciences arm of the method-5 family
+# (scripts/local/schmidt_sciences_to_s3.py:126-344)
+# ---------------------------------------------------------------------------
+
+_SCH_FOCUS = {
+    "ai-advanced-computing": "AI & Advanced Computing",
+    "astrophysics-space": "Astrophysics & Space",
+    "biosciences": "Biosciences",
+    "climate": "Climate",
+    "science": "Science Systems",
+}
+
+
+def _sch_slug(s):
+    s = re.sub(r"[^a-z0-9]+", "-", (s or "").lower()).strip("-")
+    return s or "unknown"
+
+
+def _sch_split(name):
+    if not name:
+        return None, None
+    tokens = name.split()
+    suf = {"phd", "md", "dphil", "dsc", "scd", "jr.", "sr.", "ii",
+           "iii", "iv", "jr", "sr"}
+    while tokens and tokens[-1].lower().strip(",.") in suf:
+        tokens.pop()
+    if not tokens:
+        return None, None
+    if len(tokens) == 1:
+        return None, tokens[0]
+    return " ".join(tokens[:-1]), tokens[-1]
+
+
+def _sch_year_range(raw):
+    if not raw or not raw.strip():
+        return None, None
+    years = []
+    for p in [p.strip() for p in raw.split(",")]:
+        try:
+            y = int(p)
+            if 1900 <= y <= 2100:
+                years.append(y)
+        except ValueError:
+            pass
+    if not years:
+        return None, None
+    return min(years), max(years)
+
+
+def test_schmidt_matches_reference_semantics(spark, sf_dir, orders_rows):
+    expected = {}
+    for k, *_ in orders_rows:
+        program = [None, "AI2050", "Schmidt Science Polymaths",
+                   "AI in Sci"][k % 4]
+        focus_slug = [None, "ai-advanced-computing", "biosciences",
+                      "climate", "unknown-slug"][k % 5]
+        year_raw = ["", "2023", "2020, 2021, 2022, 2023", "1850",
+                    "TBD", " 2021 , 2024 "][k % 6]
+        url = (f"https://www.schmidtsciences.org/grantee/jane-doe-{k}/"
+               if k % 3 < 2 else None)
+        term = (f"jane doe {k}" if k % 7 == 3
+                else ("12345 678" if k % 7 == 6 else None))
+        texts = [["AI2050", f"Jane Doe{k}"],
+                 ["", "AI & Advanced Computing", f"Nadia Drake{k} PhD"],
+                 ["x" * 85, f"Omar Farah{k}"],
+                 [f"jane doe {k}"], [],
+                 [f"X1 Research Collective {k}"],
+                 ["12345 678"]][k % 7]
+        # parse_listing name walk (:252-275), reference logic verbatim
+        focus_disp = _SCH_FOCUS.get(focus_slug) if focus_slug else None
+        name = None
+        for t in texts:
+            if not t:
+                continue
+            if program and t == program:
+                continue
+            if focus_slug and t == focus_disp:
+                continue
+            if term and t.lower() == term:
+                name = t
+                break
+            if not name and len(t) < 80 and any(c.isalpha() for c in t):
+                name = t
+                break
+        slug = None
+        if url:
+            m = re.search(r"/grantee/([^/]+)/?", url)
+            if m:
+                slug = m.group(1)
+        if not name and slug:
+            name = " ".join(p.capitalize() for p in slug.split("-"))
+        if not name:
+            continue
+        start_year, end_year = _sch_year_range(year_raw)
+        given, family = _sch_split(name)
+        slug_final = slug or _sch_slug(name)
+        # build_dataframe id (:337-341): fillna(0) year, 'none' program
+        aid = (f"schmidt-{start_year if start_year is not None else 0}"
+               f"-{_sch_slug(program or 'none')}-{slug_final}")
+        expected[aid] = {
+            "recipient": name, "given_name": given,
+            "family_name": family, "slug": slug_final,
+            "program": program, "subject": focus_slug,
+            "focus_areas": focus_disp,
+            "period_raw": year_raw or None,
+            "start_year": (str(start_year)
+                           if start_year is not None else None),
+            "end_year": (str(end_year)
+                         if end_year is not None else None),
+            "term": term, "landing_page_url": url,
+        }
+    actual = {r.funder_award_id: r
+              for r in _run(spark, sf_dir, "method5_parse_awards")
+              if r.member == "schmidt_sciences"}
+    assert len(actual) == len(expected), (len(actual), len(expected))
+    for aid, exp in expected.items():
+        r = actual.get(aid)
+        assert r is not None, aid
+        for col, want in exp.items():
+            assert getattr(r, col) == want, (aid, col, getattr(r, col),
+                                             want)
+
+
+def test_schmidt_constants_match_reference():
+    import ast
+
+    from openalex_walden_spark.queries import method5 as port
+
+    ref = "/root/reference/scripts/local/schmidt_sciences_to_s3.py"
+    src = open(ref, encoding="utf-8").read()
+    tree = ast.parse(src)
+    found = {}
+    for node in ast.walk(tree):
+        if (isinstance(node, ast.Assign) and len(node.targets) == 1
+                and isinstance(node.targets[0], ast.Name)
+                and node.targets[0].id in ("FOCUS_AREA_DISPLAY",
+                                           "_SUFFIX_TOKENS")):
+            found[node.targets[0].id] = ast.literal_eval(node.value)
+    assert found["FOCUS_AREA_DISPLAY"] == dict(
+        port.SCHMIDT_FOCUS_AREA_DISPLAY)
+    assert found["FOCUS_AREA_DISPLAY"] == _SCH_FOCUS
+    assert found["_SUFFIX_TOKENS"] == {
+        "phd", "md", "dphil", "dsc", "scd", "jr.", "sr.", "ii", "iii",
+        "iv", "jr", "sr"}
+    # year gate, name-walk rules, slug regex, and the fillna(0) id rule
+    assert "1900 <= y <= 2100" in src
+    assert 'if term and t.lower() == term' not in src  # mirror-local name
+    assert 't.lower() == li.get("data-term")' in src
+    assert "len(t) < 80 and any(c.isalpha() for c in t)" in src
+    assert r'/grantee/([^/]+)/?' in src
+    assert 'part.capitalize() for part in slug.split("-")' in src
+    assert 'df["start_year"].fillna(0).astype(int).astype(str)' in src
+    assert 'df["program"].fillna("none").apply(slugify)' in src
