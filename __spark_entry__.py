@@ -78,6 +78,13 @@ _CHANGED_THIS_ROUND: list[str] = [
     # r14 schmidt_sciences arm added to the method-5 family (new member
     # rows in the union output; legacy arms byte-identical)
     "method5_parse_awards",
+    # r14 checkpoint-release change (operators/checkpoints.py): the two
+    # direct callers of the iterative operators front for real driver
+    # rows — outputs proven byte-stable (goldens replay), but these are
+    # also exactly the rows the r13 verdict wanted re-verified after
+    # the pagerank replan
+    "graph_pagerank_fixedpoint",
+    "dedup_connected_components",
 ]
 
 # Queries whose defining MODULE changed this round but whose own plan
@@ -86,7 +93,37 @@ _CHANGED_THIS_ROUND: list[str] = [
 # can check against the diff; tests/test_driver_window.py rejects any
 # module-changed green query that is neither here nor in
 # _CHANGED_THIS_ROUND.  Reset to {} at every round boundary.
-_WINDOW_EXEMPT: dict[str, str] = {}
+_WINDOW_EXEMPT: dict[str, str] = {
+    # r14: llmdata/graphops import the iterative operators whose only
+    # change this round is checkpoint-block RELEASE after the result is
+    # materialized (operators/checkpoints.py + the SESSION_SCOPE_LOCK);
+    # none of these queries calls pagerank_fixedpoint or
+    # connected_components (grep-verified: the only call sites are
+    # graph_pagerank_fixedpoint and dedup_connected_components, both
+    # fronted in _CHANGED_THIS_ROUND), and every golden is byte-stable
+    # in this session's full replay.
+    name: (
+        "sibling-module flag only: imports the iterative operators "
+        "whose r14 change is post-materialization checkpoint release; "
+        "this query never calls them (call sites are fronted); golden "
+        "unchanged")
+    for name in (
+        "text_quality_features", "text_lang_id", "dedup_exact_documents",
+        "dedup_minhash_lsh_pairs", "dedup_simhash", "ann_cosine_topk",
+        "llm_judge_verdicts", "text_token_stats", "dedup_ngram_jaccard",
+        "llm_embed_vectors", "text_fingerprint_winnow",
+        "sample_stratified_hash", "decontaminate_eval_overlap",
+        "quality_filter_gate", "quality_gopher_repetition",
+        "pii_scrub_redact", "search_boolean_retrieval",
+        "dedup_segments_exact", "search_bm25_topk", "ann_sq8_topk",
+        "mixture_rebalance_sample", "pack_sequences_chunked",
+        "sample_importance_weighted", "quality_lm_surprisal",
+        "dedup_prefix_filter_pairs", "chunk_documents_overlap",
+        "bpe_top_merges", "crawl_drain_queue", "search_hybrid_rrf",
+        "graph_triangle_count", "graph_label_propagation",
+        "hierarchy_flatten_doubling",
+    )
+}
 
 # Every query with a green driver row, stalest round first (name
 # tie-break) — the tail of the re-verification schedule.
