@@ -1,7 +1,7 @@
 """Laureate-prize scraper family
 (scripts/local/{kyoto_prize,japan_prize,brain_prize,king_faisal_prize,
-keio_medical_science_prize}_to_s3.py — 5 scripts, one laureate-ingest
-kit).
+keio_medical_science_prize,international_biology_prize}_to_s3.py — 6
+scripts, one laureate-ingest kit).
 
 The four prize ingests share the canonical prize-ingest kit the Wolf/
 Kavli/Abel ports established: ``collapse_text`` (ws collapse +
@@ -68,6 +68,26 @@ card/table/teaser fields one record per orders key.  Ported compute:
   (not the kit's token pops) and the splitter has NO suffix set;
   amount = str(10000000.0) -> '10000000.0'; id =
   'keio-medical-science-prize-{year}-{position}-{slug(name)}';
+* **international_biology_prize**
+  (international_biology_prize_to_s3.py:132-420): list panels carry a
+  '{{year}} ({{n}}th)' label (\\b-free year+edition grammar), a
+  'Recipient :' line split on ' / ' into name/affiliation, and a
+  'Research field :' line; ``clean_person_name`` strips honorifics —
+  the 'Prof\\.?' alternative SHADOWS 'Professor' (leftmost
+  alternation leaves 'essor …', preserved verbatim and pinned) — plus
+  a CASE-SENSITIVE tail degree strip whose double-escaped
+  ``Ph\\\\.D\\\\.`` alternative is dead in both engines; the
+  Japanese all-upper-first-token split ('YAMANAKA Shinya' ->
+  ('Shinya', 'Yamanaka') via .title()); detail pages (.html landings)
+  contribute the research-achievements description; years beyond the
+  listed range come from the detail-intro grammar: 'awards the {{year}}
+  Prize in the field of "…" to …' (smart or straight quotes), the
+  tail de-glued (Dr./Prof. replaces), honorific-stripped, then cut at
+  the FIRST marker in the ORDERED 5-marker scan (priority order, not
+  position), else at a <80-char first comma, else the first-2-words
+  rule; description falls back to the 'in the field of {{field}}.'
+  render; fixed 10000000.0 JPY; id =
+  'international-biology-prize-{{year}}-{{slug(name)}}';
 * **king_faisal_prize** (king_faisal_prize_to_s3.py:113-360):
   all-winners table rows (5 cells); ``clean_laureate_name`` first
   spaces glued initials (``\\b([A-Z])\\.(?=[A-Z][a-z])`` -> '\\1. '),
@@ -1113,32 +1133,283 @@ ke_out AS (
     def pad(*groups) -> str:
         return ", ".join(", ".join(gp) for gp in groups)
 
+    # ------------------------------------------------------------------
+    # International Prize for Biology arm
+    # (international_biology_prize_to_s3.py:132-420)
+    # ------------------------------------------------------------------
+    # clean_person_name (:153-160): honorific strips (the 'Prof\.?'
+    # alternative SHADOWS 'Professor' — leftmost alternation leaves
+    # 'essor …', preserved verbatim and fixture-pinned), tail degree
+    # strip CASE-SENSITIVE with the dead double-escaped Ph\\.D\\.
+    ib_pre1 = "(?i)^(Dr\\\\.?|Prof\\\\.?|Professor)\\\\s*"
+    ib_pre2 = "(?i)^(Sir|Dame)\\\\s+"
+    ib_tail = "\\\\s+(FRS|FBA|MD|PhD|Ph\\\\\\\\.D\\\\\\\\.)$"
+
+    def ib_clean(x: str) -> str:
+        e = f"replace(replace({x}, chr(12288), ' '), chr(160), ' ')"
+        return f"nullif(trim(regexp_replace({e}, '\\\\s+', ' '{g})), '')"
+
+    def ib_cp(x: str) -> str:
+        e = ib_clean(x)
+        e = f"regexp_replace({e}, '{ib_pre1}', ''{g})"
+        e = f"regexp_replace({e}, '{ib_pre2}', ''{g})"
+        e = f"regexp_replace({e}, '{ib_tail}', ''{g})"
+        e = f"trim(BOTH ' ,;' FROM {e})"
+        return ib_clean(e)
+
+    # split_name (:165-174): all-upper FIRST token -> Japanese-style
+    # (given = rest, family = first.title()); else head/last
+    ib_toks = splitws("name_final")
+    ib_n = asize(ib_toks)
+    ib_t1 = elem(ib_toks, "1")
+    ib_head = jslice(ib_toks, "1", f"({ib_n}) - 1")
+    ib_rest = jslice(ib_toks, "2", f"({ib_n}) - 1")
+    ib_tlast = elem(ib_toks, f"({ib_n})")
+    ib_isupper = (f"({ib_t1} = upper({ib_t1}) AND "
+                  f"lower({ib_t1}) <> upper({ib_t1}))")
+    ib_title1 = (f"concat(upper(substring({ib_t1}, 1, 1)), "
+                 f"lower(substring({ib_t1}, 2)))")
+    ib_given = (f"CASE WHEN ({ib_n}) <= 1 THEN NULL "
+                f"WHEN {ib_isupper} THEN {ib_rest} "
+                f"ELSE {ib_head} END")
+    ib_family = (f"CASE WHEN ({ib_n}) = 0 THEN NULL "
+                 f"WHEN ({ib_n}) = 1 THEN {ib_t1} "
+                 f"WHEN {ib_isupper} THEN {ib_title1} "
+                 f"ELSE {ib_tlast} END")
+
+    ib_year_ed = "((?:19|20)[0-9]{2})\\\\s+\\\\(([0-9]+)(?:st|nd|rd|th)\\\\)"
+    ib_recip_strip = "(?i)^Recipient\\\\s*:\\\\s*"
+    ib_field_strip = "(?i)^Research field\\\\s*:\\\\s*"
+    # parse_detail_intro grammar (:236-258) with the year re-verified
+    ib_intro_pat = ("(?i)awards the ((?:19|20)[0-9]{2}) Prize in the "
+                    "field of [\"“](.+?)[\"”]\\\\s+to\\\\s+(.+)")
+    ib_markers = (" Emeritus Professor", " Professor", " Senior",
+                  " Director", " Distinguished")
+
+    _IB_LIST = "https://www.jsps.go.jp/english/e-biol/02_recipients.html"
+    _IB_ABOUT = "https://www.jsps.go.jp/english/e-biol/01_outline.html"
+
+    ib_fixture = f"""
+    CASE WHEN o_orderkey % 8 >= 6 THEN 2023 + o_orderkey % 2
+      ELSE 1985 + o_orderkey % 38 END AS yr,
+    CAST(o_orderkey % 8 AS INT) AS shape,
+    CASE WHEN o_orderkey % 8 < 6 THEN
+      CASE WHEN o_orderkey % 9 = 0 THEN 'Ceremony TBD'
+        ELSE concat({cs('1985 + o_orderkey % 38')}, ' (',
+                    {cs('o_orderkey % 38 + 1')}, 'th)') END END
+      AS year_label,
+    CASE CAST(o_orderkey % 5 AS INT)
+      WHEN 0 THEN concat('Recipient: Prof.Motoo Kimura',
+                         {cs('o_orderkey')})
+      WHEN 1 THEN concat('Recipient : Dr. Edward O. Wilson',
+                         {cs('o_orderkey')},
+                         ' FRS / Harvard  University')
+      WHEN 2 THEN concat('recipient: YAMANAKA Shinya',
+                         {cs('o_orderkey')})
+      WHEN 3 THEN ''
+      ELSE concat('Recipient : Sir John Gurdon', {cs('o_orderkey')},
+                  ' PhD / Cambridge') END AS recip_line,
+    CASE CAST(o_orderkey % 3 AS INT)
+      WHEN 0 THEN NULL
+      WHEN 1 THEN concat('Research field : Evolutionary Biology ',
+                         {cs('o_orderkey % 21')})
+      ELSE 'Research field: Systematics' END AS field_line,
+    CASE WHEN o_orderkey % 2 = 0
+      THEN concat('https://www.jsps.go.jp/english/e-biol/'
+                  '02_recipients/awardee', {cs('o_orderkey')}, '.html')
+      END AS about_link,
+    CASE WHEN o_orderkey % 2 = 0 OR o_orderkey % 8 >= 6
+      THEN concat('Discovered  molecular evolution ',
+                  {cs('o_orderkey % 19')}) END AS detail_desc_raw,
+    CASE WHEN o_orderkey % 8 = 6
+      THEN concat('The Society awards the ', {cs('2023 + o_orderkey % 2')},
+        ' Prize in the field of "Marine Biology ', {cs('o_orderkey % 11')},
+        '" to Dr.Taylor Hughes', {cs('o_orderkey')},
+        ' Emeritus Professor of Biology, Kyoto University')
+      WHEN o_orderkey % 8 = 7
+      THEN concat('JSPS awards the ', {cs('2023 + o_orderkey % 2')},
+        ' Prize in the field of “Cell Biology ', {cs('o_orderkey % 13')},
+        '” to Maria Santos', {cs('o_orderkey')},
+        ', University of Lisbon') END AS intro_text"""
+
+    _IB_PT = ["k", "yr", "shape", "about_link", "detail_desc_raw"]
+
+    ib_intro_y = rx("intro_text", ib_intro_pat, 1)
+    ib_intro_f = rx("intro_text", ib_intro_pat, 2)
+    ib_intro_t = rx("intro_text", ib_intro_pat, 3)
+    ib_tail_fix = ("replace(replace(intro_tail, 'Dr.', 'Dr. '), "
+                   "'Prof.', 'Prof. ')")
+    ib_marker_case = " ".join(
+        f"WHEN instr(tail_nt, '{mk}') > 1 THEN instr(tail_nt, '{mk}')"
+        for mk in ib_markers)
+    # the >=2-words fallback of parse_detail_intro (:253-257)
+    ib_tt = splitws("tail_nt")
+    ib_tn = asize(ib_tt)
+    ib_first2_words = (f"CASE WHEN ({ib_tn}) >= 2 THEN "
+                       f"{jslice(ib_tt, '1', '2')} ELSE tail_nt END")
+    ib_after2_words = (f"CASE WHEN ({ib_tn}) >= 2 THEN "
+                       f"nullif({jslice(ib_tt, '3', f'({ib_tn}) - 2')},"
+                       f" '') END")
+
+    ib = f"""
+ib_rest AS (
+  SELECT o_orderkey AS k,{ib_fixture}
+  FROM orders
+),
+{bar("ib_listed", "ib_rest", _IB_PT + ["year_label", "recip_line",
+                                       "field_line", "intro_text"], [
+    ("list_year", rx("coalesce(year_label, '')", ib_year_ed, 1)),
+    ("list_ed", rx("coalesce(year_label, '')", ib_year_ed, 2)),
+    ("recip_clean", ib_clean("recip_line")),
+    ("field_clean",
+     ib_clean(f"regexp_replace({ib_clean('field_line')}, "
+              f"'{ib_field_strip}', ''{g})")),
+    ("intro_year", ib_intro_y),
+    ("intro_field", ib_clean(ib_intro_f)),
+    ("intro_tail", ib_intro_t),
+])},
+{bar("ib_split1", "ib_listed", _IB_PT + ["list_year", "list_ed",
+                                         "recip_clean", "field_clean",
+                                         "intro_year", "intro_field",
+                                         "intro_tail"], [
+    ("recip_body",
+     f"CASE WHEN recip_clean IS NOT NULL AND "
+     f"lower(recip_clean) LIKE 'recipient%' THEN "
+     f"regexp_replace(recip_clean, '{ib_recip_strip}', ''{g}) END"),
+    ("tail_nt_pre", f"CASE WHEN intro_tail IS NOT NULL "
+                    f"THEN {ib_clean(ib_tail_fix)} END"),
+])},
+{bar("ib_split2", "ib_split1", _IB_PT + ["list_year", "list_ed",
+                                         "recip_clean", "field_clean",
+                                         "intro_year", "intro_field",
+                                         "tail_nt_pre"], [
+    ("list_name", ib_cp(
+        "CASE WHEN instr(recip_body, ' / ') > 0 THEN "
+        "substring(recip_body, 1, instr(recip_body, ' / ') - 1) "
+        "ELSE recip_body END")),
+    ("list_aff", ib_clean(
+        "CASE WHEN instr(recip_body, ' / ') > 0 THEN "
+        "substring(recip_body, instr(recip_body, ' / ') + 3) END")),
+    ("tail_nt", f"coalesce({ib_cp('tail_nt_pre')}, tail_nt_pre)"),
+])},
+{bar("ib_introed", "ib_split2", _IB_PT + ["list_year", "list_ed",
+                                          "field_clean", "intro_year",
+                                          "intro_field", "list_name",
+                                          "list_aff", "tail_nt"], [
+    ("mk_idx", f"CASE {ib_marker_case} ELSE 0 END"),
+    ("comma_idx", "coalesce(instr(tail_nt, ','), 0)"),
+])},
+{bar("ib_named", "ib_introed", _IB_PT + ["list_year", "list_ed",
+                                         "field_clean", "intro_year",
+                                         "intro_field", "list_name",
+                                         "list_aff", "tail_nt",
+                                         "mk_idx", "comma_idx"], [
+    ("intro_name", f"CASE WHEN tail_nt IS NULL THEN NULL "
+     f"WHEN mk_idx > 0 THEN {ib_cp('substring(tail_nt, 1, mk_idx - 1)')} "
+     f"WHEN comma_idx > 0 AND comma_idx <= 80 THEN "
+     f"{ib_cp('substring(tail_nt, 1, comma_idx - 1)')} "
+     f"ELSE {ib_cp(ib_first2_words)} END"),
+    ("intro_aff", f"CASE WHEN tail_nt IS NULL THEN NULL "
+     f"WHEN mk_idx > 0 THEN "
+     f"{ib_clean('substring(tail_nt, mk_idx + 1)')} "
+     f"WHEN comma_idx > 0 AND comma_idx <= 80 THEN "
+     f"{ib_clean('substring(tail_nt, comma_idx + 1)')} "
+     f"ELSE {ib_clean(ib_after2_words)} END"),
+])},
+ib_rows AS (
+  SELECT *,
+    CASE WHEN shape < 6 THEN list_year ELSE {cs('yr')} END AS year_s,
+    CASE WHEN shape < 6 THEN list_ed ELSE {cs('yr - 1984')} END
+      AS edition,
+    CASE WHEN shape < 6 THEN list_name ELSE intro_name END AS raw_name,
+    CASE WHEN shape < 6 THEN list_aff ELSE intro_aff END AS aff_pick,
+    CASE WHEN shape < 6 THEN field_clean ELSE intro_field END
+      AS field_pick,
+    CASE WHEN shape < 6 THEN coalesce(about_link, '{_IB_LIST}')
+      ELSE concat('https://www.jsps.go.jp/english/e-biol/'
+                  '02_recipients/awardee', {cs('yr')}, '.html') END
+      AS landing
+  FROM ib_named
+),
+ib_gated AS (
+  SELECT * FROM ib_rows
+  WHERE (shape < 6 AND year_s IS NOT NULL AND raw_name IS NOT NULL)
+     OR (shape >= 6 AND raw_name IS NOT NULL)
+),
+{bar("ib_final", "ib_gated", _IB_PT + ["year_s", "edition", "raw_name",
+                                       "aff_pick", "field_pick",
+                                       "landing"], [
+    ("name_final", f"coalesce({ib_cp('raw_name')}, '')"),
+    ("desc_final",
+     f"coalesce({ib_clean('detail_desc_raw')}, "
+     f"CASE WHEN {ib_clean('field_pick')} IS NOT NULL THEN "
+     f"concat('International Prize for Biology in the field of ', "
+     f"{ib_clean('field_pick')}, '.') END)"),
+])}
+,
+ib_out AS (
+  SELECT
+    'international_biology_prize' AS member,
+    concat('international-biology-prize-', year_s, '-',
+           {slugify('name_final')}) AS funder_award_id,
+    year_s AS award_year,
+    name_final AS laureate_name,
+    {ib_given} AS given_name,
+    {ib_family} AS family_name,
+    aff_pick AS affiliation,
+    landing AS landing_page_url,
+    '{_IB_LIST}' AS source_url,
+    '10000000.0' AS source_award_amount,
+    'JPY' AS currency,
+    '{_IB_ABOUT}' AS amount_rule_url,
+    CAST(NULL AS {S}) AS portion,
+    CAST(NULL AS {S}) AS laureate_count,
+    CAST(NULL AS {S}) AS citation,
+    CAST(NULL AS {S}) AS profile_description,
+    CAST(NULL AS {S}) AS is_organization_laureate,
+    concat('International Prize for Biology ', year_s, ' - ',
+           name_final) AS ib_display_name,
+    desc_final AS ib_description,
+    edition AS ib_edition,
+    {ib_clean('field_pick')} AS ib_research_field,
+    coalesce({ib_clean('field_pick')},
+             'International Prize for Biology') AS ib_funder_scheme,
+    concat(year_s, '-01-01') AS ib_start_date,
+    concat(year_s, '-12-31') AS ib_end_date,
+    'international_biology_prize' AS ib_provenance
+  FROM ib_final
+)"""
+
     ke_extras = ["ke_display_name", "ke_description", "ke_start_date",
                  "ke_end_date", "ke_nobel_note", "ke_laureate_position",
                  "ke_source_detail_name", "ke_comments",
                  "ke_funder_scheme", "ke_provenance"]
+
+    ib_extras = ["ib_display_name", "ib_description", "ib_edition",
+                 "ib_research_field", "ib_funder_scheme",
+                 "ib_start_date", "ib_end_date", "ib_provenance"]
+
+    def arm_select(src: str, live: list) -> str:
+        groups = [ky_extras, jp_extras, br_extras, kf_extras, ke_extras,
+                  ib_extras]
+        parts = [core]
+        for gp in groups:
+            parts.append(pad(gp) if gp is live else nullcols(*gp))
+        return f"SELECT {', '.join(parts)} FROM {src}"
 
     return f"""
 WITH {ky},
 {jp},
 {br},
 {kf},
-{ke}
-SELECT {core}, {pad(ky_extras)}, {nullcols(*jp_extras)},
-  {nullcols(*br_extras)}, {nullcols(*kf_extras)},
-  {nullcols(*ke_extras)} FROM ky_out
-UNION ALL SELECT {core}, {nullcols(*ky_extras)}, {pad(jp_extras)},
-  {nullcols(*br_extras)}, {nullcols(*kf_extras)},
-  {nullcols(*ke_extras)} FROM jp_out
-UNION ALL SELECT {core}, {nullcols(*ky_extras)}, {nullcols(*jp_extras)},
-  {pad(br_extras)}, {nullcols(*kf_extras)},
-  {nullcols(*ke_extras)} FROM br_out
-UNION ALL SELECT {core}, {nullcols(*ky_extras)}, {nullcols(*jp_extras)},
-  {nullcols(*br_extras)}, {pad(kf_extras)},
-  {nullcols(*ke_extras)} FROM kf_out
-UNION ALL SELECT {core}, {nullcols(*ky_extras)}, {nullcols(*jp_extras)},
-  {nullcols(*br_extras)}, {nullcols(*kf_extras)},
-  {pad(ke_extras)} FROM ke_out
+{ke},
+{ib}
+{arm_select('ky_out', ky_extras)}
+UNION ALL {arm_select('jp_out', jp_extras)}
+UNION ALL {arm_select('br_out', br_extras)}
+UNION ALL {arm_select('kf_out', kf_extras)}
+UNION ALL {arm_select('ke_out', ke_extras)}
+UNION ALL {arm_select('ib_out', ib_extras)}
 """
 
 
@@ -1156,10 +1427,11 @@ def _build(dialect: str) -> str:
     tables=("orders",),
     doc=("Laureate-prize scraper family (scripts/local/{kyoto_prize,"
          "japan_prize,brain_prize,king_faisal_prize,"
-         "keio_medical_science_prize}_to_s3.py)"),
+         "keio_medical_science_prize,international_biology_prize}"
+         "_to_s3.py)"),
 )
 def laureate_prize_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Five laureate ingests in one union plan (module docstring has
+    """Six laureate ingests in one union plan (module docstring has
     the per-member semantics map).  The kyoto and king-faisal
     share-count windows are the only exchanges; the keio arm explodes
     the two per-row laureate positions."""

@@ -10596,6 +10596,28 @@ def test_laureate_rule_tables_match_reference_source():
     assert 'lower.startswith("website")' in src
     assert 'details[row["laureate_position"] - 1]' in src
 
+    src, f = pinned(base + "international_biology_prize_to_s3.py",
+                    {"AMOUNT_JPY", "CURRENCY", "PROVENANCE"})
+    assert f["AMOUNT_JPY"] == 10_000_000.0
+    assert f["CURRENCY"] == "JPY"
+    assert f["PROVENANCE"] == "international_biology_prize"
+    # the shadowed-'Professor' honorific strip, the CASE-SENSITIVE
+    # tail strip with the dead double-escaped Ph\\.D\\., the
+    # year+edition grammar, the ' / ' recipient split, the intro
+    # grammar with its ordered marker scan and <80 comma rule, and
+    # the Japanese all-upper family rule
+    assert r'^(Dr\.?|Prof\.?|Professor)\s*' in src
+    assert r'\s+(FRS|FBA|MD|PhD|Ph\\.D\\.)$' in src
+    assert r'((?:19|20)\d{2})\s+\((\d+)(?:st|nd|rd|th)\)' in src
+    assert 'if " / " in line:' in src
+    assert ('awards the {year} Prize in the field of '
+            '[\\"“](.+?)[\\"”]\\s+to\\s+(.+)') in src
+    assert ('[" Emeritus Professor", " Professor", " Senior", '
+            '" Director", " Distinguished"]') in src
+    assert 'tail_no_title.index(",") < 80' in src
+    assert 'parts[0].isupper() and len(parts) >= 2' in src
+    assert 'parts[0].title()' in src
+
 
 def test_laureate_keio_matches_reference(lp_rows, orders_rows):
     """keio_medical_science_prize_to_s3.py:141-362 — reference
@@ -10878,3 +10900,152 @@ def test_schmidt_constants_match_reference():
     assert 'part.capitalize() for part in slug.split("-")' in src
     assert 'df["start_year"].fillna(0).astype(int).astype(str)' in src
     assert 'df["program"].fillna("none").apply(slugify)' in src
+
+
+def test_laureate_intl_biology_matches_reference(lp_rows, orders_rows):
+    """international_biology_prize_to_s3.py:132-420 — reference
+    algorithm verbatim, including the shadowed-'Professor' honorific
+    strip and the detail-intro grammar."""
+
+    def clean(v):
+        if v is None:
+            return None
+        v = v.replace("　", " ").replace("\xa0", " ")
+        v = re.sub(r"\s+", " ", v).strip()
+        return v or None
+
+    def cp(raw):
+        raw = clean(raw)
+        if not raw:
+            return None
+        raw = re.sub(r"^(Dr\.?|Prof\.?|Professor)\s*", "", raw,
+                     flags=re.I)
+        raw = re.sub(r"^(Sir|Dame)\s+", "", raw, flags=re.I)
+        raw = re.sub(r"\s+(FRS|FBA|MD|PhD|Ph\\.D\\.)$", "", raw)
+        raw = raw.strip(" ,;")
+        return clean(raw)
+
+    def split(name):
+        name = cp(name)
+        if not name:
+            return None, None
+        parts = name.split()
+        if len(parts) == 1:
+            return None, parts[0]
+        if parts[0].isupper() and len(parts) >= 2:
+            return " ".join(parts[1:]), parts[0].title()
+        return " ".join(parts[:-1]), parts[-1]
+
+    def recipient_line(line):
+        line = re.sub(r"^Recipient\s*:\s*", "", line, flags=re.I)
+        if " / " in line:
+            name, aff = line.split(" / ", 1)
+        else:
+            name, aff = line, None
+        return cp(name), clean(aff)
+
+    def detail_intro(text, year):
+        text = clean(text) or ""
+        m = re.search(
+            rf"awards the {year} Prize in the field of [\"“](.+?)[\"”]"
+            rf"\s+to\s+(.+)", text, flags=re.I)
+        if not m:
+            return None, None, None
+        field = clean(m.group(1))
+        tail = clean(m.group(2)) or ""
+        tail = tail.replace("Dr.", "Dr. ").replace("Prof.", "Prof. ")
+        tail = clean(tail) or ""
+        tail_nt = cp(tail) or tail
+        for marker in [" Emeritus Professor", " Professor", " Senior",
+                       " Director", " Distinguished"]:
+            idx = tail_nt.find(marker)
+            if idx > 0:
+                return cp(tail_nt[:idx]), clean(tail_nt[idx + 1:]), field
+        if "," in tail_nt and tail_nt.index(",") < 80:
+            name, aff = tail_nt.split(",", 1)
+            return cp(name), clean(aff), field
+        parts = tail_nt.split()
+        if len(parts) >= 2:
+            return (cp(" ".join(parts[:2])), clean(" ".join(parts[2:])),
+                    field)
+        return cp(tail_nt), None, field
+
+    LIST = "https://www.jsps.go.jp/english/e-biol/02_recipients.html"
+    expected = {}
+    for k, *_ in orders_rows:
+        shape = k % 8
+        if shape < 6:
+            year_label = ("Ceremony TBD" if k % 9 == 0
+                          else f"{1985 + k % 38} ({k % 38 + 1}th)")
+            m = re.search(r"((?:19|20)\d{2})\s+\((\d+)(?:st|nd|rd|th)\)",
+                          clean(year_label) or "")
+            if not m:
+                continue
+            year, edition = int(m.group(1)), m.group(2)
+            recip = [f"Recipient: Prof.Motoo Kimura{k}",
+                     f"Recipient : Dr. Edward O. Wilson{k}"
+                     f" FRS / Harvard  University",
+                     f"recipient: YAMANAKA Shinya{k}", "",
+                     f"Recipient : Sir John Gurdon{k} PhD / Cambridge"
+                     ][k % 5]
+            recip_c = clean(recip)
+            if not (recip_c and recip_c.lower().startswith("recipient")):
+                continue
+            name, aff = recipient_line(recip_c)
+            if not name:
+                continue
+            field_line = [None,
+                          f"Research field : Evolutionary Biology "
+                          f"{k % 21}",
+                          "Research field: Systematics"][k % 3]
+            field = (clean(re.sub(r"^Research field\s*:\s*", "",
+                                  clean(field_line), flags=re.I))
+                     if field_line else None)
+            landing = (f"https://www.jsps.go.jp/english/e-biol/"
+                       f"02_recipients/awardee{k}.html"
+                       if k % 2 == 0 else LIST)
+            desc_raw = (f"Discovered  molecular evolution {k % 19}"
+                        if k % 2 == 0 else None)
+        else:
+            year = 2023 + k % 2
+            edition = str(year - 1984)
+            intro = (
+                f'The Society awards the {year} Prize in the field of '
+                f'"Marine Biology {k % 11}" to Dr.Taylor Hughes{k}'
+                f' Emeritus Professor of Biology, Kyoto University'
+                if shape == 6 else
+                f'JSPS awards the {year} Prize in the field of '
+                f'“Cell Biology {k % 13}” to Maria Santos{k}'
+                f', University of Lisbon')
+            name, aff, field = detail_intro(intro, year)
+            if not name:
+                continue
+            landing = (f"https://www.jsps.go.jp/english/e-biol/"
+                       f"02_recipients/awardee{year}.html")
+            desc_raw = f"Discovered  molecular evolution {k % 19}"
+        # normalize_rows (:372-401)
+        name_f = cp(name) or ""
+        given, family = split(name_f)
+        field_c = clean(field)
+        desc = clean(desc_raw) or (
+            f"International Prize for Biology in the field of "
+            f"{field_c}." if field_c else None)
+        aid = f"international-biology-prize-{year}-{_lp_slug(name_f)}"
+        expected[aid] = {
+            "award_year": str(year), "laureate_name": name_f,
+            "given_name": given, "family_name": family,
+            "affiliation": aff,
+            "ib_display_name":
+                f"International Prize for Biology {year} - {name_f}",
+            "ib_description": desc,
+            "ib_edition": str(edition),
+            "ib_research_field": field_c,
+            "ib_funder_scheme":
+                field_c or "International Prize for Biology",
+            "ib_start_date": f"{year}-01-01",
+            "ib_end_date": f"{year}-12-31",
+            "landing_page_url": landing, "source_url": LIST,
+            "source_award_amount": "10000000.0", "currency": "JPY",
+            "ib_provenance": "international_biology_prize",
+        }
+    _lp_check(lp_rows["international_biology_prize"], expected)
