@@ -1,7 +1,7 @@
 """Laureate-prize scraper family
 (scripts/local/{kyoto_prize,japan_prize,brain_prize,king_faisal_prize,
-keio_medical_science_prize,international_biology_prize}_to_s3.py — 6
-scripts, one laureate-ingest kit).
+keio_medical_science_prize,international_biology_prize,welch_award}
+_to_s3.py — 7 scripts, one laureate-ingest kit).
 
 The four prize ingests share the canonical prize-ingest kit the Wolf/
 Kavli/Abel ports established: ``collapse_text`` (ws collapse +
@@ -88,6 +88,17 @@ card/table/teaser fields one record per orders key.  Ported compute:
   rule; description falls back to the 'in the field of {{field}}.'
   render; fixed 10000000.0 JPY; id =
   'international-biology-prize-{{year}}-{{slug(name)}}';
+* **welch_award** (welch_award_to_s3.py:122-378, GraphQL seam): the
+  awardRecipients entries; rows without a category or a year are
+  dropped; category -> the 2-entry amount/scheme dicts (unknown
+  categories keep NULL amount and fall back to the raw title as
+  scheme); the splitter strips honorifics, folds ';' to ',', keeps
+  the comma HEAD, then pops the dot-insensitive welch suffix set;
+  blurb/description are HTML-stripped, concatenated when distinct,
+  and capped at the last space inside 1200 chars + an ellipsis; id =
+  'welch-{{cat_slug or unknown}}-{{year}}-{{slug-or-slugified-title}}';
+  display name uses an em dash; is_past/declined ship as stringified
+  booleans;
 * **king_faisal_prize** (king_faisal_prize_to_s3.py:113-360):
   all-winners table rows (5 cells); ``clean_laureate_name`` first
   spaces glued initials (``\\b([A-Z])\\.(?=[A-Z][a-z])`` -> '\\1. '),
@@ -1380,6 +1391,183 @@ ib_out AS (
   FROM ib_final
 )"""
 
+    # ------------------------------------------------------------------
+    # Welch Award arm (welch_award_to_s3.py:122-378) — GraphQL
+    # awardRecipients entries; the HTTP/GraphQL walk is the seam.
+    # ------------------------------------------------------------------
+    wl_pre = ("(?i)^(?:Dr\\\\.?|Prof\\\\.?|Professor|Mr\\\\.?|Ms\\\\.?|"
+              "Mrs\\\\.?|Sir|Dame)\\\\s+")
+    # welch split (:261-276): honorific strip, ;->, comma head, THEN
+    # the dot-insensitive suffix pops over the head's tokens
+    wl_sufs = ", ".join(f"'{s}'" for s in
+                        ("PhD", "Ph.D", "MD", "M.D", "DPhil", "ScD",
+                         "Jr", "Sr", "II", "III", "IV"))
+
+    def wl_striphtml(x: str) -> str:
+        e = f"regexp_replace({x}, '<[^>]+>', ' '{g})"
+        e = f"regexp_replace({e}, '\\\\s+', ' '{g})"
+        e = f"replace({e}, '&amp;', '&')"
+        return f"nullif(trim({e}), '')"
+
+    wl_head = ("trim(CASE WHEN instr(replace(name_pref, ';', ','), ',')"
+               " > 0 THEN substring(replace(name_pref, ';', ','), 1, "
+               "instr(replace(name_pref, ';', ','), ',') - 1) "
+               "ELSE name_pref END)")
+    wl_toks = splitws("name_head")
+    wl_rev_flags = tx_expr = None  # placeholders, defined below
+    if dialect == "spark":
+        wl_flags = (f"transform(reverse({wl_toks}), t -> CASE WHEN "
+                    f"trim(TRAILING '.' FROM t) IN ({wl_sufs}) "
+                    f"THEN 1 ELSE 0 END)")
+        wl_first_keep = f"array_position({wl_flags}, 0)"
+    else:
+        wl_flags = (f"list_transform(list_reverse({wl_toks}), t -> "
+                    f"CASE WHEN trim(TRAILING '.' FROM t) IN "
+                    f"({wl_sufs}) THEN 1 ELSE 0 END)")
+        wl_first_keep = f"list_position({wl_flags}, 0)"
+    wl_n = asize(wl_toks)
+    wl_keep = (f"CAST(CASE WHEN {wl_first_keep} = 0 THEN 0 "
+               f"ELSE ({wl_n}) - ({wl_first_keep} - 1) END AS INT)")
+
+    wl_amount = ("CASE cat_title "
+                 "WHEN 'Welch Award In Chemistry' THEN '500000.0' "
+                 "WHEN 'Norman Hackerman Award In Chemical Research' "
+                 "THEN '100000.0' END")
+    wl_scheme = ("CASE cat_title "
+                 "WHEN 'Welch Award In Chemistry' "
+                 "THEN 'Welch Award in Chemistry' "
+                 "WHEN 'Norman Hackerman Award In Chemical Research' "
+                 "THEN 'Norman Hackerman Award in Chemical Research' "
+                 "ELSE cat_title END")
+    # description[:1200].rsplit(' ', 1)[0] + ellipsis (:352-353)
+    wl_d1200 = "substring(desc_full, 1, 1200)"
+    wl_rsp = f"instr(reverse({wl_d1200}), ' ')"
+    wl_capped = (f"CASE WHEN desc_full IS NULL THEN NULL "
+                 f"WHEN length(desc_full) <= 1200 THEN desc_full "
+                 f"WHEN {wl_rsp} = 0 THEN concat({wl_d1200}, '{chr(8230)}') "
+                 f"ELSE concat(substring({wl_d1200}, 1, "
+                 f"1200 - {wl_rsp}), '{chr(8230)}') END")
+
+    wl_fixture = f"""
+    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      ELSE 1972 + o_orderkey % 54 END AS yr,
+    CASE CAST(o_orderkey % 5 AS INT)
+      WHEN 0 THEN NULL
+      WHEN 1 THEN 'Welch Award In Chemistry'
+      WHEN 2 THEN 'Norman Hackerman Award In Chemical Research'
+      WHEN 3 THEN 'Mystery Category'
+      ELSE 'Welch Award In Chemistry' END AS cat_title,
+    CASE CAST(o_orderkey % 5 AS INT)
+      WHEN 1 THEN 'welch-award-in-chemistry'
+      WHEN 2 THEN 'norman-hackerman-award-in-chemical-research'
+      WHEN 3 THEN 'mystery-category'
+      ELSE NULL END AS cat_slug,
+    CASE CAST(o_orderkey % 6 AS INT)
+      WHEN 0 THEN concat('Dr. Carolyn Bertozzi', {cs('o_orderkey')},
+                         ', Ph.D.')
+      WHEN 1 THEN concat('John Goodenough', {cs('o_orderkey')}, ' Jr.')
+      WHEN 2 THEN concat('Tobin Marks', {cs('o_orderkey')}, '; FRS')
+      WHEN 3 THEN concat('Cher', {cs('o_orderkey')})
+      WHEN 4 THEN concat('Professor  R. B. Woodward', {cs('o_orderkey')})
+      ELSE concat('Ada Yonath', {cs('o_orderkey')}) END AS title_raw,
+    CASE WHEN o_orderkey % 3 < 2
+      THEN concat('recipient-', {cs('o_orderkey')}) END AS entry_slug,
+    concat('https://welch1.org/awards/recipient-', {cs('o_orderkey')})
+      AS url,
+    CASE WHEN o_orderkey % 4 IN (1, 3)
+      THEN concat('<p>Pioneer of  bioorthogonal chemistry ',
+                  {cs('o_orderkey % 23')}, '</p>') END AS blurb_raw,
+    CASE CAST(o_orderkey % 4 AS INT)
+      WHEN 1 THEN concat('<p>Pioneer of  bioorthogonal chemistry ',
+                         {cs('o_orderkey % 23')}, '</p>')
+      WHEN 2 THEN concat('<div>Career spanning decades ',
+                         {cs('o_orderkey % 29')}, ' &amp; counting</div>')
+      WHEN 3 THEN concat('Long record: ',
+                         repeat('chemistry breakthroughs ', 60))
+      ELSE NULL END AS fulldesc_raw,
+    CASE WHEN o_orderkey % 2 = 0
+      THEN concat('<em>Stanford &amp; Caltech ', {cs('o_orderkey % 31')},
+                  '</em>') END AS aff_raw,
+    CASE WHEN o_orderkey % 2 = 0 THEN 'True' ELSE 'False' END
+      AS is_past"""
+
+    _WL_PT = ["k", "yr", "cat_title", "cat_slug", "entry_slug", "url",
+              "is_past"]
+
+    wl = f"""
+wl_rest AS (
+  SELECT o_orderkey AS k,{wl_fixture}
+  FROM orders
+),
+wl_gated AS (
+  SELECT * FROM wl_rest WHERE cat_title IS NOT NULL AND yr IS NOT NULL
+),
+{bar("wl_stripped", "wl_gated", _WL_PT + ["title_raw", "blurb_raw",
+                                          "fulldesc_raw", "aff_raw"], [
+    ("full_name", "coalesce(title_raw, '')"),
+    ("name_pref",
+     f"trim(regexp_replace(coalesce(title_raw, ''), '{wl_pre}', ''{g}))"),
+    ("blurb", wl_striphtml("blurb_raw")),
+    ("fdesc", wl_striphtml("fulldesc_raw")),
+    ("affiliation_s", wl_striphtml("aff_raw")),
+])},
+{bar("wl_headed", "wl_stripped", _WL_PT + ["full_name", "blurb",
+                                           "fdesc", "affiliation_s"], [
+    ("name_head", wl_head),
+    ("desc_full", "CASE WHEN blurb IS NOT NULL AND fdesc IS NOT NULL "
+                  "AND blurb <> fdesc THEN concat(blurb, ' ', fdesc) "
+                  "ELSE coalesce(blurb, fdesc) END"),
+])},
+{bar("wl_split", "wl_headed", _WL_PT + ["full_name", "blurb", "fdesc",
+                                        "affiliation_s", "name_head",
+                                        "desc_full"], [
+    ("keep_n", wl_keep),
+])}
+,
+wl_out AS (
+  SELECT
+    'welch_award' AS member,
+    concat('welch-', coalesce(cat_slug, 'unknown'), '-', {cs('yr')},
+           '-', coalesce(entry_slug,
+                         trim(BOTH '-' FROM regexp_replace(
+                           lower(full_name), '[^a-z0-9]+', '-'{g}))))
+      AS funder_award_id,
+    {cs('yr')} AS award_year,
+    full_name AS laureate_name,
+    CASE WHEN keep_n <= 1 THEN NULL
+      ELSE {jslice('(' + wl_toks + ')', '1', 'keep_n - 1')} END
+      AS given_name,
+    CASE WHEN keep_n = 0 THEN NULL
+      ELSE {elem('(' + wl_toks + ')', 'keep_n')} END AS family_name,
+    affiliation_s AS affiliation,
+    url AS landing_page_url,
+    'https://welch1.org/api' AS source_url,
+    {wl_amount} AS source_award_amount,
+    CASE WHEN {wl_amount} IS NOT NULL THEN 'USD' END AS currency,
+    CAST(NULL AS {S}) AS amount_rule_url,
+    CAST(NULL AS {S}) AS portion,
+    CAST(NULL AS {S}) AS laureate_count,
+    CAST(NULL AS {S}) AS citation,
+    CAST(NULL AS {S}) AS profile_description,
+    CAST(NULL AS {S}) AS is_organization_laureate,
+    concat({wl_scheme}, ' ', {cs('yr')}, ' {chr(8212)} ', full_name)
+      AS wl_display_name,
+    coalesce(entry_slug,
+             trim(BOTH '-' FROM regexp_replace(lower(full_name),
+                                               '[^a-z0-9]+', '-'{g})))
+      AS wl_slug,
+    cat_title AS wl_category_title,
+    cat_slug AS wl_category_slug,
+    {wl_scheme} AS wl_scheme,
+    blurb AS wl_blurb,
+    {wl_capped} AS wl_description,
+    concat({cs('yr')}, '-01-01') AS wl_start_date,
+    concat({cs('yr')}, '-12-31') AS wl_end_date,
+    is_past AS wl_is_past_recipient,
+    'False' AS wl_declined
+  FROM wl_split
+)"""
+
     ke_extras = ["ke_display_name", "ke_description", "ke_start_date",
                  "ke_end_date", "ke_nobel_note", "ke_laureate_position",
                  "ke_source_detail_name", "ke_comments",
@@ -1389,9 +1577,14 @@ ib_out AS (
                  "ib_research_field", "ib_funder_scheme",
                  "ib_start_date", "ib_end_date", "ib_provenance"]
 
+    wl_extras = ["wl_display_name", "wl_slug", "wl_category_title",
+                 "wl_category_slug", "wl_scheme", "wl_blurb",
+                 "wl_description", "wl_start_date", "wl_end_date",
+                 "wl_is_past_recipient", "wl_declined"]
+
     def arm_select(src: str, live: list) -> str:
         groups = [ky_extras, jp_extras, br_extras, kf_extras, ke_extras,
-                  ib_extras]
+                  ib_extras, wl_extras]
         parts = [core]
         for gp in groups:
             parts.append(pad(gp) if gp is live else nullcols(*gp))
@@ -1403,13 +1596,15 @@ WITH {ky},
 {br},
 {kf},
 {ke},
-{ib}
+{ib},
+{wl}
 {arm_select('ky_out', ky_extras)}
 UNION ALL {arm_select('jp_out', jp_extras)}
 UNION ALL {arm_select('br_out', br_extras)}
 UNION ALL {arm_select('kf_out', kf_extras)}
 UNION ALL {arm_select('ke_out', ke_extras)}
 UNION ALL {arm_select('ib_out', ib_extras)}
+UNION ALL {arm_select('wl_out', wl_extras)}
 """
 
 
@@ -1427,11 +1622,11 @@ def _build(dialect: str) -> str:
     tables=("orders",),
     doc=("Laureate-prize scraper family (scripts/local/{kyoto_prize,"
          "japan_prize,brain_prize,king_faisal_prize,"
-         "keio_medical_science_prize,international_biology_prize}"
-         "_to_s3.py)"),
+         "keio_medical_science_prize,international_biology_prize,"
+         "welch_award}_to_s3.py)"),
 )
 def laureate_prize_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Six laureate ingests in one union plan (module docstring has
+    """Seven laureate ingests in one union plan (module docstring has
     the per-member semantics map).  The kyoto and king-faisal
     share-count windows are the only exchanges; the keio arm explodes
     the two per-row laureate positions."""

@@ -10618,6 +10618,31 @@ def test_laureate_rule_tables_match_reference_source():
     assert 'parts[0].isupper() and len(parts) >= 2' in src
     assert 'parts[0].title()' in src
 
+    src, f = pinned(base + "welch_award_to_s3.py",
+                    {"CATEGORY_AMOUNTS", "CATEGORY_SCHEMES", "CURRENCY",
+                     "_DEGREE_SUFFIXES", "PROVENANCE"})
+    assert f["CATEGORY_AMOUNTS"] == {
+        "Welch Award In Chemistry": 500_000.0,
+        "Norman Hackerman Award In Chemical Research": 100_000.0}
+    assert f["CATEGORY_SCHEMES"] == {
+        "Welch Award In Chemistry": "Welch Award in Chemistry",
+        "Norman Hackerman Award In Chemical Research":
+            "Norman Hackerman Award in Chemical Research"}
+    assert f["CURRENCY"] == "USD"
+    assert f["_DEGREE_SUFFIXES"] == {
+        "PhD", "Ph.D.", "Ph.D", "MD", "M.D.", "DPhil", "ScD", "Jr.",
+        "Jr", "Sr.", "Sr", "II", "III", "IV"}
+    assert f["PROVENANCE"] == "welch_foundation"
+    # honorific regex, ;->, comma head, unknown-category NULL amount,
+    # the 1200-char rsplit cap, and the em-dash display rule
+    assert (r'^(?:Dr\.?|Prof\.?|Professor|Mr\.?|Ms\.?|Mrs\.?|Sir|Dame)'
+            r'\s+') in src
+    assert 'name.replace(";", ",").split(",")' in src
+    assert 'CATEGORY_AMOUNTS.get(cat_title)' in src
+    assert 'description[:1200].rsplit(" ", 1)[0]' in src
+    assert 'f"{scheme} {year} — {full_name}"' in src
+    assert "f\"welch-{cat_slug or 'unknown'}-{year}-{slug}\"" in src
+
 
 def test_laureate_keio_matches_reference(lp_rows, orders_rows):
     """keio_medical_science_prize_to_s3.py:141-362 — reference
@@ -11049,3 +11074,107 @@ def test_laureate_intl_biology_matches_reference(lp_rows, orders_rows):
             "ib_provenance": "international_biology_prize",
         }
     _lp_check(lp_rows["international_biology_prize"], expected)
+
+
+def test_laureate_welch_matches_reference(lp_rows, orders_rows):
+    """welch_award_to_s3.py:122-378 — reference algorithm verbatim."""
+    CAT_AMOUNTS = {"Welch Award In Chemistry": 500_000.0,
+                   "Norman Hackerman Award In Chemical Research":
+                       100_000.0}
+    CAT_SCHEMES = {"Welch Award In Chemistry":
+                       "Welch Award in Chemistry",
+                   "Norman Hackerman Award In Chemical Research":
+                       "Norman Hackerman Award in Chemical Research"}
+    SUFFIXES = {"PhD", "Ph.D.", "Ph.D", "MD", "M.D.", "DPhil", "ScD",
+                "Jr.", "Jr", "Sr.", "Sr", "II", "III", "IV"}
+    pre_re = re.compile(
+        r'^(?:Dr\.?|Prof\.?|Professor|Mr\.?|Ms\.?|Mrs\.?|Sir|Dame)\s+',
+        re.I)
+
+    def split(full_name):
+        if not full_name:
+            return None, None
+        name = pre_re.sub("", full_name).strip()
+        parts = [p.strip() for p in name.replace(";", ",").split(",")]
+        name = parts[0].strip()
+        toks = name.split()
+        bare = {s.rstrip(".") for s in SUFFIXES}
+        while toks and toks[-1].rstrip(".") in bare:
+            toks.pop()
+        if not toks:
+            return None, None
+        if len(toks) == 1:
+            return None, toks[0]
+        return " ".join(toks[:-1]), toks[-1]
+
+    def strip_html(s):
+        from html import unescape
+        if not s:
+            return None
+        text = re.sub(r'<[^>]+>', ' ', s)
+        return unescape(re.sub(r'\s+', ' ', text)).strip() or None
+
+    expected = {}
+    for k, *_ in orders_rows:
+        cat_title = [None, "Welch Award In Chemistry",
+                     "Norman Hackerman Award In Chemical Research",
+                     "Mystery Category",
+                     "Welch Award In Chemistry"][k % 5]
+        cat_slug = [None, "welch-award-in-chemistry",
+                    "norman-hackerman-award-in-chemical-research",
+                    "mystery-category", None][k % 5]
+        year = None if k % 7 == 0 else 1972 + k % 54
+        if cat_title is None or year is None:  # :298-301, :311-313
+            continue
+        title = [f"Dr. Carolyn Bertozzi{k}, Ph.D.",
+                 f"John Goodenough{k} Jr.", f"Tobin Marks{k}; FRS",
+                 f"Cher{k}", f"Professor  R. B. Woodward{k}",
+                 f"Ada Yonath{k}"][k % 6]
+        entry_slug = f"recipient-{k}" if k % 3 < 2 else None
+        blurb_raw = (f"<p>Pioneer of  bioorthogonal chemistry "
+                     f"{k % 23}</p>" if k % 4 in (1, 3) else None)
+        fulldesc_raw = [
+            None,
+            f"<p>Pioneer of  bioorthogonal chemistry {k % 23}</p>",
+            f"<div>Career spanning decades {k % 29} &amp; "
+            f"counting</div>",
+            "Long record: " + "chemistry breakthroughs " * 60][k % 4]
+        aff_raw = (f"<em>Stanford &amp; Caltech {k % 31}</em>"
+                   if k % 2 == 0 else None)
+        amount = CAT_AMOUNTS.get(cat_title)
+        scheme = CAT_SCHEMES.get(cat_title) or cat_title
+        slug = entry_slug or re.sub(r'[^a-z0-9]+', '-',
+                                    title.lower()).strip('-')
+        aid = f"welch-{cat_slug or 'unknown'}-{year}-{slug}"
+        given, family = split(title)
+        blurb = strip_html(blurb_raw)
+        full_desc = strip_html(fulldesc_raw)
+        if blurb and full_desc and blurb != full_desc:
+            description = f"{blurb} {full_desc}"
+        else:
+            description = blurb or full_desc
+        if description and len(description) > 1200:
+            description = description[:1200].rsplit(" ", 1)[0] + "…"
+        expected[aid] = {
+            "award_year": str(year), "laureate_name": title,
+            "given_name": given, "family_name": family,
+            "affiliation": strip_html(aff_raw),
+            "wl_category_title": cat_title,
+            "wl_category_slug": cat_slug,
+            "wl_scheme": scheme,
+            "wl_slug": slug,
+            "wl_blurb": blurb,
+            "wl_description": description,
+            "wl_display_name": f"{scheme} {year} — {title}",
+            "source_award_amount": (str(amount)
+                                    if amount is not None else None),
+            "currency": "USD" if amount is not None else None,
+            "wl_start_date": f"{year}-01-01",
+            "wl_end_date": f"{year}-12-31",
+            "landing_page_url":
+                f"https://welch1.org/awards/recipient-{k}",
+            "wl_is_past_recipient": ("True" if k % 2 == 0
+                                     else "False"),
+            "wl_declined": "False",
+        }
+    _lp_check(lp_rows["welch_award"], expected)
