@@ -1,7 +1,7 @@
 """Laureate-prize scraper family
 (scripts/local/{kyoto_prize,japan_prize,brain_prize,king_faisal_prize,
-keio_medical_science_prize,international_biology_prize,welch_award}
-_to_s3.py — 7 scripts, one laureate-ingest kit).
+keio_medical_science_prize,international_biology_prize,welch_award,
+macarthur_fellows}_to_s3.py — 8 scripts, one laureate-ingest kit).
 
 The four prize ingests share the canonical prize-ingest kit the Wolf/
 Kavli/Abel ports established: ``collapse_text`` (ws collapse +
@@ -99,6 +99,17 @@ card/table/teaser fields one record per orders key.  Ported compute:
   'welch-{{cat_slug or unknown}}-{{year}}-{{slug-or-slugified-title}}';
   display name uses an em dash; is_past/declined ship as stringified
   booleans;
+* **macarthur_fellows** (macarthur_fellows_to_s3.py:133-363, Solr
+  seam): name = custom_s_name else metadata_title else '' (an EMPTY
+  name survives when the URL slug exists); class-year must int()
+  ('circa 2003' drops the row); slug = url tail else slugified name,
+  empty -> drop; the splitter and _strip_html are byte-identical to
+  welch's; description = '. '.join of the STRIPPED field title and
+  the 800-char last-space-capped bio (the field_title COLUMN keeps
+  its raw trailing space — only the description strips); area =
+  display-name else slug form; fixed 800000.0 USD with the
+  {{year}}..{{year+4}} five-year payout window; id =
+  'macarthur-fellow-{{year}}-{{slug}}';
 * **king_faisal_prize** (king_faisal_prize_to_s3.py:113-360):
   all-winners table rows (5 cells); ``clean_laureate_name`` first
   spaces glued initials (``\\b([A-Z])\\.(?=[A-Z][a-z])`` -> '\\1. '),
@@ -1568,6 +1579,156 @@ wl_out AS (
   FROM wl_split
 )"""
 
+    # ------------------------------------------------------------------
+    # MacArthur Fellows arm (macarthur_fellows_to_s3.py:133-363) —
+    # Crownpeak Solr docs; the HTTP/Solr walk is the seam.  The
+    # splitter and _strip_html are byte-identical to welch's (:240-269
+    # vs welch :255-282), so the wl_* split machinery is reused — the
+    # ma bars carry the same staged column names.
+    # ------------------------------------------------------------------
+    ma_bio_800 = "substring(bio_s, 1, 800)"
+    ma_rsp = f"instr(reverse({ma_bio_800}), ' ')"
+    ma_bio_capped = (
+        f"CASE WHEN bio_s IS NULL THEN NULL "
+        f"WHEN length(bio_s) <= 800 THEN bio_s "
+        f"WHEN {ma_rsp} = 0 THEN concat({ma_bio_800}, '{chr(8230)}') "
+        f"ELSE concat(substring({ma_bio_800}, 1, 800 - {ma_rsp}), "
+        f"'{chr(8230)}') END")
+
+    ma_fixture = f"""
+    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      WHEN o_orderkey % 7 = 1 THEN 'circa 2003'
+      ELSE {cs('1981 + o_orderkey % 45')} END AS year_str,
+    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+      ELSE CASE CAST(o_orderkey % 6 AS INT)
+        WHEN 0 THEN concat('Dr. Octavia Butler', {cs('o_orderkey')},
+                           ', Ph.D.')
+        WHEN 1 THEN concat('Paul Rothemund', {cs('o_orderkey')}, ' Jr.')
+        WHEN 2 THEN concat('Lin-Manuel Miranda', {cs('o_orderkey')},
+                           '; composer')
+        WHEN 3 THEN concat('Cher', {cs('o_orderkey')})
+        WHEN 4 THEN concat('Professor  Mary Zimmerman',
+                           {cs('o_orderkey')})
+        ELSE NULL END END AS name_s,
+    CASE WHEN o_orderkey % 6 = 5 AND o_orderkey % 5 <> 0
+      THEN NULL
+      ELSE concat('Meta Fellow Title ', {cs('o_orderkey')}) END
+      AS meta_title,
+    CASE WHEN o_orderkey % 3 < 2
+      THEN concat('/fellows/class-of-', {cs('1981 + o_orderkey % 45')},
+                  '/fellow-', {cs('o_orderkey')}) ELSE '' END
+      AS url_path,
+    CASE WHEN o_orderkey % 4 = 0 THEN NULL
+      ELSE concat('Molecular Biologist ', {cs('o_orderkey % 17')}, ' ')
+      END AS field_title,
+    CASE CAST(o_orderkey % 3 AS INT)
+      WHEN 0 THEN NULL
+      WHEN 1 THEN concat('<p>Pioneering DNA  origami ',
+                         {cs('o_orderkey % 19')}, ' &amp; folding</p>')
+      ELSE concat('Long bio: ', repeat('creative breakthroughs ', 40))
+      END AS bio_raw,
+    CASE CAST(o_orderkey % 3 AS INT)
+      WHEN 0 THEN 'science' ELSE NULL END AS area_raw,
+    CASE WHEN o_orderkey % 2 = 0
+      THEN concat('Sciences ', {cs('o_orderkey % 5')}) END
+      AS area_display,
+    CASE WHEN o_orderkey % 4 < 3 THEN 'United States' END AS country_s,
+    CASE WHEN o_orderkey % 3 = 0 THEN {cs('25 + o_orderkey % 50')} END
+      AS age_s,
+    concat('Affiliation Org ', {cs('o_orderkey % 41')}) AS assoc_s"""
+
+    _MA_PT = ["k", "url_path", "field_title", "area_raw", "area_display",
+              "country_s", "age_s", "assoc_s"]
+
+    ma = f"""
+ma_rest AS (
+  SELECT o_orderkey AS k,{ma_fixture}
+  FROM orders
+),
+{bar("ma_gated", "ma_rest", _MA_PT, [
+    ("full_name", "coalesce(name_s, meta_title, '')"),
+    ("year_i", "CASE WHEN year_str IS NOT NULL AND "
+               "trim(year_str) RLIKE_MA THEN CAST(year_str AS INT) END"),
+    ("bio_s", wl_striphtml("bio_raw")),
+])},
+ma_kept AS (
+  SELECT *,
+    CASE WHEN url_path <> ''
+      THEN regexp_extract(url_path, '([^/]*)$', 1)
+      ELSE trim(BOTH '-' FROM regexp_replace(lower(full_name),
+                                             '[^a-z0-9]+', '-'{g})) END
+      AS slug
+  FROM ma_gated WHERE year_i IS NOT NULL
+),
+ma_slugged AS (
+  SELECT * FROM ma_kept WHERE slug <> ''
+),
+{bar("ma_stripped", "ma_slugged", _MA_PT + ["full_name", "year_i",
+                                            "bio_s", "slug"], [
+    ("name_pref",
+     f"trim(regexp_replace(full_name, '{wl_pre}', ''{g}))"),
+    ("bio_capped", ma_bio_capped),
+])},
+{bar("ma_headed", "ma_stripped", _MA_PT + ["full_name", "year_i",
+                                           "slug", "name_pref",
+                                           "bio_capped"], [
+    ("name_head", wl_head),
+])},
+{bar("ma_split", "ma_headed", _MA_PT + ["full_name", "year_i", "slug",
+                                        "name_head", "bio_capped"], [
+    ("keep_n", wl_keep),
+])}
+,
+ma_out AS (
+  SELECT
+    'macarthur_fellows' AS member,
+    concat('macarthur-fellow-', {cs('year_i')}, '-', slug)
+      AS funder_award_id,
+    {cs('year_i')} AS award_year,
+    full_name AS laureate_name,
+    CASE WHEN keep_n <= 1 THEN NULL
+      ELSE {jslice('(' + wl_toks + ')', '1', 'keep_n - 1')} END
+      AS given_name,
+    CASE WHEN keep_n = 0 THEN NULL
+      ELSE {elem('(' + wl_toks + ')', 'keep_n')} END AS family_name,
+    assoc_s AS affiliation,
+    CASE WHEN url_path <> ''
+      THEN concat('https://www.macfound.org', url_path) END
+      AS landing_page_url,
+    'https://searchg2.crownpeak.net/live-macfound-redesign-rt/select'
+      AS source_url,
+    '800000.0' AS source_award_amount,
+    'USD' AS currency,
+    CAST(NULL AS {S}) AS amount_rule_url,
+    CAST(NULL AS {S}) AS portion,
+    CAST(NULL AS {S}) AS laureate_count,
+    CAST(NULL AS {S}) AS citation,
+    CAST(NULL AS {S}) AS profile_description,
+    CAST(NULL AS {S}) AS is_organization_laureate,
+    slug AS ma_slug,
+    field_title AS ma_field_title,
+    coalesce(area_display, area_raw) AS ma_area,
+    country_s AS ma_country,
+    age_s AS ma_age_at_award,
+    concat('MacArthur Fellowship ', {cs('year_i')}, ' {chr(8212)} ',
+           full_name) AS ma_display_name,
+    CASE
+      WHEN field_title IS NOT NULL AND bio_capped IS NOT NULL
+        THEN concat(trim(field_title), '. ', bio_capped)
+      WHEN field_title IS NOT NULL THEN trim(field_title)
+      ELSE bio_capped END AS ma_description,
+    concat({cs('year_i')}, '-01-01') AS ma_start_date,
+    concat({cs('year_i + 4')}, '-12-31') AS ma_end_date,
+    'False' AS ma_declined
+  FROM ma_split
+)"""
+    if dialect == "spark":
+        ma = ma.replace("RLIKE_MA", "RLIKE '^-?[0-9]+$'")
+    else:
+        ma = ma.replace(
+            "trim(year_str) RLIKE_MA",
+            "regexp_matches(trim(year_str), '^-?[0-9]+$')")
+
     ke_extras = ["ke_display_name", "ke_description", "ke_start_date",
                  "ke_end_date", "ke_nobel_note", "ke_laureate_position",
                  "ke_source_detail_name", "ke_comments",
@@ -1582,9 +1743,13 @@ wl_out AS (
                  "wl_description", "wl_start_date", "wl_end_date",
                  "wl_is_past_recipient", "wl_declined"]
 
+    ma_extras = ["ma_slug", "ma_field_title", "ma_area", "ma_country",
+                 "ma_age_at_award", "ma_display_name", "ma_description",
+                 "ma_start_date", "ma_end_date", "ma_declined"]
+
     def arm_select(src: str, live: list) -> str:
         groups = [ky_extras, jp_extras, br_extras, kf_extras, ke_extras,
-                  ib_extras, wl_extras]
+                  ib_extras, wl_extras, ma_extras]
         parts = [core]
         for gp in groups:
             parts.append(pad(gp) if gp is live else nullcols(*gp))
@@ -1597,7 +1762,8 @@ WITH {ky},
 {kf},
 {ke},
 {ib},
-{wl}
+{wl},
+{ma}
 {arm_select('ky_out', ky_extras)}
 UNION ALL {arm_select('jp_out', jp_extras)}
 UNION ALL {arm_select('br_out', br_extras)}
@@ -1605,6 +1771,7 @@ UNION ALL {arm_select('kf_out', kf_extras)}
 UNION ALL {arm_select('ke_out', ke_extras)}
 UNION ALL {arm_select('ib_out', ib_extras)}
 UNION ALL {arm_select('wl_out', wl_extras)}
+UNION ALL {arm_select('ma_out', ma_extras)}
 """
 
 
@@ -1623,10 +1790,10 @@ def _build(dialect: str) -> str:
     doc=("Laureate-prize scraper family (scripts/local/{kyoto_prize,"
          "japan_prize,brain_prize,king_faisal_prize,"
          "keio_medical_science_prize,international_biology_prize,"
-         "welch_award}_to_s3.py)"),
+         "welch_award,macarthur_fellows}_to_s3.py)"),
 )
 def laureate_prize_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seven laureate ingests in one union plan (module docstring has
+    """Eight laureate ingests in one union plan (module docstring has
     the per-member semantics map).  The kyoto and king-faisal
     share-count windows are the only exchanges; the keio arm explodes
     the two per-row laureate positions."""

@@ -11178,3 +11178,136 @@ def test_laureate_welch_matches_reference(lp_rows, orders_rows):
             "wl_declined": "False",
         }
     _lp_check(lp_rows["welch_award"], expected)
+
+
+def test_laureate_macarthur_matches_reference(lp_rows, orders_rows):
+    """macarthur_fellows_to_s3.py:133-363 — reference algorithm
+    verbatim (splitter/strip_html byte-identical to welch's)."""
+    SUFFIXES = {"PhD", "Ph.D.", "Ph.D", "MD", "M.D.", "DPhil", "ScD",
+                "Jr.", "Jr", "Sr.", "Sr", "II", "III", "IV"}
+    pre_re = re.compile(
+        r'^(?:Dr\.?|Prof\.?|Professor|Mr\.?|Ms\.?|Mrs\.?|Sir|Dame)\s+',
+        re.I)
+
+    def split(full_name):
+        if not full_name:
+            return None, None
+        name = pre_re.sub("", full_name).strip()
+        parts = [p.strip() for p in name.replace(";", ",").split(",")]
+        name = parts[0].strip()
+        toks = name.split()
+        bare = {s.rstrip(".") for s in SUFFIXES}
+        while toks and toks[-1].rstrip(".") in bare:
+            toks.pop()
+        if not toks:
+            return None, None
+        if len(toks) == 1:
+            return None, toks[0]
+        return " ".join(toks[:-1]), toks[-1]
+
+    def strip_html(s):
+        from html import unescape
+        if not s:
+            return None
+        text = re.sub(r'<[^>]+>', ' ', s)
+        return unescape(re.sub(r'\s+', ' ', text)).strip() or None
+
+    expected = {}
+    for k, *_ in orders_rows:
+        year_str = (None if k % 7 == 0
+                    else ("circa 2003" if k % 7 == 1
+                          else str(1981 + k % 45)))
+        if not year_str:
+            continue
+        try:
+            year = int(year_str)
+        except (TypeError, ValueError):
+            continue
+        name_s = (None if k % 5 == 0 else [
+            f"Dr. Octavia Butler{k}, Ph.D.",
+            f"Paul Rothemund{k} Jr.",
+            f"Lin-Manuel Miranda{k}; composer", f"Cher{k}",
+            f"Professor  Mary Zimmerman{k}", None][k % 6])
+        meta_title = (None if (k % 6 == 5 and k % 5 != 0)
+                      else f"Meta Fellow Title {k}")
+        name = name_s or meta_title or ""
+        url_path = (f"/fellows/class-of-{1981 + k % 45}/fellow-{k}"
+                    if k % 3 < 2 else "")
+        slug = (url_path.rsplit("/", 1)[-1] if url_path
+                else re.sub(r'[^a-z0-9]+', '-', name.lower()).strip('-'))
+        if not slug:
+            continue
+        given, family = split(name)
+        field_title = (None if k % 4 == 0
+                       else f"Molecular Biologist {k % 17} ")
+        bio_raw = [None,
+                   f"<p>Pioneering DNA  origami {k % 19} &amp; "
+                   f"folding</p>",
+                   "Long bio: " + "creative breakthroughs " * 40][k % 3]
+        bio = strip_html(bio_raw)
+        if bio and len(bio) > 800:
+            bio = bio[:800].rsplit(" ", 1)[0] + "…"
+        desc_parts = []
+        if field_title:
+            desc_parts.append(field_title.strip())
+        if bio:
+            desc_parts.append(bio)
+        description = ". ".join(desc_parts) if desc_parts else None
+        area = ((f"Sciences {k % 5}" if k % 2 == 0 else None)
+                or ("science" if k % 3 == 0 else None))
+        aid = f"macarthur-fellow-{year}-{slug}"
+        expected[aid] = {
+            "award_year": str(year), "laureate_name": name,
+            "given_name": given, "family_name": family,
+            "affiliation": f"Affiliation Org {k % 41}",
+            "ma_slug": slug,
+            "ma_field_title": field_title,
+            "ma_area": area,
+            "ma_country": ("United States" if k % 4 < 3 else None),
+            "ma_age_at_award": (str(25 + k % 50) if k % 3 == 0
+                                else None),
+            "ma_display_name":
+                f"MacArthur Fellowship {year} — {name}",
+            "ma_description": description,
+            "source_award_amount": "800000.0", "currency": "USD",
+            "ma_start_date": f"{year}-01-01",
+            "ma_end_date": f"{year + 4}-12-31",
+            "landing_page_url":
+                (f"https://www.macfound.org{url_path}" if url_path
+                 else None),
+            "ma_declined": "False",
+        }
+    _lp_check(lp_rows["macarthur_fellows"], expected)
+
+
+def test_laureate_welch_macarthur_kit_pins():
+    """Pin the welch/macarthur shared kit + macarthur constants."""
+    import ast
+
+    for script in ("welch_award_to_s3.py", "macarthur_fellows_to_s3.py"):
+        src = open(f"/root/reference/scripts/local/{script}",
+                   encoding="utf-8").read()
+        # the byte-identical splitter pair
+        assert 'name.replace(";", ",").split(",")' in src
+        assert 'toks[-1].rstrip(".")' in src
+        assert (r'^(?:Dr\.?|Prof\.?|Professor|Mr\.?|Ms\.?|Mrs\.?|Sir'
+                r'|Dame)\s+') in src
+    src = open("/root/reference/scripts/local/macarthur_fellows_to_s3.py",
+               encoding="utf-8").read()
+    tree = ast.parse(src)
+    found = {}
+    for node in ast.walk(tree):
+        if (isinstance(node, ast.Assign) and len(node.targets) == 1
+                and isinstance(node.targets[0], ast.Name)
+                and node.targets[0].id in (
+                    "MACARTHUR_FELLOWSHIP_AMOUNT_USD", "CURRENCY",
+                    "PROVENANCE")):
+            found[node.targets[0].id] = ast.literal_eval(node.value)
+    assert found["MACARTHUR_FELLOWSHIP_AMOUNT_USD"] == 800_000.0
+    assert found["CURRENCY"] == "USD"
+    assert found["PROVENANCE"] == "macarthur_fellows"
+    assert 'url_path.rsplit("/", 1)[-1]' in src
+    assert 'bio[:800].rsplit(" ", 1)[0]' in src
+    assert '". ".join(desc_parts)' in src
+    assert 'f"MacArthur Fellowship {year} — {name}"' in src
+    assert 'f"{year+4}-12-31"' in src
