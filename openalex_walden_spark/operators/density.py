@@ -170,28 +170,49 @@ def density_split_stats(
             d2.alias("d2"),
         )
     )
-    sym = pairs.select("g", F.col("ia").alias("src"), F.col("ib").alias("dst"), "d2").unionByName(
-        pairs.select("g", F.col("ib").alias("src"), F.col("ia").alias("dst"), "d2")
+    # The quadratic stage is computed EXACTLY ONCE (r14 optimization,
+    # guide §2.4/§7.2): the old shape (sym = pairs UNION mirror(pairs);
+    # edges = pairs ⋈ core ⋈ core) instantiated the pair join — and its
+    # 64-element distance fold, the dominant compute — three times in
+    # the physical plan (ReuseExchange dedupes the pre-join exchanges,
+    # never the join + fold themselves).  Instead: mirror each pair
+    # with a 2-element inline explode (map-side, no second join), then
+    # read BOTH endpoints' core distances off the mirrored rows with
+    # two full-frame nth_value windows — the k-th smallest d2 per
+    # (g, src) IS the core distance, and partitioning the same rows by
+    # (g, dst) exposes the other endpoint's.  nth_value is NULL for
+    # points with < k_core neighbours, so the eps-filter drops exactly
+    # the pairs the old inner joins dropped.
+    sym = pairs.select(
+        "g",
+        F.explode(
+            F.array(
+                F.struct(F.col("ia").alias("src"), F.col("ib").alias("dst")),
+                F.struct(F.col("ib").alias("src"), F.col("ia").alias("dst")),
+            )
+        ).alias("e"),
+        "d2",
+    ).select("g", F.col("e.src").alias("src"), F.col("e.dst").alias("dst"), "d2")
+    w_src = (
+        Window.partitionBy("g", "src")
+        .orderBy(F.col("d2").asc(), F.col("dst").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    wk = Window.partitionBy("g", "src").orderBy(F.col("d2").asc(), F.col("dst").asc())
-    core = (
-        sym.withColumn("rn", F.row_number().over(wk))
-        .where(F.col("rn") == k_core)
-        .select("g", F.col("src").alias("i"), F.col("d2").alias("core2"))
+    w_dst = (
+        Window.partitionBy("g", "dst")
+        .orderBy(F.col("d2").asc(), F.col("src").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     edges = (
-        pairs.join(
-            core.select(F.col("g").alias("g"), F.col("i").alias("ia"), F.col("core2").alias("ca")),
-            ["g", "ia"],
+        sym.withColumn("ca", F.nth_value("d2", k_core).over(w_src))
+        .withColumn("cb", F.nth_value("d2", k_core).over(w_dst))
+        .where(
+            (F.col("src") < F.col("dst"))
+            & (F.greatest("d2", "ca", "cb") <= F.lit(eps2))
         )
-        .join(
-            core.select(F.col("g").alias("g"), F.col("i").alias("ib"), F.col("core2").alias("cb")),
-            ["g", "ib"],
-        )
-        .where(F.greatest("d2", "ca", "cb") <= F.lit(eps2))
         .select(
-            (F.col("g") * _KEY_BASE + F.col("ia")).alias("src"),
-            (F.col("g") * _KEY_BASE + F.col("ib")).alias("dst"),
+            (F.col("g") * _KEY_BASE + F.col("src")).alias("src"),
+            (F.col("g") * _KEY_BASE + F.col("dst")).alias("dst"),
         )
     )
     comp = connected_components(edges)  # (id, label): min member key

@@ -754,18 +754,30 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("cluster"), F.col("qx").alias("qc")
         )
     )
-    d2 = F.aggregate(
-        F.zip_with(F.col("qx"), F.col("qc"), lambda x, c: (x - c) * (x - c)),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
+    # Map-side assignment (r14 optimization, guide §2.4): the old shape
+    # crossJoined every point against the k seed ROWS and ranked with a
+    # row_number() window partitioned by vec_id — a k-fold blowup of the
+    # corpus (each copy carrying the 64-dim array) pushed through a full
+    # exchange, for what is a per-row argmin.  Collapsing the seeds to a
+    # single array-of-structs row and folding with the shared _TR_ARGMIN
+    # makes assignment zero-shuffle: the only exchange left in the plan
+    # is the (cluster, dim) centroid update, as the docstring promises.
+    # Tie-break is identical (d2 asc, cluster asc — lexicographic struct
+    # min == the window's row_number order).
+    seed_arr = seeds.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cluster").alias("cl"), F.col("qc")))
+        ).alias("cents")
     )
-    wv = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cluster").asc())
+    best = F.expr(_TR_ARGMIN)
     assigned = (
-        pts.crossJoin(seeds)
-        .withColumn("d2", d2)
-        .withColumn("rn", F.row_number().over(wv))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "cluster", "qx", "d2")
+        pts.crossJoin(F.broadcast(seed_arr))
+        .select(
+            "vec_id",
+            best["cl"].alias("cluster"),
+            "qx",
+            best["d2"].alias("d2"),
+        )
     )
     dims = assigned.select(
         "cluster",
@@ -1120,13 +1132,17 @@ _TR_D2 = (
     "aggregate(zip_with(qx, c.qc, (x, y) -> (x - y) * (x - y)), "
     "cast(0 as bigint), (acc, v) -> acc + v)"
 )
-# Fold to the argmin (d2 asc, cl asc): strict < keeps the earliest cell,
-# and the literal array is ordered by cl — row_number() semantics, but
-# entirely map-side (no crossJoin, no window shuffle).
+# Map-side argmin (d2 asc, cl asc) — row_number() semantics with no
+# crossJoin and no window shuffle.  array_min over (d2, cl) structs
+# orders lexicographically, so ties on d2 keep the SMALLEST cl, exactly
+# like the previous fold's strict < keeping the earliest cell.  The
+# r14 optimization: the old CASE-WHEN fold evaluated the 64-element
+# distance aggregate TWICE per centroid (once in the comparison, once
+# in the THEN branch — Catalyst does not CSE inside lambda bodies);
+# transform evaluates it exactly once, halving the dominant compute of
+# both the k-means trainer and cell assignment/routing.
 _TR_ARGMIN = (
-    "aggregate(cents, named_struct('d2', cast(4611686018427387904 as bigint), 'cl', -1), "
-    f"(acc, c) -> CASE WHEN {_TR_D2} < acc.d2 "
-    f"THEN named_struct('d2', {_TR_D2}, 'cl', c.cl) ELSE acc END)"
+    f"array_min(transform(cents, c -> named_struct('d2', {_TR_D2}, 'cl', c.cl)))"
 )
 
 

@@ -2102,14 +2102,23 @@ def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only real shuffle (keyed on doc_id), and selection is a
     stateless filter — documents themselves never shuffle.
     """
+    from openalex_walden_spark.operators.guardrails import persist_scalar
+
     d = spark.table("documents")
     toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
-    feat = d.select(
-        "doc_id", "lang", F.explode(toks).alias("t")
-    ).select(
-        "doc_id",
-        "lang",
-        (F.expr(_H_SPARK.format(x="t")) % _DSIR_V).alias("f"),
+    # persist_scalar (r14 optimization): `feat` feeds BOTH the feature-
+    # count aggregate and the per-doc scoring join, and a DataFrame DAG
+    # lowers to a tree — without the persist the corpus tokenize +
+    # explode + hash (the dominant compute) executed twice per run.
+    # Rows are (bigint, string, bigint) — scalar-only, spillable.
+    feat = persist_scalar(
+        d.select(
+            "doc_id", "lang", F.explode(toks).alias("t")
+        ).select(
+            "doc_id",
+            "lang",
+            (F.expr(_H_SPARK.format(x="t")) % _DSIR_V).alias("f"),
+        )
     )
     counts = feat.groupBy("f").agg(
         F.count("*").cast("bigint").alias("raw_cnt"),
@@ -2204,9 +2213,14 @@ def quality_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see ``sketch_countmin_estimates``) is the constant-memory variant
     when the model table itself must ship somewhere.
     """
+    from openalex_walden_spark.operators.guardrails import persist_scalar
+
     d = spark.table("documents")
     toks = F.expr(_TOKS_SPARK.format(c="text"))
-    bigrams = (
+    # persist_scalar (r14 optimization): `bigrams` feeds BOTH the count
+    # model and the scoring join; without the persist the tokenize +
+    # bigram explode executed twice per run.  Rows are (bigint, string).
+    bigrams = persist_scalar(
         d.select("doc_id", toks.alias("ts"))
         .where(F.size("ts") >= 2)
         .select(

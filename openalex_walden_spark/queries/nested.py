@@ -351,38 +351,50 @@ def d0_works_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("long").alias("yr"),
         )
     )
-    counts = edges.groupBy("work_id").agg(F.count("*").alias("cited_by_count"))
-    cby = (
-        edges.where(F.col("yr") >= 1996)
-        .groupBy("work_id", "yr")
-        .agg(F.count("*").alias("cnt"))
+    # r14 optimization (guide §2.3/§2.4): the previous shape executed
+    # the lineitem⋈orders edge join THREE times (counts / cby / win3
+    # branches — a DataFrame DAG lowers to a tree) and then three-way
+    # left-joined the three aggregates back onto works.  All three
+    # signals are aggregates at work grain over the same (work_id, yr)
+    # pre-aggregate, so: reduce edges ONCE to per-(work, year) counts
+    # (partial map-side agg shrinks the exchange), attach pub_year with
+    # one join, and fold all three signals in ONE aggregate —
+    # cited_by_count = sum(cnt); counts_by_year = the >=1996 slice
+    # (collect_list skips the NULLs the when() leaves, and nullif
+    # restores the NULL the old left join produced for works with no
+    # >=1996 citations); cnt_3yr = the conditional sum at year grain.
+    e2 = edges.groupBy("work_id", "yr").agg(F.count("*").alias("cnt"))
+    per_work = (
+        e2.join(works.select("work_id", "pub_year"), "work_id")
         .groupBy("work_id")
         .agg(
-            F.concat_ws(
-                ",",
-                F.array_sort(
-                    F.collect_list(F.concat_ws(":", F.col("yr"), F.col("cnt")))
+            F.sum("cnt").cast("long").alias("cited_by_count"),
+            F.nullif(
+                F.concat_ws(
+                    ",",
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("yr") >= 1996,
+                                F.concat_ws(":", F.col("yr"), F.col("cnt")),
+                            )
+                        )
+                    ),
                 ),
-            ).alias("counts_by_year")
-        )
-    )
-    win3 = (
-        works.join(edges, "work_id")
-        .groupBy("work_id")
-        .agg(
+                F.lit(""),
+            ).alias("counts_by_year"),
             F.sum(
                 F.when(
-                    F.col("yr").between(F.col("pub_year"), F.col("pub_year") + 3), 1
+                    F.col("yr").between(F.col("pub_year"), F.col("pub_year") + 3),
+                    F.col("cnt"),
                 ).otherwise(0)
             )
             .cast("long")
-            .alias("cnt_3yr")
+            .alias("cnt_3yr"),
         )
     )
     base = (
-        works.join(counts, "work_id", "left")
-        .join(cby, "work_id", "left")
-        .join(win3, "work_id", "left")
+        works.join(per_work, "work_id", "left")
         .select(
             "work_id",
             "pub_year",

@@ -284,31 +284,38 @@ def overmerge_pairwise_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.g").alias("g"), cos_q.alias("cos_q"))
     )
-    ranked = pairs.withColumn(
-        "pos", F.row_number().over(Window.partitionBy("g").orderBy(F.col("cos_q").asc())) - 1
+    # One pass over the quadratic pair list (r14 optimization): the old
+    # shape joined an `agg` branch against TWO copies of a `ranked`
+    # branch, instantiating the pairwise cosine join three times in the
+    # physical plan.  All four statistics (count/min/sum + the two rank
+    # picks) ride ONE window partitioning instead: the full-partition
+    # aggregates attach to every row, the percentile rows are selected
+    # by position, and a 2-rows-per-group conditional aggregate pivots
+    # them out — same exchange key throughout, so the groupBy adds no
+    # shuffle.  Output proven byte-identical (goldens + oracle parity).
+    wg = Window.partitionBy("g")
+    ranked = pairs.select(
+        "g",
+        "cos_q",
+        (
+            F.row_number().over(wg.orderBy(F.col("cos_q").asc())) - 1
+        ).alias("pos"),
+        F.count("*").over(wg).cast("bigint").alias("n_pairs"),
+        F.min("cos_q").over(wg).cast("bigint").alias("min_q"),
+        F.sum("cos_q").over(wg).cast("bigint").alias("sum_q"),
     )
-    agg = pairs.groupBy("g").agg(
-        F.count("*").cast("bigint").alias("n_pairs"),
-        F.min("cos_q").cast("bigint").alias("min_q"),
-        F.sum("cos_q").cast("bigint").alias("sum_q"),
-    )
-    p05 = ranked.select(F.col("g").alias("g"), F.col("cos_q").alias("p05_q"), "pos")
-    p10 = ranked.select(F.col("g").alias("g"), F.col("cos_q").alias("p10_q"), "pos")
+    p05_pos = F.floor(F.lit(0.05) * (F.col("n_pairs") - 1)).cast("bigint")
+    p10_pos = F.floor(F.lit(0.10) * (F.col("n_pairs") - 1)).cast("bigint")
     return (
-        agg.join(
-            p05,
-            (p05.g == agg.g)
-            & (p05.pos == F.floor(F.lit(0.05) * (agg.n_pairs - 1)).cast("bigint")),
+        ranked.where((F.col("pos") == p05_pos) | (F.col("pos") == p10_pos))
+        .groupBy("g")
+        .agg(
+            F.max("n_pairs").alias("n_pairs"),
+            F.max("min_q").alias("min_q"),
+            F.max(F.when(F.col("pos") == p05_pos, F.col("cos_q"))).alias("p05_q"),
+            F.max(F.when(F.col("pos") == p10_pos, F.col("cos_q"))).alias("p10_q"),
+            F.max("sum_q").alias("sum_q"),
         )
-        .drop(p05.g)
-        .drop("pos")
-        .join(
-            p10,
-            (p10.g == agg.g)
-            & (p10.pos == F.floor(F.lit(0.10) * (agg.n_pairs - 1)).cast("bigint")),
-        )
-        .drop(p10.g)
-        .drop("pos")
         .select(
             F.col("g").alias("grp"),
             "n_pairs",
@@ -448,35 +455,66 @@ def overmerge_centroid_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows + aggregates at group grain.  Nothing is quadratic.
     """
     fit = _centroid_fit(spark)
-    ranked = fit.withColumn(
-        "pos",
-        F.row_number().over(Window.partitionBy("g").orderBy(F.col("cos_q").asc())) - 1,
-    )
-    agg = fit.groupBy("g").agg(
-        F.count("*").cast("bigint").alias("work_count"),
-        F.min("cos_q").cast("bigint").alias("min_q"),
-        F.sum("cos_q").cast("bigint").alias("sum_q"),
+    # One pass over the fit rows (r14 optimization): the old shape
+    # joined the aggregate branch against FOUR copies of the ranked
+    # branch — five instantiations of the centroid-fit subplan (its
+    # (group, dim) partial aggregate included) in one physical plan.
+    # All statistics now ride one window partitioning: full-partition
+    # aggregates attach to every row, the four percentile rows are
+    # picked by position, and a <=4-rows-per-group conditional
+    # aggregate pivots them out without an extra exchange (same key).
+    wg = Window.partitionBy("g")
+    ranked = fit.select(
+        "g",
+        "cos_q",
+        (
+            F.row_number().over(wg.orderBy(F.col("cos_q").asc())) - 1
+        ).alias("pos"),
+        F.count("*").over(wg).cast("bigint").alias("work_count"),
+        F.min("cos_q").over(wg).cast("bigint").alias("min_q"),
+        F.sum("cos_q").over(wg).cast("bigint").alias("sum_q"),
         F.sum(F.when(F.col("cos_q") < _COS_SCALE // 2, 1).otherwise(0))
+        .over(wg)
         .cast("bigint")
         .alias("n_below_05"),
         F.sum(F.when(F.col("cos_q") < _COS_SCALE * 6 // 10, 1).otherwise(0))
+        .over(wg)
         .cast("bigint")
         .alias("n_below_06"),
         F.sum(F.when(F.col("cos_q") < _COS_SCALE * 7 // 10, 1).otherwise(0))
+        .over(wg)
         .cast("bigint")
         .alias("n_below_07"),
     )
-    out = agg
-    for name, frac in (("p05_q", 0.05), ("p10_q", 0.10), ("q1_q", 0.25), ("q3_q", 0.75)):
-        r = ranked.select(F.col("g").alias("g"), F.col("cos_q").alias(name), "pos")
-        out = out.join(
-            r,
-            (r.g == out.g)
-            & (
-                r.pos
-                == F.floor(F.lit(frac) * (out.work_count - 1)).cast("bigint")
-            ),
-        ).drop(r.g).drop("pos")
+    picks = {
+        name: F.floor(F.lit(frac) * (F.col("work_count") - 1)).cast("bigint")
+        for name, frac in (
+            ("p05_q", 0.05),
+            ("p10_q", 0.10),
+            ("q1_q", 0.25),
+            ("q3_q", 0.75),
+        )
+    }
+    is_pick = None
+    for pos in picks.values():
+        cond = F.col("pos") == pos
+        is_pick = cond if is_pick is None else (is_pick | cond)
+    out = (
+        ranked.where(is_pick)
+        .groupBy("g")
+        .agg(
+            F.max("work_count").alias("work_count"),
+            F.max("min_q").alias("min_q"),
+            F.max("sum_q").alias("sum_q"),
+            F.max("n_below_05").alias("n_below_05"),
+            F.max("n_below_06").alias("n_below_06"),
+            F.max("n_below_07").alias("n_below_07"),
+            *[
+                F.max(F.when(F.col("pos") == pos, F.col("cos_q"))).alias(name)
+                for name, pos in picks.items()
+            ],
+        )
+    )
     return out.select(
         F.col("g").alias("grp"),
         "work_count",

@@ -74,6 +74,16 @@ def main() -> int:
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
+        # The full-catalog sweep runs 341 queries through ONE local-mode
+        # session (driver == executor == one heap): accumulated codegen
+        # classes, broadcast relations and checkpoint blocks exhausted
+        # the 1g default right when the macro-expanded award-salvage SQL
+        # (~1.7M-char expressions) hit janino (r14 session: driver OOM at
+        # udf_award_salvage_s1, 314/341 in, reproduced at clean HEAD —
+        # pre-existing, not an r14-change regression).  The real driver
+        # verifies a 50-query window per round and never sees this
+        # pressure; bench.py already runs at 16g for the same reason.
+        .config("spark.driver.memory", "6g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

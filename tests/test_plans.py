@@ -484,13 +484,30 @@ def test_lm_surprisal_no_cartesian_partial_counts(spark, sf_dir):
 
 
 def test_kmeans_seeds_broadcast_no_vector_collect(spark, sf_dir):
-    """Seeds broadcast onto the corpus scan (the k-row cross join is
-    broadcast, not cartesian-shuffled) and the centroid update is a
-    streaming (cluster, dim) aggregate — no collect_list of vectors."""
+    """Seeds broadcast onto the corpus scan as ONE array-of-structs row
+    (r14: the k-fold crossJoin + row_number() window over vec_id — a
+    k-way blowup of the corpus pushed through a full exchange — was
+    replaced by a map-side array_min fold, so the only exchange left is
+    the (cluster, dim) centroid update) and the centroid update is a
+    streaming aggregate.  collect_list appears exactly once: over the
+    k (= 8) seed rows that become the broadcast literal array — never
+    over the corpus (corpus-side vector collection is the memory cliff
+    this pin exists to block)."""
     plan = _plan(spark, sf_dir, "kmeans_lloyd_step")
     assert "CartesianProduct" not in plan
-    assert "collect_list" not in plan
+    # collect_list may appear only over the k seed structs (column qc),
+    # never over the corpus vectors/rows
+    import re as _re
+
+    for m in _re.finditer(r"collect_list\((\w+)", plan):
+        assert m.group(1) in ("struct", "qc"), m.group(0)
+    assert "collect_list(qx" not in plan
+    assert "collect_list(embedding" not in plan
     assert "BroadcastExchange" in plan
+    # the r14 pin: assignment is map-side — no row_number window over
+    # vec_id, no exchange keyed on the corpus row id
+    assert "hashpartitioning(vec_id" not in plan
+    assert "row_number" not in plan
 
 
 def test_hierarchy_doubling_equi_joins_only(spark, sf_dir):
