@@ -110,6 +110,14 @@ _CHANGED_THIS_ROUND: list[str] = [
     #   executed 3x (counts/cby/win3) now reduces once at (work, year)
     #   grain and folds all three signals in one aggregate
     "d0_works_enriched",
+    # - second-session r14 edits: the trainer loop (persist + scoped
+    #   AQE/partitions) and the parsed-literal _tr_cent_array/_SRP
+    #   builders (py4j-per-F.lit driver cost removed; values and types
+    #   identical — see OPTIMIZATION_r14.md)
+    "ann_srp_bucket_pairs",
+    # - persist_scalar on the d6 cascade's resolved tiers (t1 executed
+    #   3x, the levenshtein tier 2x — now once each)
+    "d6_and_cascade",
 ]
 
 # Queries whose defining MODULE changed this round but whose own plan
@@ -166,7 +174,7 @@ _WINDOW_EXEMPT.update({
     for name in (
         "a7_histogram_zero_bucket", "a8_tall_metrics",
         "ann_ivf_multiprobe_topk", "ann_ivf_topk",
-        "ann_srp_bucket_pairs", "embedding_neardup_pairs",
+        "embedding_neardup_pairs",
         "multimodal_decode", "multimodal_frame_sample",
         "multimodal_resize", "p5_author_key_blocks",
         "s6_export_authors_shape", "s6_export_awards_shape",
@@ -188,6 +196,26 @@ _WINDOW_EXEMPT.update({
         "in _CHANGED_THIS_ROUND); this query is untouched; golden "
         "unchanged")
     for name in ("d0_works_build", "fulltext_work_build", "p12_tei_extract")
+})
+# domain2.py's r14 (second-session) edit is d6_and_cascade's
+# persist_scalar on its two resolved tiers (fronted); every other query
+# in the module is untouched.
+_WINDOW_EXEMPT.update({
+    name: (
+        "sibling-module flag only: domain2.py's r14 change is "
+        "d6_and_cascade's persist_scalar on its resolved tiers "
+        "(fronted in _CHANGED_THIS_ROUND); this query is untouched; "
+        "golden unchanged")
+    for name in (
+        "a6_distinct_pairs", "award_oa_compliance",
+        "d11_entity_aggregates", "d12_curation_overlay",
+        "d3_best_location_pick", "d4_oa_status", "d5_percentile_flags",
+        "d6_unique_gate_match", "d7_type_cascade",
+        "d7_type_classification", "d8_reference_resolution",
+        "j9_merge_scd1_batch", "j9_merge_state_rounds",
+        "p10_version_detect", "p11_oai_id_extract",
+        "p8_affiliation_filter", "p9_langcode_map", "s8_model_inference",
+    )
 })
 # timeseries.py / sketches.py import only the _H_DUCK/_H_SPARK hash
 # CONSTANTS from llmdata (grep-verified; both strings are unchanged

@@ -187,24 +187,27 @@ def assign_cells(vectors: DataFrame, cents: list[list[int]], quant_scale: int) -
     ``writeStream``: new vectors route to their cell as they arrive and
     append into the cell-partitioned layout.
     """
-    cents_col = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("cl"),
-                F.array(*[F.lit(int(v)) for v in qc]).alias("qc"),
-            )
+    # One parsed literal, not k x (dim+2) Column calls (each F.lit is a
+    # py4j round trip — ~0.5s of driver time per call at k=10, dim=64;
+    # same fix as queries/advanced._tr_cent_array).
+    cents_col = F.expr(
+        "array(%s)"
+        % ",".join(
+            "named_struct('cl',%d,'qc',array(%s))"
+            % (i, ",".join(str(int(v)) for v in qc))
             for i, qc in enumerate(cents)
-        ]
+        )
     )
     d2 = (
         "aggregate(zip_with(__qx, c.qc, (x, y) -> (x - y) * (x - y)), "
         "cast(0 as bigint), (acc, v) -> acc + v)"
     )
-    argmin = (
-        "aggregate(__cents, named_struct('d2', cast(4611686018427387904 as bigint), 'cl', -1), "
-        f"(acc, c) -> CASE WHEN {d2} < acc.d2 "
-        f"THEN named_struct('d2', {d2}, 'cl', c.cl) ELSE acc END)"
-    )
+    # array_min over (d2, cl) structs == the old CASE fold's argmin
+    # (lexicographic min keeps the smallest cl on d2 ties, exactly like
+    # strict < keeping the earliest cell), but evaluates the 64-element
+    # distance aggregate ONCE per centroid instead of twice — Catalyst
+    # does not CSE inside lambda bodies (same fix as _TR_ARGMIN).
+    argmin = f"array_min(transform(__cents, c -> named_struct('d2', {d2}, 'cl', c.cl)))"
     return (
         vectors.withColumn(
             "__qx",

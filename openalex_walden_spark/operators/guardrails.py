@@ -125,3 +125,39 @@ def persist_scalar(df: DataFrame, level=None) -> DataFrame:
     if level is not None:
         return df.persist(level)
     return df.persist()  # MEMORY_AND_DISK: spills, never OOMs
+
+
+def persist_fixed_width(df: DataFrame, level=None) -> DataFrame:
+    """Persist a subplan whose only containers are FIXED-WIDTH arrays
+    of scalars (e.g. a quantized embedding: array<bigint> of dim 64).
+
+    The scalar-only guard above exists because caching UNBOUNDED
+    containers (documents, token lists, collect_list rollups) is a
+    memory cliff.  A fixed-dimension numeric vector is not that case —
+    every row costs dim x 8 bytes by construction, the cache stays
+    spillable, and caching the quantized corpus across an iterative
+    trainer's rounds is the canonical pattern (MLlib's KMeans persists
+    its input for exactly this reason).  The CALLER asserts the
+    fixed-width contract; this guard still refuses maps, structs, and
+    nested arrays, where per-row cost is unbounded or hidden.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = []
+    for f in df.schema.fields:
+        t = f.dataType
+        if isinstance(t, (MapType, StructType)):
+            bad.append(f.name)
+        elif isinstance(t, ArrayType) and isinstance(
+            t.elementType, (ArrayType, MapType, StructType)
+        ):
+            bad.append(f.name)
+    if bad:
+        raise ValueError(
+            f"refusing to persist nested-container columns {bad}: only "
+            "scalars and fixed-width scalar arrays are cacheable "
+            "(memory-cliff guard)"
+        )
+    if level is not None:
+        return df.persist(level)
+    return df.persist()  # MEMORY_AND_DISK: spills, never OOMs

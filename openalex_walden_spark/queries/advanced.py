@@ -1104,6 +1104,12 @@ _TR_IVF_SQL = (
 # bounded-watermark pattern as operators/identity.py's high-water mark).
 _TR_CACHE: dict[str, list[list[int]]] = {}
 
+# Shuffle partitions scoped to the trainer's (cell, dim) aggregate: its
+# post-shuffle cardinality is k x dim = 640 rows at ANY corpus size
+# (partial aggregation reduces map-side), so this is scale-independent —
+# the map-side parallelism still follows the input partitioning.
+_TR_AGG_PARTITIONS = 8
+
 
 def _tr_quantized(spark: SparkSession) -> DataFrame:
     return spark.table("embeddings").select(
@@ -1116,16 +1122,22 @@ def _tr_quantized(spark: SparkSession) -> DataFrame:
 
 def _tr_cent_array(cents: list[list[int]]):
     """Centroids as a literal array<struct<cl,qc>> column (broadcast by
-    value into every task — the MLlib KMeans center-shipping pattern)."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("cl"),
-                F.array(*[F.lit(int(v)) for v in qc]).alias("qc"),
-            )
-            for j, qc in enumerate(cents)
-        ]
+    value into every task — the MLlib KMeans center-shipping pattern).
+
+    Built as ONE parsed SQL expression, not k x (dim+2) Column calls:
+    the Column route costs a py4j round trip per ``F.lit``/``F.struct``
+    — measured 0.44-0.61s of pure DRIVER time per call at k=10, dim=64
+    (guide §5: the driver should do almost no data work), which the
+    k-means trainer paid every round (~0.5s x 15 rounds, the dominant
+    cost of the train phase).  The parsed literal is 2-5ms and
+    type-identical: SQL integer literals resolve INT exactly where
+    ``F.lit(int)`` did, with the same promotion to BIGINT past 2^31."""
+    parts = ",".join(
+        "named_struct('cl',%d,'qc',array(%s))"
+        % (j, ",".join(str(int(v)) for v in qc))
+        for j, qc in enumerate(cents)
     )
+    return F.expr(f"array({parts})")
 
 
 _TR_D2 = (
@@ -1161,30 +1173,69 @@ def train_ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[int]]:
     """
     if sf_dir in _TR_CACHE:
         return _TR_CACHE[sf_dir]
-    pts = _tr_quantized(spark)
-    cents = [
-        [int(v) for v in r["qx"]]
-        for r in sorted(
-            pts.where(F.col("vec_id") < _TR_K).collect(),
-            key=lambda r: r["vec_id"],
-        )
-    ]
-    for _ in range(_TR_T):
-        assigned = pts.withColumn("cents", _tr_cent_array(cents)).select(
-            F.expr(_TR_ARGMIN)["cl"].alias("cell"), "qx"
-        )
-        sums = (
-            assigned.select("cell", F.posexplode("qx").alias("dim0", "q"))
-            .groupBy("cell", "dim0")
-            .agg(F.sum("q").alias("sq"), F.count("*").alias("n"))
-            .collect()
-        )
-        new = [list(c) for c in cents]
-        for r in sums:
-            new[r["cell"]][r["dim0"]] = int(r["sq"]) // int(r["n"])
-        if new == cents:
-            break
-        cents = new
+    from openalex_walden_spark.operators.checkpoints import SESSION_SCOPE_LOCK
+    from openalex_walden_spark.operators.guardrails import persist_fixed_width
+
+    # r14 optimization — three loop-scoped changes, output-identical
+    # (the centroid sequence is exact integer arithmetic; verified
+    # bit-equal across all variants):
+    # - persist the quantized corpus across the Lloyd rounds (guide §5:
+    #   reused AND recomputed every round otherwise — at production
+    #   scale that is _TR_T full corpus scans saved; MEMORY_AND_DISK
+    #   spills instead of OOMing; unpersisted in the finally, so
+    #   nothing outlives the call and each bench run re-pays the scan).
+    # - AQE off for the loop (same rationale and mechanism as
+    #   operators/pagerank.py: per-round cardinalities are known and
+    #   constant, and AQE materializes every exchange as its own job —
+    #   measured 31 -> 16 jobs over the 15-round fixture).
+    # - the per-round aggregate's post-shuffle cardinality is EXACTLY
+    #   k x dim = 640 rows at ANY corpus size (map-side partials do the
+    #   reduction), so a small fixed partition count for the loop is
+    #   scale-independent; the session value is restored in the
+    #   finally.  Measured together: 10.6s -> 4.7s on the sf0.1 train
+    #   fixture (the _tr_cent_array literal fix is the other half).
+    saved: dict[str, str] = {}
+
+    def _scope(key: str, value: str) -> None:
+        saved[key] = spark.conf.get(key)
+        spark.conf.set(key, value)
+
+    with SESSION_SCOPE_LOCK:
+        # qx is a fixed 64-element bigint array — the fixed-width cache
+        # contract (see guardrails.persist_fixed_width)
+        pts = persist_fixed_width(_tr_quantized(spark))
+        try:
+            _scope("spark.sql.adaptive.enabled", "false")
+            _scope("spark.sql.shuffle.partitions", str(_TR_AGG_PARTITIONS))
+            cents = [
+                [int(v) for v in r["qx"]]
+                for r in sorted(
+                    pts.where(F.col("vec_id") < _TR_K).collect(),
+                    key=lambda r: r["vec_id"],
+                )
+            ]
+            for _ in range(_TR_T):
+                assigned = pts.withColumn(
+                    "cents", _tr_cent_array(cents)
+                ).select(F.expr(_TR_ARGMIN)["cl"].alias("cell"), "qx")
+                sums = (
+                    assigned.select(
+                        "cell", F.posexplode("qx").alias("dim0", "q")
+                    )
+                    .groupBy("cell", "dim0")
+                    .agg(F.sum("q").alias("sq"), F.count("*").alias("n"))
+                    .collect()
+                )
+                new = [list(c) for c in cents]
+                for r in sums:
+                    new[r["cell"]][r["dim0"]] = int(r["sq"]) // int(r["n"])
+                if new == cents:
+                    break
+                cents = new
+        finally:
+            pts.unpersist()
+            for key, value in saved.items():
+                spark.conf.set(key, value)
     _TR_CACHE[sf_dir] = cents
     return cents
 
@@ -1456,8 +1507,15 @@ def ann_srp_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") + 100000).alias("vec_id"), qd.alias("qd")
         )
     )
-    planes = F.array(
-        *[F.array(*[F.lit(c) for c in plane]) for plane in _SRP]
+    # One parsed literal, not _SRP_B x _SRP_DIM (= 1024) Column calls:
+    # each F.lit is a py4j round trip, ~0.5s of pure driver time per
+    # query invocation at this size (same fix as _tr_cent_array).
+    planes = F.expr(
+        "array(%s)"
+        % ",".join(
+            "array(%s)" % ",".join(str(int(c)) for c in plane)
+            for plane in _SRP
+        )
     )
     sig = F.aggregate(
         F.expr(

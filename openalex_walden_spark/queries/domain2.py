@@ -836,10 +836,20 @@ def d6_and_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the dimension side broadcast; the anti-join fall-through is a
     broadcast-able key set per tier; minting is a pure column expr.
     """
+    from openalex_walden_spark.operators.guardrails import persist_scalar
+
     c = spark.table("customer")
     s = F.broadcast(spark.table("supplier"))
 
-    t1 = (
+    # persist_scalar on the two resolved tiers (r14 optimization, guide
+    # §2.4): a DataFrame DAG lowers to a tree, so t1 executed THREE
+    # times (its own output branch, the tier-2 anti-join fall-through,
+    # and the tier-3 `resolved` anti) and t2 — whose levenshtein
+    # blocked join is the expensive stage — executed TWICE (output
+    # branch + `resolved`).  Both are small scalar assignment tables
+    # (custkey, author_id, tier); production materializes each tier
+    # anyway (the reference writes them out between cells).
+    t1 = persist_scalar(
         c.where(F.col("c_custkey") % 7 == 0)
         .join(s, s["s_suppkey"] == F.col("c_custkey") % 200)
         .select(
@@ -859,7 +869,7 @@ def d6_and_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.substring(unresolved1["c_name"], -1, 1) == F.substring(s["s_name"], -1, 1))
         & (F.levenshtein(unresolved1["c_name"], s["s_name"]) <= 7),
     ).select(F.col("c_custkey").alias("custkey"), "s_suppkey")
-    t2 = (
+    t2 = persist_scalar(
         cand.groupBy("custkey")
         .agg(F.min("s_suppkey").alias("sk"), F.count("*").alias("n"))
         .where(F.col("n") == 1)

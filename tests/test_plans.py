@@ -210,6 +210,27 @@ def test_persist_scalar_refuses_container_columns(spark):
     ok.unpersist()
 
 
+def test_persist_fixed_width_contract(spark):
+    """The r14 trainer-loop cache: fixed-width scalar arrays (quantized
+    vectors) are cacheable; maps/structs/nested arrays still refuse."""
+    import pytest
+
+    from openalex_walden_spark.operators.guardrails import (
+        persist_fixed_width,
+    )
+
+    vec = spark.sql("SELECT 1 AS id, array(1L, 2L, 3L) AS qx")
+    ok = persist_fixed_width(vec)
+    assert ok.count() == 1
+    ok.unpersist()
+    nested = spark.sql("SELECT 1 AS id, array(array(1)) AS xs")
+    with pytest.raises(ValueError, match="refusing to persist"):
+        persist_fixed_width(nested)
+    st = spark.sql("SELECT 1 AS id, named_struct('a', 1) AS s")
+    with pytest.raises(ValueError, match="refusing to persist"):
+        persist_fixed_width(st)
+
+
 def test_no_catalog_query_caches_container_columns(spark):
     """Source-level sweep: every cache()/persist() call site in the
     query catalog must route through persist_scalar (the guard above),
