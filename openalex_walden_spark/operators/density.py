@@ -181,8 +181,13 @@ def density_split_stats(
     # two full-frame nth_value windows — the k-th smallest d2 per
     # (g, src) IS the core distance, and partitioning the same rows by
     # (g, dst) exposes the other endpoint's.  nth_value is NULL for
-    # points with < k_core neighbours, so the eps-filter drops exactly
-    # the pairs the old inner joins dropped.
+    # points with < k_core neighbours; the EXPLICIT isNotNull guards in
+    # the eps-filter reproduce the inner-join drop of those pairs —
+    # `greatest` alone would NOT (Spark's greatest SKIPS null
+    # arguments rather than propagating them, so without the guards a
+    # pair between two low-degree points inside eps would survive
+    # where the old core joins — and the DuckDB oracle's
+    # `WHERE rn = k_core` CTE — drop it).
     sym = pairs.select(
         "g",
         F.explode(
@@ -208,6 +213,8 @@ def density_split_stats(
         .withColumn("cb", F.nth_value("d2", k_core).over(w_dst))
         .where(
             (F.col("src") < F.col("dst"))
+            & F.col("ca").isNotNull()
+            & F.col("cb").isNotNull()
             & (F.greatest("d2", "ca", "cb") <= F.lit(eps2))
         )
         .select(

@@ -319,6 +319,42 @@ def test_density_split_flags_known_overmerge(spark):
     assert out[3]["n_clusters"] == 0 and out[3]["n_noise"] == 5
 
 
+def test_density_split_small_group_has_no_core_pairs(spark):
+    """A group with <= k_core points (every point has < k_core
+    neighbours) must produce ZERO clusters even when all its pairwise
+    distances are inside eps — the k-th-neighbour core distance is
+    undefined there, and both the pre-r14 inner joins and the DuckDB
+    oracle's `WHERE rn = k_core` CTE drop such pairs.  Regression pin
+    for the r14 window rewrite: `greatest` SKIPS null arguments in
+    Spark, so without the explicit isNotNull guards a tight 3-point
+    group would wrongly form a cluster (reachable shape even though no
+    committed fixture currently produces a group that small)."""
+    from openalex_walden_spark.operators.density import density_split_stats
+
+    rows = [
+        # grp 1: three coincident points — all pair d2 = 0 <= eps2,
+        # but only 2 neighbours each < k_core=3 -> no core -> no edges
+        (1, 0, [0, 0, 0, 0]),
+        (1, 1, [0, 0, 0, 0]),
+        (1, 2, [0, 0, 0, 0]),
+        # grp 2: four tight points (3 neighbours each = k_core) -> the
+        # core distance exists and the cluster forms — the boundary case
+        (2, 3, [0, 0, 0, 0]),
+        (2, 4, [1, 0, 0, 0]),
+        (2, 5, [0, 1, 0, 0]),
+        (2, 6, [1, 1, 0, 0]),
+    ]
+    pts = spark.createDataFrame(rows, "grp int, id int, qx array<bigint>")
+    out = {
+        r["grp"]: r
+        for r in density_split_stats(
+            pts, eps2=100, k_core=3, min_cluster_size=3
+        ).collect()
+    }
+    assert out[1]["n_clusters"] == 0 and out[1]["n_noise"] == 3
+    assert out[2]["n_clusters"] == 1 and out[2]["largest_sz"] == 4
+
+
 def test_density_split_caps_oversized_profile_pair_fanout(spark):
     """Hot-key guard contract (round-6 review): a profile far above
     ``max_group_size`` must be down-sampled BEFORE the quadratic stage,
