@@ -207,6 +207,10 @@ def assign_cells(vectors: DataFrame, cents: list[list[int]], quant_scale: int) -
     # strict < keeping the earliest cell), but evaluates the 64-element
     # distance aggregate ONCE per centroid instead of twice — Catalyst
     # does not CSE inside lambda bodies (same fix as _TR_ARGMIN).
+    # Same precondition as _TR_ARGMIN (see queries/advanced.py): vectors
+    # must be full-width with non-null elements, or the NULL d2 a
+    # zip_with length mismatch produces would sort FIRST in array_min
+    # where the old fold skipped it.
     argmin = f"array_min(transform(__cents, c -> named_struct('d2', {d2}, 'cl', c.cl)))"
     return (
         vectors.withColumn(

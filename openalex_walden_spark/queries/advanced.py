@@ -1153,6 +1153,16 @@ _TR_D2 = (
 # in the THEN branch — Catalyst does not CSE inside lambda bodies);
 # transform evaluates it exactly once, halving the dominant compute of
 # both the k-means trainer and cell assignment/routing.
+# PRECONDITION (audited r14): qx must be a full-width array of non-null
+# elements — a length-mismatched or null-element vector makes zip_with
+# emit NULLs, the aggregate yields d2 = NULL, and array_min would
+# SELECT that struct (NULL sorts first in struct ascending order) where
+# the old fold's `NULL < acc.d2` skipped it.  The quantizer transform
+# upstream guarantees the contract (verified: every embedding at every
+# SF is exactly 64 non-null elements), matching the fixed-width cache
+# contract in guardrails.persist_fixed_width; a NULL-filter here would
+# tax the hottest expression in the engine to defend an input the
+# schema already excludes.
 _TR_ARGMIN = (
     f"array_min(transform(cents, c -> named_struct('d2', {_TR_D2}, 'cl', c.cl)))"
 )
