@@ -71,54 +71,7 @@ _LAST_GREEN: dict[str, int] = {
 # mechanically against git by tests/test_driver_window.py (queries whose
 # defining module changed since the last round-boundary commit must be
 # here or never-verified).
-_CHANGED_THIS_ROUND: list[str] = [
-    # r14 ADVICE fix: \b year boundaries + match.start()-faithful scheme
-    # prefix, plus two adversarial fixture arms that exercise them
-    "heineken_parse_prizes",
-    # r14 schmidt_sciences arm added to the method-5 family (new member
-    # rows in the union output; legacy arms byte-identical)
-    "method5_parse_awards",
-    # r14 checkpoint-release change (operators/checkpoints.py): the two
-    # direct callers of the iterative operators front for real driver
-    # rows — outputs proven byte-stable (goldens replay), but these are
-    # also exactly the rows the r13 verdict wanted re-verified after
-    # the pagerank replan
-    "graph_pagerank_fixedpoint",
-    "dedup_connected_components",
-    # r14 OPTIMIZATION round replans (outputs proven identical: sf0.01
-    # oracle parity + byte-stable goldens; see OPTIMIZATION_r14.md):
-    # - density operator computes the quadratic pair join ONCE (explode
-    #   mirror + nth_value core distances) instead of three times
-    "overmerge_density_split",
-    "overmerge_screened_density",
-    # - one-pass window percentiles instead of agg ⋈ ranked ⋈ ranked
-    "overmerge_pairwise_signal",
-    "overmerge_centroid_fit",
-    # - _TR_ARGMIN: array_min(transform(...)) evaluates each centroid
-    #   distance once (the CASE fold evaluated it twice); same argmin
-    "ann_ivf_trained_topk",
-    "ann_recall_audit",
-    "search_hybrid_rrf",
-    # - kmeans assignment now map-side (seed array fold, no k-fold
-    #   crossJoin blowup + no vec_id window exchange)
-    "kmeans_lloyd_step",
-    # - persist_scalar on the reused tokenized subplan (was computed
-    #   twice per run)
-    "sample_importance_weighted",
-    "quality_lm_surprisal",
-    # - single-pass citation enrichment: the lineitem⋈orders edge join
-    #   executed 3x (counts/cby/win3) now reduces once at (work, year)
-    #   grain and folds all three signals in one aggregate
-    "d0_works_enriched",
-    # - second-session r14 edits: the trainer loop (persist + scoped
-    #   AQE/partitions) and the parsed-literal _tr_cent_array/_SRP
-    #   builders (py4j-per-F.lit driver cost removed; values and types
-    #   identical — see OPTIMIZATION_r14.md)
-    "ann_srp_bucket_pairs",
-    # - persist_scalar on the d6 cascade's resolved tiers (t1 executed
-    #   3x, the levenshtein tier 2x — now once each)
-    "d6_and_cascade",
-]
+_CHANGED_THIS_ROUND: list[str] = []
 
 # Queries whose defining MODULE changed this round but whose own plan
 # and semantics provably did not (e.g. a sibling query was added to the
@@ -126,116 +79,7 @@ _CHANGED_THIS_ROUND: list[str] = [
 # can check against the diff; tests/test_driver_window.py rejects any
 # module-changed green query that is neither here nor in
 # _CHANGED_THIS_ROUND.  Reset to {} at every round boundary.
-_WINDOW_EXEMPT: dict[str, str] = {
-    # r14: llmdata/graphops import the iterative operators whose only
-    # change this round is checkpoint-block RELEASE after the result is
-    # materialized (operators/checkpoints.py + the SESSION_SCOPE_LOCK);
-    # none of these queries calls pagerank_fixedpoint or
-    # connected_components (grep-verified: the only call sites are
-    # graph_pagerank_fixedpoint and dedup_connected_components, both
-    # fronted in _CHANGED_THIS_ROUND), and every golden is byte-stable
-    # in this session's full replay.
-    name: (
-        "sibling-module flag only: llmdata.py's r14 changes are the "
-        "iterative-operator checkpoint release (this query never calls "
-        "them; call sites are fronted) and the r14-optimization edits "
-        "to three SIBLING queries (persist_scalar in "
-        "sample_importance_weighted/quality_lm_surprisal, the shared "
-        "_TR_ARGMIN rewrite used only by search_hybrid_rrf — all three "
-        "fronted); this query touches none of those; golden unchanged")
-    for name in (
-        "text_quality_features", "text_lang_id", "dedup_exact_documents",
-        "dedup_minhash_lsh_pairs", "dedup_simhash", "ann_cosine_topk",
-        "llm_judge_verdicts", "text_token_stats", "dedup_ngram_jaccard",
-        "llm_embed_vectors", "text_fingerprint_winnow",
-        "sample_stratified_hash", "decontaminate_eval_overlap",
-        "quality_filter_gate", "quality_gopher_repetition",
-        "pii_scrub_redact", "search_boolean_retrieval",
-        "dedup_segments_exact", "search_bm25_topk", "ann_sq8_topk",
-        "mixture_rebalance_sample", "pack_sequences_chunked",
-        "dedup_prefix_filter_pairs", "chunk_documents_overlap",
-        "bpe_top_merges", "crawl_drain_queue",
-        "graph_triangle_count", "graph_label_propagation",
-        "hierarchy_flatten_doubling",
-    )
-}
-# advanced.py's r14-optimization edits are the shared _TR_ARGMIN
-# rewrite (consumed only by kmeans_lloyd_step / ann_ivf_trained_topk /
-# ann_recall_audit — fronted) and kmeans_lloyd_step's map-side
-# assignment; every other query in the module is untouched column
-# algebra with byte-stable goldens.
-_WINDOW_EXEMPT.update({
-    name: (
-        "sibling-module flag only: advanced.py's r14 changes are the "
-        "_TR_ARGMIN single-evaluation rewrite and kmeans_lloyd_step's "
-        "map-side assignment (all consumers fronted in "
-        "_CHANGED_THIS_ROUND); this query uses neither; golden "
-        "unchanged")
-    for name in (
-        "a7_histogram_zero_bucket", "a8_tall_metrics",
-        "ann_ivf_multiprobe_topk", "ann_ivf_topk",
-        "embedding_neardup_pairs",
-        "multimodal_decode", "multimodal_frame_sample",
-        "multimodal_resize", "p5_author_key_blocks",
-        "s6_export_authors_shape", "s6_export_awards_shape",
-        "s6_export_common_entities", "s6_export_salt_ladder",
-        "s6_export_concepts_shape", "s6_export_funders_shape",
-        "s6_export_institutions_shape", "s6_export_keywords_shape",
-        "s6_export_publishers_shape", "s6_export_sources_shape",
-        "s6_export_topic_hierarchy_shape", "s6_json_export_shape",
-        "semdedup_prune", "skew_salted_agg", "skew_salted_join",
-    )
-})
-# nested.py's r14-optimization edit is d0_works_enriched's single-pass
-# citation aggregate (fronted); the module's other queries are
-# untouched.
-_WINDOW_EXEMPT.update({
-    name: (
-        "sibling-module flag only: nested.py's r14 change is "
-        "d0_works_enriched's single-pass citation aggregate (fronted "
-        "in _CHANGED_THIS_ROUND); this query is untouched; golden "
-        "unchanged")
-    for name in ("d0_works_build", "fulltext_work_build", "p12_tei_extract")
-})
-# domain2.py's r14 (second-session) edit is d6_and_cascade's
-# persist_scalar on its two resolved tiers (fronted); every other query
-# in the module is untouched.
-_WINDOW_EXEMPT.update({
-    name: (
-        "sibling-module flag only: domain2.py's r14 change is "
-        "d6_and_cascade's persist_scalar on its resolved tiers "
-        "(fronted in _CHANGED_THIS_ROUND); this query is untouched; "
-        "golden unchanged")
-    for name in (
-        "a6_distinct_pairs", "award_oa_compliance",
-        "d11_entity_aggregates", "d12_curation_overlay",
-        "d3_best_location_pick", "d4_oa_status", "d5_percentile_flags",
-        "d6_unique_gate_match", "d7_type_cascade",
-        "d7_type_classification", "d8_reference_resolution",
-        "j9_merge_scd1_batch", "j9_merge_state_rounds",
-        "p10_version_detect", "p11_oai_id_extract",
-        "p8_affiliation_filter", "p9_langcode_map", "s8_model_inference",
-    )
-})
-# timeseries.py / sketches.py import only the _H_DUCK/_H_SPARK hash
-# CONSTANTS from llmdata (grep-verified; both strings are unchanged
-# this round) — the one-hop import audit flags them for llmdata's
-# sibling-query edits, which these modules cannot observe.
-_WINDOW_EXEMPT.update({
-    name: (
-        "import-flag only: this module imports the unchanged "
-        "_H_DUCK/_H_SPARK hash constants from llmdata; llmdata's r14 "
-        "changes (persist_scalar in two sibling queries, _TR_ARGMIN "
-        "consumers, checkpoint release) are unreachable from here; "
-        "golden unchanged")
-    for name in (
-        "j14_asof_join", "j15_range_join", "ev_hypertable_rollup",
-        "ev_gapfill_locf", "w9_range_frame_trailing",
-        "fit_isotonic_pava", "sketch_countmin_estimates",
-        "sketch_hll_distinct", "sketch_hll_merge_rollup",
-        "sketch_bloom_probe", "sketch_bloom_join_prune",
-    )
-})
+_WINDOW_EXEMPT: dict[str, str] = {}
 
 # Every query with a green driver row, stalest round first (name
 # tie-break) — the tail of the re-verification schedule.
