@@ -108,6 +108,13 @@ MIN5 = {
     # (2.65x raw) had NO spread record to adjudicate contention vs real;
     # five runs makes the r14 CLEAR/KEPT decision evidence-backed.
     "graph_triangle_count",
+    # round-14 verdict #2: both regressed 0.52x/0.54x raw at 32 cores on
+    # UNTOUCHED code while the driver's own 8-core control run put them
+    # back at r13 values — contention, not plans.  Five runs with a
+    # spread record makes the round-15 CLEAR/KEPT call evidence-backed
+    # (additions-only: no query removed or renamed).
+    "ann_cosine_topk",
+    "multimodal_decode",
 }
 
 

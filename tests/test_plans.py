@@ -211,8 +211,12 @@ def test_persist_scalar_refuses_container_columns(spark):
 
 
 def test_persist_fixed_width_contract(spark):
-    """The r14 trainer-loop cache: fixed-width scalar arrays (quantized
-    vectors) are cacheable; maps/structs/nested arrays still refuse."""
+    """The r14 trainer-loop cache: fixed-width NUMERIC arrays (quantized
+    vectors) are cacheable; maps/structs/nested arrays refuse, and — the
+    r14 ADVICE tightening — so do non-numeric element types like
+    array<string>, which are the unbounded token-list memory cliff this
+    guard family exists to block (length-boundedness stays a caller
+    assertion; element-type boundedness is now enforced)."""
     import pytest
 
     from openalex_walden_spark.operators.guardrails import (
@@ -229,23 +233,40 @@ def test_persist_fixed_width_contract(spark):
     st = spark.sql("SELECT 1 AS id, named_struct('a', 1) AS s")
     with pytest.raises(ValueError, match="refusing to persist"):
         persist_fixed_width(st)
+    toks = spark.sql("SELECT 1 AS id, array('a', 'b') AS toks")
+    with pytest.raises(ValueError, match="refusing to persist"):
+        persist_fixed_width(toks)
 
 
 def test_no_catalog_query_caches_container_columns(spark):
     """Source-level sweep: every cache()/persist() call site in the
-    query catalog must route through persist_scalar (the guard above),
-    so no cached plan node can carry container columns."""
+    engine must route through one of the TWO sanctioned guards —
+    ``persist_scalar`` (scalar columns only) or ``persist_fixed_width``
+    (scalars + fixed-width numeric arrays) — so no cached plan node can
+    carry unbounded container columns.  guardrails.py itself is not
+    blanket-exempt (r14 ADVICE): its raw ``.persist(`` calls are allowed
+    ONLY inside those two functions, so a future raw persist added
+    anywhere else in the module fails here too."""
     import pathlib
     import re
 
     qdir = pathlib.Path(__file__).parent.parent / "openalex_walden_spark"
+    sanctioned = {"persist_scalar", "persist_fixed_width"}
     offenders = []
     for p in qdir.rglob("*.py"):
-        if p.name == "guardrails.py":  # the guard's own persist call
-            continue
         src = p.read_text()
         for m in re.finditer(r"\.(cache|persist)\(", src):
             line = src[: m.start()].count("\n") + 1
+            if p.name == "guardrails.py":
+                # allowed only inside the two guard functions: find the
+                # innermost def preceding the call site
+                defs = [
+                    (d.start(), d.group(1))
+                    for d in re.finditer(r"^def (\w+)", src, re.M)
+                    if d.start() < m.start()
+                ]
+                if defs and defs[-1][1] in sanctioned:
+                    continue
             offenders.append(f"{p.name}:{line}")
     assert not offenders, f"raw cache()/persist() call sites: {offenders}"
 
@@ -529,6 +550,29 @@ def test_kmeans_seeds_broadcast_no_vector_collect(spark, sf_dir):
     # vec_id, no exchange keyed on the corpus row id
     assert "hashpartitioning(vec_id" not in plan
     assert "row_number" not in plan
+
+
+def test_quantized_vectors_full_width_non_null(spark, sf_dir):
+    """Executable _TR_ARGMIN / assign_cells precondition (r14 ADVICE):
+    the array_min argmin diverges from the old CASE-fold only when a
+    distance is NULL, which zip_with can produce solely from a
+    length-mismatched or null-element vector.  The r14 audit verified
+    that unreachable offline; this test makes the documented
+    precondition executable — every quantized corpus vector must have
+    ONE common width and zero NULL elements."""
+    from pyspark.sql import functions as F
+
+    from openalex_walden_spark.queries.advanced import _tr_quantized
+    from openalex_walden_spark.tables import register_views
+
+    register_views(spark, sf_dir, ("embeddings",))
+    q = _tr_quantized(spark)
+    widths = [r[0] for r in q.select(F.size("qx")).distinct().collect()]
+    assert len(widths) == 1, f"mixed vector widths: {widths}"
+    n_null = q.where(
+        F.exists("qx", lambda v: v.isNull()) | F.col("qx").isNull()
+    ).count()
+    assert n_null == 0
 
 
 def test_hierarchy_doubling_equi_joins_only(spark, sf_dir):
