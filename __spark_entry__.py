@@ -71,7 +71,18 @@ _LAST_GREEN: dict[str, int] = {
 # mechanically against git by tests/test_driver_window.py (queries whose
 # defining module changed since the last round-boundary commit must be
 # here or never-verified).
-_CHANGED_THIS_ROUND: list[str] = []
+_CHANGED_THIS_ROUND: list[str] = [
+    # r15 OPTIMIZATION round replans (outputs proven identical: sf0.01
+    # oracle parity + byte-stable goldens; see OPTIMIZATION_r15.md):
+    # - checkpoint-truncated doubling/propagation loops
+    #   (operators/checkpoints.py run_truncated_loop): the unrolled
+    #   plans re-instantiated every earlier round geometrically (3^4 =
+    #   81 base copies / 243 input scans for the lineage closure); each
+    #   round now executes exactly once
+    "institution_ancestors_lineage",
+    "hierarchy_flatten_doubling",
+    "graph_label_propagation",
+]
 
 # Queries whose defining MODULE changed this round but whose own plan
 # and semantics provably did not (e.g. a sibling query was added to the
@@ -79,7 +90,115 @@ _CHANGED_THIS_ROUND: list[str] = []
 # can check against the diff; tests/test_driver_window.py rejects any
 # module-changed green query that is neither here nor in
 # _CHANGED_THIS_ROUND.  Reset to {} at every round boundary.
-_WINDOW_EXEMPT: dict[str, str] = {}
+#
+# The r15 OPERATOR diffs that trip the one-hop import audit are:
+# - operators/guardrails.py: persist_scalar gained a DOCSTRING (the
+#   session-owner release contract) and persist_fixed_width now rejects
+#   non-numeric array elements — its ONLY call site is the trainer's
+#   array<bigint> quantized corpus (grep: one call, queries/advanced.py
+#   train_ivf_centroids), which was accepted before and after, so no
+#   query's plan or output changes.
+# - operators/checkpoints.py: a NEW helper (run_truncated_loop) was
+#   added; the pre-existing janitor/lock code is untouched, so
+#   pagerank_fixedpoint / connected_components callers are unaffected
+#   (their call sites changed in r14 and were driver-verified then).
+_WINDOW_EXEMPT: dict[str, str] = {
+    # llmdata.py is NOT edited this round; it is flagged only for
+    # importing guardrails' persist guards (docstring + a fixed-width
+    # element check whose sole call site is advanced.py's trainer) and
+    # the checkpoints module (this module's two iterative call sites,
+    # dedup_connected_components via components.py, are plan-identical:
+    # the janitor code they use is untouched).
+    name: (
+        "import-flag only: llmdata.py is unedited in r15; the flagged "
+        "operator diffs are the persist-guard docstring/element-check "
+        "(only call site: advanced.py trainer, array<bigint> — accepted "
+        "before and after) and a NEW checkpoints helper this module "
+        "does not call; golden unchanged")
+    for name in (
+        "text_quality_features", "text_lang_id", "dedup_exact_documents",
+        "dedup_minhash_lsh_pairs", "dedup_simhash", "ann_cosine_topk",
+        "llm_judge_verdicts", "text_token_stats", "dedup_ngram_jaccard",
+        "llm_embed_vectors", "text_fingerprint_winnow",
+        "dedup_connected_components", "sample_stratified_hash",
+        "decontaminate_eval_overlap", "quality_filter_gate",
+        "quality_gopher_repetition", "pii_scrub_redact",
+        "search_boolean_retrieval", "dedup_segments_exact",
+        "search_bm25_topk", "ann_sq8_topk", "mixture_rebalance_sample",
+        "pack_sequences_chunked", "sample_importance_weighted",
+        "quality_lm_surprisal", "dedup_prefix_filter_pairs",
+        "chunk_documents_overlap", "bpe_top_merges", "crawl_drain_queue",
+        "search_hybrid_rrf",
+    )
+}
+_WINDOW_EXEMPT.update({
+    # advanced.py is unedited; flagged for the same guardrails /
+    # checkpoints import.  The persist_fixed_width element-check DOES
+    # gate its trainer call site — but the cached frame is (vec_id
+    # bigint, qx array<bigint>), numeric before and after, so the guard
+    # accepts identically and the trainer's plan is byte-identical.
+    name: (
+        "import-flag only: advanced.py is unedited in r15; its "
+        "persist_fixed_width call caches (bigint, array<bigint>) which "
+        "the tightened numeric-element guard accepts unchanged; the new "
+        "checkpoints helper is not called here; golden unchanged")
+    for name in (
+        "p5_author_key_blocks", "multimodal_decode", "ann_ivf_topk",
+        "embedding_neardup_pairs", "a7_histogram_zero_bucket",
+        "a8_tall_metrics", "s6_json_export_shape", "skew_salted_agg",
+        "skew_salted_join", "multimodal_frame_sample", "multimodal_resize",
+        "semdedup_prune", "kmeans_lloyd_step", "ann_ivf_multiprobe_topk",
+        "ann_ivf_trained_topk", "ann_recall_audit", "ann_srp_bucket_pairs",
+        "s6_export_authors_shape", "s6_export_salt_ladder",
+        "s6_export_funders_shape", "s6_export_sources_shape",
+        "s6_export_topic_hierarchy_shape", "s6_export_institutions_shape",
+        "s6_export_publishers_shape", "s6_export_keywords_shape",
+        "s6_export_awards_shape", "s6_export_concepts_shape",
+        "s6_export_common_entities",
+    )
+})
+_WINDOW_EXEMPT.update({
+    # domain2.py / nested.py / timeseries.py / sketches.py are unedited;
+    # flagged only for importing guardrails' persist_scalar, whose r15
+    # diff is docstring-only for that function.
+    name: (
+        "import-flag only: this module is unedited in r15 and imports "
+        "only persist_scalar from the changed guardrails module — the "
+        "r15 diff to persist_scalar is docstring-only (session-owner "
+        "contract note); golden unchanged")
+    for name in (
+        "j9_merge_scd1_batch", "j9_merge_state_rounds", "a6_distinct_pairs",
+        "d3_best_location_pick", "d4_oa_status", "d6_unique_gate_match",
+        "d7_type_classification", "d11_entity_aggregates",
+        "d12_curation_overlay", "p8_affiliation_filter", "p9_langcode_map",
+        "p10_version_detect", "p11_oai_id_extract", "s8_model_inference",
+        "d8_reference_resolution", "d5_percentile_flags", "d6_and_cascade",
+        "d7_type_cascade", "award_oa_compliance",
+        "d0_works_build", "p12_tei_extract", "d0_works_enriched",
+        "fulltext_work_build",
+        "j14_asof_join", "ev_hypertable_rollup", "sketch_countmin_estimates",
+        "j15_range_join", "ev_gapfill_locf", "w9_range_frame_trailing",
+        "fit_isotonic_pava",
+        "sketch_hll_distinct", "sketch_bloom_probe",
+        "sketch_hll_merge_rollup", "sketch_bloom_join_prune",
+    )
+})
+_WINDOW_EXEMPT.update({
+    # graphops.py's r15 edits are the checkpoint-truncated LPA and
+    # doubling loops (both fronted); pagerank/triangle are untouched
+    # column algebra in the same module.  enrichmerge.py's r15 edit is
+    # institution_ancestors_lineage (fronted); its siblings are
+    # untouched.
+    name: (
+        "sibling-module flag only: this module's r15 change is the "
+        "checkpoint-truncated loop in a SIBLING query (fronted in "
+        "_CHANGED_THIS_ROUND); this query's own code is untouched; "
+        "golden unchanged")
+    for name in (
+        "graph_pagerank_fixedpoint", "graph_triangle_count",
+        "topics_merge_output", "concepts_keywords_dynamic",
+    )
+})
 
 # Every query with a green driver row, stalest round first (name
 # tie-break) — the tail of the re-verification schedule.

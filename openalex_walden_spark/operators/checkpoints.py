@@ -30,8 +30,9 @@ its operator pipeline tears down, which a Spark session does not.
 from __future__ import annotations
 
 import threading
+from typing import Callable
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 # One lock per driver process: session confs are global to the session,
 # and every SparkSession in this repo shares the one local JVM.
@@ -95,3 +96,53 @@ class CheckpointJanitor:
                 entry.getValue().unpersist(False)
                 released += 1
         return released
+
+
+def run_truncated_loop(
+    spark: SparkSession,
+    setup: Callable[[], DataFrame],
+    step: Callable[[DataFrame], DataFrame],
+    rounds: int,
+) -> DataFrame:
+    """Run a fixed number of ``step`` iterations with per-round
+    ``localCheckpoint`` lineage truncation (r15 optimization, guide
+    §2.4/§7.2 "duplicated subtrees").
+
+    An unrolled DataFrame loop whose body references the loop variable
+    more than once (pointer doubling: ``t ⋈ t``; label propagation:
+    ``labels ⋈ picked(labels)``) grows its PLAN — and its executed
+    work — geometrically: round k's result embeds 2-3 copies of round
+    k-1, so four unrolled rounds instantiate the seed 16-81 times
+    (measured: institution_ancestors_lineage scanned its input 243x in
+    the static plan and ran 5.6-11.8 s at sf0.1 where the checkpointed
+    loop runs 2.2-2.4 s; interleaved same-session A/B, min-of-4).
+    Runtime exchange reuse dedupes identical EXCHANGES, never the joins
+    and aggregates above them.  Checkpointing each round bounds the plan
+    at one round's shape and executes every round exactly once — the
+    same discipline as ``pagerank_fixedpoint``/``connected_components``.
+
+    ``setup`` builds the loop seed AFTER the janitor's id snapshot, so
+    any checkpoint it takes internally (a shared edge plane the closure
+    captures) is attributed and released with the intermediates.
+    Everything except the FINAL round's blocks is released before
+    returning; the returned (already-materialized) DataFrame keeps only
+    its own blocks pinned, which the session owner may release after
+    materializing downstream results.  The lock serializes the
+    janitor's persistent-id attribution and is the engine-wide
+    single-threaded-session contract.
+    """
+    with SESSION_SCOPE_LOCK:
+        jan = CheckpointJanitor(spark)
+        keep: set[str] = set()
+        try:
+            cur = setup().localCheckpoint()
+            jan.mark("setup")
+            tag = "setup"
+            for i in range(rounds):
+                cur = step(cur).localCheckpoint()
+                tag = f"round-{i}"
+                jan.mark(tag)
+            keep = {tag}
+            return cur
+        finally:
+            jan.release(keep=keep)

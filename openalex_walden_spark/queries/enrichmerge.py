@@ -399,38 +399,57 @@ def institution_ancestors_lineage(spark: SparkSession, sf_dir: str) -> DataFrame
     merged-institution gates (BOTH endpoints, which also severs chains
     through a merged-away intermediate, matching the recursion) live in
     the base-edge build.  Oracle: the reference's own recursive CTE.
+
+    Each round's lineage is truncated with localCheckpoint (r15, guide
+    §2.4/§7.2): T_{{k+1}} references T_k THREE times (union left, join
+    left, join right), so the unrolled plan instantiated the base-edge
+    build 3^4 = 81 times — 243 input scans in the static plan;
+    interleaved A/B at sf0.1: 5.6-11.8 s unrolled vs 2.2-2.4 s
+    truncated (min-of-4, 10-32 s unrolled under host contention) —
+    where the checkpointed loop executes every round exactly once
+    (same lifecycle janitor as pagerank/connected-components).
     """
-    c = spark.table("customer").select(F.col("c_custkey").alias("id"))
-    # institutions fixture: ror_id = 'https://ror.org/0<id>'; strip before join
-    inst = c.select(
-        "id",
-        F.regexp_replace(
-            F.concat(F.lit("https://ror.org/0"), F.col("id").cast("string")),
-            "^https://ror\\.org/", "",
-        ).alias("ror"),
-        F.when(F.col("id") % 37 == 0, F.lit(1)).alias("merge_into_id"),
-    )
-    rel = c.filter(F.col("id") >= 3).select(
-        F.concat(F.lit("0"), F.col("id").cast("string")).alias("ror_id"),
-        F.concat(F.lit("0"), F.expr("id div 3").cast("string")).alias("related_ror_id"),
-        F.when(F.col("id") % 5 == 0, F.lit("related")).otherwise(F.lit("parent")).alias(
-            "relationship_type"
-        ),
-    )
-    child = inst.filter(F.col("merge_into_id").isNull()).select(
-        F.col("id").alias("institution_id"), F.col("ror").alias("c_ror")
-    )
-    parent = inst.filter(F.col("merge_into_id").isNull()).select(
-        F.col("id").alias("ancestor_id"), F.col("ror").alias("p_ror")
-    )
-    base = (
-        rel.filter(F.col("relationship_type") == "parent")
-        .join(child, F.col("c_ror") == F.col("ror_id"))
-        .join(parent, F.col("p_ror") == F.col("related_ror_id"))
-        .select("institution_id", "ancestor_id", F.lit(1).cast("int").alias("generation"))
-    )
-    t = base
-    for _ in range(4):  # closes distance 2^4 = 16
+    from openalex_walden_spark.operators.checkpoints import run_truncated_loop
+
+    def base() -> DataFrame:
+        c = spark.table("customer").select(F.col("c_custkey").alias("id"))
+        # institutions fixture: ror_id = 'https://ror.org/0<id>'; strip
+        # before join
+        inst = c.select(
+            "id",
+            F.regexp_replace(
+                F.concat(F.lit("https://ror.org/0"), F.col("id").cast("string")),
+                "^https://ror\\.org/", "",
+            ).alias("ror"),
+            F.when(F.col("id") % 37 == 0, F.lit(1)).alias("merge_into_id"),
+        )
+        rel = c.filter(F.col("id") >= 3).select(
+            F.concat(F.lit("0"), F.col("id").cast("string")).alias("ror_id"),
+            F.concat(F.lit("0"), F.expr("id div 3").cast("string")).alias(
+                "related_ror_id"
+            ),
+            F.when(F.col("id") % 5 == 0, F.lit("related"))
+            .otherwise(F.lit("parent"))
+            .alias("relationship_type"),
+        )
+        child = inst.filter(F.col("merge_into_id").isNull()).select(
+            F.col("id").alias("institution_id"), F.col("ror").alias("c_ror")
+        )
+        parent = inst.filter(F.col("merge_into_id").isNull()).select(
+            F.col("id").alias("ancestor_id"), F.col("ror").alias("p_ror")
+        )
+        return (
+            rel.filter(F.col("relationship_type") == "parent")
+            .join(child, F.col("c_ror") == F.col("ror_id"))
+            .join(parent, F.col("p_ror") == F.col("related_ror_id"))
+            .select(
+                "institution_id",
+                "ancestor_id",
+                F.lit(1).cast("int").alias("generation"),
+            )
+        )
+
+    def close_round(t: DataFrame) -> DataFrame:
         hop = t.select(
             F.col("institution_id").alias("mid"),
             F.col("ancestor_id").alias("far_anc"),
@@ -444,5 +463,7 @@ def institution_ancestors_lineage(spark: SparkSession, sf_dir: str) -> DataFrame
                 (F.col("generation") + F.col("g2")).alias("generation"),
             )
         )
-        t = t.unionByName(composed).distinct()
+        return t.unionByName(composed).distinct()
+
+    t = run_truncated_loop(spark, base, close_round, 4)  # closes 2^4 = 16
     return t.orderBy("institution_id", "generation")

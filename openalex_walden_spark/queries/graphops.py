@@ -331,31 +331,49 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     a (dst, label) count aggregate with map-side partials, and a
     row_number top-1 inside the dst partitioning — the same two-exchange
     superstep cost as PageRank; no cartesian anywhere, hub fan-in is
-    bounded by the count aggregate happening BEFORE the rank.
+    bounded by the count aggregate happening BEFORE the rank.  The edge
+    plane is checkpointed ONCE and each round's labels are checkpointed
+    (r15, guide §2.4/§7.2): the round body references ``labels`` twice
+    (the superstep join AND the coalesce join-back), so the unrolled
+    plan re-instantiated every earlier round — and the lineitem
+    distinct — geometrically (interleaved A/B at sf0.1: 4.31 s unrolled
+    vs 3.12 s truncated, min-of-4, and 8-30 s unrolled under host
+    contention), where the truncated loop executes each exactly once.
     """
-    li = spark.table("lineitem")
-    a = (F.col("l_orderkey") % _TRI_NODES).alias("a")
-    b = (F.col("l_partkey") % _TRI_NODES).alias("b")
-    und = (
-        li.select(a, b)
-        .where(F.col("a") != F.col("b"))
-        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
-        .distinct()
-    )
-    sym = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
-        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    )
-    labels = (
-        und.select(F.col("u").alias("node"))
-        .union(und.select(F.col("v").alias("node")))
-        .distinct()
-        .select("node", F.col("node").alias("lab"))
-    )
+    from openalex_walden_spark.operators.checkpoints import run_truncated_loop
     from pyspark.sql.window import Window
 
-    for _ in range(_LPA_ROUNDS):
+    sym_holder: list[DataFrame] = []
+
+    def seed() -> DataFrame:
+        li = spark.table("lineitem")
+        a = (F.col("l_orderkey") % _TRI_NODES).alias("a")
+        b = (F.col("l_partkey") % _TRI_NODES).alias("b")
+        und = (
+            li.select(a, b)
+            .where(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+            .distinct()
+            # the expensive lineitem fold+distinct materializes once; every
+            # round's superstep reads these blocks (pagerank's edge-plane
+            # pattern) and the janitor releases them with the intermediates
+            .localCheckpoint()
+        )
+        sym_holder.append(
+            und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+                und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+            )
+        )
+        return (
+            und.select(F.col("u").alias("node"))
+            .union(und.select(F.col("v").alias("node")))
+            .distinct()
+            .select("node", F.col("node").alias("lab"))
+        )
+
+    def superstep(labels: DataFrame) -> DataFrame:
         counted = (
-            sym.join(labels.withColumnRenamed("node", "src"), "src")
+            sym_holder[0].join(labels.withColumnRenamed("node", "src"), "src")
             .groupBy("dst", "lab")
             .agg(F.count("*").alias("c"))
         )
@@ -365,9 +383,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rn") == 1)
             .select(F.col("dst").alias("node"), F.col("lab").alias("newlab"))
         )
-        labels = labels.join(picked, "node", "left").select(
+        return labels.join(picked, "node", "left").select(
             "node", F.coalesce("newlab", "lab").alias("lab")
         )
+
+    labels = run_truncated_loop(spark, seed, superstep, _LPA_ROUNDS)
     return labels.select("node", F.col("lab").alias("community"))
 
 
@@ -413,27 +433,36 @@ def hierarchy_flatten_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
     would take O(depth) passes over the full node set and is the shape
     that dies on deep hierarchies; this is the same large-step
     discipline as the large-star/small-star components operator
-    (operators/components.py).
+    (operators/components.py).  Each round's lineage is truncated with
+    localCheckpoint (r15, guide §2.4/§7.2): the self-join references the
+    frontier TWICE, so the unrolled plan instantiated round k-1 twice
+    inside round k — 2^4 = 16 executions of the seed by round 4 —
+    where the checkpointed loop executes every round exactly once
+    (same lifecycle janitor as pagerank/connected-components).
     """
-    c = spark.table("customer").select(F.col("c_custkey").alias("node"))
-    is_root = F.col("node") < _HIER_FANOUT
-    t = c.select(
-        "node",
-        F.when(is_root, F.col("node"))
-        .otherwise(F.expr(f"node div {_HIER_FANOUT}"))
-        .cast("bigint")
-        .alias("anc"),
-        F.when(is_root, F.lit(0)).otherwise(F.lit(1)).cast("bigint").alias("dist"),
-        is_root.alias("done"),
-    )
-    for _ in range(_HIER_ROUNDS):
+    from openalex_walden_spark.operators.checkpoints import run_truncated_loop
+
+    def seed() -> DataFrame:
+        c = spark.table("customer").select(F.col("c_custkey").alias("node"))
+        is_root = F.col("node") < _HIER_FANOUT
+        return c.select(
+            "node",
+            F.when(is_root, F.col("node"))
+            .otherwise(F.expr(f"node div {_HIER_FANOUT}"))
+            .cast("bigint")
+            .alias("anc"),
+            F.when(is_root, F.lit(0)).otherwise(F.lit(1)).cast("bigint").alias("dist"),
+            is_root.alias("done"),
+        )
+
+    def double(t: DataFrame) -> DataFrame:
         up = t.select(
             F.col("node").alias("anc"),
             F.col("anc").alias("anc2"),
             F.col("dist").alias("dist2"),
             F.col("done").alias("done2"),
         )
-        t = (
+        return (
             t.join(up, "anc")
             .select(
                 "node",
@@ -444,6 +473,8 @@ def hierarchy_flatten_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("done") | F.col("done2")).alias("done"),
             )
         )
+
+    t = run_truncated_loop(spark, seed, double, _HIER_ROUNDS)
     return t.select(
         "node", F.col("anc").alias("root"), F.col("dist").cast("bigint").alias("depth")
     )

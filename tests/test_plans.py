@@ -510,10 +510,16 @@ def test_zorder_manifest_single_shuffle_with_partials(spark, sf_dir):
 
 def test_label_propagation_supersteps_stay_equi_join(spark, sf_dir):
     """Each LPA round: edges⋈labels equi-join, (dst,label) partial-agg,
-    top-1 inside the dst partitioning — no cartesian anywhere."""
+    top-1 inside the dst partitioning — no cartesian anywhere.  Since
+    r15 the loop is checkpoint-truncated (run_truncated_loop), so the
+    RETURNED plan must read the final round's blocks and must NOT embed
+    the geometric re-instantiation of earlier rounds (zero parquet
+    scans: the lineitem fold+distinct executed exactly once, inside the
+    loop)."""
     plan = _plan(spark, sf_dir, "graph_label_propagation")
     assert "CartesianProduct" not in plan
-    assert "partial_count" in plan
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
 
 
 def test_lm_surprisal_no_cartesian_partial_counts(spark, sf_dir):
@@ -577,10 +583,26 @@ def test_quantized_vectors_full_width_non_null(spark, sf_dir):
 
 def test_hierarchy_doubling_equi_joins_only(spark, sf_dir):
     """Every doubling round is an equi-join on the ancestor key — no
-    cartesian, no per-level chained scans of the full node set."""
+    cartesian, no per-level chained scans of the full node set.  Since
+    r15 the loop is checkpoint-truncated, so the returned plan reads the
+    final round's blocks instead of embedding 2^rounds copies of the
+    seed (zero parquet scans in the final plan)."""
     plan = _plan(spark, sf_dir, "hierarchy_flatten_doubling")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
+
+
+def test_ancestors_lineage_loop_truncated(spark, sf_dir):
+    """institution_ancestors_lineage (r15): the 3-references-per-round
+    doubling loop (union + self-join) is checkpoint-truncated — the
+    returned plan reads the final round's blocks; the unrolled shape
+    embedded the base-edge build 3^4 = 81 times (243 input scans)."""
+    plan = _plan(spark, sf_dir, "institution_ancestors_lineage")
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
 
 
 def test_prefix_filter_no_cartesian_no_unbounded_join(spark, sf_dir):
