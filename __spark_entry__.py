@@ -82,6 +82,14 @@ _CHANGED_THIS_ROUND: list[str] = [
     "institution_ancestors_lineage",
     "hierarchy_flatten_doubling",
     "graph_label_propagation",
+    # - one-window density edge plane (operators/density.py; the r14
+    #   verdict's #1 landing): the second full-frame nth_value window —
+    #   and its full partition-local re-sort of the mirrored pair plane
+    #   — is replaced by a persist_scalar'd single-window output feeding
+    #   a (g, pt) core table joined onto the eps-pre-filtered
+    #   candidates; outputs bit-identical, A/B 8.07 -> 6.43 s at sf0.1
+    "overmerge_density_split",
+    "overmerge_screened_density",
 ]
 
 # Queries whose defining MODULE changed this round but whose own plan
@@ -182,6 +190,20 @@ _WINDOW_EXEMPT.update({
         "sketch_hll_distinct", "sketch_bloom_probe",
         "sketch_hll_merge_rollup", "sketch_bloom_join_prune",
     )
+})
+_WINDOW_EXEMPT.update({
+    # overmerge.py is unedited; flagged for importing the changed
+    # density operator, whose only two call sites —
+    # overmerge_density_split and overmerge_screened_density — are
+    # fronted in _CHANGED_THIS_ROUND (grep: density_split_stats is
+    # called nowhere else).  These two siblings never call the density
+    # operator.
+    name: (
+        "import-flag only: overmerge.py's r15 flag is the density "
+        "operator edit; its only call sites (the two density queries) "
+        "are fronted, and this query does not call density_split_stats; "
+        "golden unchanged")
+    for name in ("overmerge_pairwise_signal", "overmerge_centroid_fit")
 })
 _WINDOW_EXEMPT.update({
     # graphops.py's r15 edits are the checkpoint-truncated LPA and

@@ -177,17 +177,37 @@ def density_split_stats(
     # the physical plan (ReuseExchange dedupes the pre-join exchanges,
     # never the join + fold themselves).  Instead: mirror each pair
     # with a 2-element inline explode (map-side, no second join), then
-    # read BOTH endpoints' core distances off the mirrored rows with
-    # two full-frame nth_value windows — the k-th smallest d2 per
-    # (g, src) IS the core distance, and partitioning the same rows by
-    # (g, dst) exposes the other endpoint's.  nth_value is NULL for
-    # points with < k_core neighbours; the EXPLICIT isNotNull guards in
-    # the eps-filter reproduce the inner-join drop of those pairs —
-    # `greatest` alone would NOT (Spark's greatest SKIPS null
-    # arguments rather than propagating them, so without the guards a
-    # pair between two low-degree points inside eps would survive
-    # where the old core joins — and the DuckDB oracle's
-    # `WHERE rn = k_core` CTE — drop it).
+    # derive core distances from ONE full-frame nth_value window — the
+    # k-th smallest d2 per (g, src) IS that point's core distance.
+    #
+    # r15 (the one-window landing the r14 round prototyped): the second
+    # full-frame window over (g, dst) is gone.  Because `sym` is
+    # symmetric, the dst endpoint's core distance is the SAME per-point
+    # value the (g, src) window already produced — so a (g, pt, c2)
+    # core table grouped out of the window output (partition-local:
+    # the g-hash partitioning satisfies the (g, pt) clustering) joins
+    # it onto the eps-PRE-FILTERED candidate set.  What this deletes at
+    # any scale is the full partition-local re-Sort of the mirrored
+    # pair plane by (g, dst, d2, src) plus the second window pass (the
+    # r14 plan had NO exchange between the windows — g-partitioning
+    # satisfies both — so the cost was the sort+window, not a shuffle);
+    # what it adds is a spillable scalar cache of the ranked pair plane
+    # (persist_scalar: 5 bigint columns, MEMORY_AND_DISK — the cache is
+    # WHY the window executes once: core and candidates are two
+    # consumers of one subplan, and without materialization Catalyst
+    # re-instantiates the pair join + fold per consumer) and a join
+    # whose left side is only the pairs that already passed d2 <= eps2
+    # AND ca <= eps2.  Interleaved A/B at sf0.1 (full query, min-of-4):
+    # 8.07 s two-window vs 6.43 s one-window, bit-identical outputs.
+    #
+    # NULL semantics (unchanged from the hardened r14 filter): nth_value
+    # is NULL for points with < k_core neighbours; candidates keep the
+    # explicit ca isNotNull guard, and the dst side's isNotNull+greatest
+    # guard becomes the INNER join against the NULL-filtered core table
+    # — exactly the inner-join drop the old shape (and the DuckDB
+    # oracle's `WHERE rn = k_core` CTE) applied.  With all three values
+    # non-null, greatest(d2, ca, cb) <= eps2 decomposes into the three
+    # per-value <= eps2 filters applied below.
     sym = pairs.select(
         "g",
         F.explode(
@@ -203,23 +223,34 @@ def density_split_stats(
         .orderBy(F.col("d2").asc(), F.col("dst").asc())
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    w_dst = (
-        Window.partitionBy("g", "dst")
-        .orderBy(F.col("d2").asc(), F.col("src").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    from openalex_walden_spark.operators.guardrails import persist_scalar
+
+    # session-owner release contract (see persist_scalar): the returned
+    # plan reads this cache; bench/driver sweeps clearCache between runs
+    ranked = persist_scalar(
+        sym.withColumn("ca", F.nth_value("d2", k_core).over(w_src))
+    )
+    core = (
+        ranked.groupBy("g", F.col("src").alias("pt"))
+        .agg(F.min("ca").alias("c2"))
+        .where(F.col("c2").isNotNull() & (F.col("c2") <= F.lit(eps2)))
+    )
+    cand = ranked.where(
+        (F.col("src") < F.col("dst"))
+        & (F.col("d2") <= F.lit(eps2))
+        & F.col("ca").isNotNull()
+        & (F.col("ca") <= F.lit(eps2))
     )
     edges = (
-        sym.withColumn("ca", F.nth_value("d2", k_core).over(w_src))
-        .withColumn("cb", F.nth_value("d2", k_core).over(w_dst))
-        .where(
-            (F.col("src") < F.col("dst"))
-            & F.col("ca").isNotNull()
-            & F.col("cb").isNotNull()
-            & (F.greatest("d2", "ca", "cb") <= F.lit(eps2))
+        cand.alias("cand")
+        .join(
+            core.alias("core"),
+            (F.col("cand.g") == F.col("core.g"))
+            & (F.col("cand.dst") == F.col("core.pt")),
         )
         .select(
-            (F.col("g") * _KEY_BASE + F.col("src")).alias("src"),
-            (F.col("g") * _KEY_BASE + F.col("dst")).alias("dst"),
+            (F.col("cand.g") * _KEY_BASE + F.col("cand.src")).alias("src"),
+            (F.col("cand.g") * _KEY_BASE + F.col("cand.dst")).alias("dst"),
         )
     )
     comp = connected_components(edges)  # (id, label): min member key
