@@ -90,6 +90,11 @@ _CHANGED_THIS_ROUND: list[str] = [
     #   candidates; outputs bit-identical, A/B 8.07 -> 6.43 s at sf0.1
     "overmerge_density_split",
     "overmerge_screened_density",
+    # - map-side array-intersection verify for the exact set-similarity
+    #   join (queries/llmdata.py): the candidate x tokens exploded
+    #   verify join and its 9M-row aggregate are gone; n_inter/n_union/
+    #   jaccard bit-identical, A/B 5.37 -> 3.69 s at sf0.1
+    "dedup_prefix_filter_pairs",
 ]
 
 # Queries whose defining MODULE changed this round but whose own plan
@@ -111,18 +116,21 @@ _CHANGED_THIS_ROUND: list[str] = [
 #   pagerank_fixedpoint / connected_components callers are unaffected
 #   (their call sites changed in r14 and were driver-verified then).
 _WINDOW_EXEMPT: dict[str, str] = {
-    # llmdata.py is NOT edited this round; it is flagged only for
+    # llmdata.py's one r15 edit is dedup_prefix_filter_pairs' verify
+    # rewrite (fronted in _CHANGED_THIS_ROUND); every other query in
+    # the module is untouched.  The module is additionally flagged for
     # importing guardrails' persist guards (docstring + a fixed-width
     # element check whose sole call site is advanced.py's trainer) and
-    # the checkpoints module (this module's two iterative call sites,
-    # dedup_connected_components via components.py, are plan-identical:
-    # the janitor code they use is untouched).
+    # the checkpoints module (this module's iterative call site,
+    # dedup_connected_components via components.py, is plan-identical:
+    # the janitor code it uses is untouched).
     name: (
-        "import-flag only: llmdata.py is unedited in r15; the flagged "
-        "operator diffs are the persist-guard docstring/element-check "
-        "(only call site: advanced.py trainer, array<bigint> — accepted "
-        "before and after) and a NEW checkpoints helper this module "
-        "does not call; golden unchanged")
+        "sibling-module flag only: llmdata.py's r15 edit is the "
+        "dedup_prefix_filter_pairs verify rewrite (fronted); this query "
+        "is untouched; the flagged operator diffs are the persist-guard "
+        "docstring/element-check (only call site: advanced.py trainer, "
+        "array<bigint> — accepted before and after) and a NEW "
+        "checkpoints helper this module does not call; golden unchanged")
     for name in (
         "text_quality_features", "text_lang_id", "dedup_exact_documents",
         "dedup_minhash_lsh_pairs", "dedup_simhash", "ann_cosine_topk",
@@ -134,7 +142,7 @@ _WINDOW_EXEMPT: dict[str, str] = {
         "search_boolean_retrieval", "dedup_segments_exact",
         "search_bm25_topk", "ann_sq8_topk", "mixture_rebalance_sample",
         "pack_sequences_chunked", "sample_importance_weighted",
-        "quality_lm_surprisal", "dedup_prefix_filter_pairs",
+        "quality_lm_surprisal",
         "chunk_documents_overlap", "bpe_top_merges", "crawl_drain_queue",
         "search_hybrid_rrf",
     )

@@ -2325,8 +2325,10 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one vocab-sized df aggregate, one (doc-keyed)
     window to rank tokens within each doc, a candidate equi-join on
     prefix tokens (fan-out bounded by rare-token bucket sizes; the
-    hottest tokens never enter any prefix of a large doc), and the
-    bounded verify join — no all-pairs stage anywhere.
+    hottest tokens never enter any prefix of a large doc), and a
+    map-side array-intersection verify over per-doc sorted shingle
+    arrays (bounded by tokens-per-doc) — no all-pairs stage and no
+    candidate x tokens row blowup anywhere.
     """
     from openalex_walden_spark.operators.guardrails import persist_scalar
 
@@ -2360,24 +2362,52 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "tok")
     a = prefix.select(F.col("doc_id").alias("doc_a"), "tok")
     b = prefix.select(F.col("doc_id").alias("doc_b"), "tok")
-    cand = persist_scalar(
+    cand = (
         a.join(b, "tok")
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sizes = toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
-    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
-    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
-    inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    # r15 verify rewrite (guide §2.3 "shuffle fewer bytes"): the old
+    # verify exploded every candidate against BOTH docs' full token
+    # lists (cand ⋈ toks_a ⋈ toks_b on (doc, tok) — a |cand| x
+    # tokens-per-doc row blowup, ~9M intermediate rows at sf0.1 —
+    # followed by a (doc_a, doc_b) count aggregate over that blowup).
+    # Each doc's DISTINCT shingle set instead rolls up ONCE into a
+    # sorted array (bounded by tokens-per-doc, the same per-row bound
+    # the exploded path carried per group; computed from the persisted
+    # token rows, NOT persisted itself — the persist guards refuse
+    # string arrays by design), and the intersection count is map-side
+    # ``size(array_intersect(...))`` after two equi-joins that move
+    # only the candidate rows and each participating doc's array.  The
+    # exploded join, its (doc,tok) exchange, and the 9M-row aggregate
+    # disappear; n_inter is the same distinct-token intersection count,
+    # so n_union and the double-division jaccard are bit-identical.
+    # Interleaved A/B at sf0.1 (min-of-4): 5.37 -> 3.69 s; the
+    # candidate-side persist went with the exploded verify (cand now
+    # has a single consumer).
+    docarr = toks.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("tok")).alias("arr"),
+        F.count("*").cast("bigint").alias("n"),
     )
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        cand.join(
+            docarr.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("arr").alias("arr_a"),
+                F.col("n").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            docarr.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("arr").alias("arr_b"),
+                F.col("n").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("arr_a", "arr_b")).cast("bigint"))
         .where(
             5 * F.col("n_inter")
             >= 4 * (F.col("na") + F.col("nb") - F.col("n_inter"))
