@@ -95,6 +95,15 @@ _CHANGED_THIS_ROUND: list[str] = [
     #   verify join and its 9M-row aggregate are gone; n_inter/n_union/
     #   jaccard bit-identical, A/B 5.37 -> 3.69 s at sf0.1
     "dedup_prefix_filter_pairs",
+    # - parallelizing key-only repartition under single-row-group
+    #   fixture scans feeding regex-heavy parses (the scan is ONE task
+    #   no matter what maxPartitionBytes says, so these parses ran on
+    #   one core): letten 55-74 s -> 5.6-6.0 s at sf0.1; rows identical,
+    #   goldens order-insensitive and unchanged
+    "letten_parse_laureates",
+    "acmedsci_parse_awards",
+    "laureate_prize_parse",
+    "method5_parse_awards",
 ]
 
 # Queries whose defining MODULE changed this round but whose own plan

@@ -368,5 +368,9 @@ def acmedsci_parse_awards(spark: SparkSession, sf_dir: str) -> DataFrame:
     working-with/at, Turnberg from/visiting, Networking paired-lead
     UK-side pick; lead-title strip + parenthetical removal + the
     38-token post-nominal peel; family-required drop; composite
-    slugified ids.  One scan, zero exchanges, no Python."""
-    return spark.sql(_build("spark"))
+    slugified ids.  One scan, one parallelizing key-only repartition
+    (registry.parallelize_scan_sql — the single-row-group fixture scan
+    is one task and this grammar cascade is regex-heavy), no Python."""
+    from openalex_walden_spark.queries.registry import parallelize_scan_sql
+
+    return spark.sql(parallelize_scan_sql(spark, _build("spark")))

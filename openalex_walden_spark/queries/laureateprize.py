@@ -1796,5 +1796,11 @@ def laureate_prize_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eight laureate ingests in one union plan (module docstring has
     the per-member semantics map).  The kyoto and king-faisal
     share-count windows are the only exchanges; the keio arm explodes
-    the two per-row laureate positions."""
-    return spark.sql(_build("spark"))
+    the two per-row laureate positions.  Each arm's orders scan sits
+    behind a parallelizing key-only repartition
+    (registry.parallelize_scan_sql): the single-row-group fixture scan
+    is one task per arm, and the regex-heavy parse ran on 8 cores for
+    8 arms while the rest idled."""
+    from openalex_walden_spark.queries.registry import parallelize_scan_sql
+
+    return spark.sql(parallelize_scan_sql(spark, _build("spark")))

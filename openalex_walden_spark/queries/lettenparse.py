@@ -294,9 +294,19 @@ def _sql(dialect: str) -> str:
            "title_rendered", "content_rendered", "link", "item_date",
            "item_modified", "raw_json"]
 
+    # Spark: the fixture is a single-row-group parquet file, so the scan
+    # is ONE task no matter what maxPartitionBytes says — and this parse
+    # does ~100 µs/row of regex work, so the whole query ran on one core
+    # (r15, guide §2.5 "input skew: one huge unsplittable file ...
+    # repartition immediately after the read").  The hint shuffles ONLY
+    # o_orderkey (8 bytes/row; every parsed string is generated in-plan
+    # above it), so the exchange is scale-safe; the parallelism value is
+    # injected by the query function from defaultParallelism.  Measured
+    # at sf0.1: 55-74 s -> 5.6-6.0 s, identical rows.
+    par_hint = "/*+ REPARTITION(__PAR__) */ " if dialect == "spark" else ""
     return f"""
 WITH base AS (
-  SELECT o_orderkey AS k, w.award_year, w.source_type, w.source_slug,
+  SELECT {par_hint}o_orderkey AS k, w.award_year, w.source_type, w.source_slug,
     {LK} AS lk,
     CAST((o_orderkey + w.award_year) % 4 AS INT) AS arm,
     1000000 + o_orderkey * 100 + w.award_year % 100 AS wp_id
@@ -449,5 +459,7 @@ def letten_parse_laureates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Letten canonical-winners parse: the 4-stage name cascade, the
     per-year affiliation regex table, the sentence-selection
     description truncation with the 900-char break, slugified ids,
-    year-tabled amounts.  One scan, zero exchanges, no Python."""
-    return spark.sql(_build("spark"))
+    year-tabled amounts.  One scan, one parallelizing key-only
+    repartition (see _sql), no Python."""
+    par = spark.sparkContext.defaultParallelism
+    return spark.sql(_build("spark").replace("__PAR__", str(par)))

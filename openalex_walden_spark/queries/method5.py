@@ -1584,5 +1584,9 @@ def method5_parse_awards(spark: SparkSession, sf_dir: str) -> DataFrame:
     has the per-member semantics map).  Scan arms behind Generate
     barriers; slugs are unique by construction (the references RAISE on
     collision) so the only exchanges are the AOS arm's per-page
-    windows."""
-    return spark.sql(_build("spark"))
+    windows — plus, r15, the parallelizing key-only repartition under
+    each arm's single-row-group fixture scan
+    (registry.parallelize_scan_sql)."""
+    from openalex_walden_spark.queries.registry import parallelize_scan_sql
+
+    return spark.sql(parallelize_scan_sql(spark, _build("spark")))

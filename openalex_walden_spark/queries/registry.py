@@ -58,3 +58,32 @@ def register(
         return run
 
     return wrap
+
+
+def parallelize_scan_sql(
+    spark: SparkSession, sql_text: str, table: str = "orders"
+) -> str:
+    """Inject a key-only parallelizing REPARTITION under every scan of
+    ``table`` in a SQL-text query (r15, guide §2.5 "input skew: one huge
+    unsplittable file — repartition immediately after the read").
+
+    The local fixtures are single-row-group parquet files, so a scan is
+    ONE task regardless of ``spark.sql.files.maxPartitionBytes`` — and
+    the scraper-parse fleet does 10-100 µs/row of regex work ABOVE the
+    scan, which therefore ran on one core while the rest idled (measured
+    at sf0.1: letten 55-74 s -> 5.6-6.0 s with the hint; every parsed
+    string is generated in-plan from the narrow scan columns, so the
+    exchange moves bytes-per-row, not documents).  The round-robin value
+    follows ``defaultParallelism`` — scale-adaptive, never a constant.
+    On splittable production input the hint costs one narrow-column
+    shuffle and still guarantees the parse runs at full width.  The
+    oracle dialect is untouched (hints are Spark-only syntax).
+    """
+    import re
+
+    par = spark.sparkContext.defaultParallelism
+    return re.sub(
+        rf"FROM {table}\b",
+        f"FROM (SELECT /*+ REPARTITION({par}) */ * FROM {table})",
+        sql_text,
+    )

@@ -1084,6 +1084,9 @@ def test_method5_no_shuffle_union(spark, sf_dir):
     it exists for (tinyfunder measured 270K pre-barrier)."""
     plan = _plan(spark, sf_dir, "method5_parse_awards")
     assert plan.count("Exchange hashpartitioning") <= 14
+    # r15: arms parallelize their single-row-group scans (key-only
+    # round-robin repartition, parallelize_scan_sql)
+    assert plan.count("Exchange RoundRobinPartitioning") >= 1
     assert "Generate" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
@@ -1308,9 +1311,13 @@ def test_holberg_zero_shuffle_scan(spark, sf_dir):
 
 def test_letten_zero_shuffle_scan(spark, sf_dir):
     """Letten: one scan exploded x4 canonical winners behind Generate
-    barriers — zero exchanges, no Python, bounded plan."""
+    barriers — exactly ONE exchange (the r15 key-only parallelizing
+    repartition: the single-row-group fixture scan is one task, and
+    this parse is ~100 µs/row of regex, so without it the whole query
+    ran on one core; the hint moves only o_orderkey), no Python,
+    bounded plan."""
     plan = _plan(spark, sf_dir, "letten_parse_laureates")
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") == 1  # the parallelizing repartition
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     df = q.CATALOG["letten_parse_laureates"].spark(spark, sf_dir)
@@ -1367,10 +1374,11 @@ def test_nuffield_zero_shuffle_scan(spark, sf_dir):
 
 
 def test_acmedsci_zero_shuffle_scan(spark, sf_dir):
-    """AcMedSci: one scan of pure column algebra — zero exchanges, no
-    Python, bounded plan."""
+    """AcMedSci: one scan of pure column algebra — exactly one exchange
+    (the r15 key-only parallelizing repartition under the
+    single-row-group fixture scan), no Python, bounded plan."""
     plan = _plan(spark, sf_dir, "acmedsci_parse_awards")
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") == 1  # the parallelizing repartition
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     df = q.CATALOG["acmedsci_parse_awards"].spark(spark, sf_dir)
@@ -1509,8 +1517,11 @@ def test_laureate_prize_two_window_exchanges(spark, sf_dir):
     plan = _plan(spark, sf_dir, "laureate_prize_parse")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
-    n_ex = plan.count("Exchange")
+    n_ex = plan.count("Exchange hashpartitioning")
     assert n_ex <= 4, n_ex  # 2 windows; AQE may add reused shuffles
+    # r15: each arm additionally parallelizes its single-row-group scan
+    # with a key-only round-robin repartition (parallelize_scan_sql)
+    assert plan.count("Exchange RoundRobinPartitioning") >= 1
     assert plan.count("Window") >= 2
     df = q.CATALOG["laureate_prize_parse"].spark(spark, sf_dir)
     opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
