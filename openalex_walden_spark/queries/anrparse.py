@@ -290,4 +290,9 @@ def anr_parse_projects(spark: SparkSession, sf_dir: str) -> DataFrame:
     amount clean, strict-ISO date coerce, numeric edition) + keep-first
     dedup across the three directorate arms (module docstring has the
     full semantics map, including the dead constant-France fallback)."""
-    return spark.sql(_sql("spark"))
+    from openalex_walden_spark.queries.registry import parallelize_scan_sql
+
+    # r15: parallelizing key-only repartition under the single-row-group
+    # fixture scan(s) — the regex parse otherwise runs on one task
+    # (registry.parallelize_scan_sql has the measurements)
+    return spark.sql(parallelize_scan_sql(spark, _sql("spark"), ('orders', 'lineitem')))

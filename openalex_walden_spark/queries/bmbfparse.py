@@ -287,4 +287,9 @@ def bmbf_parse_projects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """German label→field map, amount/date-range/Ressort/Bundesland
     parses, the stateful two-Ort assignment, and the FKZ keep-first
     dedup (module docstring has the full semantics map)."""
-    return spark.sql(_parse_sql("spark"))
+    from openalex_walden_spark.queries.registry import parallelize_scan_sql
+
+    # r15: parallelizing key-only repartition under the single-row-group
+    # fixture scan(s) — the regex parse otherwise runs on one task
+    # (registry.parallelize_scan_sql has the measurements)
+    return spark.sql(parallelize_scan_sql(spark, _parse_sql("spark"), "orders"))

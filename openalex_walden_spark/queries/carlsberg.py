@@ -350,4 +350,9 @@ def carlsberg_parse_grants(spark: SparkSession, sf_dir: str) -> DataFrame:
     Danish-number NULL arm, institutional-name PI guard, conservative
     title/degree name split, DKK-0 TEST-page skip, URL-only degraded
     rows.  One scan, zero exchanges, no Python."""
-    return spark.sql(_build("spark"))
+    from openalex_walden_spark.queries.registry import parallelize_scan_sql
+
+    # r15: parallelizing key-only repartition under the single-row-group
+    # fixture scan(s) — the regex parse otherwise runs on one task
+    # (registry.parallelize_scan_sql has the measurements)
+    return spark.sql(parallelize_scan_sql(spark, _build("spark"), "orders"))

@@ -903,4 +903,9 @@ def fellowship_directory_parse(spark: SparkSession,
     shared particle-aware name split (module docstring has the map).
     Two barriered scan arms + the radcliffe (slug, year) keep-first
     window; no Python."""
-    return spark.sql(_build("spark"))
+    from openalex_walden_spark.queries.registry import parallelize_scan_sql
+
+    # r15: parallelizing key-only repartition under the single-row-group
+    # fixture scan(s) — the regex parse otherwise runs on one task
+    # (registry.parallelize_scan_sql has the measurements)
+    return spark.sql(parallelize_scan_sql(spark, _build("spark"), "orders"))

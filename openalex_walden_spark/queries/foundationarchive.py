@@ -680,4 +680,9 @@ def foundation_archive_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring has the semantics map; note the costech dead-regex quirk
     preserved and the kirby sha1->sha256 digest deviation).  Four
     barriered scan arms + the kirby year-column explode; no shuffle."""
-    return spark.sql(_build("spark"))
+    from openalex_walden_spark.queries.registry import parallelize_scan_sql
+
+    # r15: parallelizing key-only repartition under the single-row-group
+    # fixture scan(s) — the regex parse otherwise runs on one task
+    # (registry.parallelize_scan_sql has the measurements)
+    return spark.sql(parallelize_scan_sql(spark, _build("spark"), "orders"))

@@ -582,7 +582,12 @@ def cn_province_awards_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one scan, pure column algebra (the reference runs this
     per-row in pandas); no shuffle at all."""
-    return spark.sql(_cn_parse("spark").replace("{rows}", _CN_ROWS_SPARK))
+    from openalex_walden_spark.queries.registry import parallelize_scan_sql
+
+    # r15: parallelizing key-only repartition under the single-row-group
+    # fixture scan (registry.parallelize_scan_sql has the measurements)
+    return spark.sql(parallelize_scan_sql(
+        spark, _cn_parse("spark").replace("{rows}", _CN_ROWS_SPARK)))
 
 
 # ---------------------------------------------------------------------------

@@ -882,15 +882,27 @@ def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared fingerprint hash — the containment-detection primitive for
     training-data decontamination.
 
-    Entirely per-row array HOFs (transform/slice/array_min) — ONE
-    codegen'd scan, zero shuffles, embarrassingly parallel at 100 TB.
-    Output is scalar (count + md5 checksum of the sorted fingerprint
-    set) so the oracle hash-compares exactly; downstream dedup would
-    explode `fps` and hash-join on fingerprint instead.
+    Entirely per-row array HOFs (transform/slice/array_min) — one scan
+    plus the r15 parallelizing key repartition, embarrassingly parallel
+    at 100 TB.  Output is scalar (count + md5 checksum of the sorted
+    fingerprint set) so the oracle hash-compares exactly; downstream
+    dedup would explode `fps` and hash-join on fingerprint instead.
+
+    r15 per-task-work fix (guide §1.2 step 2): ``lower(text)`` is
+    hoisted into a column BEFORE the k-gram lambda — a lambda body's
+    row-level subexpressions are re-evaluated per element, so the old
+    inline form lower-cased the whole document once per k-gram (O(L^2)
+    chars per doc); the hoisted column is computed once per row and the
+    lambda reads an attribute.  The repartition breaks the
+    single-row-group fixture scan out of its one task (the same fix as
+    the parse fleet; key-only columns move).
     """
+    par = spark.sparkContext.defaultParallelism
     return (
         spark.table("documents")
-        .select("doc_id", F.expr(winnow_hashes_spark()).alias("hs"))
+        .repartition(par, F.col("doc_id"))
+        .select("doc_id", F.lower("text").alias("lt"))
+        .select("doc_id", F.expr(winnow_hashes_spark("lt")).alias("hs"))
         .select(
             "doc_id",
             F.size("hs").cast("bigint").alias("n_kgrams"),
@@ -974,9 +986,15 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openalex_walden_spark.operators.components import connected_components
     from openalex_walden_spark.operators.guardrails import persist_scalar
 
-    corpus = _spark_corpus_neardup(spark)
+    # r15: hoisted lower(text) + parallelizing key repartition (see
+    # text_fingerprint_winnow — the same O(L^2) lambda and single-task
+    # scan fixes; the corpus generator reads the single-row-group
+    # documents fixture).
+    par = spark.sparkContext.defaultParallelism
+    corpus = _spark_corpus_neardup(spark).repartition(par, F.col("doc_id"))
     fp = persist_scalar(
-        corpus.select("doc_id", F.expr(winnow_hashes_spark()).alias("hs"))
+        corpus.select("doc_id", F.lower("text").alias("lt"))
+        .select("doc_id", F.expr(winnow_hashes_spark("lt")).alias("hs"))
         .select(
             "doc_id",
             F.explode(F.array_distinct(F.expr(winnow_select_spark()))).alias("f"),
@@ -1122,9 +1140,16 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from openalex_walden_spark.operators.guardrails import persist_scalar
 
+    # r15: hoisted lower(text) + parallelizing key repartition — same
+    # O(L^2)-per-doc lambda fix and single-task-scan fix as
+    # text_fingerprint_winnow (this query ground >18 min single-core at
+    # sf0.1 before it; the hashing subplan is the dominant cost).
+    par = spark.sparkContext.defaultParallelism
     fpall = persist_scalar(
         spark.table("documents")
-        .select("doc_id", F.expr(winnow_hashes_spark()).alias("hs"))
+        .repartition(par, F.col("doc_id"))
+        .select("doc_id", F.lower("text").alias("lt"))
+        .select("doc_id", F.expr(winnow_hashes_spark("lt")).alias("hs"))
         .select("doc_id", F.array_distinct(F.expr(winnow_select_spark())).alias("fps"))
         .select(
             "doc_id",

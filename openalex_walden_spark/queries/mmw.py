@@ -497,4 +497,9 @@ def mmw_parse_grants(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyword-cut institution/PI classification, quoted-title extract),
     detail-page merge cascades, ordered collision-suffix ids.  One
     scan, one native-id exchange, no Python."""
-    return spark.sql(_build("spark"))
+    from openalex_walden_spark.queries.registry import parallelize_scan_sql
+
+    # r15: parallelizing key-only repartition under the single-row-group
+    # fixture scan(s) — the regex parse otherwise runs on one task
+    # (registry.parallelize_scan_sql has the measurements)
+    return spark.sql(parallelize_scan_sql(spark, _build("spark"), "orders"))

@@ -248,4 +248,9 @@ def nomis_parse_projects(spark: SparkSession, sf_dir: str) -> DataFrame:
     titles preserved, NULL-when-empty JSON org lists, 'nomis-{slug}'
     ids, §6.7 NULL amounts by source design.  One scan, zero
     exchanges, no Python."""
-    return spark.sql(_build("spark"))
+    from openalex_walden_spark.queries.registry import parallelize_scan_sql
+
+    # r15: parallelizing key-only repartition under the single-row-group
+    # fixture scan(s) — the regex parse otherwise runs on one task
+    # (registry.parallelize_scan_sql has the measurements)
+    return spark.sql(parallelize_scan_sql(spark, _build("spark"), "orders"))

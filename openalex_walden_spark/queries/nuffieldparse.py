@@ -384,4 +384,9 @@ def nuffield_parse_projects(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled strong-run researcher extraction, K/M amount multipliers,
     Month-YYYY date-range formatting, title+degree name peels with
     empty-string lead fields.  One scan, zero exchanges, no Python."""
-    return spark.sql(_build("spark"))
+    from openalex_walden_spark.queries.registry import parallelize_scan_sql
+
+    # r15: parallelizing key-only repartition under the single-row-group
+    # fixture scan(s) — the regex parse otherwise runs on one task
+    # (registry.parallelize_scan_sql has the measurements)
+    return spark.sql(parallelize_scan_sql(spark, _build("spark"), "orders"))

@@ -1518,4 +1518,9 @@ def prize_pattern_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Four prize ingests in one union plan (module docstring has the
     per-member semantics map).  Share-count windows are the only
     exchanges; the millennium arm explodes multi-laureate rows."""
-    return spark.sql(_build("spark"))
+    from openalex_walden_spark.queries.registry import parallelize_scan_sql
+
+    # r15: parallelizing key-only repartition under the single-row-group
+    # fixture scan(s) — the regex parse otherwise runs on one task
+    # (registry.parallelize_scan_sql has the measurements)
+    return spark.sql(parallelize_scan_sql(spark, _build("spark"), "orders"))

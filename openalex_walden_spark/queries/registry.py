@@ -61,7 +61,7 @@ def register(
 
 
 def parallelize_scan_sql(
-    spark: SparkSession, sql_text: str, table: str = "orders"
+    spark: SparkSession, sql_text: str, table: str | tuple[str, ...] = "orders"
 ) -> str:
     """Inject a key-only parallelizing REPARTITION under every scan of
     ``table`` in a SQL-text query (r15, guide §2.5 "input skew: one huge
@@ -82,8 +82,10 @@ def parallelize_scan_sql(
     import re
 
     par = spark.sparkContext.defaultParallelism
-    return re.sub(
-        rf"FROM {table}\b",
-        f"FROM (SELECT /*+ REPARTITION({par}) */ * FROM {table})",
-        sql_text,
-    )
+    for t in (table,) if isinstance(table, str) else table:
+        sql_text = re.sub(
+            rf"FROM {t}\b",
+            f"FROM (SELECT /*+ REPARTITION({par}) */ * FROM {t})",
+            sql_text,
+        )
+    return sql_text

@@ -359,4 +359,9 @@ def rgc_hk_parse_awards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RGC HK detail-record normalize (module docstring has the full
     semantics map).  One scan, HOF column algebra, no shuffle, no
     Python."""
-    return spark.sql(_build("spark"))
+    from openalex_walden_spark.queries.registry import parallelize_scan_sql
+
+    # r15: parallelizing key-only repartition under the single-row-group
+    # fixture scan(s) — the regex parse otherwise runs on one task
+    # (registry.parallelize_scan_sql has the measurements)
+    return spark.sql(parallelize_scan_sql(spark, _build("spark"), "orders"))

@@ -379,4 +379,9 @@ def vilcek_parse_prizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no-year drops, single-pass honorific strip + degree peel,
     600-char word-safe bio truncation, comma-location US rule.  One
     scan, zero exchanges, no Python."""
-    return spark.sql(_build("spark"))
+    from openalex_walden_spark.queries.registry import parallelize_scan_sql
+
+    # r15: parallelizing key-only repartition under the single-row-group
+    # fixture scan(s) — the regex parse otherwise runs on one task
+    # (registry.parallelize_scan_sql has the measurements)
+    return spark.sql(parallelize_scan_sql(spark, _build("spark"), "orders"))

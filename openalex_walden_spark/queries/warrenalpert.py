@@ -306,4 +306,9 @@ def warren_alpert_parse_prizes(spark: SparkSession,
     fallback, positions text + first-affiliation walks, dash-collapsed
     [:90] slug ids.  One scan + one Generate, zero exchanges, no
     Python."""
-    return spark.sql(_build("spark"))
+    from openalex_walden_spark.queries.registry import parallelize_scan_sql
+
+    # r15: parallelizing key-only repartition under the single-row-group
+    # fixture scan(s) — the regex parse otherwise runs on one task
+    # (registry.parallelize_scan_sql has the measurements)
+    return spark.sql(parallelize_scan_sql(spark, _build("spark"), "orders"))

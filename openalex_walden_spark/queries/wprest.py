@@ -900,4 +900,9 @@ def wprest_parse_projects(spark: SparkSession, sf_dir: str) -> DataFrame:
     (module docstring has the semantics map: the Portuguese and Swiss
     amount grammars, the year fallbacks, the taxonomy join-render).
     Two barriered scan arms, zero shuffle, no Python."""
-    return spark.sql(_build("spark"))
+    from openalex_walden_spark.queries.registry import parallelize_scan_sql
+
+    # r15: parallelizing key-only repartition under the single-row-group
+    # fixture scan(s) — the regex parse otherwise runs on one task
+    # (registry.parallelize_scan_sql has the measurements)
+    return spark.sql(parallelize_scan_sql(spark, _build("spark"), "orders"))

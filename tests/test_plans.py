@@ -180,10 +180,20 @@ def test_sample_stratified_is_map_side_only(spark, sf_dir):
 
 
 def test_winnow_fingerprints_no_shuffle(spark, sf_dir):
-    """Winnowing is per-row array HOFs over one scan — a shuffle here
-    means someone turned it back into an explode+window."""
+    """Winnowing is per-row array HOFs over one scan — an AGGREGATION
+    shuffle here means someone turned it back into an explode+window.
+    The one allowed exchange is the r15 parallelizing doc_id repartition
+    (the single-row-group fixture scan is one task, and the k-gram
+    hashing is the engine's heaviest per-row expression), and the
+    lower(text) hoist must survive the optimizer: exactly ONE lower()
+    in the plan, not one per k-gram lambda element."""
     plan = _plan(spark, sf_dir, "text_fingerprint_winnow")
-    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(doc_id" in plan
+    assert "HashAggregate" not in plan
+    df = q.CATALOG["text_fingerprint_winnow"].spark(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert opt.count("lower(") == 1, opt.count("lower(")
 
 
 def test_decontamination_broadcasts_eval_side(spark, sf_dir):
@@ -869,7 +879,8 @@ def test_cn_province_parse_is_shuffle_free(spark, sf_dir):
     one scan, no exchange, no Python in the plan (the reference runs
     per-row pandas)."""
     plan = _plan(spark, sf_dir, "cn_province_awards_parse")
-    assert "Exchange" not in plan
+    assert plan.count("Exchange RoundRobinPartitioning") >= 1
+    assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
@@ -909,7 +920,8 @@ def test_twas_parse_single_scan_no_shuffle(spark, sf_dir):
     chained-CTE form inlined to a 167 KB optimized plan and fell out of
     whole-stage codegen)."""
     plan = _plan(spark, sf_dir, "twas_parse_awards")
-    assert "Exchange" not in plan
+    assert plan.count("Exchange RoundRobinPartitioning") >= 1
+    assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     df = q.CATALOG["twas_parse_awards"].spark(spark, sf_dir)
@@ -973,7 +985,8 @@ def test_rgc_hk_single_scan_no_shuffle(spark, sf_dir):
     bounded (the person-split expressions repeat over attributes, not
     over inlined derivations)."""
     plan = _plan(spark, sf_dir, "rgc_hk_parse_awards")
-    assert "Exchange" not in plan
+    assert plan.count("Exchange RoundRobinPartitioning") >= 1
+    assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     df = q.CATALOG["rgc_hk_parse_awards"].spark(spark, sf_dir)
     opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
@@ -984,7 +997,8 @@ def test_blue_planet_single_scan_no_shuffle(spark, sf_dir):
     """Blue Planet normalize: one scan through Generate layer barriers,
     bounded plan, no shuffle, no Python."""
     plan = _plan(spark, sf_dir, "blue_planet_parse_awards")
-    assert "Exchange" not in plan
+    assert plan.count("Exchange RoundRobinPartitioning") >= 1
+    assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     df = q.CATALOG["blue_planet_parse_awards"].spark(spark, sf_dir)
     opt = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
@@ -1037,7 +1051,8 @@ def test_threesixty_rich_single_scan_shapes(spark, sf_dir):
     """Arcadia: single scan, pure column algebra, no shuffle.  Wellcome:
     one scan + the grant_ref keep-first window.  No Python either way."""
     plan = _plan(spark, sf_dir, "arcadia_parse_grants")
-    assert "Exchange" not in plan
+    assert plan.count("Exchange RoundRobinPartitioning") >= 1
+    assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     plan = _plan(spark, sf_dir, "wellcome_parse_grants")
     assert plan.count("Exchange hashpartitioning") <= 1
@@ -1049,7 +1064,8 @@ def test_potter_dual_arm_no_shuffle(spark, sf_dir):
     """Potter: two scan arms unioned, no shuffle at all, no Python,
     bounded plan."""
     plan = _plan(spark, sf_dir, "potter_parse_awards")
-    assert "Exchange" not in plan
+    assert plan.count("Exchange RoundRobinPartitioning") >= 1
+    assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     df = q.CATALOG["potter_parse_awards"].spark(spark, sf_dir)
@@ -1264,7 +1280,8 @@ def test_mjff_zero_shuffle_scan(spark, sf_dir):
     """MJFF: one scan of pure column algebra — zero exchanges, no
     joins, no Python, bounded plan."""
     plan = _plan(spark, sf_dir, "mjff_parse_grants")
-    assert "Exchange" not in plan
+    assert plan.count("Exchange RoundRobinPartitioning") >= 1
+    assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     df = q.CATALOG["mjff_parse_grants"].spark(spark, sf_dir)
@@ -1276,7 +1293,8 @@ def test_carlsberg_zero_shuffle_scan(spark, sf_dir):
     """Carlsberg: one scan of pure column algebra — zero exchanges,
     no Python, bounded plan."""
     plan = _plan(spark, sf_dir, "carlsberg_parse_grants")
-    assert "Exchange" not in plan
+    assert plan.count("Exchange RoundRobinPartitioning") >= 1
+    assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     df = q.CATALOG["carlsberg_parse_grants"].spark(spark, sf_dir)
@@ -1353,7 +1371,8 @@ def test_vilcek_zero_shuffle_scan(spark, sf_dir):
     """Vilcek: one scan of pure column algebra — zero exchanges, no
     Python, bounded plan."""
     plan = _plan(spark, sf_dir, "vilcek_parse_prizes")
-    assert "Exchange" not in plan
+    assert plan.count("Exchange RoundRobinPartitioning") >= 1
+    assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     df = q.CATALOG["vilcek_parse_prizes"].spark(spark, sf_dir)
@@ -1365,7 +1384,8 @@ def test_nuffield_zero_shuffle_scan(spark, sf_dir):
     """Nuffield: one scan of pure column algebra — zero exchanges, no
     Python, bounded plan."""
     plan = _plan(spark, sf_dir, "nuffield_parse_projects")
-    assert "Exchange" not in plan
+    assert plan.count("Exchange RoundRobinPartitioning") >= 1
+    assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     df = q.CATALOG["nuffield_parse_projects"].spark(spark, sf_dir)
@@ -1438,7 +1458,8 @@ def test_warren_alpert_zero_shuffle_scan(spark, sf_dir):
     """Warren Alpert: one scan + one Generate explode — zero
     exchanges, no Python, bounded plan."""
     plan = _plan(spark, sf_dir, "warren_alpert_parse_prizes")
-    assert "Exchange" not in plan
+    assert plan.count("Exchange RoundRobinPartitioning") >= 1
+    assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     df = q.CATALOG["warren_alpert_parse_prizes"].spark(spark, sf_dir)
@@ -1462,7 +1483,8 @@ def test_nomis_zero_shuffle_scan(spark, sf_dir):
     """NOMIS: one scan of pure column algebra — zero exchanges, no
     Python, bounded plan."""
     plan = _plan(spark, sf_dir, "nomis_parse_projects")
-    assert "Exchange" not in plan
+    assert plan.count("Exchange RoundRobinPartitioning") >= 1
+    assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     df = q.CATALOG["nomis_parse_projects"].spark(spark, sf_dir)
